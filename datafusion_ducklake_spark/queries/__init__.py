@@ -1,0 +1,84 @@
+"""Query registry: name → (spark builder, DuckDB oracle SQL, flags).
+
+The driver contract (``__spark_entry__.py``) exposes this registry via
+``queries()`` / ``oracle_sql()``. Every operator claimed done in SURVEY.md §2
+gets an entry here; oracle-less entries (non-SQL-expressible ops) set
+``oracle=None`` and get the driver's weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import documents, events, similarity, tpch
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    headline: bool = False  # included in bench.py timing suite
+
+
+_SPECS = [
+    # TPC-H-ish relational coverage
+    QuerySpec("q01_pricing_summary", tpch.q01_pricing_summary, tpch.ORACLE_Q01, True),
+    QuerySpec("q03_shipping_priority", tpch.q03_shipping_priority, tpch.ORACLE_Q03, True),
+    QuerySpec("q04_order_priority", tpch.q04_order_priority, tpch.ORACLE_Q04, True),
+    QuerySpec("q05_local_supplier_volume", tpch.q05_local_supplier_volume, tpch.ORACLE_Q05, True),
+    QuerySpec("q06_forecast_revenue", tpch.q06_forecast_revenue, tpch.ORACLE_Q06, True),
+    QuerySpec("q07_volume_shipping", tpch.q07_volume_shipping, tpch.ORACLE_Q07, True),
+    QuerySpec("q10_returned_items", tpch.q10_returned_items, tpch.ORACLE_Q10, True),
+    QuerySpec("q13_customer_distribution", tpch.q13_customer_distribution, tpch.ORACLE_Q13, True),
+    QuerySpec("q14_promo_revenue", tpch.q14_promo_revenue, tpch.ORACLE_Q14, True),
+    QuerySpec("q18_large_orders", tpch.q18_large_orders, tpch.ORACLE_Q18, True),
+    QuerySpec("q19_discounted_revenue", tpch.q19_discounted_revenue, tpch.ORACLE_Q19, True),
+    QuerySpec("q21_idle_suppliers", tpch.q21_idle_suppliers, tpch.ORACLE_Q21, False),
+    QuerySpec("q22_global_sales_opportunity", tpch.q22_global_sales_opportunity, tpch.ORACLE_Q22, True),
+    QuerySpec("part_brand_stats", tpch.part_brand_stats, tpch.ORACLE_PART_STATS, False),
+    QuerySpec("top_orders", tpch.top_orders, tpch.ORACLE_TOP_ORDERS, False),
+    QuerySpec("window_top_order_per_customer", tpch.window_top_order_per_customer,
+              tpch.ORACLE_WINDOW_TOP, True),
+    QuerySpec("setop_active_parties", tpch.setop_active_parties, tpch.ORACLE_SETOP, False),
+    # events / time-series
+    QuerySpec("events_hourly_rollup", events.events_hourly_rollup, events.ORACLE_HOURLY, True),
+    QuerySpec("events_running_value", events.events_running_value, events.ORACLE_RUNNING, True),
+    QuerySpec("events_gap_to_next", events.events_gap_to_next, events.ORACLE_GAP, False),
+    QuerySpec("events_json_props", events.events_json_props, events.ORACLE_JSON, False),
+    QuerySpec("events_daily_active_users", events.events_daily_active_users,
+              events.ORACLE_DAU, False),
+    # documents / text pipeline
+    QuerySpec("doc_token_stats", documents.doc_token_stats, documents.ORACLE_TOKEN_STATS, True),
+    QuerySpec("doc_quality_scores", documents.doc_quality_scores, documents.ORACLE_QUALITY, False),
+    QuerySpec("dedup_exact_summary", documents.dedup_exact_summary,
+              documents.ORACLE_DEDUP_SUMMARY, False),
+    QuerySpec("dedup_exact_keep", documents.dedup_exact_keep, documents.ORACLE_DEDUP_KEEP, False),
+    QuerySpec("lang_id_heuristic", documents.lang_id_heuristic, documents.ORACLE_LANG_ID, False),
+    QuerySpec("doc_fingerprint", documents.doc_fingerprint, documents.ORACLE_FINGERPRINT, False),
+    # embeddings / similarity
+    QuerySpec("knn_bruteforce_cosine", similarity.knn_bruteforce_cosine,
+              similarity.ORACLE_KNN, True),
+    QuerySpec("embedding_label_stats", similarity.embedding_label_stats,
+              similarity.ORACLE_LABEL_STATS, False),
+    QuerySpec("embedding_centroid_assign", similarity.embedding_centroid_assign,
+              similarity.ORACLE_CENTROID, False),
+]
+
+REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}
+
+
+def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_queries() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items()
+            if spec.oracle is not None}
+
+
+def headline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items() if spec.headline}

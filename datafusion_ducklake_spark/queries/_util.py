@@ -1,0 +1,63 @@
+"""Shared helpers for the query suite.
+
+Cross-engine determinism strategy (Spark vs the DuckDB oracle):
+
+- Sums of doubles are order-dependent in IEEE float; a Spark partial-agg tree
+  and DuckDB's aggregation will differ in low bits. We therefore cast inputs
+  to DECIMAL(38,6) *before* SUM — decimal addition is exact and associative,
+  so both engines produce bit-identical results — then cast the final sum
+  back to DOUBLE for a portable output type. The double->decimal(38,6) cast
+  itself is deterministic (no double is exactly on a .5e-6 boundary).
+- Averages are computed as exact-decimal-sum / count, both sides.
+- Timestamps are never returned raw (Spark µs vs source ns precision);
+  outputs are cast to DATE or formatted strings.
+- LIMIT queries always have a total ORDER BY (value + unique-key tiebreak).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table. Parquet scan → Catalyst handles column
+    pruning + predicate pushdown; no caching so each query plans cleanly."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the events table, handling parquet TIMESTAMP(NANOS).
+
+    Spark's vectorized reader rejects nanosecond parquet timestamps
+    (PARQUET_TYPE_ILLEGAL); the supported path is the runtime-settable
+    legacy conf that surfaces them as BIGINT nanos, which we convert to a
+    proper timestamp. Nanos since epoch (~1.7e18) exceed double precision,
+    so the ns→µs conversion must be integer division (DIV), never `/`.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # timestamp_micros() yields tz-aware TimestampType; pin the session tz so
+    # downstream date_format/date_trunc match the DuckDB oracle's naive
+    # rendering on any host machine, not just UTC ones.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def dsum(col: Column | str) -> Column:
+    """Exact, order-independent sum of a double expression (see module doc)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(38,6)")).cast("double")
+
+
+def davg(col: Column | str) -> Column:
+    """Exact-sum-based average, deterministic across engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    return dsum(c) / F.count(F.lit(1))

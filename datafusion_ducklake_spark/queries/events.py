@@ -1,0 +1,122 @@
+"""Event-stream analytics over the synthetic ``events`` table.
+
+Covers: time bucketing (tumbling windows as batch groupBy — the Structured
+Streaming variant lives in ``streaming/``), windowed running aggregates,
+LAG/LEAD-style offsets, JSON extraction, COUNT(DISTINCT).
+
+Timestamps: the source column is parquet timestamp[ns]; Spark reads µs
+(TIMESTAMP_NTZ truncation-compatible) while DuckDB keeps ns — so no query
+returns a raw timestamp. Buckets are formatted as strings and offsets as
+epoch-microsecond BIGINTs, identical in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ._util import dsum, load_events
+
+
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")),
+                          "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             dsum("value").alias("total_value"),
+             F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+ORACLE_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+  event_type, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+  COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return ev.select(
+        "event_id", "user_id",
+        F.sum(F.col("value").cast("decimal(38,6)")).over(w)
+         .cast("double").alias("running_value"))
+
+
+ORACLE_RUNNING = """
+SELECT event_id, user_id,
+  CAST(SUM(CAST(value AS DECIMAL(38,6)))
+       OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS running_value
+FROM events
+"""
+
+
+def events_gap_to_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user microsecond gap to the next event (LEAD)."""
+    ev = load_events(spark, sf_dir).withColumn(
+        "ts_us", F.unix_micros(F.col("ts")))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return ev.select(
+        "event_id", "user_id",
+        (F.lead("ts_us").over(w) - F.col("ts_us")).alias("gap_us"))
+
+
+ORACLE_GAP = """
+SELECT event_id, user_id,
+  LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    - epoch_us(ts) AS gap_us
+FROM events
+"""
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the props column, aggregated per event type."""
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.sum(k).cast("long").alias("sum_k"),
+             F.min(k).cast("int").alias("min_k"),
+             F.max(k).cast("int").alias("max_k"),
+             F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_JSON = """
+SELECT event_type,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+  CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+  CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k,
+  COUNT(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+def events_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("dau"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+ORACLE_DAU = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+  COUNT(DISTINCT user_id) AS dau, COUNT(*) AS n_events
+FROM events
+GROUP BY 1
+"""

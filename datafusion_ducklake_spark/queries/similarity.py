@@ -1,0 +1,148 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+Brute-force cosine top-k is the correctness baseline; the LSH-bucketed
+scale path lives in ``functions.similarity``. Dot products / norms are
+computed with higher-order functions (F.zip_with + F.aggregate) entirely
+JVM-side — no Python UDF — in double precision, and cosines are rounded to
+4 decimals so engine-internal summation order (Spark fold vs DuckDB SIMD)
+cannot flip the hash compare.
+
+Scale note: the probe set is broadcast; the big side streams. At 100 TB the
+same plan holds — broadcast the query vectors, one pass over the corpus,
+per-partition top-k via window rank (AQE coalesces the tiny output).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ._util import t
+
+N_PROBES = 5
+TOP_K = 10
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("e"))
+    emb = emb.withColumn("norm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    probes = (emb.filter(F.col("vec_id") < N_PROBES)
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("e").alias("qe"),
+                      F.col("norm").alias("qnorm")))
+    pairs = emb.crossJoin(F.broadcast(probes)).filter(
+        F.col("vec_id") != F.col("query_id"))
+    cos = _dot(F.col("qe"), F.col("e")) / (F.col("qnorm") * F.col("norm"))
+    scored = pairs.select("query_id", F.col("vec_id").alias("neighbor_id"),
+                          cos.alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id",
+                F.round(F.col("cos_sim"), 4).alias("cosine"))
+    )
+
+
+ORACLE_KNN = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings),
+probes AS (
+  SELECT vec_id AS query_id, e AS qe, norm AS qnorm FROM e
+  WHERE vec_id < {N_PROBES}),
+scored AS (
+  SELECT query_id, vec_id AS neighbor_id,
+    list_dot_product(qe, e) / (qnorm * norm) AS cos_sim
+  FROM e, probes WHERE vec_id <> query_id)
+SELECT query_id, neighbor_id, ROUND(cos_sim, 4) AS cosine
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY cos_sim DESC, neighbor_id ASC) AS rn FROM scored) x
+WHERE rn <= {TOP_K}
+"""
+
+
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector stats: count + mean L2 norm (rounded pre-avg so the
+    avg is over identical doubles in both engines)."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "label", _as_double(F.col("embedding")).alias("e"))
+    norm_r = F.round(F.sqrt(_dot(F.col("e"), F.col("e"))), 6)
+    return (
+        emb.select("label", norm_r.alias("norm_r"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vecs"),
+             (F.sum(F.col("norm_r").cast("decimal(38,6)")).cast("double")
+              / F.count(F.lit(1))).alias("avg_norm"))
+    )
+
+
+ORACLE_LABEL_STATS = """
+SELECT label, COUNT(*) AS n_vecs,
+  CAST(SUM(CAST(ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+      AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_norm
+FROM embeddings
+GROUP BY label
+"""
+
+
+def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each vector to the nearest of the per-label mean dimension-0..3
+    centroid — exercises array indexing + argmin over a small broadcast set.
+    Output: label, assigned count per (label, nearest_label)."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("e"))
+    # centroids over first 4 dims, exact decimal means for determinism
+    dims = [F.round(
+        F.sum(F.element_at(F.col("e"), i + 1).cast("decimal(38,9)")).cast("double")
+        / F.count(F.lit(1)), 6).alias(f"c{i}") for i in range(4)]
+    cents = emb.groupBy(F.col("label").alias("c_label")).agg(*dims)
+    joined = emb.crossJoin(F.broadcast(cents))
+    dist = sum(
+        (F.element_at(F.col("e"), i + 1) - F.col(f"c{i}"))
+        * (F.element_at(F.col("e"), i + 1) - F.col(f"c{i}"))
+        for i in range(4))
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("c_label"))
+    return (
+        joined.select("vec_id", "label", F.col("c_label"),
+                      F.round(dist, 9).alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("label", F.col("c_label").alias("nearest_label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_CENTROID = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+cents AS (
+  SELECT label AS c_label,
+    ROUND(CAST(SUM(CAST(e[1] AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*), 6) AS c0,
+    ROUND(CAST(SUM(CAST(e[2] AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*), 6) AS c1,
+    ROUND(CAST(SUM(CAST(e[3] AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*), 6) AS c2,
+    ROUND(CAST(SUM(CAST(e[4] AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*), 6) AS c3
+  FROM e GROUP BY label),
+scored AS (
+  SELECT vec_id, label, c_label,
+    ROUND((e[1]-c0)*(e[1]-c0) + (e[2]-c1)*(e[2]-c1)
+        + (e[3]-c2)*(e[3]-c2) + (e[4]-c3)*(e[4]-c3), 9) AS d
+  FROM e, cents),
+best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      ORDER BY d ASC, c_label ASC) AS rn FROM scored)
+SELECT label, c_label AS nearest_label, COUNT(*) AS n
+FROM best WHERE rn = 1
+GROUP BY label, c_label
+"""
