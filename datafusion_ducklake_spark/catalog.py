@@ -1,0 +1,234 @@
+"""Snapshot-pinned Catalog → Schema → Table chain and the DuckLakeSession.
+
+Reference parity:
+- DuckLakeCatalog (src/catalog.rs:31-217): pins snapshot_id at
+  construction (or an explicit one — with_snapshot, catalog.rs:71-83, our
+  time-travel arg), parses data_path, resolves schemas.
+- DuckLakeSchema (src/schema.rs:102-225): table lookup + path chaining.
+- DuckLakeTable (src/table.rs:149-295): EAGERLY loads columns and the live
+  file list at construction — critical under Spark's lazy execution so a
+  DataFrame keeps meaning the pinned snapshot no matter when an action
+  runs (SURVEY.md §7 hard-part 3).
+
+The session facade registers temp views so plain ``spark.sql`` works, and
+carries the write path + CDC + information_schema entry points.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import cached_property
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .errors import SchemaNotFound, TableNotFound
+from .metadata.provider import (ColumnMeta, MetadataProvider, SchemaMeta,
+                                TableMeta, provider_for)
+from .paths import PathResolver, to_spark_uri
+from .sources.scan import ResolvedFile, scan_table
+from .types import build_spark_schema
+
+DEFAULT_SCHEMA = "main"
+
+
+class DuckLakeTable:
+    def __init__(self, spark: SparkSession, provider: MetadataProvider,
+                 resolver: PathResolver, schema_resolved_path: str,
+                 meta: TableMeta, snapshot_id: int):
+        self.spark = spark
+        self.meta = meta
+        self.snapshot_id = snapshot_id
+        self.columns: list[ColumnMeta] = provider.get_table_columns(meta.table_id)
+        self.table_path = resolver.table_path(
+            schema_resolved_path, meta.path, meta.path_is_relative)
+        # Eager file-list resolution == snapshot pinning under lazy Spark.
+        self.files: list[ResolvedFile] = []
+        self._raw_files = provider.get_data_files(meta.table_id, snapshot_id)
+        for f in self._raw_files:
+            data_uri = to_spark_uri(resolver.file_path(
+                self.table_path, f.path, f.path_is_relative))
+            delete_uri = None
+            if f.delete_file is not None:
+                delete_uri = to_spark_uri(resolver.file_path(
+                    self.table_path, f.delete_file.path,
+                    f.delete_file.path_is_relative))
+            self.files.append(ResolvedFile(data_uri, delete_uri, f.record_count))
+
+    @cached_property
+    def spark_schema(self):
+        return build_spark_schema(self.columns)
+
+    def to_df(self) -> DataFrame:
+        return scan_table(self.spark, self.spark_schema, self.files)
+
+    def total_byte_size(self) -> int:
+        """Σ data bytes − Σ delete bytes, the reference's CBO stat
+        (ref: table.rs:544-582)."""
+        total = 0
+        for f in self._raw_files:
+            total += f.file_size_bytes
+            if f.delete_file is not None:
+                total -= f.delete_file.file_size_bytes
+        return max(total, 0)
+
+
+class DuckLakeSchema:
+    def __init__(self, spark: SparkSession, provider: MetadataProvider,
+                 resolver: PathResolver, meta: SchemaMeta, snapshot_id: int):
+        self.spark = spark
+        self.provider = provider
+        self.resolver = resolver
+        self.meta = meta
+        self.snapshot_id = snapshot_id
+        self.resolved_path = resolver.schema_path(meta.path, meta.path_is_relative)
+
+    def table_names(self) -> list[str]:
+        return [t.table_name for t in
+                self.provider.list_tables(self.meta.schema_id, self.snapshot_id)]
+
+    def table(self, name: str) -> DuckLakeTable:
+        meta = self.provider.get_table_by_name(
+            self.meta.schema_id, name, self.snapshot_id)
+        if meta is None:
+            raise TableNotFound(f"{self.meta.schema_name}.{name}")
+        return DuckLakeTable(self.spark, self.provider, self.resolver,
+                             self.resolved_path, meta, self.snapshot_id)
+
+
+class DuckLakeCatalog:
+    def __init__(self, spark: SparkSession, provider: MetadataProvider,
+                 snapshot_id: Optional[int] = None):
+        self.spark = spark
+        self.provider = provider
+        # pin once; every downstream lookup threads this id
+        self.snapshot_id = (provider.get_current_snapshot()
+                            if snapshot_id is None else snapshot_id)
+        self.resolver = PathResolver(provider.get_data_path())
+
+    def schema_names(self) -> list[str]:
+        return [s.schema_name for s in
+                self.provider.list_schemas(self.snapshot_id)]
+
+    def schema(self, name: str) -> DuckLakeSchema:
+        meta = self.provider.get_schema_by_name(name, self.snapshot_id)
+        if meta is None:
+            raise SchemaNotFound(name)
+        return DuckLakeSchema(self.spark, self.provider, self.resolver,
+                              meta, self.snapshot_id)
+
+
+class DuckLakeSession:
+    """User-facing facade: ``dl = DuckLakeSession(spark, 'catalog.db')``.
+
+    - ``dl.table('main.users')`` / ``dl.table('users')`` → DataFrame
+    - ``dl.sql('SELECT ... FROM main.users')`` → DataFrame (temp views)
+    - ``dl.snapshots() / table_info() / list_files()`` and
+      ``dl.table_changes / table_deletions`` (UDTF parity, SURVEY §2A A13-14)
+    - ``dl.create_table / insert_into`` (write path, A8-A10)
+    - ``snapshot_id=`` arg gives time travel (with_snapshot, catalog.rs:71-83)
+    """
+
+    def __init__(self, spark: SparkSession, catalog_path: str,
+                 snapshot_id: Optional[int] = None,
+                 provider: Optional[MetadataProvider] = None):
+        self.spark = spark
+        self.catalog_path = catalog_path
+        self.provider = provider or provider_for(catalog_path)
+        self.catalog = DuckLakeCatalog(spark, self.provider, snapshot_id)
+        self._view_rewrites: dict[str, str] = {}
+
+    # -- name resolution ---------------------------------------------------
+
+    def _split(self, name: str) -> tuple[str, str]:
+        parts = name.split(".")
+        if len(parts) == 1:
+            return DEFAULT_SCHEMA, parts[0]
+        if len(parts) == 2:
+            return parts[0], parts[1]
+        raise TableNotFound(name)
+
+    def table(self, name: str) -> DataFrame:
+        schema_name, table_name = self._split(name)
+        return self.catalog.schema(schema_name).table(table_name).to_df()
+
+    def table_handle(self, name: str) -> DuckLakeTable:
+        schema_name, table_name = self._split(name)
+        return self.catalog.schema(schema_name).table(table_name)
+
+    # -- SQL over temp views ----------------------------------------------
+
+    def register_views(self) -> None:
+        """Register every visible table as ``schema__table`` plus, for the
+        default schema, the bare table name. ``sql()`` rewrites dotted
+        references to the flat names."""
+        self._view_rewrites.clear()
+        for schema_name in self.catalog.schema_names():
+            schema = self.catalog.schema(schema_name)
+            for table_name in schema.table_names():
+                df = schema.table(table_name).to_df()
+                flat = f"{schema_name}__{table_name}"
+                df.createOrReplaceTempView(flat)
+                self._view_rewrites[f"{schema_name}.{table_name}"] = flat
+                if schema_name == DEFAULT_SCHEMA:
+                    df.createOrReplaceTempView(table_name)
+
+    def sql(self, query: str) -> DataFrame:
+        if not self._view_rewrites:
+            self.register_views()
+        rewritten = query
+        for dotted, flat in self._view_rewrites.items():
+            rewritten = re.sub(
+                rf"(?<![\w.`]){re.escape(dotted)}(?![\w.`])", flat, rewritten)
+        return self.spark.sql(rewritten)
+
+    def refresh(self) -> None:
+        """Re-pin to the latest snapshot and refresh views (the reference
+        re-creates its catalog per query session; hybrid_asyncdb.rs:120-144)."""
+        self.catalog = DuckLakeCatalog(self.spark, self.provider)
+        if self._view_rewrites:
+            self.register_views()
+
+    # -- UDTF / info-schema / CDC / write entry points (other modules) -----
+
+    def snapshots(self) -> DataFrame:
+        from .operators.info_schema import snapshots_df
+        return snapshots_df(self)
+
+    def table_info(self) -> DataFrame:
+        from .operators.info_schema import table_info_df
+        return table_info_df(self)
+
+    def list_files(self) -> DataFrame:
+        from .operators.info_schema import files_df
+        return files_df(self)
+
+    def information_schema(self, view: str) -> DataFrame:
+        from .operators import info_schema
+        return info_schema.view(self, view)
+
+    def register_information_schema(self) -> None:
+        from .operators import info_schema
+        info_schema.register_all(self)
+
+    def table_changes(self, name: str, start: int, end: int) -> DataFrame:
+        from .operators.cdc import table_changes
+        return table_changes(self, name, start, end)
+
+    def table_deletions(self, name: str, start: int, end: int) -> DataFrame:
+        from .operators.cdc import table_deletions
+        return table_deletions(self, name, start, end)
+
+    def create_table(self, name: str, df: DataFrame, mode: str = "error",
+                     single_file: bool = True) -> int:
+        from .table_writer import create_or_insert
+        return create_or_insert(self, name, df, mode="create",
+                                single_file=single_file,
+                                if_exists=mode)
+
+    def insert_into(self, name: str, df: DataFrame, overwrite: bool = False,
+                    single_file: bool = True) -> int:
+        from .table_writer import create_or_insert
+        return create_or_insert(
+            self, name, df, mode="overwrite" if overwrite else "append",
+            single_file=single_file)

@@ -1,0 +1,312 @@
+"""Metadata providers: read-side access to the DuckLake catalog database.
+
+Reference parity: the MetadataProvider trait (src/metadata_provider.rs:
+544-619) and its four backend impls. Here: SQLite (stdlib sqlite3) and
+DuckDB (duckdb package, read-only — ref: metadata_provider_duckdb.rs:16-70
+opens read-only with a mutex-shared connection). Postgres/MySQL would be
+the same SQL over psycopg/mysql-connector; those drivers aren't in this
+container, so the backends are registered but gated on import.
+
+All catalog queries run on the Spark driver — metadata is small; only
+Parquet I/O is distributed.
+"""
+
+from __future__ import annotations
+
+import sqlite3
+import threading
+from dataclasses import dataclass, field
+from typing import Optional
+
+from ..errors import CatalogError
+from . import sql as Q
+
+
+@dataclass(frozen=True)
+class SnapshotMeta:
+    snapshot_id: int
+    snapshot_time: Optional[str]
+
+
+@dataclass(frozen=True)
+class SchemaMeta:
+    schema_id: int
+    schema_name: str
+    path: str
+    path_is_relative: bool
+
+
+@dataclass(frozen=True)
+class TableMeta:
+    table_id: int
+    table_name: str
+    path: str
+    path_is_relative: bool
+
+
+@dataclass(frozen=True)
+class ColumnMeta:
+    column_id: int
+    column_name: str
+    column_type: str
+    nulls_allowed: bool
+
+
+@dataclass(frozen=True)
+class DeleteFileMeta:
+    delete_file_id: int
+    path: str
+    path_is_relative: bool
+    file_size_bytes: int
+    footer_size: Optional[int]
+    encryption_key: Optional[str]
+    delete_count: Optional[int]
+
+
+@dataclass(frozen=True)
+class DataFileMeta:
+    data_file_id: int
+    path: str
+    path_is_relative: bool
+    file_size_bytes: int
+    footer_size: Optional[int]
+    encryption_key: Optional[str]
+    record_count: Optional[int]
+    row_id_start: Optional[int]
+    delete_file: Optional[DeleteFileMeta] = None
+
+
+@dataclass(frozen=True)
+class AddedFileMeta:
+    begin_snapshot: int
+    path: str
+    path_is_relative: bool
+    file_size_bytes: int
+    footer_size: Optional[int]
+    encryption_key: Optional[str]
+    record_count: Optional[int]
+
+
+@dataclass(frozen=True)
+class DeleteDeltaMeta:
+    """One CDC delete unit: data file + current delete file (None for a
+    whole-file delete) + previous delete file (None if first delete)."""
+    data_path: str
+    data_path_is_relative: bool
+    record_count: Optional[int]
+    cur_path: Optional[str]
+    cur_path_is_relative: Optional[bool]
+    prev_path: Optional[str]
+    prev_path_is_relative: Optional[bool]
+    snapshot_id: int
+
+
+def reconstruct_list_columns(rows: list[tuple[ColumnMeta, Optional[int]]]
+                             ) -> list[ColumnMeta]:
+    """Rebuild list<T> from parent/child rows: parent has
+    column_type='list', child row carries the element type and
+    parent_column set (ref: reconstruct_list_columns,
+    metadata_provider.rs:361-410)."""
+    by_id = {c.column_id: i for i, (c, _) in enumerate(rows)}
+    cols = [c for c, _ in rows]
+    skip: set[int] = set()
+    for i, (col, parent_id) in enumerate(rows):
+        if parent_id is not None and parent_id in by_id:
+            pi = by_id[parent_id]
+            if cols[pi].column_type == "list":
+                cols[pi] = ColumnMeta(
+                    cols[pi].column_id, cols[pi].column_name,
+                    f"list<{col.column_type}>", cols[pi].nulls_allowed)
+                skip.add(i)
+    return [c for i, c in enumerate(cols) if i not in skip]
+
+
+class MetadataProvider:
+    """Base class: issues the shared SQL over a DB-API connection.
+    Subclasses provide the connection; all use qmark parameters."""
+
+    def _fetchall(self, query: str, params: tuple = ()) -> list[tuple]:
+        raise NotImplementedError
+
+    # --- snapshot / schema / table lookups --------------------------------
+
+    def get_current_snapshot(self) -> int:
+        return int(self._fetchall(Q.GET_LATEST_SNAPSHOT)[0][0])
+
+    def list_snapshots(self) -> list[SnapshotMeta]:
+        return [SnapshotMeta(int(r[0]), r[1])
+                for r in self._fetchall(Q.LIST_SNAPSHOTS)]
+
+    def list_schemas(self, snapshot_id: int) -> list[SchemaMeta]:
+        return [SchemaMeta(int(r[0]), r[1], r[2], bool(r[3]))
+                for r in self._fetchall(Q.LIST_SCHEMAS,
+                                        (snapshot_id, snapshot_id))]
+
+    def list_tables(self, schema_id: int, snapshot_id: int) -> list[TableMeta]:
+        return [TableMeta(int(r[0]), r[1], r[2], bool(r[3]))
+                for r in self._fetchall(Q.LIST_TABLES,
+                                        (schema_id, snapshot_id, snapshot_id))]
+
+    def get_schema_by_name(self, name: str, snapshot_id: int) -> Optional[SchemaMeta]:
+        rows = self._fetchall(Q.GET_SCHEMA_BY_NAME, (name, snapshot_id, snapshot_id))
+        return SchemaMeta(int(rows[0][0]), rows[0][1], rows[0][2],
+                          bool(rows[0][3])) if rows else None
+
+    def get_table_by_name(self, schema_id: int, name: str,
+                          snapshot_id: int) -> Optional[TableMeta]:
+        rows = self._fetchall(Q.GET_TABLE_BY_NAME,
+                              (schema_id, name, snapshot_id, snapshot_id))
+        return TableMeta(int(rows[0][0]), rows[0][1], rows[0][2],
+                         bool(rows[0][3])) if rows else None
+
+    def table_exists(self, schema_id: int, name: str, snapshot_id: int) -> bool:
+        rows = self._fetchall(Q.TABLE_EXISTS,
+                              (schema_id, name, snapshot_id, snapshot_id))
+        return bool(rows[0][0])
+
+    def get_table_columns(self, table_id: int) -> list[ColumnMeta]:
+        raw = [(ColumnMeta(int(r[0]), r[1], r[2],
+                           bool(r[3]) if r[3] is not None else True),
+                int(r[4]) if r[4] is not None else None)
+               for r in self._fetchall(Q.GET_TABLE_COLUMNS, (table_id,))]
+        return reconstruct_list_columns(raw)
+
+    def get_data_files(self, table_id: int, snapshot_id: int) -> list[DataFileMeta]:
+        rows = self._fetchall(
+            Q.GET_DATA_FILES,
+            (table_id, snapshot_id, snapshot_id, table_id, snapshot_id, snapshot_id))
+        out = []
+        for r in rows:
+            delete = None
+            if r[8] is not None:
+                delete = DeleteFileMeta(int(r[8]), r[9], bool(r[10]), int(r[11]),
+                                        int(r[12]) if r[12] is not None else None,
+                                        r[13],
+                                        int(r[14]) if r[14] is not None else None)
+            out.append(DataFileMeta(
+                int(r[0]), r[1], bool(r[2]), int(r[3]),
+                int(r[4]) if r[4] is not None else None, r[5],
+                int(r[6]) if r[6] is not None else None,
+                int(r[7]) if r[7] is not None else None,
+                delete))
+        return out
+
+    def get_data_path(self) -> str:
+        rows = self._fetchall(Q.GET_DATA_PATH)
+        if not rows:
+            raise CatalogError("catalog has no data_path in ducklake_metadata")
+        return str(rows[0][0])
+
+    # --- CDC --------------------------------------------------------------
+
+    def get_data_files_added_between(self, table_id: int, start: int,
+                                     end: int) -> list[AddedFileMeta]:
+        return [AddedFileMeta(int(r[0]), r[1], bool(r[2]), int(r[3]),
+                              int(r[4]) if r[4] is not None else None, r[5],
+                              int(r[6]) if r[6] is not None else None)
+                for r in self._fetchall(Q.DATA_FILES_ADDED_BETWEEN,
+                                        (table_id, start, end))]
+
+    def get_delete_files_added_between(self, table_id: int, start: int,
+                                       end: int) -> list[DeleteDeltaMeta]:
+        return [DeleteDeltaMeta(
+                    r[0], bool(r[1]), int(r[2]) if r[2] is not None else None,
+                    r[3], bool(r[4]) if r[4] is not None else None,
+                    r[5], bool(r[6]) if r[6] is not None else None,
+                    int(r[7]))
+                for r in self._fetchall(Q.DELETE_FILES_ADDED_BETWEEN,
+                                        (table_id, start, end, table_id, start, end))]
+
+    # --- bulk (information_schema) ----------------------------------------
+
+    def list_all_tables(self, snapshot_id: int) -> list[tuple[str, TableMeta]]:
+        return [(r[0], TableMeta(int(r[1]), r[2], r[3], bool(r[4])))
+                for r in self._fetchall(Q.LIST_ALL_TABLES, (snapshot_id,) * 4)]
+
+    def list_all_columns(self, snapshot_id: int
+                         ) -> list[tuple[str, str, ColumnMeta]]:
+        raw = self._fetchall(Q.LIST_ALL_COLUMNS, (snapshot_id,) * 4)
+        # group per table, reconstruct lists within each
+        grouped: dict[tuple[str, str], list] = {}
+        for r in raw:
+            grouped.setdefault((r[0], r[1]), []).append(
+                (ColumnMeta(int(r[2]), r[3], r[4],
+                            bool(r[5]) if r[5] is not None else True),
+                 int(r[6]) if r[6] is not None else None))
+        out = []
+        for (schema_name, table_name), cols in grouped.items():
+            for c in reconstruct_list_columns(cols):
+                out.append((schema_name, table_name, c))
+        return out
+
+    def list_all_files(self, snapshot_id: int
+                       ) -> list[tuple[str, str, DataFileMeta]]:
+        rows = self._fetchall(Q.LIST_ALL_FILES, (snapshot_id,) * 8)
+        out = []
+        for r in rows:
+            delete = None
+            if r[10] is not None:
+                delete = DeleteFileMeta(int(r[10]), r[11], bool(r[12]), int(r[13]),
+                                        int(r[14]) if r[14] is not None else None,
+                                        r[15],
+                                        int(r[16]) if r[16] is not None else None)
+            out.append((r[0], r[1], DataFileMeta(
+                int(r[2]), r[3], bool(r[4]), int(r[5]),
+                int(r[6]) if r[6] is not None else None, r[7],
+                int(r[8]) if r[8] is not None else None,
+                int(r[9]) if r[9] is not None else None,
+                delete)))
+        return out
+
+
+class SqliteMetadataProvider(MetadataProvider):
+    """SQLite catalog access (ref: metadata_provider_sqlite.rs). One
+    connection guarded by a lock — catalog queries are driver-side and
+    sub-millisecond; contention is not a concern."""
+
+    def __init__(self, db_path: str):
+        self._conn = sqlite3.connect(db_path, check_same_thread=False)
+        self._lock = threading.Lock()
+
+    def _fetchall(self, query: str, params: tuple = ()) -> list[tuple]:
+        with self._lock:
+            cur = self._conn.execute(query, params)
+            return cur.fetchall()
+
+    def close(self) -> None:
+        self._conn.close()
+
+
+class DuckdbMetadataProvider(MetadataProvider):
+    """DuckDB catalog access, read-only connection
+    (ref: metadata_provider_duckdb.rs:16-70)."""
+
+    def __init__(self, db_path: str):
+        import duckdb
+        self._conn = duckdb.connect(db_path, read_only=True)
+        self._lock = threading.Lock()
+
+    def _fetchall(self, query: str, params: tuple = ()) -> list[tuple]:
+        with self._lock:
+            return self._conn.execute(query, params).fetchall()
+
+    def close(self) -> None:
+        self._conn.close()
+
+
+def provider_for(catalog_path: str) -> MetadataProvider:
+    """Pick a backend from the catalog path: .db/.duckdb → DuckDB (falls
+    back to SQLite if the file is SQLite-format), else SQLite."""
+    if catalog_path.endswith((".duckdb", ".ddb")):
+        return DuckdbMetadataProvider(catalog_path)
+    if catalog_path.endswith((".sqlite", ".sqlite3", ".db")):
+        # sniff: SQLite files start with the 16-byte magic header
+        try:
+            with open(catalog_path, "rb") as f:
+                magic = f.read(16)
+            if magic.startswith(b"SQLite format 3"):
+                return SqliteMetadataProvider(catalog_path)
+        except FileNotFoundError:
+            pass
+        return DuckdbMetadataProvider(catalog_path)
+    return SqliteMetadataProvider(catalog_path)

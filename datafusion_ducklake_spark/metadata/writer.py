@@ -1,0 +1,394 @@
+"""Transactional catalog writer.
+
+Reference parity: the MetadataWriter trait + ColumnDef/DataFileInfo/
+WriteMode (src/metadata_writer.rs:17-45, 38-45), the SQLite impl's DDL for
+the seven catalog tables (src/metadata_writer_sqlite.rs:15-86) and its
+transactions: create_snapshot, begin_write_transaction (331-470 —
+snapshot + get-or-create schema/table + schema-evolution check +
+set_columns + Replace⇒end_table_files, all in ONE DB transaction),
+register_data_file (250-273), end_table_files (275-288).
+
+Implementation notes:
+- IDs are allocated explicitly (MAX+1 inside the transaction) instead of
+  relying on SQLite rowid autoincrement, so the identical writer works on
+  both sqlite3 and duckdb connections.
+- ``register_delete_file`` is an extension beyond the reference's writer
+  (which never writes deletes — DuckDB's ducklake extension does that in
+  its test setup); we need it to build MOR fixtures without network access
+  to the duckdb ducklake extension. Schema matches the reference DDL.
+"""
+
+from __future__ import annotations
+
+import sqlite3
+import threading
+from dataclasses import dataclass
+from enum import Enum
+from typing import Optional
+
+from ..errors import InvalidConfig
+from ..types import types_compatible
+
+DDL = """
+CREATE TABLE IF NOT EXISTS ducklake_metadata (
+    key VARCHAR NOT NULL,
+    value VARCHAR NOT NULL,
+    scope VARCHAR
+);
+CREATE TABLE IF NOT EXISTS ducklake_snapshot (
+    snapshot_id INTEGER PRIMARY KEY,
+    snapshot_time TIMESTAMP DEFAULT CURRENT_TIMESTAMP
+);
+CREATE TABLE IF NOT EXISTS ducklake_schema (
+    schema_id INTEGER PRIMARY KEY,
+    schema_name VARCHAR NOT NULL,
+    path VARCHAR NOT NULL DEFAULT '',
+    path_is_relative BOOLEAN NOT NULL DEFAULT 1,
+    begin_snapshot INTEGER NOT NULL,
+    end_snapshot INTEGER
+);
+CREATE TABLE IF NOT EXISTS ducklake_table (
+    table_id INTEGER PRIMARY KEY,
+    schema_id INTEGER NOT NULL,
+    table_name VARCHAR NOT NULL,
+    path VARCHAR NOT NULL DEFAULT '',
+    path_is_relative BOOLEAN NOT NULL DEFAULT 1,
+    begin_snapshot INTEGER NOT NULL,
+    end_snapshot INTEGER
+);
+CREATE TABLE IF NOT EXISTS ducklake_column (
+    column_id INTEGER NOT NULL,
+    table_id INTEGER NOT NULL,
+    column_name VARCHAR NOT NULL,
+    column_type VARCHAR NOT NULL,
+    column_order INTEGER NOT NULL,
+    nulls_allowed BOOLEAN DEFAULT 1,
+    parent_column INTEGER,
+    begin_snapshot INTEGER NOT NULL,
+    end_snapshot INTEGER
+);
+CREATE TABLE IF NOT EXISTS ducklake_data_file (
+    data_file_id INTEGER PRIMARY KEY,
+    table_id INTEGER NOT NULL,
+    path VARCHAR NOT NULL,
+    path_is_relative BOOLEAN NOT NULL DEFAULT 1,
+    file_size_bytes INTEGER NOT NULL,
+    footer_size INTEGER,
+    encryption_key VARCHAR,
+    record_count INTEGER,
+    row_id_start INTEGER,
+    mapping_id INTEGER,
+    begin_snapshot INTEGER NOT NULL,
+    end_snapshot INTEGER
+);
+CREATE TABLE IF NOT EXISTS ducklake_delete_file (
+    delete_file_id INTEGER PRIMARY KEY,
+    data_file_id INTEGER NOT NULL,
+    table_id INTEGER NOT NULL,
+    path VARCHAR NOT NULL,
+    path_is_relative BOOLEAN NOT NULL DEFAULT 1,
+    file_size_bytes INTEGER NOT NULL,
+    footer_size INTEGER,
+    encryption_key VARCHAR,
+    delete_count INTEGER,
+    begin_snapshot INTEGER NOT NULL,
+    end_snapshot INTEGER
+);
+"""
+
+MAX_NAME_LEN = 1024
+
+
+def validate_name(name: str, entity: str) -> None:
+    """Entity-name rules (ref: validate_name metadata_writer.rs:17-36,
+    validate_table_name schema.rs:26-43)."""
+    if not name:
+        raise InvalidConfig(f"{entity} name cannot be empty")
+    if len(name) > MAX_NAME_LEN:
+        raise InvalidConfig(
+            f"{entity} name exceeds {MAX_NAME_LEN} characters")
+    if any(ord(c) < 0x20 or c == "\x7f" for c in name):
+        raise InvalidConfig(f"{entity} name contains control characters")
+    if "/" in name or "\\" in name or ".." in name:
+        raise InvalidConfig(
+            f"{entity} name contains path separators or traversal: {name!r}")
+
+
+class WriteMode(Enum):
+    APPEND = "append"
+    REPLACE = "replace"
+
+
+@dataclass(frozen=True)
+class ColumnDef:
+    name: str
+    ducklake_type: str
+    is_nullable: bool = True
+
+
+@dataclass(frozen=True)
+class DataFileInfo:
+    path: str
+    path_is_relative: bool
+    file_size_bytes: int
+    footer_size: Optional[int]
+    record_count: Optional[int]
+
+    def __post_init__(self):
+        # ref: validated_file_size / validated_record_count (table.rs:59-80)
+        if self.file_size_bytes < 0:
+            raise InvalidConfig(f"negative file size: {self.file_size_bytes}")
+        if self.record_count is not None and self.record_count < 0:
+            raise InvalidConfig(f"negative record count: {self.record_count}")
+
+
+@dataclass(frozen=True)
+class WriteSetup:
+    snapshot_id: int
+    schema_id: int
+    table_id: int
+    column_ids: list
+
+
+class CatalogWriter:
+    """Writes DuckLake catalog metadata over a DB-API connection
+    (sqlite3 or duckdb). One transaction per public method, matching the
+    reference's atomicity boundaries."""
+
+    def __init__(self, conn, dialect: str = "sqlite"):
+        self._conn = conn
+        self._lock = threading.RLock()
+        self._dialect = dialect
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def sqlite(cls, db_path: str) -> "CatalogWriter":
+        conn = sqlite3.connect(db_path, check_same_thread=False,
+                               isolation_level=None)  # explicit txns
+        conn.execute("PRAGMA busy_timeout = 10000")
+        return cls(conn, "sqlite")
+
+    @classmethod
+    def duckdb(cls, db_path: str) -> "CatalogWriter":
+        import duckdb
+        return cls(duckdb.connect(db_path), "duckdb")
+
+    def initialize_schema(self, data_path: str = "") -> None:
+        """Create the seven catalog tables + data_path + snapshot 0
+        (ref: initialize_schema metadata_writer_sqlite.rs:15-86; snapshot 0
+        is what DuckDB's ducklake extension creates on ATTACH)."""
+        with self._txn() as cur:
+            for stmt in DDL.strip().split(";"):
+                if stmt.strip():
+                    cur.execute(stmt)
+            if not cur.execute(
+                    "SELECT 1 FROM ducklake_metadata WHERE key='data_path'"
+            ).fetchall():
+                cur.execute(
+                    "INSERT INTO ducklake_metadata (key, value, scope) "
+                    "VALUES ('data_path', ?, NULL)", (data_path,))
+            if not cur.execute(
+                    "SELECT 1 FROM ducklake_snapshot").fetchall():
+                cur.execute(
+                    "INSERT INTO ducklake_snapshot (snapshot_id, snapshot_time) "
+                    "VALUES (0, CURRENT_TIMESTAMP)")
+
+    # -- transaction helper ------------------------------------------------
+
+    def _txn(self):
+        writer = self
+
+        class _Txn:
+            def __enter__(self):
+                writer._lock.acquire()
+                writer._conn.execute(
+                    "BEGIN IMMEDIATE" if writer._dialect == "sqlite"
+                    else "BEGIN TRANSACTION")
+                return writer._conn
+
+            def __exit__(self, exc_type, exc, tb):
+                try:
+                    if exc_type is None:
+                        writer._conn.execute("COMMIT")
+                    else:
+                        writer._conn.execute("ROLLBACK")
+                finally:
+                    writer._lock.release()
+                return False
+
+        return _Txn()
+
+    @staticmethod
+    def _next_id(cur, table: str, id_col: str) -> int:
+        return int(cur.execute(
+            f"SELECT COALESCE(MAX({id_col}), 0) + 1 FROM {table}").fetchall()[0][0])
+
+    # -- public API (mirrors MetadataWriter trait) -------------------------
+
+    def create_snapshot(self) -> int:
+        with self._txn() as cur:
+            sid = self._next_id(cur, "ducklake_snapshot", "snapshot_id")
+            cur.execute(
+                "INSERT INTO ducklake_snapshot (snapshot_id, snapshot_time) "
+                "VALUES (?, CURRENT_TIMESTAMP)", (sid,))
+            return sid
+
+    def begin_write_transaction(self, schema_name: str, table_name: str,
+                                columns: list[ColumnDef],
+                                mode: WriteMode) -> WriteSetup:
+        """One atomic transaction: new snapshot, get-or-create schema and
+        table, append-mode schema-evolution check, version the columns,
+        Replace⇒end current files (ref: metadata_writer_sqlite.rs:331-470)."""
+        validate_name(schema_name, "Schema")
+        validate_name(table_name, "Table")
+        if not columns:
+            raise InvalidConfig("Table must have at least one column")
+        for col in columns:
+            validate_name(col.name, "Column")
+
+        with self._txn() as cur:
+            sid = self._next_id(cur, "ducklake_snapshot", "snapshot_id")
+            cur.execute(
+                "INSERT INTO ducklake_snapshot (snapshot_id, snapshot_time) "
+                "VALUES (?, CURRENT_TIMESTAMP)", (sid,))
+
+            rows = cur.execute(
+                "SELECT schema_id FROM ducklake_schema "
+                "WHERE schema_name = ? AND end_snapshot IS NULL",
+                (schema_name,)).fetchall()
+            if rows:
+                schema_id = int(rows[0][0])
+            else:
+                schema_id = self._next_id(cur, "ducklake_schema", "schema_id")
+                cur.execute(
+                    "INSERT INTO ducklake_schema (schema_id, schema_name, path, "
+                    "path_is_relative, begin_snapshot) VALUES (?, ?, ?, 1, ?)",
+                    (schema_id, schema_name, schema_name, sid))
+
+            rows = cur.execute(
+                "SELECT table_id FROM ducklake_table "
+                "WHERE schema_id = ? AND table_name = ? AND end_snapshot IS NULL",
+                (schema_id, table_name)).fetchall()
+            if rows:
+                table_id = int(rows[0][0])
+            else:
+                table_id = self._next_id(cur, "ducklake_table", "table_id")
+                cur.execute(
+                    "INSERT INTO ducklake_table (table_id, schema_id, table_name, "
+                    "path, path_is_relative, begin_snapshot) VALUES (?, ?, ?, ?, 1, ?)",
+                    (table_id, schema_id, table_name, table_name, sid))
+
+            existing = cur.execute(
+                "SELECT column_name, column_type, nulls_allowed FROM ducklake_column "
+                "WHERE table_id = ? AND end_snapshot IS NULL ORDER BY column_order",
+                (table_id,)).fetchall()
+
+            # Append-mode schema evolution: adding nullable columns, removing
+            # columns, reordering OK; type changes only along promotion rules;
+            # new non-nullable columns rejected (ref: :427-464).
+            if mode == WriteMode.APPEND and existing:
+                existing_map = {r[0]: (r[1], bool(r[2]) if r[2] is not None else True)
+                                for r in existing}
+                for col in columns:
+                    if col.name in existing_map:
+                        old_type = existing_map[col.name][0]
+                        if not types_compatible(old_type, col.ducklake_type):
+                            raise InvalidConfig(
+                                f"Schema evolution error: column '{col.name}' has "
+                                f"type '{old_type}' in existing table but "
+                                f"'{col.ducklake_type}' in new schema. "
+                                f"Type changes are not allowed.")
+                    elif not col.is_nullable:
+                        raise InvalidConfig(
+                            f"Schema evolution error: new column '{col.name}' must "
+                            f"be nullable. Adding non-nullable columns is not allowed.")
+
+            # column_id is the parquet field id and must stay STABLE across
+            # schema versions: a column keeps its id through appends and
+            # renames so old files keep resolving by field id
+            # (ref: types.rs:438-456 — DuckLake column_id == field_id).
+            existing_ids = {r[0]: int(r[1]) for r in cur.execute(
+                "SELECT column_name, column_id FROM ducklake_column "
+                "WHERE table_id = ? AND end_snapshot IS NULL", (table_id,))}
+            cur.execute(
+                "UPDATE ducklake_column SET end_snapshot = ? "
+                "WHERE table_id = ? AND end_snapshot IS NULL", (sid, table_id))
+            column_ids = []
+            next_col_id = self._next_id(cur, "ducklake_column", "column_id")
+            for order, col in enumerate(columns):
+                if col.name in existing_ids:
+                    cid = existing_ids[col.name]
+                else:
+                    cid = next_col_id
+                    next_col_id += 1
+                cur.execute(
+                    "INSERT INTO ducklake_column (column_id, table_id, column_name, "
+                    "column_type, column_order, nulls_allowed, begin_snapshot) "
+                    "VALUES (?, ?, ?, ?, ?, ?, ?)",
+                    (cid, table_id, col.name, col.ducklake_type, order,
+                     col.is_nullable, sid))
+                column_ids.append(cid)
+
+            if mode == WriteMode.REPLACE:
+                cur.execute(
+                    "UPDATE ducklake_data_file SET end_snapshot = ? "
+                    "WHERE table_id = ? AND end_snapshot IS NULL", (sid, table_id))
+
+            return WriteSetup(sid, schema_id, table_id, column_ids)
+
+    def register_data_file(self, table_id: int, snapshot_id: int,
+                           file: DataFileInfo) -> int:
+        with self._txn() as cur:
+            fid = self._next_id(cur, "ducklake_data_file", "data_file_id")
+            cur.execute(
+                "INSERT INTO ducklake_data_file (data_file_id, table_id, path, "
+                "path_is_relative, file_size_bytes, footer_size, record_count, "
+                "begin_snapshot) VALUES (?, ?, ?, ?, ?, ?, ?, ?)",
+                (fid, table_id, file.path, file.path_is_relative,
+                 file.file_size_bytes, file.footer_size, file.record_count,
+                 snapshot_id))
+            return fid
+
+    def register_delete_file(self, table_id: int, data_file_id: int,
+                             snapshot_id: int, path: str,
+                             path_is_relative: bool, file_size_bytes: int,
+                             delete_count: int) -> int:
+        """Register a positional-delete parquet file for one data file,
+        superseding (ending) any previous delete file for it — mirrors what
+        DuckDB's ducklake extension records on DELETE (schema per the
+        reference DDL; supersedence per SQL_GET_DATA_FILES' per-snapshot
+        LEFT JOIN semantics)."""
+        with self._txn() as cur:
+            cur.execute(
+                "UPDATE ducklake_delete_file SET end_snapshot = ? "
+                "WHERE data_file_id = ? AND end_snapshot IS NULL",
+                (snapshot_id, data_file_id))
+            did = self._next_id(cur, "ducklake_delete_file", "delete_file_id")
+            cur.execute(
+                "INSERT INTO ducklake_delete_file (delete_file_id, data_file_id, "
+                "table_id, path, path_is_relative, file_size_bytes, delete_count, "
+                "begin_snapshot) VALUES (?, ?, ?, ?, ?, ?, ?, ?)",
+                (did, data_file_id, table_id, path, path_is_relative,
+                 file_size_bytes, delete_count, snapshot_id))
+            return did
+
+    def end_data_file(self, data_file_id: int, snapshot_id: int) -> None:
+        """Mark one data file removed as of snapshot_id (whole-file delete)."""
+        with self._txn() as cur:
+            cur.execute(
+                "UPDATE ducklake_data_file SET end_snapshot = ? "
+                "WHERE data_file_id = ? AND end_snapshot IS NULL",
+                (snapshot_id, data_file_id))
+
+    def end_table_files(self, table_id: int, snapshot_id: int) -> int:
+        with self._txn() as cur:
+            cur.execute(
+                "UPDATE ducklake_data_file SET end_snapshot = ? "
+                "WHERE table_id = ? AND end_snapshot IS NULL",
+                (snapshot_id, table_id))
+            return cur.execute("SELECT changes()").fetchall()[0][0] \
+                if self._dialect == "sqlite" else -1
+
+    def close(self) -> None:
+        self._conn.close()

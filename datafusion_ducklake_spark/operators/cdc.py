@@ -1,0 +1,124 @@
+"""CDC table functions: ducklake_table_changes / ducklake_table_deletions.
+
+Reference parity (SURVEY.md §2A A11-A12, §3.3):
+- table_changes (src/table_functions.rs:86-225 + src/table_changes.rs):
+  per data file added in (start, end], scan it and append constant
+  ``snapshot_id`` (the file's begin_snapshot) and ``change_type='insert'``
+  columns.
+- table_deletions (src/table_functions.rs:227-367 + src/table_deletions.rs):
+  for each delete file added in (start, end] (or data file fully removed),
+  emit only the NEWLY deleted rows: current positions (synthesized
+  0..record_count for a whole-file delete; table_deletions.rs:498-513)
+  minus the superseded previous delete file's positions, semi-joined back
+  onto the data file, with ``change_type='delete'``.
+
+Spark-first: position math is executor-side DataFrame algebra
+(exceptAll + semi join on _metadata.row_index), not a driver-side
+3-phase stream machine. Files added in the same snapshot share one scan
+(constant columns allow grouping), so plan size is O(snapshots), not
+O(files).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..errors import InvalidConfig, TableNotFound
+from ..paths import to_spark_uri
+from ..sources.scan import POS_COL, _read_parquet, _with_pos
+
+CDC_SNAPSHOT_COL = "snapshot_id"
+CDC_CHANGE_COL = "change_type"
+
+
+def _resolve(session, name: str, start: int, end: int):
+    if start > end:
+        raise InvalidConfig(
+            f"start_snapshot ({start}) must be <= end_snapshot ({end})")
+    schema_name, table_name = session._split(name)
+    schema = session.catalog.schema(schema_name)
+    table = schema.table(table_name)
+    if table is None:
+        raise TableNotFound(name)
+    return table
+
+
+def table_changes(session, name: str, start: int, end: int) -> DataFrame:
+    """Rows inserted in snapshot range (start, end]."""
+    table = _resolve(session, name, start, end)
+    spark = session.spark
+    added = session.provider.get_data_files_added_between(
+        table.meta.table_id, start, end)
+    schema = table.spark_schema
+    if not added:
+        return _empty_cdc(spark, schema)
+
+    by_snapshot: dict[int, list[str]] = {}
+    for f in added:
+        uri = to_spark_uri(session.catalog.resolver.file_path(
+            table.table_path, f.path, f.path_is_relative))
+        by_snapshot.setdefault(f.begin_snapshot, []).append(uri)
+
+    parts = []
+    for snapshot_id, uris in sorted(by_snapshot.items()):
+        parts.append(
+            _read_parquet(spark, schema, uris)
+            .withColumn(CDC_SNAPSHOT_COL, F.lit(snapshot_id).cast("long"))
+            .withColumn(CDC_CHANGE_COL, F.lit("insert")))
+    return reduce(DataFrame.unionByName, parts)
+
+
+def table_deletions(session, name: str, start: int, end: int) -> DataFrame:
+    """Rows deleted in snapshot range (start, end]."""
+    table = _resolve(session, name, start, end)
+    spark = session.spark
+    deltas = session.provider.get_delete_files_added_between(
+        table.meta.table_id, start, end)
+    schema = table.spark_schema
+    if not deltas:
+        return _empty_cdc(spark, schema, change="delete")
+
+    resolver = session.catalog.resolver
+    parts = []
+    for d in deltas:
+        data_uri = to_spark_uri(resolver.file_path(
+            table.table_path, d.data_path, d.data_path_is_relative))
+
+        if d.cur_path is not None:
+            cur_uri = to_spark_uri(resolver.file_path(
+                table.table_path, d.cur_path, d.cur_path_is_relative))
+            cur = spark.read.parquet(cur_uri).select(F.col("pos").alias(POS_COL))
+        else:
+            # whole-file delete: every position 0..record_count is deleted
+            # (ref: table_deletions.rs:498-513)
+            if d.record_count is None:
+                raise InvalidConfig(
+                    f"whole-file delete without record_count for {d.data_path}")
+            cur = spark.range(d.record_count).select(F.col("id").alias(POS_COL))
+
+        if d.prev_path is not None:
+            prev_uri = to_spark_uri(resolver.file_path(
+                table.table_path, d.prev_path, d.prev_path_is_relative))
+            prev = spark.read.parquet(prev_uri).select(F.col("pos").alias(POS_COL))
+            newly = cur.exceptAll(prev)
+        else:
+            newly = cur
+
+        data = _with_pos(_read_parquet(spark, schema, [data_uri]))
+        parts.append(
+            data.join(F.broadcast(newly), POS_COL, "left_semi")
+            .drop(POS_COL)
+            .withColumn(CDC_SNAPSHOT_COL, F.lit(d.snapshot_id).cast("long"))
+            .withColumn(CDC_CHANGE_COL, F.lit("delete")))
+    return reduce(DataFrame.unionByName, parts)
+
+
+def _empty_cdc(spark, schema, change: str = "insert") -> DataFrame:
+    from pyspark.sql import types as T
+    full = T.StructType(list(schema.fields) + [
+        T.StructField(CDC_SNAPSHOT_COL, T.LongType(), False),
+        T.StructField(CDC_CHANGE_COL, T.StringType(), False)])
+    return spark.createDataFrame([], full)

@@ -1,0 +1,131 @@
+"""information_schema: six virtual metadata tables + UDTF-style helpers.
+
+Reference parity (SURVEY.md §2A A13-A14; src/information_schema.rs):
+snapshots (:44-111), schemata (:115-206), tables (:210-317),
+table_info (:428-590 incl. per-table file/byte aggregation :469-539),
+columns (:321-424), files (:594-706). Live-queried from the catalog DB on
+every call via the bulk queries (metadata_provider.rs:200-264), then
+served as small DataFrames — Spark's analog of the reference's MemTable
+(projection/filter/limit come free from Catalyst).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+VIEWS = ("snapshots", "schemata", "tables", "table_info", "columns", "files")
+
+
+def snapshots_df(session) -> DataFrame:
+    rows = [(s.snapshot_id, s.snapshot_time)
+            for s in session.provider.list_snapshots()]
+    return session.spark.createDataFrame(
+        rows, "snapshot_id BIGINT, snapshot_time STRING")
+
+
+def schemata_df(session) -> DataFrame:
+    snap = session.catalog.snapshot_id
+    rows = [(s.schema_id, s.schema_name, s.path, s.path_is_relative)
+            for s in session.provider.list_schemas(snap)]
+    return session.spark.createDataFrame(
+        rows, "schema_id BIGINT, schema_name STRING, path STRING, "
+              "path_is_relative BOOLEAN")
+
+
+def tables_df(session) -> DataFrame:
+    snap = session.catalog.snapshot_id
+    rows = [(schema_name, t.table_id, t.table_name, t.path, t.path_is_relative)
+            for schema_name, t in session.provider.list_all_tables(snap)]
+    return session.spark.createDataFrame(
+        rows, "schema_name STRING, table_id BIGINT, table_name STRING, "
+              "path STRING, path_is_relative BOOLEAN")
+
+
+def columns_df(session) -> DataFrame:
+    snap = session.catalog.snapshot_id
+    rows = [(schema_name, table_name, c.column_id, c.column_name,
+             c.column_type, c.nulls_allowed)
+            for schema_name, table_name, c
+            in session.provider.list_all_columns(snap)]
+    return session.spark.createDataFrame(
+        rows, "schema_name STRING, table_name STRING, column_id BIGINT, "
+              "column_name STRING, column_type STRING, nulls_allowed BOOLEAN")
+
+
+def files_df(session) -> DataFrame:
+    snap = session.catalog.snapshot_id
+    rows = []
+    for schema_name, table_name, f in session.provider.list_all_files(snap):
+        d = f.delete_file
+        rows.append((schema_name, table_name, f.data_file_id, f.path,
+                     f.path_is_relative, f.file_size_bytes, f.footer_size,
+                     f.record_count,
+                     d.delete_file_id if d else None,
+                     d.path if d else None,
+                     d.file_size_bytes if d else None,
+                     d.delete_count if d else None))
+    schema = T.StructType([
+        T.StructField("schema_name", T.StringType()),
+        T.StructField("table_name", T.StringType()),
+        T.StructField("data_file_id", T.LongType()),
+        T.StructField("data_file_path", T.StringType()),
+        T.StructField("path_is_relative", T.BooleanType()),
+        T.StructField("file_size_bytes", T.LongType()),
+        T.StructField("footer_size", T.LongType()),
+        T.StructField("record_count", T.LongType()),
+        T.StructField("delete_file_id", T.LongType()),
+        T.StructField("delete_file_path", T.StringType()),
+        T.StructField("delete_file_size_bytes", T.LongType()),
+        T.StructField("delete_count", T.LongType()),
+    ])
+    return session.spark.createDataFrame(rows, schema)
+
+
+def table_info_df(session) -> DataFrame:
+    """Per-table aggregates: file_count, file_size_bytes,
+    delete_file_count, delete_file_size_bytes
+    (ref: information_schema.rs:469-539)."""
+    snap = session.catalog.snapshot_id
+    agg: dict[tuple[str, str], list[int]] = {}
+    ids: dict[tuple[str, str], int] = {}
+    for schema_name, t in session.provider.list_all_tables(snap):
+        agg[(schema_name, t.table_name)] = [0, 0, 0, 0]
+        ids[(schema_name, t.table_name)] = t.table_id
+    for schema_name, table_name, f in session.provider.list_all_files(snap):
+        a = agg.setdefault((schema_name, table_name), [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += f.file_size_bytes
+        if f.delete_file is not None:
+            a[2] += 1
+            a[3] += f.delete_file.file_size_bytes
+    rows = [(s, t, ids.get((s, t)), a[0], a[1], a[2], a[3])
+            for (s, t), a in sorted(agg.items())]
+    return session.spark.createDataFrame(
+        rows, "schema_name STRING, table_name STRING, table_id BIGINT, "
+              "file_count BIGINT, file_size_bytes BIGINT, "
+              "delete_file_count BIGINT, delete_file_size_bytes BIGINT")
+
+
+_BUILDERS = {
+    "snapshots": snapshots_df,
+    "schemata": schemata_df,
+    "tables": tables_df,
+    "table_info": table_info_df,
+    "columns": columns_df,
+    "files": files_df,
+}
+
+
+def view(session, name: str) -> DataFrame:
+    if name not in _BUILDERS:
+        raise KeyError(f"unknown information_schema view: {name} "
+                       f"(available: {', '.join(VIEWS)})")
+    return _BUILDERS[name](session)
+
+
+def register_all(session) -> None:
+    """Register as ``information_schema_<name>`` temp views
+    (flat names — Spark temp views live in one namespace)."""
+    for name, builder in _BUILDERS.items():
+        builder(session).createOrReplaceTempView(f"information_schema_{name}")

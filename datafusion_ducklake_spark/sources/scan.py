@@ -1,0 +1,180 @@
+"""Snapshot-consistent multi-file Parquet scan with merge-on-read deletes
+and field-id column renames.
+
+Reference parity (SURVEY.md §2A A1-A6):
+- DuckLakeTable::scan (src/table.rs:600-653): split live files into
+  clean (no delete file — one grouped scan) vs dirty (per-file delete
+  filtering), union, EmptyExec for zero files.
+- DeleteFilterExec (src/delete_filter.rs:21-203): drop rows whose file-local
+  position appears in the positional-delete file.
+- ColumnRenameExec (src/column_rename.rs) + field-id mapping
+  (src/types.rs:438-498): rename-by-field-id so catalog renames don't
+  rewrite files.
+
+Spark-first design:
+- Deletes become an executor-side anti-join on ``_metadata.row_index``
+  (file-local physical row position, stable across row-group splits) —
+  no driver materialization of position sets, unlike the reference's
+  planning-thread HashSet (table.rs:302-363); scales to arbitrarily large
+  delete files.
+- Clean files go through ONE ``spark.read.parquet(*paths)`` so Spark gets
+  file-level parallelism and partition coalescing in a single source node.
+- Dirty files: if few (≤ MAX_PER_FILE_BRANCHES), one anti-join per file
+  (mirrors the reference plan shape); if many, a single scan of all dirty
+  files joined against a single union of all delete files keyed by file
+  name — O(1) plan nodes, the shape you want at 100 TB with thousands of
+  deleted-from files.
+- Renames: Spark's native field-id resolution
+  (spark.sql.parquet.fieldId.read.enabled) keyed by the catalog column_id
+  stamped into the read schema's ``parquet.field.id`` metadata; files
+  without field ids fall back to name matching.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from functools import reduce
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..errors import CatalogCorruption
+
+MAX_PER_FILE_BRANCHES = 16
+
+POS_COL = "__ducklake_pos"
+
+
+@dataclass(frozen=True)
+class ResolvedFile:
+    """A live data file with its (optional) positional-delete file, both
+    fully resolved to Spark-readable URIs."""
+    data_uri: str
+    delete_uri: Optional[str] = None
+    record_count: Optional[int] = None
+
+
+def _configure_fieldid_read(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    # A file without field ids under a field-id schema should fall back to
+    # name matching rather than produce all-null columns.
+    spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+
+
+def _check_local_exists(uri: str) -> None:
+    """Missing-file error mapping (ref: table.rs:340-354): a catalog-
+    referenced file that is gone must fail loudly as corruption, never
+    silently drop rows. Cheap check for local paths only; object-store
+    URIs surface at execution time."""
+    path = uri[len("file://"):] if uri.startswith("file://") else uri
+    if "://" not in path and not os.path.exists(path):
+        raise CatalogCorruption(
+            f"Catalog corruption: file referenced by catalog does not exist: {uri}")
+
+
+def _read_parquet(spark: SparkSession, schema: T.StructType,
+                  paths: list[str]) -> DataFrame:
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def _read_delete_positions(spark: SparkSession, delete_uri: str) -> DataFrame:
+    """Delete files are Parquet with schema (file_path VARCHAR, pos INT64);
+    file_path is documentation-only (ref: table.rs:82-92, 297-305)."""
+    _check_local_exists(delete_uri)
+    return spark.read.parquet(delete_uri).select(F.col("pos").alias(POS_COL))
+
+
+def _with_pos(df: DataFrame) -> DataFrame:
+    """Attach the file-local physical row position. ``_metadata.row_index``
+    is computed by the Parquet reader itself and is correct even when Spark
+    splits one file across tasks at row-group boundaries — the property the
+    reference gets from per-file streams + running offset
+    (delete_filter.rs:154-203)."""
+    return df.withColumn(POS_COL, F.col("_metadata.row_index"))
+
+
+def _empty(spark: SparkSession, schema: T.StructType) -> DataFrame:
+    # ref: EmptyExec for tables with no live files (table.rs:641-649)
+    return spark.createDataFrame([], schema)
+
+
+def scan_table(spark: SparkSession, schema: T.StructType,
+               files: list[ResolvedFile]) -> DataFrame:
+    """Compose the snapshot-consistent scan DataFrame for a table.
+
+    The returned plan is declarative: Catalyst pushes projections and
+    predicates into every branch (filters re-apply above the scan exactly
+    as the reference's Inexact pushdown declares; table.rs:584-598 — for
+    us this is Spark's default DataSource behavior)."""
+    _configure_fieldid_read(spark)
+
+    if not files:
+        return _empty(spark, schema)
+
+    clean = [f for f in files if f.delete_uri is None]
+    dirty = [f for f in files if f.delete_uri is not None]
+    for f in files:
+        _check_local_exists(f.data_uri)
+
+    parts: list[DataFrame] = []
+    if clean:
+        parts.append(_read_parquet(spark, schema, [f.data_uri for f in clean]))
+
+    if dirty:
+        if len(dirty) <= MAX_PER_FILE_BRANCHES:
+            for f in dirty:
+                data = _with_pos(_read_parquet(spark, schema, [f.data_uri]))
+                dels = _read_delete_positions(spark, f.delete_uri)
+                parts.append(
+                    data.join(F.broadcast(dels), POS_COL, "left_anti")
+                    .drop(POS_COL))
+        else:
+            parts.append(_scan_dirty_grouped(spark, schema, dirty))
+
+    return reduce(DataFrame.unionByName, parts)
+
+
+def _scan_dirty_grouped(spark: SparkSession, schema: T.StructType,
+                        dirty: list[ResolvedFile]) -> DataFrame:
+    """Scale path for many dirty files: ONE scan of all dirty data files +
+    ONE scan of all delete files, anti-joined on (data file name, pos).
+
+    Join key is the file *name* (not full path): delete parquet's own
+    file_path column is unreliable (documentation-only), so we map each
+    delete file to its data file via the catalog pairing, keyed by name.
+    DuckLake data files are UUID-named so names are unique; if a catalog
+    somehow violates that we fall back to per-file branches."""
+    name_of = lambda uri: uri.rsplit("/", 1)[-1]  # noqa: E731
+    if len({name_of(f.data_uri) for f in dirty}) != len(dirty):
+        return reduce(DataFrame.unionByName, (
+            _with_pos(_read_parquet(spark, schema, [f.data_uri]))
+            .join(F.broadcast(_read_delete_positions(spark, f.delete_uri)),
+                  POS_COL, "left_anti")
+            .drop(POS_COL)
+            for f in dirty))
+
+    data = _with_pos(
+        _read_parquet(spark, schema, [f.data_uri for f in dirty])
+    ).withColumn(
+        "__ducklake_file", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1))
+
+    # one distributed scan over all delete files; map delete-file name →
+    # data-file name with a broadcast catalog pairing
+    for f in dirty:
+        _check_local_exists(f.delete_uri)
+    dels = (spark.read.parquet(*[f.delete_uri for f in dirty])
+            .select(F.col("pos").alias(POS_COL),
+                    F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+                    .alias("__del_file")))
+    pairing = spark.createDataFrame(
+        [(name_of(f.delete_uri), name_of(f.data_uri)) for f in dirty],
+        "`__del_file` STRING, `__ducklake_file` STRING")
+    dels = dels.join(F.broadcast(pairing), "__del_file").drop("__del_file")
+
+    # No forced broadcast here: the combined delete set can be large; AQE
+    # downgrades the shuffle join to broadcast at runtime when it is small.
+    return (data.join(dels, ["__ducklake_file", POS_COL], "left_anti")
+            .drop("__ducklake_file", POS_COL))

@@ -1,0 +1,96 @@
+"""CDC tests: table_changes / table_deletions — ports of the reference's
+table_changes_tests.rs scenarios incl. superseding deletes and whole-file
+deletes (ref: table_deletions.rs 3-phase semantics)."""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_ducklake_spark.catalog import DuckLakeSession
+from datafusion_ducklake_spark.errors import InvalidConfig
+from tests.ducklake_fixtures import (FixtureCatalog, build_users_fixture,
+                                     write_data_file, write_delete_file)
+
+
+@pytest.fixture(scope="module")
+def fx(tmp_path_factory):
+    return build_users_fixture(tmp_path_factory.mktemp("cdc_fx"))
+
+
+@pytest.fixture(scope="module")
+def dl(spark, fx):
+    return DuckLakeSession(spark, fx["db_path"])
+
+
+class TestTableChanges:
+    def test_all_inserts(self, dl, fx):
+        s1, s2, s3, s4 = fx["snapshots"]
+        df = dl.table_changes("main.users", 0, s4)
+        rows = sorted((r["id"], r["snapshot_id"], r["change_type"])
+                      for r in df.collect())
+        assert rows == [(1, s1, "insert"), (2, s1, "insert"), (3, s1, "insert"),
+                        (4, s1, "insert"), (5, s2, "insert"), (6, s2, "insert")]
+
+    def test_range_excludes_start_includes_end(self, dl, fx):
+        s1, s2, _, _ = fx["snapshots"]
+        ids = sorted(r["id"] for r in
+                     dl.table_changes("main.users", s1, s2).collect())
+        assert ids == [5, 6]  # strictly-after s1, up-to-including s2
+
+    def test_empty_range(self, dl, fx):
+        s3, s4 = fx["snapshots"][2:]
+        # (s4, s4] is empty
+        df = dl.table_changes("main.users", s4, s4)
+        assert df.count() == 0
+        assert df.columns == ["id", "name", "email", "snapshot_id", "change_type"]
+
+    def test_invalid_range_rejected(self, dl):
+        with pytest.raises(InvalidConfig):
+            dl.table_changes("main.users", 5, 2)
+
+
+class TestTableDeletions:
+    def test_first_delete(self, dl, fx):
+        s2, s3 = fx["snapshots"][1:3]
+        rows = sorted((r["id"], r["snapshot_id"], r["change_type"])
+                      for r in dl.table_deletions("main.users", s2, s3).collect())
+        assert rows == [(2, s3, "delete")]  # position 1 of file1 = id 2
+
+    def test_superseding_delete_emits_only_delta(self, dl, fx):
+        s3, s4 = fx["snapshots"][2:4]
+        rows = sorted((r["id"], r["snapshot_id"], r["change_type"])
+                      for r in dl.table_deletions("main.users", s3, s4).collect())
+        # v2 deletes {1,3}; v1 already deleted {1} → delta = position 3 = id 4
+        assert rows == [(4, s4, "delete")]
+
+    def test_full_range_sees_both_deletes(self, dl, fx):
+        s4 = fx["snapshots"][3]
+        rows = sorted((r["id"], r["snapshot_id"]) for r in
+                      dl.table_deletions("main.users", 0, s4).collect())
+        assert rows == [(2, fx["snapshots"][2]), (4, s4)]
+
+    def test_whole_file_delete(self, spark, tmp_path):
+        """Data file removed (end_snapshot set) with no current delete file:
+        every not-previously-deleted row is a delete event
+        (ref: table_deletions.rs:498-513)."""
+        cat = FixtureCatalog(tmp_path)
+        s1 = cat.snapshot()
+        sid = cat.schema("main", s1)
+        tid = cat.table(sid, "main", "t", s1)
+        cat.column(tid, 1, "id", "int32", 0, s1)
+        cat.column(tid, 2, "name", "varchar", 1, s1)
+        cat.column(tid, 3, "email", "varchar", 2, s1)
+        tdir = cat.table_dir("main", "t")
+        fname, fsize = write_data_file(tdir, [(1, "a", "x"), (2, "b", "y"),
+                                              (3, "c", "z")])
+        fid = cat.data_file(tid, fname, fsize, s1, 3)
+        s2 = cat.snapshot()
+        dname, dsize = write_delete_file(tdir, fname, [0])
+        cat.delete_file(tid, fid, dname, dsize, 1, s2)
+        s3 = cat.snapshot()
+        cat.end_data_file(fid, s3)  # whole-file removal (e.g. compaction drop)
+        dl = DuckLakeSession(spark, cat.db_path)
+        rows = sorted((r["id"], r["snapshot_id"]) for r in
+                      dl.table_deletions("main.t", s2, s3).collect())
+        # rows 1,2 (ids 2,3) newly deleted; id 1 was already deleted at s2
+        assert rows == [(2, s3), (3, s3)]

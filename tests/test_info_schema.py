@@ -1,0 +1,64 @@
+"""information_schema + UDTF-surface tests (ports of
+information_schema_test.rs scenarios)."""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_ducklake_spark.catalog import DuckLakeSession
+from tests.ducklake_fixtures import build_users_fixture
+
+
+@pytest.fixture(scope="module")
+def dl(spark, tmp_path_factory):
+    fx = build_users_fixture(tmp_path_factory.mktemp("info_fx"))
+    return DuckLakeSession(spark, fx["db_path"])
+
+
+def test_snapshots(dl):
+    rows = dl.snapshots().collect()
+    assert [r["snapshot_id"] for r in rows] == [0, 1, 2, 3, 4]
+
+
+def test_schemata(dl):
+    rows = dl.information_schema("schemata").collect()
+    assert [r["schema_name"] for r in rows] == ["main"]
+
+
+def test_tables(dl):
+    rows = dl.information_schema("tables").collect()
+    assert [(r["schema_name"], r["table_name"]) for r in rows] == [("main", "users")]
+
+
+def test_columns(dl):
+    rows = dl.information_schema("columns").collect()
+    assert [(r["column_name"], r["column_type"]) for r in rows] == [
+        ("id", "int32"), ("name", "varchar"), ("email", "varchar")]
+
+
+def test_table_info_aggregates(dl):
+    r = dl.table_info().collect()[0]
+    assert r["table_name"] == "users"
+    assert r["file_count"] == 2
+    assert r["delete_file_count"] == 1  # only the live (superseding) one
+    assert r["file_size_bytes"] > 0
+
+
+def test_files(dl):
+    rows = dl.list_files().collect()
+    assert len(rows) == 2
+    with_delete = [r for r in rows if r["delete_file_path"] is not None]
+    assert len(with_delete) == 1
+    assert with_delete[0]["delete_count"] == 2
+
+
+def test_registered_views_joinable(dl):
+    # ref: information_schema joins against data (information_schema_test.rs:170)
+    dl.register_information_schema()
+    df = dl.spark.sql("""
+        SELECT t.table_name, f.record_count
+        FROM information_schema_tables t
+        JOIN information_schema_files f USING (table_name)
+        ORDER BY f.record_count
+    """)
+    assert [tuple(r) for r in df.collect()] == [("users", 2), ("users", 4)]
