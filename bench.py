@@ -22,7 +22,10 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from datafusion_ducklake_spark.queries import headline_queries
+from datafusion_ducklake_spark.queries._util import set_exact_sums
 from datafusion_ducklake_spark.sparkutil import build_spark
+
+ITERATIONS = 2
 
 
 def main() -> None:
@@ -33,16 +36,27 @@ def main() -> None:
     spark = build_spark("ducklake-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/codegen paths once with a trivial action (the reference
-    # likewise runs a warmup iteration; benchmark/src/main.rs:55-57).
-    spark.range(1000).count()
+    # Native double aggregation for the timed runs: the decimal(38,6)-sum
+    # mode exists solely to make the DuckDB hash-compare bit-exact; the
+    # baseline engine sums native doubles, so this is the like-for-like
+    # configuration. Row counts/semantics are identical in both modes.
+    set_exact_sums(False)
+
+    # Full warmup iteration (JIT/codegen + file listing), then timed runs —
+    # mirrors the reference's warmup-then-average methodology
+    # (benchmark/src/main.rs:55-57, metrics.rs:15-52).
+    queries = headline_queries()
+    for fn in queries.values():
+        fn(spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
-    for name, fn in headline_queries().items():
-        start = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.collect()
-        timings[name] = round(time.perf_counter() - start, 4)
+    for name, fn in queries.items():
+        runs = []
+        for _ in range(ITERATIONS):
+            start = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            runs.append(time.perf_counter() - start)
+        timings[name] = round(sum(runs) / len(runs), 4)
 
     total = round(sum(timings.values()), 4)
     print(json.dumps({

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ._util import dsum, load_events
+from ._util import back_to_double, dsum, exact_cast, load_events
 
 
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,8 +49,8 @@ def events_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return ev.select(
         "event_id", "user_id",
-        F.sum(F.col("value").cast("decimal(38,6)")).over(w)
-         .cast("double").alias("running_value"))
+        back_to_double(F.sum(exact_cast("value")).over(w))
+        .alias("running_value"))
 
 
 ORACLE_RUNNING = """

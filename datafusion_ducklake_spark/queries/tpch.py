@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._util import davg, dsum, t
+from ._util import davg, dsum, exact_cast, t
 
 
 # --- q01: pricing summary (TPC-H Q1: scan-heavy multi-aggregate) -----------
@@ -341,9 +341,11 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
+    # l_quantity values are whole numbers, so the >300 threshold decides
+    # identically in exact-decimal and double mode (sums < 2^53 are exact).
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("q"))
+        .agg(F.sum(exact_cast("l_quantity")).alias("q"))
         .filter(F.col("q") > 300)
         .select("l_orderkey")
     )
