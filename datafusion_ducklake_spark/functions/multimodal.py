@@ -1,0 +1,152 @@
+"""Multimodal column plumbing: images/audio/video as opaque binary columns
+with typed metadata, processed through Arrow-batched mapInPandas stages.
+
+The Spark-side architecture here is real and tested — schemas, batch
+shapes, partitioning, UDF signatures. The actual codec calls are stubbed
+(image/audio libraries are not in this container): ``decode_fn`` defaults
+to a deterministic fake decoder, and passing ``strict=True`` raises
+NotImplementedError at the stub boundary so production deployments must
+plug a real codec (PIL/torchaudio/pyav) into the same signature.
+
+Scale notes: payloads stay in executor memory one Arrow batch at a time
+(mapInPandas is a streaming iterator — never materialize the whole
+partition); repartition by size-bucket before heavy decode stages so skewed
+payload sizes don't straggle a task.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),       # image|audio|video
+    T.StructField("payload", T.BinaryType(), True),     # opaque encoded bytes
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),      # image/video
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("duration_ms", T.LongType(), True),   # audio/video
+])
+
+IMAGE_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("mean_luma", T.DoubleType(), True),
+])
+
+FRAME_SAMPLE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("ts_ms", T.LongType(), False),
+    T.StructField("frame_payload", T.BinaryType(), True),
+])
+
+
+def _fake_image_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for a real image decoder: derives fake pixel
+    stats from the bytes themselves so tests are reproducible."""
+    if payload is None:
+        return {"width": None, "height": None, "mean_luma": None}
+    n = len(payload)
+    return {"width": (n % 640) + 1, "height": (n % 480) + 1,
+            "mean_luma": (sum(payload[:64]) % 2560) / 10.0}
+
+
+def decode_image_features(df: DataFrame,
+                          decode_fn: Optional[Callable[[bytes], dict]] = None,
+                          strict: bool = False) -> DataFrame:
+    """Image decode + feature extraction as a mapInPandas stage.
+    Output: IMAGE_FEATURES_SCHEMA. Swap ``decode_fn`` for a real decoder
+    (same dict contract) in production."""
+    if strict and decode_fn is None:
+        raise NotImplementedError(
+            "No image codec available in this environment; pass decode_fn= "
+            "with a real decoder (e.g. PIL.Image.open over io.BytesIO).")
+    fn = decode_fn or _fake_image_decode
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = pdf["payload"].map(fn)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "width": feats.map(lambda d: d["width"]).astype("Int32"),
+                "height": feats.map(lambda d: d["height"]).astype("Int32"),
+                "n_bytes": pdf["payload"].map(
+                    lambda b: len(b) if b is not None else None).astype("Int64"),
+                "mean_luma": feats.map(lambda d: d["mean_luma"]),
+            })
+
+    return (df.filter(F.col("kind") == "image")
+            .select("media_id", "payload")
+            .mapInPandas(batches, IMAGE_FEATURES_SCHEMA))
+
+
+def resize_images(df: DataFrame, width: int, height: int,
+                  resize_fn: Optional[Callable[[bytes, int, int], bytes]] = None,
+                  strict: bool = False) -> DataFrame:
+    """Resize stage: binary in → binary out, same row count. The fake
+    resizer truncates/pads bytes deterministically (plumbing test only)."""
+    if strict and resize_fn is None:
+        raise NotImplementedError(
+            "No image codec available; pass resize_fn= with a real resizer.")
+    fn = resize_fn or (lambda b, w, h: None if b is None
+                       else (b * ((w * h) // max(len(b), 1) + 1))[: w * h])
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": pdf["payload"].map(lambda b: fn(b, width, height)),
+            })
+
+    return (df.filter(F.col("kind") == "image")
+            .select("media_id", "payload")
+            .mapInPandas(batches, out_schema))
+
+
+def sample_video_frames(df: DataFrame, every_ms: int = 1000,
+                        extract_fn: Optional[Callable] = None,
+                        strict: bool = False) -> DataFrame:
+    """Frame-sampling stage: one input row (video) → N output rows
+    (frames) — mapInPandas naturally expresses the 1→N shape. Fake
+    extractor emits byte slices at deterministic offsets."""
+    if strict and extract_fn is None:
+        raise NotImplementedError(
+            "No video codec available; pass extract_fn= (payload, ts_ms) -> bytes.")
+    fn = extract_fn or (lambda b, ts: b[(ts // 100) % max(len(b), 1):][:256]
+                        if b is not None else None)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "frame_idx": [], "ts_ms": [], "frame_payload": []}
+            for _, row in pdf.iterrows():
+                dur = row["duration_ms"] or 0
+                for i, ts in enumerate(range(0, int(dur), every_ms)):
+                    out["media_id"].append(row["media_id"])
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(ts)
+                    out["frame_payload"].append(fn(row["payload"], ts))
+            yield pd.DataFrame(out)
+
+    return (df.filter(F.col("kind") == "video")
+            .select("media_id", "payload", "duration_ms")
+            .mapInPandas(batches, FRAME_SAMPLE_SCHEMA))
+
+
+def size_bucketed(df: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """Repartition by payload-size bucket so heavy decodes spread evenly
+    (large payloads cluster in upload order otherwise — stragglers)."""
+    return df.repartition(n_buckets,
+                          F.pmod(F.xxhash64(F.length("payload")), F.lit(n_buckets)))

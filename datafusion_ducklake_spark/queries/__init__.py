@@ -13,7 +13,7 @@ from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import documents, events, similarity, tpch
+from . import documents, events, pipeline, similarity, tpch
 
 
 @dataclass(frozen=True)
@@ -66,6 +66,17 @@ _SPECS = [
               similarity.ORACLE_LABEL_STATS, False),
     QuerySpec("embedding_centroid_assign", similarity.embedding_centroid_assign,
               similarity.ORACLE_CENTROID, False),
+    # training-data pipeline operators (functions/)
+    QuerySpec("ngram_jaccard_dup_pairs", pipeline.ngram_jaccard_dup_pairs,
+              pipeline.ORACLE_NGRAM_JACCARD, False),
+    QuerySpec("embedding_cosine_near_dup", pipeline.embedding_cosine_near_dup,
+              pipeline.ORACLE_EMB_NEAR_DUP, False),
+    QuerySpec("doc_quality_advanced", pipeline.doc_quality_advanced,
+              pipeline.ORACLE_QUALITY_ADVANCED, False),
+    QuerySpec("minhash_dup_pairs", pipeline.minhash_dup_pairs, None, False),
+    QuerySpec("simhash_pairs", pipeline.simhash_pairs, None, False),
+    QuerySpec("lsh_ann_neighbors", pipeline.lsh_ann_neighbors, None, False),
+    QuerySpec("mm_image_features", pipeline.mm_image_features, None, False),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

@@ -1,0 +1,154 @@
+"""Driver-gated entries for the training-data pipeline operators
+(functions/dedup, functions/similarity, functions/text, functions/
+multimodal).
+
+Oracle strategy: Jaccard and cosine VALUES are hash-independent, so
+ngram-jaccard and brute-force cosine near-dup get exact DuckDB oracles.
+MinHash/SimHash/LSH outputs depend on xxhash64 (JVM-only) — deterministic
+across runs/clusters but not SQL-expressible, so those entries are
+rows-only (the driver records the weaker check; by design, per the
+contract)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import dedup, multimodal, similarity, text
+from ._util import t
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+
+
+# --- oracle-checked -------------------------------------------------------
+
+def ngram_jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs with word-3gram Jaccard >= 0.1 (exact, via
+    explode+join — no cross join)."""
+    out = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.1,
+                                    use_words=True)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH sh AS (
+  SELECT doc_id, list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+      for i in range(1, greatest(len(toks)-2, 1) + 1)]) AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents)),
+ex AS (SELECT doc_id, unnest(g) AS gg FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n
+  FROM ex a JOIN ex b ON a.gg = b.gg AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sz AS (SELECT doc_id, len(g) AS s FROM sh)
+SELECT id_a, id_b,
+  ROUND(n * 1.0 / (sa.s + sb.s - n), 6) AS jaccard
+FROM inter
+JOIN sz sa ON id_a = sa.doc_id
+JOIN sz sb ON id_b = sb.doc_id
+WHERE n * 1.0 / (sa.s + sb.s - n) >= 0.1
+"""
+
+
+def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force all-pairs cosine >= 0.4 (correctness baseline for the
+    LSH variant below)."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", similarity.as_double(F.col("embedding")).alias("v"))
+    emb = emb.withColumn("n", similarity.l2_norm(F.col("v")))
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+                   F.col("n").alias("na"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+                   F.col("n").alias("nb"))
+    cos = similarity.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("c", cos).filter(F.col("c") >= 0.4)
+            .select("id_a", "id_b", F.round("c", 4).alias("cosine")))
+
+
+ORACLE_EMB_NEAR_DUP = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+  FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  ROUND(list_dot_product(a.v, b.v) / (a.n * b.n), 4) AS cosine
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.v, b.v) / (a.n * b.n) >= 0.4
+"""
+
+
+def doc_quality_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full quality_features operator (stopword/punct/length sigmoid)."""
+    out = text.quality_features(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_tokens",
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("quality_score", 6).alias("quality_score"))
+
+
+_STOP_SQL = "('the','a','of','and','to','in','is','it','that','for','on','with','as','was','at')"
+
+ORACLE_QUALITY_ADVANCED = f"""
+WITH f AS (
+  SELECT doc_id, text,
+    string_split_regex(trim(text), '\\s+') AS toks,
+    len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+    length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+  FROM documents),
+g AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+    CAST(len(list_filter(toks, x -> lower(x) IN {_STOP_SQL})) AS DOUBLE)
+      / n_tokens AS sr,
+    CAST(n_punct AS DOUBLE) / greatest(length(text), 1) AS pr,
+    CAST(length(text) AS DOUBLE) / n_tokens AS ml
+  FROM f)
+SELECT doc_id, n_tokens,
+  ROUND(sr, 6) AS stopword_ratio,
+  ROUND(pr, 6) AS punct_ratio,
+  ROUND(1.0 / (1.0 + exp(-(sr * 8 - pr * 4 - abs(ml - 6) * 0.2))), 6)
+    AS quality_score
+FROM g
+"""
+
+
+# --- rows-only (xxhash64 / mapInPandas — deterministic, not SQL-expressible)
+
+def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_dedup_pairs(
+        _docs(spark, sf_dir), k_shingle=3, num_hashes=128, num_bands=16,
+        jaccard_threshold=0.1).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=12)
+
+
+def lsh_ann_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.lsh_ann_topk(emb, probes, dim=64, k=10,
+                                  n_planes=6, n_tables=16)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cos_sim", 4).alias("cosine"))
+
+
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing exercised on synthesized payloads (document text
+    bytes as fake image payloads) through the real mapInPandas stage."""
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("image/fake").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"))
+    return multimodal.decode_image_features(media)

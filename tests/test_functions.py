@@ -1,0 +1,196 @@
+"""Tests for the training-data pipeline operators (functions/)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_ducklake_spark.functions import (dedup, multimodal,
+                                                 similarity, text)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    """Documents plus planted near-duplicates: one exact copy and one copy
+    with a few words changed, ids offset by 10_000."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    exact = (docs.filter(F.col("doc_id") < 5)
+             .select((F.col("doc_id") + 10_000).alias("doc_id"), "text"))
+    near = (docs.filter((F.col("doc_id") >= 5) & (F.col("doc_id") < 10))
+            .select((F.col("doc_id") + 20_000).alias("doc_id"),
+                    F.concat(F.lit("zzz qqq "), F.col("text")).alias("text")))
+    return docs.unionByName(exact).unionByName(near).cache()
+
+
+class TestExactDedup:
+    def test_removes_planted_exact_copies(self, docs_with_dups):
+        out = dedup.exact_dedup(docs_with_dups, cols=["text"])
+        assert out.count() == docs_with_dups.count() - 5
+        # min-id survivor: originals survive, 10_00x copies dropped
+        assert out.filter(F.col("doc_id") >= 10_000).filter(
+            F.col("doc_id") < 20_000).count() == 0
+
+
+class TestMinHash:
+    def test_finds_exact_and_near_dups(self, docs_with_dups):
+        pairs = dedup.minhash_dedup_pairs(
+            docs_with_dups, jaccard_threshold=0.5).collect()
+        found = {(r["id_a"], r["id_b"]) for r in pairs}
+        for i in range(5):  # exact copies must be found
+            assert (i, i + 10_000) in found
+        near_found = sum((i, i + 20_000) in found for i in range(5, 10))
+        assert near_found >= 4  # near-copies (tiny prefix edit) mostly found
+
+    def test_soundness_on_clean_corpus(self, spark):
+        """Every returned pair must truly clear the Jaccard threshold
+        (LSH candidates are verified, never emitted raw)."""
+        docs = spark.read.parquet(f"{SF}/documents.parquet") \
+            .select("doc_id", "text").limit(100)
+        pairs = dedup.minhash_dedup_pairs(docs, jaccard_threshold=0.8).collect()
+        assert all(r["jaccard"] >= 0.8 for r in pairs)
+        assert len(pairs) < 10  # word-soup corpus: few genuine near-dups
+
+    def test_signature_deterministic(self, spark):
+        docs = spark.read.parquet(f"{SF}/documents.parquet") \
+            .select("doc_id", "text").limit(5)
+        sig = docs.select(
+            "doc_id",
+            dedup.minhash_signature(dedup.char_shingles("text"), 32).alias("s"))
+        a = {r["doc_id"]: r["s"] for r in sig.collect()}
+        b = {r["doc_id"]: r["s"] for r in sig.collect()}
+        assert a == b
+
+
+class TestSimHash:
+    def test_exact_copies_have_zero_hamming(self, docs_with_dups):
+        pairs = dedup.simhash_near_dup_pairs(
+            docs_with_dups, max_hamming=3).collect()
+        found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+        for i in range(5):
+            assert found.get((i, i + 10_000)) == 0
+
+    def test_hamming64(self, spark):
+        df = spark.createDataFrame([(0b1011, 0b0010)], "a LONG, b LONG")
+        got = df.select(dedup.hamming64(F.col("a"), F.col("b")).alias("h")) \
+            .collect()[0]["h"]
+        assert got == 2
+
+
+class TestNgramJaccard:
+    def test_planted_pairs_score_high(self, docs_with_dups):
+        small = docs_with_dups.filter(
+            (F.col("doc_id") < 20) | (F.col("doc_id") >= 10_000))
+        pairs = dedup.ngram_jaccard_pairs(small, k=3, threshold=0.5).collect()
+        found = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+        for i in range(5):
+            assert found.get((i, i + 10_000)) == pytest.approx(1.0)
+
+
+class TestSimilarity:
+    def test_lsh_ann_recall_vs_bruteforce(self, spark):
+        """Random gaussian embeddings are the LSH worst case (top-10
+        neighbors sit at cosine ~0.4, nearly orthogonal), so absolute
+        recall is data-limited; 6 planes x 16 tables lands ~0.6 here.
+        Real embedding corpora have much tighter neighborhoods."""
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        probes = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        exact = similarity.cosine_topk(emb, probes, k=10)
+        approx = similarity.lsh_ann_topk(emb, probes, dim=64, k=10,
+                                         n_planes=6, n_tables=16)
+        e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+        a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+        recall = len(e & a) / len(e)
+        assert recall >= 0.4, f"LSH recall too low: {recall}"
+
+    def test_lsh_always_finds_planted_duplicate(self, spark):
+        """A near-identical vector collides in every table — recall 1.0 on
+        the pairs that matter for dedup."""
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        dup = emb.filter(F.col("vec_id") == 7).select(
+            F.lit(10_007).cast("long").alias("query_id"), "embedding")
+        out = similarity.lsh_ann_topk(emb, dup, dim=64, k=3,
+                                      n_planes=12, n_tables=4)
+        top = out.filter(F.col("query_id") == 10_007) \
+            .orderBy(F.desc("cos_sim")).first()
+        assert top["neighbor_id"] == 7
+        assert top["cos_sim"] > 0.999
+
+    def test_embedding_near_dup_finds_planted_copy(self, spark):
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        copy = emb.filter(F.col("vec_id") == 0).select(
+            (F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label")
+        both = emb.unionByName(copy)
+        pairs = similarity.embedding_near_dup_pairs(both, dim=64,
+                                                    threshold=0.99).collect()
+        assert any(r["id_a"] == 0 and r["id_b"] == 10_000 for r in pairs)
+
+
+class TestText:
+    def test_quality_features_columns(self, spark):
+        docs = spark.read.parquet(f"{SF}/documents.parquet").limit(10)
+        out = text.quality_features(docs)
+        row = out.first()
+        assert 0.0 <= row["stopword_ratio"] <= 1.0
+        assert 0.0 <= row["quality_score"] <= 1.0
+        assert row["n_tokens"] > 0
+
+    def test_bpe_ish_counts_ge_whitespace(self, spark):
+        docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+        out = docs.select(
+            text.token_count("text").alias("ws"),
+            text.bpe_ish_token_count("text").alias("bpe"))
+        assert all(r["bpe"] >= r["ws"] for r in out.collect())
+
+    def test_language_id(self, spark):
+        df = spark.createDataFrame(
+            [("the cat sat on the mat and it was a good day",),
+             ("xyzzy frobnitz quux blorp",)], "text STRING")
+        got = [r[0] for r in df.select(text.language_id("text")).collect()]
+        assert got == ["en", "unk"]
+
+    def test_rolling_fingerprints_detect_shared_window(self, spark):
+        df = spark.createDataFrame(
+            [(1, "A" * 200), (2, "A" * 200), (3, "B" * 200)], "id INT, t STRING")
+        fp = df.select("id", text.rolling_fingerprints("t").alias("fp"))
+        rows = {r["id"]: r["fp"] for r in fp.collect()}
+        assert rows[1] == rows[2] != rows[3]
+
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def media(self, spark):
+        rows = [(1, "image", b"\x89PNG" + b"x" * 500, "image/png", None, None, None),
+                (2, "image", b"\xff\xd8" + b"y" * 900, "image/jpeg", None, None, None),
+                (3, "video", b"\x00\x00ftyp" + b"z" * 2000, "video/mp4",
+                 None, None, 3500),
+                (4, "audio", b"RIFF" + b"a" * 100, "audio/wav", None, None, 1000),
+                (5, "image", None, "image/png", None, None, None)]
+        return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+    def test_image_features_plumbing(self, media):
+        out = multimodal.decode_image_features(media)
+        rows = {r["media_id"]: r for r in out.collect()}
+        assert set(rows) == {1, 2, 5}
+        assert rows[1]["n_bytes"] == 504
+        assert rows[5]["mean_luma"] is None  # null payload survives
+        # deterministic fake decode
+        assert rows[2]["width"] == (902 % 640) + 1
+
+    def test_strict_mode_requires_real_codec(self, media):
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image_features(media, strict=True)
+
+    def test_resize_roundtrip_schema(self, media):
+        out = multimodal.resize_images(media, 8, 8)
+        rows = {r["media_id"]: r["payload"] for r in out.collect()}
+        assert len(rows[1]) == 64
+        assert rows[5] is None
+
+    def test_video_frame_sampling_one_to_many(self, media):
+        out = multimodal.sample_video_frames(media, every_ms=1000)
+        rows = out.orderBy("frame_idx").collect()
+        assert [r["ts_ms"] for r in rows] == [0, 1000, 2000, 3000]
+        assert all(r["media_id"] == 3 for r in rows)
