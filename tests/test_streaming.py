@@ -1,0 +1,122 @@
+"""Streaming tests: file-source CDC inserts, watermarked windows,
+stateful sessionization — all run with availableNow/processAllAvailable
+so they terminate deterministically."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_ducklake_spark.catalog import DuckLakeSession
+from datafusion_ducklake_spark.metadata.writer import CatalogWriter
+from datafusion_ducklake_spark.streaming import cdc_source, sessionize, windows
+
+
+@pytest.fixture()
+def fresh_dl(spark, tmp_path):
+    db = str(tmp_path / "catalog.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake"))
+    w.close()
+    return DuckLakeSession(spark, db)
+
+
+def test_stream_inserts_sees_appends(spark, fresh_dl, tmp_path):
+    fresh_dl.create_table("main.ev", spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id BIGINT, v DOUBLE"))
+    fresh_dl.insert_into("main.ev", spark.createDataFrame(
+        [(3, 30.0)], "id BIGINT, v DOUBLE"))
+
+    stream = cdc_source.stream_inserts(fresh_dl, "main.ev")
+    assert stream.isStreaming
+    out = str(tmp_path / "sink")
+    q = (stream.writeStream.format("memory").queryName("ins")
+         .trigger(availableNow=True)
+         .option("checkpointLocation", out).start())
+    q.awaitTermination(60)
+    got = sorted(r["id"] for r in spark.sql("SELECT * FROM ins").collect())
+    assert got == [1, 2, 3]
+
+
+def test_replay_changes_batches_in_order(spark, fresh_dl):
+    fresh_dl.create_table("main.t", spark.createDataFrame(
+        [(1,)], "id BIGINT"))
+    fresh_dl.insert_into("main.t", spark.createDataFrame([(2,)], "id BIGINT"))
+    fresh_dl.insert_into("main.t", spark.createDataFrame([(3,)], "id BIGINT"))
+    end = fresh_dl.provider.get_current_snapshot()
+
+    seen = []
+    n = cdc_source.replay_changes(
+        fresh_dl, "main.t", 0, end,
+        lambda df, snap: seen.append((snap, sorted(r["id"] for r in df.collect()))))
+    assert n == 3
+    assert [ids for _, ids in seen] == [[1], [2], [3]]
+    assert [s for s, _ in seen] == sorted(s for s, _ in seen)
+
+
+def test_windowed_rollup_stream(spark, tmp_path):
+    src_dir = str(tmp_path / "events_src")
+    rows = [("2024-01-01 00:10:00", "click", 1.0, 1),
+            ("2024-01-01 00:50:00", "click", 2.0, 2),
+            ("2024-01-01 01:10:00", "view", 3.0, 1),
+            ("2024-01-01 01:20:00", "click", 4.0, 3)]
+    df = spark.createDataFrame(rows, "ts_s STRING, event_type STRING, value DOUBLE, user_id BIGINT") \
+        .select(F.col("ts_s").cast("timestamp").alias("ts"),
+                "event_type", "value", "user_id")
+    df.write.parquet(src_dir)
+
+    stream = (spark.readStream.schema(df.schema).parquet(src_dir))
+    rolled = windows.hourly_rollup_stream(stream, watermark="1 hour")
+    q = (rolled.writeStream.format("memory").queryName("rollup")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = {(str(r["window_start"]), r["event_type"]): r["n_events"]
+           for r in spark.sql("SELECT * FROM rollup").collect()}
+    assert got[("2024-01-01 00:00:00", "click")] == 2
+    assert got[("2024-01-01 01:00:00", "click")] == 1
+    assert got[("2024-01-01 01:00:00", "view")] == 1
+
+
+def _events_batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id BIGINT, ts_us BIGINT, value DOUBLE")
+
+
+def test_sessionize_batch_semantics(spark):
+    gap = 30 * 60 * 1_000_000
+    h = 3_600_000_000
+    rows = [(1, 0, 1.0), (1, 10**6, 2.0), (1, 2 * h, 5.0),  # two sessions
+            (2, 0, 7.0)]
+    out = sessionize.sessionize_batch(_events_batch(spark, rows), gap_us=gap)
+    got = sorted((r["user_id"], r["session_start_us"], r["n_events"],
+                  r["total_value"]) for r in out.collect())
+    assert got == [(1, 0, 2, 3.0), (1, 2 * h, 1, 5.0), (2, 0, 1, 7.0)]
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    gap = 30 * 60 * 1_000_000
+    h = 3_600_000_000
+    rows = [(1, 0, 1.0), (1, 10**6, 2.0), (1, 2 * h, 5.0), (2, 0, 7.0)]
+    src = str(tmp_path / "sess_src")
+    _events_batch(spark, rows).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "user_id BIGINT, ts_us BIGINT, value DOUBLE").parquet(src)
+    sessions = sessionize.sessionize_stream(stream, gap_us=gap)
+    q = (sessions.writeStream.format("memory").queryName("sess")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # Gap-closed sessions are always emitted; trailing (open) sessions are
+    # emitted only if the processing-time timeout fires before the run ends
+    # — timing-dependent under availableNow, so assert containment.
+    got = sorted((r["user_id"], r["session_start_us"], r["n_events"])
+                 for r in spark.sql("SELECT * FROM sess").collect())
+    full = [(1, 0, 2), (1, 2 * h, 1), (2, 0, 1)]  # == batch twin's output
+    assert (1, 0, 2) in got
+    assert set(got) <= set(full)
