@@ -13,7 +13,7 @@ from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import documents, events, pipeline, similarity, tpch
+from . import documents, events, pipeline, similarity, tpch, tpch2
 
 
 @dataclass(frozen=True)
@@ -44,6 +44,17 @@ _SPECS = [
     QuerySpec("window_top_order_per_customer", tpch.window_top_order_per_customer,
               tpch.ORACLE_WINDOW_TOP, True),
     QuerySpec("setop_active_parties", tpch.setop_active_parties, tpch.ORACLE_SETOP, False),
+    QuerySpec("q08_market_share", tpch2.q08_market_share, tpch2.ORACLE_Q08, True),
+    QuerySpec("q09_product_profit", tpch2.q09_product_profit, tpch2.ORACLE_Q09, True),
+    QuerySpec("q11_important_balances", tpch2.q11_important_balances, tpch2.ORACLE_Q11, False),
+    QuerySpec("q12_shipping_buckets", tpch2.q12_shipping_buckets, tpch2.ORACLE_Q12, True),
+    QuerySpec("q15_top_supplier", tpch2.q15_top_supplier, tpch2.ORACLE_Q15, True),
+    QuerySpec("q16_part_supplier_distribution", tpch2.q16_part_supplier_distribution,
+              tpch2.ORACLE_Q16, False),
+    QuerySpec("q17_small_quantity_orders", tpch2.q17_small_quantity_orders,
+              tpch2.ORACLE_Q17, True),
+    QuerySpec("q20_excess_suppliers", tpch2.q20_excess_suppliers, tpch2.ORACLE_Q20, False),
+    QuerySpec("rollup_revenue", tpch2.rollup_revenue, tpch2.ORACLE_ROLLUP, False),
     # events / time-series
     QuerySpec("events_hourly_rollup", events.events_hourly_rollup, events.ORACLE_HOURLY, True),
     QuerySpec("events_running_value", events.events_running_value, events.ORACLE_RUNNING, True),

@@ -1,0 +1,286 @@
+"""Second wave of TPC-H-pattern coverage: the subquery/CTE shapes from the
+reference's benchmark categories (ref: benchmark/src/tpch.rs:36-64 —
+scalar subqueries Q11/Q15, correlated Q17/Q21, nested IN Q18/Q20, CTE Q15)
+adapted to the synthetic schema (no partsupp/ps_supplycost; substitutes
+noted per query)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import dsum, t
+
+
+# --- q08-like: market share of one nation inside a region ------------------
+
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")))
+    li = t(spark, sf_dir, "lineitem")
+    n2 = nation.select(F.col("n_nationkey").alias("s_nkey"),
+                       F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    base = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(nation, cust.c_nationkey == nation.n_nationkey)
+            .join(region, nation.n_regionkey == region.r_regionkey)
+            .join(supp, li.l_suppkey == supp.s_suppkey)
+            .join(n2, supp.s_nationkey == F.col("s_nkey"))
+            .select(F.year("o_orderdate").cast("int").alias("o_year"),
+                    vol.alias("volume"), F.col("supp_nation")))
+    target = F.when(F.col("supp_nation") == "NATION_2", F.col("volume")) \
+        .otherwise(F.lit(0.0))
+    return (base.groupBy("o_year")
+            .agg((dsum(target) / dsum(F.col("volume"))).alias("mkt_share")))
+
+
+ORACLE_Q08 = """
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+  CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_2'
+      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE)
+  / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+    AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+"""
+
+
+# --- q09-like: profit by supplier nation and year --------------------------
+
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No ps_supplycost in the synthetic schema; profit proxy =
+    revenue − 0.6×retailprice×quantity."""
+    nation = t(spark, sf_dir, "nation")
+    supp = t(spark, sf_dir, "supplier")
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%1%"))
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    amount = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+              - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity"))
+    return (li.join(part, li.l_partkey == part.p_partkey)
+            .join(supp, li.l_suppkey == supp.s_suppkey)
+            .join(nation, supp.s_nationkey == nation.n_nationkey)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").cast("int").alias("o_year"))
+            .agg(dsum(amount).alias("sum_profit")))
+
+
+ORACLE_Q09 = """
+SELECT n_name AS nation,
+  CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+      - 0.6 * p_retailprice * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%1%'
+GROUP BY n_name, 2
+"""
+
+
+# --- q11-like: concentrated balances (scalar subquery + HAVING) ------------
+
+def q11_important_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations whose total customer balance exceeds 5% of the global total
+    (Q11's scalar-subquery-in-HAVING shape, over customer balances)."""
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0.0)
+    total = cust.agg(dsum("c_acctbal").alias("tot"))
+    per_nation = cust.groupBy("c_nationkey").agg(dsum("c_acctbal").alias("value"))
+    return (per_nation.join(F.broadcast(total))
+            .filter(F.col("value") > F.col("tot") * 0.05)
+            .select("c_nationkey", "value"))
+
+
+ORACLE_Q11 = """
+SELECT c_nationkey,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS value
+FROM customer WHERE c_acctbal > 0.0
+GROUP BY c_nationkey
+HAVING CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) > (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) * 0.05
+  FROM customer WHERE c_acctbal > 0.0)
+"""
+
+
+# --- q12-like: shipment status buckets (CASE aggregation) ------------------
+
+def q12_shipping_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")))
+    orders = t(spark, sf_dir, "orders")
+    high = F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1) \
+        .otherwise(0)
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_linestatus")
+            .agg(F.sum(high).cast("long").alias("high_line_count"),
+                 F.sum(1 - high).cast("long").alias("low_line_count")))
+
+
+ORACLE_Q12 = """
+SELECT l_linestatus,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+"""
+
+
+# --- q15-like: top supplier (CTE + scalar-max subquery), via spark.sql -----
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("__q15_lineitem")
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("__q15_supplier")
+    return spark.sql("""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+            CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+                 AS DOUBLE) AS total_revenue
+          FROM __q15_lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM __q15_supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """)
+
+
+ORACLE_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+         AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+# --- q16-like: supplier distribution with NOT IN subquery ------------------
+
+def q16_part_supplier_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers per (brand, size-bucket) excluding suppliers with
+    negative balances (Q16's NOT-IN-subquery shape)."""
+    part = t(spark, sf_dir, "part").filter(F.col("p_size").isin(1, 5, 10, 15, 20))
+    li = t(spark, sf_dir, "lineitem")
+    bad = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0.0) \
+        .select(F.col("s_suppkey").alias("bad_key"))
+    return (li.join(part, li.l_partkey == part.p_partkey)
+            .join(bad, li.l_suppkey == F.col("bad_key"), "left_anti")
+            .groupBy("p_brand", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+ORACLE_Q16 = """
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size IN (1, 5, 10, 15, 20)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_size
+"""
+
+
+# --- q17-like: small-quantity revenue (correlated scalar subquery) ---------
+
+def q17_small_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_qty = (li.groupBy(F.col("l_partkey").alias("ap_key"))
+               .agg((dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")))
+    return (li.join(part, li.l_partkey == part.p_partkey)
+            .join(avg_qty, li.l_partkey == F.col("ap_key"))
+            .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+            .agg((dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly")))
+
+
+ORACLE_Q17 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0
+  AS avg_yearly
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < 0.5 * (
+    SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+    FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
+# --- q20-like: suppliers with excess inventory (nested IN subqueries) ------
+
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who shipped more than 50 units of some 'ECONOMY' part in
+    1996 (Q20's nested-IN shape: supplier IN (... part IN (...)))."""
+    part = t(spark, sf_dir, "part").filter(F.col("p_type").like("ECONOMY%")) \
+        .select("p_partkey")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")))
+    shipped = (li.join(part, li.l_partkey == part.p_partkey, "left_semi")
+               .groupBy("l_suppkey", "l_partkey")
+               .agg(dsum("l_quantity").alias("qty"))
+               .filter(F.col("qty") > 50)
+               .select(F.col("l_suppkey").alias("sk")).distinct())
+    supp = t(spark, sf_dir, "supplier")
+    return (supp.join(shipped, supp.s_suppkey == F.col("sk"), "left_semi")
+            .select("s_suppkey", "s_name"))
+
+
+ORACLE_Q20 = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type LIKE 'ECONOMY%')
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_suppkey, l_partkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) > 50)
+"""
+
+
+# --- rollup/cube: multi-level aggregates (beyond-TPC-H engine surface) -----
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(dsum("l_quantity").alias("sum_qty"),
+                 F.count(F.lit(1)).alias("n"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+                    F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+                    "sum_qty", "n"))
+
+
+ORACLE_ROLLUP = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
