@@ -49,11 +49,16 @@ class DuckLakeTable:
             data_uri = to_spark_uri(resolver.file_path(
                 self.table_path, f.path, f.path_is_relative))
             delete_uri = None
+            delete_key = None
             if f.delete_file is not None:
                 delete_uri = to_spark_uri(resolver.file_path(
                     self.table_path, f.delete_file.path,
                     f.delete_file.path_is_relative))
-            self.files.append(ResolvedFile(data_uri, delete_uri, f.record_count))
+                delete_key = f.delete_file.encryption_key
+            self.files.append(ResolvedFile(
+                data_uri, delete_uri, f.record_count,
+                encryption_key=f.encryption_key,
+                delete_encryption_key=delete_key))
 
     @cached_property
     def spark_schema(self):
@@ -210,6 +215,12 @@ class DuckLakeSession:
     def register_information_schema(self) -> None:
         from .operators import info_schema
         info_schema.register_all(self)
+
+    def register_sql_functions(self) -> None:
+        """SQL-callable UDTFs: ducklake_snapshots() / ducklake_table_info()
+        / ducklake_list_files() (A14 parity)."""
+        from .operators.udtf import register_sql_functions
+        register_sql_functions(self)
 
     def table_changes(self, name: str, start: int, end: int) -> DataFrame:
         from .operators.cdc import table_changes

@@ -294,9 +294,67 @@ class DuckdbMetadataProvider(MetadataProvider):
         self._conn.close()
 
 
+class PostgresMetadataProvider(MetadataProvider):
+    """Postgres catalog access (ref: metadata_provider_postgres.rs).
+    Same SQL surface; qmark params are rewritten to %s (psycopg style).
+    Import-gated: psycopg is not bundled in every environment."""
+
+    def __init__(self, dsn: str):
+        try:
+            import psycopg
+        except ImportError as e:  # pragma: no cover - driver not in container
+            raise CatalogError(
+                "PostgresMetadataProvider requires the 'psycopg' package") from e
+        self._conn = psycopg.connect(dsn)
+        self._lock = threading.Lock()
+
+    def _fetchall(self, query: str, params: tuple = ()) -> list[tuple]:
+        with self._lock, self._conn.cursor() as cur:
+            cur.execute(query.replace("?", "%s"), params)
+            return cur.fetchall()
+
+    def close(self) -> None:
+        self._conn.close()
+
+
+class MySqlMetadataProvider(MetadataProvider):
+    """MySQL catalog access (ref: metadata_provider_mysql.rs).
+    Import-gated on mysql-connector; %s param style."""
+
+    def __init__(self, **connect_kwargs):
+        try:
+            import mysql.connector
+        except ImportError as e:  # pragma: no cover - driver not in container
+            raise CatalogError(
+                "MySqlMetadataProvider requires the 'mysql-connector-python' "
+                "package") from e
+        self._conn = mysql.connector.connect(**connect_kwargs)
+        self._lock = threading.Lock()
+
+    def _fetchall(self, query: str, params: tuple = ()) -> list[tuple]:
+        with self._lock:
+            cur = self._conn.cursor()
+            try:
+                cur.execute(query.replace("?", "%s"), params)
+                return cur.fetchall()
+            finally:
+                cur.close()
+
+    def close(self) -> None:
+        self._conn.close()
+
+
 def provider_for(catalog_path: str) -> MetadataProvider:
     """Pick a backend from the catalog path: .db/.duckdb → DuckDB (falls
     back to SQLite if the file is SQLite-format), else SQLite."""
+    if catalog_path.startswith(("postgresql://", "postgres://")):
+        return PostgresMetadataProvider(catalog_path)
+    if catalog_path.startswith("mysql://"):
+        from urllib.parse import urlparse
+        u = urlparse(catalog_path)
+        return MySqlMetadataProvider(
+            host=u.hostname, port=u.port or 3306, user=u.username,
+            password=u.password, database=u.path.lstrip("/"))
     if catalog_path.endswith((".duckdb", ".ddb")):
         return DuckdbMetadataProvider(catalog_path)
     if catalog_path.endswith((".sqlite", ".sqlite3", ".db")):

@@ -1,0 +1,84 @@
+"""SQL-callable table functions (UDTF parity for SURVEY §2A A14).
+
+The reference registers five UDTFs (table_functions.rs:370-394). Our
+primary surface is the Python API (``dl.snapshots()`` etc. — the survey's
+recommended mapping); this module adds SQL-callable parity for the
+metadata trio via Spark Python UDTFs:
+
+    SELECT * FROM ducklake_snapshots();
+    SELECT * FROM ducklake_table_info();
+    SELECT * FROM ducklake_list_files();
+
+Each UDTF re-opens the catalog DB inside the executor task (the catalog
+path travels by closure; connections don't pickle). The data-bearing CDC
+functions (table_changes/table_deletions) stay API-level: funneling table
+data through a row-yielding Python UDTF would abandon the vectorized scan
+path — ``dl.table_changes(...)`` returns a real parquet-backed DataFrame
+instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.functions import udtf
+
+
+def register_sql_functions(session) -> None:
+    catalog_path = session.catalog_path
+    snapshot_id = session.catalog.snapshot_id
+
+    @udtf(returnType="snapshot_id BIGINT, snapshot_time STRING")
+    class DucklakeSnapshots:
+        def eval(self):
+            from ..metadata.provider import provider_for
+            p = provider_for(catalog_path)
+            try:
+                for s in p.list_snapshots():
+                    yield s.snapshot_id, s.snapshot_time
+            finally:
+                p.close()
+
+    @udtf(returnType="schema_name STRING, table_name STRING, table_id BIGINT, "
+                     "file_count BIGINT, file_size_bytes BIGINT, "
+                     "delete_file_count BIGINT, delete_file_size_bytes BIGINT")
+    class DucklakeTableInfo:
+        def eval(self):
+            from ..metadata.provider import provider_for
+            p = provider_for(catalog_path)
+            try:
+                agg: dict = {}
+                ids: dict = {}
+                for schema_name, t in p.list_all_tables(snapshot_id):
+                    agg[(schema_name, t.table_name)] = [0, 0, 0, 0]
+                    ids[(schema_name, t.table_name)] = t.table_id
+                for schema_name, table_name, f in p.list_all_files(snapshot_id):
+                    a = agg.setdefault((schema_name, table_name), [0, 0, 0, 0])
+                    a[0] += 1
+                    a[1] += f.file_size_bytes
+                    if f.delete_file is not None:
+                        a[2] += 1
+                        a[3] += f.delete_file.file_size_bytes
+                for (s, t), a in sorted(agg.items()):
+                    yield s, t, ids.get((s, t)), a[0], a[1], a[2], a[3]
+            finally:
+                p.close()
+
+    @udtf(returnType="schema_name STRING, table_name STRING, "
+                     "data_file_path STRING, file_size_bytes BIGINT, "
+                     "record_count BIGINT, delete_file_path STRING, "
+                     "delete_count BIGINT")
+    class DucklakeListFiles:
+        def eval(self):
+            from ..metadata.provider import provider_for
+            p = provider_for(catalog_path)
+            try:
+                for schema_name, table_name, f in p.list_all_files(snapshot_id):
+                    d = f.delete_file
+                    yield (schema_name, table_name, f.path, f.file_size_bytes,
+                           f.record_count, d.path if d else None,
+                           d.delete_count if d else None)
+            finally:
+                p.close()
+
+    session.spark.udtf.register("ducklake_snapshots", DucklakeSnapshots)
+    session.spark.udtf.register("ducklake_table_info", DucklakeTableInfo)
+    session.spark.udtf.register("ducklake_list_files", DucklakeListFiles)

@@ -1,0 +1,175 @@
+"""Parquet Modular Encryption (PME) support.
+
+Reference parity (SURVEY.md §2A A15; src/encryption.rs): the catalog's
+``ducklake_data_file.encryption_key`` column holds a per-file AES footer
+key (base64 / hex / raw 16|24|32 bytes — decode order matches
+encryption.rs:119-155). Spark's Parquet reader has no PME hook, so
+encrypted files are read via pyarrow (which has full PME) into Arrow and
+handed to Spark — the route SURVEY.md §1.4 prescribes.
+
+Scale note: the pyarrow decode runs inside ``mapInPandas``-style executor
+tasks when used through ``read_encrypted_distributed`` — the driver only
+ships (path, key) pairs, so this scales with executors; the convenience
+``read_encrypted`` path is driver-side for small files / tests.
+DuckDB-native encryption (non-standard, pre-PME) is explicitly
+unsupported with a targeted error, matching the reference
+(encryption.rs:33-57).
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..errors import InvalidConfig
+
+_AES_LENGTHS = (16, 24, 32)
+
+
+def decode_key(key: str) -> bytes:
+    """base64 → hex → raw, first decoding that yields a valid AES length
+    (ref: encryption.rs:129-155)."""
+    try:
+        decoded = base64.b64decode(key, validate=True)
+        if len(decoded) in _AES_LENGTHS:
+            return decoded
+    except (binascii.Error, ValueError):
+        pass
+    try:
+        decoded = bytes.fromhex(key)
+        if len(decoded) in _AES_LENGTHS:
+            return decoded
+    except ValueError:
+        pass
+    raw = key.encode()
+    if len(raw) in _AES_LENGTHS:
+        return raw
+    raise InvalidConfig(
+        "encryption key is not a valid AES-128/192/256 key in base64, hex, "
+        "or raw form (key value not shown)")
+
+
+def _make_kms_class():
+    import hashlib
+
+    import pyarrow.parquet.encryption as pe
+
+    class _CatalogKeyKms(pe.KmsClient):
+        """KmsClient backed by the per-file catalog key.
+
+        pyarrow's public PME API is envelope-mode only (a random DEK is
+        generated per file and must be wrapped by the KMS; the direct
+        footer-key constructors are not usable from Python). We wrap the
+        DEK by XOR with a SHA-256 PRF of (catalog key ‖ master-key id) —
+        the DEK never appears in the file in recoverable form without the
+        catalog key. Interop note: files written by engines that use the
+        catalog key directly as the parquet footer key (no key metadata)
+        cannot be opened through this factory — documented gap until
+        pyarrow exposes direct-footer-key decryption properties.
+        """
+
+        def __init__(self, key: bytes):
+            super().__init__()
+            self._key = key
+
+        def _prf(self, master_key_identifier: str, n: int) -> bytes:
+            out = b""
+            counter = 0
+            while len(out) < n:
+                out += hashlib.sha256(
+                    self._key + master_key_identifier.encode()
+                    + counter.to_bytes(4, "big")).digest()
+                counter += 1
+            return out[:n]
+
+        def wrap_key(self, key_bytes: bytes, master_key_identifier: str) -> bytes:
+            pad = self._prf(master_key_identifier, len(key_bytes))
+            return base64.b64encode(bytes(a ^ b for a, b in zip(key_bytes, pad)))
+
+        def unwrap_key(self, wrapped_key: bytes, master_key_identifier: str) -> bytes:
+            enc_dek = base64.b64decode(wrapped_key)
+            pad = self._prf(master_key_identifier, len(enc_dek))
+            return bytes(a ^ b for a, b in zip(enc_dek, pad))
+
+    return _CatalogKeyKms
+
+
+def _crypto_factory(key: bytes):
+    import pyarrow.parquet.encryption as pe
+    kms_cls = _make_kms_class()
+    return pe.CryptoFactory(lambda cfg: kms_cls(key)), pe
+
+
+def write_encrypted(table, path: str, key: bytes) -> None:
+    """Write an Arrow table as a PME-encrypted parquet file (footer+columns
+    encrypted with one key) — fixture/writer support."""
+    import pyarrow.parquet as pq
+    factory, pe = _crypto_factory(key)
+    enc_props = factory.file_encryption_properties(
+        pe.KmsConnectionConfig(),
+        pe.EncryptionConfiguration(
+            footer_key="k0",
+            # this pyarrow build has no uniform_encryption flag — encrypt
+            # every column with the footer key explicitly
+            column_keys={"k0": list(table.schema.names)},
+            encryption_algorithm="AES_GCM_V1",
+            data_key_length_bits=len(key) * 8))
+    with pq.ParquetWriter(path, table.schema,
+                          encryption_properties=enc_props) as w:
+        w.write_table(table)
+
+
+def read_encrypted_arrow(path: str, key: bytes):
+    """Driver/executor-side decrypt of one file via pyarrow PME."""
+    import pyarrow.parquet as pq
+    factory, pe = _crypto_factory(key)
+    dec_props = factory.file_decryption_properties(pe.KmsConnectionConfig())
+    return pq.ParquetFile(path, decryption_properties=dec_props).read()
+
+
+def is_encrypted_parquet(path: str) -> bool:
+    """PME-encrypted files start with magic 'PARE' instead of 'PAR1'."""
+    with open(path, "rb") as f:
+        return f.read(4) == b"PARE"
+
+
+def check_not_duckdb_encrypted(path: str) -> None:
+    """DuckDB's own (non-PME) encryption is unsupported — raise the
+    reference's targeted error rather than a generic parse failure
+    (ref: encryption.rs:33-57)."""
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic not in (b"PAR1", b"PARE"):
+        raise InvalidConfig(
+            f"file {path} is not a standard or PME parquet file; DuckDB-native "
+            f"encrypted DuckLake files are not supported (use PME)")
+
+
+def read_encrypted(spark: SparkSession, files: list[tuple[str, str]],
+                   schema=None) -> DataFrame:
+    """Read encrypted parquet files [(path, stored_key), ...] into one
+    DataFrame. Driver-side decode — fine for metadata-scale files."""
+    import pyarrow as pa
+    tables = [read_encrypted_arrow(p, decode_key(k)) for p, k in files]
+    merged = pa.concat_tables(tables)
+    df = spark.createDataFrame(merged.to_pandas())
+    return df.to(schema) if schema is not None else df
+
+
+def read_encrypted_distributed(spark: SparkSession,
+                               files: list[tuple[str, str]],
+                               schema) -> DataFrame:
+    """Executor-side variant: parallelize (path, key) pairs and decrypt
+    inside tasks — the 100 TB path (driver never touches payload bytes)."""
+    def decode_batches(pdf_iter):
+        for pdf in pdf_iter:
+            for path, key in zip(pdf["path"], pdf["key"]):
+                tbl = read_encrypted_arrow(path, decode_key(key))
+                for batch in tbl.to_batches():
+                    yield batch.to_pandas()
+
+    pairs = spark.createDataFrame(files, "path STRING, key STRING") \
+        .repartition(max(len(files), 1))
+    return pairs.mapInPandas(decode_batches, schema)

@@ -55,6 +55,8 @@ class ResolvedFile:
     data_uri: str
     delete_uri: Optional[str] = None
     record_count: Optional[int] = None
+    encryption_key: Optional[str] = None       # PME footer key (stored form)
+    delete_encryption_key: Optional[str] = None
 
 
 def _configure_fieldid_read(spark: SparkSession) -> None:
@@ -114,12 +116,16 @@ def scan_table(spark: SparkSession, schema: T.StructType,
     if not files:
         return _empty(spark, schema)
 
+    encrypted = [f for f in files if f.encryption_key is not None]
+    files = [f for f in files if f.encryption_key is None]
     clean = [f for f in files if f.delete_uri is None]
     dirty = [f for f in files if f.delete_uri is not None]
     for f in files:
         _check_local_exists(f.data_uri)
 
     parts: list[DataFrame] = []
+    if encrypted:
+        parts.append(_scan_encrypted(spark, schema, encrypted))
     if clean:
         parts.append(_read_parquet(spark, schema, [f.data_uri for f in clean]))
 
@@ -134,6 +140,53 @@ def scan_table(spark: SparkSession, schema: T.StructType,
         else:
             parts.append(_scan_dirty_grouped(spark, schema, dirty))
 
+    return reduce(DataFrame.unionByName, parts)
+
+
+def _scan_encrypted(spark: SparkSession, schema: T.StructType,
+                    files: list[ResolvedFile]) -> DataFrame:
+    """PME-encrypted files: decrypt executor-side via pyarrow (A15 —
+    Spark's reader has no PME hook; SURVEY §2A maps this to the pyarrow
+    route). Positional deletes are applied through the same anti-join,
+    with positions synthesized inside the decode stage (enumerate rows in
+    file order)."""
+    from . import encryption as enc
+
+    for f in files:
+        _check_local_exists(f.data_uri)
+        enc.check_not_duckdb_encrypted(f.data_uri)
+
+    with_pos = T.StructType(list(schema.fields)
+                            + [T.StructField(POS_COL, T.LongType(), False)])
+
+    def decode(pdf_iter):
+        import pandas as pd
+        for pdf in pdf_iter:
+            for path, key in zip(pdf["path"], pdf["key"]):
+                tbl = enc.read_encrypted_arrow(path, enc.decode_key(key))
+                out = tbl.to_pandas()
+                out[POS_COL] = range(len(out))
+                yield out
+
+    pairs = spark.createDataFrame(
+        [(f.data_uri, f.encryption_key) for f in files],
+        "path STRING, key STRING").repartition(len(files))
+    # one decoded stream per file → per-file anti-join of delete positions
+    parts = []
+    for f in files:
+        data = (pairs.filter(F.col("path") == f.data_uri)
+                .mapInPandas(decode, with_pos))
+        if f.delete_uri is not None:
+            if f.delete_encryption_key is not None:
+                import pyarrow  # noqa: F401
+                dtbl = enc.read_encrypted_arrow(
+                    f.delete_uri, enc.decode_key(f.delete_encryption_key))
+                dels = spark.createDataFrame(
+                    dtbl.to_pandas()[["pos"]].rename(columns={"pos": POS_COL}))
+            else:
+                dels = _read_delete_positions(spark, f.delete_uri)
+            data = data.join(F.broadcast(dels), POS_COL, "left_anti")
+        parts.append(data.drop(POS_COL))
     return reduce(DataFrame.unionByName, parts)
 
 

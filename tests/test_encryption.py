@@ -1,0 +1,115 @@
+"""PME encryption tests (port of the reference's encryption_tests.rs
+scenarios, using pyarrow PME as both writer and reader oracle)."""
+
+from __future__ import annotations
+
+import base64
+import os
+
+import pyarrow as pa
+import pytest
+
+from datafusion_ducklake_spark.catalog import DuckLakeSession
+from datafusion_ducklake_spark.errors import InvalidConfig
+from datafusion_ducklake_spark.sources import encryption as enc
+from tests.ducklake_fixtures import FixtureCatalog, write_delete_file
+
+KEY = b"0123456789abcdef"  # AES-128
+KEY_B64 = base64.b64encode(KEY).decode()
+
+
+class TestKeyDecode:
+    def test_base64(self):
+        assert enc.decode_key(KEY_B64) == KEY
+
+    def test_hex(self):
+        # NB: hex of a 16-byte key is *also* valid base64 (32 chars of
+        # [0-9a-f]) and the base64 branch wins — same precedence as the
+        # reference (encryption.rs:133-146). A 24-byte key's 48-char hex
+        # decodes to 36 bytes under base64 (invalid AES) and falls through
+        # to the hex branch, which is the case this covers.
+        key24 = bytes(range(24))
+        assert enc.decode_key(key24.hex()) == key24
+
+    def test_raw(self):
+        assert enc.decode_key(KEY.decode()) == KEY
+
+    def test_invalid(self):
+        with pytest.raises(InvalidConfig):
+            enc.decode_key("not-a-key!")
+
+    def test_error_does_not_leak_key(self):
+        try:
+            enc.decode_key("secret-material-xyz")
+        except InvalidConfig as e:
+            assert "secret-material-xyz" not in str(e)
+
+
+def _encrypted_users_fixture(tmp_path, delete_positions=None):
+    cat = FixtureCatalog(tmp_path)
+    s1 = cat.snapshot()
+    sid = cat.schema("main", s1)
+    tid = cat.table(sid, "main", "sec", s1)
+    cat.column(tid, 1, "id", "int32", 0, s1)
+    cat.column(tid, 2, "name", "varchar", 1, s1)
+    cat.column(tid, 3, "email", "varchar", 2, s1)
+    tdir = cat.table_dir("main", "sec")
+    tbl = pa.table({"id": pa.array([1, 2, 3], pa.int32()),
+                    "name": ["a", "b", "c"], "email": ["x", "y", "z"]})
+    fname = "ducklake-enc-0001.parquet"
+    enc.write_encrypted(tbl, os.path.join(tdir, fname), KEY)
+    cat.conn.execute(
+        "INSERT INTO ducklake_data_file (data_file_id, table_id, path, "
+        "path_is_relative, file_size_bytes, record_count, begin_snapshot, "
+        "encryption_key) VALUES (1, ?, ?, 1, ?, 3, ?, ?)",
+        (tid, fname, os.path.getsize(os.path.join(tdir, fname)), s1, KEY_B64))
+    cat.conn.commit()
+    if delete_positions is not None:
+        s2 = cat.snapshot()
+        dname, dsize = write_delete_file(tdir, fname, delete_positions)
+        cat.delete_file(tid, 1, dname, dsize, len(delete_positions), s2)
+    return cat
+
+
+class TestEncryptedScan:
+    def test_magic_is_pare(self, tmp_path):
+        cat = _encrypted_users_fixture(tmp_path)
+        tdir = cat.table_dir("main", "sec")
+        assert enc.is_encrypted_parquet(
+            os.path.join(tdir, "ducklake-enc-0001.parquet"))
+
+    def test_read_encrypted_table(self, spark, tmp_path):
+        cat = _encrypted_users_fixture(tmp_path)
+        dl = DuckLakeSession(spark, cat.db_path)
+        rows = sorted((r["id"], r["name"]) for r in dl.table("main.sec").collect())
+        assert rows == [(1, "a"), (2, "b"), (3, "c")]
+
+    def test_encrypted_with_deletes(self, spark, tmp_path):
+        cat = _encrypted_users_fixture(tmp_path, delete_positions=[1])
+        dl = DuckLakeSession(spark, cat.db_path)
+        assert sorted(r["id"] for r in dl.table("main.sec").collect()) == [1, 3]
+
+    def test_spark_cannot_read_directly(self, spark, tmp_path):
+        """Sanity: the file really is encrypted — plain Spark read fails."""
+        cat = _encrypted_users_fixture(tmp_path)
+        path = os.path.join(cat.table_dir("main", "sec"),
+                            "ducklake-enc-0001.parquet")
+        with pytest.raises(Exception):
+            spark.read.parquet(path).collect()
+
+    def test_duckdb_native_encryption_rejected(self, tmp_path):
+        bad = str(tmp_path / "bad.parquet")
+        with open(bad, "wb") as f:
+            f.write(b"DUCK" + b"\x00" * 64)
+        with pytest.raises(InvalidConfig, match="DuckDB-native"):
+            enc.check_not_duckdb_encrypted(bad)
+
+    def test_distributed_reader(self, spark, tmp_path):
+        tbl = pa.table({"id": pa.array([10, 20], pa.int64()),
+                        "s": ["p", "q"]})
+        p1 = str(tmp_path / "e1.parquet")
+        enc.write_encrypted(tbl, p1, KEY)
+        out = enc.read_encrypted_distributed(
+            spark, [(p1, KEY_B64)], "id BIGINT, s STRING")
+        assert sorted((r["id"], r["s"]) for r in out.collect()) == [
+            (10, "p"), (20, "q")]

@@ -62,3 +62,17 @@ def test_registered_views_joinable(dl):
         ORDER BY f.record_count
     """)
     assert [tuple(r) for r in df.collect()] == [("users", 2), ("users", 4)]
+
+
+def test_sql_callable_udtfs(dl):
+    # A14 parity: SELECT ... FROM ducklake_snapshots() etc.
+    dl.register_sql_functions()
+    snaps = dl.spark.sql("SELECT * FROM ducklake_snapshots()").collect()
+    assert [r["snapshot_id"] for r in snaps] == [0, 1, 2, 3, 4]
+    info = dl.spark.sql(
+        "SELECT table_name, file_count FROM ducklake_table_info()").collect()
+    assert [(r["table_name"], r["file_count"]) for r in info] == [("users", 2)]
+    files = dl.spark.sql(
+        "SELECT * FROM ducklake_list_files() WHERE delete_file_path IS NOT NULL"
+    ).collect()
+    assert len(files) == 1 and files[0]["delete_count"] == 2
