@@ -1,0 +1,129 @@
+"""Mini hybrid sqllogictest harness (port of the reference's shape:
+tests/hybrid_asyncdb.rs + tests/sqllogictest_runner.rs).
+
+The reference routes writes (CREATE/INSERT/UPDATE/DELETE/MERGE) to DuckDB's
+ducklake extension and every SELECT through the engine under test over the
+same catalog. The ducklake extension is not installable offline, so the
+hybrid seam moves one level up: DuckDB executes writes against its own
+database; after each write the affected tables are synchronized into a
+real DuckLake catalog (one snapshot per sync, via our write path); every
+``query`` directive then runs through BOTH DuckLakeSession.sql and DuckDB,
+and results must match exactly (sorted, type-normalized).
+
+File dialect (subset of sqllogictest):
+    statement ok          -- next lines (to blank) run as a write
+    query                 -- next lines (to blank) = SELECT, run on both
+    # comment / blank     -- ignored
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import duckdb
+
+
+@dataclass
+class SltCase:
+    kind: str               # "statement" | "query"
+    sql: str
+    line: int
+
+
+def parse_slt(path: str) -> list[SltCase]:
+    cases = []
+    lines = Path(path).read_text().splitlines()
+    i = 0
+    while i < len(lines):
+        line = lines[i].strip()
+        if not line or line.startswith("#"):
+            i += 1
+            continue
+        if line in ("statement ok", "query"):
+            kind = "statement" if line.startswith("statement") else "query"
+            start = i + 1
+            body = []
+            i += 1
+            while i < len(lines) and lines[i].strip() != "":
+                body.append(lines[i])
+                i += 1
+            cases.append(SltCase(kind, "\n".join(body), start + 1))
+        else:
+            raise ValueError(f"{path}:{i+1}: unknown directive {line!r}")
+        i += 1
+    return cases
+
+
+_TABLE_RE = re.compile(
+    r"\b(?:INSERT\s+INTO|UPDATE|DELETE\s+FROM|CREATE\s+TABLE|MERGE\s+INTO|"
+    r"ALTER\s+TABLE|DROP\s+TABLE(?:\s+IF\s+EXISTS)?)\s+([A-Za-z_][\w]*)",
+    re.IGNORECASE)
+
+
+class HybridRunner:
+    def __init__(self, spark, tmpdir: str):
+        from datafusion_ducklake_spark.catalog import DuckLakeSession
+        from datafusion_ducklake_spark.metadata.writer import CatalogWriter
+        self.spark = spark
+        self.duck = duckdb.connect()
+        db = f"{tmpdir}/slt_catalog.sqlite"
+        w = CatalogWriter.sqlite(db)
+        w.initialize_schema(data_path=f"{tmpdir}/slt_lake")
+        w.close()
+        self.dl = DuckLakeSession(spark, db)
+        self._known: set[str] = set()
+
+    def _sync(self, table: str) -> None:
+        """Mirror one DuckDB table's current state into the DuckLake
+        catalog (full-state snapshot per write statement)."""
+        exists = self.duck.sql(
+            "SELECT count(*) FROM information_schema.tables "
+            f"WHERE table_name = '{table}'").fetchone()[0]
+        if not exists:
+            return
+        arrow = self.duck.sql(f'SELECT * FROM "{table}"').arrow()
+        if arrow.num_rows == 0:
+            # duckdb emits zero-chunk columns for empty results, which
+            # Spark's arrow path can't ingest; rebuild as 1-empty-chunk
+            arrow = arrow.schema.empty_table()
+        try:
+            sdf = self.spark.createDataFrame(arrow)  # pyspark 4: arrow-native
+        except Exception:
+            sdf = self.spark.createDataFrame(arrow.to_pandas())
+        if table in self._known:
+            self.dl.insert_into(f"main.{table}", sdf, overwrite=True)
+        else:
+            self.dl.create_table(f"main.{table}", sdf)
+            self._known.add(table)
+
+    def run_case(self, case: SltCase) -> None:
+        if case.kind == "statement":
+            self.duck.execute(case.sql)
+            for tbl in dict.fromkeys(_TABLE_RE.findall(case.sql)):
+                self._sync(tbl)
+            self.dl.refresh()
+            self.dl.register_views()
+        else:
+            ours = self.dl.sql(case.sql).toPandas()
+            theirs = self.duck.sql(case.sql).df()
+            self._compare(case, ours, theirs)
+
+    @staticmethod
+    def _compare(case: SltCase, ours, theirs) -> None:
+        import sys
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+        from check_correctness import compare
+        problems = compare(f"slt:{case.line}", ours, theirs)
+        assert not problems, f"line {case.line}: {case.sql!r}: {problems}"
+
+    def run_file(self, path: str) -> int:
+        n = 0
+        for case in parse_slt(path):
+            self.run_case(case)
+            n += 1
+        return n
+
+    def close(self):
+        self.duck.close()

@@ -1,0 +1,86 @@
+"""Concurrency tests — ports of the reference's concurrent_tests.rs
+(parallel selects/counts/mixed) and concurrent_write_tests.rs (parallel
+writers, snapshot monotonicity) using threads against one catalog."""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+
+import pytest
+
+from datafusion_ducklake_spark.catalog import DuckLakeSession
+from datafusion_ducklake_spark.metadata.writer import CatalogWriter
+from tests.ducklake_fixtures import build_users_fixture
+
+
+@pytest.fixture()
+def users_dl(spark, tmp_path):
+    fx = build_users_fixture(tmp_path)
+    return DuckLakeSession(spark, fx["db_path"])
+
+
+def test_parallel_reads_consistent(users_dl):
+    # ref: concurrent_tests.rs:83-200 — N threads, same snapshot, same answer
+    def read(_):
+        return sorted(r["id"] for r in users_dl.table("main.users").collect())
+    with ThreadPoolExecutor(8) as ex:
+        results = list(ex.map(read, range(16)))
+    assert all(r == [1, 3, 5, 6] for r in results)
+
+
+def test_mixed_reads_and_aggregates(users_dl):
+    def count(_):
+        return users_dl.table("main.users").count()
+
+    def agg(_):
+        return users_dl.table("main.users").agg({"id": "sum"}).collect()[0][0]
+    with ThreadPoolExecutor(8) as ex:
+        counts = list(ex.map(count, range(8)))
+        sums = list(ex.map(agg, range(8)))
+    assert counts == [4] * 8 and sums == [15] * 8
+
+
+def test_concurrent_writers_all_commit(spark, tmp_path):
+    """ref: concurrent_write_tests.rs:52-273 — N parallel appenders; every
+    row lands, snapshots stay strictly monotonic, no lost updates
+    (serialization via the catalog DB transaction, BEGIN IMMEDIATE)."""
+    db = str(tmp_path / "cat.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.create_table("main.t", spark.createDataFrame([(0,)], "id BIGINT"))
+
+    def append(i):
+        # each writer uses its own session (own catalog-writer connection)
+        local = DuckLakeSession(spark, db)
+        local.insert_into("main.t", spark.createDataFrame([(i,)], "id BIGINT"))
+        return i
+
+    with ThreadPoolExecutor(4) as ex:
+        done = sorted(ex.map(append, range(1, 9)))
+    assert done == list(range(1, 9))
+
+    dl.refresh()
+    got = sorted(r["id"] for r in dl.table("main.t").collect())
+    assert got == list(range(9))
+
+    snaps = [s.snapshot_id for s in dl.provider.list_snapshots()]
+    assert snaps == sorted(set(snaps)), "snapshot ids must be unique+monotonic"
+
+
+def test_concurrent_snapshot_creation_unique(tmp_path):
+    db = str(tmp_path / "cat.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake"))
+
+    writers = [CatalogWriter.sqlite(db) for _ in range(4)]
+
+    def mk(i):
+        return writers[i % 4].create_snapshot()
+    with ThreadPoolExecutor(4) as ex:
+        ids = list(ex.map(mk, range(20)))
+    assert len(set(ids)) == 20, f"duplicate snapshot ids: {sorted(ids)}"
+    for x in writers:
+        x.close()
+    w.close()

@@ -27,20 +27,55 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+_NULL = "\x00NULL"
+
+
+def _cell(x) -> str:
+    """Canonical string form of one value: nulls unified, Decimal==float,
+    dates/timestamps ISO, arrays recursed, bytes hexed. Numeric exactness
+    is preserved via repr(float) (round-trips IEEE doubles)."""
+    import datetime
+    from decimal import Decimal
+    if x is None:
+        return _NULL
+    try:
+        if pd.isna(x):
+            return _NULL
+    except (TypeError, ValueError):  # arrays/lists are not isna-able
+        pass
+    if isinstance(x, Decimal):
+        return repr(float(x))
+    if isinstance(x, (np.bool_, bool)):
+        return str(bool(x))
+    if isinstance(x, (np.floating, float)):
+        f = float(x)
+        # DuckDB surfaces HUGEINT sums as float64; canonicalize integral
+        # floats so SUM(bigint) compares equal across engines
+        if f.is_integer() and abs(f) < 2 ** 63:
+            return str(int(f))
+        return repr(f)
+    if isinstance(x, (np.integer, int)):
+        return str(int(x))
+    if isinstance(x, (pd.Timestamp, datetime.datetime)):
+        # engines disagree on whether DATE comes back as date or midnight
+        # timestamp (duckdb .df() varies) — canonicalize midnight to date
+        if (x.hour, x.minute, x.second, x.microsecond) == (0, 0, 0, 0):
+            return x.date().isoformat()
+        return x.isoformat()
+    if isinstance(x, datetime.date):
+        return x.isoformat()
+    if isinstance(x, (bytes, bytearray)):
+        return bytes(x).hex()
+    if isinstance(x, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_cell(e) for e in x) + "]"
+    return str(x)
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        s = df[c]
-        if pd.api.types.is_datetime64_any_dtype(s):
-            df[c] = s.astype("datetime64[us]").astype(str)
-        elif s.dtype == object and len(s) and not isinstance(s.iloc[0], (str, bytes, type(None))):
-            df[c] = s.astype(str)
-        elif pd.api.types.is_float_dtype(s):
-            df[c] = s.astype("float64")
-        elif pd.api.types.is_integer_dtype(s):
-            df[c] = s.astype("int64")
-    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
-    return df
+        df[c] = [_cell(x) for x in df[c]]
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
 def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
@@ -54,10 +89,7 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
     if len(a) == len(b):
         for c in a.columns:
             av, bv = a[c].to_numpy(), b[c].to_numpy()
-            if pd.api.types.is_float_dtype(a[c]):
-                eq = (av == bv) | (np.isnan(av.astype(float)) & np.isnan(bv.astype(float)))
-            else:
-                eq = (av == bv) | (pd.isna(a[c]).to_numpy() & pd.isna(b[c]).to_numpy())
+            eq = av == bv
             if not eq.all():
                 i = int(np.argmin(eq))
                 problems.append(f"col {c}: first diff at row {i}: spark={av[i]!r} oracle={bv[i]!r} "
