@@ -62,6 +62,8 @@ _SPECS = [
     QuerySpec("events_json_props", events.events_json_props, events.ORACLE_JSON, False),
     QuerySpec("events_daily_active_users", events.events_daily_active_users,
               events.ORACLE_DAU, False),
+    QuerySpec("events_sessionize", events.events_sessionize,
+              events.ORACLE_SESSIONIZE, True),
     # documents / text pipeline
     QuerySpec("doc_token_stats", documents.doc_token_stats, documents.ORACLE_TOKEN_STATS, True),
     QuerySpec("doc_quality_scores", documents.doc_quality_scores, documents.ORACLE_QUALITY, False),

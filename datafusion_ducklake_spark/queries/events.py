@@ -105,6 +105,40 @@ GROUP BY event_type
 """
 
 
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.sessionize (30-min gap sessions per user) —
+    the same operator the applyInPandasWithState stream runs, expressed
+    with window functions so DuckDB can oracle-check it."""
+    from ..streaming.sessionize import sessionize_batch
+    ev = load_events(spark, sf_dir).select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us"),
+        exact_cast("value").alias("value"))
+    out = sessionize_batch(ev)
+    return out.select("user_id", "session_start_us", "session_end_us",
+                      "n_events",
+                      back_to_double(F.col("total_value")).alias("total_value"))
+
+
+ORACLE_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+marked AS (
+  SELECT user_id, ts_us, value,
+    CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+              > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_session
+  FROM e),
+sessions AS (
+  SELECT user_id, ts_us, value,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked)
+SELECT user_id, MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
 def events_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     return (
