@@ -13,7 +13,7 @@ from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import documents, events, pipeline, similarity, tpch, tpch2
+from . import documents, ducklake_gate, events, pipeline, similarity, tpch, tpch2
 
 
 @dataclass(frozen=True)
@@ -90,6 +90,11 @@ _SPECS = [
     QuerySpec("simhash_pairs", pipeline.simhash_pairs, None, False),
     QuerySpec("lsh_ann_neighbors", pipeline.lsh_ann_neighbors, None, False),
     QuerySpec("mm_image_features", pipeline.mm_image_features, None, False),
+    # the DuckLake connector itself, oracle-checked through the gate
+    QuerySpec("ducklake_scan_agg", ducklake_gate.ducklake_scan_agg,
+              ducklake_gate.ORACLE_SCAN_AGG, True),
+    QuerySpec("ducklake_mor_delete_agg", ducklake_gate.ducklake_mor_delete_agg,
+              ducklake_gate.ORACLE_MOR_AGG, True),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

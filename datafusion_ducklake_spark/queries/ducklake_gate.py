@@ -1,0 +1,132 @@
+"""Driver-gated queries that exercise the DuckLake CONNECTOR itself.
+
+Each builds (idempotently, keyed by sf_dir) a real DuckLake catalog whose
+data files are the driver's own parquet files registered by absolute path
+(path_is_relative=0 — exercising the hierarchical resolver's absolute
+branch), then queries through DuckLakeSession. The MOR variant writes a
+positional-delete file whose positions are exactly the rows with
+``l_linenumber = 1`` — so plain DuckDB SQL with the equivalent predicate
+is an exact oracle for the delete-filtering scan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import dsum
+
+_LINEITEM_COLS = [
+    ("l_orderkey", "int64"), ("l_partkey", "int64"), ("l_suppkey", "int64"),
+    ("l_linenumber", "int32"), ("l_quantity", "float64"),
+    ("l_extendedprice", "float64"), ("l_discount", "float64"),
+    ("l_tax", "float64"), ("l_returnflag", "varchar"),
+    ("l_linestatus", "varchar"), ("l_shipdate", "timestamp"),
+]
+
+
+def _build_catalog(sf_dir: str) -> str:
+    """Create (once per sf_dir) a catalog with two tables over the SAME
+    lineitem parquet: ``main.lineitem`` (plain) and ``main.lineitem_mor``
+    (with a delete file covering all l_linenumber=1 positions)."""
+    from ..metadata.writer import CatalogWriter
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"ducklake_gate_{tag}")
+    db = os.path.join(root, "catalog.sqlite")
+    done = os.path.join(root, ".done")
+    if os.path.exists(done):
+        return db
+    os.makedirs(root, exist_ok=True)
+
+    import pyarrow.parquet as pq
+    data_file = os.path.join(sf_dir, "lineitem.parquet")
+    meta = pq.read_metadata(data_file)
+
+    # delete positions: file order indices where l_linenumber == 1
+    tbl = pq.read_table(data_file, columns=["l_linenumber"])
+    ln = tbl.column("l_linenumber").to_pylist()
+    positions = [i for i, v in enumerate(ln) if v == 1]
+    import pyarrow as pa
+    delete_name = f"ducklake-delete-{uuid.uuid4()}.parquet"
+    delete_path = os.path.join(root, delete_name)
+    pq.write_table(pa.table({
+        "file_path": pa.array([data_file] * len(positions), pa.string()),
+        "pos": pa.array(positions, pa.int64())}), delete_path)
+
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=root)
+    with w._txn() as cur:
+        cur.execute("INSERT INTO ducklake_snapshot (snapshot_id) VALUES (1)")
+        cur.execute(
+            "INSERT INTO ducklake_schema (schema_id, schema_name, path, "
+            "path_is_relative, begin_snapshot) VALUES (1, 'main', 'main', 1, 1)")
+        for tid, tname in ((1, "lineitem"), (2, "lineitem_mor")):
+            cur.execute(
+                "INSERT INTO ducklake_table (table_id, schema_id, table_name, "
+                "path, path_is_relative, begin_snapshot) VALUES (?, 1, ?, ?, 1, 1)",
+                (tid, tname, tname))
+            for order, (cname, ctype) in enumerate(_LINEITEM_COLS):
+                cur.execute(
+                    "INSERT INTO ducklake_column (column_id, table_id, "
+                    "column_name, column_type, column_order, nulls_allowed, "
+                    "begin_snapshot) VALUES (?, ?, ?, ?, ?, 1, 1)",
+                    (tid * 100 + order, tid, cname, ctype, order))
+            # absolute-path registration (path_is_relative = 0)
+            cur.execute(
+                "INSERT INTO ducklake_data_file (data_file_id, table_id, path, "
+                "path_is_relative, file_size_bytes, record_count, begin_snapshot) "
+                "VALUES (?, ?, ?, 0, ?, ?, 1)",
+                (tid, tid, data_file, os.path.getsize(data_file), meta.num_rows))
+        cur.execute(
+            "INSERT INTO ducklake_delete_file (delete_file_id, data_file_id, "
+            "table_id, path, path_is_relative, file_size_bytes, delete_count, "
+            "begin_snapshot) VALUES (1, 2, 2, ?, 0, ?, ?, 1)",
+            (delete_path, os.path.getsize(delete_path), len(positions)))
+    w.close()
+    with open(done, "w") as f:
+        f.write("ok")
+    return db
+
+
+def _session(spark: SparkSession, sf_dir: str):
+    from ..catalog import DuckLakeSession
+    return DuckLakeSession(spark, _build_catalog(sf_dir))
+
+
+def ducklake_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a DuckLake-cataloged scan (connector in the gate)."""
+    dl = _session(spark, sf_dir)
+    return (dl.table("main.lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("l_quantity").alias("sum_qty")))
+
+
+ORACLE_SCAN_AGG = """
+SELECT l_returnflag, COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def ducklake_mor_delete_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same aggregate through the merge-on-read delete filter: the delete
+    file removes every l_linenumber=1 position, so the predicate-equivalent
+    DuckDB query is an exact oracle for the positional filtering."""
+    dl = _session(spark, sf_dir)
+    return (dl.table("main.lineitem_mor")
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("l_quantity").alias("sum_qty")))
+
+
+ORACLE_MOR_AGG = """
+SELECT l_returnflag, COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+FROM lineitem WHERE l_linenumber <> 1 GROUP BY l_returnflag
+"""

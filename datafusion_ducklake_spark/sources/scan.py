@@ -66,6 +66,41 @@ def _configure_fieldid_read(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
 
 
+def _strip_field_ids(schema: T.StructType) -> T.StructType:
+    fields = []
+    for f in schema.fields:
+        md = {k: v for k, v in (f.metadata or {}).items()
+              if k != "parquet.field.id"}
+        fields.append(T.StructField(f.name, f.dataType, f.nullable, metadata=md))
+    return T.StructType(fields)
+
+
+def _resolve_read_schema(schema: T.StructType,
+                         files: list["ResolvedFile"]) -> T.StructType:
+    """Decide name-based vs field-id-based resolution from the first
+    file's footer — the reference's schema-mapping cache does exactly this
+    (table.rs:222-295, types.rs:438-456). With fieldId.read enabled AND
+    ignoreMissing, a field-id schema over id-less files silently yields
+    all-NULL columns, so the footer check is load-bearing, not an
+    optimization."""
+    probe = next((f for f in files if f.encryption_key is None), None)
+    if probe is None:
+        return schema
+    path = probe.data_uri
+    path = path[len("file://"):] if path.startswith("file://") else path
+    if "://" in path:
+        return schema  # object store: keep field-id path (DuckLake writers stamp ids)
+    try:
+        import pyarrow.parquet as pq
+        fs = pq.read_schema(path)
+        has_ids = any(fs.field(i).metadata
+                      and b"PARQUET:field_id" in fs.field(i).metadata
+                      for i in range(len(fs.names)))
+    except Exception:
+        has_ids = True
+    return schema if has_ids else _strip_field_ids(schema)
+
+
 def _check_local_exists(uri: str) -> None:
     """Missing-file error mapping (ref: table.rs:340-354): a catalog-
     referenced file that is gone must fail loudly as corruption, never
@@ -115,6 +150,7 @@ def scan_table(spark: SparkSession, schema: T.StructType,
 
     if not files:
         return _empty(spark, schema)
+    schema = _resolve_read_schema(schema, files)
 
     encrypted = [f for f in files if f.encryption_key is not None]
     files = [f for f in files if f.encryption_key is None]
