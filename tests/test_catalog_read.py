@@ -183,3 +183,41 @@ class TestRenamedColumns:
         assert df.columns == ["id", "name", "contact"]
         rows = sorted((r["id"], r["contact"]) for r in df.collect())
         assert rows == [(1, "x@y"), (2, "z@y")]
+
+
+class TestGroupedDirtyScan:
+    def test_many_dirty_files_grouped_path(self, spark, tmp_path):
+        """>MAX_PER_FILE_BRANCHES dirty files triggers the O(1)-plan
+        grouped scan (single data scan + single delete scan joined on
+        (file name, pos)) — the 100 TB path. Results must match the
+        per-file semantics exactly."""
+        from datafusion_ducklake_spark.sources.scan import MAX_PER_FILE_BRANCHES
+        cat = FixtureCatalog(tmp_path)
+        s1 = cat.snapshot()
+        sid = cat.schema("main", s1)
+        tid = cat.table(sid, "main", "big", s1)
+        cat.column(tid, 1, "id", "int32", 0, s1)
+        cat.column(tid, 2, "name", "varchar", 1, s1)
+        cat.column(tid, 3, "email", "varchar", 2, s1)
+        tdir = cat.table_dir("main", "big")
+
+        n_files = MAX_PER_FILE_BRANCHES + 4
+        expected = []
+        s2 = cat.snapshot()
+        for i in range(n_files):
+            base = i * 10
+            rows = [(base + j, f"u{base + j}", "e") for j in range(4)]
+            fname, fsize = write_data_file(tdir, rows)
+            fid = cat.data_file(tid, fname, fsize, s1, 4)
+            # delete positions 1 and 3 of every file -> keep rows 0 and 2
+            dname, dsize = write_delete_file(tdir, fname, [1, 3])
+            cat.delete_file(tid, fid, dname, dsize, 2, s2)
+            expected += [base + 0, base + 2]
+
+        dl = DuckLakeSession(spark, cat.db_path)
+        got = sorted(r["id"] for r in dl.table("main.big").collect())
+        assert got == sorted(expected)
+        # count-star and filter through the grouped path too
+        assert dl.table("main.big").count() == n_files * 2
+        assert dl.table("main.big").filter("id >= 100").count() == \
+            sum(1 for x in expected if x >= 100)
