@@ -58,14 +58,16 @@ class DuckLakeTable:
             self.files.append(ResolvedFile(
                 data_uri, delete_uri, f.record_count,
                 encryption_key=f.encryption_key,
-                delete_encryption_key=delete_key))
+                delete_encryption_key=delete_key,
+                row_id_start=f.row_id_start))
 
     @cached_property
     def spark_schema(self):
         return build_spark_schema(self.columns)
 
-    def to_df(self) -> DataFrame:
-        return scan_table(self.spark, self.spark_schema, self.files)
+    def to_df(self, with_rowid: bool = False) -> DataFrame:
+        return scan_table(self.spark, self.spark_schema, self.files,
+                          with_rowid=with_rowid)
 
     def total_byte_size(self) -> int:
         """Σ data bytes − Σ delete bytes, the reference's CBO stat
@@ -153,9 +155,10 @@ class DuckLakeSession:
             return parts[0], parts[1]
         raise TableNotFound(name)
 
-    def table(self, name: str) -> DataFrame:
+    def table(self, name: str, with_rowid: bool = False) -> DataFrame:
         schema_name, table_name = self._split(name)
-        return self.catalog.schema(schema_name).table(table_name).to_df()
+        return self.catalog.schema(schema_name).table(table_name) \
+            .to_df(with_rowid=with_rowid)
 
     def table_handle(self, name: str) -> DuckLakeTable:
         schema_name, table_name = self._split(name)

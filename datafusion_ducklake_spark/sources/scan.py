@@ -57,6 +57,7 @@ class ResolvedFile:
     record_count: Optional[int] = None
     encryption_key: Optional[str] = None       # PME footer key (stored form)
     delete_encryption_key: Optional[str] = None
+    row_id_start: Optional[int] = None         # base for the virtual rowid
 
 
 def _configure_fieldid_read(spark: SparkSession) -> None:
@@ -139,18 +140,29 @@ def _empty(spark: SparkSession, schema: T.StructType) -> DataFrame:
 
 
 def scan_table(spark: SparkSession, schema: T.StructType,
-               files: list[ResolvedFile]) -> DataFrame:
+               files: list[ResolvedFile], with_rowid: bool = False) -> DataFrame:
     """Compose the snapshot-consistent scan DataFrame for a table.
 
     The returned plan is declarative: Catalyst pushes projections and
     predicates into every branch (filters re-apply above the scan exactly
     as the reference's Inexact pushdown declares; table.rs:584-598 — for
-    us this is Spark's default DataSource behavior)."""
+    us this is Spark's default DataSource behavior).
+
+    ``with_rowid=True`` appends the DuckLake virtual ``rowid`` column
+    (catalog ``row_id_start`` + file-local position — the rowid feature of
+    the reference's test corpus); requires row_id_start for every file."""
     _configure_fieldid_read(spark)
 
     if not files:
-        return _empty(spark, schema)
+        out_schema = schema
+        if with_rowid:
+            out_schema = T.StructType(
+                list(schema.fields) + [T.StructField("rowid", T.LongType(), True)])
+        return _empty(spark, out_schema)
     schema = _resolve_read_schema(schema, files)
+
+    if with_rowid:
+        return _scan_with_rowid(spark, schema, files)
 
     encrypted = [f for f in files if f.encryption_key is not None]
     files = [f for f in files if f.encryption_key is None]
@@ -176,6 +188,26 @@ def scan_table(spark: SparkSession, schema: T.StructType,
         else:
             parts.append(_scan_dirty_grouped(spark, schema, dirty))
 
+    return reduce(DataFrame.unionByName, parts)
+
+
+def _scan_with_rowid(spark: SparkSession, schema: T.StructType,
+                     files: list[ResolvedFile]) -> DataFrame:
+    from ..errors import InvalidConfig
+    parts = []
+    for f in files:
+        if f.row_id_start is None:
+            raise InvalidConfig(
+                f"rowid scan requires row_id_start in the catalog for every "
+                f"data file (missing for {f.data_uri})")
+        _check_local_exists(f.data_uri)
+        data = _with_pos(_read_parquet(spark, schema, [f.data_uri]))
+        data = data.withColumn(
+            "rowid", (F.lit(f.row_id_start) + F.col(POS_COL)).cast("long"))
+        if f.delete_uri is not None:
+            dels = _read_delete_positions(spark, f.delete_uri)
+            data = data.join(F.broadcast(dels), POS_COL, "left_anti")
+        parts.append(data.drop(POS_COL))
     return reduce(DataFrame.unionByName, parts)
 
 

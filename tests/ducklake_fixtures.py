@@ -126,14 +126,15 @@ class FixtureCatalog:
         return col_id
 
     def data_file(self, table_id: int, name: str, size: int, begin: int,
-                  record_count: int, end: int | None = None) -> int:
+                  record_count: int, end: int | None = None,
+                  row_id_start: int | None = None) -> int:
         self._ids["data_file"] += 1
         fid = self._ids["data_file"]
         self.conn.execute(
             "INSERT INTO ducklake_data_file (data_file_id, table_id, path, "
-            "path_is_relative, file_size_bytes, record_count, begin_snapshot, "
-            "end_snapshot) VALUES (?, ?, ?, 1, ?, ?, ?, ?)",
-            (fid, table_id, name, size, record_count, begin, end))
+            "path_is_relative, file_size_bytes, record_count, row_id_start, "
+            "begin_snapshot, end_snapshot) VALUES (?, ?, ?, 1, ?, ?, ?, ?, ?)",
+            (fid, table_id, name, size, record_count, row_id_start, begin, end))
         self.conn.commit()
         return fid
 

@@ -221,3 +221,45 @@ class TestGroupedDirtyScan:
         assert dl.table("main.big").count() == n_files * 2
         assert dl.table("main.big").filter("id >= 100").count() == \
             sum(1 for x in expected if x >= 100)
+
+
+class TestRowid:
+    def test_rowid_with_deletes(self, spark, tmp_path):
+        """Virtual rowid = row_id_start + file position, stable across
+        files and preserved through MOR delete filtering."""
+        from datafusion_ducklake_spark.errors import InvalidConfig
+        cat = FixtureCatalog(tmp_path)
+        s1 = cat.snapshot()
+        sid = cat.schema("main", s1)
+        tid = cat.table(sid, "main", "rid", s1)
+        cat.column(tid, 1, "id", "int32", 0, s1)
+        cat.column(tid, 2, "name", "varchar", 1, s1)
+        cat.column(tid, 3, "email", "varchar", 2, s1)
+        tdir = cat.table_dir("main", "rid")
+        f1, z1 = write_data_file(tdir, [(1, "a", "x"), (2, "b", "y"), (3, "c", "z")])
+        fid1 = cat.data_file(tid, f1, z1, s1, 3, row_id_start=0)
+        f2, z2 = write_data_file(tdir, [(4, "d", "w")])
+        cat.data_file(tid, f2, z2, s1, 1, row_id_start=3)
+        s2 = cat.snapshot()
+        dname, dsize = write_delete_file(tdir, f1, [1])
+        cat.delete_file(tid, fid1, dname, dsize, 1, s2)
+
+        dl = DuckLakeSession(spark, cat.db_path)
+        rows = sorted((r["id"], r["rowid"]) for r in
+                      dl.table("main.rid", with_rowid=True).collect())
+        assert rows == [(1, 0), (3, 2), (4, 3)]  # rowid 1 deleted, gap kept
+
+    def test_rowid_requires_catalog_support(self, spark, tmp_path):
+        from datafusion_ducklake_spark.errors import InvalidConfig
+        cat = FixtureCatalog(tmp_path)
+        s1 = cat.snapshot()
+        sid = cat.schema("main", s1)
+        tid = cat.table(sid, "main", "nr", s1)
+        cat.column(tid, 1, "id", "int32", 0, s1)
+        cat.column(tid, 2, "name", "varchar", 1, s1)
+        cat.column(tid, 3, "email", "varchar", 2, s1)
+        f, z = write_data_file(cat.table_dir("main", "nr"), [(1, "a", "x")])
+        cat.data_file(tid, f, z, s1, 1)  # no row_id_start
+        dl = DuckLakeSession(spark, cat.db_path)
+        with pytest.raises(InvalidConfig, match="row_id_start"):
+            dl.table("main.nr", with_rowid=True)
