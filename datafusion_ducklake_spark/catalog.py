@@ -233,6 +233,66 @@ class DuckLakeSession:
         from .operators.cdc import table_deletions
         return table_deletions(self, name, start, end)
 
+    def compact(self, name: str, single_file: bool = True) -> int:
+        """Rewrite a table's live data (deletes applied) into fresh clean
+        files in one Replace snapshot — the corpus's rewrite_data_files
+        operation (reference roadmap item; built from scan ∘ overwrite, so
+        MOR debt collapses and subsequent scans skip the anti-joins)."""
+        from .table_writer import create_or_insert
+        return create_or_insert(self, name, self.table(name),
+                                mode="overwrite", single_file=single_file)
+
+    def add_files(self, name: str, parquet_paths: list[str]) -> int:
+        """Register existing parquet files into a table without rewriting
+        them (the corpus's add_files operation): validates each footer's
+        schema against the table schema (promotion rules), then records
+        the files in one new snapshot. Returns rows added."""
+        from .metadata.writer import DataFileInfo
+        from .table_writer import _catalog_writer, footer_size_of
+        from .types import spark_to_ducklake_type, types_compatible
+
+        import pyarrow.parquet as pq
+
+        from .errors import InvalidConfig
+        from .types import ducklake_to_spark_type  # noqa: F401  (parity doc)
+
+        handle = self.table_handle(name)
+        expected = {c.column_name: c.column_type for c in handle.columns}
+        writer = _catalog_writer(self)
+        try:
+            snapshot_id = writer.create_snapshot()
+            n_rows = 0
+            for path in parquet_paths:
+                meta = pq.read_metadata(path)
+                schema = pq.read_schema(path)
+                import pyarrow as pa
+                for i, col_name in enumerate(schema.names):
+                    if col_name not in expected:
+                        raise InvalidConfig(
+                            f"add_files: column '{col_name}' in {path} not in "
+                            f"table {name}")
+                    from pyspark.sql.pandas.types import from_arrow_type
+                    spark_t = from_arrow_type(schema.types[i],
+                                              prefer_timestamp_ntz=True)
+                    file_type = spark_to_ducklake_type(spark_t)
+                    if not types_compatible(file_type, expected[col_name]):
+                        raise InvalidConfig(
+                            f"add_files: column '{col_name}' type {file_type} "
+                            f"incompatible with table type {expected[col_name]}")
+                import os
+                writer.register_data_file(
+                    handle.meta.table_id, snapshot_id,
+                    DataFileInfo(path=os.path.abspath(path),
+                                 path_is_relative=False,
+                                 file_size_bytes=os.path.getsize(path),
+                                 footer_size=footer_size_of(path),
+                                 record_count=meta.num_rows))
+                n_rows += meta.num_rows
+            self.refresh()
+            return n_rows
+        finally:
+            writer.close()
+
     def create_table(self, name: str, df: DataFrame, mode: str = "error",
                      single_file: bool = True) -> int:
         from .table_writer import create_or_insert

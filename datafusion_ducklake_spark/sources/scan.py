@@ -76,30 +76,46 @@ def _strip_field_ids(schema: T.StructType) -> T.StructType:
     return T.StructType(fields)
 
 
-def _resolve_read_schema(schema: T.StructType,
-                         files: list["ResolvedFile"]) -> T.StructType:
-    """Decide name-based vs field-id-based resolution from the first
-    file's footer — the reference's schema-mapping cache does exactly this
-    (table.rs:222-295, types.rs:438-456). With fieldId.read enabled AND
-    ignoreMissing, a field-id schema over id-less files silently yields
-    all-NULL columns, so the footer check is load-bearing, not an
-    optimization."""
-    probe = next((f for f in files if f.encryption_key is None), None)
-    if probe is None:
-        return schema
-    path = probe.data_uri
-    path = path[len("file://"):] if path.startswith("file://") else path
+_FIELD_ID_CACHE: dict[str, bool] = {}
+
+
+def _has_field_ids(uri: str) -> bool:
+    """Footer probe: does this file carry PARQUET:field_id metadata?
+    The reference computes its rename mapping from file footers the same
+    way (table.rs:222-295, types.rs:438-456). With fieldId.read enabled
+    AND ignoreMissing, a field-id schema over id-less files silently
+    yields all-NULL columns, so this check is load-bearing. Cached per
+    path; object-store URIs default to True (DuckLake writers stamp ids)."""
+    if uri in _FIELD_ID_CACHE:
+        return _FIELD_ID_CACHE[uri]
+    path = uri[len("file://"):] if uri.startswith("file://") else uri
     if "://" in path:
-        return schema  # object store: keep field-id path (DuckLake writers stamp ids)
+        return True
     try:
         import pyarrow.parquet as pq
         fs = pq.read_schema(path)
-        has_ids = any(fs.field(i).metadata
-                      and b"PARQUET:field_id" in fs.field(i).metadata
-                      for i in range(len(fs.names)))
+        has = any(fs.field(i).metadata
+                  and b"PARQUET:field_id" in fs.field(i).metadata
+                  for i in range(len(fs.names)))
     except Exception:
-        has_ids = True
-    return schema if has_ids else _strip_field_ids(schema)
+        has = True
+    _FIELD_ID_CACHE[uri] = has
+    return has
+
+
+def _split_by_field_ids(schema: T.StructType, files: list["ResolvedFile"]
+                        ) -> list[tuple[T.StructType, list["ResolvedFile"]]]:
+    """Group files by resolution mode (field-id vs name-based) with the
+    matching read schema per group — mixed catalogs arise naturally from
+    add_files() registering external id-less parquet."""
+    with_ids = [f for f in files if _has_field_ids(f.data_uri)]
+    without = [f for f in files if not _has_field_ids(f.data_uri)]
+    groups = []
+    if with_ids:
+        groups.append((schema, with_ids))
+    if without:
+        groups.append((_strip_field_ids(schema), without))
+    return groups
 
 
 def _check_local_exists(uri: str) -> None:
@@ -159,34 +175,39 @@ def scan_table(spark: SparkSession, schema: T.StructType,
             out_schema = T.StructType(
                 list(schema.fields) + [T.StructField("rowid", T.LongType(), True)])
         return _empty(spark, out_schema)
-    schema = _resolve_read_schema(schema, files)
-
-    if with_rowid:
-        return _scan_with_rowid(spark, schema, files)
 
     encrypted = [f for f in files if f.encryption_key is not None]
     files = [f for f in files if f.encryption_key is None]
-    clean = [f for f in files if f.delete_uri is None]
-    dirty = [f for f in files if f.delete_uri is not None]
     for f in files:
         _check_local_exists(f.data_uri)
+
+    if with_rowid and encrypted:
+        raise NotImplementedError("rowid over encrypted files is not supported")
 
     parts: list[DataFrame] = []
     if encrypted:
         parts.append(_scan_encrypted(spark, schema, encrypted))
-    if clean:
-        parts.append(_read_parquet(spark, schema, [f.data_uri for f in clean]))
 
-    if dirty:
-        if len(dirty) <= MAX_PER_FILE_BRANCHES:
-            for f in dirty:
-                data = _with_pos(_read_parquet(spark, schema, [f.data_uri]))
-                dels = _read_delete_positions(spark, f.delete_uri)
-                parts.append(
-                    data.join(F.broadcast(dels), POS_COL, "left_anti")
-                    .drop(POS_COL))
-        else:
-            parts.append(_scan_dirty_grouped(spark, schema, dirty))
+    for group_schema, group in _split_by_field_ids(schema, files):
+        if with_rowid:
+            parts.append(_scan_with_rowid(spark, group_schema, group))
+            continue
+        clean = [f for f in group if f.delete_uri is None]
+        dirty = [f for f in group if f.delete_uri is not None]
+        if clean:
+            parts.append(_read_parquet(spark, group_schema,
+                                       [f.data_uri for f in clean]))
+        if dirty:
+            if len(dirty) <= MAX_PER_FILE_BRANCHES:
+                for f in dirty:
+                    data = _with_pos(_read_parquet(spark, group_schema,
+                                                   [f.data_uri]))
+                    dels = _read_delete_positions(spark, f.delete_uri)
+                    parts.append(
+                        data.join(F.broadcast(dels), POS_COL, "left_anti")
+                        .drop(POS_COL))
+            else:
+                parts.append(_scan_dirty_grouped(spark, group_schema, dirty))
 
     return reduce(DataFrame.unionByName, parts)
 

@@ -124,3 +124,46 @@ def test_validation_rejects_bad_names(spark, fresh_dl):
     for bad in ("", "a/b", "a\\b", "a..b", "x" * 2000, "a\x00b"):
         with pytest.raises(DuckLakeError):
             fresh_dl.create_table(f"main.{bad}" if bad else "main.", df)
+
+
+def test_compact_collapses_mor_debt(spark, fresh_dl, tmp_path):
+    """compact() rewrites live rows into clean files: same data, no delete
+    files afterwards, history preserved via snapshots."""
+    from tests.ducklake_fixtures import build_users_fixture
+    fx = build_users_fixture(tmp_path / "cfx")
+    dl = DuckLakeSession(spark, fx["db_path"])
+    before = sorted(r["id"] for r in dl.table("main.users").collect())
+    n = dl.compact("main.users")
+    assert n == len(before)
+    after = sorted(r["id"] for r in dl.table("main.users").collect())
+    assert after == before
+    # no live delete files remain
+    files = dl.list_files().collect()
+    assert all(f["delete_file_path"] is None for f in files)
+    # pre-compaction snapshot still readable (time travel)
+    old = DuckLakeSession(spark, fx["db_path"], snapshot_id=fx["snapshots"][3])
+    assert sorted(r["id"] for r in old.table("main.users").collect()) == before
+
+
+def test_add_files_registers_without_rewrite(spark, fresh_dl, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    fresh_dl.create_table("main.af", spark.createDataFrame([(1,)], "id INT"))
+    ext = str(tmp_path / "external.parquet")
+    pq.write_table(pa.table({"id": pa.array([7, 8], pa.int32())}), ext)
+    n = fresh_dl.add_files("main.af", [ext])
+    assert n == 2
+    assert sorted(r["id"] for r in fresh_dl.table("main.af").collect()) == [1, 7, 8]
+    # the external file was registered in place, not copied
+    f = [r for r in fresh_dl.list_files().filter("table_name='af'").collect()]
+    assert any(r["data_file_path"] == ext for r in f)
+
+
+def test_add_files_rejects_incompatible_schema(spark, fresh_dl, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    fresh_dl.create_table("main.af2", spark.createDataFrame([(1,)], "id INT"))
+    bad = str(tmp_path / "bad.parquet")
+    pq.write_table(pa.table({"id": pa.array(["x"], pa.string())}), bad)
+    with pytest.raises(InvalidConfig, match="incompatible"):
+        fresh_dl.add_files("main.af2", [bad])
