@@ -39,7 +39,8 @@ class DuckLakeTable:
         self.spark = spark
         self.meta = meta
         self.snapshot_id = snapshot_id
-        self.columns: list[ColumnMeta] = provider.get_table_columns(meta.table_id)
+        self.columns: list[ColumnMeta] = provider.get_table_columns(
+            meta.table_id, snapshot_id)
         self.table_path = resolver.table_path(
             schema_resolved_path, meta.path, meta.path_is_relative)
         # Eager file-list resolution == snapshot pinning under lazy Spark.
@@ -59,7 +60,8 @@ class DuckLakeTable:
                 data_uri, delete_uri, f.record_count,
                 encryption_key=f.encryption_key,
                 delete_encryption_key=delete_key,
-                row_id_start=f.row_id_start))
+                row_id_start=f.row_id_start,
+                mapping_id=f.mapping_id))
 
     @cached_property
     def spark_schema(self):
@@ -258,9 +260,11 @@ class DuckLakeSession:
 
         handle = self.table_handle(name)
         expected = {c.column_name: c.column_type for c in handle.columns}
+        column_ids = {c.column_name: c.column_id for c in handle.columns}
         writer = _catalog_writer(self)
         try:
             snapshot_id = writer.create_snapshot()
+            next_rowid = writer.next_row_id(handle.meta.table_id)
             n_rows = 0
             for path in parquet_paths:
                 meta = pq.read_metadata(path)
@@ -279,6 +283,18 @@ class DuckLakeSession:
                         raise InvalidConfig(
                             f"add_files: column '{col_name}' type {file_type} "
                             f"incompatible with table type {expected[col_name]}")
+                # External files without field ids get a map_by_name mapping
+                # recorded in the catalog, so scans never need to probe their
+                # footers again (one probe here, at registration time).
+                has_ids = any(
+                    schema.field(i).metadata
+                    and b"PARQUET:field_id" in schema.field(i).metadata
+                    for i in range(len(schema.names)))
+                mapping_id = None
+                if not has_ids:
+                    mapping_id = writer.create_name_mapping(
+                        handle.meta.table_id, list(schema.names),
+                        [column_ids[n] for n in schema.names])
                 import os
                 writer.register_data_file(
                     handle.meta.table_id, snapshot_id,
@@ -286,7 +302,10 @@ class DuckLakeSession:
                                  path_is_relative=False,
                                  file_size_bytes=os.path.getsize(path),
                                  footer_size=footer_size_of(path),
-                                 record_count=meta.num_rows))
+                                 record_count=meta.num_rows,
+                                 row_id_start=next_rowid,
+                                 mapping_id=mapping_id))
+                next_rowid += meta.num_rows
                 n_rows += meta.num_rows
             self.refresh()
             return n_rows

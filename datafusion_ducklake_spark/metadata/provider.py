@@ -73,6 +73,7 @@ class DataFileMeta:
     encryption_key: Optional[str]
     record_count: Optional[int]
     row_id_start: Optional[int]
+    mapping_id: Optional[int] = None   # non-NULL ⇒ name-mapped (no field ids)
     delete_file: Optional[DeleteFileMeta] = None
 
 
@@ -164,11 +165,13 @@ class MetadataProvider:
                               (schema_id, name, snapshot_id, snapshot_id))
         return bool(rows[0][0])
 
-    def get_table_columns(self, table_id: int) -> list[ColumnMeta]:
+    def get_table_columns(self, table_id: int,
+                          snapshot_id: int) -> list[ColumnMeta]:
         raw = [(ColumnMeta(int(r[0]), r[1], r[2],
                            bool(r[3]) if r[3] is not None else True),
                 int(r[4]) if r[4] is not None else None)
-               for r in self._fetchall(Q.GET_TABLE_COLUMNS, (table_id,))]
+               for r in self._fetchall(Q.GET_TABLE_COLUMNS,
+                                       (table_id, snapshot_id, snapshot_id))]
         return reconstruct_list_columns(raw)
 
     def get_data_files(self, table_id: int, snapshot_id: int) -> list[DataFileMeta]:
@@ -178,17 +181,18 @@ class MetadataProvider:
         out = []
         for r in rows:
             delete = None
-            if r[8] is not None:
-                delete = DeleteFileMeta(int(r[8]), r[9], bool(r[10]), int(r[11]),
-                                        int(r[12]) if r[12] is not None else None,
-                                        r[13],
-                                        int(r[14]) if r[14] is not None else None)
+            if r[9] is not None:
+                delete = DeleteFileMeta(int(r[9]), r[10], bool(r[11]), int(r[12]),
+                                        int(r[13]) if r[13] is not None else None,
+                                        r[14],
+                                        int(r[15]) if r[15] is not None else None)
             out.append(DataFileMeta(
                 int(r[0]), r[1], bool(r[2]), int(r[3]),
                 int(r[4]) if r[4] is not None else None, r[5],
                 int(r[6]) if r[6] is not None else None,
                 int(r[7]) if r[7] is not None else None,
-                delete))
+                mapping_id=int(r[8]) if r[8] is not None else None,
+                delete_file=delete))
         return out
 
     def get_data_path(self) -> str:
@@ -225,7 +229,7 @@ class MetadataProvider:
 
     def list_all_columns(self, snapshot_id: int
                          ) -> list[tuple[str, str, ColumnMeta]]:
-        raw = self._fetchall(Q.LIST_ALL_COLUMNS, (snapshot_id,) * 4)
+        raw = self._fetchall(Q.LIST_ALL_COLUMNS, (snapshot_id,) * 6)
         # group per table, reconstruct lists within each
         grouped: dict[tuple[str, str], list] = {}
         for r in raw:
@@ -245,17 +249,18 @@ class MetadataProvider:
         out = []
         for r in rows:
             delete = None
-            if r[10] is not None:
-                delete = DeleteFileMeta(int(r[10]), r[11], bool(r[12]), int(r[13]),
-                                        int(r[14]) if r[14] is not None else None,
-                                        r[15],
-                                        int(r[16]) if r[16] is not None else None)
+            if r[11] is not None:
+                delete = DeleteFileMeta(int(r[11]), r[12], bool(r[13]), int(r[14]),
+                                        int(r[15]) if r[15] is not None else None,
+                                        r[16],
+                                        int(r[17]) if r[17] is not None else None)
             out.append((r[0], r[1], DataFileMeta(
                 int(r[2]), r[3], bool(r[4]), int(r[5]),
                 int(r[6]) if r[6] is not None else None, r[7],
                 int(r[8]) if r[8] is not None else None,
                 int(r[9]) if r[9] is not None else None,
-                delete)))
+                mapping_id=int(r[10]) if r[10] is not None else None,
+                delete_file=delete)))
         return out
 
 

@@ -53,18 +53,22 @@ SELECT EXISTS(
   WHERE t.schema_id = ? AND t.table_name = ? AND {_VISIBLE.format(t='t')})
 """
 
-GET_TABLE_COLUMNS = """
-SELECT column_id, column_name, column_type, nulls_allowed, parent_column
-FROM ducklake_column
-WHERE table_id = ? AND end_snapshot IS NULL
-ORDER BY column_order
+GET_TABLE_COLUMNS = f"""
+SELECT c.column_id, c.column_name, c.column_type, c.nulls_allowed, c.parent_column
+FROM ducklake_column c
+WHERE c.table_id = ? AND {_VISIBLE.format(t='c')}
+ORDER BY c.column_order
 """
+# Deliberate improvement over the reference, which reads only the CURRENT
+# columns (end_snapshot IS NULL — metadata_provider.rs SQL_GET_TABLE_COLUMNS):
+# our writer versions columns per snapshot, so a time-travel session after
+# schema evolution must see the snapshot's schema, not today's.
 
 GET_DATA_FILES = f"""
 SELECT
   data.data_file_id, data.path, data.path_is_relative,
   data.file_size_bytes, data.footer_size, data.encryption_key,
-  data.record_count, data.row_id_start,
+  data.record_count, data.row_id_start, data.mapping_id,
   del.delete_file_id, del.path, del.path_is_relative,
   del.file_size_bytes, del.footer_size, del.encryption_key, del.delete_count
 FROM ducklake_data_file AS data
@@ -144,7 +148,7 @@ FROM ducklake_schema s
 JOIN ducklake_table t ON s.schema_id = t.schema_id
 JOIN ducklake_column c ON t.table_id = c.table_id
 WHERE {_VISIBLE.format(t='s')} AND {_VISIBLE.format(t='t')}
-  AND c.end_snapshot IS NULL
+  AND {_VISIBLE.format(t='c')}
 ORDER BY s.schema_name, t.table_name, c.column_order
 """
 
@@ -152,7 +156,7 @@ LIST_ALL_FILES = f"""
 SELECT s.schema_name, t.table_name,
   data.data_file_id, data.path, data.path_is_relative,
   data.file_size_bytes, data.footer_size, data.encryption_key,
-  data.record_count, data.row_id_start,
+  data.record_count, data.row_id_start, data.mapping_id,
   del.delete_file_id, del.path, del.path_is_relative,
   del.file_size_bytes, del.footer_size, del.encryption_key, del.delete_count
 FROM ducklake_schema s

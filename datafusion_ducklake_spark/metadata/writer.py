@@ -81,6 +81,18 @@ CREATE TABLE IF NOT EXISTS ducklake_data_file (
     begin_snapshot INTEGER NOT NULL,
     end_snapshot INTEGER
 );
+CREATE TABLE IF NOT EXISTS ducklake_column_mapping (
+    mapping_id INTEGER PRIMARY KEY,
+    table_id INTEGER NOT NULL,
+    type VARCHAR NOT NULL
+);
+CREATE TABLE IF NOT EXISTS ducklake_name_mapping (
+    mapping_id INTEGER NOT NULL,
+    column_id INTEGER NOT NULL,
+    source_name VARCHAR NOT NULL,
+    parent_column INTEGER,
+    is_partition BOOLEAN
+);
 CREATE TABLE IF NOT EXISTS ducklake_delete_file (
     delete_file_id INTEGER PRIMARY KEY,
     data_file_id INTEGER NOT NULL,
@@ -133,6 +145,8 @@ class DataFileInfo:
     file_size_bytes: int
     footer_size: Optional[int]
     record_count: Optional[int]
+    row_id_start: Optional[int] = None
+    mapping_id: Optional[int] = None
 
     def __post_init__(self):
         # ref: validated_file_size / validated_record_count (table.rs:59-80)
@@ -344,11 +358,54 @@ class CatalogWriter:
             cur.execute(
                 "INSERT INTO ducklake_data_file (data_file_id, table_id, path, "
                 "path_is_relative, file_size_bytes, footer_size, record_count, "
-                "begin_snapshot) VALUES (?, ?, ?, ?, ?, ?, ?, ?)",
+                "row_id_start, mapping_id, begin_snapshot) "
+                "VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?, ?)",
                 (fid, table_id, file.path, file.path_is_relative,
                  file.file_size_bytes, file.footer_size, file.record_count,
-                 snapshot_id))
+                 file.row_id_start, file.mapping_id, snapshot_id))
             return fid
+
+    def next_row_id(self, table_id: int) -> int:
+        """Next unassigned virtual rowid for the table: MAX over ALL files
+        ever registered (ended files included, so rowids are never reused
+        across overwrite/compaction — the DuckLake rowid contract)."""
+        with self._txn() as cur:
+            rows = cur.execute(
+                "SELECT COALESCE(MAX(row_id_start + COALESCE(record_count, 0)), 0) "
+                "FROM ducklake_data_file "
+                "WHERE table_id = ? AND row_id_start IS NOT NULL",
+                (table_id,)).fetchall()
+            return int(rows[0][0])
+
+    def create_name_mapping(self, table_id: int, column_names: list[str],
+                            column_ids: list[int]) -> int:
+        """Record a map_by_name column mapping for externally-added parquet
+        files that carry no field ids (the DuckLake add_files contract:
+        ducklake_data_file.mapping_id → ducklake_column_mapping/
+        ducklake_name_mapping). The scan layer treats mapping_id as the
+        catalog's has-no-field-ids signal, replacing per-file footer probes
+        (ref: table.rs:220-295 probes one footer per table)."""
+        with self._txn() as cur:
+            # pre-existing catalogs may predate these tables
+            cur.execute(
+                "CREATE TABLE IF NOT EXISTS ducklake_column_mapping ("
+                "mapping_id INTEGER PRIMARY KEY, table_id INTEGER NOT NULL, "
+                "type VARCHAR NOT NULL)")
+            cur.execute(
+                "CREATE TABLE IF NOT EXISTS ducklake_name_mapping ("
+                "mapping_id INTEGER NOT NULL, column_id INTEGER NOT NULL, "
+                "source_name VARCHAR NOT NULL, parent_column INTEGER, "
+                "is_partition BOOLEAN)")
+            mid = self._next_id(cur, "ducklake_column_mapping", "mapping_id")
+            cur.execute(
+                "INSERT INTO ducklake_column_mapping (mapping_id, table_id, type) "
+                "VALUES (?, ?, 'map_by_name')", (mid, table_id))
+            for name, cid in zip(column_names, column_ids):
+                cur.execute(
+                    "INSERT INTO ducklake_name_mapping (mapping_id, column_id, "
+                    "source_name, parent_column, is_partition) "
+                    "VALUES (?, ?, ?, NULL, 0)", (mid, cid, name))
+            return mid
 
     def register_delete_file(self, table_id: int, data_file_id: int,
                              snapshot_id: int, path: str,

@@ -108,8 +108,12 @@ def table_deletions(session, name: str, start: int, end: int) -> DataFrame:
             newly = cur
 
         data = _with_pos(_read_parquet(spark, schema, [data_uri]))
+        # No forced broadcast: `newly` can approach record_count rows for a
+        # large delete (a 10 GB delta would be shipped to every executor).
+        # AQE downgrades the shuffle join to broadcast when it IS small —
+        # same policy as the grouped dirty scan (scan.py).
         parts.append(
-            data.join(F.broadcast(newly), POS_COL, "left_semi")
+            data.join(newly, POS_COL, "left_semi")
             .drop(POS_COL)
             .withColumn(CDC_SNAPSHOT_COL, F.lit(d.snapshot_id).cast("long"))
             .withColumn(CDC_CHANGE_COL, F.lit("delete")))

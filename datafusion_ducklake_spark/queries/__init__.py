@@ -84,6 +84,8 @@ _SPECS = [
               pipeline.ORACLE_NGRAM_JACCARD, False),
     QuerySpec("embedding_cosine_near_dup", pipeline.embedding_cosine_near_dup,
               pipeline.ORACLE_EMB_NEAR_DUP, False),
+    QuerySpec("embedding_cosine_bruteforce", pipeline.embedding_cosine_bruteforce,
+              pipeline.ORACLE_EMB_NEAR_DUP, False),
     QuerySpec("doc_quality_advanced", pipeline.doc_quality_advanced,
               pipeline.ORACLE_QUALITY_ADVANCED, False),
     QuerySpec("minhash_dup_pairs", pipeline.minhash_dup_pairs, None, False),

@@ -58,6 +58,7 @@ class ResolvedFile:
     encryption_key: Optional[str] = None       # PME footer key (stored form)
     delete_encryption_key: Optional[str] = None
     row_id_start: Optional[int] = None         # base for the virtual rowid
+    mapping_id: Optional[int] = None           # non-NULL ⇒ name-mapped file
 
 
 def _configure_fieldid_read(spark: SparkSession) -> None:
@@ -77,15 +78,17 @@ def _strip_field_ids(schema: T.StructType) -> T.StructType:
 
 
 _FIELD_ID_CACHE: dict[str, bool] = {}
+PROBE_COUNT = 0  # test hook: number of actual footer reads performed
 
 
 def _has_field_ids(uri: str) -> bool:
     """Footer probe: does this file carry PARQUET:field_id metadata?
-    The reference computes its rename mapping from file footers the same
-    way (table.rs:222-295, types.rs:438-456). With fieldId.read enabled
+    The reference computes its rename mapping from ONE file footer per
+    table (table.rs:220-295, types.rs:438-456). With fieldId.read enabled
     AND ignoreMissing, a field-id schema over id-less files silently
     yields all-NULL columns, so this check is load-bearing. Cached per
     path; object-store URIs default to True (DuckLake writers stamp ids)."""
+    global PROBE_COUNT
     if uri in _FIELD_ID_CACHE:
         return _FIELD_ID_CACHE[uri]
     path = uri[len("file://"):] if uri.startswith("file://") else uri
@@ -93,6 +96,7 @@ def _has_field_ids(uri: str) -> bool:
         return True
     try:
         import pyarrow.parquet as pq
+        PROBE_COUNT += 1
         fs = pq.read_schema(path)
         has = any(fs.field(i).metadata
                   and b"PARQUET:field_id" in fs.field(i).metadata
@@ -107,14 +111,25 @@ def _split_by_field_ids(schema: T.StructType, files: list["ResolvedFile"]
                         ) -> list[tuple[T.StructType, list["ResolvedFile"]]]:
     """Group files by resolution mode (field-id vs name-based) with the
     matching read schema per group — mixed catalogs arise naturally from
-    add_files() registering external id-less parquet."""
-    with_ids = [f for f in files if _has_field_ids(f.data_uri)]
-    without = [f for f in files if not _has_field_ids(f.data_uri)]
+    add_files() registering external id-less parquet.
+
+    The catalog itself is the primary signal: a file with ``mapping_id``
+    set was registered as name-mapped (no field ids) — no I/O needed. For
+    the remaining files, ONE representative footer is probed and decides
+    for the whole group, exactly the reference's one-probe-per-table
+    cache (table.rs:220-235: "All files in a DuckLake table have the same
+    schema structure, so we only need to check one") — O(1) driver I/O at
+    plan time no matter how many files the snapshot has."""
+    named = [f for f in files if f.mapping_id is not None]
+    unknown = [f for f in files if f.mapping_id is None]
     groups = []
-    if with_ids:
-        groups.append((schema, with_ids))
-    if without:
-        groups.append((_strip_field_ids(schema), without))
+    if unknown:
+        if _has_field_ids(unknown[0].data_uri):
+            groups.append((schema, unknown))
+        else:
+            named = named + unknown
+    if named:
+        groups.append((_strip_field_ids(schema), named))
     return groups
 
 

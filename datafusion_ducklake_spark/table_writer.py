@@ -33,6 +33,12 @@ from .types import spark_to_ducklake_type
 
 def _catalog_writer(session) -> CatalogWriter:
     path = session.catalog_path
+    if path.startswith(("postgresql://", "postgres://", "mysql://")):
+        # Read providers exist for these backends; a catalog WRITER does
+        # not. Fail clearly instead of opening a bogus local sqlite file.
+        raise InvalidConfig(
+            "catalog writes are not supported on postgres/mysql backends "
+            f"(catalog: {path}); use a sqlite or duckdb catalog for writes")
     if path.endswith((".duckdb", ".ddb")):
         return CatalogWriter.duckdb(path)
     return CatalogWriter.sqlite(path)
@@ -108,6 +114,7 @@ def create_or_insert(session, name: str, df: DataFrame, mode: str,
         # 3) move part files to UUID names in the table dir and register
         #    each in the catalog (multi-file snapshot)
         n_rows = 0
+        next_rowid = writer.next_row_id(table_meta.table_id)
         import pyarrow.parquet as pq
         for part in sorted(os.listdir(staging)):
             if not part.endswith(".parquet"):
@@ -122,7 +129,9 @@ def create_or_insert(session, name: str, df: DataFrame, mode: str,
                 DataFileInfo(path=final_name, path_is_relative=True,
                              file_size_bytes=os.path.getsize(final_path),
                              footer_size=footer_size_of(final_path),
-                             record_count=meta.num_rows))
+                             record_count=meta.num_rows,
+                             row_id_start=next_rowid))
+            next_rowid += meta.num_rows
         for leftover in os.listdir(staging):
             os.remove(os.path.join(staging, leftover))
         os.rmdir(staging)

@@ -94,3 +94,51 @@ class TestTableDeletions:
                       dl.table_deletions("main.t", s2, s3).collect())
         # rows 1,2 (ids 2,3) newly deleted; id 1 was already deleted at s2
         assert rows == [(2, s3), (3, s3)]
+
+
+class TestBigDeltaPlan:
+    def test_large_delete_delta_is_not_force_broadcast(self, spark, tmp_path):
+        """A delete delta can approach the table's record_count; the plan
+        must leave join-strategy choice to AQE instead of force-broadcasting
+        an unbounded position set (r1 VERDICT wrongness #4). 1M deleted
+        positions here; the assertion is on the plan, not timing."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import os
+        import uuid
+
+        from tests.ducklake_fixtures import FixtureCatalog
+
+        n = 1_000_000
+        cat = FixtureCatalog(tmp_path)
+        s1 = cat.snapshot()
+        sid = cat.schema("main", s1)
+        tid = cat.table(sid, "main", "big", s1)
+        cat.column(tid, 1, "id", "int32", 0, s1)
+        cat.column(tid, 2, "name", "varchar", 1, s1)
+        cat.column(tid, 3, "email", "varchar", 2, s1)
+        tdir = cat.table_dir("main", "big")
+
+        fname = f"ducklake-{uuid.uuid4()}.parquet"
+        pq.write_table(pa.table({
+            "id": pa.array(range(n), pa.int32()),
+            "name": pa.array([f"u{i & 1023}" for i in range(n)], pa.string()),
+            "email": pa.array(["e"] * n, pa.string())}),
+            os.path.join(tdir, fname))
+        fid = cat.data_file(tid, fname,
+                            os.path.getsize(os.path.join(tdir, fname)), s1, n)
+
+        s2 = cat.snapshot()
+        dname = f"ducklake-delete-{uuid.uuid4()}.parquet"
+        pq.write_table(pa.table({
+            "file_path": pa.array([fname] * n, pa.string()),
+            "pos": pa.array(range(n), pa.int64())}),
+            os.path.join(tdir, dname))
+        cat.delete_file(tid, fid, dname,
+                        os.path.getsize(os.path.join(tdir, dname)), n, s2)
+
+        dl = DuckLakeSession(spark, cat.db_path)
+        df = dl.table_deletions("main.big", s1, s2)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed  # no forced broadcast
+        assert df.count() == n                  # still correct
