@@ -46,8 +46,14 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rendering on any host machine, not just UTC ones.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        # microsecond parquet (e.g. tools/scale_data.py output — duckdb
+        # cannot write nanos): session tz is pinned UTC, so the naive→tz
+        # cast is value-preserving.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

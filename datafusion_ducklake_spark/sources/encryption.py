@@ -121,12 +121,51 @@ def write_encrypted(table, path: str, key: bytes) -> None:
         w.write_table(table)
 
 
+def read_footer_key_arrow(path: str, key: bytes):
+    """Decrypt a DIRECT-footer-key PME file — the reference's (and
+    DuckDB's) on-disk format, where the catalog key IS the parquet footer
+    key with no KMS envelope (ref: encryption.rs:26-120; DuckDB
+    add_parquet_key + ENCRYPTION_CONFIG writes exactly this).
+
+    pyarrow's Python surface cannot express this mode (CryptoFactory is
+    envelope-only and the low-level property constructors are inert), but
+    DuckDB's parquet reader can, and duckdb is bundled with the Python
+    workers — so the decode stays executor-side and Arrow-native."""
+    import duckdb
+    try:
+        key_str = key.decode("utf-8")
+    except UnicodeDecodeError as e:
+        raise InvalidConfig(
+            "direct-footer-key decryption of a non-UTF8 AES key is not "
+            "supported by this build (duckdb's add_parquet_key surface is "
+            "VARCHAR-only); re-encrypt with a UTF-8-safe key or use the "
+            "KMS-envelope format") from e
+    key_lit = key_str.replace("'", "''")
+    path_lit = path.replace("'", "''")
+    con = duckdb.connect()
+    try:
+        con.execute(f"PRAGMA add_parquet_key('k', '{key_lit}')")
+        return con.execute(
+            f"SELECT * FROM read_parquet('{path_lit}', "
+            f"encryption_config={{footer_key: 'k'}})").arrow()
+    finally:
+        con.close()
+
+
 def read_encrypted_arrow(path: str, key: bytes):
-    """Driver/executor-side decrypt of one file via pyarrow PME."""
+    """Driver/executor-side decrypt of one file.
+
+    Tries the pyarrow KMS-envelope route first (files written by our own
+    ``write_encrypted``), then falls back to the direct-footer-key route
+    (files written by DuckDB / the reference engine) — so both on-disk
+    formats read through one entry point."""
     import pyarrow.parquet as pq
     factory, pe = _crypto_factory(key)
     dec_props = factory.file_decryption_properties(pe.KmsConnectionConfig())
-    return pq.ParquetFile(path, decryption_properties=dec_props).read()
+    try:
+        return pq.ParquetFile(path, decryption_properties=dec_props).read()
+    except Exception:
+        return read_footer_key_arrow(path, key)
 
 
 def is_encrypted_parquet(path: str) -> bool:
