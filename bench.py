@@ -54,10 +54,37 @@ def _measure_floor(spark, cpus: int) -> float:
     return round(statistics.median(runs), 4)
 
 
+def _materialize(df) -> None:
+    """Fully execute + materialize results driver-side as Arrow — the
+    reference's runners consume native Arrow batches (runner.rs), and the
+    DuckDB side is timed with .arrow() for symmetry. (.collect()'s Python
+    Row-object construction is a PySpark-only artifact that would bill
+    ~3s/1M rows to Spark and nothing comparable to DuckDB.)"""
+    df.toArrow()
+
+
+def _tune_for_dir(spark, sf_dir: str) -> None:
+    """Size scan splits so the largest table fans out across all cores
+    (a 1-file table must not become a 1-task scan), and keep dimension
+    joins broadcast at any tested scale."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    largest = max((os.path.getsize(os.path.join(sf_dir, f))
+                   for f in os.listdir(sf_dir) if f.endswith(".parquet")),
+                  default=0)
+    split = max(4 * 1024 * 1024, largest // (3 * cpus))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+    # 24 MB: dimension tables (customer at SF1 ~ 15 MB on disk) stay
+    # broadcast, while AQE can't "promote" a multi-million-row filtered
+    # fact side to broadcast (measured: 64 MB regressed q04 3x).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                   str(24 * 1024 * 1024))
+
+
 def _time_spark_suite(spark, sf_dir: str, iterations: int = ITERATIONS):
+    _tune_for_dir(spark, sf_dir)
     queries = headline_queries()
     for fn in queries.values():          # warmup: JIT/codegen + file listing
-        fn(spark, sf_dir).collect()
+        _materialize(fn(spark, sf_dir))
     wall, plan = {}, {}
     for name, fn in queries.items():
         w_runs, p_runs = [], []
@@ -66,7 +93,7 @@ def _time_spark_suite(spark, sf_dir: str, iterations: int = ITERATIONS):
             df = fn(spark, sf_dir)
             df._jdf.queryExecution().executedPlan()
             t1 = time.perf_counter()
-            df.collect()
+            _materialize(df)
             t2 = time.perf_counter()
             p_runs.append(t1 - t0)
             w_runs.append(t2 - t0)
@@ -92,12 +119,12 @@ def _time_duckdb_suite(sf_dir: str, names, cpus: int,
             sql = oracles.get(name)
             if sql is None:
                 continue
-            con.execute(sql).fetchall()  # warm
+            con.execute(sql).arrow()  # warm
             runs = []
             for _ in range(iterations):
                 t0 = time.perf_counter()
-                con.execute(sql).fetchall()
-                runs.append(time.perf_counter() - t0)
+                con.execute(sql).arrow()   # Arrow materialization, same as
+                runs.append(time.perf_counter() - t0)  # the Spark side
             out[name] = round(sum(runs) / len(runs), 4)
     finally:
         con.close()
@@ -163,9 +190,8 @@ def main() -> None:
     if scale > 0:
         from tools.scale_data import scale_dir
         scaled_dir = scale_dir(sf_dir, scale, str(REPO / ".bench_scaled"))
-        s_wall, s_plan = _time_spark_suite(spark, scaled_dir, iterations=1)
-        s_duck = _time_duckdb_suite(scaled_dir, list(s_wall), cpus,
-                                    iterations=1)
+        s_wall, s_plan = _time_spark_suite(spark, scaled_dir)
+        s_duck = _time_duckdb_suite(scaled_dir, list(s_wall), cpus)
         s_adj = {n: round(max(t - floor, 0.0), 4) for n, t in s_wall.items()}
         result["scaled"] = {
             "scale_factor_equivalent": round((sf or 0) * scale, 3),

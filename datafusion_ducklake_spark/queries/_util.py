@@ -25,10 +25,23 @@ TABLES = (
 )
 
 
+_DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table. Parquet scan → Catalyst handles column
-    pruning + predicate pushdown; no caching so each query plans cleanly."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    pruning + predicate pushdown. The unresolved DataFrame is memoized per
+    (session, dir, table): DataFrames are immutable and re-planned per
+    query, so reuse is safe, and it avoids re-reading the parquet footer
+    for schema inference on every query (driver-side I/O that at 100k
+    files/queries would serialize plan time). No .cache()/persist — data
+    is never pinned, each query still scans."""
+    key = (id(spark), sf_dir, name)
+    df = _DF_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _DF_CACHE[key] = df
+    return df
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -45,6 +58,10 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # downstream date_format/date_trunc match the DuckDB oracle's naive
     # rendering on any host machine, not just UTC ones.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = (id(spark), sf_dir, "__events_converted")
+    cached = _DF_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
@@ -54,6 +71,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cannot write nanos): session tz is pinned UTC, so the naive→tz
         # cast is value-preserving.
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _DF_CACHE[key] = df
     return df
 
 

@@ -22,16 +22,46 @@ from typing import Callable, Iterator
 from pyspark.sql import DataFrame
 
 
+# Data files are ducklake-<uuid4>.parquet; delete files are
+# ducklake-delete-<uuid4>.parquet. The first uuid4 group is 8 hex chars,
+# and "delete-"'s third character ('l') is not hex — so this glob admits
+# every data file and no positional-delete file.
+_DATA_FILE_GLOB = ("ducklake-" + "[0-9a-f]" * 8 + "-*.parquet")
+
+
 def stream_inserts(session, name: str) -> DataFrame:
     """readStream of newly-added rows for a DuckLake table (file-source
     based: new immutable parquet data files == new micro-batches).
-    Start with ``.trigger(availableNow=True)`` for catch-up semantics."""
+    Start with ``.trigger(availableNow=True)`` for catch-up semantics.
+
+    Scope guard: positional-delete parquet lives in the same directory and
+    is excluded by glob; tables that ever had a file REMOVED (overwrite /
+    compaction leave superseded files on disk, which the file source
+    would re-emit as duplicates) are rejected here — use
+    ``replay_changes``, which walks the catalog instead of the directory.
+    A table compacted mid-stream has the same hazard and cannot be
+    detected from a running stream; this is inherent to directory-based
+    file sources and is documented in the class of engines that use them.
+    """
+    from ..errors import InvalidConfig
+
     table = session.table_handle(name)
+    ended = session.provider._fetchall(
+        "SELECT COUNT(*) FROM ducklake_data_file "
+        "WHERE table_id = ? AND end_snapshot IS NOT NULL",
+        (table.meta.table_id,))[0][0]
+    if int(ended) > 0:
+        raise InvalidConfig(
+            f"stream_inserts requires an append-only table, but {name} has "
+            f"{ended} removed data file(s) (overwrite/compaction history); "
+            f"superseded files remain on disk and would stream as "
+            f"duplicates — use replay_changes() instead")
     schema = table.spark_schema
     return (session.spark.readStream
             .schema(schema)
             .format("parquet")
             .option("maxFilesPerTrigger", 8)
+            .option("pathGlobFilter", _DATA_FILE_GLOB)
             .load(table.table_path + "/"))
 
 

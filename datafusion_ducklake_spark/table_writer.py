@@ -72,6 +72,113 @@ def footer_size_of(path: str) -> int:
     return int.from_bytes(tail[:4], "little") + 8
 
 
+def _footer_size_from_tail(tail: bytes, path: str) -> int:
+    if tail[4:] != b"PAR1":
+        raise InvalidConfig(f"not a parquet file: {path}")
+    return int.from_bytes(tail[:4], "little") + 8
+
+
+class _HadoopFs:
+    """Thin wrapper over Spark's Hadoop FileSystem — the object-store-
+    capable staging route (ref: the reference writes through object_store,
+    table_writer.rs:261-274). Works on any scheme Spark itself can write
+    (file://, s3a://, hdfs://, gs://, abfss://); integration-tested via
+    file:// since no object store exists offline."""
+
+    def __init__(self, spark, root: str):
+        self._jvm = spark._jvm
+        self._gw = spark.sparkContext._gateway
+        jpath = self._jvm.org.apache.hadoop.fs.Path(root)
+        self._fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _p(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def list_names(self, dir_path: str) -> list[str]:
+        return [st.getPath().getName()
+                for st in self._fs.listStatus(self._p(dir_path))]
+
+    def rename(self, src: str, dst: str) -> None:
+        if not self._fs.rename(self._p(src), self._p(dst)):
+            raise InvalidConfig(f"rename failed: {src} -> {dst}")
+
+    def size(self, path: str) -> int:
+        return int(self._fs.getFileStatus(self._p(path)).getLen())
+
+    def delete(self, path: str, recursive: bool = False) -> None:
+        self._fs.delete(self._p(path), recursive)
+
+    def tail(self, path: str, n: int) -> bytes:
+        # py4j passes byte[] by value, so readFully(pos, buf) can't hand
+        # data back; n is tiny (8 bytes — the parquet footer-length field),
+        # so per-byte read() round trips are fine.
+        ln = self.size(path)
+        stream = self._fs.open(self._p(path))
+        try:
+            stream.seek(ln - n)
+            out = bytearray()
+            for _ in range(n):
+                b = stream.read()
+                if b < 0:
+                    break
+                out.append(b & 0xFF)
+            return bytes(out)
+        finally:
+            stream.close()
+
+
+def _finalize_local(staging: str, table_path: str
+                    ) -> list[tuple[str, int, int, int]]:
+    """Local-FS staging finalize: returns [(name, size, footer, rows)]."""
+    import pyarrow.parquet as pq
+    staged = []
+    for part in sorted(os.listdir(staging)):
+        if not part.endswith(".parquet"):
+            continue
+        final_name = f"ducklake-{uuid.uuid4()}.parquet"
+        final_path = os.path.join(table_path, final_name)
+        os.rename(os.path.join(staging, part), final_path)
+        meta = pq.read_metadata(final_path)
+        staged.append((final_name, os.path.getsize(final_path),
+                       footer_size_of(final_path), meta.num_rows))
+    for leftover in os.listdir(staging):
+        os.remove(os.path.join(staging, leftover))
+    os.rmdir(staging)
+    return staged
+
+
+def _finalize_hadoop(spark, staging: str, table_path: str
+                     ) -> list[tuple[str, int, int, int]]:
+    """Hadoop-FS staging finalize (file:// s3a:// hdfs:// gs:// abfss://).
+
+    Row counts come from one distributed metadata job over the staged
+    parquet (count-from-footer-stats; no payload read), sizes from
+    FileStatus, footer sizes from an 8-byte ranged tail read — the driver
+    never downloads file contents, matching the reference's object_store
+    discipline (table_writer.rs:261-274)."""
+    from pyspark.sql import functions as F
+
+    fs = _HadoopFs(spark, table_path)
+    counts = {
+        r["f"].rsplit("/", 1)[-1]: r["count"]
+        for r in (spark.read.parquet(staging)
+                  .groupBy(F.col("_metadata.file_path").alias("f"))
+                  .count().collect())}
+    staged = []
+    for part in sorted(fs.list_names(staging)):
+        if not part.endswith(".parquet"):
+            continue
+        final_name = f"ducklake-{uuid.uuid4()}.parquet"
+        final_path = table_path.rstrip("/") + "/" + final_name
+        fs.rename(staging.rstrip("/") + "/" + part, final_path)
+        tail = fs.tail(final_path, 8)
+        staged.append((final_name, fs.size(final_path),
+                       _footer_size_from_tail(tail, final_path),
+                       int(counts.get(part, 0))))
+    fs.delete(staging, recursive=True)
+    return staged
+
+
 def create_or_insert(session, name: str, df: DataFrame, mode: str,
                      single_file: bool = True, if_exists: str = "error") -> int:
     """Returns the number of rows written (the reference returns a 1-row
@@ -108,33 +215,28 @@ def create_or_insert(session, name: str, df: DataFrame, mode: str,
         out = _with_field_ids(df, setup.column_ids)
         if single_file:
             out = out.coalesce(1)
-        staging = os.path.join(table_path, f"stage-{uuid.uuid4().hex}")
+        staging = table_path.rstrip("/") + f"/stage-{uuid.uuid4().hex}"
         out.write.parquet(staging, mode="errorifexists")
 
         # 3) move part files to UUID names in the table dir and register
-        #    each in the catalog (multi-file snapshot)
+        #    each in the catalog (multi-file snapshot). Scheme'd paths go
+        #    through the Hadoop FS API (object-store-capable); bare local
+        #    paths take the direct os/pyarrow route.
+        if "://" in table_path:
+            staged = _finalize_hadoop(session.spark, staging, table_path)
+        else:
+            staged = _finalize_local(staging, table_path)
+
         n_rows = 0
         next_rowid = writer.next_row_id(table_meta.table_id)
-        import pyarrow.parquet as pq
-        for part in sorted(os.listdir(staging)):
-            if not part.endswith(".parquet"):
-                continue
-            final_name = f"ducklake-{uuid.uuid4()}.parquet"
-            final_path = os.path.join(table_path, final_name)
-            os.rename(os.path.join(staging, part), final_path)
-            meta = pq.read_metadata(final_path)
-            n_rows += meta.num_rows
+        for final_name, size, footer, count in staged:
             writer.register_data_file(
                 table_meta.table_id, setup.snapshot_id,
                 DataFileInfo(path=final_name, path_is_relative=True,
-                             file_size_bytes=os.path.getsize(final_path),
-                             footer_size=footer_size_of(final_path),
-                             record_count=meta.num_rows,
-                             row_id_start=next_rowid))
-            next_rowid += meta.num_rows
-        for leftover in os.listdir(staging):
-            os.remove(os.path.join(staging, leftover))
-        os.rmdir(staging)
+                             file_size_bytes=size, footer_size=footer,
+                             record_count=count, row_id_start=next_rowid))
+            next_rowid += count
+            n_rows += count
 
         session.refresh()
         return n_rows

@@ -120,3 +120,41 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     full = [(1, 0, 2), (1, 2 * h, 1), (2, 0, 1)]  # == batch twin's output
     assert (1, 0, 2) in got
     assert set(got) <= set(full)
+
+
+def test_stream_inserts_ignores_delete_files(spark, fresh_dl, tmp_path):
+    """ADVICE r1: a positional-delete parquet in the table dir must not
+    stream as all-NULL rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import uuid as _uuid
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id INT, s STRING")
+    fresh_dl.create_table("main.evd", df)
+    # drop a delete-style parquet next to the data (as DELETE would)
+    handle = fresh_dl.table_handle("main.evd")
+    dpath = f"{handle.table_path}/ducklake-delete-{_uuid.uuid4()}.parquet"
+    pq.write_table(pa.table({"file_path": pa.array(["x"], pa.string()),
+                             "pos": pa.array([0], pa.int64())}), dpath)
+
+    from datafusion_ducklake_spark.streaming import cdc_source
+    stream = cdc_source.stream_inserts(fresh_dl, "main.evd")
+    q = (stream.writeStream.format("memory").queryName("evd_sink")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    rows = sorted((r["id"], r["s"])
+                  for r in spark.sql("SELECT * FROM evd_sink").collect())
+    assert rows == [(1, "a"), (2, "b")]  # no NULL rows from the delete file
+
+
+def test_stream_inserts_rejects_rewritten_tables(spark, fresh_dl):
+    """Overwrite leaves superseded files on disk; the file source would
+    re-emit them as duplicates, so the stream must refuse (ADVICE r1)."""
+    from datafusion_ducklake_spark.errors import InvalidConfig
+    from datafusion_ducklake_spark.streaming import cdc_source
+
+    df = spark.createDataFrame([(1, "a")], "id INT, s STRING")
+    fresh_dl.create_table("main.evo", df)
+    fresh_dl.insert_into("main.evo", df, overwrite=True)
+    with pytest.raises(InvalidConfig, match="append-only"):
+        cdc_source.stream_inserts(fresh_dl, "main.evo")
