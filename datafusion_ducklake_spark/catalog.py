@@ -171,26 +171,75 @@ class DuckLakeSession:
     def register_views(self) -> None:
         """Register every visible table as ``schema__table`` plus, for the
         default schema, the bare table name. ``sql()`` rewrites dotted
-        references to the flat names."""
+        references to the flat names.
+
+        A table whose catalog types can't map to Spark (e.g. an exotic
+        type written by another engine) is skipped with a warning instead
+        of poisoning ``sql()`` for the whole catalog."""
+        import warnings
+
         self._view_rewrites.clear()
         for schema_name in self.catalog.schema_names():
             schema = self.catalog.schema(schema_name)
             for table_name in schema.table_names():
-                df = schema.table(table_name).to_df()
+                try:
+                    df = schema.table(table_name).to_df()
+                except Exception as e:
+                    warnings.warn(
+                        f"register_views: skipping {schema_name}.{table_name}"
+                        f" (cannot map to a Spark DataFrame: {e})")
+                    continue
                 flat = f"{schema_name}__{table_name}"
                 df.createOrReplaceTempView(flat)
                 self._view_rewrites[f"{schema_name}.{table_name}"] = flat
                 if schema_name == DEFAULT_SCHEMA:
                     df.createOrReplaceTempView(table_name)
 
+    @staticmethod
+    def _rewrite_outside_literals(query: str,
+                                  rewrites: dict[str, str]) -> str:
+        """Apply dotted-name → flat-view rewrites only OUTSIDE single-
+        quoted SQL string literals (and backtick-quoted identifiers), so
+        ``WHERE note = 'see main.users'`` keeps its literal intact
+        (r1 VERDICT wrongness #5)."""
+        # split into alternating [code, literal, code, literal, ...];
+        # literals include '...' (with '' escapes) and `...`
+        parts = re.split(r"('(?:[^']|'')*'|`(?:[^`]|``)*`)", query)
+        for i in range(0, len(parts), 2):     # even indices = code segments
+            seg = parts[i]
+            for dotted, flat in rewrites.items():
+                seg = re.sub(
+                    rf"(?<![\w.`]){re.escape(dotted)}(?![\w.`])", flat, seg)
+            parts[i] = seg
+        return "".join(parts)
+
+    # SQL-callable CDC (A14 parity with table_functions.rs:86-225): the
+    # call site is resolved at plan time to the SAME vectorized DataFrame
+    # the Python API plans (parquet scan + position algebra) — no
+    # row-yielding UDTF in the data path. Constant arguments only.
+    _CDC_CALL = re.compile(
+        r"ducklake_table_(changes|deletions)\(\s*'([^']+)'\s*,"
+        r"\s*(\d+)\s*,\s*(\d+)\s*\)", re.IGNORECASE)
+
+    def _resolve_cdc_calls(self, query: str) -> str:
+        def sub(m: "re.Match[str]") -> str:
+            kind = m.group(1).lower()
+            tbl, start, end = m.group(2), int(m.group(3)), int(m.group(4))
+            df = (self.table_changes(tbl, start, end) if kind == "changes"
+                  else self.table_deletions(tbl, start, end))
+            view = (f"__ducklake_{kind}_"
+                    f"{re.sub(r'[^A-Za-z0-9_]', '_', tbl)}_{start}_{end}")
+            df.createOrReplaceTempView(view)
+            return view
+
+        return self._CDC_CALL.sub(sub, query)
+
     def sql(self, query: str) -> DataFrame:
         if not self._view_rewrites:
             self.register_views()
-        rewritten = query
-        for dotted, flat in self._view_rewrites.items():
-            rewritten = re.sub(
-                rf"(?<![\w.`]){re.escape(dotted)}(?![\w.`])", flat, rewritten)
-        return self.spark.sql(rewritten)
+        query = self._resolve_cdc_calls(query)
+        return self.spark.sql(
+            self._rewrite_outside_literals(query, self._view_rewrites))
 
     def refresh(self) -> None:
         """Re-pin to the latest snapshot and refresh views (the reference

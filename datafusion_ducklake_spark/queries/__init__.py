@@ -53,6 +53,8 @@ _SPECS = [
               tpch2.ORACLE_Q16, False),
     QuerySpec("q17_small_quantity_orders", tpch2.q17_small_quantity_orders,
               tpch2.ORACLE_Q17, True),
+    QuerySpec("q02_min_cost_supplier", tpch2.q02_min_cost_supplier,
+              tpch2.ORACLE_Q02, False),
     QuerySpec("q20_excess_suppliers", tpch2.q20_excess_suppliers, tpch2.ORACLE_Q20, False),
     QuerySpec("rollup_revenue", tpch2.rollup_revenue, tpch2.ORACLE_ROLLUP, False),
     # events / time-series

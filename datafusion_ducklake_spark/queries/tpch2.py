@@ -284,3 +284,76 @@ SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
+
+
+# --- q02 pattern: min-cost supplier per part (correlated MIN) --------------
+# TPC-H q02 proper needs partsupp (absent from the synthetic schema); the
+# pattern — a correlated minimum over the part-supplier relation inside a
+# region filter, with the outer row kept only when it achieves the min —
+# is expressed over lineitem as the part-supplier link
+# (ref: benchmark/src/tpch.rs:69-80 runs the real q02).
+
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    li = t(spark, sf_dir, "lineitem")
+
+    # supply cost of (part, supplier) := min unit price ever shipped
+    ps = (li.groupBy(F.col("l_partkey").alias("ps_partkey"),
+                     F.col("l_suppkey").alias("ps_suppkey"))
+          .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+               .alias("ps_supplycost")))
+
+    europe_supp = (supp
+                   .join(nation, supp.s_nationkey == nation.n_nationkey)
+                   .join(region, nation.n_regionkey == region.r_regionkey)
+                   .filter(F.col("r_name") == "EUROPE")
+                   .select("s_suppkey", "s_name", "s_acctbal",
+                           F.col("n_name").alias("nation_name")))
+
+    offers = (ps.join(F.broadcast(europe_supp),
+                      ps.ps_suppkey == europe_supp.s_suppkey)
+              .join(F.broadcast(part.filter(F.col("p_size") < 15)
+                                .select("p_partkey", "p_brand")),
+                    ps.ps_partkey == F.col("p_partkey")))
+
+    min_cost = (offers.groupBy("p_partkey")
+                .agg(F.min("ps_supplycost").alias("min_cost")))
+
+    return (offers.join(min_cost, "p_partkey")
+            .filter(F.col("ps_supplycost") == F.col("min_cost"))
+            .select(F.round("s_acctbal", 2).alias("s_acctbal"),
+                    "s_name", "nation_name", "p_partkey", "p_brand",
+                    F.round("ps_supplycost", 4).alias("supplycost"))
+            .orderBy(F.desc("s_acctbal"), F.asc("p_partkey"),
+                     F.asc("s_name"))
+            .limit(100))
+
+
+ORACLE_Q02 = """
+WITH ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(l_extendedprice / l_quantity) AS ps_supplycost
+  FROM lineitem GROUP BY 1, 2),
+es AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name AS nation_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+offers AS (
+  SELECT ps.*, es.*, p.p_partkey, p.p_brand
+  FROM ps
+  JOIN es ON ps.ps_suppkey = es.s_suppkey
+  JOIN (SELECT p_partkey, p_brand FROM part WHERE p_size < 15) p
+    ON ps.ps_partkey = p.p_partkey)
+SELECT ROUND(s_acctbal, 2) AS s_acctbal, s_name, nation_name, p_partkey,
+       p_brand, ROUND(ps_supplycost, 4) AS supplycost
+FROM offers o
+WHERE ps_supplycost = (SELECT MIN(ps_supplycost) FROM offers i
+                       WHERE i.p_partkey = o.p_partkey)
+ORDER BY s_acctbal DESC, p_partkey ASC, s_name ASC
+LIMIT 100
+"""

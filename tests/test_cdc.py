@@ -142,3 +142,36 @@ class TestBigDeltaPlan:
         analyzed = df._jdf.queryExecution().analyzed().toString()
         assert "ResolvedHint" not in analyzed  # no forced broadcast
         assert df.count() == n                  # still correct
+
+
+class TestSqlCallableCdc:
+    """ducklake_table_changes/_deletions callable from dl.sql() — resolved
+    to the vectorized DataFrame plan, not a row-yielding UDTF (r1 VERDICT
+    missing #7)."""
+
+    def test_changes_in_sql(self, dl, fx):
+        s1, s2 = fx["snapshots"][0:2]
+        rows = dl.sql(
+            f"SELECT id, snapshot_id, change_type "
+            f"FROM ducklake_table_changes('main.users', 0, {s2}) "
+            f"ORDER BY id").collect()
+        assert [(r["id"], r["snapshot_id"], r["change_type"])
+                for r in rows] == [
+            (1, s1, "insert"), (2, s1, "insert"), (3, s1, "insert"),
+            (4, s1, "insert"), (5, s2, "insert"), (6, s2, "insert")]
+
+    def test_deletions_in_sql_composes(self, dl, fx):
+        s3, s4 = fx["snapshots"][2:4]
+        rows = dl.sql(
+            f"SELECT COUNT(*) AS n "
+            f"FROM ducklake_table_deletions('main.users', {s3}, {s4})"
+        ).collect()
+        assert rows[0]["n"] == 1  # only the superseding delta (id 4)
+
+    def test_join_with_table_view(self, dl, fx):
+        s2 = fx["snapshots"][1]
+        rows = dl.sql(
+            f"SELECT c.id FROM ducklake_table_changes('main.users', 0, {s2}) c "
+            f"JOIN main.users u ON c.id = u.id ORDER BY c.id").collect()
+        # users at current snapshot excludes deleted ids 2 and 4
+        assert [r["id"] for r in rows] == [1, 3, 5, 6]
