@@ -284,12 +284,19 @@ class DuckLakeSession:
         from .operators.cdc import table_deletions
         return table_deletions(self, name, start, end)
 
-    def compact(self, name: str, single_file: bool = True) -> int:
+    def compact(self, name: str, single_file: bool = True,
+                preserve_rowids: bool = True) -> int:
         """Rewrite a table's live data (deletes applied) into fresh clean
         files in one Replace snapshot — the corpus's rewrite_data_files
         operation (reference roadmap item; built from scan ∘ overwrite, so
-        MOR debt collapses and subsequent scans skip the anti-joins)."""
-        from .table_writer import create_or_insert
+        MOR debt collapses and subsequent scans skip the anti-joins).
+
+        With ``preserve_rowids`` (default), virtual rowids survive the
+        rewrite: one output file per contiguous surviving rowid run (the
+        DuckLake rowid contract). ``preserve_rowids=False`` renumbers."""
+        from .table_writer import compact_table, create_or_insert
+        if preserve_rowids:
+            return compact_table(self, name, single_file=single_file)
         return create_or_insert(self, name, self.table(name),
                                 mode="overwrite", single_file=single_file)
 

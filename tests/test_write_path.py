@@ -202,3 +202,101 @@ def test_write_path_through_hadoop_fs(spark, tmp_path):
     # no staging leftovers
     lake = tmp_path / "lake" / "main" / "h"
     assert not [p for p in lake.iterdir() if p.name.startswith("stage-")]
+
+
+class TestCompactPreservesRowids:
+    def _mk(self, spark, tmp_path, n=8):
+        db = str(tmp_path / "cat.sqlite")
+        w = CatalogWriter.sqlite(db)
+        w.initialize_schema(data_path=str(tmp_path / "lake"))
+        w.close()
+        dl = DuckLakeSession(spark, db)
+        dl.create_table("main.t", spark.createDataFrame(
+            [(i, f"v{i}") for i in range(n)], "id INT, s STRING"))
+        return dl, db
+
+    def _delete_positions(self, dl, db, positions):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import os as _os
+        import sqlite3
+        con = sqlite3.connect(db)
+        fid, fpath = con.execute(
+            "SELECT data_file_id, path FROM ducklake_data_file "
+            "WHERE end_snapshot IS NULL").fetchone()
+        tid = con.execute("SELECT table_id FROM ducklake_table").fetchone()[0]
+        con.close()
+        handle = dl.table_handle("main.t")
+        dname = f"ducklake-delete-0001.parquet"
+        dpath = _os.path.join(handle.table_path, dname)
+        pq.write_table(pa.table({
+            "file_path": pa.array([fpath] * len(positions), pa.string()),
+            "pos": pa.array(positions, pa.int64())}), dpath)
+        w = CatalogWriter.sqlite(db)
+        sid = w.create_snapshot()
+        w.register_delete_file(tid, fid, sid, dname, True,
+                               _os.path.getsize(dpath), len(positions))
+        w.close()
+        dl.refresh()
+
+    def test_no_deletes_keeps_rowids(self, spark, tmp_path):
+        dl, db = self._mk(spark, tmp_path)
+        before = sorted((r["id"], r["rowid"]) for r in
+                        dl.table("main.t", with_rowid=True).collect())
+        assert dl.compact("main.t") == 8
+        after = sorted((r["id"], r["rowid"]) for r in
+                       dl.table("main.t", with_rowid=True).collect())
+        assert after == before
+
+    def test_deletes_preserve_rowid_gaps(self, spark, tmp_path):
+        """Deleting rowids 2 and 5 leaves runs [0,1],[3,4],[6,7]; after
+        compaction every surviving row keeps its original rowid and the
+        catalog has one clean file per run."""
+        import sqlite3
+        dl, db = self._mk(spark, tmp_path)
+        self._delete_positions(dl, db, [2, 5])
+        before = sorted((r["id"], r["rowid"]) for r in
+                        dl.table("main.t", with_rowid=True).collect())
+        assert [rid for _, rid in before] == [0, 1, 3, 4, 6, 7]
+        assert dl.compact("main.t") == 6
+        after = sorted((r["id"], r["rowid"]) for r in
+                       dl.table("main.t", with_rowid=True).collect())
+        assert after == before
+        con = sqlite3.connect(db)
+        live = con.execute(
+            "SELECT row_id_start, record_count FROM ducklake_data_file "
+            "WHERE end_snapshot IS NULL ORDER BY row_id_start").fetchall()
+        con.close()
+        assert live == [(0, 2), (3, 2), (6, 2)]
+
+    def test_too_many_runs_refused(self, spark, tmp_path):
+        from datafusion_ducklake_spark.table_writer import compact_table
+        dl, db = self._mk(spark, tmp_path)
+        self._delete_positions(dl, db, [1, 3, 5])  # runs: 0,2,4,[6,7]
+        with pytest.raises(InvalidConfig, match="runs"):
+            compact_table(dl, "main.t", max_runs=2)
+        # explicit renumber opt-out still compacts
+        assert dl.compact("main.t", preserve_rowids=False) == 5
+
+
+def test_time_travel_sees_snapshot_schema(spark, fresh_dl):
+    """ADVICE r1: after schema evolution, a time-travel session must read
+    the pinned snapshot's column set, not today's (our writer versions
+    columns per snapshot; GET_TABLE_COLUMNS is begin/end-parameterized)."""
+    import sqlite3
+    dl = fresh_dl
+    dl.create_table("main.ev2", spark.createDataFrame(
+        [(1, "a")], "id INT, s STRING"))
+    con = sqlite3.connect(dl.catalog_path)
+    snap_before = con.execute(
+        "SELECT MAX(snapshot_id) FROM ducklake_snapshot").fetchone()[0]
+    con.close()
+    # evolve: add nullable column x
+    dl.insert_into("main.ev2", spark.createDataFrame(
+        [(2, "b", 9.5)], "id INT, s STRING, x DOUBLE"))
+
+    assert set(dl.table("main.ev2").columns) == {"id", "s", "x"}
+    old = DuckLakeSession(spark, dl.catalog_path, snapshot_id=snap_before)
+    assert set(old.table("main.ev2").columns) == {"id", "s"}
+    assert [(r["id"], r["s"]) for r in old.table("main.ev2").collect()] == \
+        [(1, "a")]
