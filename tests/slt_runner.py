@@ -41,6 +41,12 @@ def parse_slt(path: str) -> list[SltCase]:
         if not line or line.startswith("#"):
             i += 1
             continue
+        if line.startswith("compact "):
+            # engine-side maintenance directive (ref: sql/compaction/):
+            # rewrite the named table through DuckLakeSession.compact()
+            cases.append(SltCase("compact", line.split(None, 1)[1], i + 1))
+            i += 1
+            continue
         if line in ("statement ok", "query"):
             kind = "statement" if line.startswith("statement") else "query"
             start = i + 1
@@ -99,7 +105,11 @@ class HybridRunner:
             self._known.add(table)
 
     def run_case(self, case: SltCase) -> None:
-        if case.kind == "statement":
+        if case.kind == "compact":
+            self.dl.compact(f"main.{case.sql.strip()}")
+            self.dl.refresh()
+            self.dl.register_views()
+        elif case.kind == "statement":
             self.duck.execute(case.sql)
             for tbl in dict.fromkeys(_TABLE_RE.findall(case.sql)):
                 self._sync(tbl)
