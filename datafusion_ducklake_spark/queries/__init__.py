@@ -13,7 +13,8 @@ from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import documents, ducklake_gate, events, pipeline, similarity, tpch, tpch2
+from . import (documents, dsbench, ducklake_gate, events, pipeline,
+               similarity, tpch, tpch2)
 
 
 @dataclass(frozen=True)
@@ -94,6 +95,16 @@ _SPECS = [
     QuerySpec("simhash_pairs", pipeline.simhash_pairs, None, False),
     QuerySpec("lsh_ann_neighbors", pipeline.lsh_ann_neighbors, None, False),
     QuerySpec("mm_image_features", pipeline.mm_image_features, None, False),
+    # TPC-DS / ClickBench pattern coverage (reference's secondary suites)
+    QuerySpec("cube_revenue", dsbench.cube_revenue, dsbench.ORACLE_CUBE, False),
+    QuerySpec("ds_channel_union", dsbench.ds_channel_union,
+              dsbench.ORACLE_DS_CHANNEL, False),
+    QuerySpec("ds_rank_in_category", dsbench.ds_rank_in_category,
+              dsbench.ORACLE_DS_RANK, False),
+    QuerySpec("cb_top_users", dsbench.cb_top_users,
+              dsbench.ORACLE_CB_TOP_USERS, True),
+    QuerySpec("cb_daily_stats", dsbench.cb_daily_stats,
+              dsbench.ORACLE_CB_DAILY, False),
     # the DuckLake connector itself, oracle-checked through the gate
     QuerySpec("ducklake_scan_agg", ducklake_gate.ducklake_scan_agg,
               ducklake_gate.ORACLE_SCAN_AGG, True),

@@ -1,0 +1,131 @@
+"""TPC-DS- and ClickBench-pattern queries over the synthetic schema.
+
+The reference's secondary suites are TPC-DS (benchmark/src/tpcds.rs:52-66)
+and ClickBench hits (tests/sqllogictests/sql/clickbench/); the driver's
+synthetic tables carry neither schema, so this module re-expresses the
+suites' characteristic SHAPES on them:
+
+- CUBE multi-level aggregate (TPC-DS grouping-set family)
+- channel-union then aggregate (TPC-DS cross-channel pattern)
+- rank-within-category top-k (TPC-DS windowed rank family)
+- heavy top-K group-by and per-day stats over the events stream
+  (ClickBench's hits aggregations)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ._util import dsum, load_events, t
+
+
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(dsum("l_extendedprice").alias("sum_price"),
+                 F.count(F.lit(1)).alias("n"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+                    F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+                    "sum_price", "n"))
+
+
+ORACLE_CUBE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def ds_channel_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS cross-channel shape: two filtered 'channels' of the same
+    fact, unioned with a channel tag, then aggregated per channel/year."""
+    orders = t(spark, sf_dir, "orders")
+    urgent = (orders.filter(F.col("o_orderpriority") == "1-URGENT")
+              .withColumn("channel", F.lit("urgent")))
+    high = (orders.filter(F.col("o_orderpriority") == "2-HIGH")
+            .withColumn("channel", F.lit("high")))
+    return (urgent.unionByName(high)
+            .groupBy("channel",
+                     F.year(F.col("o_orderdate")).alias("yr"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 dsum("o_totalprice").alias("revenue")))
+
+
+ORACLE_DS_CHANNEL = """
+SELECT channel, yr, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM (
+  SELECT 'urgent' AS channel, YEAR(o_orderdate) AS yr, o_totalprice
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT 'high', YEAR(o_orderdate), o_totalprice
+  FROM orders WHERE o_orderpriority = '2-HIGH')
+GROUP BY channel, yr
+"""
+
+
+def ds_rank_in_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS windowed-rank family: top-3 parts by retail price within
+    each (brand, type) category, deterministic tiebreak."""
+    part = t(spark, sf_dir, "part")
+    w = (Window.partitionBy("p_brand", "p_type")
+         .orderBy(F.desc("p_retailprice"), F.asc("p_partkey")))
+    return (part.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("p_brand", "p_type", "p_partkey",
+                    F.round("p_retailprice", 2).alias("p_retailprice"), "rk"))
+
+
+ORACLE_DS_RANK = """
+SELECT p_brand, p_type, p_partkey, ROUND(p_retailprice, 2) AS p_retailprice, rk
+FROM (
+  SELECT p_brand, p_type, p_partkey, p_retailprice,
+         ROW_NUMBER() OVER (PARTITION BY p_brand, p_type
+                            ORDER BY p_retailprice DESC, p_partkey ASC) AS rk
+  FROM part)
+WHERE rk <= 3
+"""
+
+
+def cb_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench heavy-hitter shape: top 20 users by event count."""
+    ev = load_events(spark, sf_dir)
+    return (ev.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("event_type").alias("n_types"))
+            .orderBy(F.desc("n_events"), F.asc("user_id"))
+            .limit(20))
+
+
+ORACLE_CB_TOP_USERS = """
+SELECT user_id, COUNT(*) AS n_events, COUNT(DISTINCT event_type) AS n_types
+FROM events
+GROUP BY user_id
+ORDER BY n_events DESC, user_id ASC
+LIMIT 20
+"""
+
+
+def cb_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench per-day aggregation shape over the stream."""
+    ev = load_events(spark, sf_dir)
+    return (ev.groupBy(
+                F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min("value"), 6).alias("min_v"),
+                 F.round(F.max("value"), 6).alias("max_v"),
+                 dsum("value").alias("sum_v")))
+
+
+ORACLE_CB_DAILY = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
+       ROUND(MIN(value), 6) AS min_v, ROUND(MAX(value), 6) AS max_v,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
+FROM events
+GROUP BY 1
+"""
