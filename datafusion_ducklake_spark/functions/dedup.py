@@ -200,3 +200,45 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     return (cands.withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def duplicate_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iterations: int = 20) -> DataFrame:
+    """Connected components over a near-duplicate pair graph — the step
+    that turns pairwise dedup output into retention decisions (keep one
+    doc per component). Returns (doc_id, cluster_id) with cluster_id =
+    the minimum doc id reachable from doc_id.
+
+    Algorithm: min-label propagation. Each iteration joins labels across
+    edges and takes the per-node minimum; converges in O(diameter)
+    rounds (dup clusters are shallow in practice). Every round is one
+    shuffle on node id — no driver-side graph materialization, so this
+    scales to billion-edge dedup graphs; the driver only checks a
+    one-row convergence count per round."""
+    edges = (pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+             .unionByName(pairs.select(F.col(id_b).alias("a"),
+                                       F.col(id_a).alias("b")))
+             .distinct())
+    labels = (edges.select(F.col("a").alias("n")).distinct()
+              .withColumn("label", F.col("n")))
+    for _ in range(max_iterations):
+        neighbor_min = (edges.join(labels, edges.b == labels.n)
+                        .groupBy("a").agg(F.min("label").alias("nlabel")))
+        new_labels = (labels.join(neighbor_min,
+                                  labels.n == neighbor_min.a, "left")
+                      .select(F.col("n"),
+                              F.least(F.col("label"),
+                                      F.coalesce(F.col("nlabel"),
+                                                 F.col("label")))
+                              .alias("label")))
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (new_labels.alias("x")
+                   .join(labels.alias("y"), "n")
+                   .filter(F.col("x.label") != F.col("y.label"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("n").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))

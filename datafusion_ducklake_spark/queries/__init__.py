@@ -91,6 +91,12 @@ _SPECS = [
               pipeline.ORACLE_EMB_NEAR_DUP, False),
     QuerySpec("doc_quality_advanced", pipeline.doc_quality_advanced,
               pipeline.ORACLE_QUALITY_ADVANCED, False),
+    QuerySpec("dedup_duplicate_clusters", pipeline.dedup_duplicate_clusters,
+              pipeline.ORACLE_DUP_CLUSTERS, False),
+    QuerySpec("doc_stratified_sample", pipeline.doc_stratified_sample,
+              pipeline.ORACLE_STRATIFIED, False),
+    QuerySpec("doc_token_deciles", pipeline.doc_token_deciles,
+              pipeline.ORACLE_TOKEN_DECILES, False),
     QuerySpec("minhash_dup_pairs", pipeline.minhash_dup_pairs, None, False),
     QuerySpec("simhash_pairs", pipeline.simhash_pairs, None, False),
     QuerySpec("lsh_ann_neighbors", pipeline.lsh_ann_neighbors, None, False),

@@ -167,3 +167,87 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("long").alias("duration_ms"))
     return multimodal.decode_image_features(media)
+
+
+def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact-Jaccard dup-pair graph:
+    (doc_id, cluster_id=min reachable doc). Oracle = DuckDB transitive
+    closure via recursive CTE — an iterative distributed algorithm
+    hash-checked exactly."""
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), k=3,
+                                      threshold=0.1, use_words=True)
+    return dedup.duplicate_components(pairs)
+
+
+ORACLE_DUP_CLUSTERS = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id, list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+      for i in range(1, greatest(len(toks)-2, 1) + 1)]) AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents)),
+ex AS (SELECT doc_id, unnest(g) AS gg FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n
+  FROM ex a JOIN ex b ON a.gg = b.gg AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sz AS (SELECT doc_id, len(g) AS s FROM sh),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sz sa ON id_a = sa.doc_id
+  JOIN sz sb ON id_b = sb.doc_id
+  WHERE n * 1.0 / (sa.s + sb.s - n) >= 0.1),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(n, m) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
+SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n
+"""
+
+
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: ~20%% of documents per language
+    stratum, selected by doc_id residue (reproducible across engines and
+    cluster sizes — the property a training-data sampling step needs)."""
+    docs = t(spark, sf_dir, "documents")
+    return (docs.filter(F.col("doc_id") % 5 == 0)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_sampled"),
+                 F.sum(F.col("n_chars").cast("long")).alias("chars")))
+
+
+ORACLE_STRATIFIED = """
+SELECT lang, COUNT(*) AS n_sampled, SUM(CAST(n_chars AS BIGINT)) AS chars
+FROM documents WHERE doc_id % 5 = 0 GROUP BY lang
+"""
+
+
+def doc_token_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count decile boundaries (NTILE over a deterministic total
+    order) — corpus length profiling for training-data curation."""
+    from pyspark.sql.window import Window
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", text.token_count(F.col("text")).alias("n_tokens"))
+    w = Window.orderBy(F.asc("n_tokens"), F.asc("doc_id"))
+    return (docs.withColumn("decile", F.ntile(10).over(w))
+            .groupBy("decile")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("n_tokens").alias("min_tokens"),
+                 F.max("n_tokens").alias("max_tokens")))
+
+
+ORACLE_TOKEN_DECILES = """
+WITH stats AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents),
+d AS (
+  SELECT doc_id, n_tokens,
+         NTILE(10) OVER (ORDER BY n_tokens ASC, doc_id ASC) AS decile
+  FROM stats)
+SELECT decile, COUNT(*) AS n, MIN(n_tokens) AS min_tokens,
+       MAX(n_tokens) AS max_tokens
+FROM d GROUP BY decile
+"""
