@@ -39,6 +39,7 @@ class DuckLakeTable:
         self.spark = spark
         self.meta = meta
         self.snapshot_id = snapshot_id
+        self._provider = provider
         self.columns: list[ColumnMeta] = provider.get_table_columns(
             meta.table_id, snapshot_id)
         self.table_path = resolver.table_path(
@@ -67,9 +68,69 @@ class DuckLakeTable:
     def spark_schema(self):
         return build_spark_schema(self.columns)
 
-    def to_df(self, with_rowid: bool = False) -> DataFrame:
-        return scan_table(self.spark, self.spark_schema, self.files,
+    def to_df(self, with_rowid: bool = False,
+              prune_filters: Optional[list[tuple]] = None) -> DataFrame:
+        files = self.files
+        if prune_filters:
+            files = self.prune_files(prune_filters)
+        return scan_table(self.spark, self.spark_schema, files,
                           with_rowid=with_rowid)
+
+    def prune_files(self, filters: list[tuple]) -> list[ResolvedFile]:
+        """Catalog-level file pruning from ``ducklake_file_column_stats``
+        (the reference's TODO, metadata_provider.rs:569): drop files whose
+        per-column min/max provably exclude every row matching the
+        conjunctive ``(column, op, value)`` filters (op ∈ = < <= > >=).
+        Conservative: a file with no stats, a NULL bound, or an
+        uncoercible value is kept. At 100k-file scale this skips opening
+        excluded files entirely — cheaper than parquet row-group pruning,
+        which still costs a footer read per file."""
+        stats = self._provider.get_file_column_stats(
+            self.meta.table_id, self.snapshot_id)
+        types = {c.column_name: (c.column_id, c.column_type)
+                 for c in self.columns}
+
+        def coerce(column_type: str, v):
+            t = column_type.lower()
+            if any(k in t for k in ("int", "float", "double", "decimal",
+                                    "real", "bigint", "hugeint")):
+                return float(v)
+            return str(v)
+
+        def overlaps(fstats, col, op, val) -> bool:
+            if col not in types:
+                return True
+            cid, ctype = types[col]
+            entry = fstats.get(cid)
+            if entry is None:
+                return True
+            _nulls, mn, mx = entry
+            if mn is None or mx is None:
+                return True
+            try:
+                v, lo, hi = coerce(ctype, val), coerce(ctype, mn), \
+                    coerce(ctype, mx)
+            except (TypeError, ValueError):
+                return True
+            if op == "=":
+                return lo <= v <= hi
+            if op == ">":
+                return hi > v
+            if op == ">=":
+                return hi >= v
+            if op == "<":
+                return lo < v
+            if op == "<=":
+                return lo <= v
+            return True
+
+        kept = []
+        for raw, resolved in zip(self._raw_files, self.files):
+            fstats = stats.get(raw.data_file_id)
+            if fstats is None or all(
+                    overlaps(fstats, c, op, v) for (c, op, v) in filters):
+                kept.append(resolved)
+        return kept
 
     def total_byte_size(self) -> int:
         """Σ data bytes − Σ delete bytes, the reference's CBO stat
@@ -157,10 +218,16 @@ class DuckLakeSession:
             return parts[0], parts[1]
         raise TableNotFound(name)
 
-    def table(self, name: str, with_rowid: bool = False) -> DataFrame:
+    def table(self, name: str, with_rowid: bool = False,
+              prune_filters: Optional[list[tuple]] = None) -> DataFrame:
+        """``prune_filters=[("l_shipdate", ">=", "1995-01-01"), ...]``
+        drops files whose catalog min/max stats exclude the conjunctive
+        predicate BEFORE any parquet I/O (see prune_files). The same
+        predicate must still be applied with .filter() — pruning is
+        file-granular, not row-granular."""
         schema_name, table_name = self._split(name)
         return self.catalog.schema(schema_name).table(table_name) \
-            .to_df(with_rowid=with_rowid)
+            .to_df(with_rowid=with_rowid, prune_filters=prune_filters)
 
     def table_handle(self, name: str) -> DuckLakeTable:
         schema_name, table_name = self._split(name)
@@ -352,7 +419,7 @@ class DuckLakeSession:
                         handle.meta.table_id, list(schema.names),
                         [column_ids[n] for n in schema.names])
                 import os
-                writer.register_data_file(
+                fid = writer.register_data_file(
                     handle.meta.table_id, snapshot_id,
                     DataFileInfo(path=os.path.abspath(path),
                                  path_is_relative=False,
@@ -361,6 +428,10 @@ class DuckLakeSession:
                                  record_count=meta.num_rows,
                                  row_id_start=next_rowid,
                                  mapping_id=mapping_id))
+                from .table_writer import column_stats_of
+                writer.register_file_column_stats(
+                    fid, handle.meta.table_id,
+                    column_stats_of(path, column_ids))
                 next_rowid += meta.num_rows
                 n_rows += meta.num_rows
             self.refresh()

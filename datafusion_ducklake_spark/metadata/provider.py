@@ -195,6 +195,22 @@ class MetadataProvider:
                 delete_file=delete))
         return out
 
+    def get_file_column_stats(self, table_id: int, snapshot_id: int
+                              ) -> dict[int, dict[int, tuple]]:
+        """{data_file_id: {column_id: (null_count, min_value, max_value)}}
+        for the table's live files. Catalogs predating the stats table
+        (or never writing it) return {} — pruning then keeps every file."""
+        try:
+            rows = self._fetchall(Q.GET_FILE_COLUMN_STATS,
+                                  (table_id, snapshot_id, snapshot_id))
+        except Exception:
+            return {}
+        out: dict[int, dict[int, tuple]] = {}
+        for fid, cid, nulls, mn, mx in rows:
+            out.setdefault(int(fid), {})[int(cid)] = (
+                int(nulls) if nulls is not None else None, mn, mx)
+        return out
+
     def get_data_path(self) -> str:
         rows = self._fetchall(Q.GET_DATA_PATH)
         if not rows:

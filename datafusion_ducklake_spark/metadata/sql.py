@@ -81,6 +81,16 @@ WHERE data.table_id = ? AND {_VISIBLE.format(t='data')}
 
 GET_DATA_PATH = "SELECT value FROM ducklake_metadata WHERE key = 'data_path' AND scope IS NULL"
 
+# Per-file column stats for catalog-level file pruning — the reference
+# leaves this as TODO (metadata_provider.rs:569); real DuckLake catalogs
+# populate ducklake_file_column_stats on every write.
+GET_FILE_COLUMN_STATS = f"""
+SELECT s.data_file_id, s.column_id, s.null_count, s.min_value, s.max_value
+FROM ducklake_file_column_stats s
+JOIN ducklake_data_file data ON s.data_file_id = data.data_file_id
+WHERE s.table_id = ? AND {_VISIBLE.format(t='data')}
+"""
+
 DATA_FILES_ADDED_BETWEEN = """
 SELECT data.begin_snapshot, data.path, data.path_is_relative,
        data.file_size_bytes, data.footer_size, data.encryption_key,

@@ -93,6 +93,17 @@ CREATE TABLE IF NOT EXISTS ducklake_name_mapping (
     parent_column INTEGER,
     is_partition BOOLEAN
 );
+CREATE TABLE IF NOT EXISTS ducklake_file_column_stats (
+    data_file_id INTEGER NOT NULL,
+    table_id INTEGER NOT NULL,
+    column_id INTEGER NOT NULL,
+    column_size_bytes INTEGER,
+    value_count INTEGER,
+    null_count INTEGER,
+    min_value VARCHAR,
+    max_value VARCHAR,
+    contains_nan BOOLEAN
+);
 CREATE TABLE IF NOT EXISTS ducklake_delete_file (
     delete_file_id INTEGER PRIMARY KEY,
     data_file_id INTEGER NOT NULL,
@@ -364,6 +375,29 @@ class CatalogWriter:
                  file.file_size_bytes, file.footer_size, file.record_count,
                  file.row_id_start, file.mapping_id, snapshot_id))
             return fid
+
+    def register_file_column_stats(self, data_file_id: int, table_id: int,
+                                   stats: list[tuple]) -> None:
+        """Record per-file per-column min/max/null stats (the DuckLake
+        ``ducklake_file_column_stats`` table — real catalogs written by
+        DuckDB populate it; the reference leaves reading it as a TODO,
+        metadata_provider.rs:569). Rows: (column_id, column_size_bytes,
+        value_count, null_count, min_value, max_value, contains_nan)."""
+        with self._txn() as cur:
+            cur.execute(
+                "CREATE TABLE IF NOT EXISTS ducklake_file_column_stats ("
+                "data_file_id INTEGER NOT NULL, table_id INTEGER NOT NULL, "
+                "column_id INTEGER NOT NULL, column_size_bytes INTEGER, "
+                "value_count INTEGER, null_count INTEGER, min_value VARCHAR, "
+                "max_value VARCHAR, contains_nan BOOLEAN)")
+            for (cid, size, count, nulls, mn, mx, nan) in stats:
+                cur.execute(
+                    "INSERT INTO ducklake_file_column_stats (data_file_id, "
+                    "table_id, column_id, column_size_bytes, value_count, "
+                    "null_count, min_value, max_value, contains_nan) "
+                    "VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?)",
+                    (data_file_id, table_id, cid, size, count, nulls,
+                     mn, mx, nan))
 
     def next_row_id(self, table_id: int) -> int:
         """Next unassigned virtual rowid for the table: MAX over ALL files

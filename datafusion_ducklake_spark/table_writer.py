@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import os
 import uuid
+from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -125,6 +126,74 @@ class _HadoopFs:
             return bytes(out)
         finally:
             stream.close()
+
+
+def _local_readable(table_path: str, name: str) -> Optional[str]:
+    """Local filesystem path for a just-written file, or None if it lives
+    on an object store (stats collection is then skipped — a distributed
+    stats job is the object-store refinement)."""
+    base = table_path
+    if base.startswith("file://"):
+        base = base[len("file://"):]
+    if "://" in base:
+        return None
+    return os.path.join(base, name)
+
+
+def column_stats_of(path: str, column_ids: dict[str, int]) -> list[tuple]:
+    """Per-column (column_id, size, value_count, null_count, min, max,
+    contains_nan) aggregated across row groups, rendered as DuckLake
+    stores them (stringified values). Columns without usable parquet
+    statistics get NULL min/max — pruning treats that as 'keep'."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    def render(v):
+        if v is None:
+            return None
+        if isinstance(v, bytes):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) \
+                else v.isoformat()
+        if isinstance(v, float):
+            return repr(v)
+        return str(v)
+
+    meta = pq.read_metadata(path)
+    agg: dict[str, list] = {}
+    for rg in range(meta.num_row_groups):
+        group = meta.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            name = col.path_in_schema
+            if name not in column_ids:
+                continue                      # nested leaf / helper column
+            a = agg.setdefault(name, [0, 0, 0, None, None, False])
+            a[0] += col.total_compressed_size
+            a[1] += col.num_values
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                a[3] = a[4] = None
+                a[5] = True                   # poison: unknown range
+                continue
+            if a[5]:
+                continue
+            a[2] += (st.null_count or 0)
+            mn, mx = st.min, st.max
+            a[3] = mn if a[3] is None or (mn is not None and mn < a[3]) else a[3]
+            a[4] = mx if a[4] is None or (mx is not None and mx > a[4]) else a[4]
+    out = []
+    for name, (size, count, nulls, mn, mx, poison) in agg.items():
+        if poison:
+            mn = mx = None
+        out.append((column_ids[name], size, count, nulls,
+                    render(mn), render(mx), None))
+    return out
 
 
 def _finalize_local(staging: str, table_path: str
@@ -262,12 +331,16 @@ def compact_table(session, name: str, single_file: bool = True,
             os.rename(os.path.join(run_dir, parts[0]), final_path)
             meta = pq.read_metadata(final_path)
             assert meta.num_rows == cnt
-            writer.register_data_file(
+            fid = writer.register_data_file(
                 handle.meta.table_id, setup.snapshot_id,
                 DataFileInfo(path=final_name, path_is_relative=True,
                              file_size_bytes=os.path.getsize(final_path),
                              footer_size=footer_size_of(final_path),
                              record_count=cnt, row_id_start=int(start)))
+            writer.register_file_column_stats(
+                fid, handle.meta.table_id,
+                column_stats_of(final_path,
+                                dict(zip(data_cols, setup.column_ids))))
             n_rows += cnt
         import shutil
         shutil.rmtree(staging)
@@ -339,12 +412,18 @@ def create_or_insert(session, name: str, df: DataFrame, mode: str,
 
         n_rows = 0
         next_rowid = writer.next_row_id(table_meta.table_id)
+        col_ids = dict(zip([f.name for f in df.schema.fields],
+                           setup.column_ids))
         for final_name, size, footer, count in staged:
-            writer.register_data_file(
+            fid = writer.register_data_file(
                 table_meta.table_id, setup.snapshot_id,
                 DataFileInfo(path=final_name, path_is_relative=True,
                              file_size_bytes=size, footer_size=footer,
                              record_count=count, row_id_start=next_rowid))
+            local = _local_readable(table_path, final_name)
+            if local is not None:
+                writer.register_file_column_stats(
+                    fid, table_meta.table_id, column_stats_of(local, col_ids))
             next_rowid += count
             n_rows += count
 
