@@ -116,6 +116,8 @@ _SPECS = [
               ducklake_gate.ORACLE_SCAN_AGG, True),
     QuerySpec("ducklake_mor_delete_agg", ducklake_gate.ducklake_mor_delete_agg,
               ducklake_gate.ORACLE_MOR_AGG, True),
+    QuerySpec("ducklake_pruned_scan_agg", ducklake_gate.ducklake_pruned_scan_agg,
+              ducklake_gate.ORACLE_PRUNED_AGG, False),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

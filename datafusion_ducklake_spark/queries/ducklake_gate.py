@@ -35,7 +35,7 @@ def _build_catalog(sf_dir: str) -> str:
     lineitem parquet: ``main.lineitem`` (plain) and ``main.lineitem_mor``
     (with a delete file covering all l_linenumber=1 positions)."""
     from ..metadata.writer import CatalogWriter
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    tag = hashlib.md5((sf_dir + "/v2").encode()).hexdigest()[:10]
     root = os.path.join(tempfile.gettempdir(), f"ducklake_gate_{tag}")
     db = os.path.join(root, "catalog.sqlite")
     done = os.path.join(root, ".done")
@@ -87,6 +87,39 @@ def _build_catalog(sf_dir: str) -> str:
             "table_id, path, path_is_relative, file_size_bytes, delete_count, "
             "begin_snapshot) VALUES (1, 2, 2, ?, 0, ?, ?, 1)",
             (delete_path, os.path.getsize(delete_path), len(positions)))
+    # third table: lineitem range-split into 4 files with per-file column
+    # stats — exercises catalog-stats file pruning through the gate
+    full = pq.read_table(data_file)
+    order = pa.compute.sort_indices(full, sort_keys=[("l_orderkey", "ascending")])
+    full = full.take(order)
+    n = full.num_rows
+    part_ids = {cname: 300 + i for i, (cname, _) in enumerate(_LINEITEM_COLS)}
+    with w._txn() as cur:
+        cur.execute(
+            "INSERT INTO ducklake_table (table_id, schema_id, table_name, "
+            "path, path_is_relative, begin_snapshot) "
+            "VALUES (3, 1, 'lineitem_parts', 'lineitem_parts', 1, 1)")
+        for i, (cname, ctype) in enumerate(_LINEITEM_COLS):
+            cur.execute(
+                "INSERT INTO ducklake_column (column_id, table_id, "
+                "column_name, column_type, column_order, nulls_allowed, "
+                "begin_snapshot) VALUES (?, 3, ?, ?, ?, 1, 1)",
+                (part_ids[cname], cname, ctype, i))
+    from ..table_writer import column_stats_of
+    for k in range(4):
+        lo, hi = k * n // 4, (k + 1) * n // 4
+        chunk = full.slice(lo, hi - lo)
+        part_path = os.path.join(root, f"ducklake-part{k}-{uuid.uuid4()}.parquet")
+        pq.write_table(chunk, part_path)
+        with w._txn() as cur:
+            cur.execute(
+                "INSERT INTO ducklake_data_file (data_file_id, table_id, "
+                "path, path_is_relative, file_size_bytes, record_count, "
+                "begin_snapshot) VALUES (?, 3, ?, 0, ?, ?, 1)",
+                (10 + k, part_path, os.path.getsize(part_path),
+                 chunk.num_rows))
+        w.register_file_column_stats(10 + k, 3,
+                                     column_stats_of(part_path, part_ids))
     w.close()
     with open(done, "w") as f:
         f.write("ok")
@@ -129,4 +162,30 @@ ORACLE_MOR_AGG = """
 SELECT l_returnflag, COUNT(*) AS n,
   CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
 FROM lineitem WHERE l_linenumber <> 1 GROUP BY l_returnflag
+"""
+
+
+def ducklake_pruned_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a PRUNED multi-file scan: catalog min/max stats drop
+    the files whose l_orderkey range falls below the cutoff before any
+    parquet I/O; the row filter then applies on top. Wrong pruning (a
+    dropped file that held matching rows) breaks the hash match."""
+    dl = _session(spark, sf_dir)
+    cutoff = (dl.table("main.lineitem_parts")
+              .agg(F.max("l_orderkey").alias("m")).collect()[0]["m"]
+              * 3.0 / 4.0)
+    df = dl.table("main.lineitem_parts",
+                  prune_filters=[("l_orderkey", ">=", cutoff)])
+    return (df.filter(F.col("l_orderkey") >= cutoff)
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("l_quantity").alias("sum_qty")))
+
+
+ORACLE_PRUNED_AGG = """
+SELECT l_returnflag, COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_orderkey >= (SELECT MAX(l_orderkey) * 3.0 / 4.0 FROM lineitem)
+GROUP BY l_returnflag
 """

@@ -92,3 +92,20 @@ def test_prune_string_column(ranged_dl):
     pruned = dl.table("main.r", prune_filters=[("s", "=", "s250")])
     assert _files_read(pruned) <= 2          # lex overlap is conservative
     assert pruned.filter(F.col("s") == "s250").count() == 1
+
+
+def test_gate_pruned_query_actually_prunes(spark):
+    """The gated ducklake_pruned_scan_agg must read fewer files than the
+    table holds (hash-match alone wouldn't catch a no-op pruner)."""
+    from datafusion_ducklake_spark.catalog import DuckLakeSession
+    from datafusion_ducklake_spark.queries.ducklake_gate import _build_catalog
+
+    sf = "/root/testdata/sf0.001"
+    dl = DuckLakeSession(spark, _build_catalog(sf))
+    full = dl.table("main.lineitem_parts")
+    cutoff = (full.agg(F.max("l_orderkey").alias("m")).collect()[0]["m"]
+              * 3.0 / 4.0)
+    pruned = dl.table("main.lineitem_parts",
+                      prune_filters=[("l_orderkey", ">=", cutoff)])
+    assert _files_read(full) == 4
+    assert _files_read(pruned) <= 2
