@@ -13,6 +13,17 @@ and results must match exactly (sorted, type-normalized).
 File dialect (subset of sqllogictest):
     statement ok          -- next lines (to blank) run as a write
     query                 -- next lines (to blank) = SELECT, run on both
+    compact <table>       -- engine-side maintenance (DuckLakeSession.compact)
+    snapshot <name>       -- record the current catalog snapshot id AND
+                             copy DuckDB's current state into schema
+                             snap_<name> (time-travel baseline)
+    query at <name>       -- run on the engine pinned at <name>'s snapshot
+                             (ref: sql/time_travel/) vs DuckDB reading the
+                             snap_<name> copy — both see the as-of state
+    query_engine          -- engine-only query; expected rows follow a
+                             ``----`` separator, tab-separated (for
+                             metadata functions DuckDB can't run, e.g.
+                             ducklake_snapshots() — ref: sql/snapshot_info/)
     # comment / blank     -- ignored
 """
 
@@ -27,9 +38,11 @@ import duckdb
 
 @dataclass
 class SltCase:
-    kind: str               # "statement" | "query"
+    kind: str               # statement|query|compact|snapshot|query_at|query_engine
     sql: str
     line: int
+    arg: str = ""           # snapshot name for snapshot/query_at
+    expected: list[list[str]] = field(default_factory=list)
 
 
 def parse_slt(path: str) -> list[SltCase]:
@@ -47,15 +60,36 @@ def parse_slt(path: str) -> list[SltCase]:
             cases.append(SltCase("compact", line.split(None, 1)[1], i + 1))
             i += 1
             continue
-        if line in ("statement ok", "query"):
-            kind = "statement" if line.startswith("statement") else "query"
+        if line.startswith("snapshot "):
+            cases.append(SltCase("snapshot", "", i + 1,
+                                 arg=line.split(None, 1)[1].strip()))
+            i += 1
+            continue
+        m = re.fullmatch(r"query at (\w+)", line)
+        if line in ("statement ok", "query", "query_engine") or m:
+            if m:
+                kind, arg = "query_at", m.group(1)
+            else:
+                kind = {"statement ok": "statement", "query": "query",
+                        "query_engine": "query_engine"}[line]
+                arg = ""
             start = i + 1
-            body = []
+            body, expected = [], []
             i += 1
             while i < len(lines) and lines[i].strip() != "":
                 body.append(lines[i])
                 i += 1
-            cases.append(SltCase(kind, "\n".join(body), start + 1))
+            if kind == "query_engine":
+                # body splits at the sqllogictest ``----`` separator:
+                # SQL above, tab-separated expected rows below
+                if "----" not in [b.strip() for b in body]:
+                    raise ValueError(f"{path}:{start}: query_engine "
+                                     "requires a ---- expected block")
+                sep = [b.strip() for b in body].index("----")
+                expected = [r.split("\t") for r in body[sep + 1:]]
+                body = body[:sep]
+            cases.append(SltCase(kind, "\n".join(body), start + 1,
+                                 arg=arg, expected=expected))
         else:
             raise ValueError(f"{path}:{i+1}: unknown directive {line!r}")
         i += 1
@@ -78,8 +112,10 @@ class HybridRunner:
         w = CatalogWriter.sqlite(db)
         w.initialize_schema(data_path=f"{tmpdir}/slt_lake")
         w.close()
+        self.db_path = db
         self.dl = DuckLakeSession(spark, db)
         self._known: set[str] = set()
+        self._snapshots: dict[str, int] = {}   # name -> pinned snapshot id
 
     def _sync(self, table: str) -> None:
         """Mirror one DuckDB table's current state into the DuckLake
@@ -109,6 +145,40 @@ class HybridRunner:
             self.dl.compact(f"main.{case.sql.strip()}")
             self.dl.refresh()
             self.dl.register_views()
+        elif case.kind == "snapshot":
+            # time-travel baseline (ref: sql/time_travel/): pin the engine's
+            # current snapshot id; freeze DuckDB's state in a shadow schema
+            self._snapshots[case.arg] = \
+                self.dl.provider.get_current_snapshot()
+            self.duck.execute(
+                f'CREATE SCHEMA IF NOT EXISTS "snap_{case.arg}"')
+            for tbl in sorted(self._known):
+                self.duck.execute(
+                    f'CREATE OR REPLACE TABLE "snap_{case.arg}"."{tbl}" '
+                    f'AS SELECT * FROM main."{tbl}"')
+        elif case.kind == "query_at":
+            from datafusion_ducklake_spark.catalog import DuckLakeSession
+            snap = self._snapshots[case.arg]
+            pinned = DuckLakeSession(self.spark, self.db_path,
+                                     snapshot_id=snap)
+            try:
+                pinned.register_views()
+                ours = pinned.sql(case.sql).toPandas()
+            finally:
+                # restore current-snapshot views for subsequent cases
+                self.dl.register_views()
+            self.duck.execute(f"SET search_path = 'snap_{case.arg},main'")
+            try:
+                theirs = self.duck.sql(case.sql).df()
+            finally:
+                self.duck.execute("SET search_path = 'main'")
+            self._compare(case, ours, theirs)
+        elif case.kind == "query_engine":
+            # (re-)register at the current snapshot — the UDTF closures
+            # capture snapshot_id at registration time
+            self.dl.register_sql_functions()
+            ours = self.dl.sql(case.sql).toPandas()
+            self._compare_literal(case, ours)
         elif case.kind == "statement":
             self.duck.execute(case.sql)
             for tbl in dict.fromkeys(_TABLE_RE.findall(case.sql)):
@@ -119,6 +189,21 @@ class HybridRunner:
             ours = self.dl.sql(case.sql).toPandas()
             theirs = self.duck.sql(case.sql).df()
             self._compare(case, ours, theirs)
+
+    @staticmethod
+    def _compare_literal(case: SltCase, ours) -> None:
+        """Engine-only expectation: rows in result order, cells stringified
+        with int-valued floats canonicalized (sqllogictest's text-compare)."""
+        def cell(v):
+            if v is None or v != v:     # None or NaN
+                return "NULL"
+            if isinstance(v, float) and v == int(v):
+                return str(int(v))
+            return str(v)
+        got = [[cell(v) for v in row] for row in ours.itertuples(index=False)]
+        want = case.expected
+        assert got == want, (
+            f"line {case.line}: {case.sql!r}: got {got!r}, want {want!r}")
 
     @staticmethod
     def _compare(case: SltCase, ours, theirs) -> None:
