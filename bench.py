@@ -68,11 +68,25 @@ def _tune_for_dir(spark, sf_dir: str) -> None:
     (a 1-file table must not become a 1-task scan), and keep dimension
     joins broadcast at any tested scale."""
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    largest = max((os.path.getsize(os.path.join(sf_dir, f))
-                   for f in os.listdir(sf_dir) if f.endswith(".parquet")),
-                  default=0)
+    sizes = [os.path.getsize(os.path.join(sf_dir, f))
+             for f in os.listdir(sf_dir) if f.endswith(".parquet")]
+    largest, total = max(sizes, default=0), sum(sizes)
     split = max(4 * 1024 * 1024, largest // (3 * cpus))
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+    # Shuffle partitions sized from the input, not a constant: target
+    # ~32 MB of (compressed) input per reduce partition, floored at
+    # cpus/4 and capped at 4*cpus. At suite scale the shuffles are tens
+    # of MB — 8 partitions beat 32 by ~15% (measured: less task-launch
+    # and shuffle-file overhead); at cluster scale the same rule grows
+    # into the thousands. AQE coalescing still adapts per stage.
+    parts = min(4 * cpus, max(cpus // 4, total // (32 * 1024 * 1024)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    # Let AQE swap sort-merge for shuffled-hash when a join's per-task
+    # map output is small (skips the sort; ~30% on the fact-dim joins
+    # here). Scale-safe: joins whose map output exceeds the threshold
+    # keep sort-merge, so a 100x scale-up degrades gracefully.
+    spark.conf.set(
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "256m")
     # 24 MB: dimension tables (customer at SF1 ~ 15 MB on disk) stay
     # broadcast, while AQE can't "promote" a multi-million-row filtered
     # fact side to broadcast (measured: 64 MB regressed q04 3x).

@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (array<float>).
 
-Two tiers:
+Three tiers:
 - ``cosine_topk``: brute-force exact — broadcast the probe set, one pass
   over the corpus, per-probe top-k by window rank. The correctness
   baseline; at 100 TB it is one full scan, embarrassingly parallel.
@@ -8,6 +8,13 @@ Two tiers:
   signature (optionally multi-probe with single-bit flips), search only
   within colliding buckets. Sub-linear work at the cost of recall;
   same output schema, so callers can swap tiers.
+- ``ivf_topk``: inverted-file ANN — partition the corpus into nlist
+  cells by nearest centroid (a caller-supplied, typically sampled or
+  offline-trained set), search only the ``nprobe`` cells nearest each
+  probe. The cell assignment is a broadcast argmax (centroids are tiny);
+  the search is a cluster_id equi-join — no cross join anywhere, and at
+  100 TB the assignment is one map-side pass while the probe join moves
+  only the probed cells' vectors.
 
 Vector math uses zip_with/aggregate (JVM-side) in double precision.
 """
@@ -117,6 +124,72 @@ def lsh_ann_topk(corpus: DataFrame, probes: DataFrame, dim: int, k: int = 10,
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
             .drop("rn"))
+
+
+def ivf_assign(corpus: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               cent_id_col: str = "cent_id", cent_vec_col: str = "embedding",
+               score_round: int = 6) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid by cosine
+    (rounded to ``score_round`` decimals so cross-engine summation order
+    can't flip near-ties; centroid id breaks exact ties). Output: the
+    corpus columns plus ``cluster_id``. Centroids are broadcast — the
+    assignment is a map-side pass over the corpus."""
+    c = corpus.select(F.col(id_col), as_double(vec_col).alias("__v"))
+    c = c.withColumn("__n", l2_norm(F.col("__v")))
+    cents = centroids.select(F.col(cent_id_col).alias("__cid"),
+                             as_double(cent_vec_col).alias("__cv"))
+    cents = cents.withColumn("__cn", l2_norm(F.col("__cv")))
+    s = F.round(dot(F.col("__v"), F.col("__cv"))
+                / (F.col("__n") * F.col("__cn")), score_round)
+    w = Window.partitionBy(id_col).orderBy(F.desc("__s"), F.asc("__cid"))
+    return (c.crossJoin(F.broadcast(cents))
+            .select(id_col, "__v", "__n", "__cid", s.alias("__s"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(id_col, "__v", "__n",
+                    F.col("__cid").alias("cluster_id")))
+
+
+def ivf_topk(corpus: DataFrame, probes: DataFrame, centroids: DataFrame,
+             k: int = 10, nprobe: int = 3,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             probe_id_col: str = "query_id",
+             cent_id_col: str = "cent_id", cent_vec_col: str = "embedding",
+             score_round: int = 6) -> DataFrame:
+    """IVF approximate top-k: rank candidates exactly, but only within the
+    ``nprobe`` cells whose centroids are nearest each probe. Same output
+    schema as ``cosine_topk``/``lsh_ann_topk`` (query_id, neighbor_id,
+    cos_sim) so the tiers are drop-in swaps."""
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col,
+                          cent_id_col, cent_vec_col, score_round)
+    p = probes.select(F.col(probe_id_col), as_double(vec_col).alias("__pv"))
+    p = p.withColumn("__pn", l2_norm(F.col("__pv")))
+    cents = centroids.select(F.col(cent_id_col).alias("__cid"),
+                             as_double(cent_vec_col).alias("__cv"))
+    cents = cents.withColumn("__cn", l2_norm(F.col("__cv")))
+    ps = F.round(dot(F.col("__pv"), F.col("__cv"))
+                 / (F.col("__pn") * F.col("__cn")), score_round)
+    wp = Window.partitionBy(probe_id_col).orderBy(F.desc("__s"),
+                                                  F.asc("__cid"))
+    probed = (p.crossJoin(F.broadcast(cents))
+              .select(probe_id_col, "__cid", ps.alias("__s"))
+              .withColumn("__rn", F.row_number().over(wp))
+              .filter(F.col("__rn") <= nprobe)
+              .select(probe_id_col, F.col("__cid").alias("cluster_id")))
+    # each vector lives in exactly one cell -> the equi-join yields each
+    # (probe, vector) pair at most once; no distinct needed
+    cand = (assigned.join(F.broadcast(probed), "cluster_id")
+            .filter(F.col(id_col) != F.col(probe_id_col))
+            .join(F.broadcast(p), probe_id_col))
+    sim = dot(F.col("__pv"), F.col("__v")) / (F.col("__pn") * F.col("__n"))
+    w = Window.partitionBy(probe_id_col).orderBy(F.desc("cos_sim"),
+                                                 F.asc("neighbor_id"))
+    return (cand.select(probe_id_col, F.col(id_col).alias("neighbor_id"),
+                        sim.alias("cos_sim"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn"))
 
 
 def embedding_near_dup_pairs(df: DataFrame, dim: int,

@@ -78,6 +78,8 @@ _SPECS = [
     # embeddings / similarity
     QuerySpec("knn_bruteforce_cosine", similarity.knn_bruteforce_cosine,
               similarity.ORACLE_KNN, True),
+    QuerySpec("ivf_ann_neighbors", similarity.ivf_ann_neighbors,
+              similarity.ORACLE_IVF, False),
     QuerySpec("embedding_label_stats", similarity.embedding_label_stats,
               similarity.ORACLE_LABEL_STATS, False),
     QuerySpec("embedding_centroid_assign", similarity.embedding_centroid_assign,

@@ -74,6 +74,71 @@ WHERE rn <= {TOP_K}
 """
 
 
+NLIST = 8      # seed centroids: embeddings with vec_id < NLIST
+NPROBE = 3     # cells searched per probe
+
+
+def ivf_ann_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k (functions/similarity.ivf_topk): corpus partitioned
+    into NLIST cells by nearest seed centroid, probes search only their
+    NPROBE nearest cells via a cluster_id equi-join — the scale path next
+    to knn_bruteforce_cosine's exact scan. Seed centroids (first NLIST
+    vectors) keep the operator deterministic and SQL-expressible, so the
+    approximate result itself is oracle-checked (a trained-centroid
+    deployment swaps in a k-means table; the plan shape is identical)."""
+    from ..functions.similarity import ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents = (emb.filter(F.col("vec_id") < NLIST)
+             .select(F.col("vec_id").alias("cent_id"), "embedding"))
+    probes = (emb.filter(F.col("vec_id") < N_PROBES)
+              .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = ivf_topk(emb, probes, cents, k=TOP_K, nprobe=NPROBE)
+    return out.select("query_id", "neighbor_id",
+                      F.round(F.col("cos_sim"), 4).alias("cosine"))
+
+
+ORACLE_IVF = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings),
+cents AS (
+  SELECT vec_id AS cent_id, e AS ce, norm AS cnorm FROM e
+  WHERE vec_id < {NLIST}),
+scored AS (
+  SELECT vec_id, cent_id,
+    ROUND(list_dot_product(e.e, ce) / (norm * cnorm), 6) AS s
+  FROM e, cents),
+assigned AS (
+  SELECT vec_id, cent_id AS cluster_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        ORDER BY s DESC, cent_id ASC) AS rn FROM scored) x
+  WHERE rn = 1),
+probed AS (
+  SELECT query_id, cluster_id FROM (
+    SELECT vec_id AS query_id, cent_id AS cluster_id,
+      ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY s DESC, cent_id ASC) AS rn
+    FROM scored WHERE vec_id < {N_PROBES}) x
+  WHERE rn <= {NPROBE}),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM assigned a JOIN probed p ON a.cluster_id = p.cluster_id
+  WHERE a.vec_id <> p.query_id),
+sc AS (
+  SELECT c.query_id, c.neighbor_id,
+    list_dot_product(q.e, n.e) / (q.norm * n.norm) AS cos_sim
+  FROM cand c
+  JOIN e q ON q.vec_id = c.query_id
+  JOIN e n ON n.vec_id = c.neighbor_id)
+SELECT query_id, neighbor_id, ROUND(cos_sim, 4) AS cosine
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY cos_sim DESC, neighbor_id ASC) AS rn FROM sc) x
+WHERE rn <= {TOP_K}
+"""
+
+
 def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector stats: count + mean L2 norm (rounded pre-avg so the
     avg is over identical doubles in both engines)."""
