@@ -351,6 +351,32 @@ class DuckLakeSession:
         from .operators.cdc import table_deletions
         return table_deletions(self, name, start, end)
 
+    def delete_from(self, name: str, condition) -> int:
+        """DELETE FROM name WHERE condition (str SQL expr or Column) —
+        merge-on-read: writes cumulative positional-delete parquet per
+        touched file, registered with supersedence in one snapshot
+        (operators/dml.py). Returns rows deleted."""
+        from .operators.dml import delete_rows
+        return delete_rows(self, name, condition)
+
+    def update_where(self, name: str, assignments: dict,
+                     condition=None) -> int:
+        """UPDATE name SET assignments WHERE condition — MOR delete of
+        matched positions + append of rewritten rows (fresh rowids, the
+        DuckLake update contract), one snapshot. Returns rows updated."""
+        from .operators.dml import update_rows
+        return update_rows(self, name, assignments, condition)
+
+    def merge_into(self, target: str, source: DataFrame, on: list[str],
+                   when_matched_update=None, when_matched_delete=False,
+                   when_not_matched_insert=True) -> dict:
+        """MERGE INTO target USING source ON keys (sql/merge/ corpus
+        shape): update/delete matches, insert unmatched source rows, one
+        snapshot. See operators/dml.merge_rows for the contract."""
+        from .operators.dml import merge_rows
+        return merge_rows(self, target, source, on, when_matched_update,
+                          when_matched_delete, when_not_matched_insert)
+
     def compact(self, name: str, single_file: bool = True,
                 preserve_rowids: bool = True) -> int:
         """Rewrite a table's live data (deletes applied) into fresh clean

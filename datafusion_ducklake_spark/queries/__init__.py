@@ -120,6 +120,8 @@ _SPECS = [
               ducklake_gate.ORACLE_MOR_AGG, True),
     QuerySpec("ducklake_pruned_scan_agg", ducklake_gate.ducklake_pruned_scan_agg,
               ducklake_gate.ORACLE_PRUNED_AGG, False),
+    QuerySpec("ducklake_dml_agg", ducklake_gate.ducklake_dml_agg,
+              ducklake_gate.ORACLE_DML_AGG, False),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

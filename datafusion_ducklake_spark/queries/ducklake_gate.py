@@ -165,6 +165,65 @@ FROM lineitem WHERE l_linenumber <> 1 GROUP BY l_returnflag
 """
 
 
+def _build_dml_catalog(spark: SparkSession, sf_dir: str) -> str:
+    """Create (once per sf_dir) a catalog whose table is produced by OUR
+    full DML cycle: CTAS from the driver's orders parquet, then
+    delete_from (MOR positional-delete write), then update_where (delete
+    + rewrite append) — so the gate checks the artifacts this engine
+    WRITES, not just the ones it reads."""
+    import shutil
+
+    from ..catalog import DuckLakeSession
+    from ..metadata.writer import CatalogWriter
+
+    tag = hashlib.md5((sf_dir + "/dml-v1").encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"ducklake_dml_{tag}")
+    db = os.path.join(root, "catalog.sqlite")
+    done = os.path.join(root, ".done")
+    if os.path.exists(done):
+        return db
+    if os.path.exists(root):           # half-built leftovers: start over
+        shutil.rmtree(root)
+    os.makedirs(root)
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=os.path.join(root, "lake"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    src = (spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+           .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    dl.create_table("main.dml_orders", src)
+    dl.delete_from("main.dml_orders", "o_orderkey % 7 = 0")
+    dl.update_where("main.dml_orders",
+                    {"o_totalprice": "o_totalprice * 2"},
+                    "o_orderstatus = 'F'")
+    with open(done, "w") as f:
+        f.write("ok")
+    return db
+
+
+def ducklake_dml_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a table shaped by our own DELETE + UPDATE (MOR
+    artifacts written by operators/dml.py); the oracle recomputes the
+    same final state from the base table with predicate logic."""
+    from ..catalog import DuckLakeSession
+    dl = DuckLakeSession(spark, _build_dml_catalog(spark, sf_dir))
+    return (dl.table("main.dml_orders")
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("o_totalprice").alias("sum_price")))
+
+
+ORACLE_DML_AGG = """
+SELECT o_orderstatus, COUNT(*) AS n,
+  CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+                     ELSE o_totalprice END AS DECIMAL(38,6))) AS DOUBLE)
+    AS sum_price
+FROM orders
+WHERE o_orderkey % 7 <> 0
+GROUP BY o_orderstatus
+"""
+
+
 def ducklake_pruned_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate over a PRUNED multi-file scan: catalog min/max stats drop
     the files whose l_orderkey range falls below the cutoff before any

@@ -1,0 +1,178 @@
+"""MOR DML tests: DELETE / UPDATE / MERGE INTO (operators/dml.py).
+
+Round-trip checks run through our own scan AND through DuckDB reading the
+registered parquet + delete files directly (the artifacts must be
+readable by the other engine — that's the DuckLake contract), plus CDC
+and time-travel interactions.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from datafusion_ducklake_spark.catalog import DuckLakeSession
+from datafusion_ducklake_spark.errors import InvalidConfig
+from datafusion_ducklake_spark.metadata.writer import CatalogWriter
+
+
+@pytest.fixture()
+def dl(spark, tmp_path):
+    db = str(tmp_path / "catalog.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake"))
+    w.close()
+    session = DuckLakeSession(spark, db)
+    df = spark.createDataFrame(
+        [(i, chr(ord("a") + i % 5), i * 1.5) for i in range(20)],
+        "id INT, tag STRING, v DOUBLE")
+    session.create_table("main.t", df)
+    return session
+
+
+def _ids(session, name="main.t"):
+    return sorted(r["id"] for r in session.table(name).collect())
+
+
+def test_delete_basic(dl):
+    n = dl.delete_from("main.t", "id % 3 = 0")
+    assert n == 7                      # 0,3,6,9,12,15,18
+    assert _ids(dl) == [i for i in range(20) if i % 3 != 0]
+
+
+def test_delete_is_cumulative_and_superseding(dl):
+    dl.delete_from("main.t", "id < 5")
+    n2 = dl.delete_from("main.t", "id >= 15")
+    assert n2 == 5
+    assert _ids(dl) == list(range(5, 15))
+    # exactly one LIVE delete file per touched data file, cumulative count
+    handle = dl.table_handle("main.t")
+    dels = [f.delete_file for f in handle._raw_files
+            if f.delete_file is not None]
+    assert sum(d.delete_count for d in dels) == 10
+
+
+def test_delete_artifacts_read_back_in_duckdb(dl, tmp_path):
+    """DuckDB applying (file_path, pos) anti-join over our artifacts sees
+    the same surviving rows — cross-engine on-disk contract."""
+    dl.delete_from("main.t", "tag = 'a'")
+    handle = dl.table_handle("main.t")
+    con = duckdb.connect()
+    survivors = set()
+    for f in handle._raw_files:
+        data = os.path.join(handle.table_path, f.path)
+        if f.delete_file is None:
+            rows = con.sql(f"SELECT id FROM read_parquet('{data}')").fetchall()
+        else:
+            dpath = os.path.join(handle.table_path, f.delete_file.path)
+            rows = con.sql(f"""
+                SELECT id FROM (
+                  SELECT *, row_number() OVER () - 1 AS pos
+                  FROM read_parquet('{data}')) d
+                WHERE pos NOT IN (
+                  SELECT pos FROM read_parquet('{dpath}'))
+            """).fetchall()
+        survivors.update(r[0] for r in rows)
+    con.close()
+    assert sorted(survivors) == _ids(dl)
+
+
+def test_delete_zero_matches_is_noop(dl):
+    before = [s.snapshot_id for s in dl.provider.list_snapshots()]
+    assert dl.delete_from("main.t", "id > 1000") == 0
+    after = [s.snapshot_id for s in dl.provider.list_snapshots()]
+    assert before == after             # no empty snapshot
+
+
+def test_delete_time_travel(dl):
+    snap = dl.provider.get_current_snapshot()
+    dl.delete_from("main.t", "id < 10")
+    old = DuckLakeSession(dl.spark, dl.catalog_path, snapshot_id=snap)
+    assert sorted(r["id"] for r in old.table("main.t").collect()) == \
+        list(range(20))
+    assert _ids(dl) == list(range(10, 20))
+
+
+def test_delete_shows_in_cdc(dl):
+    start = dl.provider.get_current_snapshot()
+    dl.delete_from("main.t", "id = 7")
+    end = dl.provider.get_current_snapshot()
+    dels = dl.table_deletions("main.t", start, end).collect()
+    assert [r["id"] for r in dels] == [7]
+
+
+def test_update_basic(dl):
+    n = dl.update_where("main.t", {"v": "v * 10"}, "id < 3")
+    assert n == 3
+    got = {r["id"]: r["v"] for r in dl.table("main.t").collect()}
+    assert got[0] == 0.0 and got[1] == 15.0 and got[2] == 30.0
+    assert got[5] == 7.5               # untouched row keeps its value
+    assert len(got) == 20              # row count preserved
+
+
+def test_update_unknown_column_rejected(dl):
+    with pytest.raises(InvalidConfig):
+        dl.update_where("main.t", {"nope": "1"}, "id = 1")
+
+
+def test_update_after_delete_only_touches_live_rows(dl):
+    dl.delete_from("main.t", "id >= 10")
+    n = dl.update_where("main.t", {"tag": "'z'"}, "id % 2 = 0")
+    assert n == 5                      # 0,2,4,6,8 — not the deleted evens
+    tags = {r["id"]: r["tag"] for r in dl.table("main.t").collect()}
+    assert all(tags[i] == "z" for i in (0, 2, 4, 6, 8))
+    assert len(tags) == 10
+
+
+def test_merge_update_insert(dl, spark):
+    source = spark.createDataFrame(
+        [(1, "upd", 100.0), (2, "upd", 200.0), (50, "new", 500.0)],
+        "id INT, tag STRING, v DOUBLE")
+    counts = dl.merge_into("main.t", source, on=["id"],
+                           when_matched_update="source")
+    assert counts == {"updated": 2, "deleted": 0, "inserted": 1}
+    got = {r["id"]: (r["tag"], r["v"]) for r in dl.table("main.t").collect()}
+    assert got[1] == ("upd", 100.0)
+    assert got[2] == ("upd", 200.0)
+    assert got[50] == ("new", 500.0)
+    assert len(got) == 21
+
+
+def test_merge_delete_matches(dl, spark):
+    source = spark.createDataFrame([(3,), (4,), (99,)], "id INT")
+    counts = dl.merge_into("main.t", source, on=["id"],
+                           when_matched_delete=True,
+                           when_not_matched_insert=False)
+    assert counts["deleted"] == 2 and counts["inserted"] == 0
+    assert _ids(dl) == [i for i in range(20) if i not in (3, 4)]
+
+
+def test_merge_insert_only(dl, spark):
+    source = spark.createDataFrame(
+        [(5, "x", 0.0), (30, "x", 1.0)], "id INT, tag STRING, v DOUBLE")
+    counts = dl.merge_into("main.t", source, on=["id"])
+    assert counts == {"updated": 0, "deleted": 0, "inserted": 1}
+    assert 30 in _ids(dl)
+    got = {r["id"]: r["tag"] for r in dl.table("main.t").collect()}
+    assert got[5] != "x"               # match left untouched
+
+
+def test_merge_custom_update_expr(dl, spark):
+    source = spark.createDataFrame([(1, 5.0)], "id INT, bump DOUBLE")
+    counts = dl.merge_into(
+        "main.t", source, on=["id"],
+        when_matched_update={"v": "v + src.bump"},
+        when_not_matched_insert=False)
+    assert counts["updated"] == 1
+    got = {r["id"]: r["v"] for r in dl.table("main.t").collect()}
+    assert got[1] == 1.5 + 5.0
+
+
+def test_update_preserves_sql_view_consistency(dl):
+    dl.update_where("main.t", {"v": "0.0"}, "tag = 'b'")
+    dl.register_views()
+    n = dl.sql("SELECT count(*) AS n FROM t WHERE v = 0.0").collect()[0]["n"]
+    # tag 'b' rows: ids 1,6,11,16 (4 rows) + id 0 (v=0.0 originally)
+    assert n == 5
