@@ -67,6 +67,10 @@ _SPECS = [
               events.ORACLE_DAU, False),
     QuerySpec("events_sessionize", events.events_sessionize,
               events.ORACLE_SESSIONIZE, True),
+    QuerySpec("events_dedup_summary", events.events_dedup_summary,
+              events.ORACLE_EVENTS_DEDUP, False),
+    QuerySpec("events_click_attribution", events.events_click_attribution,
+              events.ORACLE_CLICK_ATTRIBUTION, False),
     # documents / text pipeline
     QuerySpec("doc_token_stats", documents.doc_token_stats, documents.ORACLE_TOKEN_STATS, True),
     QuerySpec("doc_quality_scores", documents.doc_quality_scores, documents.ORACLE_QUALITY, False),

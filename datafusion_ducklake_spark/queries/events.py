@@ -154,3 +154,55 @@ SELECT strftime(ts, '%Y-%m-%d') AS day,
 FROM events
 GROUP BY 1
 """
+
+
+def events_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/dedup_join.dedup_stream: exact dedup on
+    (user_id, event_type, ts) keeping the lowest event_id, then a per-type
+    survivor count — the metric a streaming-ingest dedup stage reports."""
+    from pyspark.sql.window import Window
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type", "ts").orderBy("event_id")
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_unique")))
+
+
+ORACLE_EVENTS_DEDUP = """
+SELECT event_type, COUNT(*) AS n_unique
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type, ts
+        ORDER BY event_id) AS rn FROM events) x
+WHERE rn = 1
+GROUP BY event_type
+"""
+
+
+def events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/dedup_join.click_attribution_stream: per
+    purchase, the number of same-user clicks in the preceding hour (LEFT
+    join keeps zero-click purchases deterministic). Equi user_id + time
+    range -> a sort-merge range join partitioned on user_id at scale."""
+    ev = load_events(spark, sf_dir)
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")))
+    cond = ((F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")))
+    return (p.join(c, cond, "left")
+            .groupBy("purchase_id")
+            .agg(F.count(F.col("c_user")).alias("n_clicks")))
+
+
+ORACLE_CLICK_ATTRIBUTION = """
+SELECT p.event_id AS purchase_id, COUNT(c.user_id) AS n_clicks
+FROM events p
+LEFT JOIN events c
+  ON c.event_type = 'click' AND c.user_id = p.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+"""

@@ -158,3 +158,60 @@ def test_stream_inserts_rejects_rewritten_tables(spark, fresh_dl):
     fresh_dl.insert_into("main.evo", df, overwrite=True)
     with pytest.raises(InvalidConfig, match="append-only"):
         cdc_source.stream_inserts(fresh_dl, "main.evo")
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    from datafusion_ducklake_spark.streaming import dedup_join
+    src = str(tmp_path / "dd_src")
+    rows = [(1, "2024-01-01 00:00:00", 10, "click", 1.0, None),
+            (2, "2024-01-01 00:00:00", 10, "click", 1.0, None),  # dup of 1
+            (3, "2024-01-01 00:05:00", 10, "click", 2.0, None),
+            (4, "2024-01-01 00:05:00", 11, "view", 3.0, None)]
+    df = spark.createDataFrame(
+        rows, "event_id BIGINT, ts_s STRING, user_id BIGINT, "
+              "event_type STRING, value DOUBLE, props STRING") \
+        .select("event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+                "user_id", "event_type", "value", "props")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = dedup_join.dedup_stream(stream, watermark="10 minutes")
+    q = (out.writeStream.format("memory").queryName("dd")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = sorted((r["user_id"], str(r["ts"]))
+                 for r in spark.sql("SELECT * FROM dd").collect())
+    assert got == [(10, "2024-01-01 00:00:00"),
+                   (10, "2024-01-01 00:05:00"),
+                   (11, "2024-01-01 00:05:00")]
+
+
+def test_click_attribution_stream_matches_batch(spark, tmp_path):
+    """The stream-stream interval join must produce exactly the pairs the
+    batch twin's join produces on the same data."""
+    from datafusion_ducklake_spark.streaming import dedup_join
+    src = str(tmp_path / "att_src")
+    rows = [(1, "2024-01-01 00:10:00", 1, "click", 0.0, None),
+            (2, "2024-01-01 00:50:00", 1, "purchase", 9.0, None),   # <- 1
+            (3, "2024-01-01 02:00:00", 1, "purchase", 9.0, None),   # none
+            (4, "2024-01-01 00:45:00", 2, "click", 0.0, None),
+            (5, "2024-01-01 00:55:00", 2, "click", 0.0, None),
+            (6, "2024-01-01 01:00:00", 2, "purchase", 9.0, None),   # <- 4,5
+            (7, "2024-01-01 01:00:00", 3, "view", 0.0, None)]
+    df = spark.createDataFrame(
+        rows, "event_id BIGINT, ts_s STRING, user_id BIGINT, "
+              "event_type STRING, value DOUBLE, props STRING") \
+        .select("event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+                "user_id", "event_type", "value", "props")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = dedup_join.click_attribution_stream(stream, horizon="1 hour")
+    q = (out.writeStream.format("memory").queryName("att")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "att_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r["purchase_id"], r["click_id"])
+                 for r in spark.sql("SELECT * FROM att").collect())
+    assert got == [(2, 1), (6, 4), (6, 5)]
