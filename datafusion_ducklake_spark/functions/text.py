@@ -91,3 +91,42 @@ def rolling_fingerprints(col: Column | str, window: int = 64,
                         F.greatest(F.length(c) - window + 1, F.lit(1)),
                         F.lit(stride))
     return F.transform(starts, lambda s: F.xxhash64(c.substr(s, F.lit(window))))
+
+
+def bigram_array(col: Column | str) -> Column:
+    """Adjacent-token bigrams as 'a b' strings (empty array for <2 tokens).
+    Pure Column ops — slice+zip_with, no UDF."""
+    toks = whitespace_tokens(col)
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.zip_with(F.slice(toks, 1, n - 1),
+                   F.slice(toks, F.lit(2), n - 1),
+                   lambda a, b: F.concat_ws(" ", a, b))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?\d[\d\s().-]{7,}\d"
+_PII_URL = r"https?://[^\s]+"
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-document counts of common PII / link patterns (emails, phone
+    numbers, URLs) — the detection half of a scrubbing stage. regexp_count
+    is JVM-side codegen; no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {"n_emails": F.regexp_count(c, F.lit(_PII_EMAIL)),
+            "n_phones": F.regexp_count(c, F.lit(_PII_PHONE)),
+            "n_urls": F.regexp_count(c, F.lit(_PII_URL))}
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Replace emails/phones/URLs with typed placeholder tokens — the
+    rewrite half of the scrubbing stage (order matters: URLs first, their
+    paths can contain @ and digit runs)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, _PII_URL, "<URL>")
+    c = F.regexp_replace(c, _PII_EMAIL, "<EMAIL>")
+    c = F.regexp_replace(c, _PII_PHONE, "<PHONE>")
+    return c

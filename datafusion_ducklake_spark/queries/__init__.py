@@ -103,6 +103,10 @@ _SPECS = [
               pipeline.ORACLE_STRATIFIED, False),
     QuerySpec("doc_token_deciles", pipeline.doc_token_deciles,
               pipeline.ORACLE_TOKEN_DECILES, False),
+    QuerySpec("doc_repetition_stats", pipeline.doc_repetition_stats,
+              pipeline.ORACLE_REPETITION, False),
+    QuerySpec("corpus_term_stats", pipeline.corpus_term_stats,
+              pipeline.ORACLE_TERM_STATS, False),
     QuerySpec("minhash_dup_pairs", pipeline.minhash_dup_pairs, None, False),
     QuerySpec("simhash_pairs", pipeline.simhash_pairs, None, False),
     QuerySpec("lsh_ann_neighbors", pipeline.lsh_ann_neighbors, None, False),
@@ -117,6 +121,8 @@ _SPECS = [
               dsbench.ORACLE_CB_TOP_USERS, True),
     QuerySpec("cb_daily_stats", dsbench.cb_daily_stats,
               dsbench.ORACLE_CB_DAILY, False),
+    QuerySpec("cb_value_quantiles", dsbench.cb_value_quantiles,
+              dsbench.ORACLE_CB_QUANTILES, False),
     # the DuckLake connector itself, oracle-checked through the gate
     QuerySpec("ducklake_scan_agg", ducklake_gate.ducklake_scan_agg,
               ducklake_gate.ORACLE_SCAN_AGG, True),

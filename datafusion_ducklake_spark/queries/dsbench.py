@@ -129,3 +129,26 @@ SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
 FROM events
 GROUP BY 1
 """
+
+
+def cb_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench-style exact quantiles per event_type (percentile() is
+    Spark's exact linear-interpolation aggregate; at scale swap for
+    approx_percentile — same plan shape, bounded memory)."""
+    from ._util import load_events
+    ev = load_events(spark, sf_dir)
+    q = F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))")
+    return (ev.groupBy("event_type").agg(q.alias("qs"))
+            .select("event_type",
+                    F.round(F.element_at("qs", 1), 6).alias("p50"),
+                    F.round(F.element_at("qs", 2), 6).alias("p90"),
+                    F.round(F.element_at("qs", 3), 6).alias("p99")))
+
+
+ORACLE_CB_QUANTILES = """
+SELECT event_type,
+  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+  ROUND(quantile_cont(value, 0.9), 6) AS p90,
+  ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""

@@ -251,3 +251,78 @@ SELECT decile, COUNT(*) AS n, MIN(n_tokens) AS min_tokens,
        MAX(n_tokens) AS max_tokens
 FROM d GROUP BY decile
 """
+
+
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: distinct-token ratio and
+    the fraction of bigram slots taken by the single most frequent bigram
+    (boilerplate/template detector). Bigrams explode into a (doc_id,
+    bigram) count — map-side combined, never a per-doc Python loop."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        text.whitespace_tokens("text").alias("toks"),
+        text.bigram_array("text").alias("bgs"))
+    base = toks.select(
+        "doc_id", F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"))
+    top_bg = (toks.select("doc_id", F.explode("bgs").alias("bg"))
+              .groupBy("doc_id", "bg").count()
+              .groupBy("doc_id").agg(F.max("count").alias("mx")))
+    return (base.join(top_bg, "doc_id", "left")
+            .select(
+                "doc_id", "n_tokens",
+                F.round(F.col("n_distinct").cast("double")
+                        / F.col("n_tokens"), 6).alias("distinct_ratio"),
+                F.round(F.coalesce(
+                    F.col("mx").cast("double")
+                    / (F.col("n_tokens") - 1), F.lit(0.0)), 6)
+                .alias("top_bigram_frac")))
+
+
+ORACLE_REPETITION = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents),
+n AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct FROM t),
+b AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i + 1])) AS bg
+  FROM t),
+bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY doc_id, bg),
+mb AS (SELECT doc_id, MAX(c) AS mx FROM bc GROUP BY doc_id)
+SELECT n.doc_id, n.n_tokens,
+  ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_ratio,
+  ROUND(COALESCE(CAST(mx AS DOUBLE) / (n_tokens - 1), 0.0), 6)
+    AS top_bigram_frac
+FROM n LEFT JOIN mb ON n.doc_id = mb.doc_id
+"""
+
+
+def corpus_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-20 terms by document frequency (the
+    df side of TF-IDF). explode -> two-level agg; the term key is
+    high-cardinality but uniform, and partial aggregation collapses the
+    per-partition counts before the shuffle."""
+    docs = _docs(spark, sf_dir)
+    terms = docs.select(
+        "doc_id", F.explode(text.whitespace_tokens("text")).alias("term"))
+    return (terms.groupBy("term")
+            .agg(F.countDistinct("doc_id").alias("doc_freq"),
+                 F.count(F.lit(1)).alias("term_freq"))
+            .orderBy(F.desc("doc_freq"), F.desc("term_freq"), F.asc("term"))
+            .limit(20))
+
+
+ORACLE_TERM_STATS = r"""
+SELECT term, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS term_freq
+FROM (SELECT doc_id,
+        unnest(string_split_regex(trim(text), '\s+')) AS term
+      FROM documents) x
+GROUP BY term
+ORDER BY doc_freq DESC, term_freq DESC, term ASC
+LIMIT 20
+"""

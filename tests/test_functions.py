@@ -194,3 +194,38 @@ class TestMultimodal:
         rows = out.orderBy("frame_idx").collect()
         assert [r["ts_ms"] for r in rows] == [0, 1000, 2000, 3000]
         assert all(r["media_id"] == 3 for r in rows)
+
+
+def test_pii_counts_and_scrub(spark):
+    from datafusion_ducklake_spark.functions import text as T
+    from pyspark.sql import functions as F
+    rows = [
+        (1, "contact me at jane.doe@example.com or +1 (555) 123-4567 ok"),
+        (2, "see https://example.com/a?b=c and http://x.org too"),
+        (3, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "id INT, text STRING")
+    counts = df.select("id", *[v.alias(k)
+                               for k, v in T.pii_counts("text").items()])
+    got = {r["id"]: (r["n_emails"], r["n_phones"], r["n_urls"])
+           for r in counts.collect()}
+    assert got[1] == (1, 1, 0)
+    assert got[2] == (0, 0, 2)
+    assert got[3] == (0, 0, 0)
+    scrubbed = {r["id"]: r["s"] for r in
+                df.select("id", T.scrub_pii("text").alias("s")).collect()}
+    assert "<EMAIL>" in scrubbed[1] and "<PHONE>" in scrubbed[1]
+    assert scrubbed[2].count("<URL>") == 2
+    assert "@" not in scrubbed[1]
+    assert scrubbed[3] == "no pii here at all"
+
+
+def test_bigram_array(spark):
+    from datafusion_ducklake_spark.functions import text as T
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([(1, "a b c"), (2, "solo"), (3, "")],
+                               "id INT, text STRING")
+    got = {r["id"]: r["b"] for r in
+           df.select("id", T.bigram_array("text").alias("b")).collect()}
+    assert got[1] == ["a b", "b c"]
+    assert got[2] == []
