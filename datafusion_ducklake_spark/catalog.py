@@ -22,7 +22,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .errors import SchemaNotFound, TableNotFound
+from .errors import InvalidConfig, SchemaNotFound, TableNotFound
 from .metadata.provider import (ColumnMeta, MetadataProvider, SchemaMeta,
                                 TableMeta, provider_for)
 from .paths import PathResolver, to_spark_uri
@@ -301,9 +301,104 @@ class DuckLakeSession:
 
         return self._CDC_CALL.sub(sub, query)
 
+    # -- SQL-callable DML (simple single-statement forms; the corpus
+    #    drives DML through SQL, sql/delete/ sql/update/ sql/insert/) ----
+
+    _DELETE_RE = re.compile(
+        r"^\s*DELETE\s+FROM\s+([A-Za-z_][\w.]*)"
+        r"(?:\s+WHERE\s+(.*?))?\s*;?\s*$", re.I | re.S)
+    _UPDATE_RE = re.compile(
+        r"^\s*UPDATE\s+([A-Za-z_][\w.]*)\s+SET\s+(.*?)"
+        r"(?:\s+WHERE\s+(.*?))?\s*;?\s*$", re.I | re.S)
+    _INSERT_RE = re.compile(
+        r"^\s*INSERT\s+INTO\s+([A-Za-z_][\w.]*)\s*"
+        r"(?:\(([^)]*)\)\s*)?(VALUES\s*\(.*|SELECT\s.*?)\s*;?\s*$",
+        re.I | re.S)
+
+    @staticmethod
+    def _split_top_level(s: str, sep: str = ",") -> list[str]:
+        """Split on ``sep`` outside quotes/parens (SET-clause commas can
+        appear inside function calls and string literals)."""
+        parts, depth, cur, quote = [], 0, [], None
+        for ch in s:
+            if quote:
+                cur.append(ch)
+                if ch == quote:
+                    quote = None
+            elif ch in ("'", '"'):
+                quote = ch
+                cur.append(ch)
+            elif ch in "([":
+                depth += 1
+                cur.append(ch)
+            elif ch in ")]":
+                depth -= 1
+                cur.append(ch)
+            elif ch == sep and depth == 0:
+                parts.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+        if cur:
+            parts.append("".join(cur).strip())
+        return parts
+
+    def _count_df(self, n: int) -> DataFrame:
+        """DML statements return a 1-row count batch, the reference's
+        INSERT convention (insert_exec.rs:24-31)."""
+        return self.spark.createDataFrame([(n,)], "count BIGINT")
+
+    def _try_dml(self, query: str) -> Optional[DataFrame]:
+        m = self._DELETE_RE.match(query)
+        if m:
+            return self._count_df(
+                self.delete_from(m.group(1), m.group(2) or "true"))
+        m = self._UPDATE_RE.match(query)
+        if m:
+            assignments = {}
+            for part in self._split_top_level(m.group(2)):
+                col, _, expr = part.partition("=")
+                if not _:
+                    raise InvalidConfig(f"UPDATE: bad SET clause {part!r}")
+                assignments[col.strip()] = expr.strip()
+            return self._count_df(
+                self.update_where(m.group(1), assignments, m.group(3)))
+        m = self._INSERT_RE.match(query)
+        if m:
+            name, col_list, body = m.group(1), m.group(2), m.group(3)
+            if body.lstrip().upper().startswith("VALUES"):
+                df = self.spark.sql(f"SELECT * FROM ({body})")
+            else:
+                df = self.sql(body)
+            handle = self.table_handle(name)
+            target_cols = [c.column_name for c in handle.columns]
+            if col_list:
+                names = [c.strip() for c in col_list.split(",")]
+                if sorted(names) != sorted(target_cols):
+                    raise InvalidConfig(
+                        "INSERT: explicit column list must cover every "
+                        f"table column ({target_cols})")
+            else:
+                names = target_cols
+            if len(df.columns) != len(names):
+                raise InvalidConfig(
+                    f"INSERT: {len(df.columns)} values for "
+                    f"{len(names)} columns")
+            # cast to the table's types — SQL literals otherwise shift
+            # them (VALUES (1.0) parses as DECIMAL(2,1), not DOUBLE)
+            from pyspark.sql import functions as F
+            types = {f.name: f.dataType for f in handle.spark_schema.fields}
+            df = df.toDF(*names).select(
+                *[F.col(c).cast(types[c]).alias(c) for c in target_cols])
+            return self._count_df(self.insert_into(name, df))
+        return None
+
     def sql(self, query: str) -> DataFrame:
         if not self._view_rewrites:
             self.register_views()
+        dml = self._try_dml(query)
+        if dml is not None:
+            return dml
         query = self._resolve_cdc_calls(query)
         return self.spark.sql(
             self._rewrite_outside_literals(query, self._view_rewrites))

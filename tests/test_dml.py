@@ -176,3 +176,41 @@ def test_update_preserves_sql_view_consistency(dl):
     n = dl.sql("SELECT count(*) AS n FROM t WHERE v = 0.0").collect()[0]["n"]
     # tag 'b' rows: ids 1,6,11,16 (4 rows) + id 0 (v=0.0 originally)
     assert n == 5
+
+
+def test_sql_delete(dl):
+    out = dl.sql("DELETE FROM main.t WHERE id < 5").collect()
+    assert out[0]["count"] == 5
+    assert _ids(dl) == list(range(5, 20))
+
+
+def test_sql_update(dl):
+    out = dl.sql("UPDATE t SET v = v + 1, tag = upper(tag) WHERE id = 7").collect()
+    assert out[0]["count"] == 1
+    got = {r["id"]: (r["tag"], r["v"]) for r in dl.table("main.t").collect()}
+    assert got[7] == ("C", 11.5)       # 7 % 5 = 2 -> 'c'; v = 10.5 + 1
+
+
+def test_sql_insert_values(dl):
+    out = dl.sql("INSERT INTO main.t VALUES (100, 'q', 1.0)").collect()
+    assert out[0]["count"] == 1
+    assert 100 in _ids(dl)
+
+
+def test_sql_insert_select(dl):
+    out = dl.sql(
+        "INSERT INTO t SELECT id + 200, tag, v FROM t WHERE id < 2").collect()
+    assert out[0]["count"] == 2
+    ids = _ids(dl)
+    assert 200 in ids and 201 in ids and len(ids) == 22
+
+
+def test_sql_delete_without_where_deletes_all(dl):
+    dl.sql("DELETE FROM main.t")
+    assert _ids(dl) == []
+
+
+def test_sql_select_still_works_after_dml(dl):
+    dl.sql("DELETE FROM main.t WHERE id >= 10")
+    n = dl.sql("SELECT count(*) AS n FROM main.t").collect()[0]["n"]
+    assert n == 10
