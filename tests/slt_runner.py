@@ -12,6 +12,10 @@ and results must match exactly (sorted, type-normalized).
 
 File dialect (subset of sqllogictest):
     statement ok          -- next lines (to blank) run as a write
+    statement engine      -- the ENGINE executes the write (dl.sql DML);
+                             resulting table state syncs back into DuckDB
+                             (the reverse seam — exercises OUR delete/
+                             update/insert paths inside the corpus)
     query                 -- next lines (to blank) = SELECT, run on both
     compact <table>       -- engine-side maintenance (DuckLakeSession.compact)
     snapshot <name>       -- record the current catalog snapshot id AND
@@ -66,11 +70,13 @@ def parse_slt(path: str) -> list[SltCase]:
             i += 1
             continue
         m = re.fullmatch(r"query at (\w+)", line)
-        if line in ("statement ok", "query", "query_engine") or m:
+        if line in ("statement ok", "query", "query_engine",
+                    "statement engine") or m:
             if m:
                 kind, arg = "query_at", m.group(1)
             else:
                 kind = {"statement ok": "statement", "query": "query",
+                        "statement engine": "statement_engine",
                         "query_engine": "query_engine"}[line]
                 arg = ""
             start = i + 1
@@ -173,6 +179,17 @@ class HybridRunner:
             finally:
                 self.duck.execute("SET search_path = 'main'")
             self._compare(case, ours, theirs)
+        elif case.kind == "statement_engine":
+            self.dl.sql(case.sql)          # our DML path writes the lake
+            self.dl.refresh()
+            self.dl.register_views()
+            for tbl in dict.fromkeys(_TABLE_RE.findall(case.sql)):
+                arrow = self.dl.table(f"main.{tbl}").toArrow()
+                self.duck.register("__engine_sync", arrow)
+                self.duck.execute(
+                    f'CREATE OR REPLACE TABLE "{tbl}" AS '
+                    "SELECT * FROM __engine_sync")
+                self.duck.unregister("__engine_sync")
         elif case.kind == "query_engine":
             # (re-)register at the current snapshot — the UDTF closures
             # capture snapshot_id at registration time
