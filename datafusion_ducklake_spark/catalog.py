@@ -314,6 +314,11 @@ class DuckLakeSession:
         r"^\s*INSERT\s+INTO\s+([A-Za-z_][\w.]*)\s*"
         r"(?:\(([^)]*)\)\s*)?(VALUES\s*\(.*|SELECT\s.*?)\s*;?\s*$",
         re.I | re.S)
+    _ALTER_RE = re.compile(
+        r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+"
+        r"(?:RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)"
+        r"|ADD\s+COLUMN\s+(\w+)\s+([\w()]+)"
+        r"|DROP\s+COLUMN\s+(\w+))\s*;?\s*$", re.I)
 
     @staticmethod
     def _split_top_level(s: str, sep: str = ",") -> list[str]:
@@ -363,6 +368,16 @@ class DuckLakeSession:
                 assignments[col.strip()] = expr.strip()
             return self._count_df(
                 self.update_where(m.group(1), assignments, m.group(3)))
+        m = self._ALTER_RE.match(query)
+        if m:
+            name = m.group(1)
+            if m.group(2):
+                self.rename_column(name, m.group(2), m.group(3))
+            elif m.group(4):
+                self.add_column(name, m.group(4), m.group(5).lower())
+            else:
+                self.drop_column(name, m.group(6))
+            return self._count_df(0)
         m = self._INSERT_RE.match(query)
         if m:
             name, col_list, body = m.group(1), m.group(2), m.group(3)
@@ -445,6 +460,68 @@ class DuckLakeSession:
     def table_deletions(self, name: str, start: int, end: int) -> DataFrame:
         from .operators.cdc import table_deletions
         return table_deletions(self, name, start, end)
+
+    # -- metadata-only ALTER TABLE (sql/alter/ corpus; zero file I/O) ----
+
+    def _alter_columns(self, name: str, cols) -> None:
+        from .table_writer import _catalog_writer
+        handle = self.table_handle(name)
+        writer = _catalog_writer(self)
+        try:
+            writer.version_columns(handle.meta.table_id, cols)
+        finally:
+            writer.close()
+        self.refresh()
+
+    def rename_column(self, name: str, old: str, new: str) -> None:
+        """ALTER TABLE name RENAME COLUMN old TO new — metadata-only: the
+        column keeps its column_id (== parquet field id), so every
+        existing file resolves under the new name with zero rewrites (the
+        same mechanism as reading DuckDB-renamed catalogs, A3)."""
+        from .metadata.writer import ColumnDef
+        handle = self.table_handle(name)
+        names = [c.column_name for c in handle.columns]
+        if old not in names:
+            raise InvalidConfig(f"rename_column: no column {old!r} in {name}")
+        if new in names:
+            raise InvalidConfig(f"rename_column: {new!r} already exists")
+        self._alter_columns(name, [
+            (c.column_id, ColumnDef(new if c.column_name == old
+                                    else c.column_name,
+                                    c.column_type, c.nulls_allowed))
+            for c in handle.columns])
+
+    def add_column(self, name: str, col_name: str, col_type: str) -> None:
+        """ALTER TABLE name ADD COLUMN — metadata-only; existing files
+        lack the new field id and read back NULL (so the column is
+        always nullable). ``col_type`` is a DuckLake type name."""
+        from .metadata.writer import ColumnDef
+        from .types import ducklake_to_spark_type
+        ducklake_to_spark_type(col_type)        # validate early
+        handle = self.table_handle(name)
+        if col_name in [c.column_name for c in handle.columns]:
+            raise InvalidConfig(f"add_column: {col_name!r} already exists")
+        cols = [(c.column_id, ColumnDef(c.column_name, c.column_type,
+                                        c.nulls_allowed))
+                for c in handle.columns]
+        cols.append((None, ColumnDef(col_name, col_type, True)))
+        self._alter_columns(name, cols)
+
+    def drop_column(self, name: str, col_name: str) -> None:
+        """ALTER TABLE name DROP COLUMN — metadata-only; the data stays
+        in the files but no longer projects (and time travel before the
+        drop still sees it)."""
+        from .metadata.writer import ColumnDef
+        handle = self.table_handle(name)
+        names = [c.column_name for c in handle.columns]
+        if col_name not in names:
+            raise InvalidConfig(f"drop_column: no column {col_name!r}")
+        if len(names) == 1:
+            raise InvalidConfig("drop_column: cannot drop the last column")
+        self._alter_columns(name, [
+            (c.column_id, ColumnDef(c.column_name, c.column_type,
+                                    c.nulls_allowed))
+            for c in handle.columns if c.column_name != col_name])
 
     def delete_from(self, name: str, condition) -> int:
         """DELETE FROM name WHERE condition (str SQL expr or Column) —

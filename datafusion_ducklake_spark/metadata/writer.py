@@ -362,6 +362,40 @@ class CatalogWriter:
 
             return WriteSetup(sid, schema_id, table_id, column_ids)
 
+    def version_columns(self, table_id: int,
+                        cols: list[tuple[Optional[int], "ColumnDef"]]) -> int:
+        """Write a new column version for the table in a fresh snapshot:
+        end the current column rows, insert the given ones (keeping the
+        provided column_ids — field-id stability across renames; None
+        assigns a fresh id). The mechanism behind metadata-only ALTER
+        TABLE (rename/add/drop column): zero data files move, old files
+        keep resolving by field id. Returns the new snapshot id."""
+        if not cols:
+            raise InvalidConfig("Table must have at least one column")
+        for _, col in cols:
+            validate_name(col.name, "Column")
+        with self._txn() as cur:
+            sid = self._next_id(cur, "ducklake_snapshot", "snapshot_id")
+            cur.execute(
+                "INSERT INTO ducklake_snapshot (snapshot_id, snapshot_time) "
+                "VALUES (?, CURRENT_TIMESTAMP)", (sid,))
+            cur.execute(
+                "UPDATE ducklake_column SET end_snapshot = ? "
+                "WHERE table_id = ? AND end_snapshot IS NULL",
+                (sid, table_id))
+            next_col_id = self._next_id(cur, "ducklake_column", "column_id")
+            for order, (cid, col) in enumerate(cols):
+                if cid is None:
+                    cid = next_col_id
+                    next_col_id += 1
+                cur.execute(
+                    "INSERT INTO ducklake_column (column_id, table_id, "
+                    "column_name, column_type, column_order, nulls_allowed, "
+                    "begin_snapshot) VALUES (?, ?, ?, ?, ?, ?, ?)",
+                    (cid, table_id, col.name, col.ducklake_type, order,
+                     col.is_nullable, sid))
+            return sid
+
     def register_data_file(self, table_id: int, snapshot_id: int,
                            file: DataFileInfo) -> int:
         with self._txn() as cur:
