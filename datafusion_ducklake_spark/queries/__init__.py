@@ -69,6 +69,8 @@ _SPECS = [
               events.ORACLE_SESSIONIZE, True),
     QuerySpec("events_dedup_summary", events.events_dedup_summary,
               events.ORACLE_EVENTS_DEDUP, False),
+    QuerySpec("events_value_ranks", events.events_value_ranks,
+              events.ORACLE_VALUE_RANKS, False),
     QuerySpec("events_click_attribution", events.events_click_attribution,
               events.ORACLE_CLICK_ATTRIBUTION, False),
     # documents / text pipeline
@@ -88,6 +90,8 @@ _SPECS = [
               similarity.ORACLE_LABEL_STATS, False),
     QuerySpec("embedding_centroid_assign", similarity.embedding_centroid_assign,
               similarity.ORACLE_CENTROID, False),
+    QuerySpec("embedding_int8_quant", similarity.embedding_int8_quant,
+              similarity.ORACLE_INT8_QUANT, False),
     # training-data pipeline operators (functions/)
     QuerySpec("ngram_jaccard_dup_pairs", pipeline.ngram_jaccard_dup_pairs,
               pipeline.ORACLE_NGRAM_JACCARD, False),

@@ -206,3 +206,27 @@ LEFT JOIN events c
 WHERE p.event_type = 'purchase'
 GROUP BY p.event_id
 """
+
+
+def events_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-rank breadth: percent_rank / cume_dist / ntile over value
+    within each event_type (unique tiebreak on event_id keeps every rank
+    function deterministic across engines)."""
+    from pyspark.sql.window import Window
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id", "event_type",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"))
+
+
+ORACLE_VALUE_RANKS = """
+SELECT event_id, event_type,
+  ROUND(percent_rank() OVER w, 6) AS pct_rank,
+  ROUND(cume_dist() OVER w, 6) AS cume,
+  ntile(4) OVER w AS quartile
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+"""

@@ -211,3 +211,35 @@ SELECT label, c_label AS nearest_label, COUNT(*) AS n
 FROM best WHERE rn = 1
 GROUP BY label, c_label
 """
+
+
+def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per vector (the storage-shrink step of
+    an ANN index build): scale = 127 / max|x|, q = round(x * scale).
+    Pure array Columns (transform/array_max) — map-side only, no shuffle;
+    at 100 TB this runs embedded in the scan stage."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("e"))
+    amax = F.array_max(F.transform(F.col("e"), lambda x: F.abs(x)))
+    scale = F.lit(127.0) / amax
+    q = F.transform(F.col("e"),
+                    lambda x: F.round(x * scale).cast("int"))
+    return emb.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale_r"),
+        F.element_at(q, 1).alias("q0"), F.element_at(q, 2).alias("q1"),
+        F.element_at(q, 3).alias("q2"), F.element_at(q, 4).alias("q3"))
+
+
+ORACLE_INT8_QUANT = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+s AS (SELECT vec_id, e,
+        127.0 / list_max(list_transform(e, x -> abs(x))) AS scale
+      FROM e)
+SELECT vec_id, ROUND(scale, 6) AS scale_r,
+  CAST(ROUND(e[1] * scale) AS INT) AS q0,
+  CAST(ROUND(e[2] * scale) AS INT) AS q1,
+  CAST(ROUND(e[3] * scale) AS INT) AS q2,
+  CAST(ROUND(e[4] * scale) AS INT) AS q3
+FROM s
+"""
