@@ -150,3 +150,88 @@ def size_bucketed(df: DataFrame, n_buckets: int = 64) -> DataFrame:
     (large payloads cluster in upload order otherwise — stragglers)."""
     return df.repartition(n_buckets,
                           F.pmod(F.xxhash64(F.length("payload")), F.lit(n_buckets)))
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("duration_ms", T.LongType(), True),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("est_sample_rate", T.IntegerType(), True),
+    T.StructField("rms_energy", T.DoubleType(), True),
+])
+
+AUDIO_WINDOW_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("window_idx", T.IntegerType(), False),
+    T.StructField("start_ms", T.LongType(), False),
+    T.StructField("rms", T.DoubleType(), True),
+])
+
+
+def _fake_audio_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for an audio decoder (torchaudio/soundfile):
+    derives stable pseudo-features from the bytes themselves."""
+    if payload is None:
+        return {"est_sample_rate": None, "rms_energy": None}
+    n = len(payload)
+    return {"est_sample_rate": 8000 + (n % 5) * 8000,
+            "rms_energy": (sum(payload[:128]) % 10000) / 10000.0}
+
+
+def decode_audio_features(df: DataFrame,
+                          decode_fn: Optional[Callable[[bytes], dict]] = None,
+                          strict: bool = False) -> DataFrame:
+    """Audio decode + clip-level features as a mapInPandas stage (the
+    audio sibling of decode_image_features; same plug-in contract)."""
+    if strict and decode_fn is None:
+        raise NotImplementedError(
+            "No audio codec available in this environment; pass decode_fn= "
+            "with a real decoder (e.g. soundfile.read over io.BytesIO).")
+    fn = decode_fn or _fake_audio_decode
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = pdf["payload"].map(fn)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "duration_ms": pdf["duration_ms"].astype("Int64"),
+                "n_bytes": pdf["payload"].map(
+                    lambda b: len(b) if b is not None else None).astype("Int64"),
+                "est_sample_rate": feats.map(
+                    lambda d: d["est_sample_rate"]).astype("Int32"),
+                "rms_energy": feats.map(lambda d: d["rms_energy"]),
+            })
+
+    return (df.filter(F.col("kind") == "audio")
+            .select("media_id", "payload", "duration_ms")
+            .mapInPandas(batches, AUDIO_FEATURES_SCHEMA))
+
+
+def audio_window_rms(df: DataFrame, window_ms: int = 1000,
+                     window_fn: Optional[Callable] = None,
+                     strict: bool = False) -> DataFrame:
+    """Windowed audio energy: one clip → N windows (the audio analogue of
+    sample_video_frames' 1→N shape). Fake windower hashes byte slices."""
+    if strict and window_fn is None:
+        raise NotImplementedError(
+            "No audio codec available; pass window_fn= (payload, start_ms, "
+            "window_ms) -> float.")
+    fn = window_fn or (
+        lambda b, start, win: None if b is None else
+        (sum(b[(start // 10) % max(len(b), 1):][:64]) % 10000) / 10000.0)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "window_idx": [], "start_ms": [], "rms": []}
+            for _, row in pdf.iterrows():
+                dur = row["duration_ms"] or 0
+                for i, start in enumerate(range(0, int(dur), window_ms)):
+                    out["media_id"].append(row["media_id"])
+                    out["window_idx"].append(i)
+                    out["start_ms"].append(start)
+                    out["rms"].append(fn(row["payload"], start, window_ms))
+            yield pd.DataFrame(out)
+
+    return (df.filter(F.col("kind") == "audio")
+            .select("media_id", "payload", "duration_ms")
+            .mapInPandas(batches, AUDIO_WINDOW_SCHEMA))

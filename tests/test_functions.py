@@ -195,6 +195,23 @@ class TestMultimodal:
         assert [r["ts_ms"] for r in rows] == [0, 1000, 2000, 3000]
         assert all(r["media_id"] == 3 for r in rows)
 
+    def test_audio_features_plumbing(self, media):
+        out = multimodal.decode_audio_features(media)
+        rows = {r["media_id"]: r for r in out.collect()}
+        assert set(rows) == {4}
+        assert rows[4]["n_bytes"] == 104
+        assert rows[4]["duration_ms"] == 1000
+        assert rows[4]["est_sample_rate"] == 8000 + (104 % 5) * 8000
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_audio_features(media, strict=True)
+
+    def test_audio_window_rms_one_to_many(self, media):
+        out = multimodal.audio_window_rms(media, window_ms=400)
+        rows = out.orderBy("window_idx").collect()
+        assert [r["start_ms"] for r in rows] == [0, 400, 800]
+        assert all(r["media_id"] == 4 for r in rows)
+        assert all(r["rms"] is not None for r in rows)
+
 
 def test_pii_counts_and_scrub(spark):
     from datafusion_ducklake_spark.functions import text as T
