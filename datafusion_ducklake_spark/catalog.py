@@ -319,6 +319,12 @@ class DuckLakeSession:
         r"(?:RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)"
         r"|ADD\s+COLUMN\s+(\w+)\s+([\w()]+)"
         r"|DROP\s+COLUMN\s+(\w+))\s*;?\s*$", re.I)
+    _CTAS_RE = re.compile(
+        r"^\s*CREATE\s+TABLE\s+([A-Za-z_][\w.]*)\s+AS\s+(SELECT\s.*?)"
+        r"\s*;?\s*$", re.I | re.S)
+    _DROP_RE = re.compile(
+        r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)"
+        r"\s*;?\s*$", re.I)
 
     @staticmethod
     def _split_top_level(s: str, sep: str = ",") -> list[str]:
@@ -377,6 +383,19 @@ class DuckLakeSession:
                 self.add_column(name, m.group(4), m.group(5).lower())
             else:
                 self.drop_column(name, m.group(6))
+            return self._count_df(0)
+        m = self._CTAS_RE.match(query)
+        if m:
+            return self._count_df(
+                self.create_table(m.group(1), self.sql(m.group(2))))
+        m = self._DROP_RE.match(query)
+        if m:
+            ine = re.search(r"IF\s+EXISTS", query, re.I) is not None
+            try:
+                self.drop_table(m.group(1))
+            except (TableNotFound, SchemaNotFound):
+                if not ine:
+                    raise
             return self._count_df(0)
         m = self._INSERT_RE.match(query)
         if m:
@@ -460,6 +479,24 @@ class DuckLakeSession:
     def table_deletions(self, name: str, start: int, end: int) -> DataFrame:
         from .operators.cdc import table_deletions
         return table_deletions(self, name, start, end)
+
+    def drop_table(self, name: str) -> None:
+        """DROP TABLE — ends the table/columns/files in one snapshot
+        (time travel before the drop still sees everything; data files
+        stay on disk for those reads, the cleanup-orphans contract)."""
+        from .table_writer import _catalog_writer
+        handle = self.table_handle(name)
+        writer = _catalog_writer(self)
+        try:
+            writer.drop_table(handle.meta.table_id)
+        finally:
+            writer.close()
+        self.refresh()
+        schema_name, table_name = self._split(name)
+        self.spark.catalog.dropTempView(f"{schema_name}__{table_name}")
+        if schema_name == DEFAULT_SCHEMA:
+            self.spark.catalog.dropTempView(table_name)
+        self._view_rewrites.pop(f"{schema_name}.{table_name}", None)
 
     # -- metadata-only ALTER TABLE (sql/alter/ corpus; zero file I/O) ----
 

@@ -362,6 +362,26 @@ class CatalogWriter:
 
             return WriteSetup(sid, schema_id, table_id, column_ids)
 
+    def drop_table(self, table_id: int) -> int:
+        """End the table, its columns and its files in one new snapshot —
+        the table disappears from the current view, but time travel
+        before the drop still resolves everything (MVCC end_snapshot
+        semantics, same as Replace's file-ending)."""
+        with self._txn() as cur:
+            sid = self._next_id(cur, "ducklake_snapshot", "snapshot_id")
+            cur.execute(
+                "INSERT INTO ducklake_snapshot (snapshot_id, snapshot_time) "
+                "VALUES (?, CURRENT_TIMESTAMP)", (sid,))
+            for tbl, col in (("ducklake_table", "table_id"),
+                             ("ducklake_column", "table_id"),
+                             ("ducklake_data_file", "table_id"),
+                             ("ducklake_delete_file", "table_id")):
+                cur.execute(
+                    f"UPDATE {tbl} SET end_snapshot = ? "
+                    f"WHERE {col} = ? AND end_snapshot IS NULL",
+                    (sid, table_id))
+            return sid
+
     def version_columns(self, table_id: int,
                         cols: list[tuple[Optional[int], "ColumnDef"]]) -> int:
         """Write a new column version for the table in a fresh snapshot:

@@ -176,15 +176,22 @@ def column_stats_of(path: str, column_ids: dict[str, int]) -> list[tuple]:
             a = agg.setdefault(name, [0, 0, 0, None, None, False])
             a[0] += col.total_compressed_size
             a[1] += col.num_values
-            st = col.statistics
-            if st is None or not st.has_min_max:
+            try:
+                st = col.statistics
+                has = st is not None and st.has_min_max
+                mn, mx = (st.min, st.max) if has else (None, None)
+            except Exception:
+                # pyarrow can't cast stats for some physical types (e.g.
+                # FIXED_LEN_BYTE_ARRAY decimals) — record column sizes but
+                # no range; pruning treats unknown range as 'keep'
+                has = False
+            if not has:
                 a[3] = a[4] = None
                 a[5] = True                   # poison: unknown range
                 continue
             if a[5]:
                 continue
             a[2] += (st.null_count or 0)
-            mn, mx = st.min, st.max
             a[3] = mn if a[3] is None or (mn is not None and mn < a[3]) else a[3]
             a[4] = mx if a[4] is None or (mx is not None and mx > a[4]) else a[4]
     out = []

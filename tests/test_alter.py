@@ -106,3 +106,35 @@ def test_alter_interacts_with_dml(dl):
     assert n == 1
     got = {r["id"]: r["val"] for r in dl.table("main.t").collect()}
     assert got[1] == 3.0 and got[2] == 2.5
+
+
+def test_drop_table_and_time_travel(dl):
+    snap = dl.provider.get_current_snapshot()
+    dl.drop_table("main.t")
+    from datafusion_ducklake_spark.errors import TableNotFound
+    with pytest.raises(TableNotFound):
+        dl.table("main.t")
+    old = DuckLakeSession(dl.spark, dl.catalog_path, snapshot_id=snap)
+    assert old.table("main.t").count() == 2
+
+
+def test_ctas_and_drop_via_sql(dl):
+    dl.register_views()
+    out = dl.sql("CREATE TABLE main.t2 AS SELECT id, v * 2 AS v2 FROM t")
+    assert out.collect()[0]["count"] == 2
+    got = sorted((r["id"], r["v2"]) for r in dl.table("main.t2").collect())
+    assert got == [(1, 3.0), (2, 5.0)]
+    dl.sql("DROP TABLE main.t2")
+    from datafusion_ducklake_spark.errors import TableNotFound
+    with pytest.raises(TableNotFound):
+        dl.table("main.t2")
+    dl.sql("DROP TABLE IF EXISTS main.t2")   # no raise
+
+
+def test_dropped_table_view_gone_from_sql(dl):
+    dl.register_views()
+    assert dl.sql("SELECT count(*) AS n FROM t").collect()[0]["n"] == 2
+    dl.drop_table("main.t")
+    import pyspark.errors
+    with pytest.raises(Exception):
+        dl.sql("SELECT count(*) AS n FROM t").collect()

@@ -44,7 +44,13 @@ def _cell(x) -> str:
     except (TypeError, ValueError):  # arrays/lists are not isna-able
         pass
     if isinstance(x, Decimal):
-        return repr(float(x))
+        # same canon as the float branch: one engine may surface a DECIMAL
+        # column as float64 (duckdb .df()) while the other keeps Decimal —
+        # integral values must render identically on both paths
+        f = float(x)
+        if f.is_integer() and abs(f) < 2 ** 63:
+            return str(int(f))
+        return repr(f)
     if isinstance(x, (np.bool_, bool)):
         return str(bool(x))
     if isinstance(x, (np.floating, float)):
