@@ -138,3 +138,22 @@ def test_dropped_table_view_gone_from_sql(dl):
     import pyspark.errors
     with pytest.raises(Exception):
         dl.sql("SELECT count(*) AS n FROM t").collect()
+
+
+def test_non_default_schema_lifecycle(dl, spark):
+    """Tables outside 'main': create/read/SQL (flat schema__table view +
+    dotted rewrite), ALTER, DML, DROP."""
+    dl.create_table("analytics.m", spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id INT, v DOUBLE"))
+    dl.register_views()
+    assert dl.sql(
+        "SELECT count(*) AS n FROM analytics.m").collect()[0]["n"] == 2
+    dl.rename_column("analytics.m", "v", "val")
+    assert dl.sql("UPDATE analytics.m SET val = val + 1 WHERE id = 1") \
+        .collect()[0]["count"] == 1
+    got = {r["id"]: r["val"] for r in dl.table("analytics.m").collect()}
+    assert got == {1: 11.0, 2: 20.0}
+    dl.drop_table("analytics.m")
+    from datafusion_ducklake_spark.errors import TableNotFound
+    with pytest.raises(TableNotFound):
+        dl.table("analytics.m")
