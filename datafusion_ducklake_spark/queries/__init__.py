@@ -136,6 +136,8 @@ _SPECS = [
               ducklake_gate.ORACLE_PRUNED_AGG, False),
     QuerySpec("ducklake_dml_agg", ducklake_gate.ducklake_dml_agg,
               ducklake_gate.ORACLE_DML_AGG, False),
+    QuerySpec("ducklake_cdc_agg", ducklake_gate.ducklake_cdc_agg,
+              ducklake_gate.ORACLE_CDC_AGG, False),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

@@ -224,6 +224,46 @@ GROUP BY o_orderstatus
 """
 
 
+def ducklake_cdc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC read path in the gate: table_changes (inserts) + table_deletions
+    (newly-deleted rows, superseding-delete delta math) over the DML
+    catalog's full history — CTAS insert, MOR delete, update rewrite.
+    The oracle recomputes every change cohort from the base table."""
+    from ..catalog import DuckLakeSession
+    dl = DuckLakeSession(spark, _build_dml_catalog(spark, sf_dir))
+    cur = dl.provider.get_current_snapshot()
+    ins = dl.table_changes("main.dml_orders", 0, cur)
+    dels = dl.table_deletions("main.dml_orders", 0, cur)
+    both = (ins.select(F.lit("insert").alias("change"), "o_totalprice")
+            .unionByName(
+                dels.select(F.lit("delete").alias("change"),
+                            "o_totalprice")))
+    return (both.groupBy("change")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("o_totalprice").alias("sum_price")))
+
+
+ORACLE_CDC_AGG = """
+WITH base AS (
+  SELECT o_orderkey % 7 = 0 AS is7, o_orderstatus = 'F' AS isF,
+         o_totalprice AS p
+  FROM orders)
+SELECT 'insert' AS change,
+  (SELECT COUNT(*) FROM base)
+    + (SELECT COUNT(*) FROM base WHERE isF AND NOT is7) AS n,
+  CAST((SELECT SUM(CAST(p AS DECIMAL(38,6))) FROM base)
+    + (SELECT SUM(CAST(p * 2 AS DECIMAL(38,6)))
+       FROM base WHERE isF AND NOT is7) AS DOUBLE) AS sum_price
+UNION ALL
+SELECT 'delete',
+  (SELECT COUNT(*) FROM base WHERE is7)
+    + (SELECT COUNT(*) FROM base WHERE isF AND NOT is7),
+  CAST((SELECT SUM(CAST(p AS DECIMAL(38,6))) FROM base WHERE is7)
+    + (SELECT SUM(CAST(p AS DECIMAL(38,6)))
+       FROM base WHERE isF AND NOT is7) AS DOUBLE)
+"""
+
+
 def ducklake_pruned_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate over a PRUNED multi-file scan: catalog min/max stats drop
     the files whose l_orderkey range falls below the cutoff before any
