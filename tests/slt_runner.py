@@ -180,16 +180,23 @@ class HybridRunner:
                 self.duck.execute("SET search_path = 'main'")
             self._compare(case, ours, theirs)
         elif case.kind == "statement_engine":
-            self.dl.sql(case.sql)          # our DML path writes the lake
+            from datafusion_ducklake_spark.errors import TableNotFound
+            self.dl.sql(case.sql)          # our DML/DDL path writes the lake
             self.dl.refresh()
             self.dl.register_views()
             for tbl in dict.fromkeys(_TABLE_RE.findall(case.sql)):
-                arrow = self.dl.table(f"main.{tbl}").toArrow()
+                try:
+                    arrow = self.dl.table(f"main.{tbl}").toArrow()
+                except TableNotFound:      # engine-side DROP TABLE
+                    self.duck.execute(f'DROP TABLE IF EXISTS "{tbl}"')
+                    self._known.discard(tbl)
+                    continue
                 self.duck.register("__engine_sync", arrow)
                 self.duck.execute(
                     f'CREATE OR REPLACE TABLE "{tbl}" AS '
                     "SELECT * FROM __engine_sync")
                 self.duck.unregister("__engine_sync")
+                self._known.add(tbl)
         elif case.kind == "query_engine":
             # (re-)register at the current snapshot — the UDTF closures
             # capture snapshot_id at registration time
