@@ -258,6 +258,43 @@ def _finalize_hadoop(spark, staging: str, table_path: str
 MAX_COMPACT_RUNS = 256
 
 
+def _carve_rowid_runs(session, handle) -> list[tuple[int, int]]:
+    """[(start_rowid, count)] of the table's contiguous LIVE rowid runs,
+    derived from catalog file extents (row_id_start + record_count) and
+    delete-file positions — the holes define the islands. Reads only the
+    delete parquets (bounded by delete_count), never the data files;
+    adjacent runs across file boundaries merge."""
+    from pyspark.sql import functions as F
+
+    pairs = sorted(zip(handle._raw_files, handle.files),
+                   key=lambda t: t[0].row_id_start)
+    dirty = [rf.delete_uri for _, rf in pairs if rf.delete_uri is not None]
+    del_by_file: dict = {}
+    if dirty:
+        agg = (session.spark.read.parquet(*dirty)
+               .groupBy("file_path")
+               .agg(F.sort_array(F.collect_list("pos")).alias("ps")))
+        del_by_file = {os.path.basename(r["file_path"]): r["ps"]
+                       for r in agg.collect()}
+    runs: list[list[int]] = []
+    for mf, _ in pairs:
+        deleted = del_by_file.get(os.path.basename(mf.path), [])
+        start = mf.row_id_start
+        prev = -1
+        for p in list(deleted) + [mf.record_count]:
+            if p > prev + 1:
+                runs.append([start + prev + 1, p - prev - 1])
+            prev = p
+    runs.sort()
+    merged: list[list[int]] = []
+    for s, c in runs:
+        if merged and merged[-1][0] + merged[-1][1] == s:
+            merged[-1][1] += c
+        else:
+            merged.append([s, c])
+    return [(s, c) for s, c in merged]
+
+
 def compact_table(session, name: str, single_file: bool = True,
                   max_runs: int = MAX_COMPACT_RUNS) -> int:
     """Rewrite a table's live rows into clean files, PRESERVING virtual
@@ -277,31 +314,34 @@ def compact_table(session, name: str, single_file: bool = True,
     Tables without rowids (files lacking row_id_start, e.g. foreign
     fixtures) take the plain rewrite path unchanged.
 
-    Scale note: run discovery uses a global window over rowid. Compaction
-    rewrites the full table anyway, so one extra total-order pass is
-    proportional work; a catalog-side derivation from delete files alone
-    would avoid it and is the 100-TB refinement."""
+    Scale: run discovery reads ONLY the catalog + delete files (the holes
+    define the islands) — no full-table sort. The driver materializes
+    deleted positions per file (the delete side, bounded by delete_count,
+    not record_count), then assigns rows to runs with a broadcast range
+    join (≤ max_runs ranges)."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     handle = session.table_handle(name)
     if not handle.files or any(f.row_id_start is None for f in handle.files):
         return create_or_insert(session, name, session.table(name),
                                 mode="overwrite", single_file=single_file)
 
-    df = session.table(name, with_rowid=True)
-    w = Window.orderBy("rowid")
-    df2 = df.withColumn(
-        "__run", (F.col("rowid") - F.row_number().over(w)).cast("long"))
-    runs = sorted(
-        (r["__run"], r["start"], r["cnt"]) for r in
-        df2.groupBy("__run").agg(F.min("rowid").alias("start"),
-                                 F.count(F.lit(1)).alias("cnt")).collect())
-    if len(runs) > max_runs:
+    run_list = _carve_rowid_runs(session, handle)
+    if len(run_list) > max_runs:
         raise InvalidConfig(
-            f"compact: {name} has {len(runs)} contiguous rowid runs "
+            f"compact: {name} has {len(run_list)} contiguous rowid runs "
             f"(> {max_runs}); rowids cannot be preserved in that many "
             f"files — compact with preserve_rowids=False to renumber")
+    runs = [(i, s, c) for i, (s, c) in enumerate(run_list)]
+
+    df = session.table(name, with_rowid=True)
+    ranges = session.spark.createDataFrame(
+        [(i, s, s + c - 1) for i, s, c in runs] or [(0, 0, -1)],
+        "__run LONG, __lo LONG, __hi LONG")
+    df2 = (df.join(F.broadcast(ranges),
+                   (F.col("rowid") >= F.col("__lo"))
+                   & (F.col("rowid") <= F.col("__hi")))
+           .drop("__lo", "__hi"))
 
     writer = _catalog_writer(session)
     try:

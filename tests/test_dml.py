@@ -214,3 +214,20 @@ def test_sql_select_still_works_after_dml(dl):
     dl.sql("DELETE FROM main.t WHERE id >= 10")
     n = dl.sql("SELECT count(*) AS n FROM main.t").collect()[0]["n"]
     assert n == 10
+
+
+def test_compact_after_dml_preserves_rowids(dl):
+    """Our own DML delete files feed the catalog-derived run discovery:
+    compaction rewrites survivors into per-run files with stable rowids."""
+    dl.delete_from("main.t", "id IN (2, 3, 11)")
+    before = sorted((r["id"], r["rowid"]) for r in
+                    dl.table("main.t", with_rowid=True).collect())
+    n = dl.compact("main.t")
+    assert n == 17
+    after = sorted((r["id"], r["rowid"]) for r in
+                   dl.table("main.t", with_rowid=True).collect())
+    assert after == before
+    handle = dl.table_handle("main.t")
+    assert all(f.delete_file is None for f in handle._raw_files)
+    starts = sorted(f.row_id_start for f in handle._raw_files)
+    assert starts == [0, 4, 12]        # runs [0,1],[4..10],[12..19]
