@@ -92,6 +92,8 @@ _SPECS = [
               similarity.ORACLE_CENTROID, False),
     QuerySpec("embedding_int8_quant", similarity.embedding_int8_quant,
               similarity.ORACLE_INT8_QUANT, False),
+    QuerySpec("kmeans_centroids", similarity.kmeans_centroids,
+              similarity.ORACLE_KMEANS, False),
     # training-data pipeline operators (functions/)
     QuerySpec("ngram_jaccard_dup_pairs", pipeline.ngram_jaccard_dup_pairs,
               pipeline.ORACLE_NGRAM_JACCARD, False),

@@ -243,3 +243,103 @@ SELECT vec_id, ROUND(scale, 6) AS scale_r,
   CAST(ROUND(e[4] * scale) AS INT) AS q3
 FROM s
 """
+
+
+K_CENTS = 4        # k-means: clusters
+K_ITERS = 3        # fixed Lloyd iterations (unrolled in the oracle)
+K_DIMS = 4         # first 4 dims (keeps the unrolled SQL manageable)
+
+
+def _km_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment on K_DIMS dims: squared distance
+    rounded to 9dp (cross-engine fp safety), centroid id breaks ties."""
+    from pyspark.sql.window import Window
+    joined = emb.crossJoin(F.broadcast(cents))
+    dist = sum((F.col(f"d{i}") - F.col(f"c{i}"))
+               * (F.col(f"d{i}") - F.col(f"c{i}")) for i in range(K_DIMS))
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dd"), F.asc("cent_id"))
+    return (joined.select("vec_id", *[f"d{i}" for i in range(K_DIMS)],
+                          "cent_id", F.round(dist, 9).alias("dd"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn", "dd"))
+
+
+def _km_means(assigned: DataFrame) -> DataFrame:
+    """Per-cluster decimal-exact means rounded to 6dp (identical float
+    inputs for the next iteration on both engines)."""
+    aggs = [F.round(
+        F.sum(F.col(f"d{i}").cast("decimal(38,9)")).cast("double")
+        / F.count(F.lit(1)), 6).alias(f"c{i}") for i in range(K_DIMS)]
+    return assigned.groupBy("cent_id").agg(*aggs)
+
+
+def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means over the embedding head dims: K_ITERS Lloyd iterations,
+    seeded from the first K_CENTS vectors — the iterative-algorithm
+    pattern (train loop driving DataFrame ops), made oracle-checkable by
+    fixed iteration count + decimal-rounded means (the oracle unrolls
+    the same iterations as CTE stages). Per iteration: one broadcast
+    crossJoin (k rows) + one shuffle on cent_id — at 100 TB each
+    iteration is a map-side assignment plus a k-row aggregate."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("e"))
+    emb = emb.select(
+        "vec_id", *[F.element_at("e", i + 1).alias(f"d{i}")
+                    for i in range(K_DIMS)])
+    cents = (emb.filter(F.col("vec_id") < K_CENTS)
+             .select(F.col("vec_id").cast("int").alias("cent_id"),
+                     *[F.round(F.col(f"d{i}"), 6).alias(f"c{i}")
+                       for i in range(K_DIMS)]))
+    assigned = None
+    for _ in range(K_ITERS):
+        assigned = _km_assign(emb, cents)
+        cents = _km_means(assigned)
+    final = assigned.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n"))
+    return (cents.join(final, "cent_id")
+            .select("cent_id", "n", *[f"c{i}" for i in range(K_DIMS)]))
+
+
+def _kmeans_oracle() -> str:
+    dims = range(K_DIMS)
+    assign = """
+a{it} AS (
+  SELECT vec_id, {dcols}, cent_id FROM (
+    SELECT e.vec_id, {edcols}, c.cent_id,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        ROUND({dist}, 9) ASC, c.cent_id ASC) AS rn
+    FROM e, c{prev} c) x
+  WHERE rn = 1)"""
+    means = """
+c{it} AS (
+  SELECT cent_id, {mcols}
+  FROM a{it} GROUP BY cent_id)"""
+    parts = ["""e AS (
+  SELECT vec_id, {eds} FROM (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) x)""".format(
+        eds=", ".join(f"e[{i+1}] AS d{i}" for i in dims)), """
+c0 AS (
+  SELECT CAST(vec_id AS INT) AS cent_id, {cs} FROM e
+  WHERE vec_id < {k})""".format(
+        cs=", ".join(f"ROUND(d{i}, 6) AS c{i}" for i in dims), k=K_CENTS)]
+    for it in range(1, K_ITERS + 1):
+        parts.append(assign.format(
+            it=it, prev=it - 1,
+            dcols=", ".join(f"d{i}" for i in dims),
+            edcols=", ".join(f"e.d{i}" for i in dims),
+            dist=" + ".join(f"(e.d{i} - c.c{i}) * (e.d{i} - c.c{i})"
+                            for i in dims)))
+        parts.append(means.format(
+            it=it,
+            mcols=", ".join(
+                f"ROUND(CAST(SUM(CAST(d{i} AS DECIMAL(38,9))) AS DOUBLE)"
+                f" / COUNT(*), 6) AS c{i}" for i in dims)))
+    last = K_ITERS
+    return ("WITH " + ",".join(parts) + f"""
+SELECT c.cent_id, f.n, {", ".join(f"c.c{i}" for i in dims)}
+FROM c{last} c
+JOIN (SELECT cent_id, COUNT(*) AS n FROM a{last} GROUP BY cent_id) f
+  ON c.cent_id = f.cent_id""")
+
+
+ORACLE_KMEANS = _kmeans_oracle()
