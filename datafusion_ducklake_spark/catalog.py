@@ -312,7 +312,7 @@ class DuckLakeSession:
         r"(?:\s+WHERE\s+(.*?))?\s*;?\s*$", re.I | re.S)
     _INSERT_RE = re.compile(
         r"^\s*INSERT\s+INTO\s+([A-Za-z_][\w.]*)\s*"
-        r"(?:\(([^)]*)\)\s*)?(VALUES\s*\(.*|SELECT\s.*?)\s*;?\s*$",
+        r"(?:\(([^)]*)\)\s*)?(VALUES\s*\(.*|(?:SELECT|WITH)\s.*?)\s*;?\s*$",
         re.I | re.S)
     _ALTER_RE = re.compile(
         r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+"

@@ -205,6 +205,15 @@ def test_sql_insert_select(dl):
     assert 200 in ids and 201 in ids and len(ids) == 22
 
 
+def test_sql_insert_cte(dl):
+    out = dl.sql(
+        "INSERT INTO t WITH src AS (SELECT id + 300 AS id, tag, v FROM t "
+        "WHERE id < 3) SELECT * FROM src").collect()
+    assert out[0]["count"] == 3
+    ids = _ids(dl)
+    assert {300, 301, 302} <= set(ids) and len(ids) == 23
+
+
 def test_sql_delete_without_where_deletes_all(dl):
     dl.sql("DELETE FROM main.t")
     assert _ids(dl) == []
