@@ -169,22 +169,28 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 # --- q07: volume shipping between two nations ------------------------------
 
 def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n1 = t(spark, sf_dir, "nation").select(
+    # The disjunctive nation pair implies supp_nation IN (N1,N2) AND
+    # cust_nation IN (N1,N2) — DuckDB's optimizer derives these per-side
+    # filters from the OR; Catalyst does not, so stamp them explicitly.
+    # Joining the (now tiny) supplier/customer subsets FIRST shrinks
+    # lineitem by ~2/25 before the fact-fact orderkey join.
+    pair = ("NATION_1", "NATION_2")
+    n1 = t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair)).select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
-    n2 = t(spark, sf_dir, "nation").select(
+    n2 = t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair)).select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
-    supp = t(spark, sf_dir, "supplier")
-    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier").join(
+        n1, F.col("s_nationkey") == F.col("n1_key"))
+    cust = t(spark, sf_dir, "customer").join(
+        n2, F.col("c_nationkey") == F.col("n2_key"))
     orders = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")))
     joined = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(supp, li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(n1, supp.s_nationkey == n1.n1_key)
-        .join(n2, cust.c_nationkey == n2.n2_key)
         .filter(
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
@@ -284,16 +290,21 @@ LIMIT 20
 # --- q13: customer order-count distribution (left outer join) --------------
 
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Aggregate-pushdown rewrite: count orders per customer BEFORE the
+    # outer join (1.5M order rows collapse to ≤150k counts), then a
+    # small-side join against customer with COALESCE(cnt, 0) for
+    # customers that have no qualifying orders — identical to the
+    # canonical LEFT OUTER + COUNT(o_orderkey) the oracle runs.
     cust = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders")
+    ord_cnt = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "5-LOW")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     per_cust = (
-        cust.join(
-            orders,
-            (cust.c_custkey == orders.o_custkey)
-            & (orders.o_orderpriority != "5-LOW"),
-            "left_outer")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+        cust.join(ord_cnt, cust.c_custkey == ord_cnt.o_custkey, "left_outer")
+        .select(F.coalesce(F.col("cnt"), F.lit(0)).alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
 
@@ -338,26 +349,28 @@ WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
 # --- q18: large-volume orders (IN-subquery with HAVING) --------------------
 
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Aggregate-reuse rewrite: the canonical q18 re-joins lineitem against
+    # the >300-qty probe set and re-sums per (customer, order) — but every
+    # final group key is functionally determined by o_orderkey, so the
+    # per-order sum computed for the HAVING filter IS the final sum_qty.
+    # One lineitem scan + one 1.5M-group agg instead of two of each; the
+    # oracle keeps the canonical nested formulation and hash-matches.
+    # l_quantity values are whole numbers, so the >300 threshold decides
+    # identically in exact-decimal and double mode (sums < 2^53 are exact).
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
-    # l_quantity values are whole numbers, so the >300 threshold decides
-    # identically in exact-decimal and double mode (sums < 2^53 are exact).
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(exact_cast("l_quantity")).alias("q"))
-        .filter(F.col("q") > 300)
-        .select("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
     )
     return (
-        li.join(big.withColumnRenamed("l_orderkey", "big_orderkey"),
-                li.l_orderkey == F.col("big_orderkey"), "left_semi")
-        .join(orders, li.l_orderkey == orders.o_orderkey)
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey",
-                 F.col("o_orderdate").cast("date").alias("o_orderdate"),
-                 "o_totalprice")
-        .agg(dsum("l_quantity").alias("sum_qty"))
+        .select("c_name", "c_custkey", "o_orderkey",
+                F.col("o_orderdate").cast("date").alias("o_orderdate"),
+                "o_totalprice", "sum_qty")
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
