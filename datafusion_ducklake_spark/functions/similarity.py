@@ -66,6 +66,70 @@ def cosine_topk(corpus: DataFrame, probes: DataFrame, k: int = 10,
             .drop("rn"))
 
 
+def cosine_topk_blocked(corpus: DataFrame, probe_rows, k: int = 10,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        probe_id_col: str = "query_id") -> DataFrame:
+    """Arrow-vectorized exact top-k cosine: the probe set (small — caller
+    collects it driver-side) is closed over as a dense float64 matrix; each
+    Arrow batch of the corpus computes one (batch x probes) matmul and emits
+    only its per-batch top-k per probe, so the global rank sees
+    #batches * probes * k candidate rows instead of n * probes.
+
+    Same (sim desc, id asc) total order as ``cosine_topk`` — every global
+    top-k element is inside its own batch's top-k under a total order, so
+    the union-of-partials rank is exact, not approximate. This is the
+    BLAS-throughput tier of the same operator: one corpus pass,
+    embarrassingly parallel, no shuffle until the tiny candidate union.
+    (Reference parity: benchmark-only vector path; the reference has no
+    native ANN operator, so both tiers here are Spark-first extensions.)
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    q_ids = np.asarray([r[0] for r in probe_rows], dtype=np.int64)
+    Q = np.asarray([list(r[1]) for r in probe_rows], dtype=np.float64)
+    Qn = np.sqrt((Q * Q).sum(axis=1))
+
+    out_schema = T.StructType([
+        T.StructField(probe_id_col, T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("cos_sim", T.DoubleType()),
+    ])
+
+    def _batch_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            V = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]], dtype=np.float64)
+            Vn = np.sqrt((V * V).sum(axis=1))
+            S = (V @ Q.T) / np.outer(Vn, Qn)
+            outs = []
+            for j in range(len(q_ids)):
+                keep = ids != q_ids[j]
+                s, nid = S[keep, j], ids[keep]
+                if len(nid) == 0:
+                    continue
+                order = np.lexsort((nid, -s))[:k]   # sim desc, id asc
+                outs.append(pd.DataFrame({
+                    probe_id_col: np.full(len(order), q_ids[j],
+                                          dtype=np.int64),
+                    "neighbor_id": nid[order],
+                    "cos_sim": s[order]}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    partial = (corpus.select(id_col, vec_col)
+               .mapInPandas(_batch_topk, out_schema))
+    w = Window.partitionBy(probe_id_col).orderBy(F.desc("cos_sim"),
+                                                 F.asc("neighbor_id"))
+    return (partial.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn"))
+
+
 def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16,
                          seed: int = 42) -> Column:
     """Random-hyperplane LSH signature (n_planes bits, as a long).

@@ -22,9 +22,11 @@ from ._util import back_to_double, dsum, exact_cast, load_events
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     # Group on the truncated TIMESTAMP and render the string afterwards:
-    # countDistinct expands every input row twice, so keeping the group
-    # key an 8-byte value (not a 19-char string built per input row)
-    # halves the hash-agg key work; the output is byte-identical.
+    # the 8-byte group key (not a 19-char string built per input row) cuts
+    # hash-agg key work; the output is byte-identical. (A manual two-phase
+    # per-user pre-aggregate was measured and NOT kept: Spark already
+    # plans a single countDistinct without Expand, so it only re-spelled
+    # the planner's own shape.)
     return (
         ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"),
                    "event_type")

@@ -38,7 +38,7 @@ VARIANTS = {
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR",
-                            str(REPO / ".bench_scaled" / "scale10x"))
+                            str(REPO / ".bench_scaled" / "sf0.1-scale10x"))
     names = sys.argv[1:] or list(VARIANTS)
     spark = build_spark("bench-experiment")
     spark.sparkContext.setLogLevel("ERROR")

@@ -22,7 +22,7 @@ from datafusion_ducklake_spark.sparkutil import build_spark  # noqa: E402
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     explain = "--explain" in sys.argv
-    sf_dir = str(REPO / ".bench_scaled" / "scale10x")
+    sf_dir = str(REPO / ".bench_scaled" / "sf0.1-scale10x")
     for a in list(args):
         if "/" in a:
             sf_dir = a
