@@ -322,6 +322,16 @@ class DuckLakeSession:
     _CTAS_RE = re.compile(
         r"^\s*CREATE\s+TABLE\s+([A-Za-z_][\w.]*)\s+AS\s+(SELECT\s.*?)"
         r"\s*;?\s*$", re.I | re.S)
+    _MERGE_RE = re.compile(
+        r"^\s*MERGE\s+INTO\s+([A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(\w+))?"
+        r"\s+USING\s+(\(.*?\)|[A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(\w+))?"
+        r"\s+ON\s+(.*?)\s+(WHEN\s+.*?)\s*;?\s*$", re.I | re.S)
+    _MERGE_WHEN_UPDATE_RE = re.compile(
+        r"^WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*)$", re.I | re.S)
+    _MERGE_WHEN_DELETE_RE = re.compile(
+        r"^WHEN\s+MATCHED\s+THEN\s+DELETE\s*$", re.I)
+    _MERGE_WHEN_INSERT_RE = re.compile(
+        r"^WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT(?:\s*\*)?\s*$", re.I)
     _DROP_RE = re.compile(
         r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)"
         r"\s*;?\s*$", re.I)
@@ -397,6 +407,9 @@ class DuckLakeSession:
                 if not ine:
                     raise
             return self._count_df(0)
+        m = self._MERGE_RE.match(query)
+        if m:
+            return self._merge_sql(*m.groups())
         m = self._INSERT_RE.match(query)
         if m:
             name, col_list, body = m.group(1), m.group(2), m.group(3)
@@ -427,6 +440,111 @@ class DuckLakeSession:
             return self._count_df(self.insert_into(name, df))
         return None
 
+    def _merge_sql(self, target: str, talias: str, using: str,
+                   salias: str, on_sql: str, whens: str) -> DataFrame:
+        """MERGE INTO SQL surface (sql/merge/ corpus shape) over
+        operators/dml.merge_rows: equality ON keys, WHEN MATCHED THEN
+        UPDATE SET / DELETE, WHEN NOT MATCHED THEN INSERT [*] (insert by
+        source column name). Alias-qualified references in SET exprs are
+        rewritten to the joined frame's tgt./src. qualifiers, outside
+        string literals."""
+        if using.startswith("("):
+            source = self.sql(using[1:-1].strip())
+            src_names = set()
+        else:
+            source = self.sql(f"SELECT * FROM {using}")
+            src_names = {using.lower(), using.rsplit(".", 1)[-1].lower()}
+        if salias:
+            src_names.add(salias.lower())
+        if not src_names:
+            raise InvalidConfig("MERGE: a subquery source needs an alias")
+        tgt_names = {target.lower(), target.rsplit(".", 1)[-1].lower()}
+        if talias:
+            tgt_names.add(talias.lower())
+
+        def requalify(expr: str) -> str:
+            def sub(mm):
+                q = mm.group(1).lower()
+                if q in src_names:
+                    return "src."
+                if q in tgt_names:
+                    return "tgt."
+                return mm.group(0)
+            parts = re.split(r"('(?:[^']|'')*')", expr)
+            for i in range(0, len(parts), 2):
+                parts[i] = re.sub(r"(?<![\w.`'])([A-Za-z_]\w*)\.",
+                                  sub, parts[i])
+            return "".join(parts)
+
+        on_keys = []
+        for eq in re.split(r"\s+AND\s+", on_sql.strip(), flags=re.I):
+            em = re.fullmatch(r"\s*([\w.]+)\s*=\s*([\w.]+)\s*", eq)
+            if not em:
+                raise InvalidConfig(
+                    f"MERGE: ON supports equality conjunctions only ({eq!r})")
+            lcol = em.group(1).rsplit(".", 1)[-1]
+            rcol = em.group(2).rsplit(".", 1)[-1]
+            if lcol.lower() != rcol.lower():
+                raise InvalidConfig(
+                    "MERGE: ON keys must join same-named columns "
+                    f"({em.group(1)} = {em.group(2)})")
+            on_keys.append(lcol)
+
+        update, delete, insert = None, False, False
+        clauses = [c.strip() for c in
+                   re.split(r"(?i)(?=WHEN\s)", whens) if c.strip()]
+        for clause in clauses:
+            um = self._MERGE_WHEN_UPDATE_RE.match(clause)
+            if um:
+                update = {}
+                for part in self._split_top_level(um.group(1)):
+                    col, eq, expr = part.partition("=")
+                    if not eq:
+                        raise InvalidConfig(
+                            f"MERGE: bad UPDATE SET clause {part!r}")
+                    update[col.strip().rsplit(".", 1)[-1]] = \
+                        requalify(expr.strip())
+                continue
+            if self._MERGE_WHEN_DELETE_RE.match(clause):
+                delete = True
+                continue
+            if self._MERGE_WHEN_INSERT_RE.match(clause):
+                insert = True
+                continue
+            raise InvalidConfig(f"MERGE: unsupported clause {clause!r}")
+
+        counts = self.merge_into(target, source, on_keys,
+                                 when_matched_update=update,
+                                 when_matched_delete=delete,
+                                 when_not_matched_insert=insert)
+        return self._count_df(sum(counts.values()))
+
+    _ROWID_REF_RE = re.compile(r"\b([A-Za-z_]\w*(?:\.\w+)?)__rowid\b")
+
+    def _register_rowid_views(self, query: str) -> None:
+        """On-demand ``<table>__rowid`` view twins: the DuckLake virtual
+        rowid column exposed to SQL (sql/rowid + sql/virtualcolumns corpus
+        — DuckDB surfaces ``rowid`` as a pseudo-column; a temp view can't
+        intercept the analyzer, so the engine surfaces a scan twin with
+        the rowid materialized). Registered lazily per query so the
+        common path never pays the extra per-file rowid plan; skipped
+        silently for tables whose files lack row_id_start."""
+        for name in set(self._ROWID_REF_RE.findall(query)):
+            dotted = name if "." in name else f"{DEFAULT_SCHEMA}.{name}"
+            key = f"{dotted}__rowid"
+            if key in self._view_rewrites:
+                continue
+            try:
+                df = self.table(dotted, with_rowid=True)
+            except Exception:
+                continue
+            flat = f"{dotted.replace('.', '__')}__rowid"
+            df.createOrReplaceTempView(flat)
+            self._view_rewrites[key] = flat
+            schema_name, table_name = self._split(dotted)
+            if schema_name == DEFAULT_SCHEMA:
+                df.createOrReplaceTempView(f"{table_name}__rowid")
+
     def sql(self, query: str) -> DataFrame:
         if not self._view_rewrites:
             self.register_views()
@@ -434,6 +552,7 @@ class DuckLakeSession:
         if dml is not None:
             return dml
         query = self._resolve_cdc_calls(query)
+        self._register_rowid_views(query)
         return self.spark.sql(
             self._rewrite_outside_literals(query, self._view_rewrites))
 

@@ -240,3 +240,47 @@ def test_compact_after_dml_preserves_rowids(dl):
     assert all(f.delete_file is None for f in handle._raw_files)
     starts = sorted(f.row_id_start for f in handle._raw_files)
     assert starts == [0, 4, 12]        # runs [0,1],[4..10],[12..19]
+
+
+# -- SQL MERGE INTO routing (sql/merge/ corpus shape) -----------------------
+
+def test_sql_merge_update_insert(dl, spark):
+    spark.createDataFrame(
+        [(3, "zz", 100.0), (4, "yy", 200.0), (50, "new", 1.0)],
+        "id INT, tag STRING, v DOUBLE").createOrReplaceTempView("mrg_src")
+    out = dl.sql(
+        "MERGE INTO main.t AS t USING mrg_src AS s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET tag = s.tag, v = s.v + t.v "
+        "WHEN NOT MATCHED THEN INSERT").collect()
+    assert out[0]["count"] == 3        # 2 updated + 1 inserted
+    got = {r["id"]: (r["tag"], r["v"]) for r in dl.table("main.t").collect()}
+    assert got[3] == ("zz", 100.0 + 4.5)
+    assert got[4] == ("yy", 200.0 + 6.0)
+    assert got[50] == ("new", 1.0)
+    assert len(got) == 21
+
+
+def test_sql_merge_delete_from_subquery(dl):
+    out = dl.sql(
+        "MERGE INTO t USING (SELECT id FROM t WHERE id % 2 = 0) AS evens "
+        "ON t.id = evens.id WHEN MATCHED THEN DELETE").collect()
+    assert out[0]["count"] == 10
+    assert _ids(dl) == [i for i in range(20) if i % 2 == 1]
+
+
+def test_sql_merge_insert_only(dl, spark):
+    spark.createDataFrame([(0, "dup", 0.0), (99, "n", 9.0)],
+                          "id INT, tag STRING, v DOUBLE") \
+        .createOrReplaceTempView("mrg_src2")
+    out = dl.sql(
+        "MERGE INTO main.t USING mrg_src2 s ON t.id = s.id "
+        "WHEN NOT MATCHED THEN INSERT *").collect()
+    assert out[0]["count"] == 1        # id 0 matched -> untouched
+    got = {r["id"] for r in dl.table("main.t").collect()}
+    assert 99 in got and len(got) == 21
+
+
+def test_sql_merge_rejects_non_equi_on(dl):
+    with pytest.raises(InvalidConfig):
+        dl.sql("MERGE INTO t USING t AS s ON t.id < s.id "
+               "WHEN MATCHED THEN DELETE")
