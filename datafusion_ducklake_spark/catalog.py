@@ -261,6 +261,29 @@ class DuckLakeSession:
                 self._view_rewrites[f"{schema_name}.{table_name}"] = flat
                 if schema_name == DEFAULT_SCHEMA:
                     df.createOrReplaceTempView(table_name)
+        # catalog-persisted SQL views (ducklake_view) register after every
+        # table, so their bodies resolve dotted table names; within a
+        # schema they register in view_id (creation) order, so views over
+        # earlier views work. A body that no longer plans (dropped table,
+        # other dialect) is skipped with a warning, like unmappable tables.
+        for schema_name in self.catalog.schema_names():
+            schema = self.catalog.schema(schema_name)
+            for v in self.provider.list_views(schema.meta.schema_id,
+                                              self.catalog.snapshot_id):
+                try:
+                    body = self._rewrite_outside_literals(
+                        v.sql, self._view_rewrites)
+                    df = self.spark.sql(body)
+                except Exception as e:
+                    warnings.warn(
+                        f"register_views: skipping view "
+                        f"{schema_name}.{v.view_name} ({e})")
+                    continue
+                flat = f"{schema_name}__{v.view_name}"
+                df.createOrReplaceTempView(flat)
+                self._view_rewrites[f"{schema_name}.{v.view_name}"] = flat
+                if schema_name == DEFAULT_SCHEMA:
+                    df.createOrReplaceTempView(v.view_name)
 
     @staticmethod
     def _rewrite_outside_literals(query: str,
@@ -335,6 +358,12 @@ class DuckLakeSession:
     _DROP_RE = re.compile(
         r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)"
         r"\s*;?\s*$", re.I)
+    _CREATE_VIEW_RE = re.compile(
+        r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([A-Za-z_][\w.]*)\s+AS\s+"
+        r"((?:SELECT|WITH)\s.*?)\s*;?\s*$", re.I | re.S)
+    _DROP_VIEW_RE = re.compile(
+        r"^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)"
+        r"\s*;?\s*$", re.I)
 
     @staticmethod
     def _split_top_level(s: str, sep: str = ",") -> list[str]:
@@ -406,6 +435,16 @@ class DuckLakeSession:
             except (TableNotFound, SchemaNotFound):
                 if not ine:
                     raise
+            return self._count_df(0)
+        m = self._CREATE_VIEW_RE.match(query)
+        if m:
+            self.create_view(m.group(2), m.group(3),
+                             replace=bool(m.group(1)))
+            return self._count_df(0)
+        m = self._DROP_VIEW_RE.match(query)
+        if m:
+            ine = re.search(r"IF\s+EXISTS", query, re.I) is not None
+            self.drop_view(m.group(1), if_exists=ine)
             return self._count_df(0)
         m = self._MERGE_RE.match(query)
         if m:
@@ -616,6 +655,53 @@ class DuckLakeSession:
         if schema_name == DEFAULT_SCHEMA:
             self.spark.catalog.dropTempView(table_name)
         self._view_rewrites.pop(f"{schema_name}.{table_name}", None)
+
+    def create_view(self, name: str, sql_text: str,
+                    replace: bool = False) -> None:
+        """CREATE [OR REPLACE] VIEW — the body (raw SQL with dotted table
+        names) is persisted in the catalog's ``ducklake_view`` entity
+        (DuckLake spec; the reference engine has no view support — this
+        follows its vendored sql/view/ corpus shape). The body is planned
+        once up front so an invalid definition fails at create time."""
+        from .table_writer import _catalog_writer
+        schema_name, view_name = self._split(name)
+        schema = self.catalog.schema(schema_name)
+        if not self._view_rewrites:
+            self.register_views()
+        # validate: the body must plan against the current catalog
+        self.spark.sql(
+            self._rewrite_outside_literals(sql_text, self._view_rewrites))
+        writer = _catalog_writer(self)
+        try:
+            writer.create_view(schema.meta.schema_id, view_name, sql_text,
+                               replace=replace)
+        finally:
+            writer.close()
+        self.refresh()
+        if not self._view_rewrites:
+            self.register_views()
+
+    def drop_view(self, name: str, if_exists: bool = False) -> None:
+        """DROP VIEW [IF EXISTS] — MVCC-ends the view row; time travel
+        before the drop still resolves it."""
+        from .table_writer import _catalog_writer
+        schema_name, view_name = self._split(name)
+        try:
+            schema = self.catalog.schema(schema_name)
+            writer = _catalog_writer(self)
+            try:
+                writer.drop_view(schema.meta.schema_id, view_name)
+            finally:
+                writer.close()
+        except (SchemaNotFound, InvalidConfig):
+            if not if_exists:
+                raise
+            return
+        self.refresh()
+        self.spark.catalog.dropTempView(f"{schema_name}__{view_name}")
+        if schema_name == DEFAULT_SCHEMA:
+            self.spark.catalog.dropTempView(view_name)
+        self._view_rewrites.pop(f"{schema_name}.{view_name}", None)
 
     # -- metadata-only ALTER TABLE (sql/alter/ corpus; zero file I/O) ----
 

@@ -45,6 +45,14 @@ class TableMeta:
 
 
 @dataclass(frozen=True)
+class ViewMeta:
+    view_id: int
+    view_name: str
+    dialect: str
+    sql: str
+
+
+@dataclass(frozen=True)
 class ColumnMeta:
     column_id: int
     column_name: str
@@ -147,6 +155,17 @@ class MetadataProvider:
         return [TableMeta(int(r[0]), r[1], r[2], bool(r[3]))
                 for r in self._fetchall(Q.LIST_TABLES,
                                         (schema_id, snapshot_id, snapshot_id))]
+
+    def list_views(self, schema_id: int, snapshot_id: int) -> list["ViewMeta"]:
+        """Live catalog views (DuckLake spec ``ducklake_view``). Catalogs
+        written before/without view support lack the table — treated as
+        having no views, like the stats table."""
+        try:
+            rows = self._fetchall(Q.LIST_VIEWS,
+                                  (schema_id, snapshot_id, snapshot_id))
+        except Exception:
+            return []
+        return [ViewMeta(int(r[0]), r[1], r[2], r[3]) for r in rows]
 
     def get_schema_by_name(self, name: str, snapshot_id: int) -> Optional[SchemaMeta]:
         rows = self._fetchall(Q.GET_SCHEMA_BY_NAME, (name, snapshot_id, snapshot_id))

@@ -53,6 +53,13 @@ SELECT EXISTS(
   WHERE t.schema_id = ? AND t.table_name = ? AND {_VISIBLE.format(t='t')})
 """
 
+LIST_VIEWS = f"""
+SELECT v.view_id, v.view_name, v.dialect, v.sql
+FROM ducklake_view v
+WHERE v.schema_id = ? AND {_VISIBLE.format(t='v')}
+ORDER BY v.view_id
+"""
+
 GET_TABLE_COLUMNS = f"""
 SELECT c.column_id, c.column_name, c.column_type, c.nulls_allowed, c.parent_column
 FROM ducklake_column c

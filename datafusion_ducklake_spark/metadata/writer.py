@@ -104,6 +104,16 @@ CREATE TABLE IF NOT EXISTS ducklake_file_column_stats (
     max_value VARCHAR,
     contains_nan BOOLEAN
 );
+CREATE TABLE IF NOT EXISTS ducklake_view (
+    view_id INTEGER PRIMARY KEY,
+    schema_id INTEGER NOT NULL,
+    view_name VARCHAR NOT NULL,
+    dialect VARCHAR NOT NULL DEFAULT 'spark',
+    sql VARCHAR NOT NULL,
+    column_aliases VARCHAR,
+    begin_snapshot INTEGER NOT NULL,
+    end_snapshot INTEGER
+);
 CREATE TABLE IF NOT EXISTS ducklake_delete_file (
     delete_file_id INTEGER PRIMARY KEY,
     data_file_id INTEGER NOT NULL,
@@ -452,6 +462,66 @@ class CatalogWriter:
                     "VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?)",
                     (data_file_id, table_id, cid, size, count, nulls,
                      mn, mx, nan))
+
+    _VIEW_DDL = (
+        "CREATE TABLE IF NOT EXISTS ducklake_view ("
+        "view_id INTEGER PRIMARY KEY, schema_id INTEGER NOT NULL, "
+        "view_name VARCHAR NOT NULL, dialect VARCHAR NOT NULL DEFAULT "
+        "'spark', sql VARCHAR NOT NULL, column_aliases VARCHAR, "
+        "begin_snapshot INTEGER NOT NULL, end_snapshot INTEGER)")
+
+    def create_view(self, schema_id: int, view_name: str, sql_text: str,
+                    dialect: str = "spark", replace: bool = False) -> int:
+        """Persist a SQL view definition in the catalog (the DuckLake spec's
+        ``ducklake_view`` entity — beyond the reference engine, which has no
+        view support; its vendored sql/view/ corpus documents the shape).
+        MVCC like tables: CREATE OR REPLACE ends the old row and begins a
+        new one in the same snapshot, so time travel sees the old body."""
+        validate_name(view_name, "view")
+        with self._txn() as cur:
+            cur.execute(self._VIEW_DDL)
+            sid = self._next_id(cur, "ducklake_snapshot", "snapshot_id")
+            cur.execute(
+                "INSERT INTO ducklake_snapshot (snapshot_id, snapshot_time) "
+                "VALUES (?, CURRENT_TIMESTAMP)", (sid,))
+            rows = cur.execute(
+                "SELECT view_id FROM ducklake_view WHERE schema_id = ? AND "
+                "view_name = ? AND end_snapshot IS NULL",
+                (schema_id, view_name)).fetchall()
+            if rows:
+                if not replace:
+                    raise InvalidConfig(
+                        f"view {view_name!r} already exists "
+                        "(use CREATE OR REPLACE VIEW)")
+                cur.execute(
+                    "UPDATE ducklake_view SET end_snapshot = ? "
+                    "WHERE view_id = ?", (sid, rows[0][0]))
+            vid = self._next_id(cur, "ducklake_view", "view_id")
+            cur.execute(
+                "INSERT INTO ducklake_view (view_id, schema_id, view_name, "
+                "dialect, sql, begin_snapshot) VALUES (?, ?, ?, ?, ?, ?)",
+                (vid, schema_id, view_name, dialect, sql_text, sid))
+            return sid
+
+    def drop_view(self, schema_id: int, view_name: str) -> int:
+        """End a live view (MVCC; time travel before the drop still
+        resolves it). Raises InvalidConfig if no such live view."""
+        with self._txn() as cur:
+            cur.execute(self._VIEW_DDL)
+            rows = cur.execute(
+                "SELECT view_id FROM ducklake_view WHERE schema_id = ? AND "
+                "view_name = ? AND end_snapshot IS NULL",
+                (schema_id, view_name)).fetchall()
+            if not rows:
+                raise InvalidConfig(f"no view named {view_name!r}")
+            sid = self._next_id(cur, "ducklake_snapshot", "snapshot_id")
+            cur.execute(
+                "INSERT INTO ducklake_snapshot (snapshot_id, snapshot_time) "
+                "VALUES (?, CURRENT_TIMESTAMP)", (sid,))
+            cur.execute(
+                "UPDATE ducklake_view SET end_snapshot = ? WHERE view_id = ?",
+                (sid, rows[0][0]))
+            return sid
 
     def next_row_id(self, table_id: int) -> int:
         """Next unassigned virtual rowid for the table: MAX over ALL files

@@ -121,6 +121,7 @@ class HybridRunner:
         self.db_path = db
         self.dl = DuckLakeSession(spark, db)
         self._known: set[str] = set()
+        self._views: set[str] = set()          # engine-created view names
         self._snapshots: dict[str, int] = {}   # name -> pinned snapshot id
 
     def _sync(self, table: str) -> None:
@@ -162,6 +163,12 @@ class HybridRunner:
                 self.duck.execute(
                     f'CREATE OR REPLACE TABLE "snap_{case.arg}"."{tbl}" '
                     f'AS SELECT * FROM main."{tbl}"')
+            # freeze views as materialized as-of state: a later CREATE OR
+            # REPLACE VIEW in main must not leak into the pinned shadow
+            for v in sorted(self._views):
+                self.duck.execute(
+                    f'CREATE OR REPLACE TABLE "snap_{case.arg}"."{v}" '
+                    f'AS SELECT * FROM main."{v}"')
         elif case.kind == "query_at":
             from datafusion_ducklake_spark.catalog import DuckLakeSession
             snap = self._snapshots[case.arg]
@@ -184,6 +191,20 @@ class HybridRunner:
             self.dl.sql(case.sql)          # our DML/DDL path writes the lake
             self.dl.refresh()
             self.dl.register_views()
+            vm = re.match(
+                r"\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.]+)"
+                r"|\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w.]+)",
+                case.sql, re.I)
+            if vm:
+                # engine-side view DDL mirrors verbatim into DuckDB so
+                # later `query` directives compare through the view on
+                # both sides (view bodies in the corpus are dialect-common)
+                self.duck.execute(case.sql)
+                name = (vm.group(1) or vm.group(2)).rsplit(".", 1)[-1]
+                if vm.group(1):
+                    self._views.add(name)
+                else:
+                    self._views.discard(name)
             for tbl in dict.fromkeys(_TABLE_RE.findall(case.sql)):
                 try:
                     arrow = self.dl.table(f"main.{tbl}").toArrow()
