@@ -73,6 +73,10 @@ _SPECS = [
               events.ORACLE_VALUE_RANKS, False),
     QuerySpec("events_click_attribution", events.events_click_attribution,
               events.ORACLE_CLICK_ATTRIBUTION, False),
+    QuerySpec("events_asof_last_purchase", events.events_asof_last_purchase,
+              events.ORACLE_ASOF_LAST_PURCHASE, False),
+    QuerySpec("events_gapfill_hourly", events.events_gapfill_hourly,
+              events.ORACLE_GAPFILL_HOURLY, False),
     # documents / text pipeline
     QuerySpec("doc_token_stats", documents.doc_token_stats, documents.ORACLE_TOKEN_STATS, True),
     QuerySpec("doc_quality_scores", documents.doc_quality_scores, documents.ORACLE_QUALITY, False),

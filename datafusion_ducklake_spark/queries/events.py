@@ -236,3 +236,80 @@ SELECT event_id, event_type,
 FROM events
 WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
 """
+
+
+def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (functions/timeseries.asof_join): each click event is
+    attached to the same user's most recent purchase at-or-before it —
+    the union-tag single-shuffle formulation, no range-explosion join.
+    The right side is pre-aggregated per (user, ts) so simultaneous
+    purchases cannot make the carried value ambiguous; the oracle is
+    DuckDB's native ASOF LEFT JOIN. Timestamps are returned as epoch
+    MICROseconds of the match (never raw; micros are exact in both
+    engines, while seconds would truncate vs round differently)."""
+    from ..functions.timeseries import ASOF_TS, asof_join
+    ev = load_events(spark, sf_dir)
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .groupBy("user_id", "ts")
+                 .agg(F.max("value").alias("purchase_value"),
+                      F.max("event_id").alias("purchase_event")))
+    out = asof_join(clicks, purchases, on=["user_id"],
+                    left_ts="ts", right_ts="ts",
+                    right_cols=["purchase_value", "purchase_event"])
+    return out.select(
+        "event_id", "user_id", "purchase_event", "purchase_value",
+        F.unix_micros(F.col(ASOF_TS)).alias("purchase_epoch_us"))
+
+
+ORACLE_ASOF_LAST_PURCHASE = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+p AS (
+  SELECT user_id, ts, MAX(value) AS purchase_value,
+         MAX(event_id) AS purchase_event
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT c.event_id, c.user_id, p.purchase_event, p.purchase_value,
+       epoch_us(p.ts) AS purchase_epoch_us
+FROM clicks c ASOF LEFT JOIN p
+  ON c.user_id = p.user_id AND p.ts <= c.ts
+"""
+
+
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style dense rollup (functions/timeseries.gap_fill):
+    hourly counts/sums per event_type with every absent (type, hour)
+    bucket emitted as an explicit zero row. The bucket frame is
+    |types| x |hours| regardless of fact size; the fill join is an
+    equi-join on (type, hour)."""
+    from ..functions.timeseries import gap_fill
+    ev = load_events(spark, sf_dir)
+    agg = (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"),
+                      "event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                dsum("value").alias("total_value")))
+    dense = gap_fill(agg, ["event_type"], "h",
+                     F.expr("INTERVAL 1 HOUR"),
+                     fill={"n_events": 0, "total_value": 0.0})
+    return dense.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+        "event_type", "n_events", "total_value")
+
+
+ORACLE_GAPFILL_HOURLY = """
+WITH a AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n_events,
+    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+  FROM events GROUP BY 1, 2),
+b AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM a),
+hours AS (
+  SELECT t.event_type, UNNEST(generate_series(b.lo, b.hi,
+                                              INTERVAL 1 HOUR)) AS h
+  FROM b, (SELECT DISTINCT event_type FROM a) t)
+SELECT strftime(hours.h, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+  hours.event_type,
+  COALESCE(a.n_events, 0) AS n_events,
+  COALESCE(a.total_value, 0.0) AS total_value
+FROM hours LEFT JOIN a ON hours.h = a.h AND hours.event_type = a.event_type
+"""
