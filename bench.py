@@ -40,7 +40,9 @@ from datafusion_ducklake_spark.queries import headline_queries, oracle_queries
 from datafusion_ducklake_spark.queries._util import TABLES, set_exact_sums
 from datafusion_ducklake_spark.sparkutil import build_spark
 
-ITERATIONS = 2
+ITERATIONS = 3     # reference default is 5 (benchmark/src/main.rs:55);
+#                    3 keeps the per-round bench inside its time budget
+#                    while still giving avg AND min like metrics.rs
 
 
 def _measure_floor(spark, cpus: int) -> float:
@@ -99,7 +101,7 @@ def _time_spark_suite(spark, sf_dir: str, iterations: int = ITERATIONS):
     queries = headline_queries()
     for fn in queries.values():          # warmup: JIT/codegen + file listing
         _materialize(fn(spark, sf_dir))
-    wall, plan = {}, {}
+    wall, plan, wall_min = {}, {}, {}
     for name, fn in queries.items():
         w_runs, p_runs = [], []
         for _ in range(iterations):
@@ -113,7 +115,8 @@ def _time_spark_suite(spark, sf_dir: str, iterations: int = ITERATIONS):
             w_runs.append(t2 - t0)
         wall[name] = round(sum(w_runs) / len(w_runs), 4)
         plan[name] = round(sum(p_runs) / len(p_runs), 4)
-    return wall, plan
+        wall_min[name] = round(min(w_runs), 4)
+    return wall, plan, wall_min
 
 
 def _time_duckdb_suite(sf_dir: str, names, cpus: int,
@@ -127,7 +130,7 @@ def _time_duckdb_suite(sf_dir: str, names, cpus: int,
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{os.path.join(sf_dir, t)}.parquet')")
     oracles = oracle_queries()
-    out = {}
+    out, out_min = {}, {}
     try:
         for name in names:
             sql = oracles.get(name)
@@ -140,9 +143,10 @@ def _time_duckdb_suite(sf_dir: str, names, cpus: int,
                 con.execute(sql).arrow()   # Arrow materialization, same as
                 runs.append(time.perf_counter() - t0)  # the Spark side
             out[name] = round(sum(runs) / len(runs), 4)
+            out_min[name] = round(min(runs), 4)
     finally:
         con.close()
-    return out
+    return out, out_min
 
 
 def _ratio(spark_times: dict, duck_times: dict) -> float | None:
@@ -152,6 +156,24 @@ def _ratio(spark_times: dict, duck_times: dict) -> float | None:
     s = sum(spark_times[n] for n in common)
     d = sum(duck_times[n] for n in common)
     return round(s / d, 2) if d > 0 else None
+
+
+def _ref_summary(spark_times: dict, duck_times: dict) -> dict:
+    """The reference report's own summary shape (report.rs:36-60):
+    mean of per-query engine/DuckDB ratios + who-was-faster counts.
+    Note this weights a 10 ms query equally with a 2 s one — the Σ/Σ
+    ratio above is the throughput-weighted view; both are printed."""
+    common = [n for n in spark_times if n in duck_times and duck_times[n] > 0]
+    ratios = [spark_times[n] / duck_times[n] for n in common]
+    return {
+        "total_queries": len(common),
+        "duckdb_faster_count": sum(1 for n in common
+                                   if duck_times[n] < spark_times[n]),
+        "engine_faster_count": sum(1 for n in common
+                                   if spark_times[n] <= duck_times[n]),
+        "avg_speedup_ratio": round(sum(ratios) / len(ratios), 2)
+        if ratios else None,
+    }
 
 
 def main() -> None:
@@ -171,8 +193,8 @@ def main() -> None:
     set_exact_sums(False)
 
     floor = _measure_floor(spark, cpus)
-    wall, plan = _time_spark_suite(spark, sf_dir)
-    duck = _time_duckdb_suite(sf_dir, list(wall), cpus)
+    wall, plan, wall_min = _time_spark_suite(spark, sf_dir)
+    duck, duck_min = _time_duckdb_suite(sf_dir, list(wall), cpus)
 
     adjusted = {n: round(max(t - floor, 0.0), 4) for n, t in wall.items()}
     total = round(sum(wall.values()), 4)
@@ -187,10 +209,13 @@ def main() -> None:
         "queries_plan_sec": plan,
         "queries_floor_adjusted": adjusted,
         "suite_floor_adjusted": round(sum(adjusted.values()), 4),
+        "queries_min": wall_min,
         "duckdb_queries": duck,
         "duckdb_total": round(sum(duck.values()), 4),
         "ratio_vs_duckdb_raw": _ratio(wall, duck),
         "ratio_vs_duckdb_floor_adjusted": _ratio(adjusted, duck),
+        "ratio_min_vs_duckdb_min": _ratio(wall_min, duck_min),
+        "reference_summary": _ref_summary(wall, duck),
         "methodology": (
             "ratio = Spark suite / DuckDB running the same queries' oracle "
             "SQL in-process, warmed, threads=cpus (the reference's headline "
@@ -204,17 +229,20 @@ def main() -> None:
     if scale > 0:
         from tools.scale_data import scale_dir
         scaled_dir = scale_dir(sf_dir, scale, str(REPO / ".bench_scaled"))
-        s_wall, s_plan = _time_spark_suite(spark, scaled_dir)
-        s_duck = _time_duckdb_suite(scaled_dir, list(s_wall), cpus)
+        s_wall, s_plan, s_min = _time_spark_suite(spark, scaled_dir)
+        s_duck, s_duck_min = _time_duckdb_suite(scaled_dir, list(s_wall), cpus)
         s_adj = {n: round(max(t - floor, 0.0), 4) for n, t in s_wall.items()}
         result["scaled"] = {
             "scale_factor_equivalent": round((sf or 0) * scale, 3),
             "queries": s_wall,
+            "queries_min": s_min,
             "value": round(sum(s_wall.values()), 4),
             "duckdb_queries": s_duck,
             "duckdb_total": round(sum(s_duck.values()), 4),
             "ratio_vs_duckdb_raw": _ratio(s_wall, s_duck),
             "ratio_vs_duckdb_floor_adjusted": _ratio(s_adj, s_duck),
+            "ratio_min_vs_duckdb_min": _ratio(s_min, s_duck_min),
+            "reference_summary": _ref_summary(s_wall, s_duck),
         }
 
     print(json.dumps(result))
