@@ -82,13 +82,38 @@ def _live_with_filepos(session, handle) -> DataFrame:
 
 
 def _existing_deletes(session, handle) -> Optional[DataFrame]:
-    """(file basename, pos) across all current delete files, or None."""
-    uris = [f.delete_uri for f in handle.files if f.delete_uri is not None]
-    if not uris:
+    """(data file basename, pos) across all current delete files, or None.
+
+    Keys deletes to their data file via the CATALOG pairing
+    (delete-file name -> data-file name, joined on the delete parquet's
+    own ``_metadata.file_path``) — never via the delete parquet's
+    ``file_path`` COLUMN, which the DuckLake contract treats as
+    documentation-only (ref: src/table.rs:84-85; a DuckDB- or
+    Iceberg-style writer stores absolute paths/URIs there, and trusting
+    it silently resurrects previously-deleted rows). Mirrors
+    sources/scan._scan_dirty_grouped."""
+    pairs = [(f.delete_uri, f.data_uri) for f in handle.files
+             if f.delete_uri is not None]
+    if not pairs:
         return None
-    return (session.spark.read.parquet(*uris)
-            .select(F.col("file_path").alias(FILE_COL),
+    name_of = lambda uri: uri.rsplit("/", 1)[-1]  # noqa: E731
+    if len({name_of(d) for d, _ in pairs}) != len(pairs):
+        # non-unique delete basenames (never true for UUID-named files):
+        # per-file branches with literal tags
+        return reduce(DataFrame.unionByName, (
+            session.spark.read.parquet(d)
+            .select(F.lit(name_of(a)).alias(FILE_COL),
+                    F.col("pos").alias(POS_COL))
+            for d, a in pairs))
+    dels = (session.spark.read.parquet(*[d for d, _ in pairs])
+            .select(F.element_at(F.split(F.col("_metadata.file_path"), "/"),
+                                 -1).alias("__del_file"),
                     F.col("pos").alias(POS_COL)))
+    pairing = session.spark.createDataFrame(
+        [(name_of(d), name_of(a)) for d, a in pairs],
+        f"`__del_file` STRING, `{FILE_COL}` STRING")
+    return (dels.join(F.broadcast(pairing), "__del_file")
+            .select(FILE_COL, POS_COL))
 
 
 def _pyarrow_dest(table_path: str):

@@ -284,3 +284,88 @@ def test_sql_merge_rejects_non_equi_on(dl):
     with pytest.raises(InvalidConfig):
         dl.sql("MERGE INTO t USING t AS s ON t.id < s.id "
                "WHEN MATCHED THEN DELETE")
+
+
+def _foreign_delete(dl, predicate, path_style):
+    """Write + register a delete file the way a FOREIGN writer would:
+    the parquet ``file_path`` column holds an absolute path / URI, not
+    the basename our own writer uses (that column is documentation-only
+    per the DuckLake contract, ref src/table.rs:84-85)."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    handle = dl.table_handle("main.t")
+    assert len(handle._raw_files) == 1
+    raw = handle._raw_files[0]
+    data_path = os.path.join(handle.table_path, raw.path)
+    ids = pq.read_table(data_path, columns=["id"]).column("id").to_pylist()
+    positions = [i for i, v in enumerate(ids) if predicate(v)]
+    doc_path = {"absolute": data_path,
+                "uri": "file://" + data_path,
+                "basename": os.path.basename(data_path)}[path_style]
+    name = f"ducklake-delete-{uuid.uuid4()}.parquet"
+    dest = os.path.join(handle.table_path, name)
+    pq.write_table(pa.table({
+        "file_path": pa.array([doc_path] * len(positions), pa.string()),
+        "pos": pa.array(positions, pa.int64())}), dest)
+    w = CatalogWriter.sqlite(dl.catalog_path)
+    try:
+        sid = w.create_snapshot()
+        w.register_delete_file(handle.meta.table_id, raw.data_file_id, sid,
+                               name, True, os.path.getsize(dest),
+                               len(positions))
+    finally:
+        w.close()
+    dl.refresh()
+    return [v for v in ids if predicate(v)]
+
+
+@pytest.mark.parametrize("path_style", ["absolute", "uri", "basename"])
+def test_dml_over_foreign_delete_file_does_not_resurrect(dl, path_style):
+    """DELETE on a table whose EXISTING delete file stores full paths in
+    its file_path column (as DuckDB/Iceberg-compatible writers do) must
+    carry those positions forward — regression for keying existing
+    deletes off the unreliable file_path column instead of the catalog
+    delete-file -> data-file pairing."""
+    _foreign_delete(dl, lambda v: v < 5, path_style)
+    assert _ids(dl) == list(range(5, 20))        # scan path honors it
+    n = dl.delete_from("main.t", "id >= 15")
+    assert n == 5
+    # the buggy version resurrects 0..4 here (anti-join misses + the
+    # cumulative rewrite drops the foreign positions)
+    assert _ids(dl) == list(range(5, 15))
+
+
+def test_update_over_foreign_delete_file(dl):
+    _foreign_delete(dl, lambda v: v % 2 == 0, "absolute")
+    live = [v for v in range(20) if v % 2 == 1]
+    assert _ids(dl) == live
+    n = dl.update_where("main.t", {"v": "v + 100.0"}, "id < 10")
+    assert n == 5                                 # 1,3,5,7,9
+    rows = {r["id"]: r["v"] for r in dl.table("main.t").collect()}
+    assert sorted(rows) == live
+    for i in live:
+        assert rows[i] == pytest.approx(i * 1.5 + (100.0 if i < 10 else 0.0))
+
+
+def test_dml_over_foreign_delete_duckdb_readback(dl):
+    """After our DELETE over a foreign-style delete file, DuckDB applying
+    the LIVE cumulative delete file sees the same survivors."""
+    _foreign_delete(dl, lambda v: v < 5, "absolute")
+    dl.delete_from("main.t", "id >= 15")
+    handle = dl.table_handle("main.t")
+    raw = handle._raw_files[0]
+    assert raw.delete_file is not None
+    data = os.path.join(handle.table_path, raw.path)
+    dpath = os.path.join(handle.table_path, raw.delete_file.path)
+    con = duckdb.connect()
+    rows = con.sql(f"""
+        SELECT id FROM (
+          SELECT *, row_number() OVER () - 1 AS pos
+          FROM read_parquet('{data}')) d
+        WHERE pos NOT IN (SELECT pos FROM read_parquet('{dpath}'))
+    """).fetchall()
+    con.close()
+    assert sorted(r[0] for r in rows) == list(range(5, 15))
