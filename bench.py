@@ -149,6 +149,39 @@ def _time_duckdb_suite(sf_dir: str, names, cpus: int,
     return out, out_min
 
 
+def _time_datafusion_suite(sf_dir: str, names, cpus: int,
+                           iterations: int = ITERATIONS):
+    """Time the same oracle SQL through the PUBLIC `datafusion` Python
+    package — the actual baseline engine of the reference. Import-gated:
+    the package is not in this container, so absence returns ({}, {}) and
+    the headline reports ratio_vs_datafusion=null rather than a guess."""
+    try:
+        from datafusion import SessionContext
+    except ImportError:
+        return {}, {}
+    ctx = SessionContext()
+    for t in TABLES:
+        ctx.register_parquet(t, os.path.join(sf_dir, f"{t}.parquet"))
+    oracles = oracle_queries()
+    out, out_min = {}, {}
+    for name in names:
+        sql = oracles.get(name)
+        if sql is None:
+            continue
+        try:
+            ctx.sql(sql).to_arrow_table()      # warm (+ dialect probe)
+        except Exception:
+            continue                           # DuckDB-only SQL shape
+        runs = []
+        for _ in range(iterations):
+            t0 = time.perf_counter()
+            ctx.sql(sql).to_arrow_table()
+            runs.append(time.perf_counter() - t0)
+        out[name] = round(sum(runs) / len(runs), 4)
+        out_min[name] = round(min(runs), 4)
+    return out, out_min
+
+
 def _ratio(spark_times: dict, duck_times: dict) -> float | None:
     common = [n for n in spark_times if n in duck_times]
     if not common:
@@ -195,35 +228,50 @@ def main() -> None:
     floor = _measure_floor(spark, cpus)
     wall, plan, wall_min = _time_spark_suite(spark, sf_dir)
     duck, duck_min = _time_duckdb_suite(sf_dir, list(wall), cpus)
+    dfus, dfus_min = _time_datafusion_suite(sf_dir, list(wall), cpus)
 
     adjusted = {n: round(max(t - floor, 0.0), 4) for n, t in wall.items()}
     total = round(sum(wall.values()), 4)
 
-    result = {
+    # Stdout stays COMPACT (one short JSON line — a capture window may be
+    # as small as ~2000 chars); full per-query detail goes to the sidecar.
+    headline = {
         "metric": "headline_suite_wall",
         "value": total,
         "unit": "sec",
-        "queries": wall,
+        "queries": {n: round(t, 3) for n, t in wall.items()},
         "sf": sf,
         "floor_sec": floor,
-        "queries_plan_sec": plan,
-        "queries_floor_adjusted": adjusted,
         "suite_floor_adjusted": round(sum(adjusted.values()), 4),
-        "queries_min": wall_min,
-        "duckdb_queries": duck,
         "duckdb_total": round(sum(duck.values()), 4),
         "ratio_vs_duckdb_raw": _ratio(wall, duck),
         "ratio_vs_duckdb_floor_adjusted": _ratio(adjusted, duck),
         "ratio_min_vs_duckdb_min": _ratio(wall_min, duck_min),
+        "datafusion_total": round(sum(dfus.values()), 4) if dfus else None,
+        "ratio_vs_datafusion": _ratio(wall, dfus),
+        "detail_file": "BENCH_detail.json",
+    }
+    detail = {
+        **headline,
+        "queries": wall,
+        "queries_plan_sec": plan,
+        "queries_floor_adjusted": adjusted,
+        "queries_min": wall_min,
+        "duckdb_queries": duck,
+        "datafusion_queries": dfus or None,
         "reference_summary": _ref_summary(wall, duck),
         "methodology": (
-            "ratio = Spark suite / DuckDB running the same queries' oracle "
-            "SQL in-process, warmed, threads=cpus (the reference's headline "
-            "metric, report.rs:38-49; its own rating bands put an engine at "
+            "ratio = Spark suite / DuckDB (and, when the public `datafusion` "
+            "package is importable, DataFusion — the reference's actual "
+            "engine) running the same queries' oracle SQL in-process, "
+            "warmed, threads=cpus (the reference's headline metric, "
+            "report.rs:38-49; its rating bands put an engine at "
             "<1.5x/<3x/<5x of DuckDB). floor_sec = median wall of a no-data "
             f"{cpus}-task job; at tiny sf this fixed scheduling cost "
             "dominates, so floor-adjusted and scaled numbers are the "
-            "throughput signal."),
+            "throughput signal. ratio_vs_datafusion=null means the package "
+            "is not installed in this container — reported honestly rather "
+            "than estimated."),
     }
 
     if scale > 0:
@@ -231,21 +279,33 @@ def main() -> None:
         scaled_dir = scale_dir(sf_dir, scale, str(REPO / ".bench_scaled"))
         s_wall, s_plan, s_min = _time_spark_suite(spark, scaled_dir)
         s_duck, s_duck_min = _time_duckdb_suite(scaled_dir, list(s_wall), cpus)
+        s_dfus, s_dfus_min = _time_datafusion_suite(scaled_dir, list(s_wall),
+                                                    cpus)
         s_adj = {n: round(max(t - floor, 0.0), 4) for n, t in s_wall.items()}
-        result["scaled"] = {
+        s_head = {
             "scale_factor_equivalent": round((sf or 0) * scale, 3),
-            "queries": s_wall,
-            "queries_min": s_min,
             "value": round(sum(s_wall.values()), 4),
-            "duckdb_queries": s_duck,
             "duckdb_total": round(sum(s_duck.values()), 4),
             "ratio_vs_duckdb_raw": _ratio(s_wall, s_duck),
             "ratio_vs_duckdb_floor_adjusted": _ratio(s_adj, s_duck),
             "ratio_min_vs_duckdb_min": _ratio(s_min, s_duck_min),
+            "datafusion_total": round(sum(s_dfus.values()), 4)
+            if s_dfus else None,
+            "ratio_vs_datafusion": _ratio(s_wall, s_dfus),
+        }
+        headline["scaled"] = s_head
+        detail["scaled"] = {
+            **s_head,
+            "queries": s_wall,
+            "queries_plan_sec": s_plan,
+            "queries_min": s_min,
+            "duckdb_queries": s_duck,
+            "datafusion_queries": s_dfus or None,
             "reference_summary": _ref_summary(s_wall, s_duck),
         }
 
-    print(json.dumps(result))
+    (REPO / "BENCH_detail.json").write_text(json.dumps(detail, indent=1))
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

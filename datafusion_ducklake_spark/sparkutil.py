@@ -35,5 +35,7 @@ def build_spark(app_name: str = "datafusion-ducklake-spark",
                 os.environ.get("SPARK_GRAFT_OFFHEAP", "16g"))
         .config("spark.sql.parquet.columnarReaderBatchSize", "16384")
         .config("spark.ui.enabled", "false")
+        # keep stdout machine-readable (bench.py prints one JSON line)
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
