@@ -268,14 +268,24 @@ def _carve_rowid_runs(session, handle) -> list[tuple[int, int]]:
 
     pairs = sorted(zip(handle._raw_files, handle.files),
                    key=lambda t: t[0].row_id_start)
-    dirty = [rf.delete_uri for _, rf in pairs if rf.delete_uri is not None]
+    # Delete positions keyed via the catalog delete-file -> data-file
+    # pairing on _metadata.file_path — never the delete parquet's own
+    # file_path column, which is documentation-only (ref: table.rs:84-85)
+    # and holds absolute paths/URIs under foreign writers.
+    dirty_pairs = [(rf.delete_uri, mf.path) for mf, rf in pairs
+                   if rf.delete_uri is not None]
     del_by_file: dict = {}
-    if dirty:
-        agg = (session.spark.read.parquet(*dirty)
-               .groupBy("file_path")
-               .agg(F.sort_array(F.collect_list("pos")).alias("ps")))
-        del_by_file = {os.path.basename(r["file_path"]): r["ps"]
-                       for r in agg.collect()}
+    if dirty_pairs:
+        name_of = lambda u: u.rsplit("/", 1)[-1]  # noqa: E731
+        dels = (session.spark.read.parquet(*[d for d, _ in dirty_pairs])
+                .select(F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1)
+                    .alias("__del"), "pos")
+                .groupBy("__del")
+                .agg(F.sort_array(F.collect_list("pos")).alias("ps")))
+        pair_map = {name_of(d): os.path.basename(p) for d, p in dirty_pairs}
+        del_by_file = {pair_map[r["__del"]]: r["ps"]
+                       for r in dels.collect()}
     runs: list[list[int]] = []
     for mf, _ in pairs:
         deleted = del_by_file.get(os.path.basename(mf.path), [])
@@ -365,36 +375,77 @@ def compact_table(session, name: str, single_file: bool = True,
         staging = table_path.rstrip("/") + f"/stage-{uuid.uuid4().hex}"
         out.write.partitionBy("__run").parquet(staging, mode="errorifexists")
 
-        import pyarrow.parquet as pq
+        staged = _finalize_compact_runs(session, staging, table_path, runs)
         n_rows = 0
-        for run_id, start, cnt in runs:
-            run_dir = os.path.join(staging, f"__run={run_id}")
-            parts = [p for p in sorted(os.listdir(run_dir))
-                     if p.endswith(".parquet")]
-            assert len(parts) == 1, \
-                f"run {run_id} produced {len(parts)} files"
-            final_name = f"ducklake-{uuid.uuid4()}.parquet"
-            final_path = os.path.join(table_path, final_name)
-            os.rename(os.path.join(run_dir, parts[0]), final_path)
-            meta = pq.read_metadata(final_path)
-            assert meta.num_rows == cnt
+        for (run_id, start, cnt), (final_name, size, footer) in \
+                zip(runs, staged):
             fid = writer.register_data_file(
                 handle.meta.table_id, setup.snapshot_id,
                 DataFileInfo(path=final_name, path_is_relative=True,
-                             file_size_bytes=os.path.getsize(final_path),
-                             footer_size=footer_size_of(final_path),
+                             file_size_bytes=size, footer_size=footer,
                              record_count=cnt, row_id_start=int(start)))
-            writer.register_file_column_stats(
-                fid, handle.meta.table_id,
-                column_stats_of(final_path,
-                                dict(zip(data_cols, setup.column_ids))))
+            local = _local_readable(table_path, final_name)
+            if local is not None:
+                writer.register_file_column_stats(
+                    fid, handle.meta.table_id,
+                    column_stats_of(local,
+                                    dict(zip(data_cols, setup.column_ids))))
             n_rows += cnt
-        import shutil
-        shutil.rmtree(staging)
         session.refresh()
         return n_rows
     finally:
         writer.close()
+
+
+def _finalize_compact_runs(session, staging: str, table_path: str,
+                           runs: list[tuple[int, int, int]]
+                           ) -> list[tuple[str, int, int]]:
+    """Move each ``__run=N`` directory's single part file to a UUID name
+    in the table dir; returns [(final_name, size, footer)] aligned with
+    ``runs``. Scheme'd table paths (file:// s3a:// hdfs:// ...) go through
+    the Hadoop FS API with row counts from one distributed footer job —
+    the driver never downloads file contents; bare local paths take the
+    direct os/pyarrow route."""
+    out = []
+    if "://" in table_path:
+        from pyspark.sql import functions as F  # noqa: F401
+        fs = _HadoopFs(session.spark, table_path)
+        counts = {int(r["__run"]): int(r["count"])
+                  for r in (session.spark.read.parquet(staging)
+                            .groupBy("__run").count().collect())}
+        for run_id, _start, cnt in runs:
+            run_dir = staging.rstrip("/") + f"/__run={run_id}"
+            parts = [p for p in sorted(fs.list_names(run_dir))
+                     if p.endswith(".parquet")]
+            assert len(parts) == 1, \
+                f"run {run_id} produced {len(parts)} files"
+            assert counts.get(run_id, 0) == cnt, \
+                f"run {run_id}: staged {counts.get(run_id, 0)} rows, " \
+                f"expected {cnt}"
+            final_name = f"ducklake-{uuid.uuid4()}.parquet"
+            final_path = table_path.rstrip("/") + "/" + final_name
+            fs.rename(run_dir + "/" + parts[0], final_path)
+            out.append((final_name, fs.size(final_path),
+                        _footer_size_from_tail(fs.tail(final_path, 8),
+                                               final_path)))
+        fs.delete(staging, recursive=True)
+        return out
+    import shutil
+
+    import pyarrow.parquet as pq
+    for run_id, _start, cnt in runs:
+        run_dir = os.path.join(staging, f"__run={run_id}")
+        parts = [p for p in sorted(os.listdir(run_dir))
+                 if p.endswith(".parquet")]
+        assert len(parts) == 1, f"run {run_id} produced {len(parts)} files"
+        final_name = f"ducklake-{uuid.uuid4()}.parquet"
+        final_path = os.path.join(table_path, final_name)
+        os.rename(os.path.join(run_dir, parts[0]), final_path)
+        assert pq.read_metadata(final_path).num_rows == cnt
+        out.append((final_name, os.path.getsize(final_path),
+                    footer_size_of(final_path)))
+    shutil.rmtree(staging)
+    return out
 
 
 def _with_field_ids_partial(df: DataFrame, data_cols: list[str],

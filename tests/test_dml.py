@@ -369,3 +369,43 @@ def test_dml_over_foreign_delete_duckdb_readback(dl):
     """).fetchall()
     con.close()
     assert sorted(r[0] for r in rows) == list(range(5, 15))
+
+
+def test_compact_preserves_rowids_on_schemed_path(spark, tmp_path):
+    """compact() through a file:// (scheme'd) table path: run finalize
+    must go through the Hadoop FS route (an s3a://hdfs:// deployment uses
+    the identical code path), preserving rowids."""
+    db = str(tmp_path / "catalog.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=f"file://{tmp_path}/lake")
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    df = spark.createDataFrame(
+        [(i, chr(ord("a") + i % 5), i * 1.5) for i in range(20)],
+        "id INT, tag STRING, v DOUBLE")
+    dl.create_table("main.t", df)
+    dl.delete_from("main.t", "id IN (2, 3, 11)")
+    before = sorted((r["id"], r["rowid"]) for r in
+                    dl.table("main.t", with_rowid=True).collect())
+    n = dl.compact("main.t")
+    assert n == 17
+    after = sorted((r["id"], r["rowid"]) for r in
+                   dl.table("main.t", with_rowid=True).collect())
+    assert after == before
+    handle = dl.table_handle("main.t")
+    assert handle.table_path.startswith("file://")
+    assert all(f.delete_file is None for f in handle._raw_files)
+    assert sorted(f.row_id_start for f in handle._raw_files) == [0, 4, 12]
+
+
+def test_compact_over_foreign_delete_file(dl):
+    """Run discovery must key foreign-style delete files (absolute paths
+    in the file_path column) via the catalog pairing."""
+    _foreign_delete(dl, lambda v: v in (2, 3, 11), "absolute")
+    before = sorted((r["id"], r["rowid"]) for r in
+                    dl.table("main.t", with_rowid=True).collect())
+    n = dl.compact("main.t")
+    assert n == 17
+    after = sorted((r["id"], r["rowid"]) for r in
+                   dl.table("main.t", with_rowid=True).collect())
+    assert after == before
