@@ -46,8 +46,10 @@ from ..table_writer import (_catalog_writer, _finalize_hadoop,
 FILE_COL = "__ducklake_dml_file"
 POS_COL = "__ducklake_dml_pos"
 
+NEW_COL = "__ducklake_dml_new"
+
 _MANIFEST_SCHEMA = ("file_name string, delete_name string, "
-                    "cum_count long, size long")
+                    "cum_count long, new_count long, size long")
 
 
 def _as_condition(condition: Union[str, Column, None]) -> Column:
@@ -132,13 +134,28 @@ def _pyarrow_dest(table_path: str):
 
 def _write_delete_parquets(spark, cumulative: DataFrame,
                            table_path: str) -> list:
-    """Write one cumulative delete parquet per touched file from the
-    executors; returns the collected manifest rows (O(files))."""
+    """Write one cumulative delete parquet per TOUCHED file from the
+    executors; returns the collected manifest rows (O(files)).
+
+    ``cumulative`` carries every candidate position tagged with NEW_COL
+    (1 = newly matched this DML, 0 = carried over from an existing delete
+    file). Groups with no new positions are untouched files — no write,
+    no manifest row — so the manifest's ``new_count`` sum IS the matched-
+    row count and no separate .count() action (a second execution of the
+    match join) is ever needed."""
 
     def write_group(pdf):
         import pandas as pd
         import pyarrow as pa
         import pyarrow.parquet as pq
+        new_count = int(pdf[NEW_COL].sum())
+        if new_count == 0:
+            return pd.DataFrame({
+                "file_name": pd.Series(dtype="object"),
+                "delete_name": pd.Series(dtype="object"),
+                "cum_count": pd.Series(dtype="int64"),
+                "new_count": pd.Series(dtype="int64"),
+                "size": pd.Series(dtype="int64")})
         fname = pdf[FILE_COL].iloc[0]
         positions = sorted(int(p) for p in pdf[POS_COL].tolist())
         fs, base = _pyarrow_dest(table_path)
@@ -151,7 +168,8 @@ def _write_delete_parquets(spark, cumulative: DataFrame,
             pq.write_table(tbl, out)
         size = fs.get_file_info(dest).size
         return pd.DataFrame([{"file_name": fname, "delete_name": name,
-                              "cum_count": len(positions), "size": size}])
+                              "cum_count": len(positions),
+                              "new_count": new_count, "size": size}])
 
     return (cumulative.repartition(FILE_COL).groupBy(FILE_COL)
             .applyInPandas(write_group, _MANIFEST_SCHEMA).collect())
@@ -171,11 +189,14 @@ def _register_deletes(writer, handle, snapshot_id: int, manifest) -> None:
             True, int(row["size"]), int(row["cum_count"]))
 
 
-def _append_into_snapshot(session, writer, snapshot_id: int, handle,
-                          df: DataFrame, single_file: bool = True) -> int:
-    """Append df's rows to the table inside an EXISTING snapshot (used so
-    UPDATE/MERGE register their delete + insert halves atomically).
-    Mirrors table_writer.create_or_insert steps 2-3."""
+def _stage_append(session, handle, df: DataFrame,
+                  single_file: bool = True) -> list:
+    """Write df's rows as finalized parquet in the table dir WITHOUT
+    registering them (mirrors table_writer.create_or_insert step 2); the
+    returned [(name, size, footer, count)] carries the row counts, so no
+    .count() pre-action is needed. A crash (or a no-op DML discovered
+    after staging) leaves an unregistered file, never a corrupt catalog —
+    the same orphan-not-corruption discipline as the insert path."""
     data_cols = [c.column_name for c in handle.columns]
     column_ids = [c.column_id for c in handle.columns]
     out = _with_field_ids(df.select(*data_cols), column_ids)
@@ -186,9 +207,17 @@ def _append_into_snapshot(session, writer, snapshot_id: int, handle,
     staging = table_path.rstrip("/") + f"/stage-{uuid.uuid4().hex}"
     out.write.parquet(staging, mode="errorifexists")
     if "://" in table_path:
-        staged = _finalize_hadoop(session.spark, staging, table_path)
-    else:
-        staged = _finalize_local(staging, table_path)
+        return _finalize_hadoop(session.spark, staging, table_path)
+    return _finalize_local(staging, table_path)
+
+
+def _register_append(session, writer, snapshot_id: int, handle,
+                     staged: list) -> int:
+    """Register staged files into an EXISTING snapshot (so UPDATE/MERGE
+    record their delete + insert halves atomically)."""
+    data_cols = [c.column_name for c in handle.columns]
+    column_ids = [c.column_id for c in handle.columns]
+    table_path = handle.table_path
     n_rows = 0
     next_rowid = writer.next_row_id(handle.meta.table_id)
     ids_by_name = dict(zip(data_cols, column_ids))
@@ -216,7 +245,8 @@ def delete_rows(session, name: str,
     handle = session.table_handle(name)
     live = _live_with_filepos(session, handle)
     matched = live.filter(_as_condition(condition)).select(FILE_COL, POS_COL)
-    return _delete_and_append(session, handle, matched, None)
+    n_matched, _ = _delete_and_append(session, handle, matched, None)
+    return n_matched
 
 
 def update_rows(session, name: str, assignments: dict,
@@ -231,17 +261,27 @@ def update_rows(session, name: str, assignments: dict,
     if unknown:
         raise InvalidConfig(f"update: unknown columns {sorted(unknown)}")
     live = _live_with_filepos(session, handle)
-    matched = live.filter(_as_condition(condition))
-    types = {f.name: f.dataType for f in handle.spark_schema.fields}
-    # cast every assignment to the column's catalog type — SQL literals
-    # otherwise change it (Spark parses `0.0` as DECIMAL(1,1), not DOUBLE)
-    updated = matched.select(*[
-        (F.expr(assignments[c]) if isinstance(assignments[c], str)
-         else assignments[c]).cast(types[c]).alias(c)
-        if c in assignments else F.col(c)
-        for c in data_cols])
-    return _delete_and_append(session, handle,
-                              matched.select(FILE_COL, POS_COL), updated)
+    # Persist the matched set for the DML's duration: both halves (the
+    # delete-position write and the rewrite append) consume it, and the
+    # cache bounds the live scan + predicate to ONE execution. Size is
+    # bounded by the rewrite set, which is materialized as parquet anyway.
+    matched = live.filter(_as_condition(condition)).persist()
+    try:
+        types = {f.name: f.dataType for f in handle.spark_schema.fields}
+        # cast every assignment to the column's catalog type — SQL literals
+        # otherwise change it (Spark parses `0.0` as DECIMAL(1,1), not
+        # DOUBLE)
+        updated = matched.select(*[
+            (F.expr(assignments[c]) if isinstance(assignments[c], str)
+             else assignments[c]).cast(types[c]).alias(c)
+            if c in assignments else F.col(c)
+            for c in data_cols])
+        n_matched, _ = _delete_and_append(
+            session, handle, matched.select(FILE_COL, POS_COL), updated,
+            append_only_if_matched=True)
+        return n_matched
+    finally:
+        matched.unpersist()
 
 
 def merge_rows(session, target: str, source: DataFrame, on: list[str],
@@ -275,77 +315,103 @@ def merge_rows(session, target: str, source: DataFrame, on: list[str],
             raise InvalidConfig(f"merge: key {k!r} not in source columns")
 
     live = _live_with_filepos(session, handle)
-    src = source.alias("src")
+    # Persist source and the joined match set: the source feeds two
+    # structurally distinct joins (inner match + left-anti insert probe)
+    # and the match set feeds both DML halves — caching bounds each to
+    # ONE execution; counts come from the write manifests, never from
+    # extra .count() actions over the join.
+    src = source.persist().alias("src")
     joined = live.alias("tgt").join(
-        src, [F.col(f"tgt.{k}") == F.col(f"src.{k}") for k in on], "inner")
+        src, [F.col(f"tgt.{k}") == F.col(f"src.{k}") for k in on],
+        "inner").persist()
+    try:
+        counts = {"updated": 0, "deleted": 0, "inserted": 0}
+        matched_pos = joined.select(F.col(f"tgt.{FILE_COL}").alias(FILE_COL),
+                                    F.col(f"tgt.{POS_COL}").alias(POS_COL))
+        appended = None
+        if when_matched_update == "source":
+            when_matched_update = {c: f"src.{c}" for c in data_cols
+                                   if c in source.columns and c not in on}
+        types = {f.name: f.dataType for f in handle.spark_schema.fields}
+        update_mode = when_matched_update is not None
+        if update_mode:
+            rewritten = joined.select(*[
+                (F.expr(when_matched_update[c])
+                 if isinstance(when_matched_update[c], str)
+                 else when_matched_update[c]).cast(types[c]).alias(c)
+                if c in when_matched_update else F.col(f"tgt.{c}")
+                for c in data_cols])
+            appended = rewritten
+        elif not when_matched_delete:
+            matched_pos = matched_pos.limit(0)
 
-    counts = {"updated": 0, "deleted": 0, "inserted": 0}
-    matched_pos = joined.select(F.col(f"tgt.{FILE_COL}").alias(FILE_COL),
-                                F.col(f"tgt.{POS_COL}").alias(POS_COL))
-    appended = None
-    if when_matched_update == "source":
-        when_matched_update = {c: f"src.{c}" for c in data_cols
-                               if c in source.columns and c not in on}
-    types = {f.name: f.dataType for f in handle.spark_schema.fields}
-    if when_matched_update is not None:
-        rewritten = joined.select(*[
-            (F.expr(when_matched_update[c])
-             if isinstance(when_matched_update[c], str)
-             else when_matched_update[c]).cast(types[c]).alias(c)
-            if c in when_matched_update else F.col(f"tgt.{c}")
-            for c in data_cols])
-        appended = rewritten
-        counts["updated"] = rewritten.count()
-    elif when_matched_delete:
-        counts["deleted"] = matched_pos.count()
-    else:
-        matched_pos = matched_pos.limit(0)
+        if when_not_matched_insert:
+            missing = [c for c in data_cols if c not in source.columns]
+            if missing:
+                raise InvalidConfig(
+                    f"merge insert: source lacks target columns {missing}")
+            fresh = (src.join(live.select(*on), on, "left_anti")
+                     .select(*[F.col(c).cast(types[c]).alias(c)
+                               for c in data_cols]))
+            appended = fresh if appended is None \
+                else appended.unionByName(fresh)
 
-    if when_not_matched_insert:
-        missing = [c for c in data_cols if c not in source.columns]
-        if missing:
-            raise InvalidConfig(
-                f"merge insert: source lacks target columns {missing}")
-        fresh = (src.join(live.select(*on), on, "left_anti")
-                 .select(*[F.col(c).cast(types[c]).alias(c)
-                           for c in data_cols]))
-        counts["inserted"] = fresh.count()
-        appended = fresh if appended is None else appended.unionByName(fresh)
-
-    _delete_and_append(session, handle, matched_pos, appended)
-    return counts
+        n_matched, n_append = _delete_and_append(session, handle,
+                                                 matched_pos, appended)
+        # updated rows re-append 1:1 with matched positions, so the
+        # append total splits into (updated = matched) + inserts
+        if update_mode:
+            counts["updated"] = n_matched
+            counts["inserted"] = n_append - n_matched
+        else:
+            if when_matched_delete:
+                counts["deleted"] = n_matched
+            counts["inserted"] = n_append
+        return counts
+    finally:
+        joined.unpersist()
+        src.unpersist()
 
 
 def _delete_and_append(session, handle, matched_pos: DataFrame,
-                       appended: Optional[DataFrame]) -> int:
+                       appended: Optional[DataFrame],
+                       append_only_if_matched: bool = False
+                       ) -> tuple[int, int]:
     """Shared tail: write cumulative delete files for the matched
     positions, append rewritten/new rows, register everything in ONE
-    snapshot, refresh the session. Returns the matched-position count."""
-    n_matched = matched_pos.count()
-    n_append = 0 if appended is None else appended.count()
+    snapshot, refresh the session. Returns (matched, appended) counts.
+
+    Single-execution discipline: counts come from the write artifacts —
+    the delete manifest's new_count and the staged files' footer counts —
+    so the match join / live scan never runs extra .count() actions. The
+    candidate set unions ALL existing delete positions (tagged carry-over)
+    instead of semi-joining on the touched-file list, which would have
+    been a second execution of the match. ``append_only_if_matched``
+    (UPDATE) skips staging when the manifest shows zero matches, since
+    its append derives from the matched rows."""
+    cumulative = matched_pos.withColumn(NEW_COL, F.lit(1))
+    dels = _existing_deletes(session, handle)
+    if dels is not None:
+        cumulative = cumulative.unionByName(
+            dels.withColumn(NEW_COL, F.lit(0)))
+    manifest = _write_delete_parquets(session.spark, cumulative,
+                                      handle.table_path)
+    n_matched = sum(int(r["new_count"]) for r in manifest)
+
+    staged = []
+    if appended is not None and (n_matched > 0 or not append_only_if_matched):
+        staged = _stage_append(session, handle, appended)
+    n_append = sum(count for _, _, _, count in staged)
+
     if n_matched == 0 and n_append == 0:
-        return 0
-
-    cumulative = matched_pos
-    if n_matched:
-        dels = _existing_deletes(session, handle)
-        if dels is not None:
-            touched = matched_pos.select(FILE_COL).distinct()
-            cumulative = matched_pos.unionByName(
-                dels.join(touched, FILE_COL, "left_semi")).distinct()
-        manifest = _write_delete_parquets(session.spark, cumulative,
-                                         handle.table_path)
-    else:
-        manifest = []
-
+        return 0, 0                    # no snapshot for a no-op DML
     writer = _catalog_writer(session)
     try:
         snapshot_id = writer.create_snapshot()
         _register_deletes(writer, handle, snapshot_id, manifest)
-        if appended is not None and n_append:
-            _append_into_snapshot(session, writer, snapshot_id, handle,
-                                  appended)
+        if staged:
+            _register_append(session, writer, snapshot_id, handle, staged)
     finally:
         writer.close()
     session.refresh()
-    return n_matched
+    return n_matched, n_append

@@ -409,3 +409,26 @@ def test_compact_over_foreign_delete_file(dl):
     after = sorted((r["id"], r["rowid"]) for r in
                    dl.table("main.t", with_rowid=True).collect())
     assert after == before
+
+
+def test_merge_executes_source_join_once(dl, spark):
+    """The merge's source must be evaluated exactly once (persisted):
+    counts come from write manifests, not repeated .count() actions that
+    would re-execute the source-target join."""
+    acc = spark.sparkContext.accumulator(0)
+    base = spark.createDataFrame(
+        [(1, "upd", 100.0), (50, "new", 500.0)],
+        "id INT, tag STRING, v DOUBLE")
+
+    def tick(it):
+        for pdf in it:
+            acc.add(1)
+            yield pdf
+
+    source = base.repartition(1).mapInPandas(tick, base.schema)
+    counts = dl.merge_into("main.t", source, on=["id"],
+                           when_matched_update="source")
+    assert counts == {"updated": 1, "deleted": 0, "inserted": 1}
+    got = {r["id"]: r["v"] for r in dl.table("main.t").collect()}
+    assert got[1] == 100.0 and got[50] == 500.0 and len(got) == 21
+    assert acc.value == 1, f"source evaluated {acc.value} times"
