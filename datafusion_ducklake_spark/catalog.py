@@ -341,7 +341,9 @@ class DuckLakeSession:
         r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+"
         r"(?:RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)"
         r"|ADD\s+COLUMN\s+(\w+)\s+([\w()]+)"
-        r"|DROP\s+COLUMN\s+(\w+))\s*;?\s*$", re.I)
+        r"|DROP\s+COLUMN\s+(\w+)"
+        r"|ALTER\s+(?:COLUMN\s+)?(\w+)\s+(SET|DROP)\s+NOT\s+NULL"
+        r")\s*;?\s*$", re.I)
     _CTAS_RE = re.compile(
         r"^\s*CREATE\s+TABLE\s+([A-Za-z_][\w.]*)\s+AS\s+(SELECT\s.*?)"
         r"\s*;?\s*$", re.I | re.S)
@@ -420,6 +422,11 @@ class DuckLakeSession:
                 self.rename_column(name, m.group(2), m.group(3))
             elif m.group(4):
                 self.add_column(name, m.group(4), m.group(5).lower())
+            elif m.group(7):
+                if m.group(8).upper() == "SET":
+                    self.set_not_null(name, m.group(7))
+                else:
+                    self.drop_not_null(name, m.group(7))
             else:
                 self.drop_column(name, m.group(6))
             return self._count_df(0)
@@ -764,6 +771,50 @@ class DuckLakeSession:
             (c.column_id, ColumnDef(c.column_name, c.column_type,
                                     c.nulls_allowed))
             for c in handle.columns if c.column_name != col_name])
+
+    def set_not_null(self, name: str, col_name: str) -> None:
+        """ALTER TABLE name ALTER col SET NOT NULL — validates existing
+        data with one null-count aggregate over the column (the only scan
+        DuckDB's equivalent also pays), then re-versions the column with
+        nulls_allowed=0 (corpus: sql/constraints/not_null.test)."""
+        from pyspark.sql import functions as F
+
+        from .metadata.writer import ColumnDef
+        handle = self.table_handle(name)
+        target = {c.column_name: c for c in handle.columns}.get(col_name)
+        if target is None:
+            raise InvalidConfig(f"set_not_null: no column {col_name!r}")
+        if not target.nulls_allowed:
+            raise InvalidConfig(
+                f"set_not_null: column {col_name!r} already has a "
+                "NOT NULL constraint")
+        nulls = (self.table(name).select(col_name)
+                 .filter(F.col(col_name).isNull()).limit(1).count())
+        if nulls:
+            raise InvalidConfig(
+                f"set_not_null: column \"{col_name}\" contains NULL values")
+        self._alter_columns(name, [
+            (c.column_id, ColumnDef(c.column_name, c.column_type,
+                                    False if c.column_name == col_name
+                                    else c.nulls_allowed))
+            for c in handle.columns])
+
+    def drop_not_null(self, name: str, col_name: str) -> None:
+        """ALTER TABLE name ALTER col DROP NOT NULL — metadata-only."""
+        from .metadata.writer import ColumnDef
+        handle = self.table_handle(name)
+        target = {c.column_name: c for c in handle.columns}.get(col_name)
+        if target is None:
+            raise InvalidConfig(f"drop_not_null: no column {col_name!r}")
+        if target.nulls_allowed:
+            raise InvalidConfig(
+                f"drop_not_null: column {col_name!r} has no NOT NULL "
+                "constraint")
+        self._alter_columns(name, [
+            (c.column_id, ColumnDef(c.column_name, c.column_type,
+                                    True if c.column_name == col_name
+                                    else c.nulls_allowed))
+            for c in handle.columns])
 
     def delete_from(self, name: str, condition) -> int:
         """DELETE FROM name WHERE condition (str SQL expr or Column) —

@@ -346,14 +346,22 @@ class CatalogWriter:
             existing_ids = {r[0]: int(r[1]) for r in cur.execute(
                 "SELECT column_name, column_id FROM ducklake_column "
                 "WHERE table_id = ? AND end_snapshot IS NULL", (table_id,))}
+            existing_nulls = {r[0]: (bool(r[2]) if r[2] is not None else True)
+                              for r in existing}
             cur.execute(
                 "UPDATE ducklake_column SET end_snapshot = ? "
                 "WHERE table_id = ? AND end_snapshot IS NULL", (sid, table_id))
             column_ids = []
             next_col_id = self._next_id(cur, "ducklake_column", "column_id")
             for order, col in enumerate(columns):
+                nullable = col.is_nullable
                 if col.name in existing_ids:
                     cid = existing_ids[col.name]
+                    if mode == WriteMode.APPEND:
+                        # INSERT never alters constraints: a nullable-typed
+                        # input frame must not silently drop an existing
+                        # NOT NULL (constraint changes go through ALTER)
+                        nullable = existing_nulls.get(col.name, nullable)
                 else:
                     cid = next_col_id
                     next_col_id += 1
@@ -362,7 +370,7 @@ class CatalogWriter:
                     "column_type, column_order, nulls_allowed, begin_snapshot) "
                     "VALUES (?, ?, ?, ?, ?, ?, ?)",
                     (cid, table_id, col.name, col.ducklake_type, order,
-                     col.is_nullable, sid))
+                     nullable, sid))
                 column_ids.append(cid)
 
             if mode == WriteMode.REPLACE:

@@ -39,8 +39,9 @@ from ..errors import InvalidConfig
 from ..metadata.writer import DataFileInfo
 from ..sources.scan import (_configure_fieldid_read, _read_parquet,
                             _split_by_field_ids)
-from ..table_writer import (_catalog_writer, _finalize_hadoop,
-                            _finalize_local, _local_readable,
+from ..table_writer import (_catalog_writer, _enforce_not_null,
+                            _finalize_hadoop, _finalize_local,
+                            _local_readable, _raise_if_constraint,
                             _with_field_ids, column_stats_of)
 
 FILE_COL = "__ducklake_dml_file"
@@ -199,13 +200,18 @@ def _stage_append(session, handle, df: DataFrame,
     the same orphan-not-corruption discipline as the insert path."""
     data_cols = [c.column_name for c in handle.columns]
     column_ids = [c.column_id for c in handle.columns]
-    out = _with_field_ids(df.select(*data_cols), column_ids)
+    not_null = [c.column_name for c in handle.columns if not c.nulls_allowed]
+    out = _with_field_ids(
+        _enforce_not_null(df.select(*data_cols), not_null), column_ids)
     if single_file:
         out = out.coalesce(1)
     session.spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     table_path = handle.table_path
     staging = table_path.rstrip("/") + f"/stage-{uuid.uuid4().hex}"
-    out.write.parquet(staging, mode="errorifexists")
+    try:
+        out.write.parquet(staging, mode="errorifexists")
+    except Exception as e:
+        _raise_if_constraint(e)
     if "://" in table_path:
         return _finalize_hadoop(session.spark, staging, table_path)
     return _finalize_local(staging, table_path)

@@ -62,6 +62,34 @@ def _with_field_ids(df: DataFrame, column_ids: list[int]) -> DataFrame:
         for f, cid in zip(df.schema.fields, column_ids)])
 
 
+def _enforce_not_null(df: DataFrame, not_null: list[str]) -> DataFrame:
+    """Row-level NOT NULL enforcement INSIDE the write job: raise_error
+    fails the stage at the first violating row — one distributed pass, no
+    separate pre-scan action (the cost shape of DuckDB's constraint check;
+    corpus parity: sql/constraints/not_null.test). Must be applied before
+    field-id stamping (the when/otherwise projection drops metadata)."""
+    if not not_null:
+        return df
+    from pyspark.sql import functions as F
+    keep = set(not_null)
+    return df.select(*[
+        F.when(F.col(c).isNull(), F.raise_error(F.lit(
+            f"NOT NULL constraint violated: column \"{c}\" contains NULL")))
+        .otherwise(F.col(c)).alias(c) if c in keep else F.col(c)
+        for c in df.columns])
+
+
+def _raise_if_constraint(e: Exception):
+    """Map a raise_error-failed write job back to the engine's typed
+    error; re-raise anything else untouched."""
+    if "NOT NULL constraint violated" in str(e):
+        import re as _re
+        m = _re.search(r"NOT NULL constraint violated: [^\n']*", str(e))
+        raise InvalidConfig(m.group(0) if m else
+                            "NOT NULL constraint violated") from None
+    raise
+
+
 def footer_size_of(path: str) -> int:
     """Parquet footer size from the trailing 8 bytes: 4-byte little-endian
     metadata length + 'PAR1' magic (ref: table_writer.rs:319-338)."""
@@ -493,11 +521,25 @@ def create_or_insert(session, name: str, df: DataFrame, mode: str,
             schema_path, table_meta.path, table_meta.path_is_relative)
 
         session.spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-        out = _with_field_ids(df, setup.column_ids)
+        # Constraint set: append inherits the table's catalog constraints
+        # (begin_write_transaction preserved them); create/replace takes
+        # them from the input schema's nullability.
+        if write_mode == WriteMode.APPEND:
+            not_null = [
+                c.column_name for c in session.provider.get_table_columns(
+                    table_meta.table_id, setup.snapshot_id)
+                if not c.nulls_allowed]
+        else:
+            not_null = [f.name for f in df.schema.fields if not f.nullable]
+        out = _with_field_ids(_enforce_not_null(df, not_null),
+                              setup.column_ids)
         if single_file:
             out = out.coalesce(1)
         staging = table_path.rstrip("/") + f"/stage-{uuid.uuid4().hex}"
-        out.write.parquet(staging, mode="errorifexists")
+        try:
+            out.write.parquet(staging, mode="errorifexists")
+        except Exception as e:
+            _raise_if_constraint(e)
 
         # 3) move part files to UUID names in the table dir and register
         #    each in the catalog (multi-file snapshot). Scheme'd paths go

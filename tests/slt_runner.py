@@ -71,12 +71,13 @@ def parse_slt(path: str) -> list[SltCase]:
             continue
         m = re.fullmatch(r"query at (\w+)", line)
         if line in ("statement ok", "query", "query_engine",
-                    "statement engine") or m:
+                    "statement engine", "statement engine error") or m:
             if m:
                 kind, arg = "query_at", m.group(1)
             else:
                 kind = {"statement ok": "statement", "query": "query",
                         "statement engine": "statement_engine",
+                        "statement engine error": "statement_engine_error",
                         "query_engine": "query_engine"}[line]
                 arg = ""
             start = i + 1
@@ -85,14 +86,21 @@ def parse_slt(path: str) -> list[SltCase]:
             while i < len(lines) and lines[i].strip() != "":
                 body.append(lines[i])
                 i += 1
-            if kind == "query_engine":
+            if kind == "query_engine" or (
+                    kind == "statement_engine_error"
+                    and "----" in [b.strip() for b in body]):
                 # body splits at the sqllogictest ``----`` separator:
-                # SQL above, tab-separated expected rows below
+                # SQL above, tab-separated expected rows below (for
+                # query_engine) or an expected error substring (for
+                # statement engine error — ref sqllogictest dialect)
                 if "----" not in [b.strip() for b in body]:
                     raise ValueError(f"{path}:{start}: query_engine "
                                      "requires a ---- expected block")
                 sep = [b.strip() for b in body].index("----")
-                expected = [r.split("\t") for r in body[sep + 1:]]
+                if kind == "statement_engine_error":
+                    arg = "\n".join(b.strip() for b in body[sep + 1:])
+                else:
+                    expected = [r.split("\t") for r in body[sep + 1:]]
                 body = body[:sep]
             cases.append(SltCase(kind, "\n".join(body), start + 1,
                                  arg=arg, expected=expected))
@@ -137,6 +145,18 @@ class HybridRunner:
             # duckdb emits zero-chunk columns for empty results, which
             # Spark's arrow path can't ingest; rebuild as 1-empty-chunk
             arrow = arrow.schema.empty_table()
+        # query results are all-nullable: re-stamp NOT NULL constraints
+        # from the source table definition so they reach the catalog
+        nn = {r[0] for r in self.duck.sql(
+            "SELECT column_name FROM information_schema.columns "
+            f"WHERE table_name = '{table}' AND is_nullable = 'NO'"
+        ).fetchall()}
+        if nn:
+            schema = arrow.schema
+            for idx, f in enumerate(schema):
+                if f.name in nn:
+                    schema = schema.set(idx, f.with_nullable(False))
+            arrow = arrow.cast(schema)
         try:
             sdf = self.spark.createDataFrame(arrow)  # pyspark 4: arrow-native
         except Exception:
@@ -186,6 +206,21 @@ class HybridRunner:
             finally:
                 self.duck.execute("SET search_path = 'main'")
             self._compare(case, ours, theirs)
+        elif case.kind == "statement_engine_error":
+            # the engine must REJECT this statement (ref: `statement error`
+            # in the sqllogictest dialect); arg = expected message substring
+            try:
+                self.dl.sql(case.sql)
+            except Exception as e:
+                if case.arg and case.arg not in str(e):
+                    raise AssertionError(
+                        f"line {case.line}: {case.sql!r} failed with "
+                        f"{e!r}, expected substring {case.arg!r}") from e
+            else:
+                raise AssertionError(
+                    f"line {case.line}: {case.sql!r} succeeded, "
+                    "expected an error")
+            self.dl.refresh()
         elif case.kind == "statement_engine":
             from datafusion_ducklake_spark.errors import TableNotFound
             self.dl.sql(case.sql)          # our DML/DDL path writes the lake
