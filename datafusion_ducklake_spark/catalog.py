@@ -207,6 +207,7 @@ class DuckLakeSession:
         self.provider = provider or provider_for(catalog_path)
         self.catalog = DuckLakeCatalog(spark, self.provider, snapshot_id)
         self._view_rewrites: dict[str, str] = {}
+        self._txn_base: Optional[int] = None   # BEGIN's snapshot anchor
 
     # -- name resolution ---------------------------------------------------
 
@@ -400,7 +401,20 @@ class DuckLakeSession:
         INSERT convention (insert_exec.rs:24-31)."""
         return self.spark.createDataFrame([(n,)], "count BIGINT")
 
+    _TXN_RE = re.compile(
+        r"^\s*(BEGIN(?:\s+TRANSACTION)?|COMMIT|ROLLBACK)\s*;?\s*$", re.I)
+
     def _try_dml(self, query: str) -> Optional[DataFrame]:
+        m = self._TXN_RE.match(query)
+        if m:
+            word = m.group(1).split()[0].upper()
+            if word == "BEGIN":
+                self.begin_transaction()
+            elif word == "COMMIT":
+                self.commit()
+            else:
+                self.rollback()
+            return self._count_df(0)
         m = self._DELETE_RE.match(query)
         if m:
             return self._count_df(
@@ -771,6 +785,39 @@ class DuckLakeSession:
             (c.column_id, ColumnDef(c.column_name, c.column_type,
                                     c.nulls_allowed))
             for c in handle.columns if c.column_name != col_name])
+
+    # -- transactions (sql/transaction/ corpus; snapshot-anchored) --------
+
+    def begin_transaction(self) -> int:
+        """BEGIN: anchor the current snapshot. Statements keep committing
+        their own snapshots (single-writer visibility — a SELECT inside
+        the transaction sees them); ROLLBACK rewinds the catalog to the
+        anchor, COMMIT just drops it. Nested BEGIN is rejected, as in
+        DuckDB."""
+        if self._txn_base is not None:
+            raise InvalidConfig("transaction already in progress")
+        self._txn_base = self.provider.get_current_snapshot()
+        return self._txn_base
+
+    def commit(self) -> None:
+        if self._txn_base is None:
+            raise InvalidConfig("no transaction in progress")
+        self._txn_base = None
+
+    def rollback(self) -> None:
+        """ROLLBACK: rewind every snapshot made since BEGIN — MVCC rows
+        born after the anchor are deleted, rows ended after it re-open;
+        orphaned data files are left on disk (never catalog corruption)."""
+        from .table_writer import _catalog_writer
+        if self._txn_base is None:
+            raise InvalidConfig("no transaction in progress")
+        writer = _catalog_writer(self)
+        try:
+            writer.rollback_to_snapshot(self._txn_base)
+        finally:
+            writer.close()
+        self._txn_base = None
+        self.refresh()
 
     def set_not_null(self, name: str, col_name: str) -> None:
         """ALTER TABLE name ALTER col SET NOT NULL — validates existing

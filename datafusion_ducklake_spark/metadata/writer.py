@@ -613,5 +613,32 @@ class CatalogWriter:
             return cur.execute("SELECT changes()").fetchall()[0][0] \
                 if self._dialect == "sqlite" else -1
 
+    _MVCC_TABLES = ("ducklake_schema", "ducklake_table", "ducklake_column",
+                    "ducklake_data_file", "ducklake_delete_file",
+                    "ducklake_view")
+
+    def rollback_to_snapshot(self, snapshot_id: int) -> None:
+        """Rewind the catalog to ``snapshot_id``: delete every snapshot
+        and every MVCC row born after it, and re-open rows that were
+        ended after it. One catalog transaction — the mechanism behind
+        ROLLBACK (corpus parity: sql/transaction/; visibility semantics
+        via snapshots, matching how DuckLake models all state change).
+        Data files written by the rolled-back snapshots become
+        unregistered orphans — never catalog corruption."""
+        with self._txn() as cur:
+            for tbl in self._MVCC_TABLES:
+                cur.execute(
+                    f"DELETE FROM {tbl} WHERE begin_snapshot > ?",
+                    (snapshot_id,))
+                cur.execute(
+                    f"UPDATE {tbl} SET end_snapshot = NULL "
+                    f"WHERE end_snapshot > ?", (snapshot_id,))
+            cur.execute(
+                "DELETE FROM ducklake_file_column_stats WHERE data_file_id "
+                "NOT IN (SELECT data_file_id FROM ducklake_data_file)")
+            cur.execute(
+                "DELETE FROM ducklake_snapshot WHERE snapshot_id > ?",
+                (snapshot_id,))
+
     def close(self) -> None:
         self._conn.close()

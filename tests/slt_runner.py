@@ -240,7 +240,19 @@ class HybridRunner:
                     self._views.add(name)
                 else:
                     self._views.discard(name)
-            for tbl in dict.fromkeys(_TABLE_RE.findall(case.sql)):
+            sync_tables = dict.fromkeys(_TABLE_RE.findall(case.sql))
+            if re.match(r"\s*(ROLLBACK|COMMIT|BEGIN)\b", case.sql, re.I):
+                # transaction boundary: the engine may have rewound any
+                # table (including re-creating a dropped one) — resync
+                # DuckDB's mirror of every known OR engine-live table
+                snap = self.dl.provider.get_current_snapshot()
+                live = [t.table_name for schema, t
+                        in self.dl.provider.list_all_tables(snap)
+                        if schema == "main"]
+                sync_tables = dict.fromkeys(
+                    sorted(self._known | set(live)))
+                self._known.update(live)
+            for tbl in sync_tables:
                 try:
                     arrow = self.dl.table(f"main.{tbl}").toArrow()
                 except TableNotFound:      # engine-side DROP TABLE
