@@ -21,6 +21,7 @@ from functools import cached_property
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType, StructField, StructType
 
 from .errors import InvalidConfig, SchemaNotFound, TableNotFound
 from .metadata.provider import (ColumnMeta, MetadataProvider, SchemaMeta,
@@ -68,13 +69,73 @@ class DuckLakeTable:
     def spark_schema(self):
         return build_spark_schema(self.columns)
 
+    @cached_property
+    def inlined_tables(self) -> list[str]:
+        return self._provider.get_inlined_tables(self.meta.table_id)
+
+    def inlined_rows(self) -> list[tuple]:
+        """(row_id, <data columns>) of every LIVE inlined row at this
+        snapshot (DuckLake data inlining, read side: DuckDB writes small
+        inserts into catalog tables; a reader must surface them)."""
+        names = [c.column_name for c in self.columns]
+        rows: list[tuple] = []
+        for it in self.inlined_tables:
+            rows.extend(self._provider.get_inlined_rows(
+                it, names, self.snapshot_id))
+        return rows
+
+    def _inlined_df(self, with_rowid: bool) -> Optional[DataFrame]:
+        """Inlined rows as a DataFrame matching the scan schema, or None.
+        Driver-side materialization is the right shape here: inlining is
+        BY DESIGN bounded to a handful of rows per insert (the row-limit
+        contract), so this never scales with table size."""
+        import datetime
+        import decimal
+
+        from pyspark.sql import types as T
+        rows = self.inlined_rows()
+        if not rows:
+            return None
+
+        def coerce(v, dt):
+            # catalog DBs (sqlite) store timestamps/dates/decimals as
+            # text/numeric — coerce back to the column's Spark type
+            if v is None:
+                return None
+            if isinstance(dt, T.TimestampType) and isinstance(v, str):
+                return datetime.datetime.fromisoformat(v)
+            if isinstance(dt, T.DateType) and isinstance(v, str):
+                return datetime.date.fromisoformat(v)
+            if isinstance(dt, T.DecimalType) and \
+                    not isinstance(v, decimal.Decimal):
+                return decimal.Decimal(str(v))
+            if isinstance(dt, (T.FloatType, T.DoubleType)) and \
+                    isinstance(v, int):
+                return float(v)
+            if isinstance(dt, T.BooleanType) and isinstance(v, int):
+                return bool(v)
+            return v
+
+        schema = self.spark_schema
+        data = [tuple(coerce(v, f.dataType) for v, f in
+                      zip(r[1:], schema.fields)) for r in rows]
+        if with_rowid:
+            schema = StructType(list(schema.fields) + [
+                StructField("rowid", LongType(), True)])
+            data = [d + (int(r[0]),) for d, r in zip(data, rows)]
+        return self.spark.createDataFrame(data, schema)
+
     def to_df(self, with_rowid: bool = False,
               prune_filters: Optional[list[tuple]] = None) -> DataFrame:
         files = self.files
         if prune_filters:
             files = self.prune_files(prune_filters)
-        return scan_table(self.spark, self.spark_schema, files,
-                          with_rowid=with_rowid)
+        df = scan_table(self.spark, self.spark_schema, files,
+                        with_rowid=with_rowid)
+        inlined = self._inlined_df(with_rowid)
+        if inlined is not None:
+            df = df.unionByName(inlined)
+        return df
 
     def prune_files(self, filters: list[tuple]) -> list[ResolvedFile]:
         """Catalog-level file pruning from ``ducklake_file_column_stats``
@@ -785,6 +846,32 @@ class DuckLakeSession:
             (c.column_id, ColumnDef(c.column_name, c.column_type,
                                     c.nulls_allowed))
             for c in handle.columns if c.column_name != col_name])
+
+    def flush_inlined_data(self, name: str) -> int:
+        """Move a table's LIVE inlined rows (DuckLake data inlining —
+        rows DuckDB stored in the catalog DB) into a registered parquet
+        data file, ending the inlined rows in the same snapshot. Older
+        snapshots still time-travel to the inlined form. Returns rows
+        flushed. Flushed rows get fresh rowids (same as UPDATE's
+        delete+insert contract). Corpus: sql/data_inlining/
+        data_inlining_flush.test."""
+        from .operators.dml import _register_append, _stage_append
+        from .table_writer import _catalog_writer
+        handle = self.table_handle(name)
+        df = handle._inlined_df(with_rowid=False)
+        if df is None:
+            return 0
+        staged = _stage_append(self, handle, df)
+        writer = _catalog_writer(self)
+        try:
+            sid = writer.create_snapshot()
+            n = _register_append(self, writer, sid, handle, staged)
+            for it in handle.inlined_tables:
+                writer.end_inlined_rows(it, sid)
+        finally:
+            writer.close()
+        self.refresh()
+        return n
 
     # -- transactions (sql/transaction/ corpus; snapshot-anchored) --------
 

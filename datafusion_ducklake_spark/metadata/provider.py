@@ -18,7 +18,7 @@ import threading
 from dataclasses import dataclass, field
 from typing import Optional
 
-from ..errors import CatalogError
+from ..errors import CatalogCorruption, CatalogError
 from . import sql as Q
 
 
@@ -257,6 +257,42 @@ class MetadataProvider:
                                         (table_id, start, end, table_id, start, end))]
 
     # --- bulk (information_schema) ----------------------------------------
+
+    _INLINE_NAME_RE = None  # compiled lazily below
+
+    def get_inlined_tables(self, table_id: int) -> list[str]:
+        """Names of the table's inlined-data tables from the
+        ``ducklake_inlined_data_tables`` registry (DuckLake data
+        inlining: DuckDB stores small inserts as ROWS IN THE CATALOG DB,
+        one table per (table_id, schema_version), instead of parquet).
+        Catalogs that predate the feature have no registry — []."""
+        import re
+        try:
+            rows = self._fetchall(
+                "SELECT table_name FROM ducklake_inlined_data_tables "
+                "WHERE table_id = ?", (table_id,))
+        except Exception:
+            return []
+        names = [r[0] for r in rows]
+        for n in names:
+            # registry content reaches SQL identifiers — harden like paths
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", n):
+                raise CatalogCorruption(
+                    f"invalid inlined-data table name in catalog: {n!r}")
+        return names
+
+    def get_inlined_rows(self, inline_table: str, column_names: list[str],
+                         snapshot_id: int) -> list[tuple]:
+        """Live rows of one inlined-data table at ``snapshot_id``:
+        (row_id, <data columns...>) filtered by the table's own
+        begin/end_snapshot MVCC columns — inlined rows version exactly
+        like data files do."""
+        cols = ", ".join(f'"{c}"' for c in column_names)
+        return self._fetchall(
+            f'SELECT row_id, {cols} FROM "{inline_table}" '
+            "WHERE begin_snapshot <= ? "
+            "AND (end_snapshot IS NULL OR end_snapshot > ?)",
+            (snapshot_id, snapshot_id))
 
     def list_all_tables(self, snapshot_id: int) -> list[tuple[str, TableMeta]]:
         return [(r[0], TableMeta(int(r[1]), r[2], r[3], bool(r[4])))

@@ -114,6 +114,11 @@ CREATE TABLE IF NOT EXISTS ducklake_view (
     begin_snapshot INTEGER NOT NULL,
     end_snapshot INTEGER
 );
+CREATE TABLE IF NOT EXISTS ducklake_inlined_data_tables (
+    table_id INTEGER NOT NULL,
+    table_name VARCHAR NOT NULL,
+    schema_version INTEGER
+);
 CREATE TABLE IF NOT EXISTS ducklake_delete_file (
     delete_file_id INTEGER PRIMARY KEY,
     data_file_id INTEGER NOT NULL,
@@ -612,6 +617,20 @@ class CatalogWriter:
                 (snapshot_id, table_id))
             return cur.execute("SELECT changes()").fetchall()[0][0] \
                 if self._dialect == "sqlite" else -1
+
+    def end_inlined_rows(self, inline_table: str, snapshot_id: int) -> None:
+        """End every live row of one inlined-data table (data-inlining
+        flush: the rows move to a registered parquet file in the same
+        snapshot; older snapshots still time-travel to the inlined
+        form)."""
+        import re
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", inline_table):
+            raise InvalidConfig(
+                f"invalid inlined-data table name: {inline_table!r}")
+        with self._txn() as cur:
+            cur.execute(
+                f'UPDATE "{inline_table}" SET end_snapshot = ? '
+                "WHERE end_snapshot IS NULL", (snapshot_id,))
 
     _MVCC_TABLES = ("ducklake_schema", "ducklake_table", "ducklake_column",
                     "ducklake_data_file", "ducklake_delete_file",

@@ -66,6 +66,11 @@ def _live_with_filepos(session, handle) -> DataFrame:
         raise InvalidConfig(
             "DML over encrypted tables is not supported yet "
             "(the delete-file writer would need PME encryption)")
+    if handle.inlined_tables and handle.inlined_rows():
+        raise InvalidConfig(
+            "DML over tables with live inlined data rows is not supported "
+            "— call flush_inlined_data() first (positional deletes only "
+            "address parquet rows)")
     _configure_fieldid_read(session.spark)
     files = handle.files
     parts = []

@@ -360,6 +360,10 @@ def compact_table(session, name: str, single_file: bool = True,
     from pyspark.sql import functions as F
 
     handle = session.table_handle(name)
+    if handle.inlined_tables and handle.inlined_rows():
+        raise InvalidConfig(
+            "compact over tables with live inlined data rows is not "
+            "supported — call flush_inlined_data() first")
     if not handle.files or any(f.row_id_start is None for f in handle.files):
         return create_or_insert(session, name, session.table(name),
                                 mode="overwrite", single_file=single_file)

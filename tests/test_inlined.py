@@ -1,0 +1,137 @@
+"""Data-inlining READ path + flush (DuckLake data inlining: DuckDB
+stores small inserts as rows in catalog tables
+``ducklake_inlined_data_{table_id}_{schema_version}`` registered in
+``ducklake_inlined_data_tables``; a reader must surface them — corpus:
+tests/sqllogictests/sql/data_inlining/).
+
+The ducklake extension is not installable offline, so the fixture writes
+the inlined tables exactly as DuckDB lays them out (row_id +
+begin/end_snapshot MVCC columns followed by the data columns).
+"""
+
+from __future__ import annotations
+
+import sqlite3
+
+import pytest
+
+from datafusion_ducklake_spark.catalog import DuckLakeSession
+from datafusion_ducklake_spark.errors import CatalogCorruption, InvalidConfig
+from datafusion_ducklake_spark.metadata.writer import CatalogWriter
+
+
+@pytest.fixture()
+def dl(spark, tmp_path):
+    """Table with one parquet file (ids 0-4) + live inlined rows 100,101
+    written at snapshot 3 (one previously-flushed row 99 ended)."""
+    db = str(tmp_path / "catalog.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake"))
+    w.close()
+    session = DuckLakeSession(spark, db)
+    df = spark.createDataFrame(
+        [(i, f"r{i}", i * 1.5) for i in range(5)],
+        "id INT, tag STRING, v DOUBLE")
+    session.create_table("main.t", df)
+    tid = session.table_handle("main.t").meta.table_id
+
+    con = sqlite3.connect(db)
+    con.execute(
+        "INSERT INTO ducklake_snapshot (snapshot_id) VALUES (3)")
+    con.execute(
+        "INSERT INTO ducklake_inlined_data_tables "
+        "(table_id, table_name, schema_version) VALUES (?, ?, 0)",
+        (tid, f"ducklake_inlined_data_{tid}_0"))
+    con.execute(
+        f"CREATE TABLE ducklake_inlined_data_{tid}_0 ("
+        "row_id BIGINT, begin_snapshot BIGINT, end_snapshot BIGINT, "
+        "id INTEGER, tag VARCHAR, v DOUBLE)")
+    con.executemany(
+        f"INSERT INTO ducklake_inlined_data_{tid}_0 VALUES (?,?,?,?,?,?)",
+        [(1000, 3, None, 100, "inline-a", 7.5),
+         (1001, 3, None, 101, "inline-b", None),
+         (999, 2, 3, 99, "old-flushed", 1.0)])
+    con.commit()
+    con.close()
+    session.refresh()
+    return session
+
+
+def _ids(session, name="main.t"):
+    return sorted(r["id"] for r in session.table(name).collect())
+
+
+def test_scan_surfaces_live_inlined_rows(dl):
+    assert _ids(dl) == [0, 1, 2, 3, 4, 100, 101]
+    rows = {r["id"]: (r["tag"], r["v"])
+            for r in dl.table("main.t").collect()}
+    assert rows[100] == ("inline-a", 7.5)
+    assert rows[101] == ("inline-b", None)
+
+
+def test_inlined_rows_version_with_snapshots(dl):
+    old = DuckLakeSession(dl.spark, dl.catalog_path, snapshot_id=2)
+    assert sorted(r["id"] for r in old.table("main.t").collect()) == \
+        [0, 1, 2, 3, 4, 99]            # sees the since-ended row, not 100s
+
+
+def test_inlined_rowid_scan(dl):
+    got = {r["id"]: r["rowid"]
+           for r in dl.table("main.t", with_rowid=True).collect()}
+    assert got[100] == 1000 and got[101] == 1001
+
+
+def test_sql_sees_inlined_rows(dl):
+    dl.register_views()
+    n = dl.sql("SELECT count(*) AS n FROM t").collect()[0]["n"]
+    assert n == 7
+
+
+def test_dml_requires_flush(dl):
+    with pytest.raises(InvalidConfig, match="flush_inlined_data"):
+        dl.delete_from("main.t", "id = 100")
+    with pytest.raises(InvalidConfig, match="flush_inlined_data"):
+        dl.compact("main.t")
+
+
+def test_flush_moves_rows_to_parquet(dl):
+    before = sorted((r["id"], r["tag"]) for r in
+                    dl.table("main.t").collect())
+    pre_snap = dl.provider.get_current_snapshot()
+    n = dl.flush_inlined_data("main.t")
+    assert n == 2
+    after = sorted((r["id"], r["tag"]) for r in
+                   dl.table("main.t").collect())
+    assert after == before                        # state unchanged
+    handle = dl.table_handle("main.t")
+    assert handle.inlined_rows() == []            # no live inlined rows
+    assert len(handle._raw_files) == 2            # new data file registered
+    # older snapshot still time-travels to the inlined form
+    old = DuckLakeSession(dl.spark, dl.catalog_path, snapshot_id=pre_snap)
+    assert sorted(r["id"] for r in old.table("main.t").collect()) == \
+        [0, 1, 2, 3, 4, 100, 101]
+    # DML works after the flush
+    assert dl.delete_from("main.t", "id = 100") == 1
+    assert _ids(dl) == [0, 1, 2, 3, 4, 101]
+
+
+def test_flush_noop_without_inlined_rows(spark, tmp_path):
+    db = str(tmp_path / "plain.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake2"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.create_table("main.p", spark.createDataFrame([(1,)], "id INT"))
+    assert dl.flush_inlined_data("main.p") == 0
+
+
+def test_malicious_inlined_table_name_rejected(dl):
+    con = sqlite3.connect(dl.catalog_path)
+    con.execute(
+        "INSERT INTO ducklake_inlined_data_tables "
+        "(table_id, table_name) VALUES "
+        "(999, 'x; DROP TABLE ducklake_table')")
+    con.commit()
+    con.close()
+    with pytest.raises(CatalogCorruption):
+        dl.provider.get_inlined_tables(999)
