@@ -294,6 +294,15 @@ class MetadataProvider:
             "AND (end_snapshot IS NULL OR end_snapshot > ?)",
             (snapshot_id, snapshot_id))
 
+    def count_ended_files(self, table_id: int) -> int:
+        """Number of data files ever REMOVED from the table (overwrite /
+        compaction history) — the append-only guard for directory-glob
+        streaming."""
+        return int(self._fetchall(
+            "SELECT COUNT(*) FROM ducklake_data_file "
+            "WHERE table_id = ? AND end_snapshot IS NOT NULL",
+            (table_id,))[0][0])
+
     def list_all_tables(self, snapshot_id: int) -> list[tuple[str, TableMeta]]:
         return [(r[0], TableMeta(int(r[1]), r[2], r[3], bool(r[4])))
                 for r in self._fetchall(Q.LIST_ALL_TABLES, (snapshot_id,) * 4)]

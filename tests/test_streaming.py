@@ -147,9 +147,10 @@ def test_stream_inserts_ignores_delete_files(spark, fresh_dl, tmp_path):
     assert rows == [(1, "a"), (2, "b")]  # no NULL rows from the delete file
 
 
-def test_stream_inserts_rejects_rewritten_tables(spark, fresh_dl):
-    """Overwrite leaves superseded files on disk; the file source would
-    re-emit them as duplicates, so the stream must refuse (ADVICE r1)."""
+def test_glob_stream_rejects_rewritten_tables(spark, fresh_dl):
+    """Overwrite leaves superseded files on disk; the glob file source
+    would re-emit them as duplicates, so that mode must refuse
+    (ADVICE r1). The catalog mode handles these tables instead."""
     from datafusion_ducklake_spark.errors import InvalidConfig
     from datafusion_ducklake_spark.streaming import cdc_source
 
@@ -157,7 +158,41 @@ def test_stream_inserts_rejects_rewritten_tables(spark, fresh_dl):
     fresh_dl.create_table("main.evo", df)
     fresh_dl.insert_into("main.evo", df, overwrite=True)
     with pytest.raises(InvalidConfig, match="append-only"):
-        cdc_source.stream_inserts(fresh_dl, "main.evo")
+        cdc_source.stream_inserts(fresh_dl, "main.evo", mode="glob")
+
+
+def test_catalog_stream_exactly_once_across_compaction(spark, fresh_dl,
+                                                       tmp_path):
+    """The catalog-driven stream's rowid-extent offsets make compaction
+    invisible: rewritten files preserve rowids and land below the offset,
+    so every row is delivered exactly once across delete + compact +
+    append (the r2 verdict's stream-over-compacted-table contract)."""
+    fresh_dl.create_table("main.evc", spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id BIGINT, v DOUBLE"))
+    fresh_dl.delete_from("main.evc", "id IN (2, 5, 7)")
+    fresh_dl.compact("main.evc")          # rewrites files, keeps rowids
+
+    ckpt = str(tmp_path / "ckpt_evc")
+    sink = str(tmp_path / "sink_evc")
+
+    def run_once():
+        stream = cdc_source.stream_inserts(fresh_dl, "main.evc")
+        q = (stream.writeStream.format("parquet")
+             .option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
+
+    run_once()
+    got = sorted(r["id"] for r in spark.read.parquet(sink).collect())
+    assert got == [i for i in range(10) if i not in (2, 5, 7)]  # once each
+
+    # append after compaction: only the new rows arrive on the next run
+    fresh_dl.insert_into("main.evc", spark.createDataFrame(
+        [(100, 1.0), (101, 2.0)], "id BIGINT, v DOUBLE"))
+    run_once()
+    got2 = sorted(r["id"] for r in spark.read.parquet(sink).collect())
+    assert got2 == got + [100, 101]       # exactly the two new rows added
 
 
 def test_dedup_stream_within_watermark(spark, tmp_path):
