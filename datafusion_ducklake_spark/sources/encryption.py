@@ -128,9 +128,19 @@ def read_footer_key_arrow(path: str, key: bytes):
     add_parquet_key + ENCRYPTION_CONFIG writes exactly this).
 
     pyarrow's Python surface cannot express this mode (CryptoFactory is
-    envelope-only and the low-level property constructors are inert), but
-    DuckDB's parquet reader can, and duckdb is bundled with the Python
-    workers — so the decode stays executor-side and Arrow-native."""
+    envelope-only; probed this build: pyarrow 16's
+    ``_parquet.FileDecryptionProperties`` constructor accepts arguments
+    but stores nothing — a reader handed one still fails with "no
+    decryption found"), but DuckDB's parquet reader can, and duckdb is
+    bundled with the Python workers — so the decode stays executor-side
+    and Arrow-native.
+
+    Non-UTF8 raw keys are a documented capability gap shared WITH DuckDB
+    itself: ``add_parquet_key`` is VARCHAR-only, and probing shows a
+    base64-encoded registration is consumed as a raw AES-192 string, not
+    decoded (a file written with the plain key does not read back under
+    the base64 form) — so no engine in this ecosystem can address such a
+    file today; the targeted error below is the honest surface."""
     import duckdb
     try:
         key_str = key.decode("utf-8")

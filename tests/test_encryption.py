@@ -214,3 +214,51 @@ class TestFooterKeyInterop:
         rows = sorted((r["id"], r["rowid"])
                       for r in dl.table("main.fk", with_rowid=True).collect())
         assert rows == [(1, 100), (2, 101), (3, 102)]
+
+
+def test_binary_key_targeted_error_end_to_end(spark, tmp_path):
+    """r2 VERDICT task #9: a catalog whose stored key is base64 of a
+    random non-UTF8 16-byte AES key must fail the SESSION scan with the
+    targeted capability message (not a generic parse error). DuckDB
+    itself shares this limit (add_parquet_key is VARCHAR-only; its
+    base64 form registers a raw AES-192 string, verified by cross-read
+    failure), so the clear error is the honest ceiling."""
+    import base64
+    import random
+
+    import duckdb
+
+    from datafusion_ducklake_spark.errors import InvalidConfig as IC
+
+    rng = random.Random(42)
+    binary_key = bytes([0xff, 0xfe] + [rng.randrange(256) for _ in range(14)])
+    assert len(binary_key) == 16
+    with pytest.raises(UnicodeDecodeError):
+        binary_key.decode("utf-8")       # genuinely non-UTF8
+
+    cat = FixtureCatalog(tmp_path)
+    s1 = cat.snapshot()
+    sid = cat.schema("main", s1)
+    tid = cat.table(sid, "main", "bk", s1)
+    cat.column(tid, 1, "id", "int32", 0, s1)
+    tdir = cat.table_dir("main", "bk")
+    fpath = os.path.join(tdir, "ducklake-bk-0001.parquet")
+    # the FILE is direct-footer-key format (written with a throwaway
+    # UTF-8 key); the CATALOG claims the binary key — the reader must
+    # hit the capability error before any tag-mismatch confusion
+    con = duckdb.connect()
+    con.execute("PRAGMA add_parquet_key('t', 'irrelevant-16byt')")
+    con.execute("COPY (SELECT 1::INT AS id) TO '" + fpath +
+                "' (ENCRYPTION_CONFIG {footer_key: 't'})")
+    con.close()
+    cat.conn.execute(
+        "INSERT INTO ducklake_data_file (data_file_id, table_id, path, "
+        "path_is_relative, file_size_bytes, record_count, begin_snapshot, "
+        "encryption_key) VALUES (1, ?, ?, 1, ?, 1, ?, ?)",
+        (tid, "ducklake-bk-0001.parquet", os.path.getsize(fpath), s1,
+         base64.b64encode(binary_key).decode()))
+    cat.conn.commit()
+
+    dl = DuckLakeSession(spark, cat.db_path)
+    with pytest.raises(Exception, match="non-UTF8"):
+        dl.table("main.bk").collect()
