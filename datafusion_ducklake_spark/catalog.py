@@ -63,7 +63,8 @@ class DuckLakeTable:
                 encryption_key=f.encryption_key,
                 delete_encryption_key=delete_key,
                 row_id_start=f.row_id_start,
-                mapping_id=f.mapping_id))
+                mapping_id=f.mapping_id,
+                begin_snapshot=f.begin_snapshot))
 
     @cached_property
     def spark_schema(self):
@@ -127,11 +128,46 @@ class DuckLakeTable:
 
     def to_df(self, with_rowid: bool = False,
               prune_filters: Optional[list[tuple]] = None) -> DataFrame:
+        from functools import reduce
+
+        from pyspark.sql import functions as F
         files = self.files
         if prune_filters:
             files = self.prune_files(prune_filters)
-        df = scan_table(self.spark, self.spark_schema, files,
-                        with_rowid=with_rowid)
+
+        # initial_default fill (sql/default/ corpus): a file registered
+        # BEFORE a defaulted column existed physically lacks it — those
+        # rows read the default, not NULL. Catalog-only decision (file
+        # begin_snapshot vs column begin_snapshot); files bucket by the
+        # set of columns they predate (normally 1-2 buckets), each bucket
+        # is one scan branch with the defaults stamped.
+        defaulted = [c for c in self.columns
+                     if c.initial_default is not None
+                     and c.begin_snapshot is not None]
+
+        def predates(f: ResolvedFile) -> tuple:
+            if not defaulted or f.begin_snapshot is None:
+                return ()
+            return tuple(c.column_name for c in defaulted
+                         if f.begin_snapshot < c.begin_snapshot)
+
+        buckets: dict[tuple, list[ResolvedFile]] = {}
+        for f in files:
+            buckets.setdefault(predates(f), []).append(f)
+        if not buckets:
+            buckets = {(): []}
+
+        types = {f.name: f.dataType for f in self.spark_schema.fields}
+        inits = {c.column_name: c.initial_default for c in defaulted}
+        parts = []
+        for missing, group in sorted(buckets.items()):
+            df = scan_table(self.spark, self.spark_schema, group,
+                            with_rowid=with_rowid)
+            for col in missing:
+                df = df.withColumn(
+                    col, F.expr(inits[col]).cast(types[col]))
+            parts.append(df)
+        df = reduce(DataFrame.unionByName, parts)
         inlined = self._inlined_df(with_rowid)
         if inlined is not None:
             df = df.unionByName(inlined)
@@ -402,10 +438,10 @@ class DuckLakeSession:
     _ALTER_RE = re.compile(
         r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+"
         r"(?:RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)"
-        r"|ADD\s+COLUMN\s+(\w+)\s+([\w()]+)"
+        r"|ADD\s+COLUMN\s+(\w+)\s+([\w()]+)(?:\s+DEFAULT\s+(.+?))?"
         r"|DROP\s+COLUMN\s+(\w+)"
         r"|ALTER\s+(?:COLUMN\s+)?(\w+)\s+(SET|DROP)\s+NOT\s+NULL"
-        r")\s*;?\s*$", re.I)
+        r")\s*;?\s*$", re.I | re.S)
     _CTAS_RE = re.compile(
         r"^\s*CREATE\s+TABLE\s+([A-Za-z_][\w.]*)\s+AS\s+(SELECT\s.*?)"
         r"\s*;?\s*$", re.I | re.S)
@@ -496,14 +532,16 @@ class DuckLakeSession:
             if m.group(2):
                 self.rename_column(name, m.group(2), m.group(3))
             elif m.group(4):
-                self.add_column(name, m.group(4), m.group(5).lower())
-            elif m.group(7):
-                if m.group(8).upper() == "SET":
-                    self.set_not_null(name, m.group(7))
+                default = m.group(6).strip() if m.group(6) else None
+                self.add_column(name, m.group(4), m.group(5).lower(),
+                                default=default)
+            elif m.group(8):
+                if m.group(9).upper() == "SET":
+                    self.set_not_null(name, m.group(8))
                 else:
-                    self.drop_not_null(name, m.group(7))
+                    self.drop_not_null(name, m.group(8))
             else:
-                self.drop_column(name, m.group(6))
+                self.drop_column(name, m.group(7))
             return self._count_df(0)
         m = self._CTAS_RE.match(query)
         if m:
@@ -542,10 +580,11 @@ class DuckLakeSession:
             target_cols = [c.column_name for c in handle.columns]
             if col_list:
                 names = [c.strip() for c in col_list.split(",")]
-                if sorted(names) != sorted(target_cols):
+                unknown = [c for c in names if c not in target_cols]
+                if unknown:
                     raise InvalidConfig(
-                        "INSERT: explicit column list must cover every "
-                        f"table column ({target_cols})")
+                        f"INSERT: unknown columns {unknown} "
+                        f"(table has {target_cols})")
             else:
                 names = target_cols
             if len(df.columns) != len(names):
@@ -553,11 +592,23 @@ class DuckLakeSession:
                     f"INSERT: {len(df.columns)} values for "
                     f"{len(names)} columns")
             # cast to the table's types — SQL literals otherwise shift
-            # them (VALUES (1.0) parses as DECIMAL(2,1), not DOUBLE)
+            # them (VALUES (1.0) parses as DECIMAL(2,1), not DOUBLE).
+            # Omitted columns fill with their catalog default_value
+            # (sql/default/ corpus) or NULL.
             from pyspark.sql import functions as F
             types = {f.name: f.dataType for f in handle.spark_schema.fields}
-            df = df.toDF(*names).select(
-                *[F.col(c).cast(types[c]).alias(c) for c in target_cols])
+            defaults = {c.column_name: c.default_value
+                        for c in handle.columns}
+            given = set(names)
+
+            def filled(c):
+                if c in given:
+                    return F.col(c).cast(types[c]).alias(c)
+                if defaults.get(c) is not None:
+                    return F.expr(defaults[c]).cast(types[c]).alias(c)
+                return F.lit(None).cast(types[c]).alias(c)
+
+            df = df.toDF(*names).select(*[filled(c) for c in target_cols])
             return self._count_df(self.insert_into(name, df))
         return None
 
@@ -812,13 +863,19 @@ class DuckLakeSession:
         self._alter_columns(name, [
             (c.column_id, ColumnDef(new if c.column_name == old
                                     else c.column_name,
-                                    c.column_type, c.nulls_allowed))
+                                    c.column_type, c.nulls_allowed,
+                                    c.initial_default, c.default_value))
             for c in handle.columns])
 
-    def add_column(self, name: str, col_name: str, col_type: str) -> None:
+    def add_column(self, name: str, col_name: str, col_type: str,
+                   default: Optional[str] = None) -> None:
         """ALTER TABLE name ADD COLUMN — metadata-only; existing files
-        lack the new field id and read back NULL (so the column is
-        always nullable). ``col_type`` is a DuckLake type name."""
+        lack the new field id and read back NULL, or ``default`` (a SQL
+        literal/expression string) when given: it is recorded as the
+        column's initial_default (fills rows predating the column) AND
+        default_value (applies to INSERTs that omit it) — DuckDB's ALTER
+        ADD COLUMN ... DEFAULT semantics (corpus: sql/default/). The
+        column is always nullable. ``col_type`` is a DuckLake type."""
         from .metadata.writer import ColumnDef
         from .types import ducklake_to_spark_type
         ducklake_to_spark_type(col_type)        # validate early
@@ -826,9 +883,11 @@ class DuckLakeSession:
         if col_name in [c.column_name for c in handle.columns]:
             raise InvalidConfig(f"add_column: {col_name!r} already exists")
         cols = [(c.column_id, ColumnDef(c.column_name, c.column_type,
-                                        c.nulls_allowed))
+                                        c.nulls_allowed,
+                                        c.initial_default, c.default_value))
                 for c in handle.columns]
-        cols.append((None, ColumnDef(col_name, col_type, True)))
+        cols.append((None, ColumnDef(col_name, col_type, True,
+                                     default, default)))
         self._alter_columns(name, cols)
 
     def drop_column(self, name: str, col_name: str) -> None:
@@ -844,7 +903,8 @@ class DuckLakeSession:
             raise InvalidConfig("drop_column: cannot drop the last column")
         self._alter_columns(name, [
             (c.column_id, ColumnDef(c.column_name, c.column_type,
-                                    c.nulls_allowed))
+                                    c.nulls_allowed,
+                                    c.initial_default, c.default_value))
             for c in handle.columns if c.column_name != col_name])
 
     def flush_inlined_data(self, name: str) -> int:
@@ -930,7 +990,8 @@ class DuckLakeSession:
         self._alter_columns(name, [
             (c.column_id, ColumnDef(c.column_name, c.column_type,
                                     False if c.column_name == col_name
-                                    else c.nulls_allowed))
+                                    else c.nulls_allowed,
+                                    c.initial_default, c.default_value))
             for c in handle.columns])
 
     def drop_not_null(self, name: str, col_name: str) -> None:
@@ -947,7 +1008,8 @@ class DuckLakeSession:
         self._alter_columns(name, [
             (c.column_id, ColumnDef(c.column_name, c.column_type,
                                     True if c.column_name == col_name
-                                    else c.nulls_allowed))
+                                    else c.nulls_allowed,
+                                    c.initial_default, c.default_value))
             for c in handle.columns])
 
     def delete_from(self, name: str, condition) -> int:

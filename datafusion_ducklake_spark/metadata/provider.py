@@ -58,6 +58,12 @@ class ColumnMeta:
     column_name: str
     column_type: str
     nulls_allowed: bool
+    # DuckLake default-value columns (spec: ducklake_column). initial_default
+    # fills rows in files that PREDATE the column (ALTER ADD COLUMN DEFAULT);
+    # default_value applies to INSERTs that omit the column.
+    initial_default: Optional[str] = None
+    default_value: Optional[str] = None
+    begin_snapshot: Optional[int] = None
 
 
 @dataclass(frozen=True)
@@ -83,6 +89,7 @@ class DataFileMeta:
     row_id_start: Optional[int]
     mapping_id: Optional[int] = None   # non-NULL ⇒ name-mapped (no field ids)
     delete_file: Optional[DeleteFileMeta] = None
+    begin_snapshot: Optional[int] = None  # registration snapshot (defaults fill)
 
 
 @dataclass(frozen=True)
@@ -125,7 +132,9 @@ def reconstruct_list_columns(rows: list[tuple[ColumnMeta, Optional[int]]]
             if cols[pi].column_type == "list":
                 cols[pi] = ColumnMeta(
                     cols[pi].column_id, cols[pi].column_name,
-                    f"list<{col.column_type}>", cols[pi].nulls_allowed)
+                    f"list<{col.column_type}>", cols[pi].nulls_allowed,
+                    cols[pi].initial_default, cols[pi].default_value,
+                    cols[pi].begin_snapshot)
                 skip.add(i)
     return [c for i, c in enumerate(cols) if i not in skip]
 
@@ -186,11 +195,19 @@ class MetadataProvider:
 
     def get_table_columns(self, table_id: int,
                           snapshot_id: int) -> list[ColumnMeta]:
+        try:
+            rows = self._fetchall(Q.GET_TABLE_COLUMNS,
+                                  (table_id, snapshot_id, snapshot_id))
+        except Exception:
+            # pre-default-value catalogs lack initial_default/default_value
+            rows = self._fetchall(Q.GET_TABLE_COLUMNS_LEGACY,
+                                  (table_id, snapshot_id, snapshot_id))
         raw = [(ColumnMeta(int(r[0]), r[1], r[2],
-                           bool(r[3]) if r[3] is not None else True),
+                           bool(r[3]) if r[3] is not None else True,
+                           r[5], r[6],
+                           int(r[7]) if r[7] is not None else None),
                 int(r[4]) if r[4] is not None else None)
-               for r in self._fetchall(Q.GET_TABLE_COLUMNS,
-                                       (table_id, snapshot_id, snapshot_id))]
+               for r in rows]
         return reconstruct_list_columns(raw)
 
     def get_data_files(self, table_id: int, snapshot_id: int) -> list[DataFileMeta]:
@@ -211,7 +228,8 @@ class MetadataProvider:
                 int(r[6]) if r[6] is not None else None,
                 int(r[7]) if r[7] is not None else None,
                 mapping_id=int(r[8]) if r[8] is not None else None,
-                delete_file=delete))
+                delete_file=delete,
+                begin_snapshot=int(r[16]) if r[16] is not None else None))
         return out
 
     def get_file_column_stats(self, table_id: int, snapshot_id: int

@@ -61,7 +61,18 @@ ORDER BY v.view_id
 """
 
 GET_TABLE_COLUMNS = f"""
-SELECT c.column_id, c.column_name, c.column_type, c.nulls_allowed, c.parent_column
+SELECT c.column_id, c.column_name, c.column_type, c.nulls_allowed, c.parent_column,
+       c.initial_default, c.default_value, c.begin_snapshot
+FROM ducklake_column c
+WHERE c.table_id = ? AND {_VISIBLE.format(t='c')}
+ORDER BY c.column_order
+"""
+# Catalogs written before the default-value columns existed (DuckLake
+# pre-0.2 / earlier versions of this writer) lack initial_default /
+# default_value — the provider falls back to this legacy shape.
+GET_TABLE_COLUMNS_LEGACY = f"""
+SELECT c.column_id, c.column_name, c.column_type, c.nulls_allowed, c.parent_column,
+       NULL, NULL, c.begin_snapshot
 FROM ducklake_column c
 WHERE c.table_id = ? AND {_VISIBLE.format(t='c')}
 ORDER BY c.column_order
@@ -77,7 +88,8 @@ SELECT
   data.file_size_bytes, data.footer_size, data.encryption_key,
   data.record_count, data.row_id_start, data.mapping_id,
   del.delete_file_id, del.path, del.path_is_relative,
-  del.file_size_bytes, del.footer_size, del.encryption_key, del.delete_count
+  del.file_size_bytes, del.footer_size, del.encryption_key, del.delete_count,
+  data.begin_snapshot
 FROM ducklake_data_file AS data
 LEFT JOIN ducklake_delete_file AS del
   ON data.data_file_id = del.data_file_id

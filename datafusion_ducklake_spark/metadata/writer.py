@@ -64,6 +64,8 @@ CREATE TABLE IF NOT EXISTS ducklake_column (
     column_order INTEGER NOT NULL,
     nulls_allowed BOOLEAN DEFAULT 1,
     parent_column INTEGER,
+    initial_default VARCHAR,
+    default_value VARCHAR,
     begin_snapshot INTEGER NOT NULL,
     end_snapshot INTEGER
 );
@@ -162,6 +164,11 @@ class ColumnDef:
     name: str
     ducklake_type: str
     is_nullable: bool = True
+    # SQL-literal/expression text (DuckLake spec columns). initial_default
+    # fills rows predating the column; default_value applies to INSERTs
+    # that omit it.
+    initial_default: Optional[str] = None
+    default_value: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -353,6 +360,11 @@ class CatalogWriter:
                 "WHERE table_id = ? AND end_snapshot IS NULL", (table_id,))}
             existing_nulls = {r[0]: (bool(r[2]) if r[2] is not None else True)
                               for r in existing}
+            existing_defaults = {r[0]: (r[1], r[2]) for r in cur.execute(
+                "SELECT column_name, initial_default, default_value "
+                "FROM ducklake_column "
+                "WHERE table_id = ? AND end_snapshot IS NULL", (table_id,))
+            } if existing else {}
             cur.execute(
                 "UPDATE ducklake_column SET end_snapshot = ? "
                 "WHERE table_id = ? AND end_snapshot IS NULL", (sid, table_id))
@@ -360,22 +372,26 @@ class CatalogWriter:
             next_col_id = self._next_id(cur, "ducklake_column", "column_id")
             for order, col in enumerate(columns):
                 nullable = col.is_nullable
+                initial, default = col.initial_default, col.default_value
                 if col.name in existing_ids:
                     cid = existing_ids[col.name]
                     if mode == WriteMode.APPEND:
-                        # INSERT never alters constraints: a nullable-typed
-                        # input frame must not silently drop an existing
-                        # NOT NULL (constraint changes go through ALTER)
+                        # INSERT never alters constraints or defaults: a
+                        # plain input frame must not silently drop them
+                        # (such changes go through ALTER)
                         nullable = existing_nulls.get(col.name, nullable)
+                        initial, default = existing_defaults.get(
+                            col.name, (initial, default))
                 else:
                     cid = next_col_id
                     next_col_id += 1
                 cur.execute(
                     "INSERT INTO ducklake_column (column_id, table_id, column_name, "
-                    "column_type, column_order, nulls_allowed, begin_snapshot) "
-                    "VALUES (?, ?, ?, ?, ?, ?, ?)",
+                    "column_type, column_order, nulls_allowed, initial_default, "
+                    "default_value, begin_snapshot) "
+                    "VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?)",
                     (cid, table_id, col.name, col.ducklake_type, order,
-                     nullable, sid))
+                     nullable, initial, default, sid))
                 column_ids.append(cid)
 
             if mode == WriteMode.REPLACE:
@@ -434,9 +450,11 @@ class CatalogWriter:
                 cur.execute(
                     "INSERT INTO ducklake_column (column_id, table_id, "
                     "column_name, column_type, column_order, nulls_allowed, "
-                    "begin_snapshot) VALUES (?, ?, ?, ?, ?, ?, ?)",
+                    "initial_default, default_value, begin_snapshot) "
+                    "VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?)",
                     (cid, table_id, col.name, col.ducklake_type, order,
-                     col.is_nullable, sid))
+                     col.is_nullable, col.initial_default, col.default_value,
+                     sid))
             return sid
 
     def register_data_file(self, table_id: int, snapshot_id: int,

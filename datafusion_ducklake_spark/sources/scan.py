@@ -65,6 +65,7 @@ class ResolvedFile:
     delete_encryption_key: Optional[str] = None
     row_id_start: Optional[int] = None         # base for the virtual rowid
     mapping_id: Optional[int] = None           # non-NULL ⇒ name-mapped file
+    begin_snapshot: Optional[int] = None       # registration snapshot
 
 
 def _configure_fieldid_read(spark: SparkSession) -> None:
