@@ -305,6 +305,7 @@ class DuckLakeSession:
         self.catalog = DuckLakeCatalog(spark, self.provider, snapshot_id)
         self._view_rewrites: dict[str, str] = {}
         self._txn_base: Optional[int] = None   # BEGIN's snapshot anchor
+        self._macros: Optional[list] = None    # lazy ducklake_macro cache
 
     # -- name resolution ---------------------------------------------------
 
@@ -500,6 +501,49 @@ class DuckLakeSession:
 
     _TXN_RE = re.compile(
         r"^\s*(BEGIN(?:\s+TRANSACTION)?|COMMIT|ROLLBACK)\s*;?\s*$", re.I)
+    _CREATE_MACRO_RE = re.compile(
+        r"^\s*CREATE\s+(OR\s+REPLACE\s+)?MACRO\s+([A-Za-z_]\w*)\s*"
+        r"\(([^)]*)\)\s+AS\s+(TABLE\s+)?(.*?)\s*;?\s*$", re.I | re.S)
+    _DROP_MACRO_RE = re.compile(
+        r"^\s*DROP\s+MACRO\s+(IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*$", re.I)
+
+    def _try_macro_ddl(self, query: str) -> Optional[DataFrame]:
+        from .table_writer import _catalog_writer
+        m = self._CREATE_MACRO_RE.match(query)
+        if m:
+            params = []
+            if m.group(3).strip():
+                for p in self._split_top_level(m.group(3)):
+                    pname, sep, default = p.partition(":=")
+                    params.append((pname.strip(),
+                                   default.strip() if sep else None))
+            kind = "table" if m.group(4) else "scalar"
+            writer = _catalog_writer(self)
+            try:
+                writer.create_macro(m.group(2), params, m.group(5), kind,
+                                    replace=bool(m.group(1)))
+            finally:
+                writer.close()
+            self.refresh()
+            return self._count_df(0)
+        m = self._DROP_MACRO_RE.match(query)
+        if m:
+            writer = _catalog_writer(self)
+            try:
+                found = writer.drop_macro(m.group(2))
+            finally:
+                writer.close()
+            if not found and not m.group(1):
+                raise InvalidConfig(f"macro not found: {m.group(2)}")
+            self.refresh()
+            return self._count_df(0)
+        return None
+
+    def _live_macros(self) -> list:
+        if self._macros is None:
+            self._macros = self.provider.list_macros(
+                self.catalog.snapshot_id)
+        return self._macros
 
     def _try_dml(self, query: str) -> Optional[DataFrame]:
         m = self._TXN_RE.match(query)
@@ -720,6 +764,11 @@ class DuckLakeSession:
     def sql(self, query: str) -> DataFrame:
         if not self._view_rewrites:
             self.register_views()
+        ddl = self._try_macro_ddl(query)
+        if ddl is not None:
+            return ddl
+        from .operators.macros import expand_macros
+        query = expand_macros(query, self._live_macros())
         dml = self._try_dml(query)
         if dml is not None:
             return dml
@@ -732,6 +781,7 @@ class DuckLakeSession:
         """Re-pin to the latest snapshot and refresh views (the reference
         re-creates its catalog per query session; hybrid_asyncdb.rs:120-144)."""
         self.catalog = DuckLakeCatalog(self.spark, self.provider)
+        self._macros = None
         if self._view_rewrites:
             self.register_views()
 

@@ -117,6 +117,15 @@ class DeleteDeltaMeta:
     snapshot_id: int
 
 
+@dataclass(frozen=True)
+class MacroMeta:
+    macro_id: int
+    macro_name: str
+    body: str
+    macro_type: str                       # 'scalar' | 'table'
+    params: list = field(default_factory=list)  # [(name, default|None)]
+
+
 def reconstruct_list_columns(rows: list[tuple[ColumnMeta, Optional[int]]]
                              ) -> list[ColumnMeta]:
     """Rebuild list<T> from parent/child rows: parent has
@@ -311,6 +320,30 @@ class MetadataProvider:
             "WHERE begin_snapshot <= ? "
             "AND (end_snapshot IS NULL OR end_snapshot > ?)",
             (snapshot_id, snapshot_id))
+
+    def list_macros(self, snapshot_id: int) -> list["MacroMeta"]:
+        """Live catalog macros at the snapshot (DuckLake macro tables;
+        layout per the reference's sql/macros/ corpus). Catalogs without
+        the tables have no macros."""
+        try:
+            rows = self._fetchall(
+                "SELECT m.macro_id, m.macro_name, i.body, i.macro_type "
+                "FROM ducklake_macro m "
+                "JOIN ducklake_macro_impl i ON m.macro_id = i.macro_id "
+                "WHERE m.begin_snapshot <= ? "
+                "AND (m.end_snapshot IS NULL OR m.end_snapshot > ?)",
+                (snapshot_id, snapshot_id))
+        except Exception:
+            return []
+        out = []
+        for mid, name, body, kind in rows:
+            params = self._fetchall(
+                "SELECT parameter_name, default_value "
+                "FROM ducklake_macro_parameters WHERE macro_id = ? "
+                "ORDER BY position", (int(mid),))
+            out.append(MacroMeta(int(mid), name, body, kind,
+                                 [(p, d) for p, d in params]))
+        return out
 
     def count_ended_files(self, table_id: int) -> int:
         """Number of data files ever REMOVED from the table (overwrite /

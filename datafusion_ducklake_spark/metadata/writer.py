@@ -116,6 +116,29 @@ CREATE TABLE IF NOT EXISTS ducklake_view (
     begin_snapshot INTEGER NOT NULL,
     end_snapshot INTEGER
 );
+CREATE TABLE IF NOT EXISTS ducklake_macro (
+    schema_id INTEGER NOT NULL DEFAULT 0,
+    macro_id INTEGER NOT NULL,
+    macro_name VARCHAR NOT NULL,
+    begin_snapshot INTEGER NOT NULL,
+    end_snapshot INTEGER
+);
+CREATE TABLE IF NOT EXISTS ducklake_macro_impl (
+    macro_id INTEGER NOT NULL,
+    impl_index INTEGER NOT NULL DEFAULT 0,
+    dialect VARCHAR NOT NULL,
+    body VARCHAR NOT NULL,
+    macro_type VARCHAR NOT NULL
+);
+CREATE TABLE IF NOT EXISTS ducklake_macro_parameters (
+    macro_id INTEGER NOT NULL,
+    impl_index INTEGER NOT NULL DEFAULT 0,
+    position INTEGER NOT NULL,
+    parameter_name VARCHAR NOT NULL,
+    parameter_type VARCHAR,
+    default_value VARCHAR,
+    default_type VARCHAR
+);
 CREATE TABLE IF NOT EXISTS ducklake_inlined_data_tables (
     table_id INTEGER NOT NULL,
     table_name VARCHAR NOT NULL,
@@ -636,6 +659,76 @@ class CatalogWriter:
             return cur.execute("SELECT changes()").fetchall()[0][0] \
                 if self._dialect == "sqlite" else -1
 
+    def create_macro(self, name: str, params: list[tuple],
+                     body: str, kind: str, dialect: str = "spark",
+                     replace: bool = False) -> int:
+        """Register a catalog-persisted SQL macro (DuckLake macro tables:
+        ducklake_macro / _impl / _parameters — layout per the reference's
+        tests/sqllogictests/sql/macros/test_scalar_table_macros.test).
+        ``params`` = [(name, default_or_None), ...]; ``kind`` is
+        'scalar' | 'table'. Uniqueness is (name, kind); ``replace`` ends
+        the existing definition first."""
+        validate_name(name, "Macro")
+        if kind not in ("scalar", "table"):
+            raise InvalidConfig(f"macro kind must be scalar|table: {kind}")
+        with self._txn() as cur:
+            sid = self._next_id(cur, "ducklake_snapshot", "snapshot_id")
+            cur.execute(
+                "INSERT INTO ducklake_snapshot (snapshot_id, snapshot_time) "
+                "VALUES (?, CURRENT_TIMESTAMP)", (sid,))
+            live = cur.execute(
+                "SELECT m.macro_id FROM ducklake_macro m "
+                "JOIN ducklake_macro_impl i ON m.macro_id = i.macro_id "
+                "WHERE m.macro_name = ? AND i.macro_type = ? "
+                "AND m.end_snapshot IS NULL", (name, kind)).fetchall()
+            if live:
+                if not replace:
+                    kind_label = ("Table Macro" if kind == "table"
+                                  else "Scalar Macro")
+                    raise InvalidConfig(
+                        f'{kind_label} Function with name "{name}" '
+                        "already exists")
+                cur.execute(
+                    "UPDATE ducklake_macro SET end_snapshot = ? "
+                    "WHERE macro_id = ?", (sid, live[0][0]))
+            mid = self._next_id(cur, "ducklake_macro", "macro_id")
+            cur.execute(
+                "INSERT INTO ducklake_macro (schema_id, macro_id, "
+                "macro_name, begin_snapshot) VALUES (0, ?, ?, ?)",
+                (mid, name, sid))
+            cur.execute(
+                "INSERT INTO ducklake_macro_impl (macro_id, impl_index, "
+                "dialect, body, macro_type) VALUES (?, 0, ?, ?, ?)",
+                (mid, dialect, body, kind))
+            for pos, (pname, default) in enumerate(params):
+                validate_name(pname, "Macro parameter")
+                cur.execute(
+                    "INSERT INTO ducklake_macro_parameters (macro_id, "
+                    "impl_index, position, parameter_name, parameter_type, "
+                    "default_value, default_type) "
+                    "VALUES (?, 0, ?, ?, 'unknown', ?, 'unknown')",
+                    (mid, pos, pname, default))
+            return sid
+
+    def drop_macro(self, name: str) -> bool:
+        """End every live definition of the macro; False if none."""
+        with self._txn() as cur:
+            live = cur.execute(
+                "SELECT macro_id FROM ducklake_macro "
+                "WHERE macro_name = ? AND end_snapshot IS NULL",
+                (name,)).fetchall()
+            if not live:
+                return False
+            sid = self._next_id(cur, "ducklake_snapshot", "snapshot_id")
+            cur.execute(
+                "INSERT INTO ducklake_snapshot (snapshot_id, snapshot_time) "
+                "VALUES (?, CURRENT_TIMESTAMP)", (sid,))
+            cur.execute(
+                "UPDATE ducklake_macro SET end_snapshot = ? "
+                "WHERE macro_name = ? AND end_snapshot IS NULL",
+                (sid, name))
+            return True
+
     def end_inlined_rows(self, inline_table: str, snapshot_id: int) -> None:
         """End every live row of one inlined-data table (data-inlining
         flush: the rows move to a registered parquet file in the same
@@ -652,7 +745,7 @@ class CatalogWriter:
 
     _MVCC_TABLES = ("ducklake_schema", "ducklake_table", "ducklake_column",
                     "ducklake_data_file", "ducklake_delete_file",
-                    "ducklake_view")
+                    "ducklake_view", "ducklake_macro")
 
     def rollback_to_snapshot(self, snapshot_id: int) -> None:
         """Rewind the catalog to ``snapshot_id``: delete every snapshot
@@ -673,6 +766,10 @@ class CatalogWriter:
             cur.execute(
                 "DELETE FROM ducklake_file_column_stats WHERE data_file_id "
                 "NOT IN (SELECT data_file_id FROM ducklake_data_file)")
+            for tbl in ("ducklake_macro_impl", "ducklake_macro_parameters"):
+                cur.execute(
+                    f"DELETE FROM {tbl} WHERE macro_id "
+                    "NOT IN (SELECT macro_id FROM ducklake_macro)")
             cur.execute(
                 "DELETE FROM ducklake_snapshot WHERE snapshot_id > ?",
                 (snapshot_id,))
