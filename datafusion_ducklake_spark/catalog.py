@@ -221,8 +221,37 @@ class DuckLakeTable:
                 return lo <= v
             return True
 
+        # Partition-value pruning (sql/partitioning/ corpus): exact
+        # per-file values beat min/max stats for spec columns. A file
+        # with no recorded value for a key is kept (conservative —
+        # pre-spec files, DML/compact rewrites).
+        spec = self._provider.get_partition_columns(
+            self.meta.table_id, self.snapshot_id)
+        pvals = (self._provider.get_file_partition_values(self.meta.table_id)
+                 if spec else {})
+        id_to_name = {c.column_id: c.column_name for c in self.columns}
+        key_of = {id_to_name.get(cid): idx for idx, cid in spec}
+
+        def part_keeps(file_id, col, op, val) -> bool:
+            idx = key_of.get(col)
+            if idx is None:
+                return True
+            stored = pvals.get(file_id, {}).get(idx)
+            if stored is None:
+                return True
+            _cid, ctype = types[col]
+            try:
+                v, s = coerce(ctype, val), coerce(ctype, stored)
+            except (TypeError, ValueError):
+                return True
+            return {"=": s == v, ">": s > v, ">=": s >= v,
+                    "<": s < v, "<=": s <= v}.get(op, True)
+
         kept = []
         for raw, resolved in zip(self._raw_files, self.files):
+            if not all(part_keeps(raw.data_file_id, c, op, v)
+                       for (c, op, v) in filters):
+                continue
             fstats = stats.get(raw.data_file_id)
             if fstats is None or all(
                     overlaps(fstats, c, op, v) for (c, op, v) in filters):
@@ -501,6 +530,10 @@ class DuckLakeSession:
 
     _TXN_RE = re.compile(
         r"^\s*(BEGIN(?:\s+TRANSACTION)?|COMMIT|ROLLBACK)\s*;?\s*$", re.I)
+    _PARTITION_RE = re.compile(
+        r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+"
+        r"(?:SET\s+PARTITIONED\s+BY\s*\(([^)]*)\)"
+        r"|(RESET)\s+PARTITIONED\s+BY)\s*;?\s*$", re.I)
     _CREATE_MACRO_RE = re.compile(
         r"^\s*CREATE\s+(OR\s+REPLACE\s+)?MACRO\s+([A-Za-z_]\w*)\s*"
         r"\(([^)]*)\)\s+AS\s+(TABLE\s+)?(.*?)\s*;?\s*$", re.I | re.S)
@@ -570,6 +603,12 @@ class DuckLakeSession:
                 assignments[col.strip()] = expr.strip()
             return self._count_df(
                 self.update_where(m.group(1), assignments, m.group(3)))
+        m = self._PARTITION_RE.match(query)
+        if m:
+            cols = ([] if m.group(3)
+                    else [c.strip() for c in m.group(2).split(",")])
+            self.set_partitioned_by(m.group(1), cols)
+            return self._count_df(0)
         m = self._ALTER_RE.match(query)
         if m:
             name = m.group(1)
@@ -956,6 +995,28 @@ class DuckLakeSession:
                                     c.nulls_allowed,
                                     c.initial_default, c.default_value))
             for c in handle.columns if c.column_name != col_name])
+
+    def set_partitioned_by(self, name: str, columns: list[str]) -> None:
+        """ALTER TABLE name SET PARTITIONED BY (columns) — records the
+        DuckLake partition spec (ducklake_partition_info/_column); future
+        inserts split into hive-style per-value files with catalog
+        partition values, and prune_files drops non-matching files
+        exactly. [] resets the spec. Existing files are untouched
+        (DuckDB behavior) and stay conservatively un-prunable."""
+        from .table_writer import _catalog_writer
+        handle = self.table_handle(name)
+        by_name = {c.column_name: c.column_id for c in handle.columns}
+        unknown = [c for c in columns if c not in by_name]
+        if unknown:
+            raise InvalidConfig(
+                f"set_partitioned_by: unknown columns {unknown}")
+        writer = _catalog_writer(self)
+        try:
+            writer.set_partitioned_by(handle.meta.table_id,
+                                      [by_name[c] for c in columns])
+        finally:
+            writer.close()
+        self.refresh()
 
     def flush_inlined_data(self, name: str) -> int:
         """Move a table's LIVE inlined rows (DuckLake data inlining —

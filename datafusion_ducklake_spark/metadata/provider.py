@@ -345,6 +345,42 @@ class MetadataProvider:
                                  [(p, d) for p, d in params]))
         return out
 
+    def get_partition_columns(self, table_id: int,
+                              snapshot_id: int) -> list[tuple]:
+        """[(partition_key_index, column_id)] of the LIVE partition spec
+        (DuckLake ducklake_partition_info/_column); [] when the table is
+        unpartitioned or the catalog predates the feature."""
+        try:
+            rows = self._fetchall(
+                "SELECT c.partition_key_index, c.column_id "
+                "FROM ducklake_partition_info i "
+                "JOIN ducklake_partition_column c "
+                "ON i.partition_id = c.partition_id "
+                "AND i.table_id = c.table_id "
+                "WHERE i.table_id = ? AND i.begin_snapshot <= ? "
+                "AND (i.end_snapshot IS NULL OR i.end_snapshot > ?) "
+                "ORDER BY c.partition_key_index",
+                (table_id, snapshot_id, snapshot_id))
+        except Exception:
+            return []
+        return [(int(r[0]), int(r[1])) for r in rows]
+
+    def get_file_partition_values(self, table_id: int
+                                  ) -> dict[int, dict[int, Optional[str]]]:
+        """{data_file_id: {partition_key_index: value_str}} — exact
+        per-file partition values for pruning."""
+        try:
+            rows = self._fetchall(
+                "SELECT data_file_id, partition_key_index, partition_value "
+                "FROM ducklake_file_partition_value WHERE table_id = ?",
+                (table_id,))
+        except Exception:
+            return {}
+        out: dict[int, dict[int, Optional[str]]] = {}
+        for fid, idx, val in rows:
+            out.setdefault(int(fid), {})[int(idx)] = val
+        return out
+
     def count_ended_files(self, table_id: int) -> int:
         """Number of data files ever REMOVED from the table (overwrite /
         compaction history) — the append-only guard for directory-glob

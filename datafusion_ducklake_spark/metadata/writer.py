@@ -116,6 +116,24 @@ CREATE TABLE IF NOT EXISTS ducklake_view (
     begin_snapshot INTEGER NOT NULL,
     end_snapshot INTEGER
 );
+CREATE TABLE IF NOT EXISTS ducklake_partition_info (
+    partition_id INTEGER NOT NULL,
+    table_id INTEGER NOT NULL,
+    begin_snapshot INTEGER NOT NULL,
+    end_snapshot INTEGER
+);
+CREATE TABLE IF NOT EXISTS ducklake_partition_column (
+    partition_id INTEGER NOT NULL,
+    table_id INTEGER NOT NULL,
+    partition_key_index INTEGER NOT NULL,
+    column_id INTEGER NOT NULL
+);
+CREATE TABLE IF NOT EXISTS ducklake_file_partition_value (
+    data_file_id INTEGER NOT NULL,
+    table_id INTEGER NOT NULL,
+    partition_key_index INTEGER NOT NULL,
+    partition_value VARCHAR
+);
 CREATE TABLE IF NOT EXISTS ducklake_macro (
     schema_id INTEGER NOT NULL DEFAULT 0,
     macro_id INTEGER NOT NULL,
@@ -659,6 +677,49 @@ class CatalogWriter:
             return cur.execute("SELECT changes()").fetchall()[0][0] \
                 if self._dialect == "sqlite" else -1
 
+    def set_partitioned_by(self, table_id: int,
+                           column_ids: list[int]) -> int:
+        """Record the table's partition spec (DuckLake
+        ducklake_partition_info/_column; corpus: sql/partitioning/).
+        Empty ``column_ids`` resets the spec. Existing files keep their
+        (possibly absent) partition values — only FUTURE inserts split by
+        the new spec, matching DuckDB's behavior."""
+        with self._txn() as cur:
+            sid = self._next_id(cur, "ducklake_snapshot", "snapshot_id")
+            cur.execute(
+                "INSERT INTO ducklake_snapshot (snapshot_id, snapshot_time) "
+                "VALUES (?, CURRENT_TIMESTAMP)", (sid,))
+            cur.execute(
+                "UPDATE ducklake_partition_info SET end_snapshot = ? "
+                "WHERE table_id = ? AND end_snapshot IS NULL",
+                (sid, table_id))
+            if column_ids:
+                pid = self._next_id(cur, "ducklake_partition_info",
+                                    "partition_id")
+                cur.execute(
+                    "INSERT INTO ducklake_partition_info (partition_id, "
+                    "table_id, begin_snapshot) VALUES (?, ?, ?)",
+                    (pid, table_id, sid))
+                for idx, cid in enumerate(column_ids):
+                    cur.execute(
+                        "INSERT INTO ducklake_partition_column "
+                        "(partition_id, table_id, partition_key_index, "
+                        "column_id) VALUES (?, ?, ?, ?)",
+                        (pid, table_id, idx, cid))
+            return sid
+
+    def register_file_partition_values(self, data_file_id: int,
+                                       table_id: int,
+                                       values: list[tuple]) -> None:
+        """[(partition_key_index, value_str|None), ...] for one file."""
+        with self._txn() as cur:
+            for idx, val in values:
+                cur.execute(
+                    "INSERT INTO ducklake_file_partition_value "
+                    "(data_file_id, table_id, partition_key_index, "
+                    "partition_value) VALUES (?, ?, ?, ?)",
+                    (data_file_id, table_id, idx, val))
+
     def create_macro(self, name: str, params: list[tuple],
                      body: str, kind: str, dialect: str = "spark",
                      replace: bool = False) -> int:
@@ -745,7 +806,8 @@ class CatalogWriter:
 
     _MVCC_TABLES = ("ducklake_schema", "ducklake_table", "ducklake_column",
                     "ducklake_data_file", "ducklake_delete_file",
-                    "ducklake_view", "ducklake_macro")
+                    "ducklake_view", "ducklake_macro",
+                    "ducklake_partition_info")
 
     def rollback_to_snapshot(self, snapshot_id: int) -> None:
         """Rewind the catalog to ``snapshot_id``: delete every snapshot
@@ -770,6 +832,13 @@ class CatalogWriter:
                 cur.execute(
                     f"DELETE FROM {tbl} WHERE macro_id "
                     "NOT IN (SELECT macro_id FROM ducklake_macro)")
+            cur.execute(
+                "DELETE FROM ducklake_partition_column WHERE partition_id "
+                "NOT IN (SELECT partition_id FROM ducklake_partition_info)")
+            cur.execute(
+                "DELETE FROM ducklake_file_partition_value WHERE "
+                "data_file_id NOT IN "
+                "(SELECT data_file_id FROM ducklake_data_file)")
             cur.execute(
                 "DELETE FROM ducklake_snapshot WHERE snapshot_id > ?",
                 (snapshot_id,))

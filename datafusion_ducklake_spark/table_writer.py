@@ -137,6 +137,13 @@ class _HadoopFs:
     def delete(self, path: str, recursive: bool = False) -> None:
         self._fs.delete(self._p(path), recursive)
 
+    def list_statuses(self, dir_path: str) -> list[tuple[str, bool]]:
+        return [(st.getPath().getName(), bool(st.isDirectory()))
+                for st in self._fs.listStatus(self._p(dir_path))]
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.mkdirs(self._p(path))
+
     def tail(self, path: str, n: int) -> bytes:
         # py4j passes byte[] by value, so readFully(pos, buf) can't hand
         # data back; n is tiny (8 bytes — the parquet footer-length field),
@@ -279,6 +286,94 @@ def _finalize_hadoop(spark, staging: str, table_path: str
         staged.append((final_name, fs.size(final_path),
                        _footer_size_from_tail(tail, final_path),
                        int(counts.get(part, 0))))
+    fs.delete(staging, recursive=True)
+    return staged
+
+
+_PART_PREFIX = "__part_"
+
+
+def _parse_part_segs(segs: list[str], key_names: list[str]):
+    """Hive staging dir segments (__part_<i>=<escaped>) → ([(key_index,
+    value|None)], final subdir segments using the REAL column names —
+    the hive-style layout DuckDB's writer produces)."""
+    from urllib.parse import unquote
+    pvals, subsegs = [], []
+    for seg in segs:
+        k, _, v = seg.partition("=")
+        idx = int(k[len(_PART_PREFIX):])
+        val = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+        pvals.append((idx, val))
+        subsegs.append(f"{key_names[idx]}={v}")
+    return pvals, subsegs
+
+
+def _finalize_partitioned_local(staging: str, table_path: str,
+                                key_names: list[str]) -> list[tuple]:
+    """[(final_relpath, size, footer, rows, [(key_index, value)])] for a
+    hive-partitioned staging dir on the local FS."""
+    import shutil
+
+    import pyarrow.parquet as pq
+    staged = []
+    for root, _dirs, files_ in sorted(os.walk(staging)):
+        parts = sorted(p for p in files_ if p.endswith(".parquet"))
+        if not parts:
+            continue
+        rel = os.path.relpath(root, staging)
+        segs = [] if rel == "." else rel.split(os.sep)
+        pvals, subsegs = _parse_part_segs(segs, key_names)
+        os.makedirs(os.path.join(table_path, *subsegs), exist_ok=True)
+        for part in parts:
+            final_name = "/".join(
+                subsegs + [f"ducklake-{uuid.uuid4()}.parquet"])
+            final_path = os.path.join(table_path, final_name)
+            os.rename(os.path.join(root, part), final_path)
+            staged.append((final_name, os.path.getsize(final_path),
+                           footer_size_of(final_path),
+                           pq.read_metadata(final_path).num_rows, pvals))
+    shutil.rmtree(staging)
+    return staged
+
+
+def _finalize_partitioned_hadoop(spark, staging: str, table_path: str,
+                                 key_names: list[str]) -> list[tuple]:
+    """Object-store variant: recursive FileSystem walk, distributed
+    footer row counts, ranged tail reads — driver never downloads
+    payload bytes."""
+    from pyspark.sql import functions as F
+
+    fs = _HadoopFs(spark, table_path)
+    counts = {
+        r["f"].rsplit("/", 1)[-1]: r["count"]
+        for r in (spark.read.parquet(staging)
+                  .groupBy(F.col("_metadata.file_path").alias("f"))
+                  .count().collect())}
+
+    staged = []
+
+    def walk(dir_path: str, segs: list[str]):
+        entries = sorted(fs.list_statuses(dir_path))
+        parts = [n for n, is_dir in entries
+                 if not is_dir and n.endswith(".parquet")]
+        if parts:
+            pvals, subsegs = _parse_part_segs(segs, key_names)
+            if subsegs:
+                fs.mkdirs(table_path.rstrip("/") + "/" + "/".join(subsegs))
+            for part in parts:
+                final_name = "/".join(
+                    subsegs + [f"ducklake-{uuid.uuid4()}.parquet"])
+                final_path = table_path.rstrip("/") + "/" + final_name
+                fs.rename(dir_path.rstrip("/") + "/" + part, final_path)
+                staged.append((final_name, fs.size(final_path),
+                               _footer_size_from_tail(
+                                   fs.tail(final_path, 8), final_path),
+                               int(counts.get(part, 0)), pvals))
+        for n, is_dir in entries:
+            if is_dir and n.startswith(_PART_PREFIX):
+                walk(dir_path.rstrip("/") + "/" + n, segs + [n])
+
+    walk(staging, [])
     fs.delete(staging, recursive=True)
     return staged
 
@@ -539,31 +634,68 @@ def create_or_insert(session, name: str, df: DataFrame, mode: str,
                               setup.column_ids)
         if single_file:
             out = out.coalesce(1)
+
+        # Partition spec (sql/partitioning/ corpus): split the insert by
+        # the live spec's columns. The partition columns are DUPLICATED
+        # into __part_<i> staging keys so the data files stay
+        # self-contained (partitionBy drops its keys from file contents;
+        # DuckLake files must carry every column).
+        from pyspark.sql import functions as F
+        id_to_name = {cid: fname for fname, cid in
+                      zip([f.name for f in df.schema.fields],
+                          setup.column_ids)}
+        spec = session.provider.get_partition_columns(
+            table_meta.table_id, setup.snapshot_id)
+        part_keys = [id_to_name[cid] for _, cid in spec
+                     if cid in id_to_name]
+
         staging = table_path.rstrip("/") + f"/stage-{uuid.uuid4().hex}"
         try:
-            out.write.parquet(staging, mode="errorifexists")
+            if part_keys:
+                for i, name_ in enumerate(part_keys):
+                    out = out.withColumn(f"{_PART_PREFIX}{i}",
+                                         F.col(name_).cast("string"))
+                (out.write
+                 .partitionBy([f"{_PART_PREFIX}{i}"
+                               for i in range(len(part_keys))])
+                 .parquet(staging, mode="errorifexists"))
+            else:
+                out.write.parquet(staging, mode="errorifexists")
         except Exception as e:
             _raise_if_constraint(e)
 
-        # 3) move part files to UUID names in the table dir and register
-        #    each in the catalog (multi-file snapshot). Scheme'd paths go
-        #    through the Hadoop FS API (object-store-capable); bare local
-        #    paths take the direct os/pyarrow route.
-        if "://" in table_path:
-            staged = _finalize_hadoop(session.spark, staging, table_path)
+        # 3) move part files to UUID names in the table dir (hive-style
+        #    subdirs for partitioned tables) and register each in the
+        #    catalog (multi-file snapshot) with its partition values.
+        #    Scheme'd paths go through the Hadoop FS API (object-store-
+        #    capable); bare local paths take the direct os/pyarrow route.
+        if part_keys:
+            if "://" in table_path:
+                staged = _finalize_partitioned_hadoop(
+                    session.spark, staging, table_path, part_keys)
+            else:
+                staged = _finalize_partitioned_local(
+                    staging, table_path, part_keys)
+        elif "://" in table_path:
+            staged = [(*s, None) for s in
+                      _finalize_hadoop(session.spark, staging, table_path)]
         else:
-            staged = _finalize_local(staging, table_path)
+            staged = [(*s, None) for s in
+                      _finalize_local(staging, table_path)]
 
         n_rows = 0
         next_rowid = writer.next_row_id(table_meta.table_id)
         col_ids = dict(zip([f.name for f in df.schema.fields],
                            setup.column_ids))
-        for final_name, size, footer, count in staged:
+        for final_name, size, footer, count, pvals in staged:
             fid = writer.register_data_file(
                 table_meta.table_id, setup.snapshot_id,
                 DataFileInfo(path=final_name, path_is_relative=True,
                              file_size_bytes=size, footer_size=footer,
                              record_count=count, row_id_start=next_rowid))
+            if pvals:
+                writer.register_file_partition_values(
+                    fid, table_meta.table_id, pvals)
             local = _local_readable(table_path, final_name)
             if local is not None:
                 writer.register_file_column_stats(

@@ -1,0 +1,150 @@
+"""Partitioning (DuckLake ducklake_partition_info/_column/
+_file_partition_value; corpus: tests/sqllogictests/sql/partitioning/):
+SET PARTITIONED BY records the spec, inserts split into hive-style
+per-value files with catalog partition values, and prune_files drops
+non-matching files exactly."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from datafusion_ducklake_spark.catalog import DuckLakeSession
+from datafusion_ducklake_spark.errors import InvalidConfig
+from datafusion_ducklake_spark.metadata.writer import CatalogWriter
+
+
+@pytest.fixture()
+def dl(spark, tmp_path):
+    db = str(tmp_path / "catalog.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake"))
+    w.close()
+    return DuckLakeSession(spark, db)
+
+
+def _mk(dl, spark, name="main.pt"):
+    dl.create_table(name, spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(30)],
+        "id INT, part_key INT, s STRING"))
+    dl.set_partitioned_by(name, ["part_key"])
+    dl.insert_into(name, spark.createDataFrame(
+        [(100 + i, i % 3, f"w{i}") for i in range(30)],
+        "id INT, part_key INT, s STRING"))
+    return dl.table_handle(name)
+
+
+def test_insert_splits_by_partition(dl, spark):
+    handle = _mk(dl, spark)
+    # 1 pre-spec file + 3 per-value files from the partitioned insert
+    assert len(handle._raw_files) == 4
+    hive = [f.path for f in handle._raw_files if "part_key=" in f.path]
+    assert len(hive) == 3
+    assert sorted({p.split("/")[0] for p in hive}) == \
+        ["part_key=0", "part_key=1", "part_key=2"]
+    vals = dl.provider.get_file_partition_values(handle.meta.table_id)
+    assert sorted(v[0] for v in vals.values()) == ["0", "1", "2"]
+
+
+def test_partitioned_readback_correct(dl, spark):
+    _mk(dl, spark)
+    rows = {r["id"]: r["part_key"] for r in dl.table("main.pt").collect()}
+    assert len(rows) == 60
+    assert all(rows[i] == i % 3 for i in range(30))
+    assert all(rows[100 + i] == i % 3 for i in range(30))
+
+
+def test_prune_files_exact_on_partition_values(dl, spark):
+    handle = _mk(dl, spark)
+    pruned = handle.prune_files([("part_key", "=", 1)])
+    # keeps the pre-spec file (no recorded value, conservative) + the
+    # single part_key=1 file
+    assert len(pruned) == 2
+    kept_paths = {f.data_uri for f in pruned}
+    assert any("part_key=1" in p for p in kept_paths)
+    assert not any("part_key=0" in p or "part_key=2" in p
+                   for p in kept_paths)
+    # range ops prune too
+    assert len(handle.prune_files([("part_key", ">=", 2)])) == 2
+
+
+def test_table_with_prune_filters_matches_full_scan(dl, spark):
+    _mk(dl, spark)
+    from pyspark.sql import functions as F
+    full = sorted(r["id"] for r in dl.table("main.pt")
+                  .filter(F.col("part_key") == 1).collect())
+    pruned = sorted(r["id"] for r in
+                    dl.table("main.pt",
+                             prune_filters=[("part_key", "=", 1)])
+                    .filter(F.col("part_key") == 1).collect())
+    assert pruned == full and len(full) == 20
+
+
+def test_sql_alter_set_and_reset(dl, spark):
+    dl.create_table("main.sq", spark.createDataFrame(
+        [(1, "a")], "k INT, s STRING"))
+    dl.sql("ALTER TABLE sq SET PARTITIONED BY (k)")
+    handle = dl.table_handle("main.sq")
+    assert dl.provider.get_partition_columns(
+        handle.meta.table_id, dl.catalog.snapshot_id) != []
+    dl.sql("ALTER TABLE sq RESET PARTITIONED BY")
+    assert dl.provider.get_partition_columns(
+        dl.table_handle("main.sq").meta.table_id,
+        dl.catalog.snapshot_id) == []
+
+
+def test_unknown_partition_column_rejected(dl, spark):
+    dl.create_table("main.bad", spark.createDataFrame([(1,)], "id INT"))
+    with pytest.raises(InvalidConfig, match="unknown columns"):
+        dl.set_partitioned_by("main.bad", ["nope"])
+
+
+def test_null_partition_value(dl, spark):
+    dl.create_table("main.np", spark.createDataFrame(
+        [(1, "x"), (2, None)], "id INT, k STRING"))
+    dl.set_partitioned_by("main.np", ["k"])
+    dl.insert_into("main.np", spark.createDataFrame(
+        [(3, "x"), (4, None)], "id INT, k STRING"))
+    rows = {r["id"]: r["k"] for r in dl.table("main.np").collect()}
+    assert rows == {1: "x", 2: None, 3: "x", 4: None}
+    handle = dl.table_handle("main.np")
+    vals = dl.provider.get_file_partition_values(handle.meta.table_id)
+    assert sorted((v[0] for v in vals.values()),
+                  key=lambda x: (x is None, x or "")) == ["x", None]
+
+
+def test_multi_key_partition(dl, spark):
+    dl.create_table("main.mk", spark.createDataFrame(
+        [(i, i % 2, i % 3) for i in range(12)], "id INT, a INT, b INT"))
+    dl.set_partitioned_by("main.mk", ["a", "b"])
+    dl.insert_into("main.mk", spark.createDataFrame(
+        [(100 + i, i % 2, i % 3) for i in range(12)],
+        "id INT, a INT, b INT"))
+    handle = dl.table_handle("main.mk")
+    hive = [f.path for f in handle._raw_files if "a=" in f.path]
+    assert len(hive) == 6                    # 2 x 3 value combinations
+    assert all("/b=" in "/" + p.split("/")[1] or p.split("/")[1].startswith("b=")
+               for p in hive)
+    pruned = handle.prune_files([("a", "=", 0), ("b", "=", 2)])
+    assert len(pruned) == 2                  # pre-spec file + exact match
+    assert len(dl.table("main.mk").collect()) == 24
+
+
+def test_partitioned_insert_on_schemed_path(spark, tmp_path):
+    db = str(tmp_path / "cat2.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=f"file://{tmp_path}/lake2")
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.create_table("main.sp", spark.createDataFrame(
+        [(1, 0)], "id INT, k INT"))
+    dl.set_partitioned_by("main.sp", ["k"])
+    dl.insert_into("main.sp", spark.createDataFrame(
+        [(2, 0), (3, 1)], "id INT, k INT"))
+    handle = dl.table_handle("main.sp")
+    assert handle.table_path.startswith("file://")
+    hive = [f.path for f in handle._raw_files if "k=" in f.path]
+    assert len(hive) == 2
+    assert sorted(r["id"] for r in dl.table("main.sp").collect()) == \
+        [1, 2, 3]
