@@ -16,6 +16,7 @@ carries the write path + CDC + information_schema entry points.
 
 from __future__ import annotations
 
+import os
 import re
 from functools import cached_property
 from typing import Optional
@@ -534,6 +535,26 @@ class DuckLakeSession:
         r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+"
         r"(?:SET\s+PARTITIONED\s+BY\s*\(([^)]*)\)"
         r"|(RESET)\s+PARTITIONED\s+BY)\s*;?\s*$", re.I)
+    _COMMENT_RE = re.compile(
+        r"^\s*COMMENT\s+ON\s+(TABLE|COLUMN)\s+([A-Za-z_][\w.]*)\s+IS\s+"
+        r"(NULL|'(?:[^']|'')*')\s*;?\s*$", re.I)
+    _COMMENT_FN_RE = re.compile(
+        r"ducklake_table_comment\(\s*'([^']*)'\s*\)"
+        r"|ducklake_column_comment\(\s*'([^']*)'\s*,\s*'([^']*)'\s*\)",
+        re.I)
+
+    def _resolve_comment_calls(self, query: str) -> str:
+        """Plan-time resolution of ducklake_table_comment('t') /
+        ducklake_column_comment('t','c') to literals — the same
+        mechanism as the CDC UDTF rewrites."""
+        def sub(m):
+            if m.group(1):
+                v = self.table_comment(m.group(1))
+            else:
+                v = self.column_comment(m.group(2), m.group(3))
+            return ("NULL" if v is None
+                    else "'" + v.replace("'", "''") + "'")
+        return self._COMMENT_FN_RE.sub(sub, query)
     _CREATE_MACRO_RE = re.compile(
         r"^\s*CREATE\s+(OR\s+REPLACE\s+)?MACRO\s+([A-Za-z_]\w*)\s*"
         r"\(([^)]*)\)\s+AS\s+(TABLE\s+)?(.*?)\s*;?\s*$", re.I | re.S)
@@ -578,7 +599,18 @@ class DuckLakeSession:
                 self.catalog.snapshot_id)
         return self._macros
 
+    _CALL_RE = re.compile(
+        r"^\s*CALL\s+ducklake_(expire_snapshots|cleanup_old_files)"
+        r"\s*\(\s*(\d*)\s*\)\s*;?\s*$", re.I)
+
     def _try_dml(self, query: str) -> Optional[DataFrame]:
+        m = self._CALL_RE.match(query)
+        if m:
+            if m.group(1).lower() == "expire_snapshots":
+                n = self.expire_snapshots(
+                    int(m.group(2)) if m.group(2) else None)
+                return self._count_df(n)
+            return self._count_df(len(self.cleanup_old_files()))
         m = self._TXN_RE.match(query)
         if m:
             word = m.group(1).split()[0].upper()
@@ -608,6 +640,20 @@ class DuckLakeSession:
             cols = ([] if m.group(3)
                     else [c.strip() for c in m.group(2).split(",")])
             self.set_partitioned_by(m.group(1), cols)
+            return self._count_df(0)
+        m = self._COMMENT_RE.match(query)
+        if m:
+            lit = m.group(3)
+            comment = (None if lit.upper() == "NULL"
+                       else lit[1:-1].replace("''", "'"))
+            if m.group(1).upper() == "TABLE":
+                self.comment_on_table(m.group(2), comment)
+            else:
+                tbl, _, col = m.group(2).rpartition(".")
+                if not tbl:
+                    raise InvalidConfig(
+                        "COMMENT ON COLUMN needs table.column")
+                self.comment_on_column(tbl, col, comment)
             return self._count_df(0)
         m = self._ALTER_RE.match(query)
         if m:
@@ -811,6 +857,7 @@ class DuckLakeSession:
         dml = self._try_dml(query)
         if dml is not None:
             return dml
+        query = self._resolve_comment_calls(query)
         query = self._resolve_cdc_calls(query)
         self._register_rowid_views(query)
         return self.spark.sql(
@@ -995,6 +1042,99 @@ class DuckLakeSession:
                                     c.nulls_allowed,
                                     c.initial_default, c.default_value))
             for c in handle.columns if c.column_name != col_name])
+
+    def expire_snapshots(self, before: Optional[int] = None) -> int:
+        """Drop time-travel points older than ``before`` (default: all
+        but the latest) — ducklake_expire_snapshots parity (corpus:
+        cleanup/ + the reference's maintenance surface). Returns
+        snapshots expired. Rejected inside a transaction."""
+        from .table_writer import _catalog_writer
+        if self._txn_base is not None:
+            raise InvalidConfig(
+                "expire_snapshots inside a transaction is not supported")
+        writer = _catalog_writer(self)
+        try:
+            n = writer.expire_snapshots(before)
+        finally:
+            writer.close()
+        self.refresh()
+        return n
+
+    def cleanup_old_files(self, dry_run: bool = False) -> list[str]:
+        """Physically delete files no time-travel point can reach (ended
+        before the oldest remaining snapshot) and drop their catalog
+        rows — ducklake_cleanup_old_files parity. Returns the deleted
+        (or, with dry_run, deletable) resolved paths."""
+        from .operators.dml import _pyarrow_dest
+        from .table_writer import _catalog_writer
+        resolver = self.catalog.resolver
+        writer = _catalog_writer(self)
+        try:
+            doomed = writer.list_expired_files()
+            paths = []
+            for f_path, f_rel, t_path, t_rel, s_path, s_rel in doomed:
+                schema_path = resolver.schema_path(s_path, s_rel)
+                table_path = resolver.table_path(schema_path, t_path, t_rel)
+                paths.append(resolver.file_path(table_path, f_path, f_rel))
+            if dry_run:
+                return paths
+            for p in paths:
+                local = p[len("file://"):] if p.startswith("file://") else p
+                if "://" not in local:
+                    if os.path.exists(local):
+                        os.remove(local)
+                else:
+                    fs, base = _pyarrow_dest(p)
+                    fs.delete_file(base)
+            writer.drop_expired_file_rows()
+        finally:
+            writer.close()
+        self.refresh()
+        return paths
+
+    def comment_on_table(self, name: str,
+                         comment: Optional[str]) -> None:
+        """COMMENT ON TABLE — an MVCC 'comment' tag in ducklake_tag
+        (corpus: sql/comments/); None clears it. Rollback-aware like all
+        snapshot-versioned state."""
+        from .table_writer import _catalog_writer
+        handle = self.table_handle(name)
+        writer = _catalog_writer(self)
+        try:
+            writer.set_tag(handle.meta.table_id, "comment", comment)
+        finally:
+            writer.close()
+        self.refresh()
+
+    def comment_on_column(self, name: str, col_name: str,
+                          comment: Optional[str]) -> None:
+        from .table_writer import _catalog_writer
+        handle = self.table_handle(name)
+        target = {c.column_name: c for c in handle.columns}.get(col_name)
+        if target is None:
+            raise InvalidConfig(f"comment_on_column: no column {col_name!r}")
+        writer = _catalog_writer(self)
+        try:
+            writer.set_tag(handle.meta.table_id, "comment", comment,
+                           column_id=target.column_id,
+                           table_id_for_column=handle.meta.table_id)
+        finally:
+            writer.close()
+        self.refresh()
+
+    def table_comment(self, name: str) -> Optional[str]:
+        handle = self.table_handle(name)
+        return self.provider.get_tag(handle.meta.table_id, "comment",
+                                     self.catalog.snapshot_id)
+
+    def column_comment(self, name: str, col_name: str) -> Optional[str]:
+        handle = self.table_handle(name)
+        target = {c.column_name: c for c in handle.columns}.get(col_name)
+        if target is None:
+            raise InvalidConfig(f"column_comment: no column {col_name!r}")
+        return self.provider.get_column_tag(
+            handle.meta.table_id, target.column_id, "comment",
+            self.catalog.snapshot_id)
 
     def set_partitioned_by(self, name: str, columns: list[str]) -> None:
         """ALTER TABLE name SET PARTITIONED BY (columns) — records the

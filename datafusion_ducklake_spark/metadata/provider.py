@@ -381,6 +381,32 @@ class MetadataProvider:
             out.setdefault(int(fid), {})[int(idx)] = val
         return out
 
+    def get_tag(self, object_id: int, key: str,
+                snapshot_id: int) -> Optional[str]:
+        """Live value of one object tag (ducklake_tag; COMMENT ON uses
+        key='comment'), or None."""
+        try:
+            rows = self._fetchall(
+                "SELECT value FROM ducklake_tag WHERE object_id = ? "
+                "AND key = ? AND begin_snapshot <= ? "
+                "AND (end_snapshot IS NULL OR end_snapshot > ?)",
+                (object_id, key, snapshot_id, snapshot_id))
+        except Exception:
+            return None
+        return rows[0][0] if rows else None
+
+    def get_column_tag(self, table_id: int, column_id: int, key: str,
+                       snapshot_id: int) -> Optional[str]:
+        try:
+            rows = self._fetchall(
+                "SELECT value FROM ducklake_column_tag WHERE table_id = ? "
+                "AND column_id = ? AND key = ? AND begin_snapshot <= ? "
+                "AND (end_snapshot IS NULL OR end_snapshot > ?)",
+                (table_id, column_id, key, snapshot_id, snapshot_id))
+        except Exception:
+            return None
+        return rows[0][0] if rows else None
+
     def count_ended_files(self, table_id: int) -> int:
         """Number of data files ever REMOVED from the table (overwrite /
         compaction history) — the append-only guard for directory-glob

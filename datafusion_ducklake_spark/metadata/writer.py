@@ -116,6 +116,21 @@ CREATE TABLE IF NOT EXISTS ducklake_view (
     begin_snapshot INTEGER NOT NULL,
     end_snapshot INTEGER
 );
+CREATE TABLE IF NOT EXISTS ducklake_tag (
+    object_id INTEGER NOT NULL,
+    begin_snapshot INTEGER NOT NULL,
+    end_snapshot INTEGER,
+    key VARCHAR NOT NULL,
+    value VARCHAR
+);
+CREATE TABLE IF NOT EXISTS ducklake_column_tag (
+    table_id INTEGER NOT NULL,
+    column_id INTEGER NOT NULL,
+    begin_snapshot INTEGER NOT NULL,
+    end_snapshot INTEGER,
+    key VARCHAR NOT NULL,
+    value VARCHAR
+);
 CREATE TABLE IF NOT EXISTS ducklake_partition_info (
     partition_id INTEGER NOT NULL,
     table_id INTEGER NOT NULL,
@@ -439,6 +454,12 @@ class CatalogWriter:
                 cur.execute(
                     "UPDATE ducklake_data_file SET end_snapshot = ? "
                     "WHERE table_id = ? AND end_snapshot IS NULL", (sid, table_id))
+                # delete files ride on their data files: a REPLACE ends
+                # them too, or their rows dangle live forever and are
+                # never collected by cleanup_old_files
+                cur.execute(
+                    "UPDATE ducklake_delete_file SET end_snapshot = ? "
+                    "WHERE table_id = ? AND end_snapshot IS NULL", (sid, table_id))
 
             return WriteSetup(sid, schema_id, table_id, column_ids)
 
@@ -677,6 +698,41 @@ class CatalogWriter:
             return cur.execute("SELECT changes()").fetchall()[0][0] \
                 if self._dialect == "sqlite" else -1
 
+    def set_tag(self, object_id: int, key: str,
+                value: Optional[str], column_id: Optional[int] = None,
+                table_id_for_column: Optional[int] = None) -> int:
+        """Set/replace one MVCC tag (DuckLake ducklake_tag /
+        ducklake_column_tag — COMMENT ON stores key='comment'). value
+        None ends the tag without writing a new row."""
+        with self._txn() as cur:
+            sid = self._next_id(cur, "ducklake_snapshot", "snapshot_id")
+            cur.execute(
+                "INSERT INTO ducklake_snapshot (snapshot_id, snapshot_time) "
+                "VALUES (?, CURRENT_TIMESTAMP)", (sid,))
+            if column_id is None:
+                cur.execute(
+                    "UPDATE ducklake_tag SET end_snapshot = ? "
+                    "WHERE object_id = ? AND key = ? "
+                    "AND end_snapshot IS NULL", (sid, object_id, key))
+                if value is not None:
+                    cur.execute(
+                        "INSERT INTO ducklake_tag (object_id, "
+                        "begin_snapshot, key, value) VALUES (?, ?, ?, ?)",
+                        (object_id, sid, key, value))
+            else:
+                cur.execute(
+                    "UPDATE ducklake_column_tag SET end_snapshot = ? "
+                    "WHERE table_id = ? AND column_id = ? AND key = ? "
+                    "AND end_snapshot IS NULL",
+                    (sid, table_id_for_column, column_id, key))
+                if value is not None:
+                    cur.execute(
+                        "INSERT INTO ducklake_column_tag (table_id, "
+                        "column_id, begin_snapshot, key, value) "
+                        "VALUES (?, ?, ?, ?, ?)",
+                        (table_id_for_column, column_id, sid, key, value))
+            return sid
+
     def set_partitioned_by(self, table_id: int,
                            column_ids: list[int]) -> int:
         """Record the table's partition spec (DuckLake
@@ -807,7 +863,87 @@ class CatalogWriter:
     _MVCC_TABLES = ("ducklake_schema", "ducklake_table", "ducklake_column",
                     "ducklake_data_file", "ducklake_delete_file",
                     "ducklake_view", "ducklake_macro",
-                    "ducklake_partition_info")
+                    "ducklake_partition_info", "ducklake_tag",
+                    "ducklake_column_tag")
+
+    def expire_snapshots(self, before_snapshot_id: Optional[int] = None
+                         ) -> int:
+        """Drop time-travel points older than ``before_snapshot_id``
+        (default: everything but the latest) — DuckLake's
+        ducklake_expire_snapshots maintenance op. MVCC rows stay; files
+        whose end_snapshot falls before every remaining snapshot become
+        unreferenced and are collected by cleanup_expired_files. The
+        latest snapshot is always kept. Returns snapshots expired."""
+        with self._txn() as cur:
+            latest = cur.execute(
+                "SELECT MAX(snapshot_id) FROM ducklake_snapshot"
+            ).fetchall()[0][0]
+            if latest is None:
+                return 0
+            cutoff = (int(latest) if before_snapshot_id is None
+                      else min(int(before_snapshot_id), int(latest)))
+            n = len(cur.execute(
+                "SELECT snapshot_id FROM ducklake_snapshot "
+                "WHERE snapshot_id < ?", (cutoff,)).fetchall())
+            cur.execute("DELETE FROM ducklake_snapshot "
+                        "WHERE snapshot_id < ?", (cutoff,))
+            return n
+
+    def list_expired_files(self) -> list[tuple]:
+        """(file_path, file_rel, table_path, table_rel, schema_path,
+        schema_rel) of every data/delete file ended before the oldest
+        remaining snapshot — unreachable by any time-travel point, safe
+        to physically delete. Carries the full resolution chain so the
+        caller can resolve paths even for since-dropped tables."""
+        with self._txn() as cur:
+            oldest = cur.execute(
+                "SELECT MIN(snapshot_id) FROM ducklake_snapshot"
+            ).fetchall()[0][0]
+            if oldest is None:
+                return []
+            out = []
+            for tbl in ("ducklake_data_file", "ducklake_delete_file"):
+                out.extend(
+                    (r[0], bool(r[1]), r[2], bool(r[3]), r[4], bool(r[5]))
+                    for r in cur.execute(
+                        f"SELECT DISTINCT f.path, f.path_is_relative, "
+                        "t.path, t.path_is_relative, "
+                        "s.path, s.path_is_relative "
+                        f"FROM {tbl} f "
+                        "JOIN ducklake_table t ON f.table_id = t.table_id "
+                        "JOIN ducklake_schema s ON t.schema_id = s.schema_id "
+                        "WHERE f.end_snapshot IS NOT NULL "
+                        "AND f.end_snapshot <= ?", (oldest,)))
+            return out
+
+    def drop_expired_file_rows(self) -> int:
+        """Remove the catalog rows of files ended before the oldest
+        remaining snapshot (after their physical deletion), sweeping
+        dependent stats/partition-value rows."""
+        with self._txn() as cur:
+            oldest = cur.execute(
+                "SELECT MIN(snapshot_id) FROM ducklake_snapshot"
+            ).fetchall()[0][0]
+            if oldest is None:
+                return 0
+            n = len(cur.execute(
+                "SELECT data_file_id FROM ducklake_data_file "
+                "WHERE end_snapshot IS NOT NULL AND end_snapshot <= ?",
+                (oldest,)).fetchall())
+            cur.execute(
+                "DELETE FROM ducklake_data_file WHERE end_snapshot "
+                "IS NOT NULL AND end_snapshot <= ?", (oldest,))
+            cur.execute(
+                "DELETE FROM ducklake_delete_file WHERE end_snapshot "
+                "IS NOT NULL AND end_snapshot <= ?", (oldest,))
+            cur.execute(
+                "DELETE FROM ducklake_file_column_stats WHERE data_file_id "
+                "NOT IN (SELECT data_file_id FROM ducklake_data_file)")
+            cur.execute(
+                "DELETE FROM ducklake_file_partition_value WHERE "
+                "data_file_id NOT IN "
+                "(SELECT data_file_id FROM ducklake_data_file)")
+            return n
 
     def rollback_to_snapshot(self, snapshot_id: int) -> None:
         """Rewind the catalog to ``snapshot_id``: delete every snapshot
