@@ -128,13 +128,60 @@ class DuckLakeTable:
         return self.spark.createDataFrame(data, schema)
 
     def to_df(self, with_rowid: bool = False,
-              prune_filters: Optional[list[tuple]] = None) -> DataFrame:
+              prune_filters: Optional[list[tuple]] = None,
+              with_virtual: bool = False) -> DataFrame:
         from functools import reduce
 
         from pyspark.sql import functions as F
         files = self.files
         if prune_filters:
             files = self.prune_files(prune_filters)
+
+        if with_virtual:
+            # virtual-column scan (sql/virtualcolumns/): per-file
+            # branches stamp filename/file_row_number/file_index/
+            # snapshot_id; initial_default fill uses the per-row
+            # snapshot_id directly instead of file bucketing
+            df = scan_table(self.spark, self.spark_schema, files,
+                            with_virtual=True)
+            types = {f.name: f.dataType for f in self.spark_schema.fields}
+            for c in self.columns:
+                if c.initial_default is not None \
+                        and c.begin_snapshot is not None:
+                    df = df.withColumn(
+                        c.column_name,
+                        F.when(F.col("snapshot_id") < F.lit(c.begin_snapshot),
+                               F.expr(c.initial_default)
+                               .cast(types[c.column_name]))
+                        .otherwise(F.col(c.column_name)))
+            rows = self.inlined_rows()
+            if rows:
+                from pyspark.sql.types import StringType
+                names = [c.column_name for c in self.columns]
+                base = self._inlined_df(with_rowid=True)
+                # inlined virtual columns per the reference's surface:
+                # filename = the inlined-data table's name
+                iname = (self.inlined_tables[0]
+                         if len(self.inlined_tables) == 1 else "inlined")
+                pos_map = F.create_map(*[
+                    F.lit(x) for i, r in enumerate(rows)
+                    for x in (int(r[0]), i)])
+                snap_map = F.create_map(*[
+                    F.lit(x) for r in rows
+                    for x in (int(r[0]), int(r[-1]))])
+                w = (base
+                     .withColumn("filename",
+                                 F.lit(iname).cast(StringType()))
+                     .withColumn("file_row_number",
+                                 pos_map[F.col("rowid")].cast("long"))
+                     .withColumn("file_index",
+                                 F.lit(len(files)).cast("long"))
+                     .withColumn("snapshot_id",
+                                 snap_map[F.col("rowid")].cast("long")))
+                df = df.unionByName(w.select(
+                    *names, "rowid", "filename", "file_row_number",
+                    "file_index", "snapshot_id"))
+            return df
 
         # initial_default fill (sql/default/ corpus): a file registered
         # BEFORE a defaulted column existed physically lacks it — those
@@ -348,15 +395,19 @@ class DuckLakeSession:
         raise TableNotFound(name)
 
     def table(self, name: str, with_rowid: bool = False,
-              prune_filters: Optional[list[tuple]] = None) -> DataFrame:
+              prune_filters: Optional[list[tuple]] = None,
+              with_virtual: bool = False) -> DataFrame:
         """``prune_filters=[("l_shipdate", ">=", "1995-01-01"), ...]``
         drops files whose catalog min/max stats exclude the conjunctive
         predicate BEFORE any parquet I/O (see prune_files). The same
         predicate must still be applied with .filter() — pruning is
-        file-granular, not row-granular."""
+        file-granular, not row-granular. ``with_virtual`` appends the
+        DuckLake virtual columns rowid/filename/file_row_number/
+        file_index/snapshot_id (sql/virtualcolumns/ corpus)."""
         schema_name, table_name = self._split(name)
         return self.catalog.schema(schema_name).table(table_name) \
-            .to_df(with_rowid=with_rowid, prune_filters=prune_filters)
+            .to_df(with_rowid=with_rowid, prune_filters=prune_filters,
+                   with_virtual=with_virtual)
 
     def table_handle(self, name: str) -> DuckLakeTable:
         schema_name, table_name = self._split(name)
@@ -821,6 +872,27 @@ class DuckLakeSession:
         return self._count_df(sum(counts.values()))
 
     _ROWID_REF_RE = re.compile(r"\b([A-Za-z_]\w*(?:\.\w+)?)__rowid\b")
+    _VIRTUAL_REF_RE = re.compile(r"\b([A-Za-z_]\w*(?:\.\w+)?)__virtual\b")
+
+    def _register_virtual_views(self, query: str) -> None:
+        """``<table>__virtual`` view twins exposing the DuckLake virtual
+        columns (filename / file_row_number / file_index / snapshot_id /
+        rowid) to SQL — same lazy mechanism as the rowid twins."""
+        for name in set(self._VIRTUAL_REF_RE.findall(query)):
+            dotted = name if "." in name else f"{DEFAULT_SCHEMA}.{name}"
+            key = f"{dotted}__virtual"
+            if key in self._view_rewrites:
+                continue
+            try:
+                df = self.table(dotted, with_virtual=True)
+            except Exception:
+                continue
+            flat = f"{dotted.replace('.', '__')}__virtual"
+            df.createOrReplaceTempView(flat)
+            self._view_rewrites[key] = flat
+            schema_name, table_name = self._split(dotted)
+            if schema_name == DEFAULT_SCHEMA:
+                df.createOrReplaceTempView(f"{table_name}__virtual")
 
     def _register_rowid_views(self, query: str) -> None:
         """On-demand ``<table>__rowid`` view twins: the DuckLake virtual
@@ -860,6 +932,7 @@ class DuckLakeSession:
         query = self._resolve_comment_calls(query)
         query = self._resolve_cdc_calls(query)
         self._register_rowid_views(query)
+        self._register_virtual_views(query)
         return self.spark.sql(
             self._rewrite_outside_literals(query, self._view_rewrites))
 

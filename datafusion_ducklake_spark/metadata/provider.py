@@ -315,8 +315,11 @@ class MetadataProvider:
         begin/end_snapshot MVCC columns — inlined rows version exactly
         like data files do."""
         cols = ", ".join(f'"{c}"' for c in column_names)
+        # begin_snapshot trails the data columns (consumers zip against
+        # the schema, so the extra element is only read where needed —
+        # the virtual snapshot_id column)
         return self._fetchall(
-            f'SELECT row_id, {cols} FROM "{inline_table}" '
+            f'SELECT row_id, {cols}, begin_snapshot FROM "{inline_table}" '
             "WHERE begin_snapshot <= ? "
             "AND (end_snapshot IS NULL OR end_snapshot > ?)",
             (snapshot_id, snapshot_id))

@@ -177,8 +177,15 @@ def _empty(spark: SparkSession, schema: T.StructType) -> DataFrame:
     return spark.createDataFrame([], schema)
 
 
+VIRTUAL_FIELDS = [("rowid", T.LongType()), ("filename", T.StringType()),
+                  ("file_row_number", T.LongType()),
+                  ("file_index", T.LongType()),
+                  ("snapshot_id", T.LongType())]
+
+
 def scan_table(spark: SparkSession, schema: T.StructType,
-               files: list[ResolvedFile], with_rowid: bool = False) -> DataFrame:
+               files: list[ResolvedFile], with_rowid: bool = False,
+               with_virtual: bool = False) -> DataFrame:
     """Compose the snapshot-consistent scan DataFrame for a table.
 
     The returned plan is declarative: Catalyst pushes projections and
@@ -193,7 +200,11 @@ def scan_table(spark: SparkSession, schema: T.StructType,
 
     if not files:
         out_schema = schema
-        if with_rowid:
+        if with_virtual:
+            out_schema = T.StructType(
+                list(schema.fields) + [T.StructField(n, t, True)
+                                       for n, t in VIRTUAL_FIELDS])
+        elif with_rowid:
             out_schema = T.StructType(
                 list(schema.fields) + [T.StructField("rowid", T.LongType(), True)])
         return _empty(spark, out_schema)
@@ -205,10 +216,21 @@ def scan_table(spark: SparkSession, schema: T.StructType,
 
     parts: list[DataFrame] = []
     if encrypted:
+        if with_virtual:
+            from ..errors import InvalidConfig
+            raise InvalidConfig(
+                "virtual columns over encrypted tables are not supported")
         parts.append(_scan_encrypted(spark, schema, encrypted,
                                      with_rowid=with_rowid))
 
+    index_base = 0
     for group_schema, group in _split_by_field_ids(schema, files):
+        if with_virtual:
+            parts.append(_scan_with_rowid(spark, group_schema, group,
+                                          with_virtual=True,
+                                          index_base=index_base))
+            index_base += len(group)
+            continue
         if with_rowid:
             parts.append(_scan_with_rowid(spark, group_schema, group))
             continue
@@ -233,18 +255,40 @@ def scan_table(spark: SparkSession, schema: T.StructType,
 
 
 def _scan_with_rowid(spark: SparkSession, schema: T.StructType,
-                     files: list[ResolvedFile]) -> DataFrame:
+                     files: list[ResolvedFile],
+                     with_virtual: bool = False,
+                     index_base: int = 0) -> DataFrame:
+    """Per-file branch scan emitting the virtual rowid and, with
+    ``with_virtual``, the DuckLake virtual columns ``filename``,
+    ``file_row_number``, ``file_index`` and ``snapshot_id`` (the row's
+    insertion snapshot = its file's begin_snapshot) — corpus:
+    sql/virtualcolumns/. Per-file constants are literals stamped into
+    each branch; positions survive delete filtering (a deleted row's
+    neighbors keep their physical file_row_number)."""
     from ..errors import InvalidConfig
     parts = []
-    for f in files:
-        if f.row_id_start is None:
+    for idx, f in enumerate(files):
+        if f.row_id_start is None and not with_virtual:
             raise InvalidConfig(
                 f"rowid scan requires row_id_start in the catalog for every "
                 f"data file (missing for {f.data_uri})")
         _check_local_exists(f.data_uri)
         data = _with_pos(_read_parquet(spark, schema, [f.data_uri]))
-        data = data.withColumn(
-            "rowid", (F.lit(f.row_id_start) + F.col(POS_COL)).cast("long"))
+        if f.row_id_start is not None:
+            data = data.withColumn(
+                "rowid",
+                (F.lit(f.row_id_start) + F.col(POS_COL)).cast("long"))
+        elif with_virtual:
+            data = data.withColumn("rowid", F.lit(None).cast("long"))
+        if with_virtual:
+            data = (data
+                    .withColumn("filename", F.lit(f.data_uri))
+                    .withColumn("file_row_number",
+                                F.col(POS_COL).cast("long"))
+                    .withColumn("file_index",
+                                F.lit(index_base + idx).cast("long"))
+                    .withColumn("snapshot_id",
+                                F.lit(f.begin_snapshot).cast("long")))
         if f.delete_uri is not None:
             dels = _read_delete_positions(spark, f.delete_uri)
             data = data.join(F.broadcast(dels), POS_COL, "left_anti")

@@ -135,3 +135,16 @@ def test_malicious_inlined_table_name_rejected(dl):
     con.close()
     with pytest.raises(CatalogCorruption):
         dl.provider.get_inlined_tables(999)
+
+
+def test_virtual_columns_over_inlined_rows(dl):
+    """Inlined rows surface through the virtual-column scan with
+    filename = the inlined-data table's name (the reference's surface
+    shape) and their insertion snapshot."""
+    df = dl.table("main.t", with_virtual=True)
+    rows = {r["id"]: r for r in df.collect()}
+    assert sorted(rows) == [0, 1, 2, 3, 4, 100, 101]
+    assert rows[100]["filename"].startswith("ducklake_inlined_data_")
+    assert rows[100]["snapshot_id"] == 3
+    assert rows[100]["rowid"] == 1000
+    assert rows[0]["filename"].endswith(".parquet")
