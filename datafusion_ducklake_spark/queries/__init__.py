@@ -40,6 +40,10 @@ _SPECS = [
               ducklake_gate.ORACLE_DML_AGG, False),
     QuerySpec("ducklake_cdc_agg", ducklake_gate.ducklake_cdc_agg,
               ducklake_gate.ORACLE_CDC_AGG, False),
+    QuerySpec("ducklake_partitioned_agg", ducklake_gate.ducklake_partitioned_agg,
+              ducklake_gate.ORACLE_PARTITIONED_AGG, False),
+    QuerySpec("ducklake_virtual_agg", ducklake_gate.ducklake_virtual_agg,
+              ducklake_gate.ORACLE_VIRTUAL_AGG, False),
     # training-data pipeline operators (functions/)
     QuerySpec("ngram_jaccard_dup_pairs", pipeline.ngram_jaccard_dup_pairs,
               pipeline.ORACLE_NGRAM_JACCARD, False),

@@ -264,6 +264,96 @@ SELECT 'delete',
 """
 
 
+def _build_part_catalog(spark: SparkSession, sf_dir: str) -> str:
+    """Catalog (once per sf_dir) whose table is CTAS'd from the driver's
+    orders parquet (even orderkeys) with a partition spec on
+    o_orderstatus, then appended (odd orderkeys) through the partitioned
+    write path — per-status files with catalog partition values."""
+    import shutil
+
+    from ..catalog import DuckLakeSession
+    from ..metadata.writer import CatalogWriter
+
+    tag = hashlib.md5((sf_dir + "/part-v1").encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"ducklake_part_{tag}")
+    db = os.path.join(root, "catalog.sqlite")
+    done = os.path.join(root, ".done")
+    if os.path.exists(done):
+        return db
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    os.makedirs(root)
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=os.path.join(root, "lake"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    src = (spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+           .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    dl.create_table("main.part_orders",
+                    src.filter(F.col("o_orderkey") % 2 == 0))
+    dl.set_partitioned_by("main.part_orders", ["o_orderstatus"])
+    dl.insert_into("main.part_orders",
+                   src.filter(F.col("o_orderkey") % 2 == 1))
+    with open(done, "w") as f:
+        f.write("ok")
+    return db
+
+
+def ducklake_partitioned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned write + partition-value file pruning in the gate: the
+    scan keeps only files whose recorded o_orderstatus = 'O' (plus the
+    conservative pre-spec file); wrong pruning (a dropped file holding
+    matching rows) breaks the hash match against the full-table oracle."""
+    from ..catalog import DuckLakeSession
+    dl = DuckLakeSession(spark, _build_part_catalog(spark, sf_dir))
+    df = dl.table("main.part_orders",
+                  prune_filters=[("o_orderstatus", "=", "O")])
+    return (df.filter(F.col("o_orderstatus") == "O")
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("o_totalprice").alias("sum_price")))
+
+
+ORACLE_PARTITIONED_AGG = """
+SELECT o_orderstatus, COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+FROM orders WHERE o_orderstatus = 'O'
+GROUP BY o_orderstatus
+"""
+
+
+def ducklake_virtual_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Virtual columns in the gate: snapshot_id distinguishes the CTAS
+    era (even orderkeys, one file) from the append era (odd, one file
+    PER o_orderstatus via the partition spec), so the era's
+    max(file_row_number) equals (largest per-file rowcount) - 1 — all
+    recomputed by the oracle from key parity and status counts."""
+    from ..catalog import DuckLakeSession
+    dl = DuckLakeSession(spark, _build_part_catalog(spark, sf_dir))
+    df = dl.table("main.part_orders", with_virtual=True)
+    s_min = df.agg(F.min("snapshot_id").alias("m")).collect()[0]["m"]
+    return (df.groupBy((F.col("snapshot_id") == s_min).alias("is_first"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.max("file_row_number").alias("max_pos"),
+                 dsum("o_totalprice").alias("sum_price")))
+
+
+ORACLE_VIRTUAL_AGG = """
+WITH base AS (
+  SELECT o_orderkey % 2 = 0 AS is_first, o_orderstatus AS st,
+         o_totalprice AS p
+  FROM orders),
+era_status AS (
+  SELECT is_first, st, COUNT(*) AS cnt FROM base GROUP BY is_first, st)
+SELECT b.is_first, COUNT(*) AS n,
+  CASE WHEN b.is_first THEN COUNT(*) - 1
+       ELSE (SELECT MAX(cnt) - 1 FROM era_status e
+             WHERE NOT e.is_first) END AS max_pos,
+  CAST(SUM(CAST(b.p AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+FROM base b GROUP BY b.is_first
+"""
+
+
 def ducklake_pruned_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate over a PRUNED multi-file scan: catalog min/max stats drop
     the files whose l_orderkey range falls below the cutoff before any
