@@ -258,7 +258,13 @@ class MetadataProvider:
         return out
 
     def get_data_path(self) -> str:
-        rows = self._fetchall(Q.GET_DATA_PATH)
+        try:
+            rows = self._fetchall(Q.GET_DATA_PATH)
+        except Exception:
+            # pre-scope catalogs: ducklake_metadata is just (key, value)
+            rows = self._fetchall(
+                "SELECT value FROM ducklake_metadata "
+                "WHERE key = 'data_path'")
         if not rows:
             raise CatalogError("catalog has no data_path in ducklake_metadata")
         return str(rows[0][0])
