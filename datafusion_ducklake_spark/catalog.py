@@ -1116,6 +1116,18 @@ class DuckLakeSession:
                                     c.initial_default, c.default_value))
             for c in handle.columns if c.column_name != col_name])
 
+    def set_option(self, key: str, value) -> None:
+        """Set/clear (value=None) a catalog option in ducklake_metadata —
+        e.g. ``set_option("data_inlining_row_limit", 10)`` turns on
+        write-side data inlining (DuckDB's DATA_INLINING_ROW_LIMIT)."""
+        from .table_writer import _catalog_writer
+        writer = _catalog_writer(self)
+        try:
+            writer.set_option(key, None if value is None else str(value))
+        finally:
+            writer.close()
+        self.refresh()
+
     def expire_snapshots(self, before: Optional[int] = None) -> int:
         """Drop time-travel points older than ``before`` (default: all
         but the latest) — ducklake_expire_snapshots parity (corpus:

@@ -257,6 +257,16 @@ class MetadataProvider:
                 int(nulls) if nulls is not None else None, mn, mx)
         return out
 
+    def get_option(self, key: str) -> Optional[str]:
+        """Catalog option from ducklake_metadata (e.g.
+        data_inlining_row_limit), or None."""
+        try:
+            rows = self._fetchall(
+                "SELECT value FROM ducklake_metadata WHERE key = ?", (key,))
+        except Exception:
+            return None
+        return str(rows[0][0]) if rows else None
+
     def get_data_path(self) -> str:
         try:
             rows = self._fetchall(Q.GET_DATA_PATH)

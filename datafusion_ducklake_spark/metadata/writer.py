@@ -20,6 +20,7 @@ Implementation notes:
 
 from __future__ import annotations
 
+import re
 import sqlite3
 import threading
 from dataclasses import dataclass
@@ -619,14 +620,20 @@ class CatalogWriter:
     def next_row_id(self, table_id: int) -> int:
         """Next unassigned virtual rowid for the table: MAX over ALL files
         ever registered (ended files included, so rowids are never reused
-        across overwrite/compaction — the DuckLake rowid contract)."""
+        across overwrite/compaction — the DuckLake rowid contract) AND
+        over inlined rows (which carry row_ids of their own)."""
         with self._txn() as cur:
             rows = cur.execute(
                 "SELECT COALESCE(MAX(row_id_start + COALESCE(record_count, 0)), 0) "
                 "FROM ducklake_data_file "
                 "WHERE table_id = ? AND row_id_start IS NOT NULL",
                 (table_id,)).fetchall()
-            return int(rows[0][0])
+            base = int(rows[0][0])
+        try:
+            inl = self.max_inlined_row_id(table_id)
+        except Exception:
+            inl = None
+        return base if inl is None else max(base, int(inl) + 1)
 
     def create_name_mapping(self, table_id: int, column_names: list[str],
                             column_ids: list[int]) -> int:
@@ -845,6 +852,83 @@ class CatalogWriter:
                 "WHERE macro_name = ? AND end_snapshot IS NULL",
                 (sid, name))
             return True
+
+    def set_option(self, key: str, value: Optional[str]) -> None:
+        """Set/clear a catalog option in ducklake_metadata (e.g.
+        data_inlining_row_limit — DuckDB's DATA_INLINING_ROW_LIMIT)."""
+        with self._txn() as cur:
+            cur.execute("DELETE FROM ducklake_metadata WHERE key = ?",
+                        (key,))
+            if value is not None:
+                cur.execute(
+                    "INSERT INTO ducklake_metadata (key, value) "
+                    "VALUES (?, ?)", (key, str(value)))
+
+    _SQLITE_AFFINITY = {"int": "BIGINT", "float": "DOUBLE",
+                        "double": "DOUBLE", "decimal": "VARCHAR",
+                        "bool": "BOOLEAN"}
+
+    def insert_inlined_rows(self, table_id: int, snapshot_id: int,
+                            column_names: list[str],
+                            column_types: list[str],
+                            rows: list[tuple],
+                            row_id_start: int) -> None:
+        """Write-side data inlining: store the rows IN THE CATALOG DB
+        (DuckLake data-inlining layout — per-table
+        ducklake_inlined_data_{table_id}_{schema_version} with
+        row_id/begin_snapshot/end_snapshot + data columns, registered in
+        ducklake_inlined_data_tables), the shape DuckDB's ducklake
+        extension writes under DATA_INLINING_ROW_LIMIT."""
+        name = f"ducklake_inlined_data_{table_id}_0"
+        cols_ddl = ", ".join(
+            f'"{c}" {self._affinity(t)}'
+            for c, t in zip(column_names, column_types))
+        col_list = ", ".join(f'"{c}"' for c in column_names)
+        ph = ", ".join("?" * (3 + len(column_names)))
+        with self._txn() as cur:
+            cur.execute(
+                f'CREATE TABLE IF NOT EXISTS "{name}" ('
+                "row_id BIGINT, begin_snapshot BIGINT, end_snapshot BIGINT, "
+                f"{cols_ddl})")
+            known = cur.execute(
+                "SELECT COUNT(*) FROM ducklake_inlined_data_tables "
+                "WHERE table_id = ? AND table_name = ?",
+                (table_id, name)).fetchall()[0][0]
+            if not known:
+                cur.execute(
+                    "INSERT INTO ducklake_inlined_data_tables "
+                    "(table_id, table_name, schema_version) VALUES (?, ?, 0)",
+                    (table_id, name))
+            for i, row in enumerate(rows):
+                cur.execute(
+                    f'INSERT INTO "{name}" (row_id, begin_snapshot, '
+                    f"end_snapshot, {col_list}) VALUES ({ph})",
+                    (row_id_start + i, snapshot_id, None, *row))
+
+    @classmethod
+    def _affinity(cls, ducklake_type: str) -> str:
+        t = ducklake_type.lower()
+        for key, sql in cls._SQLITE_AFFINITY.items():
+            if key in t:
+                return sql
+        return "VARCHAR"
+
+    def max_inlined_row_id(self, table_id: int) -> Optional[int]:
+        """MAX(row_id) over the table's inlined-data tables (rowid
+        sequencing must advance past inlined rows too)."""
+        with self._txn() as cur:
+            names = [r[0] for r in cur.execute(
+                "SELECT table_name FROM ducklake_inlined_data_tables "
+                "WHERE table_id = ?", (table_id,))]
+            top = None
+            for n in names:
+                if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", n):
+                    continue
+                m = cur.execute(
+                    f'SELECT MAX(row_id) FROM "{n}"').fetchall()[0][0]
+                if m is not None:
+                    top = m if top is None else max(top, int(m))
+            return top
 
     def end_inlined_rows(self, inline_table: str, snapshot_id: int) -> None:
         """End every live row of one inlined-data table (data-inlining

@@ -587,6 +587,61 @@ def _with_field_ids_partial(df: DataFrame, data_cols: list[str],
         for f in df.schema.fields])
 
 
+_INLINABLE_SPARK_TYPES = ("IntegerType", "LongType", "ShortType",
+                          "ByteType", "DoubleType", "FloatType",
+                          "StringType", "BooleanType", "DateType",
+                          "TimestampType", "DecimalType")
+
+
+def _try_inline_append(session, writer, setup, table_id: int,
+                       df: DataFrame, not_null: list[str]):
+    """Inline the append into the catalog DB when at or under the
+    data_inlining_row_limit option; returns the row count, or None to
+    take the parquet path."""
+    import datetime
+    import decimal
+
+    limit_s = session.provider.get_option("data_inlining_row_limit")
+    if not limit_s:
+        return None
+    try:
+        limit = int(limit_s)
+    except ValueError:
+        return None
+    if limit <= 0:
+        return None
+    if not all(type(f.dataType).__name__ in _INLINABLE_SPARK_TYPES
+               for f in df.schema.fields):
+        return None
+    sample = df.limit(limit + 1).collect()
+    if len(sample) > limit:
+        return None                      # big append: parquet path
+
+    def store(v):
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat(sep=" ") if isinstance(
+                v, datetime.datetime) else v.isoformat()
+        if isinstance(v, decimal.Decimal):
+            return str(v)
+        return v
+
+    names = [f.name for f in df.schema.fields]
+    for row in sample:
+        for c in not_null:
+            if row[c] is None:
+                raise InvalidConfig(
+                    f'NOT NULL constraint violated: column "{c}" '
+                    "contains NULL")
+    cols = session.provider.get_table_columns(table_id, setup.snapshot_id)
+    type_by_name = {c.column_name: c.column_type for c in cols}
+    writer.insert_inlined_rows(
+        table_id, setup.snapshot_id, names,
+        [type_by_name.get(n, "varchar") for n in names],
+        [tuple(store(row[n]) for n in names) for row in sample],
+        writer.next_row_id(table_id))
+    return len(sample)
+
+
 def create_or_insert(session, name: str, df: DataFrame, mode: str,
                      single_file: bool = True, if_exists: str = "error") -> int:
     """Returns the number of rows written (the reference returns a 1-row
@@ -630,6 +685,21 @@ def create_or_insert(session, name: str, df: DataFrame, mode: str,
                 if not c.nulls_allowed]
         else:
             not_null = [f.name for f in df.schema.fields if not f.nullable]
+        # Write-side data inlining (sql/data_inlining/ corpus): appends at
+        # or under data_inlining_row_limit store their rows IN the catalog
+        # DB instead of parquet — DuckDB's DATA_INLINING_ROW_LIMIT
+        # behavior. limit(n+1) terminates early on big inputs, so large
+        # appends pay at most a truncated scan before taking the parquet
+        # path; simple scalar columns only (arrays/structs/binary fall
+        # through to parquet).
+        if write_mode == WriteMode.APPEND:
+            n_inlined = _try_inline_append(session, writer, setup,
+                                           table_meta.table_id, df,
+                                           not_null)
+            if n_inlined is not None:
+                session.refresh()
+                return n_inlined
+
         out = _with_field_ids(_enforce_not_null(df, not_null),
                               setup.column_ids)
         if single_file:

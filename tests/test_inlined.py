@@ -148,3 +148,73 @@ def test_virtual_columns_over_inlined_rows(dl):
     assert rows[100]["snapshot_id"] == 3
     assert rows[100]["rowid"] == 1000
     assert rows[0]["filename"].endswith(".parquet")
+
+
+class TestWriteSideInlining:
+    """data_inlining_row_limit: small appends store rows in the catalog
+    DB instead of parquet (DuckDB's DATA_INLINING_ROW_LIMIT; corpus:
+    sql/data_inlining/basic_data_inlining.test)."""
+
+    @pytest.fixture()
+    def wdl(self, spark, tmp_path):
+        db = str(tmp_path / "w.sqlite")
+        w = CatalogWriter.sqlite(db)
+        w.initialize_schema(data_path=str(tmp_path / "wlake"))
+        w.close()
+        session = DuckLakeSession(spark, db)
+        session.create_table("main.w", spark.createDataFrame(
+            [(i, f"r{i}") for i in range(4)], "id INT, s STRING"))
+        session.set_option("data_inlining_row_limit", 10)
+        return session
+
+    def test_small_append_inlines(self, wdl, spark):
+        files_before = len(wdl.table_handle("main.w")._raw_files)
+        n = wdl.insert_into("main.w", spark.createDataFrame(
+            [(100, "inline"), (101, None)], "id INT, s STRING"))
+        assert n == 2
+        handle = wdl.table_handle("main.w")
+        assert len(handle._raw_files) == files_before  # no new parquet
+        assert len(handle.inlined_rows()) == 2
+        got = sorted(r["id"] for r in wdl.table("main.w").collect())
+        assert got == [0, 1, 2, 3, 100, 101]
+
+    def test_large_append_takes_parquet_path(self, wdl, spark):
+        files_before = len(wdl.table_handle("main.w")._raw_files)
+        wdl.insert_into("main.w", spark.createDataFrame(
+            [(200 + i, "x") for i in range(11)], "id INT, s STRING"))
+        handle = wdl.table_handle("main.w")
+        assert len(handle._raw_files) == files_before + 1
+        assert handle.inlined_rows() == []
+
+    def test_inlined_rowids_continue_sequence(self, wdl, spark):
+        wdl.insert_into("main.w", spark.createDataFrame(
+            [(100, "a")], "id INT, s STRING"))           # inlined: rowid 4
+        wdl.set_option("data_inlining_row_limit", None)  # off
+        wdl.insert_into("main.w", spark.createDataFrame(
+            [(300, "p")], "id INT, s STRING"))           # parquet: rowid 5
+        got = {r["id"]: r["rowid"] for r in
+               wdl.table("main.w", with_rowid=True).collect()}
+        assert got[100] == 4 and got[300] == 5
+
+    def test_inlined_append_honors_not_null(self, wdl, spark):
+        wdl.sql("ALTER TABLE w ALTER s SET NOT NULL")
+        with pytest.raises(InvalidConfig, match="NOT NULL"):
+            wdl.insert_into("main.w", spark.createDataFrame(
+                [(1, None)], "id INT, s STRING"))
+
+    def test_flush_after_write_side_inlining(self, wdl, spark):
+        wdl.insert_into("main.w", spark.createDataFrame(
+            [(100, "a"), (101, "b")], "id INT, s STRING"))
+        before = sorted(r["id"] for r in wdl.table("main.w").collect())
+        assert wdl.flush_inlined_data("main.w") == 2
+        assert sorted(r["id"] for r in wdl.table("main.w").collect()) == \
+            before
+        assert wdl.table_handle("main.w").inlined_rows() == []
+
+    def test_sql_insert_inlines_and_time_travels(self, wdl, spark):
+        wdl.register_views()
+        pre = wdl.provider.get_current_snapshot()
+        wdl.sql("INSERT INTO w VALUES (500, 'v')")
+        assert len(wdl.table_handle("main.w").inlined_rows()) == 1
+        old = DuckLakeSession(spark, wdl.catalog_path, snapshot_id=pre)
+        assert 500 not in [r["id"] for r in old.table("main.w").collect()]
