@@ -44,6 +44,8 @@ _SPECS = [
               ducklake_gate.ORACLE_PARTITIONED_AGG, False),
     QuerySpec("ducklake_virtual_agg", ducklake_gate.ducklake_virtual_agg,
               ducklake_gate.ORACLE_VIRTUAL_AGG, False),
+    QuerySpec("ducklake_inlined_agg", ducklake_gate.ducklake_inlined_agg,
+              ducklake_gate.ORACLE_INLINED_AGG, False),
     # training-data pipeline operators (functions/)
     QuerySpec("ngram_jaccard_dup_pairs", pipeline.ngram_jaccard_dup_pairs,
               pipeline.ORACLE_NGRAM_JACCARD, False),

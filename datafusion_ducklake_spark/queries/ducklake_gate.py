@@ -354,6 +354,62 @@ FROM base b GROUP BY b.is_first
 """
 
 
+def _build_inline_catalog(spark: SparkSession, sf_dir: str) -> str:
+    """Catalog (once per sf_dir) exercising WRITE-SIDE data inlining:
+    CTAS of customers with c_custkey > 100, then an append of the
+    c_custkey <= 100 slice under data_inlining_row_limit=1000 — the
+    small append lands as rows in the catalog DB, not parquet."""
+    import shutil
+
+    from ..catalog import DuckLakeSession
+    from ..metadata.writer import CatalogWriter
+
+    tag = hashlib.md5((sf_dir + "/inline-v1").encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"ducklake_inline_{tag}")
+    db = os.path.join(root, "catalog.sqlite")
+    done = os.path.join(root, ".done")
+    if os.path.exists(done):
+        return db
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    os.makedirs(root)
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=os.path.join(root, "lake"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    src = (spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+           .select("c_custkey", "c_mktsegment", "c_acctbal"))
+    dl.create_table("main.inline_cust",
+                    src.filter(F.col("c_custkey") > 100))
+    dl.set_option("data_inlining_row_limit", 1000)
+    dl.insert_into("main.inline_cust",
+                   src.filter(F.col("c_custkey") <= 100))
+    handle = dl.table_handle("main.inline_cust")
+    assert len(handle.inlined_rows()) > 0, "append was not inlined"
+    with open(done, "w") as f:
+        f.write("ok")
+    return db
+
+
+def ducklake_inlined_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side inlining + the inlined READ path in the gate: rows
+    stored in the catalog DB must aggregate identically to the oracle
+    over the full customer table."""
+    from ..catalog import DuckLakeSession
+    dl = DuckLakeSession(spark, _build_inline_catalog(spark, sf_dir))
+    return (dl.table("main.inline_cust")
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("c_acctbal").alias("sum_bal")))
+
+
+ORACLE_INLINED_AGG = """
+SELECT c_mktsegment, COUNT(*) AS n,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+FROM customer GROUP BY c_mktsegment
+"""
+
+
 def ducklake_pruned_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate over a PRUNED multi-file scan: catalog min/max stats drop
     the files whose l_orderkey range falls below the cutoff before any
