@@ -36,6 +36,13 @@ class InvalidPath(DuckLakeError):
     """Path failed traversal/safety validation (ref: src/path_resolver.rs:12-83)."""
 
 
+class TransactionConflict(DuckLakeError):
+    """A concurrent writer superseded state this transaction read
+    (write-write conflict on the same rows); retry the statement
+    (corpus: sql/transaction/transaction_conflicts_delete.test —
+    DuckDB's ducklake extension aborts the same way)."""
+
+
 class CatalogCorruption(DuckLakeError):
     """A file referenced by the catalog is missing — surfaced as corruption,
     never as silent wrong results (ref: src/table.rs:340-354, 736-748)."""

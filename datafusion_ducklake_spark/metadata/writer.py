@@ -668,13 +668,38 @@ class CatalogWriter:
     def register_delete_file(self, table_id: int, data_file_id: int,
                              snapshot_id: int, path: str,
                              path_is_relative: bool, file_size_bytes: int,
-                             delete_count: int) -> int:
+                             delete_count: int,
+                             expected_prev_delete_id: Optional[int] = -1
+                             ) -> int:
         """Register a positional-delete parquet file for one data file,
         superseding (ending) any previous delete file for it — mirrors what
         DuckDB's ducklake extension records on DELETE (schema per the
         reference DDL; supersedence per SQL_GET_DATA_FILES' per-snapshot
-        LEFT JOIN semantics)."""
+        LEFT JOIN semantics).
+
+        ``expected_prev_delete_id`` (None = expect no live delete file)
+        is the optimistic-concurrency check: the cumulative positions
+        being registered were computed FROM that delete file, so if a
+        concurrent DML superseded it in the meantime, registering would
+        silently drop the concurrent writer's deletions — raise
+        TransactionConflict instead (the write-write abort DuckDB's
+        extension performs; corpus: sql/transaction/
+        transaction_conflicts_delete.test). -1 skips the check (callers
+        that did no read-modify-write, e.g. foreign-fixture builders)."""
+        from ..errors import TransactionConflict
         with self._txn() as cur:
+            if expected_prev_delete_id != -1:
+                live = cur.execute(
+                    "SELECT delete_file_id FROM ducklake_delete_file "
+                    "WHERE data_file_id = ? AND end_snapshot IS NULL",
+                    (data_file_id,)).fetchall()
+                current = int(live[0][0]) if live else None
+                if current != expected_prev_delete_id:
+                    raise TransactionConflict(
+                        f"transaction conflict: delete file for data file "
+                        f"{data_file_id} was superseded concurrently "
+                        f"(expected {expected_prev_delete_id}, found "
+                        f"{current}); retry the statement")
             cur.execute(
                 "UPDATE ducklake_delete_file SET end_snapshot = ? "
                 "WHERE data_file_id = ? AND end_snapshot IS NULL",

@@ -182,17 +182,25 @@ def _write_delete_parquets(spark, cumulative: DataFrame,
 
 
 def _register_deletes(writer, handle, snapshot_id: int, manifest) -> None:
-    by_name = {os.path.basename(f.path): f.data_file_id
+    by_name = {os.path.basename(f.path):
+               (f.data_file_id,
+                f.delete_file.delete_file_id
+                if f.delete_file is not None else None)
                for f in handle._raw_files}
     for row in sorted(manifest, key=lambda r: r["file_name"]):
-        fid = by_name.get(row["file_name"])
-        if fid is None:
+        entry = by_name.get(row["file_name"])
+        if entry is None:
             raise InvalidConfig(
                 f"delete manifest references unknown data file "
                 f"{row['file_name']!r}")
+        fid, prev_delete_id = entry
+        # optimistic concurrency: the cumulative file was computed from
+        # prev_delete_id's positions — a concurrent DML superseding it
+        # must abort this one, not be silently overwritten
         writer.register_delete_file(
             handle.meta.table_id, fid, snapshot_id, row["delete_name"],
-            True, int(row["size"]), int(row["cum_count"]))
+            True, int(row["size"]), int(row["cum_count"]),
+            expected_prev_delete_id=prev_delete_id)
 
 
 def _stage_append(session, handle, df: DataFrame,
