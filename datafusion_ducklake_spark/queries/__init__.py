@@ -69,6 +69,8 @@ _SPECS = [
     QuerySpec("simhash_pairs", pipeline.simhash_pairs, None, False),
     QuerySpec("lsh_ann_neighbors", pipeline.lsh_ann_neighbors, None, False),
     QuerySpec("mm_image_features", pipeline.mm_image_features, None, False),
+    QuerySpec("mm_audio_features", pipeline.mm_audio_features, None, False),
+    QuerySpec("mm_frame_samples", pipeline.mm_frame_samples, None, False),
     # TPC-DS / ClickBench pattern coverage (reference's secondary suites)
     QuerySpec("cube_revenue", dsbench.cube_revenue, dsbench.ORACLE_CUBE, False),
     QuerySpec("ds_channel_union", dsbench.ds_channel_union,

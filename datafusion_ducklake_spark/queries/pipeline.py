@@ -169,6 +169,37 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image_features(media)
 
 
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio plumbing on synthesized payloads (document bytes as fake
+    encoded audio) through the real Arrow-batched decode stage — schema,
+    batch shape and size-bucketed partitioning are the real contract; the
+    codec is the documented deterministic stub."""
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("audio/fake").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"))
+    return multimodal.decode_audio_features(multimodal.size_bucketed(media))
+
+
+def mm_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: one input row fans out to N frame
+    rows (1-to-many mapInPandas), the shape a real pyav sampler plugs
+    into."""
+    media = _docs(spark, sf_dir).limit(50).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("video/fake").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.length("text") * 10).cast("long").alias("duration_ms"))
+    return multimodal.sample_video_frames(media, every_ms=1000)
+
+
 def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the exact-Jaccard dup-pair graph:
     (doc_id, cluster_id=min reachable doc). Oracle = DuckDB transitive
