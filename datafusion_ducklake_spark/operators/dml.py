@@ -207,10 +207,18 @@ def _stage_append(session, handle, df: DataFrame,
                   single_file: bool = True) -> list:
     """Write df's rows as finalized parquet in the table dir WITHOUT
     registering them (mirrors table_writer.create_or_insert step 2); the
-    returned [(name, size, footer, count)] carries the row counts, so no
-    .count() pre-action is needed. A crash (or a no-op DML discovered
-    after staging) leaves an unregistered file, never a corrupt catalog —
-    the same orphan-not-corruption discipline as the insert path."""
+    returned [(name, size, footer, count, pvals|None)] carries the row
+    counts, so no .count() pre-action is needed. A crash (or a no-op DML
+    discovered after staging) leaves an unregistered file, never a
+    corrupt catalog — the same orphan-not-corruption discipline as the
+    insert path.
+
+    Partition-aware: rewrites into a partitioned table split by the live
+    spec and register their partition values, so pruning keeps working
+    over an UPDATE/MERGE-heavy table instead of degrading as unvalued
+    rewrite files accumulate."""
+    from ..table_writer import (_PART_PREFIX, _finalize_partitioned_hadoop,
+                                _finalize_partitioned_local)
     data_cols = [c.column_name for c in handle.columns]
     column_ids = [c.column_id for c in handle.columns]
     not_null = [c.column_name for c in handle.columns if not c.nulls_allowed]
@@ -220,14 +228,35 @@ def _stage_append(session, handle, df: DataFrame,
         out = out.coalesce(1)
     session.spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     table_path = handle.table_path
+
+    id_to_name = dict(zip(column_ids, data_cols))
+    spec = session.provider.get_partition_columns(
+        handle.meta.table_id, handle.snapshot_id)
+    part_keys = [id_to_name[cid] for _, cid in spec if cid in id_to_name]
+
     staging = table_path.rstrip("/") + f"/stage-{uuid.uuid4().hex}"
     try:
-        out.write.parquet(staging, mode="errorifexists")
+        if part_keys:
+            for i, name_ in enumerate(part_keys):
+                out = out.withColumn(f"{_PART_PREFIX}{i}",
+                                     F.col(name_).cast("string"))
+            (out.write
+             .partitionBy([f"{_PART_PREFIX}{i}"
+                           for i in range(len(part_keys))])
+             .parquet(staging, mode="errorifexists"))
+        else:
+            out.write.parquet(staging, mode="errorifexists")
     except Exception as e:
         _raise_if_constraint(e)
+    if part_keys:
+        if "://" in table_path:
+            return _finalize_partitioned_hadoop(session.spark, staging,
+                                                table_path, part_keys)
+        return _finalize_partitioned_local(staging, table_path, part_keys)
     if "://" in table_path:
-        return _finalize_hadoop(session.spark, staging, table_path)
-    return _finalize_local(staging, table_path)
+        return [(*s, None) for s in
+                _finalize_hadoop(session.spark, staging, table_path)]
+    return [(*s, None) for s in _finalize_local(staging, table_path)]
 
 
 def _register_append(session, writer, snapshot_id: int, handle,
@@ -240,7 +269,7 @@ def _register_append(session, writer, snapshot_id: int, handle,
     n_rows = 0
     next_rowid = writer.next_row_id(handle.meta.table_id)
     ids_by_name = dict(zip(data_cols, column_ids))
-    for final_name, size, footer, count in staged:
+    for final_name, size, footer, count, pvals in staged:
         if count == 0:
             continue
         fid = writer.register_data_file(
@@ -248,6 +277,9 @@ def _register_append(session, writer, snapshot_id: int, handle,
             DataFileInfo(path=final_name, path_is_relative=True,
                          file_size_bytes=size, footer_size=footer,
                          record_count=count, row_id_start=next_rowid))
+        if pvals:
+            writer.register_file_partition_values(
+                fid, handle.meta.table_id, pvals)
         local = _local_readable(table_path, final_name)
         if local is not None:
             writer.register_file_column_stats(
@@ -420,7 +452,7 @@ def _delete_and_append(session, handle, matched_pos: DataFrame,
     staged = []
     if appended is not None and (n_matched > 0 or not append_only_if_matched):
         staged = _stage_append(session, handle, appended)
-    n_append = sum(count for _, _, _, count in staged)
+    n_append = sum(count for _, _, _, count, _pv in staged)
 
     if n_matched == 0 and n_append == 0:
         return 0, 0                    # no snapshot for a no-op DML

@@ -148,3 +148,25 @@ def test_partitioned_insert_on_schemed_path(spark, tmp_path):
     assert len(hive) == 2
     assert sorted(r["id"] for r in dl.table("main.sp").collect()) == \
         [1, 2, 3]
+
+
+def test_update_rewrites_keep_partition_values(dl, spark):
+    """UPDATE over a partitioned table splits its rewrite files by the
+    spec and records their partition values, so pruning stays exact as
+    DML accumulates."""
+    _mk(dl, spark)
+    n = dl.update_where("main.pt", {"s": "concat(s, '!')"}, "part_key = 1")
+    assert n == 20
+    handle = dl.table_handle("main.pt")
+    vals = dl.provider.get_file_partition_values(handle.meta.table_id)
+    rewrite_files = [f for f in handle._raw_files
+                     if f.path.startswith("part_key=1/")]
+    assert len(rewrite_files) >= 2          # original + rewrite file
+    assert all(vals.get(f.data_file_id, {}).get(0) == "1"
+               for f in rewrite_files)
+    # pruning on part_key=2 excludes every part_key=1 file incl. rewrites
+    pruned = handle.prune_files([("part_key", "=", 2)])
+    assert not any("part_key=1" in f.data_uri for f in pruned)
+    rows = {r["id"]: r["s"] for r in dl.table("main.pt").collect()}
+    assert len(rows) == 60
+    assert rows[1].endswith("!") and not rows[0].endswith("!")
