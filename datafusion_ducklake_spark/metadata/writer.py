@@ -1073,6 +1073,22 @@ class CatalogWriter:
             cur.execute(
                 "DELETE FROM ducklake_file_column_stats WHERE data_file_id "
                 "NOT IN (SELECT data_file_id FROM ducklake_data_file)")
+            # inlined-data rows version by snapshot too — without this
+            # sweep, a rolled-back inlined insert would RESURRECT when
+            # the next snapshot reuses the deleted id (ids are max+1)
+            try:
+                inlined = [r[0] for r in cur.execute(
+                    "SELECT DISTINCT table_name "
+                    "FROM ducklake_inlined_data_tables").fetchall()]
+            except Exception:
+                inlined = []
+            for n in inlined:
+                if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", n):
+                    continue
+                cur.execute(f'DELETE FROM "{n}" WHERE begin_snapshot > ?',
+                            (snapshot_id,))
+                cur.execute(f'UPDATE "{n}" SET end_snapshot = NULL '
+                            "WHERE end_snapshot > ?", (snapshot_id,))
             for tbl in ("ducklake_macro_impl", "ducklake_macro_parameters"):
                 cur.execute(
                     f"DELETE FROM {tbl} WHERE macro_id "

@@ -218,3 +218,27 @@ class TestWriteSideInlining:
         assert len(wdl.table_handle("main.w").inlined_rows()) == 1
         old = DuckLakeSession(spark, wdl.catalog_path, snapshot_id=pre)
         assert 500 not in [r["id"] for r in old.table("main.w").collect()]
+
+
+def test_rollback_sweeps_inlined_rows(spark, tmp_path):
+    """A rolled-back inlined insert must not resurrect when the next
+    snapshot reuses the deleted snapshot id (regression: rollback swept
+    MVCC tables but not inlined-data rows)."""
+    db = str(tmp_path / "rb.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "rblake"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.create_table("main.r", spark.createDataFrame(
+        [(1, "a")], "id INT, s STRING"))
+    dl.set_option("data_inlining_row_limit", 10)
+    dl.sql("BEGIN")
+    dl.insert_into("main.r", spark.createDataFrame(
+        [(2, "b")], "id INT, s STRING"))       # inlined
+    assert sorted(r["id"] for r in dl.table("main.r").collect()) == [1, 2]
+    dl.sql("ROLLBACK")
+    assert sorted(r["id"] for r in dl.table("main.r").collect()) == [1]
+    # next snapshot reuses the rolled-back id — the phantom must not return
+    dl.insert_into("main.r", spark.createDataFrame(
+        [(3, "c")], "id INT, s STRING"))
+    assert sorted(r["id"] for r in dl.table("main.r").collect()) == [1, 3]
