@@ -47,28 +47,86 @@ def _resolve(session, name: str, start: int, end: int):
 
 
 def table_changes(session, name: str, start: int, end: int) -> DataFrame:
-    """Rows inserted in snapshot range (start, end]."""
+    """Rows inserted in snapshot range (start, end] — parquet files AND
+    inlined rows (write-side data inlining registers no data file, so
+    the CDC log must read the inlined tables' begin_snapshot too)."""
     table = _resolve(session, name, start, end)
     spark = session.spark
     added = session.provider.get_data_files_added_between(
         table.meta.table_id, start, end)
     schema = table.spark_schema
-    if not added:
-        return _empty_cdc(spark, schema)
+    parts = []
 
     by_snapshot: dict[int, list[str]] = {}
     for f in added:
         uri = to_spark_uri(session.catalog.resolver.file_path(
             table.table_path, f.path, f.path_is_relative))
         by_snapshot.setdefault(f.begin_snapshot, []).append(uri)
-
-    parts = []
     for snapshot_id, uris in sorted(by_snapshot.items()):
         parts.append(
             _read_parquet(spark, schema, uris)
             .withColumn(CDC_SNAPSHOT_COL, F.lit(snapshot_id).cast("long"))
             .withColumn(CDC_CHANGE_COL, F.lit("insert")))
+
+    inlined = _inlined_changes(session, table, start, end)
+    if inlined is not None:
+        parts.append(inlined)
+    if not parts:
+        return _empty_cdc(spark, schema)
     return reduce(DataFrame.unionByName, parts)
+
+
+def _inlined_changes(session, table, start: int, end: int):
+    """Inlined rows whose begin_snapshot falls in (start, end], shaped
+    like the parquet CDC branches. Bounded by the inlining row limit —
+    driver-side materialization is the feature's own contract."""
+    names = [c.column_name for c in table.columns]
+    rows = []
+    for it in table.inlined_tables:
+        try:
+            raw = session.provider._fetchall(
+                'SELECT row_id, {} , begin_snapshot FROM "{}" '
+                "WHERE begin_snapshot > ? AND begin_snapshot <= ?".format(
+                    ", ".join(f'"{c}"' for c in names), it),
+                (start, end))
+        except Exception:
+            continue
+        rows.extend(raw)
+    if not rows:
+        return None
+    import pyspark.sql.types as T
+    coerced = []
+    schema = table.spark_schema
+    for r in rows:
+        vals = []
+        for v, f in zip(r[1:-1], schema.fields):
+            vals.append(_coerce_cdc(v, f.dataType))
+        coerced.append(tuple(vals) + (int(r[-1]), "insert"))
+    out_schema = T.StructType(
+        list(schema.fields)
+        + [T.StructField(CDC_SNAPSHOT_COL, T.LongType(), True),
+           T.StructField(CDC_CHANGE_COL, T.StringType(), False)])
+    return session.spark.createDataFrame(coerced, out_schema)
+
+
+def _coerce_cdc(v, dt):
+    import datetime
+    import decimal
+
+    import pyspark.sql.types as T
+    if v is None:
+        return None
+    if isinstance(dt, T.TimestampType) and isinstance(v, str):
+        return datetime.datetime.fromisoformat(v)
+    if isinstance(dt, T.DateType) and isinstance(v, str):
+        return datetime.date.fromisoformat(v)
+    if isinstance(dt, T.DecimalType) and not isinstance(v, decimal.Decimal):
+        return decimal.Decimal(str(v))
+    if isinstance(dt, (T.FloatType, T.DoubleType)) and isinstance(v, int):
+        return float(v)
+    if isinstance(dt, T.BooleanType) and isinstance(v, int):
+        return bool(v)
+    return v
 
 
 def table_deletions(session, name: str, start: int, end: int) -> DataFrame:

@@ -242,3 +242,26 @@ def test_rollback_sweeps_inlined_rows(spark, tmp_path):
     dl.insert_into("main.r", spark.createDataFrame(
         [(3, "c")], "id INT, s STRING"))
     assert sorted(r["id"] for r in dl.table("main.r").collect()) == [1, 3]
+
+
+def test_cdc_sees_inlined_inserts(spark, tmp_path):
+    """table_changes must surface inlined inserts — they register no
+    data file, so the CDC log reads the inlined tables too."""
+    db = str(tmp_path / "cdc.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "cdclake"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.create_table("main.c", spark.createDataFrame(
+        [(1, "a")], "id INT, s STRING"))
+    dl.set_option("data_inlining_row_limit", 10)
+    start = dl.provider.get_current_snapshot()
+    dl.insert_into("main.c", spark.createDataFrame(
+        [(2, "b"), (3, "c")], "id INT, s STRING"))     # inlined
+    end = dl.provider.get_current_snapshot()
+    ch = dl.table_changes("main.c", start, end).collect()
+    assert sorted(r["id"] for r in ch) == [2, 3]
+    assert all(r["change_type"] == "insert" for r in ch)
+    assert all(r["snapshot_id"] == end for r in ch)
+    # range excluding the inlined snapshot sees nothing
+    assert dl.table_changes("main.c", end, end).collect() == []
