@@ -129,6 +129,36 @@ def _coerce_cdc(v, dt):
     return v
 
 
+def _inlined_deletions(session, table, start: int, end: int):
+    """Inlined rows ENDED in (start, end] — the delete half of a flush
+    (or a future inlined DML), so CDC stays symmetric: a flush reads as
+    delete+insert like an UPDATE, never as a bare duplicate insert."""
+    names = [c.column_name for c in table.columns]
+    rows = []
+    for it in table.inlined_tables:
+        try:
+            raw = session.provider._fetchall(
+                'SELECT row_id, {} , end_snapshot FROM "{}" '
+                "WHERE end_snapshot > ? AND end_snapshot <= ?".format(
+                    ", ".join(f'"{c}"' for c in names), it),
+                (start, end))
+        except Exception:
+            continue
+        rows.extend(raw)
+    if not rows:
+        return None
+    import pyspark.sql.types as T
+    schema = table.spark_schema
+    coerced = [tuple(_coerce_cdc(v, f.dataType)
+                     for v, f in zip(r[1:-1], schema.fields))
+               + (int(r[-1]), "delete") for r in rows]
+    out_schema = T.StructType(
+        list(schema.fields)
+        + [T.StructField(CDC_SNAPSHOT_COL, T.LongType(), True),
+           T.StructField(CDC_CHANGE_COL, T.StringType(), False)])
+    return session.spark.createDataFrame(coerced, out_schema)
+
+
 def table_deletions(session, name: str, start: int, end: int) -> DataFrame:
     """Rows deleted in snapshot range (start, end]."""
     table = _resolve(session, name, start, end)
@@ -136,8 +166,10 @@ def table_deletions(session, name: str, start: int, end: int) -> DataFrame:
     deltas = session.provider.get_delete_files_added_between(
         table.meta.table_id, start, end)
     schema = table.spark_schema
+    inlined = _inlined_deletions(session, table, start, end)
     if not deltas:
-        return _empty_cdc(spark, schema, change="delete")
+        return inlined if inlined is not None \
+            else _empty_cdc(spark, schema, change="delete")
 
     resolver = session.catalog.resolver
     parts = []
@@ -175,6 +207,8 @@ def table_deletions(session, name: str, start: int, end: int) -> DataFrame:
             .drop(POS_COL)
             .withColumn(CDC_SNAPSHOT_COL, F.lit(d.snapshot_id).cast("long"))
             .withColumn(CDC_CHANGE_COL, F.lit("delete")))
+    if inlined is not None:
+        parts.append(inlined)
     return reduce(DataFrame.unionByName, parts)
 
 

@@ -265,3 +265,30 @@ def test_cdc_sees_inlined_inserts(spark, tmp_path):
     assert all(r["snapshot_id"] == end for r in ch)
     # range excluding the inlined snapshot sees nothing
     assert dl.table_changes("main.c", end, end).collect() == []
+
+
+def test_cdc_flush_is_delete_plus_insert(spark, tmp_path):
+    """A flush migrates storage; CDC reads it as delete (inlined rows
+    ended) + insert (parquet file added) — net zero, like an UPDATE,
+    never a bare duplicate insert."""
+    db = str(tmp_path / "cf.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "cflake"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.create_table("main.f", spark.createDataFrame(
+        [(1, "a")], "id INT, s STRING"))
+    dl.set_option("data_inlining_row_limit", 10)
+    dl.insert_into("main.f", spark.createDataFrame(
+        [(2, "b")], "id INT, s STRING"))              # inlined
+    pre_flush = dl.provider.get_current_snapshot()
+    dl.flush_inlined_data("main.f")
+    post = dl.provider.get_current_snapshot()
+    ins = dl.table_changes("main.f", pre_flush, post).collect()
+    dels = dl.table_deletions("main.f", pre_flush, post).collect()
+    assert sorted(r["id"] for r in ins) == [2]        # the flushed parquet
+    assert sorted(r["id"] for r in dels) == [2]       # the ended inlined row
+    # over the full history: inserts net of deletes = live state
+    ins_all = dl.table_changes("main.f", 0, post).collect()
+    dels_all = dl.table_deletions("main.f", 0, post).collect()
+    assert len(ins_all) - len(dels_all) == 2
