@@ -1052,6 +1052,19 @@ class CatalogWriter:
                 "DELETE FROM ducklake_file_partition_value WHERE "
                 "data_file_id NOT IN "
                 "(SELECT data_file_id FROM ducklake_data_file)")
+            # ended inlined rows expire exactly like ended files
+            try:
+                inlined = [r[0] for r in cur.execute(
+                    "SELECT DISTINCT table_name "
+                    "FROM ducklake_inlined_data_tables").fetchall()]
+            except Exception:
+                inlined = []
+            for nm in inlined:
+                if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", nm):
+                    continue
+                cur.execute(
+                    f'DELETE FROM "{nm}" WHERE end_snapshot IS NOT NULL '
+                    "AND end_snapshot <= ?", (oldest,))
             return n
 
     def rollback_to_snapshot(self, snapshot_id: int) -> None:

@@ -141,7 +141,9 @@ def stream_inserts(session, name: str, mode: str = "catalog") -> DataFrame:
     ``ducklake_data_file`` registrations with rowid-extent offsets —
     exactly-once per row even across compaction/overwrite (rewrites
     preserve rowids and land below the offset). Requires row_id_start on
-    every file.
+    every file. Inlined rows (data inlining) are invisible to the stream
+    until flush_inlined_data migrates them to parquet — they then stream
+    exactly once under their fresh rowids.
 
     ``mode="glob"``: plain Spark file source on the data directory.
     Append-only tables only: superseded files from overwrite/compaction

@@ -93,3 +93,27 @@ def test_expire_inside_transaction_rejected(dl):
 
 def test_cleanup_noop_when_nothing_expired(dl):
     assert dl.cleanup_old_files() == []
+
+
+def test_cleanup_sweeps_expired_inlined_rows(spark, tmp_path):
+    from datafusion_ducklake_spark.catalog import DuckLakeSession as DLS
+    db = str(tmp_path / "i.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "ilake"))
+    w.close()
+    dl = DLS(spark, db)
+    dl.create_table("main.i", spark.createDataFrame(
+        [(1,)], "id INT"))
+    dl.set_option("data_inlining_row_limit", 10)
+    dl.insert_into("main.i", spark.createDataFrame([(2,)], "id INT"))
+    dl.flush_inlined_data("main.i")       # ends the inlined row
+    dl.expire_snapshots()
+    dl.cleanup_old_files()
+    import sqlite3
+    con = sqlite3.connect(db)
+    tid = dl.table_handle("main.i").meta.table_id
+    left = con.execute(
+        f"SELECT COUNT(*) FROM ducklake_inlined_data_{tid}_0").fetchone()[0]
+    con.close()
+    assert left == 0                       # expired inlined row swept
+    assert sorted(r["id"] for r in dl.table("main.i").collect()) == [1, 2]
