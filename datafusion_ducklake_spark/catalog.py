@@ -651,16 +651,24 @@ class DuckLakeSession:
         return self._macros
 
     _CALL_RE = re.compile(
-        r"^\s*CALL\s+ducklake_(expire_snapshots|cleanup_old_files)"
-        r"\s*\(\s*(\d*)\s*\)\s*;?\s*$", re.I)
+        r"^\s*CALL\s+ducklake_(expire_snapshots|cleanup_old_files"
+        r"|flush_inlined_data)"
+        r"\s*\(\s*(\d*|'[^']*')\s*\)\s*;?\s*$", re.I)
 
     def _try_dml(self, query: str) -> Optional[DataFrame]:
         m = self._CALL_RE.match(query)
         if m:
-            if m.group(1).lower() == "expire_snapshots":
-                n = self.expire_snapshots(
-                    int(m.group(2)) if m.group(2) else None)
+            fn, arg = m.group(1).lower(), m.group(2)
+            if fn == "expire_snapshots":
+                n = self.expire_snapshots(int(arg) if arg else None)
                 return self._count_df(n)
+            if fn == "flush_inlined_data":
+                if not (arg.startswith("'") and arg.endswith("'")):
+                    raise InvalidConfig(
+                        "ducklake_flush_inlined_data needs a quoted "
+                        "table name")
+                return self._count_df(
+                    self.flush_inlined_data(arg[1:-1]))
             return self._count_df(len(self.cleanup_old_files()))
         m = self._TXN_RE.match(query)
         if m:

@@ -897,7 +897,7 @@ class CatalogWriter:
                             column_names: list[str],
                             column_types: list[str],
                             rows: list[tuple],
-                            row_id_start: int) -> None:
+                            row_id_start: Optional[int] = None) -> None:
         """Write-side data inlining: store the rows IN THE CATALOG DB
         (DuckLake data-inlining layout — per-table
         ducklake_inlined_data_{table_id}_{schema_version} with
@@ -910,6 +910,10 @@ class CatalogWriter:
             for c, t in zip(column_names, column_types))
         col_list = ", ".join(f'"{c}"' for c in column_names)
         ph = ", ".join("?" * (3 + len(column_names)))
+        if row_id_start is None:
+            # allocate inside this writer so concurrent inliners can't
+            # collide rowids (the catalog txn serializes the allocation)
+            row_id_start = self.next_row_id(table_id)
         with self._txn() as cur:
             cur.execute(
                 f'CREATE TABLE IF NOT EXISTS "{name}" ('

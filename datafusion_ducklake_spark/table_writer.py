@@ -637,8 +637,7 @@ def _try_inline_append(session, writer, setup, table_id: int,
     writer.insert_inlined_rows(
         table_id, setup.snapshot_id, names,
         [type_by_name.get(n, "varchar") for n in names],
-        [tuple(store(row[n]) for n in names) for row in sample],
-        writer.next_row_id(table_id))
+        [tuple(store(row[n]) for n in names) for row in sample])
     return len(sample)
 
 

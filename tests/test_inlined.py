@@ -292,3 +292,18 @@ def test_cdc_flush_is_delete_plus_insert(spark, tmp_path):
     ins_all = dl.table_changes("main.f", 0, post).collect()
     dels_all = dl.table_deletions("main.f", 0, post).collect()
     assert len(ins_all) - len(dels_all) == 2
+
+
+def test_sql_call_flush(spark, tmp_path):
+    db = str(tmp_path / "sf.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "sflake"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.create_table("main.s", spark.createDataFrame([(1,)], "id INT"))
+    dl.set_option("data_inlining_row_limit", 10)
+    dl.insert_into("main.s", spark.createDataFrame([(2,)], "id INT"))
+    out = dl.sql("CALL ducklake_flush_inlined_data('main.s')").collect()
+    assert out[0]["count"] == 1
+    assert dl.table_handle("main.s").inlined_rows() == []
+    assert sorted(r["id"] for r in dl.table("main.s").collect()) == [1, 2]
