@@ -654,6 +654,9 @@ class DuckLakeSession:
         r"^\s*CALL\s+ducklake_(expire_snapshots|cleanup_old_files"
         r"|flush_inlined_data)"
         r"\s*\(\s*(\d*|'[^']*')\s*\)\s*;?\s*$", re.I)
+    _SET_OPTION_RE = re.compile(
+        r"^\s*CALL\s+ducklake_set_option\s*\(\s*'([^']*)'\s*,\s*"
+        r"(NULL|\d+|'[^']*')\s*\)\s*;?\s*$", re.I)
 
     def _try_dml(self, query: str) -> Optional[DataFrame]:
         m = self._CALL_RE.match(query)
@@ -670,6 +673,13 @@ class DuckLakeSession:
                 return self._count_df(
                     self.flush_inlined_data(arg[1:-1]))
             return self._count_df(len(self.cleanup_old_files()))
+        m = self._SET_OPTION_RE.match(query)
+        if m:
+            raw = m.group(2)
+            value = (None if raw.upper() == "NULL"
+                     else raw[1:-1] if raw.startswith("'") else raw)
+            self.set_option(m.group(1), value)
+            return self._count_df(0)
         m = self._TXN_RE.match(query)
         if m:
             word = m.group(1).split()[0].upper()
