@@ -34,6 +34,18 @@ from .types import build_spark_schema
 DEFAULT_SCHEMA = "main"
 
 
+def _hive_value(uri: str, key: str) -> Optional[str]:
+    """Value of the hive-style ``key=value`` segment in a file path, with
+    hive percent-escapes decoded; None when absent (scan injects NULL) or
+    for hive's explicit null marker."""
+    from urllib.parse import unquote
+    for seg in uri.split("/")[:-1]:
+        if seg.startswith(key + "="):
+            val = unquote(seg[len(key) + 1:])
+            return None if val == "__HIVE_DEFAULT_PARTITION__" else val
+    return None
+
+
 class DuckLakeTable:
     def __init__(self, spark: SparkSession, provider: MetadataProvider,
                  resolver: PathResolver, schema_resolved_path: str,
@@ -49,6 +61,12 @@ class DuckLakeTable:
         # Eager file-list resolution == snapshot pinning under lazy Spark.
         self.files: list[ResolvedFile] = []
         self._raw_files = provider.get_data_files(meta.table_id, snapshot_id)
+        self._name_maps = (
+            provider.get_name_mappings(meta.table_id)
+            if any(f.mapping_id is not None for f in self._raw_files)
+            else {})
+        self._live_names = {c.column_id: c.column_name
+                            for c in self.columns}
         for f in self._raw_files:
             data_uri = to_spark_uri(resolver.file_path(
                 self.table_path, f.path, f.path_is_relative))
@@ -59,13 +77,41 @@ class DuckLakeTable:
                     self.table_path, f.delete_file.path,
                     f.delete_file.path_is_relative))
                 delete_key = f.delete_file.encryption_key
+            mapped_cols, hive_values = self.mapping_transform(
+                f.mapping_id, data_uri)
             self.files.append(ResolvedFile(
                 data_uri, delete_uri, f.record_count,
                 encryption_key=f.encryption_key,
                 delete_encryption_key=delete_key,
                 row_id_start=f.row_id_start,
                 mapping_id=f.mapping_id,
-                begin_snapshot=f.begin_snapshot))
+                begin_snapshot=f.begin_snapshot,
+                mapped_cols=mapped_cols,
+                hive_values=hive_values))
+
+    def mapping_transform(self, mapping_id: Optional[int], data_uri: str
+                          ) -> tuple[Optional[tuple], Optional[tuple]]:
+        """(mapped_cols, hive_values) for a name-mapped file, or
+        (None, None) when a plain by-name read is already correct.
+
+        Name mapping (add_files contract): the file's columns resolve by
+        name-AT-ADD-TIME to a column_id — renames keep working, a
+        dropped-then-readded column of the same name reads NULL from old
+        files (different column_id), and is_partition rows inject the
+        hive path value. The transform only engages when it differs from
+        a plain by-name read (rename, dead column, or hive injection)."""
+        if mapping_id not in self._name_maps:
+            return None, None
+        rows = sorted(self._name_maps[mapping_id])
+        live = self._live_names
+        mapped = tuple((src, live[cid]) for cid, src, part in rows
+                       if not part and cid in live)
+        hive = tuple((live[cid], _hive_value(data_uri, src))
+                     for cid, src, part in rows if part and cid in live)
+        dead = any(cid not in live for cid, _, _ in rows)
+        if hive or dead or any(s != d for s, d in mapped):
+            return mapped, hive
+        return None, None
 
     @cached_property
     def spark_schema(self):
@@ -657,6 +703,9 @@ class DuckLakeSession:
     _SET_OPTION_RE = re.compile(
         r"^\s*CALL\s+ducklake_set_option\s*\(\s*'([^']*)'\s*,\s*"
         r"(NULL|\d+|'[^']*')\s*\)\s*;?\s*$", re.I)
+    _ADD_FILES_RE = re.compile(
+        r"^\s*CALL\s+ducklake_add_data_files\s*\((.*)\)\s*;?\s*$",
+        re.I | re.S)
 
     def _try_dml(self, query: str) -> Optional[DataFrame]:
         m = self._CALL_RE.match(query)
@@ -680,6 +729,34 @@ class DuckLakeSession:
                      else raw[1:-1] if raw.startswith("'") else raw)
             self.set_option(m.group(1), value)
             return self._count_df(0)
+        m = self._ADD_FILES_RE.match(query)
+        if m:
+            # CALL ducklake_add_data_files('table', 'path'[, 'path'...]
+            #     [, allow_missing => true][, hive_partitioning => bool])
+            # — the reference's add_files SQL surface, single-catalog form
+            strings: list[str] = []
+            opts: dict[str, bool] = {}
+            for part in self._split_top_level(m.group(1)):
+                part = part.strip()
+                if part.startswith("'") and part.endswith("'"):
+                    strings.append(part[1:-1])
+                    continue
+                key, arrow, val = part.partition("=>")
+                key, val = key.strip().lower(), val.strip().lower()
+                if not arrow or key not in (
+                        "allow_missing", "hive_partitioning") or \
+                        val not in ("true", "false"):
+                    raise InvalidConfig(
+                        f"ducklake_add_data_files: bad argument {part!r}")
+                opts[key] = val == "true"
+            if len(strings) < 2:
+                raise InvalidConfig(
+                    "ducklake_add_data_files needs ('table', 'path', ...)")
+            n = self.add_files(
+                strings[0], strings[1:],
+                allow_missing=opts.get("allow_missing", False),
+                hive_partitioning=opts.get("hive_partitioning"))
+            return self._count_df(n)
         m = self._TXN_RE.match(query)
         if m:
             word = m.group(1).split()[0].upper()
@@ -1408,21 +1485,51 @@ class DuckLakeSession:
         return create_or_insert(self, name, self.table(name),
                                 mode="overwrite", single_file=single_file)
 
-    def add_files(self, name: str, parquet_paths: list[str]) -> int:
+    def add_files(self, name: str, parquet_paths: list[str],
+                  allow_missing: bool = False,
+                  hive_partitioning: Optional[bool] = None) -> int:
         """Register existing parquet files into a table without rewriting
-        them (the corpus's add_files operation): validates each footer's
-        schema against the table schema (promotion rules), then records
-        the files in one new snapshot. Returns rows added."""
+        them (the corpus's add_files operation, mirroring DuckDB's
+        ``CALL ducklake_add_data_files``): validates each footer's schema
+        against the table schema (promotion rules), then records the files
+        in one new snapshot. Returns rows added.
+
+        Paths may be glob patterns (``**`` recurses). A table column
+        absent from a file is an error unless its value is encoded as a
+        hive-style ``name=value`` path segment (auto-detected; force with
+        ``hive_partitioning``, recorded as is_partition mapping rows and
+        synthesized min=max file stats so catalog pruning stays exact) or
+        ``allow_missing`` is set (reads NULL). Corpus: sql/add_files/."""
+        import glob as _glob
+
         from .metadata.writer import DataFileInfo
-        from .table_writer import _catalog_writer, footer_size_of
+        from .table_writer import (_catalog_writer, column_stats_of,
+                                   footer_size_of)
         from .types import spark_to_ducklake_type, types_compatible
 
         import pyarrow.parquet as pq
 
         from .errors import InvalidConfig
-        from .types import ducklake_to_spark_type  # noqa: F401  (parity doc)
+
+        expanded: list[str] = []
+        for p in parquet_paths:
+            if "://" in p:
+                expanded.append(p)
+            elif any(ch in p for ch in "*?["):
+                matches = sorted(m for m in _glob.glob(p, recursive=True)
+                                 if os.path.isfile(m))
+                if not matches:
+                    raise InvalidConfig(
+                        f"Failed to add data files: no files match {p!r}")
+                expanded.extend(matches)
+            elif not os.path.isfile(p):
+                raise InvalidConfig(
+                    f"Failed to add data files: {p!r} does not exist")
+            else:
+                expanded.append(p)
 
         handle = self.table_handle(name)
+        tname = name.rsplit(".", 1)[-1]
         expected = {c.column_name: c.column_type for c in handle.columns}
         column_ids = {c.column_name: c.column_id for c in handle.columns}
         writer = _catalog_writer(self)
@@ -1430,10 +1537,9 @@ class DuckLakeSession:
             snapshot_id = writer.create_snapshot()
             next_rowid = writer.next_row_id(handle.meta.table_id)
             n_rows = 0
-            for path in parquet_paths:
+            for path in expanded:
                 meta = pq.read_metadata(path)
                 schema = pq.read_schema(path)
-                import pyarrow as pa
                 for i, col_name in enumerate(schema.names):
                     if col_name not in expected:
                         raise InvalidConfig(
@@ -1447,19 +1553,40 @@ class DuckLakeSession:
                         raise InvalidConfig(
                             f"add_files: column '{col_name}' type {file_type} "
                             f"incompatible with table type {expected[col_name]}")
+                # table columns the file does not store: hive path segment
+                # (value injected at scan), else NULL under allow_missing,
+                # else error — the reference's default contract
+                hive_cols: list[str] = []
+                for col_name in expected:
+                    if col_name in schema.names:
+                        continue
+                    if hive_partitioning is not False and any(
+                            seg.startswith(f"{col_name}=")
+                            for seg in path.split("/")[:-1]):
+                        hive_cols.append(col_name)
+                    elif not allow_missing:
+                        raise InvalidConfig(
+                            f'Column "{col_name}" exists in table "{tname}" '
+                            f'but was not found in file "{path}". Add '
+                            f"allow_missing => true to fill missing columns "
+                            f"with NULL, or hive_partitioning => true if the "
+                            f"value is encoded in the path")
                 # External files without field ids get a map_by_name mapping
                 # recorded in the catalog, so scans never need to probe their
                 # footers again (one probe here, at registration time).
+                # Hive-sourced columns always force a mapping: their
+                # is_partition rows ARE the injection instruction.
                 has_ids = any(
                     schema.field(i).metadata
                     and b"PARQUET:field_id" in schema.field(i).metadata
                     for i in range(len(schema.names)))
                 mapping_id = None
-                if not has_ids:
+                if not has_ids or hive_cols:
                     mapping_id = writer.create_name_mapping(
                         handle.meta.table_id, list(schema.names),
-                        [column_ids[n] for n in schema.names])
-                import os
+                        [column_ids[n] for n in schema.names],
+                        partition_cols=[(c, column_ids[c])
+                                        for c in hive_cols])
                 fid = writer.register_data_file(
                     handle.meta.table_id, snapshot_id,
                     DataFileInfo(path=os.path.abspath(path),
@@ -1469,10 +1596,16 @@ class DuckLakeSession:
                                  record_count=meta.num_rows,
                                  row_id_start=next_rowid,
                                  mapping_id=mapping_id))
-                from .table_writer import column_stats_of
+                stats = column_stats_of(path, column_ids)
+                for col in hive_cols:
+                    # exact synthetic stats (min=max=path value) — catalog
+                    # file pruning on partition keys needs no footer I/O
+                    val = _hive_value(path, col)
+                    nulls = meta.num_rows if val is None else 0
+                    stats.append((column_ids[col], 0, meta.num_rows,
+                                  nulls, val, val, False))
                 writer.register_file_column_stats(
-                    fid, handle.meta.table_id,
-                    column_stats_of(path, column_ids))
+                    fid, handle.meta.table_id, stats)
                 next_rowid += meta.num_rows
                 n_rows += meta.num_rows
             self.refresh()

@@ -101,6 +101,7 @@ class AddedFileMeta:
     footer_size: Optional[int]
     encryption_key: Optional[str]
     record_count: Optional[int]
+    mapping_id: Optional[int] = None   # non-NULL ⇒ name-mapped (add_files)
 
 
 @dataclass(frozen=True)
@@ -115,6 +116,7 @@ class DeleteDeltaMeta:
     prev_path: Optional[str]
     prev_path_is_relative: Optional[bool]
     snapshot_id: int
+    mapping_id: Optional[int] = None   # data file's name mapping, if any
 
 
 @dataclass(frozen=True)
@@ -285,7 +287,8 @@ class MetadataProvider:
                                      end: int) -> list[AddedFileMeta]:
         return [AddedFileMeta(int(r[0]), r[1], bool(r[2]), int(r[3]),
                               int(r[4]) if r[4] is not None else None, r[5],
-                              int(r[6]) if r[6] is not None else None)
+                              int(r[6]) if r[6] is not None else None,
+                              int(r[7]) if r[7] is not None else None)
                 for r in self._fetchall(Q.DATA_FILES_ADDED_BETWEEN,
                                         (table_id, start, end))]
 
@@ -295,7 +298,7 @@ class MetadataProvider:
                     r[0], bool(r[1]), int(r[2]) if r[2] is not None else None,
                     r[3], bool(r[4]) if r[4] is not None else None,
                     r[5], bool(r[6]) if r[6] is not None else None,
-                    int(r[7]))
+                    int(r[7]), int(r[8]) if r[8] is not None else None)
                 for r in self._fetchall(Q.DELETE_FILES_ADDED_BETWEEN,
                                         (table_id, start, end, table_id, start, end))]
 
@@ -398,6 +401,32 @@ class MetadataProvider:
         out: dict[int, dict[int, Optional[str]]] = {}
         for fid, idx, val in rows:
             out.setdefault(int(fid), {})[int(idx)] = val
+        return out
+
+    def get_name_mappings(self, table_id: int
+                          ) -> dict[int, list[tuple[int, str, bool]]]:
+        """{mapping_id: [(column_id, source_name, is_partition)]} — the
+        map_by_name column mappings of externally-added files (DuckLake
+        add_files contract: the file's columns resolve by SOURCE NAME to a
+        column_id, so later renames/drops never re-read footers, and
+        is_partition rows take their value from hive-style ``name=value``
+        path segments; corpus: sql/add_files/). {} when the catalog
+        predates name mappings."""
+        try:
+            rows = self._fetchall(
+                "SELECT n.mapping_id, n.column_id, n.source_name, "
+                "n.is_partition "
+                "FROM ducklake_name_mapping n "
+                "JOIN ducklake_column_mapping m "
+                "ON n.mapping_id = m.mapping_id "
+                "WHERE m.table_id = ?",
+                (table_id,))
+        except Exception:
+            return {}
+        out: dict[int, list[tuple[int, str, bool]]] = {}
+        for mid, cid, src, part in rows:
+            out.setdefault(int(mid), []).append(
+                (int(cid), src, bool(part)))
         return out
 
     def get_tag(self, object_id: int, key: str,

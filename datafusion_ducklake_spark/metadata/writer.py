@@ -636,13 +636,25 @@ class CatalogWriter:
         return base if inl is None else max(base, int(inl) + 1)
 
     def create_name_mapping(self, table_id: int, column_names: list[str],
-                            column_ids: list[int]) -> int:
+                            column_ids: list[int],
+                            partition_cols: list[tuple[str, int]] = ()) -> int:
         """Record a map_by_name column mapping for externally-added parquet
         files that carry no field ids (the DuckLake add_files contract:
         ducklake_data_file.mapping_id → ducklake_column_mapping/
         ducklake_name_mapping). The scan layer treats mapping_id as the
         catalog's has-no-field-ids signal, replacing per-file footer probes
-        (ref: table.rs:220-295 probes one footer per table)."""
+        (ref: table.rs:220-295 probes one footer per table).
+
+        ``partition_cols``: (source_name, column_id) pairs whose values come
+        from hive-style ``name=value`` path segments rather than the file
+        contents — recorded with is_partition=1, the DuckLake contract for
+        add_files over hive layouts (corpus: sql/add_files/add_files_hive).
+
+        Identical mappings are duplicate-eliminated (the corpus asserts
+        COUNT(ducklake_column_mapping)=1 after two same-shape adds)."""
+        want = sorted(
+            [(cid, name, 0) for name, cid in zip(column_names, column_ids)]
+            + [(cid, name, 1) for name, cid in partition_cols])
         with self._txn() as cur:
             # pre-existing catalogs may predate these tables
             cur.execute(
@@ -654,6 +666,17 @@ class CatalogWriter:
                 "mapping_id INTEGER NOT NULL, column_id INTEGER NOT NULL, "
                 "source_name VARCHAR NOT NULL, parent_column INTEGER, "
                 "is_partition BOOLEAN)")
+            for (existing,) in cur.execute(
+                    "SELECT mapping_id FROM ducklake_column_mapping "
+                    "WHERE table_id = ? AND type = 'map_by_name'",
+                    (table_id,)).fetchall():
+                rows = cur.execute(
+                    "SELECT column_id, source_name, is_partition "
+                    "FROM ducklake_name_mapping WHERE mapping_id = ?",
+                    (existing,)).fetchall()
+                if sorted((int(r[0]), r[1], int(r[2] or 0))
+                          for r in rows) == want:
+                    return int(existing)
             mid = self._next_id(cur, "ducklake_column_mapping", "mapping_id")
             cur.execute(
                 "INSERT INTO ducklake_column_mapping (mapping_id, table_id, type) "
@@ -663,6 +686,11 @@ class CatalogWriter:
                     "INSERT INTO ducklake_name_mapping (mapping_id, column_id, "
                     "source_name, parent_column, is_partition) "
                     "VALUES (?, ?, ?, NULL, 0)", (mid, cid, name))
+            for name, cid in partition_cols:
+                cur.execute(
+                    "INSERT INTO ducklake_name_mapping (mapping_id, column_id, "
+                    "source_name, parent_column, is_partition) "
+                    "VALUES (?, ?, ?, NULL, 1)", (mid, cid, name))
             return mid
 
     def register_delete_file(self, table_id: int, data_file_id: int,

@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 
 from ..errors import InvalidConfig, TableNotFound
 from ..paths import to_spark_uri
-from ..sources.scan import POS_COL, _read_parquet, _with_pos
+from ..sources.scan import (POS_COL, ResolvedFile, _read_parquet,
+                            read_file_with_pos, scan_table)
 
 CDC_SNAPSHOT_COL = "snapshot_id"
 CDC_CHANGE_COL = "change_type"
@@ -57,14 +58,19 @@ def table_changes(session, name: str, start: int, end: int) -> DataFrame:
     schema = table.spark_schema
     parts = []
 
-    by_snapshot: dict[int, list[str]] = {}
+    by_snapshot: dict[int, list[ResolvedFile]] = {}
     for f in added:
         uri = to_spark_uri(session.catalog.resolver.file_path(
             table.table_path, f.path, f.path_is_relative))
-        by_snapshot.setdefault(f.begin_snapshot, []).append(uri)
-    for snapshot_id, uris in sorted(by_snapshot.items()):
+        mapped_cols, hive_values = table.mapping_transform(f.mapping_id, uri)
+        by_snapshot.setdefault(f.begin_snapshot, []).append(ResolvedFile(
+            uri, encryption_key=f.encryption_key, mapping_id=f.mapping_id,
+            mapped_cols=mapped_cols, hive_values=hive_values))
+    for snapshot_id, rfiles in sorted(by_snapshot.items()):
+        # scan_table resolves field-id vs name-mapped groups (add_files
+        # renames/hive injection) exactly like the live-table scan
         parts.append(
-            _read_parquet(spark, schema, uris)
+            scan_table(spark, schema, rfiles)
             .withColumn(CDC_SNAPSHOT_COL, F.lit(snapshot_id).cast("long"))
             .withColumn(CDC_CHANGE_COL, F.lit("insert")))
 
@@ -197,7 +203,11 @@ def table_deletions(session, name: str, start: int, end: int) -> DataFrame:
         else:
             newly = cur
 
-        data = _with_pos(_read_parquet(spark, schema, [data_uri]))
+        mapped_cols, hive_values = table.mapping_transform(
+            d.mapping_id, data_uri)
+        data = read_file_with_pos(spark, schema, ResolvedFile(
+            data_uri, mapping_id=d.mapping_id,
+            mapped_cols=mapped_cols, hive_values=hive_values))
         # No forced broadcast: `newly` can approach record_count rows for a
         # large delete (a 10 GB delta would be shipped to every executor).
         # AQE downgrades the shuffle join to broadcast when it IS small —

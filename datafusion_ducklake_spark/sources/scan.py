@@ -66,6 +66,14 @@ class ResolvedFile:
     row_id_start: Optional[int] = None         # base for the virtual rowid
     mapping_id: Optional[int] = None           # non-NULL ⇒ name-mapped file
     begin_snapshot: Optional[int] = None       # registration snapshot
+    # Non-trivial name mapping (DuckLake add_files contract, corpus:
+    # sql/add_files/): mapped_cols = ((in_file_name, live_name), ...) —
+    # the in-file columns to read and what they are called NOW;
+    # hive_values = ((live_name, value_str), ...) — partition columns NOT
+    # stored in the file, injected from its path's name=value segments.
+    # Live columns covered by neither read as NULL.
+    mapped_cols: Optional[tuple] = None
+    hive_values: Optional[tuple] = None
 
 
 def _configure_fieldid_read(spark: SparkSession) -> None:
@@ -215,6 +223,34 @@ def scan_table(spark: SparkSession, schema: T.StructType,
         _check_local_exists(f.data_uri)
 
     parts: list[DataFrame] = []
+
+    # Name-mapped files whose mapping differs from a plain by-name read
+    # (add_files: renames, dropped-column shadowing, hive injection).
+    # Group by (mapped_cols, hive_values): each group scans ONLY its
+    # mapped in-file columns under their at-add-time names, renames to
+    # the live names, stamps hive path values as typed literals and
+    # NULL-fills uncovered live columns — all constant-folded Columns,
+    # so the transform stays inside whole-stage codegen.
+    mapped = [f for f in files if f.mapped_cols is not None]
+    files = [f for f in files if f.mapped_cols is None]
+    if mapped:
+        import dataclasses
+        types = {fld.name: fld.dataType for fld in schema.fields}
+        groups: dict[tuple, list[ResolvedFile]] = {}
+        for f in mapped:
+            groups.setdefault((f.mapped_cols, f.hive_values or ()),
+                              []).append(f)
+        for (mcols, hive), group in sorted(groups.items()):
+            read_schema = T.StructType(
+                [T.StructField(src, types[dst], True)
+                 for src, dst in mcols])
+            plain = [dataclasses.replace(f, mapped_cols=None,
+                                         hive_values=None) for f in group]
+            df = scan_table(spark, read_schema, plain,
+                            with_rowid=with_rowid, with_virtual=with_virtual)
+            extras = [c for c in df.columns
+                      if c not in {src for src, _ in mcols}]
+            parts.append(apply_mapping(df, schema, mcols, hive, extras))
     if encrypted:
         if with_virtual:
             from ..errors import InvalidConfig
@@ -294,6 +330,44 @@ def _scan_with_rowid(spark: SparkSession, schema: T.StructType,
             data = data.join(F.broadcast(dels), POS_COL, "left_anti")
         parts.append(data.drop(POS_COL))
     return reduce(DataFrame.unionByName, parts)
+
+
+def apply_mapping(df: DataFrame, schema: T.StructType,
+                  mapped_cols: tuple, hive_values: Optional[tuple],
+                  extras: list[str]) -> DataFrame:
+    """Rename a name-mapped file's columns to their live names, stamp
+    hive path values as typed literals and NULL-fill uncovered live
+    columns (add_files contract — see ResolvedFile.mapped_cols).
+    ``extras``: pass-through columns (positions, virtual cols)."""
+    types = {fld.name: fld.dataType for fld in schema.fields}
+    covered = {dst for _, dst in mapped_cols}
+    df = df.select(*[F.col(src).alias(dst) for src, dst in mapped_cols],
+                   *[c for c in extras if c in df.columns])
+    for col, val in (hive_values or ()):
+        df = df.withColumn(col, F.lit(val).cast(types[col]))
+        covered.add(col)
+    for fld in schema.fields:
+        if fld.name not in covered:
+            df = df.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+    return df
+
+
+def read_file_with_pos(spark: SparkSession, schema: T.StructType,
+                       rf: ResolvedFile) -> DataFrame:
+    """One data file with its file-local position column, mapping-aware —
+    the read primitive for CDC paths that do their own position algebra."""
+    if rf.mapped_cols is None:
+        # a name-mapped file with an identity mapping still has no field
+        # ids — read by name (stripped schema), not by field id
+        s = _strip_field_ids(schema) if rf.mapping_id is not None else schema
+        return _with_pos(_read_parquet(spark, s, [rf.data_uri]))
+    types = {fld.name: fld.dataType for fld in schema.fields}
+    read_schema = T.StructType(
+        [T.StructField(src, types[dst], True)
+         for src, dst in rf.mapped_cols])
+    df = _with_pos(_read_parquet(spark, read_schema, [rf.data_uri]))
+    return apply_mapping(df, schema, rf.mapped_cols, rf.hive_values,
+                         [POS_COL])
 
 
 FILE_COL = "__ducklake_file"

@@ -115,6 +115,11 @@ _TABLE_RE = re.compile(
     r"ALTER\s+TABLE|DROP\s+TABLE(?:\s+IF\s+EXISTS)?)\s+([A-Za-z_][\w]*)",
     re.IGNORECASE)
 
+# engine maintenance CALLs that mutate one table's state (first quoted arg)
+_CALL_TABLE_RE = re.compile(
+    r"\bCALL\s+ducklake_(?:add_data_files|flush_inlined_data)\s*\(\s*"
+    r"'(?:\w+\.)?(\w+)'", re.IGNORECASE)
+
 
 class HybridRunner:
     def __init__(self, spark, tmpdir: str):
@@ -127,6 +132,7 @@ class HybridRunner:
         w.initialize_schema(data_path=f"{tmpdir}/slt_lake")
         w.close()
         self.db_path = db
+        self.tmpdir = tmpdir
         self.dl = DuckLakeSession(spark, db)
         self._known: set[str] = set()
         self._views: set[str] = set()          # engine-created view names
@@ -240,7 +246,9 @@ class HybridRunner:
                     self._views.add(name)
                 else:
                     self._views.discard(name)
-            sync_tables = dict.fromkeys(_TABLE_RE.findall(case.sql))
+            sync_tables = dict.fromkeys(
+                _TABLE_RE.findall(case.sql)
+                + _CALL_TABLE_RE.findall(case.sql))
             if re.match(r"\s*(ROLLBACK|COMMIT|BEGIN)\b", case.sql, re.I):
                 # transaction boundary: the engine may have rewound any
                 # table (including re-creating a dropped one) — resync
@@ -308,6 +316,10 @@ class HybridRunner:
     def run_file(self, path: str) -> int:
         n = 0
         for case in parse_slt(path):
+            # the reference dialect's test-dir placeholder: corpus files
+            # stage external parquet under the runner's tmpdir
+            if "__TEST_DIR__" in case.sql:
+                case.sql = case.sql.replace("__TEST_DIR__", self.tmpdir)
             self.run_case(case)
             n += 1
         return n

@@ -1,0 +1,86 @@
+"""add_files over external parquet: globs, allow_missing, hive layouts
+(is_partition name-mapping rows + path-value injection), mapping
+dedup, and catalog pruning on synthesized hive stats.
+
+Reference corpus: tests/sqllogictests/sql/add_files/ (add_files.test,
+add_files_hive.test, add_files_missing_columns.test)."""
+
+import sqlite3
+
+import duckdb
+import pytest
+
+from datafusion_ducklake_spark.catalog import DuckLakeSession
+from datafusion_ducklake_spark.errors import InvalidConfig
+from datafusion_ducklake_spark.metadata.writer import CatalogWriter
+
+
+@pytest.fixture()
+def dl(spark, tmp_path):
+    db = str(tmp_path / "cat.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake"))
+    w.close()
+    return DuckLakeSession(spark, db)
+
+
+def _copy(sql: str, dest: str):
+    duckdb.connect().execute(f"COPY ({sql}) TO '{dest}'")
+
+
+def test_add_files_glob_and_mapping_dedup(dl, spark, tmp_path):
+    dl.create_table("main.t", spark.sql(
+        "SELECT CAST(1 AS INT) a, CAST('x' AS STRING) b"))
+    _copy("SELECT 2 a, 'y' b", f"{tmp_path}/f1.parquet")
+    _copy("SELECT 'z' b, 3 a", f"{tmp_path}/f2.parquet")  # reversed order
+    n = dl.add_files("main.t", [f"{tmp_path}/f*.parquet"])
+    assert n == 2
+    dl.refresh()
+    assert sorted(r["a"] for r in dl.table("main.t").collect()) == [1, 2, 3]
+    # one mapping per distinct column-name shape (duplicate-eliminated)
+    con = sqlite3.connect(str(tmp_path / "cat.sqlite"))
+    assert con.execute(
+        "SELECT count(*) FROM ducklake_column_mapping").fetchone()[0] == 1
+
+    with pytest.raises(InvalidConfig, match="no files match"):
+        dl.add_files("main.t", [f"{tmp_path}/nope*.parquet"])
+
+
+def test_add_files_hive_prunes_and_survives_rename(dl, spark, tmp_path):
+    dl.create_table("main.h", spark.sql(
+        "SELECT CAST(NULL AS INT) pk, CAST(NULL AS STRING) v WHERE false"))
+    for pk, v in [(1, "a"), (2, "b")]:
+        d = tmp_path / f"hv/pk={pk}"
+        d.mkdir(parents=True)
+        _copy(f"SELECT '{v}' v", f"{d}/data.parquet")
+    dl.add_files("main.h", [f"{tmp_path}/hv/**/*.parquet"])
+    dl.refresh()
+    rows = {(r["pk"], r["v"]) for r in dl.table("main.h").collect()}
+    assert rows == {(1, "a"), (2, "b")}
+
+    # synthesized min=max stats make partition pruning exact: the pk=2
+    # hive file is excluded (the stats-less empty seed file is kept —
+    # conservative by design)
+    h = dl.table_handle("main.h")
+    kept = {f.data_uri for f in h.prune_files([("pk", "=", 1)])}
+    assert not any("pk=2" in u for u in kept)
+    assert any("pk=1" in u for u in kept)
+
+    # rename keeps the injection working (mapping is by column_id)
+    dl.rename_column("main.h", "pk", "pk2")
+    dl.refresh()
+    rows = {(r["pk2"], r["v"]) for r in dl.table("main.h").collect()}
+    assert rows == {(1, "a"), (2, "b")}
+
+
+def test_add_files_missing_column_contract(dl, spark, tmp_path):
+    dl.create_table("main.m", spark.sql(
+        "SELECT CAST(1 AS INT) i, CAST(2 AS INT) j"))
+    _copy("SELECT 42 j", f"{tmp_path}/mj.parquet")
+    with pytest.raises(InvalidConfig, match='Column "i" exists in table'):
+        dl.add_files("main.m", [f"{tmp_path}/mj.parquet"])
+    dl.add_files("main.m", [f"{tmp_path}/mj.parquet"], allow_missing=True)
+    dl.refresh()
+    rows = sorted(((r["i"], r["j"]) for r in dl.table("main.m").collect()),
+                  key=lambda t: (t[0] is None, t[0]))
+    assert rows == [(1, 2), (None, 42)]
