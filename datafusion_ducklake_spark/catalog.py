@@ -702,7 +702,11 @@ class DuckLakeSession:
         r"\s*\(\s*(\d*|'[^']*')\s*\)\s*;?\s*$", re.I)
     _SET_OPTION_RE = re.compile(
         r"^\s*CALL\s+ducklake_set_option\s*\(\s*'([^']*)'\s*,\s*"
-        r"(NULL|\d+|'[^']*')\s*\)\s*;?\s*$", re.I)
+        r"(NULL|\d+|'[^']*')\s*"
+        r"((?:,\s*(?:table_name|schema)\s*=>\s*'[^']*'\s*)*)\)\s*;?\s*$",
+        re.I)
+    _SET_OPTION_SCOPE_RE = re.compile(
+        r"(table_name|schema)\s*=>\s*'([^']*)'", re.I)
     _ADD_FILES_RE = re.compile(
         r"^\s*CALL\s+ducklake_add_data_files\s*\((.*)\)\s*;?\s*$",
         re.I | re.S)
@@ -727,7 +731,11 @@ class DuckLakeSession:
             raw = m.group(2)
             value = (None if raw.upper() == "NULL"
                      else raw[1:-1] if raw.startswith("'") else raw)
-            self.set_option(m.group(1), value)
+            scopes = {k.lower(): v for k, v in
+                      self._SET_OPTION_SCOPE_RE.findall(m.group(3) or "")}
+            self.set_option(m.group(1), value,
+                            table_name=scopes.get("table_name"),
+                            schema=scopes.get("schema"))
             return self._count_df(0)
         m = self._ADD_FILES_RE.match(query)
         if m:
@@ -1211,14 +1219,32 @@ class DuckLakeSession:
                                     c.initial_default, c.default_value))
             for c in handle.columns if c.column_name != col_name])
 
-    def set_option(self, key: str, value) -> None:
+    def set_option(self, key: str, value,
+                   table_name: Optional[str] = None,
+                   schema: Optional[str] = None) -> None:
         """Set/clear (value=None) a catalog option in ducklake_metadata —
         e.g. ``set_option("data_inlining_row_limit", 10)`` turns on
-        write-side data inlining (DuckDB's DATA_INLINING_ROW_LIMIT)."""
+        write-side data inlining (DuckDB's DATA_INLINING_ROW_LIMIT).
+        ``table_name``/``schema`` record a per-table/per-schema override
+        (DuckLake scoped settings; corpus: sql/settings/)."""
         from .table_writer import _catalog_writer
+        scope = scope_id = None
+        if table_name is not None:
+            qualified = table_name if "." in table_name else (
+                f"{schema}.{table_name}" if schema
+                else f"{DEFAULT_SCHEMA}.{table_name}")
+            scope, scope_id = "table", self.table_handle(
+                qualified).meta.table_id
+        elif schema is not None:
+            snap = self.provider.get_current_snapshot()
+            meta = self.provider.get_schema_by_name(schema, snap)
+            if meta is None:
+                raise SchemaNotFound(schema)
+            scope, scope_id = "schema", meta.schema_id
         writer = _catalog_writer(self)
         try:
-            writer.set_option(key, None if value is None else str(value))
+            writer.set_option(key, None if value is None else str(value),
+                              scope=scope, scope_id=scope_id)
         finally:
             writer.close()
         self.refresh()

@@ -260,14 +260,44 @@ class MetadataProvider:
         return out
 
     def get_option(self, key: str) -> Optional[str]:
-        """Catalog option from ducklake_metadata (e.g.
-        data_inlining_row_limit), or None."""
+        """GLOBAL catalog option from ducklake_metadata (e.g.
+        data_inlining_row_limit), or None. Scoped rows (per-schema/
+        per-table overrides) are excluded; pre-scope catalogs fall back
+        to the bare (key, value) shape."""
         try:
             rows = self._fetchall(
-                "SELECT value FROM ducklake_metadata WHERE key = ?", (key,))
+                "SELECT value FROM ducklake_metadata WHERE key = ? "
+                "AND scope IS NULL", (key,))
         except Exception:
-            return None
+            try:
+                rows = self._fetchall(
+                    "SELECT value FROM ducklake_metadata WHERE key = ?",
+                    (key,))
+            except Exception:
+                return None
         return str(rows[0][0]) if rows else None
+
+    def get_scoped_option(self, key: str, schema_id: int,
+                          table_id: int) -> Optional[str]:
+        """Option with the DuckLake scoped-settings precedence: table
+        override > schema override > global (corpus:
+        sql/settings/per_table_settings). None when unset anywhere."""
+        try:
+            rows = self._fetchall(
+                "SELECT scope, scope_id, value FROM ducklake_metadata "
+                "WHERE key = ?", (key,))
+        except Exception:
+            return self.get_option(key)
+        best, best_rank = None, -1
+        for scope, sid, value in rows:
+            sid = int(sid) if sid is not None else None
+            if scope is None and best_rank < 0:
+                best, best_rank = value, 0
+            elif scope == "schema" and sid == schema_id and best_rank < 1:
+                best, best_rank = value, 1
+            elif scope == "table" and sid == table_id and best_rank < 2:
+                best, best_rank = value, 2
+        return str(best) if best is not None else None
 
     def get_data_path(self) -> str:
         try:

@@ -34,7 +34,8 @@ DDL = """
 CREATE TABLE IF NOT EXISTS ducklake_metadata (
     key VARCHAR NOT NULL,
     value VARCHAR NOT NULL,
-    scope VARCHAR
+    scope VARCHAR,
+    scope_id BIGINT
 );
 CREATE TABLE IF NOT EXISTS ducklake_snapshot (
     snapshot_id INTEGER PRIMARY KEY,
@@ -906,16 +907,38 @@ class CatalogWriter:
                 (sid, name))
             return True
 
-    def set_option(self, key: str, value: Optional[str]) -> None:
+    def set_option(self, key: str, value: Optional[str],
+                   scope: Optional[str] = None,
+                   scope_id: Optional[int] = None) -> None:
         """Set/clear a catalog option in ducklake_metadata (e.g.
-        data_inlining_row_limit — DuckDB's DATA_INLINING_ROW_LIMIT)."""
+        data_inlining_row_limit — DuckDB's DATA_INLINING_ROW_LIMIT).
+
+        ``scope``/``scope_id``: per-schema ('schema', schema_id) or
+        per-table ('table', table_id) overrides, the DuckLake scoped-
+        settings layout (corpus: sql/settings/per_table_settings).
+        Catalogs created before the scope_id column fall back to
+        global-only writes."""
         with self._txn() as cur:
-            cur.execute("DELETE FROM ducklake_metadata WHERE key = ?",
-                        (key,))
-            if value is not None:
+            try:
                 cur.execute(
-                    "INSERT INTO ducklake_metadata (key, value) "
-                    "VALUES (?, ?)", (key, str(value)))
+                    "DELETE FROM ducklake_metadata WHERE key = ? AND "
+                    "COALESCE(scope, '') = COALESCE(?, '') AND "
+                    "COALESCE(scope_id, -1) = COALESCE(?, -1)",
+                    (key, scope, scope_id))
+                if value is not None:
+                    cur.execute(
+                        "INSERT INTO ducklake_metadata (key, value, scope, "
+                        "scope_id) VALUES (?, ?, ?, ?)",
+                        (key, str(value), scope, scope_id))
+            except Exception:
+                if scope is not None:
+                    raise
+                cur.execute("DELETE FROM ducklake_metadata WHERE key = ?",
+                            (key,))
+                if value is not None:
+                    cur.execute(
+                        "INSERT INTO ducklake_metadata (key, value) "
+                        "VALUES (?, ?)", (key, str(value)))
 
     _SQLITE_AFFINITY = {"int": "BIGINT", "float": "DOUBLE",
                         "double": "DOUBLE", "decimal": "VARCHAR",

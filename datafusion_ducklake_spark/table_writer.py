@@ -45,6 +45,35 @@ def _catalog_writer(session) -> CatalogWriter:
     return CatalogWriter.sqlite(path)
 
 
+def _parquet_write_options(session, schema_id: int,
+                           table_id: int) -> dict[str, str]:
+    """DataFrameWriter options for the DuckLake parquet write settings
+    (corpus: sql/settings/), resolved with table > schema > global
+    precedence: parquet_compression ('uncompressed'|'snappy'|'gzip'|
+    'zstd'|'lz4'), parquet_compression_level (zstd), parquet_version
+    ('1'|'2' → parquet-mr writer version), parquet_row_group_size_bytes
+    (→ parquet.block.size). parquet_row_group_size (a ROW count) is
+    stored for DuckDB writers sharing the catalog but has no parquet-mr
+    equivalent — Spark's writer splits row groups by bytes."""
+    get = lambda k: session.provider.get_scoped_option(  # noqa: E731
+        k, schema_id, table_id)
+    opts: dict[str, str] = {}
+    comp = get("parquet_compression")
+    if comp:
+        opts["compression"] = ("none" if comp.lower() == "uncompressed"
+                               else comp.lower())
+    level = get("parquet_compression_level")
+    if level:
+        opts["parquet.compression.codec.zstd.level"] = level
+    version = get("parquet_version")
+    if version:
+        opts["parquet.writer.version"] = f"v{version.lstrip('vV')}"
+    rg_bytes = get("parquet_row_group_size_bytes")
+    if rg_bytes:
+        opts["parquet.block.size"] = rg_bytes
+    return opts
+
+
 def _column_defs(schema: T.StructType) -> list[ColumnDef]:
     return [ColumnDef(f.name, spark_to_ducklake_type(f.dataType), f.nullable)
             for f in schema.fields]
@@ -500,7 +529,12 @@ def compact_table(session, name: str, single_file: bool = True,
                .select(*data_cols, "__run"))
         out = _with_field_ids_partial(out, data_cols, setup.column_ids)
         staging = table_path.rstrip("/") + f"/stage-{uuid.uuid4().hex}"
-        out.write.partitionBy("__run").parquet(staging, mode="errorifexists")
+        schema_meta = session.provider.get_schema_by_name(
+            schema_name, setup.snapshot_id)
+        wopts = _parquet_write_options(
+            session, schema_meta.schema_id, handle.meta.table_id)
+        (out.write.options(**wopts).partitionBy("__run")
+         .parquet(staging, mode="errorifexists"))
 
         staged = _finalize_compact_runs(session, staging, table_path, runs)
         n_rows = 0
@@ -719,17 +753,20 @@ def create_or_insert(session, name: str, df: DataFrame, mode: str,
                      if cid in id_to_name]
 
         staging = table_path.rstrip("/") + f"/stage-{uuid.uuid4().hex}"
+        wopts = _parquet_write_options(
+            session, schema_meta.schema_id, table_meta.table_id)
         try:
             if part_keys:
                 for i, name_ in enumerate(part_keys):
                     out = out.withColumn(f"{_PART_PREFIX}{i}",
                                          F.col(name_).cast("string"))
-                (out.write
+                (out.write.options(**wopts)
                  .partitionBy([f"{_PART_PREFIX}{i}"
                                for i in range(len(part_keys))])
                  .parquet(staging, mode="errorifexists"))
             else:
-                out.write.parquet(staging, mode="errorifexists")
+                out.write.options(**wopts).parquet(staging,
+                                                   mode="errorifexists")
         except Exception as e:
             _raise_if_constraint(e)
 
