@@ -710,6 +710,20 @@ class DuckLakeSession:
     _ADD_FILES_RE = re.compile(
         r"^\s*CALL\s+ducklake_add_data_files\s*\((.*)\)\s*;?\s*$",
         re.I | re.S)
+    _ORPHANS_RE = re.compile(
+        r"^\s*CALL\s+ducklake_delete_orphaned_files\s*\(\s*"
+        r"((?:(?:dry_run|cleanup_all)\s*=>\s*(?:true|false)\s*,?\s*)*)"
+        r"\)\s*;?\s*$", re.I)
+    _MERGE_ADJ_RE = re.compile(
+        r"^\s*CALL\s+ducklake_merge_adjacent_files\s*\(\s*\)\s*;?\s*$",
+        re.I)
+    _CHECKPOINT_RE = re.compile(r"^\s*CHECKPOINT\s*;?\s*$", re.I)
+    _CREATE_SCHEMA_RE = re.compile(
+        r"^\s*CREATE\s+SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)"
+        r"\s*;?\s*$", re.I)
+    _DROP_SCHEMA_RE = re.compile(
+        r"^\s*DROP\s+SCHEMA\s+(IF\s+EXISTS\s+)?([A-Za-z_]\w*)"
+        r"\s*(CASCADE)?\s*;?\s*$", re.I)
 
     def _try_dml(self, query: str) -> Optional[DataFrame]:
         m = self._CALL_RE.match(query)
@@ -736,6 +750,44 @@ class DuckLakeSession:
             self.set_option(m.group(1), value,
                             table_name=scopes.get("table_name"),
                             schema=scopes.get("schema"))
+            return self._count_df(0)
+        m = self._ORPHANS_RE.match(query)
+        if m:
+            opts = {k.lower(): v.lower() == "true" for k, v in re.findall(
+                r"(dry_run|cleanup_all)\s*=>\s*(true|false)",
+                m.group(1), re.I)}
+            return self._count_df(len(self.delete_orphaned_files(
+                dry_run=opts.get("dry_run", False),
+                cleanup_all=opts.get("cleanup_all", False))))
+        m = self._MERGE_ADJ_RE.match(query)
+        if m:
+            return self._count_df(self.merge_adjacent_files())
+        m = self._CHECKPOINT_RE.match(query)
+        if m:
+            return self._count_df(self.checkpoint())
+        m = self._CREATE_SCHEMA_RE.match(query)
+        if m:
+            # multi-schema DDL (corpus: sql/catalog/schema.test)
+            from .table_writer import _catalog_writer
+            writer = _catalog_writer(self)
+            try:
+                writer.create_schema(m.group(2),
+                                     if_not_exists=bool(m.group(1)))
+            finally:
+                writer.close()
+            self.refresh()
+            return self._count_df(0)
+        m = self._DROP_SCHEMA_RE.match(query)
+        if m:
+            from .table_writer import _catalog_writer
+            writer = _catalog_writer(self)
+            try:
+                writer.drop_schema(m.group(2),
+                                   if_exists=bool(m.group(1)),
+                                   cascade=bool(m.group(3)))
+            finally:
+                writer.close()
+            self.refresh()
             return self._count_df(0)
         m = self._ADD_FILES_RE.match(query)
         if m:
@@ -1228,6 +1280,8 @@ class DuckLakeSession:
         ``table_name``/``schema`` record a per-table/per-schema override
         (DuckLake scoped settings; corpus: sql/settings/)."""
         from .table_writer import _catalog_writer
+        if key == "delete_older_than" and value is not None:
+            self._parse_interval(str(value))   # validate (ref error text)
         scope = scope_id = None
         if table_name is not None:
             qualified = table_name if "." in table_name else (
@@ -1297,6 +1351,89 @@ class DuckLakeSession:
             writer.close()
         self.refresh()
         return paths
+
+    @staticmethod
+    def _parse_interval(s: str):
+        """'N unit' interval strings (millisecond…week) → timedelta;
+        '' / None clears. Anything else is the reference's error."""
+        import datetime
+        if s is None or s == "":
+            return None
+        m = re.fullmatch(
+            r"\s*(\d+)\s*(millisecond|second|minute|hour|day|week)s?\s*",
+            str(s), re.I)
+        if not m:
+            raise InvalidConfig(
+                f"{s} is not a valid interval value.")
+        n, unit = int(m.group(1)), m.group(2).lower()
+        return datetime.timedelta(**{unit + "s": n})
+
+    def delete_orphaned_files(self, dry_run: bool = False,
+                              cleanup_all: bool = False) -> list[str]:
+        """ducklake_delete_orphaned_files parity (corpus:
+        sql/remove_orphans/): delete parquet files sitting in the lake's
+        data directory that the catalog has NEVER registered (any
+        snapshot) — typically crash-orphaned staging output or stray
+        copies. The ``delete_older_than`` catalog option guards in-flight
+        writes: younger orphans are kept unless ``cleanup_all``. Local /
+        file:// paths only (object stores raise a capability error).
+        Returns the deleted (or, with dry_run, deletable) paths."""
+        registered = {
+            p.rsplit("/", 1)[-1]
+            for p in self.provider.list_registered_file_names()}
+        data_path = self.provider.get_data_path()
+        local = data_path[len("file://"):] \
+            if data_path.startswith("file://") else data_path
+        if "://" in local:
+            raise InvalidConfig(
+                "delete_orphaned_files supports local/file:// data paths "
+                f"only (got {data_path})")
+        cutoff = None
+        if not cleanup_all:
+            delta = self._parse_interval(
+                self.provider.get_option("delete_older_than"))
+            if delta is not None:
+                import time
+                cutoff = time.time() - delta.total_seconds()
+        orphans = []
+        for root, _dirs, files in os.walk(local):
+            for f in files:
+                if not f.endswith(".parquet") or f in registered:
+                    continue
+                full = os.path.join(root, f)
+                if cutoff is not None and os.path.getmtime(full) > cutoff:
+                    continue
+                orphans.append(full)
+        if not dry_run:
+            for p in orphans:
+                os.remove(p)
+        return sorted(orphans)
+
+    def merge_adjacent_files(self) -> int:
+        """ducklake_merge_adjacent_files parity: rewrite every table's
+        fragmented live files into contiguous rowid runs (compact with
+        rowid preservation). Returns the number of tables rewritten."""
+        n = 0
+        snap = self.provider.get_current_snapshot()
+        for schema_name, t in self.provider.list_all_tables(snap):
+            handle = self.table_handle(f"{schema_name}.{t.table_name}")
+            if len(handle.files) > 1 or any(
+                    f.delete_uri for f in handle.files):
+                self.compact(f"{schema_name}.{t.table_name}",
+                             single_file=True)
+                n += 1
+        return n
+
+    def checkpoint(self) -> int:
+        """CHECKPOINT parity (corpus: sql/checkpoint/): flush every
+        table's inlined rows out to parquet. Returns rows flushed."""
+        n = 0
+        snap = self.provider.get_current_snapshot()
+        for schema_name, t in self.provider.list_all_tables(snap):
+            name = f"{schema_name}.{t.table_name}"
+            if self.table_handle(name).inlined_rows():
+                n += self.flush_inlined_data(name)
+        return n
 
     def comment_on_table(self, name: str,
                          comment: Optional[str]) -> None:

@@ -259,6 +259,15 @@ class MetadataProvider:
                 int(nulls) if nulls is not None else None, mn, mx)
         return out
 
+    def list_registered_file_names(self) -> list[str]:
+        """Every data/delete file path the catalog has EVER registered
+        (any snapshot, live or ended) — the known-files set for orphan
+        detection (corpus: sql/remove_orphans/)."""
+        rows = self._fetchall(
+            "SELECT path FROM ducklake_data_file "
+            "UNION SELECT path FROM ducklake_delete_file")
+        return [r[0] for r in rows]
+
     def get_option(self, key: str) -> Optional[str]:
         """GLOBAL catalog option from ducklake_metadata (e.g.
         data_inlining_row_limit), or None. Scoped rows (per-schema/

@@ -339,6 +339,78 @@ class CatalogWriter:
                 "VALUES (?, CURRENT_TIMESTAMP)", (sid,))
             return sid
 
+    def create_schema(self, schema_name: str,
+                      if_not_exists: bool = False) -> int:
+        """CREATE SCHEMA (corpus: sql/catalog/schema.test): a new MVCC
+        schema row in its own snapshot. Errors on a live duplicate
+        unless ``if_not_exists``."""
+        validate_name(schema_name, "Schema")
+        with self._txn() as cur:
+            rows = cur.execute(
+                "SELECT schema_id FROM ducklake_schema "
+                "WHERE schema_name = ? AND end_snapshot IS NULL",
+                (schema_name,)).fetchall()
+            if rows:
+                if if_not_exists:
+                    return int(rows[0][0])
+                raise InvalidConfig(
+                    f"Schema already exists: {schema_name}")
+            sid = self._next_id(cur, "ducklake_snapshot", "snapshot_id")
+            cur.execute(
+                "INSERT INTO ducklake_snapshot (snapshot_id, snapshot_time) "
+                "VALUES (?, CURRENT_TIMESTAMP)", (sid,))
+            schema_id = self._next_id(cur, "ducklake_schema", "schema_id")
+            cur.execute(
+                "INSERT INTO ducklake_schema (schema_id, schema_name, path, "
+                "path_is_relative, begin_snapshot) VALUES (?, ?, ?, 1, ?)",
+                (schema_id, schema_name, schema_name, sid))
+            return schema_id
+
+    def drop_schema(self, schema_name: str, if_exists: bool = False,
+                    cascade: bool = False) -> bool:
+        """DROP SCHEMA: ends the schema row (MVCC). Refuses while live
+        tables remain (DuckDB: 'there are entries that depend on it')
+        unless ``cascade``, which ends the dependent tables too. The
+        default schema cannot be dropped."""
+        if schema_name == "main":
+            raise InvalidConfig("Cannot drop the default schema: main")
+        with self._txn() as cur:
+            rows = cur.execute(
+                "SELECT schema_id FROM ducklake_schema "
+                "WHERE schema_name = ? AND end_snapshot IS NULL",
+                (schema_name,)).fetchall()
+            if not rows:
+                if if_exists:
+                    return False
+                raise InvalidConfig(f"Schema not found: {schema_name}")
+            schema_id = int(rows[0][0])
+            live = cur.execute(
+                "SELECT table_id FROM ducklake_table "
+                "WHERE schema_id = ? AND end_snapshot IS NULL",
+                (schema_id,)).fetchall()
+            if live and not cascade:
+                raise InvalidConfig(
+                    f"Cannot drop schema {schema_name}: there are entries "
+                    "that depend on it (use CASCADE)")
+            sid = self._next_id(cur, "ducklake_snapshot", "snapshot_id")
+            cur.execute(
+                "INSERT INTO ducklake_snapshot (snapshot_id, snapshot_time) "
+                "VALUES (?, CURRENT_TIMESTAMP)", (sid,))
+            for (tid,) in live:
+                cur.execute(
+                    "UPDATE ducklake_table SET end_snapshot = ? "
+                    "WHERE table_id = ? AND end_snapshot IS NULL",
+                    (sid, int(tid)))
+                cur.execute(
+                    "UPDATE ducklake_data_file SET end_snapshot = ? "
+                    "WHERE table_id = ? AND end_snapshot IS NULL",
+                    (sid, int(tid)))
+            cur.execute(
+                "UPDATE ducklake_schema SET end_snapshot = ? "
+                "WHERE schema_id = ? AND end_snapshot IS NULL",
+                (sid, schema_id))
+            return True
+
     def begin_write_transaction(self, schema_name: str, table_name: str,
                                 columns: list[ColumnDef],
                                 mode: WriteMode) -> WriteSetup:

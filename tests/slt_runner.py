@@ -112,7 +112,8 @@ def parse_slt(path: str) -> list[SltCase]:
 
 _TABLE_RE = re.compile(
     r"\b(?:INSERT\s+INTO|UPDATE|DELETE\s+FROM|CREATE\s+TABLE|MERGE\s+INTO|"
-    r"ALTER\s+TABLE|DROP\s+TABLE(?:\s+IF\s+EXISTS)?)\s+([A-Za-z_][\w]*)",
+    r"ALTER\s+TABLE|DROP\s+TABLE(?:\s+IF\s+EXISTS)?)\s+"
+    r"([A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)?)",
     re.IGNORECASE)
 
 # engine maintenance CALLs that mutate one table's state (first quoted arg)
@@ -228,7 +229,8 @@ class HybridRunner:
                     "expected an error")
             self.dl.refresh()
         elif case.kind == "statement_engine":
-            from datafusion_ducklake_spark.errors import TableNotFound
+            from datafusion_ducklake_spark.errors import (SchemaNotFound,
+                                                          TableNotFound)
             self.dl.sql(case.sql)          # our DML/DDL path writes the lake
             self.dl.refresh()
             self.dl.register_views()
@@ -254,22 +256,32 @@ class HybridRunner:
                 # table (including re-creating a dropped one) — resync
                 # DuckDB's mirror of every known OR engine-live table
                 snap = self.dl.provider.get_current_snapshot()
-                live = [t.table_name for schema, t
-                        in self.dl.provider.list_all_tables(snap)
-                        if schema == "main"]
+                live = [t.table_name if schema == "main"
+                        else f"{schema}.{t.table_name}"
+                        for schema, t
+                        in self.dl.provider.list_all_tables(snap)]
                 sync_tables = dict.fromkeys(
                     sorted(self._known | set(live)))
                 self._known.update(live)
             for tbl in sync_tables:
+                qual = tbl if "." in tbl else f"main.{tbl}"
+                duck_ref = ('"{}"."{}"'.format(*tbl.split(".", 1))
+                            if "." in tbl else f'"{tbl}"')
                 try:
-                    arrow = self.dl.table(f"main.{tbl}").toArrow()
-                except TableNotFound:      # engine-side DROP TABLE
-                    self.duck.execute(f'DROP TABLE IF EXISTS "{tbl}"')
+                    arrow = self.dl.table(qual).toArrow()
+                except (TableNotFound, SchemaNotFound):
+                    # engine-side DROP TABLE / DROP SCHEMA ... CASCADE
+                    self.duck.execute(f"DROP TABLE IF EXISTS {duck_ref}")
                     self._known.discard(tbl)
                     continue
+                if "." in tbl:
+                    # mirror the engine's schema (sql/catalog/schema.test)
+                    self.duck.execute(
+                        'CREATE SCHEMA IF NOT EXISTS "{}"'.format(
+                            tbl.split(".", 1)[0]))
                 self.duck.register("__engine_sync", arrow)
                 self.duck.execute(
-                    f'CREATE OR REPLACE TABLE "{tbl}" AS '
+                    f"CREATE OR REPLACE TABLE {duck_ref} AS "
                     "SELECT * FROM __engine_sync")
                 self.duck.unregister("__engine_sync")
                 self._known.add(tbl)
