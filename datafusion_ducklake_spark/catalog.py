@@ -421,7 +421,8 @@ class DuckLakeSession:
 
     def __init__(self, spark: SparkSession, catalog_path: str,
                  snapshot_id: Optional[int] = None,
-                 provider: Optional[MetadataProvider] = None):
+                 provider: Optional[MetadataProvider] = None,
+                 read_only: bool = False):
         self.spark = spark
         self.catalog_path = catalog_path
         self.provider = provider or provider_for(catalog_path)
@@ -429,6 +430,9 @@ class DuckLakeSession:
         self._view_rewrites: dict[str, str] = {}
         self._txn_base: Optional[int] = None   # BEGIN's snapshot anchor
         self._macros: Optional[list] = None    # lazy ducklake_macro cache
+        # READ_ONLY attach: every mutation funnels through the catalog
+        # writer, which refuses (sql/general/ducklake_read_only.test)
+        self.read_only = read_only
 
     # -- name resolution ---------------------------------------------------
 
@@ -710,6 +714,9 @@ class DuckLakeSession:
     _ADD_FILES_RE = re.compile(
         r"^\s*CALL\s+ducklake_add_data_files\s*\((.*)\)\s*;?\s*$",
         re.I | re.S)
+    _COMMIT_MSG_RE = re.compile(
+        r"^\s*CALL\s+ducklake_set_commit_message\s*\(\s*"
+        r"(NULL|'[^']*')\s*,\s*(NULL|'[^']*')\s*\)\s*;?\s*$", re.I)
     _ORPHANS_RE = re.compile(
         r"^\s*CALL\s+ducklake_delete_orphaned_files\s*\(\s*"
         r"((?:(?:dry_run|cleanup_all)\s*=>\s*(?:true|false)\s*,?\s*)*)"
@@ -750,6 +757,11 @@ class DuckLakeSession:
             self.set_option(m.group(1), value,
                             table_name=scopes.get("table_name"),
                             schema=scopes.get("schema"))
+            return self._count_df(0)
+        m = self._COMMIT_MSG_RE.match(query)
+        if m:
+            unq = lambda s: None if s.upper() == "NULL" else s[1:-1]  # noqa: E731
+            self.set_commit_message(unq(m.group(1)), unq(m.group(2)))
             return self._count_df(0)
         m = self._ORPHANS_RE.match(query)
         if m:
@@ -1540,9 +1552,28 @@ class DuckLakeSession:
         self._txn_base = self.provider.get_current_snapshot()
         return self._txn_base
 
+    def set_commit_message(self, author, commit_message) -> None:
+        """Audit info for the current transaction's commit (DuckDB's
+        ducklake.set_commit_message; corpus: sql/audit/): stamped onto
+        the transaction's final snapshot at COMMIT."""
+        if self._txn_base is None:
+            raise InvalidConfig(
+                "set_commit_message requires an active transaction")
+        self._pending_audit = (author, commit_message)
+
     def commit(self) -> None:
         if self._txn_base is None:
             raise InvalidConfig("no transaction in progress")
+        pending = getattr(self, "_pending_audit", None)
+        if pending is not None:
+            from .table_writer import _catalog_writer
+            writer = _catalog_writer(self)
+            try:
+                writer.set_snapshot_audit(
+                    self.provider.get_current_snapshot(), *pending)
+            finally:
+                writer.close()
+            self._pending_audit = None
         self._txn_base = None
 
     def rollback(self) -> None:
@@ -1558,6 +1589,7 @@ class DuckLakeSession:
         finally:
             writer.close()
         self._txn_base = None
+        self._pending_audit = None
         self.refresh()
 
     def set_not_null(self, name: str, col_name: str) -> None:

@@ -26,6 +26,8 @@ from . import sql as Q
 class SnapshotMeta:
     snapshot_id: int
     snapshot_time: Optional[str]
+    author: Optional[str] = None           # audit (corpus: sql/audit/)
+    commit_message: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -163,8 +165,13 @@ class MetadataProvider:
         return int(self._fetchall(Q.GET_LATEST_SNAPSHOT)[0][0])
 
     def list_snapshots(self) -> list[SnapshotMeta]:
-        return [SnapshotMeta(int(r[0]), r[1])
-                for r in self._fetchall(Q.LIST_SNAPSHOTS)]
+        try:
+            return [SnapshotMeta(int(r[0]), r[1], r[2], r[3])
+                    for r in self._fetchall(Q.LIST_SNAPSHOTS_AUDIT)]
+        except Exception:
+            # catalogs that predate the audit columns (sql/audit/)
+            return [SnapshotMeta(int(r[0]), r[1])
+                    for r in self._fetchall(Q.LIST_SNAPSHOTS)]
 
     def list_schemas(self, snapshot_id: int) -> list[SchemaMeta]:
         return [SchemaMeta(int(r[0]), r[1], r[2], bool(r[3]))

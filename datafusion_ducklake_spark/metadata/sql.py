@@ -21,6 +21,14 @@ SELECT snapshot_id, CAST(snapshot_time AS VARCHAR) AS snapshot_time
 FROM ducklake_snapshot ORDER BY snapshot_id
 """
 
+# audit columns (author / commit_message — sql/audit/ corpus); catalogs
+# that predate them fall back to LIST_SNAPSHOTS
+LIST_SNAPSHOTS_AUDIT = """
+SELECT snapshot_id, CAST(snapshot_time AS VARCHAR) AS snapshot_time,
+       author, commit_message
+FROM ducklake_snapshot ORDER BY snapshot_id
+"""
+
 _VISIBLE = "? >= {t}.begin_snapshot AND (? < {t}.end_snapshot OR {t}.end_snapshot IS NULL)"
 
 LIST_SCHEMAS = f"""

@@ -39,7 +39,9 @@ CREATE TABLE IF NOT EXISTS ducklake_metadata (
 );
 CREATE TABLE IF NOT EXISTS ducklake_snapshot (
     snapshot_id INTEGER PRIMARY KEY,
-    snapshot_time TIMESTAMP DEFAULT CURRENT_TIMESTAMP
+    snapshot_time TIMESTAMP DEFAULT CURRENT_TIMESTAMP,
+    author VARCHAR,
+    commit_message VARCHAR
 );
 CREATE TABLE IF NOT EXISTS ducklake_schema (
     schema_id INTEGER PRIMARY KEY,
@@ -338,6 +340,27 @@ class CatalogWriter:
                 "INSERT INTO ducklake_snapshot (snapshot_id, snapshot_time) "
                 "VALUES (?, CURRENT_TIMESTAMP)", (sid,))
             return sid
+
+    def set_snapshot_audit(self, snapshot_id: int,
+                           author: Optional[str],
+                           commit_message: Optional[str]) -> None:
+        """Stamp audit info on a committed snapshot (DuckDB's
+        ducklake.set_commit_message; corpus: sql/audit/). Pre-audit
+        catalogs get the columns added on demand."""
+        for col in ("author", "commit_message"):
+            # each probe in its own transaction: a failed statement can
+            # poison the surrounding txn on some backends
+            try:
+                with self._txn() as cur:
+                    cur.execute("ALTER TABLE ducklake_snapshot "
+                                f"ADD COLUMN {col} VARCHAR")
+            except Exception:
+                pass                       # column already present
+        with self._txn() as cur:
+            cur.execute(
+                "UPDATE ducklake_snapshot SET author = ?, "
+                "commit_message = ? WHERE snapshot_id = ?",
+                (author, commit_message, snapshot_id))
 
     def create_schema(self, schema_name: str,
                       if_not_exists: bool = False) -> int:

@@ -18,10 +18,11 @@ VIEWS = ("snapshots", "schemata", "tables", "table_info", "columns", "files")
 
 
 def snapshots_df(session) -> DataFrame:
-    rows = [(s.snapshot_id, s.snapshot_time)
+    rows = [(s.snapshot_id, s.snapshot_time, s.author, s.commit_message)
             for s in session.provider.list_snapshots()]
     return session.spark.createDataFrame(
-        rows, "snapshot_id BIGINT, snapshot_time STRING")
+        rows, "snapshot_id BIGINT, snapshot_time STRING, "
+              "author STRING, commit_message STRING")
 
 
 def schemata_df(session) -> DataFrame:

@@ -26,14 +26,16 @@ def register_sql_functions(session) -> None:
     catalog_path = session.catalog_path
     snapshot_id = session.catalog.snapshot_id
 
-    @udtf(returnType="snapshot_id BIGINT, snapshot_time STRING")
+    @udtf(returnType="snapshot_id BIGINT, snapshot_time STRING, "
+                     "author STRING, commit_message STRING")
     class DucklakeSnapshots:
         def eval(self):
             from ..metadata.provider import provider_for
             p = provider_for(catalog_path)
             try:
                 for s in p.list_snapshots():
-                    yield s.snapshot_id, s.snapshot_time
+                    yield (s.snapshot_id, s.snapshot_time,
+                           s.author, s.commit_message)
             finally:
                 p.close()
 

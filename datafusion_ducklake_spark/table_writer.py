@@ -33,6 +33,10 @@ from .types import spark_to_ducklake_type
 
 
 def _catalog_writer(session) -> CatalogWriter:
+    if getattr(session, "read_only", False):
+        # READ_ONLY attach (corpus: sql/general/ducklake_read_only.test)
+        raise InvalidConfig(
+            "Cannot write to the catalog: the session is read-only")
     path = session.catalog_path
     if path.startswith(("postgresql://", "postgres://", "mysql://")):
         # Read providers exist for these backends; a catalog WRITER does

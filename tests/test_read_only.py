@@ -1,0 +1,37 @@
+"""READ_ONLY attach (ref corpus: sql/general/ducklake_read_only.test):
+reads work, every mutation path refuses."""
+
+import pytest
+
+from datafusion_ducklake_spark.catalog import DuckLakeSession
+from datafusion_ducklake_spark.errors import InvalidConfig
+from datafusion_ducklake_spark.metadata.writer import CatalogWriter
+
+
+def test_read_only_session(spark, tmp_path):
+    db = str(tmp_path / "cat.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake"))
+    w.close()
+    rw = DuckLakeSession(spark, db)
+    rw.create_table("main.t", spark.range(5).selectExpr("id"))
+
+    ro = DuckLakeSession(spark, db, read_only=True)
+    assert ro.table("main.t").count() == 5
+    ro.register_views()
+    assert ro.sql("SELECT count(*) AS n FROM t").collect()[0][0] == 5
+
+    with pytest.raises(InvalidConfig, match="read-only"):
+        ro.sql("INSERT INTO t VALUES (42)")
+    with pytest.raises(InvalidConfig, match="read-only"):
+        ro.sql("DELETE FROM t WHERE id = 1")
+    with pytest.raises(InvalidConfig, match="read-only"):
+        ro.insert_into("main.t", spark.range(1).selectExpr("id"))
+    with pytest.raises(InvalidConfig, match="read-only"):
+        ro.compact("main.t")
+    with pytest.raises(InvalidConfig, match="read-only"):
+        ro.sql("CALL ducklake_set_option('parquet_compression', 'zstd')")
+
+    # the read-write session still works and the data is intact
+    rw.refresh()
+    assert rw.table("main.t").count() == 5
