@@ -1530,7 +1530,8 @@ class DuckLakeSession:
         staged = _stage_append(self, handle, df)
         writer = _catalog_writer(self)
         try:
-            sid = writer.create_snapshot()
+            sid = writer.create_snapshot(
+                [f"flushed_inlined_data:{handle.meta.table_id}"])
             n = _register_append(self, writer, sid, handle, staged)
             for it in handle.inlined_tables:
                 writer.end_inlined_rows(it, sid)
@@ -1729,7 +1730,8 @@ class DuckLakeSession:
         column_ids = {c.column_name: c.column_id for c in handle.columns}
         writer = _catalog_writer(self)
         try:
-            snapshot_id = writer.create_snapshot()
+            snapshot_id = writer.create_snapshot(
+                [f"inserted_into_table:{handle.meta.table_id}"])
             next_rowid = writer.next_row_id(handle.meta.table_id)
             n_rows = 0
             for path in expanded:

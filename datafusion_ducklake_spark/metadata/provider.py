@@ -266,6 +266,19 @@ class MetadataProvider:
                 int(nulls) if nulls is not None else None, mn, mx)
         return out
 
+    def get_snapshot_changes(self) -> dict[int, str]:
+        """{snapshot_id: changes_made} from ducklake_snapshot_changes —
+        the per-snapshot change summary real DuckLake catalogs record
+        (surfaces as the ``changes`` column of ducklake_snapshots()).
+        {} for catalogs without the table."""
+        try:
+            rows = self._fetchall(
+                "SELECT snapshot_id, changes_made "
+                "FROM ducklake_snapshot_changes")
+        except Exception:
+            return {}
+        return {int(r[0]): r[1] for r in rows}
+
     def list_registered_file_names(self) -> list[str]:
         """Every data/delete file path the catalog has EVER registered
         (any snapshot, live or ended) — the known-files set for orphan

@@ -43,6 +43,10 @@ CREATE TABLE IF NOT EXISTS ducklake_snapshot (
     author VARCHAR,
     commit_message VARCHAR
 );
+CREATE TABLE IF NOT EXISTS ducklake_snapshot_changes (
+    snapshot_id BIGINT NOT NULL,
+    changes_made VARCHAR
+);
 CREATE TABLE IF NOT EXISTS ducklake_schema (
     schema_id INTEGER PRIMARY KEY,
     schema_name VARCHAR NOT NULL,
@@ -333,12 +337,30 @@ class CatalogWriter:
 
     # -- public API (mirrors MetadataWriter trait) -------------------------
 
-    def create_snapshot(self) -> int:
+    @staticmethod
+    def _record_changes(cur, snapshot_id: int, changes) -> None:
+        """Append the snapshot's change summary to
+        ducklake_snapshot_changes (DuckLake catalog spec; surfaces as the
+        ``changes`` column of ducklake_snapshots() — corpus:
+        sql/snapshot_info/). Comma-joined ``kind:id`` labels, DuckDB's
+        rendering."""
+        if not changes:
+            return
+        cur.execute(
+            "CREATE TABLE IF NOT EXISTS ducklake_snapshot_changes ("
+            "snapshot_id BIGINT NOT NULL, changes_made VARCHAR)")
+        cur.execute(
+            "INSERT INTO ducklake_snapshot_changes (snapshot_id, "
+            "changes_made) VALUES (?, ?)",
+            (snapshot_id, ",".join(changes)))
+
+    def create_snapshot(self, changes=()) -> int:
         with self._txn() as cur:
             sid = self._next_id(cur, "ducklake_snapshot", "snapshot_id")
             cur.execute(
                 "INSERT INTO ducklake_snapshot (snapshot_id, snapshot_time) "
                 "VALUES (?, CURRENT_TIMESTAMP)", (sid,))
+            self._record_changes(cur, sid, changes)
             return sid
 
     def set_snapshot_audit(self, snapshot_id: int,
@@ -387,6 +409,7 @@ class CatalogWriter:
                 "INSERT INTO ducklake_schema (schema_id, schema_name, path, "
                 "path_is_relative, begin_snapshot) VALUES (?, ?, ?, 1, ?)",
                 (schema_id, schema_name, schema_name, sid))
+            self._record_changes(cur, sid, [f"created_schema:{schema_id}"])
             return schema_id
 
     def drop_schema(self, schema_name: str, if_exists: bool = False,
@@ -432,6 +455,10 @@ class CatalogWriter:
                 "UPDATE ducklake_schema SET end_snapshot = ? "
                 "WHERE schema_id = ? AND end_snapshot IS NULL",
                 (sid, schema_id))
+            self._record_changes(
+                cur, sid,
+                [f"dropped_table:{int(t[0])}" for t in live]
+                + [f"dropped_schema:{schema_id}"])
             return True
 
     def begin_write_transaction(self, schema_name: str, table_name: str,
@@ -470,6 +497,7 @@ class CatalogWriter:
                 "SELECT table_id FROM ducklake_table "
                 "WHERE schema_id = ? AND table_name = ? AND end_snapshot IS NULL",
                 (schema_id, table_name)).fetchall()
+            created_table = not rows
             if rows:
                 table_id = int(rows[0][0])
             else:
@@ -558,6 +586,14 @@ class CatalogWriter:
                     "UPDATE ducklake_delete_file SET end_snapshot = ? "
                     "WHERE table_id = ? AND end_snapshot IS NULL", (sid, table_id))
 
+            if created_table:
+                labels = [f"created_table:{table_id}"]
+            elif mode == WriteMode.REPLACE:
+                labels = [f"deleted_from_table:{table_id}",
+                          f"inserted_into_table:{table_id}"]
+            else:
+                labels = [f"inserted_into_table:{table_id}"]
+            self._record_changes(cur, sid, labels)
             return WriteSetup(sid, schema_id, table_id, column_ids)
 
     def drop_table(self, table_id: int) -> int:
@@ -578,6 +614,7 @@ class CatalogWriter:
                     f"UPDATE {tbl} SET end_snapshot = ? "
                     f"WHERE {col} = ? AND end_snapshot IS NULL",
                     (sid, table_id))
+            self._record_changes(cur, sid, [f"dropped_table:{table_id}"])
             return sid
 
     def version_columns(self, table_id: int,
@@ -597,6 +634,7 @@ class CatalogWriter:
             cur.execute(
                 "INSERT INTO ducklake_snapshot (snapshot_id, snapshot_time) "
                 "VALUES (?, CURRENT_TIMESTAMP)", (sid,))
+            self._record_changes(cur, sid, [f"altered_table:{table_id}"])
             cur.execute(
                 "UPDATE ducklake_column SET end_snapshot = ? "
                 "WHERE table_id = ? AND end_snapshot IS NULL",
@@ -687,6 +725,7 @@ class CatalogWriter:
                     "UPDATE ducklake_view SET end_snapshot = ? "
                     "WHERE view_id = ?", (sid, rows[0][0]))
             vid = self._next_id(cur, "ducklake_view", "view_id")
+            self._record_changes(cur, sid, [f"created_view:{vid}"])
             cur.execute(
                 "INSERT INTO ducklake_view (view_id, schema_id, view_name, "
                 "dialect, sql, begin_snapshot) VALUES (?, ?, ?, ?, ?, ?)",
@@ -711,6 +750,8 @@ class CatalogWriter:
             cur.execute(
                 "UPDATE ducklake_view SET end_snapshot = ? WHERE view_id = ?",
                 (sid, rows[0][0]))
+            self._record_changes(cur, sid,
+                                 [f"dropped_view:{int(rows[0][0])}"])
             return sid
 
     def next_row_id(self, table_id: int) -> int:
@@ -1146,6 +1187,11 @@ class CatalogWriter:
                 "WHERE snapshot_id < ?", (cutoff,)).fetchall())
             cur.execute("DELETE FROM ducklake_snapshot "
                         "WHERE snapshot_id < ?", (cutoff,))
+            cur.execute(
+                "CREATE TABLE IF NOT EXISTS ducklake_snapshot_changes ("
+                "snapshot_id BIGINT NOT NULL, changes_made VARCHAR)")
+            cur.execute("DELETE FROM ducklake_snapshot_changes "
+                        "WHERE snapshot_id < ?", (cutoff,))
             return n
 
     def list_expired_files(self) -> list[tuple]:
@@ -1266,6 +1312,12 @@ class CatalogWriter:
             cur.execute(
                 "DELETE FROM ducklake_snapshot WHERE snapshot_id > ?",
                 (snapshot_id,))
+            cur.execute(
+                "CREATE TABLE IF NOT EXISTS ducklake_snapshot_changes ("
+                "snapshot_id BIGINT NOT NULL, changes_made VARCHAR)")
+            cur.execute(
+                "DELETE FROM ducklake_snapshot_changes "
+                "WHERE snapshot_id > ?", (snapshot_id,))
 
     def close(self) -> None:
         self._conn.close()

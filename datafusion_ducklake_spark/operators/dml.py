@@ -458,7 +458,10 @@ def _delete_and_append(session, handle, matched_pos: DataFrame,
         return 0, 0                    # no snapshot for a no-op DML
     writer = _catalog_writer(session)
     try:
-        snapshot_id = writer.create_snapshot()
+        tid = handle.meta.table_id
+        labels = ([f"deleted_from_table:{tid}"] if n_matched else []) + \
+                 ([f"inserted_into_table:{tid}"] if staged else [])
+        snapshot_id = writer.create_snapshot(labels)
         _register_deletes(writer, handle, snapshot_id, manifest)
         if staged:
             _register_append(session, writer, snapshot_id, handle, staged)

@@ -18,11 +18,13 @@ VIEWS = ("snapshots", "schemata", "tables", "table_info", "columns", "files")
 
 
 def snapshots_df(session) -> DataFrame:
-    rows = [(s.snapshot_id, s.snapshot_time, s.author, s.commit_message)
+    changes = session.provider.get_snapshot_changes()
+    rows = [(s.snapshot_id, s.snapshot_time, s.author, s.commit_message,
+             changes.get(s.snapshot_id))
             for s in session.provider.list_snapshots()]
     return session.spark.createDataFrame(
         rows, "snapshot_id BIGINT, snapshot_time STRING, "
-              "author STRING, commit_message STRING")
+              "author STRING, commit_message STRING, changes STRING")
 
 
 def schemata_df(session) -> DataFrame:

@@ -27,15 +27,36 @@ def register_sql_functions(session) -> None:
     snapshot_id = session.catalog.snapshot_id
 
     @udtf(returnType="snapshot_id BIGINT, snapshot_time STRING, "
-                     "author STRING, commit_message STRING")
+                     "author STRING, commit_message STRING, changes STRING")
     class DucklakeSnapshots:
         def eval(self):
             from ..metadata.provider import provider_for
             p = provider_for(catalog_path)
             try:
+                changes = p.get_snapshot_changes()
                 for s in p.list_snapshots():
                     yield (s.snapshot_id, s.snapshot_time,
-                           s.author, s.commit_message)
+                           s.author, s.commit_message,
+                           changes.get(s.snapshot_id))
+            finally:
+                p.close()
+
+    @udtf(returnType="snapshot_id BIGINT")
+    class DucklakeCurrentSnapshot:
+        # the session's pinned snapshot (sql/snapshot_info/
+        # ducklake_current_commit.test)
+        def eval(self):
+            yield (snapshot_id,)
+
+    @udtf(returnType="snapshot_id BIGINT")
+    class DucklakeLastCommittedSnapshot:
+        # latest snapshot COMMITTED to the catalog DB, which may be ahead
+        # of this session's pin (ducklake_last_commit.test)
+        def eval(self):
+            from ..metadata.provider import provider_for
+            p = provider_for(catalog_path)
+            try:
+                yield (p.get_current_snapshot(),)
             finally:
                 p.close()
 
@@ -84,3 +105,7 @@ def register_sql_functions(session) -> None:
     session.spark.udtf.register("ducklake_snapshots", DucklakeSnapshots)
     session.spark.udtf.register("ducklake_table_info", DucklakeTableInfo)
     session.spark.udtf.register("ducklake_list_files", DucklakeListFiles)
+    session.spark.udtf.register("ducklake_current_snapshot",
+                                DucklakeCurrentSnapshot)
+    session.spark.udtf.register("ducklake_last_committed_snapshot",
+                                DucklakeLastCommittedSnapshot)
