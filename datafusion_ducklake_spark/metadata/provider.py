@@ -132,24 +132,41 @@ class MacroMeta:
 
 def reconstruct_list_columns(rows: list[tuple[ColumnMeta, Optional[int]]]
                              ) -> list[ColumnMeta]:
-    """Rebuild list<T> from parent/child rows: parent has
-    column_type='list', child row carries the element type and
-    parent_column set (ref: reconstruct_list_columns,
-    metadata_provider.rs:361-410)."""
-    by_id = {c.column_id: i for i, (c, _) in enumerate(rows)}
-    cols = [c for c, _ in rows]
-    skip: set[int] = set()
-    for i, (col, parent_id) in enumerate(rows):
-        if parent_id is not None and parent_id in by_id:
-            pi = by_id[parent_id]
-            if cols[pi].column_type == "list":
-                cols[pi] = ColumnMeta(
-                    cols[pi].column_id, cols[pi].column_name,
-                    f"list<{col.column_type}>", cols[pi].nulls_allowed,
-                    cols[pi].initial_default, cols[pi].default_value,
-                    cols[pi].begin_snapshot)
-                skip.add(i)
-    return [c for i, c in enumerate(cols) if i not in skip]
+    """Rebuild nested types from DuckLake parent/child column rows:
+    a parent row typed 'list' / 'struct' / 'map' carries its children as
+    rows with parent_column set (rows arrive in column_order, so struct
+    field order and map key-before-value are preserved). Extends the
+    reference's list-only reconstruction (metadata_provider.rs:361-410)
+    to the full nesting DuckDB-written catalogs record — struct/map
+    support is this engine's beyond-reference extension."""
+    children: dict[int, list[ColumnMeta]] = {}
+    roots: list[ColumnMeta] = []
+    for col, parent_id in rows:
+        if parent_id is not None:
+            children.setdefault(parent_id, []).append(col)
+        else:
+            roots.append(col)
+    if not children:
+        return roots
+
+    def render(col: ColumnMeta) -> str:
+        kids = children.get(col.column_id, [])
+        t = col.column_type.strip().lower()
+        if t == "list" and len(kids) == 1:
+            return f"list<{render(kids[0])}>"
+        if t == "struct" and kids:
+            return ("struct<"
+                    + ",".join(f"{k.column_name}:{render(k)}" for k in kids)
+                    + ">")
+        if t == "map" and len(kids) == 2:
+            return f"map<{render(kids[0])},{render(kids[1])}>"
+        return col.column_type
+
+    return [ColumnMeta(c.column_id, c.column_name, render(c),
+                       c.nulls_allowed, c.initial_default, c.default_value,
+                       c.begin_snapshot)
+            if c.column_id in children else c
+            for c in roots]
 
 
 class MetadataProvider:

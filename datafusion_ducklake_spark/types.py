@@ -67,6 +67,34 @@ _LIST_RE = re.compile(r"^(?:list|array)\s*<(.+)>$")
 _TRAILING_ARRAY_RE = re.compile(r"^(.+)\[\s*\]$")
 
 
+def _split_type_args(s: str) -> list[str]:
+    """Split a nested type's argument list on TOP-LEVEL commas only
+    (respects <...> and (...) nesting and double-quoted names)."""
+    parts, depth, cur, quoted = [], 0, [], False
+    for ch in s:
+        if quoted:
+            cur.append(ch)
+            if ch == '"':
+                quoted = False
+        elif ch == '"':
+            quoted = True
+            cur.append(ch)
+        elif ch in "<(":
+            depth += 1
+            cur.append(ch)
+        elif ch in ">)":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        parts.append("".join(cur).strip())
+    return parts
+
+
 @dataclass(frozen=True)
 class MappedType:
     spark_type: T.DataType
@@ -79,22 +107,58 @@ def ducklake_to_spark_type(type_str: str) -> MappedType:
     (ref: types.rs:12-90 for the supported surface)."""
     s = type_str.strip().lower()
 
-    # list<T> / array<T> / T[] — simple element types only (types.rs:253-297)
+    # list<T> / array<T> / T[] — element may itself be nested (struct/
+    # map/list): a deliberate EXTENSION over the reference, which rejects
+    # all nesting (types.rs:74-90); Spark's parquet reader/writer handles
+    # nested columns natively, so the engine supports them end-to-end.
     m = _LIST_RE.match(s) or _TRAILING_ARRAY_RE.match(s)
     if m:
-        elem_str = m.group(1).strip()
-        if _LIST_RE.match(elem_str) or _TRAILING_ARRAY_RE.match(elem_str) \
-                or elem_str.startswith(("struct", "map")):
-            raise UnsupportedType(
-                f"Nested list element type not supported: {type_str}")
-        elem = ducklake_to_spark_type(elem_str)
+        elem = ducklake_to_spark_type(m.group(1).strip())
         return MappedType(T.ArrayType(elem.spark_type, True),
                           f"list<{elem.canonical}>", elem.lossless)
 
-    if s.startswith(("struct", "map", "union")):
+    # struct<name:type,...> / struct(name type, ...) — both the flat
+    # canonical form this writer stores and DuckDB's SQL rendering
+    m = re.match(r"^struct\s*[<(](.*)[>)]$", s)
+    if m:
+        fields = []
+        lossless = True
+        for part in _split_type_args(m.group(1)):
+            name, sep, t = part.partition(":")
+            if not sep or "<" in name or "(" in name:
+                name, _, t = part.strip().partition(" ")
+            name = name.strip().strip('"')
+            if not name or not t.strip():
+                raise UnsupportedType(f"Malformed struct type: {type_str}")
+            child = ducklake_to_spark_type(t.strip())
+            lossless = lossless and child.lossless
+            fields.append((name, child))
+        if not fields:
+            raise UnsupportedType(f"Malformed struct type: {type_str}")
+        return MappedType(
+            T.StructType([T.StructField(n, c.spark_type, True)
+                          for n, c in fields]),
+            "struct<" + ",".join(f"{n}:{c.canonical}"
+                                 for n, c in fields) + ">",
+            lossless)
+
+    # map<key,value> / map(key, value)
+    m = re.match(r"^map\s*[<(](.*)[>)]$", s)
+    if m:
+        parts = _split_type_args(m.group(1))
+        if len(parts) != 2:
+            raise UnsupportedType(f"Malformed map type: {type_str}")
+        k = ducklake_to_spark_type(parts[0].strip())
+        v = ducklake_to_spark_type(parts[1].strip())
+        return MappedType(
+            T.MapType(k.spark_type, v.spark_type, True),
+            f"map<{k.canonical},{v.canonical}>",
+            k.lossless and v.lossless)
+
+    if s.startswith("union"):
         raise UnsupportedType(
             f"Unsupported DuckLake type: {type_str} "
-            f"(struct/map/union rejected for reference parity)")
+            f"(union rejected — reference parity, types.rs:74-90)")
 
     s = _ALIASES.get(s, s)
 
@@ -184,10 +248,18 @@ def spark_to_ducklake_type(dt: T.DataType) -> str:
     if isinstance(dt, T.DecimalType):
         return f"decimal({dt.precision},{dt.scale})"
     if isinstance(dt, T.ArrayType):
-        if isinstance(dt.elementType, (T.ArrayType, T.StructType, T.MapType)):
-            raise UnsupportedType(
-                f"Nested list element not supported for DuckLake write: {dt}")
         return f"list<{spark_to_ducklake_type(dt.elementType)}>"
+    if isinstance(dt, T.StructType):
+        # beyond-reference extension (the reference rejects nesting,
+        # types.rs:95-164); canonical flat rendering, parsed back by
+        # ducklake_to_spark_type
+        inner = ",".join(
+            f"{f.name}:{spark_to_ducklake_type(f.dataType)}"
+            for f in dt.fields)
+        return f"struct<{inner}>"
+    if isinstance(dt, T.MapType):
+        return (f"map<{spark_to_ducklake_type(dt.keyType)},"
+                f"{spark_to_ducklake_type(dt.valueType)}>")
     raise UnsupportedType(f"Spark type not writable to DuckLake: {dt}")
 
 

@@ -307,6 +307,9 @@ class HybridRunner:
         """Engine-only expectation: rows in result order, cells stringified
         with int-valued floats canonicalized (sqllogictest's text-compare)."""
         def cell(v):
+            import numpy as np
+            if isinstance(v, (list, tuple, np.ndarray)):
+                return str([x for x in v])     # array cell rendering
             if v is None or v != v:     # None or NaN
                 return "NULL"
             if isinstance(v, float) and v == int(v):

@@ -52,13 +52,25 @@ def test_mapping(dl, expected):
 
 
 @pytest.mark.parametrize("bad", [
-    "struct<a int32>", "map<varchar,int32>", "list<list<int32>>",
-    "list<struct<a int32>>", "decimal(40,2)", "decimal(0,0)",
+    "decimal(40,2)", "decimal(0,0)",
     "decimal(5,9)", "interval", "frobnicate",
+    "union<a:int32>", "struct<>", "map<varchar>",
 ])
 def test_rejections(bad):
     with pytest.raises(UnsupportedType):
         ducklake_to_spark_type(bad)
+
+
+@pytest.mark.parametrize("nested,canon", [
+    # supported since the nested-types extension (beyond the reference,
+    # which rejects struct/map/nested lists — types.rs:74-90)
+    ("struct<a int32>", "struct<a:int32>"),
+    ("map<varchar,int32>", "map<varchar,int32>"),
+    ("list<list<int32>>", "list<list<int32>>"),
+    ("list<struct<a int32>>", "list<struct<a:int32>>"),
+])
+def test_nested_accepted(nested, canon):
+    assert ducklake_to_spark_type(nested).canonical == canon
 
 
 @pytest.mark.parametrize("alias,canon", [
