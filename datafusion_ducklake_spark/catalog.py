@@ -426,13 +426,21 @@ class DuckLakeSession:
         self.spark = spark
         self.catalog_path = catalog_path
         self.provider = provider or provider_for(catalog_path)
+        if snapshot_id is not None:
+            latest = self.provider.get_current_snapshot()
+            if snapshot_id > latest or snapshot_id < 0:
+                raise InvalidConfig(
+                    f"No snapshot found at version {snapshot_id}")
         self.catalog = DuckLakeCatalog(spark, self.provider, snapshot_id)
         self._view_rewrites: dict[str, str] = {}
         self._txn_base: Optional[int] = None   # BEGIN's snapshot anchor
         self._macros: Optional[list] = None    # lazy ducklake_macro cache
         # READ_ONLY attach: every mutation funnels through the catalog
-        # writer, which refuses (sql/general/ducklake_read_only.test)
-        self.read_only = read_only
+        # writer, which refuses (sql/general/ducklake_read_only.test).
+        # A session pinned to a historical snapshot is read-only by
+        # construction (sql/general/attach_at_snapshot.test): writes
+        # would fork history.
+        self.read_only = read_only or snapshot_id is not None
 
     # -- name resolution ---------------------------------------------------
 

@@ -35,3 +35,24 @@ def test_read_only_session(spark, tmp_path):
     # the read-write session still works and the data is intact
     rw.refresh()
     assert rw.table("main.t").count() == 5
+
+
+def test_pinned_snapshot_is_read_only(spark, tmp_path):
+    """attach_at_snapshot parity: a historical pin refuses writes and a
+    nonexistent snapshot refuses to attach."""
+    db = str(tmp_path / "p.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "plake"))
+    w.close()
+    rw = DuckLakeSession(spark, db)
+    rw.create_table("main.t", spark.range(3).selectExpr("id"))
+    snap = rw.provider.get_current_snapshot()
+    rw.insert_into("main.t", spark.range(3).selectExpr("id"))
+
+    pinned = DuckLakeSession(spark, db, snapshot_id=snap)
+    assert pinned.table("main.t").count() == 3
+    with pytest.raises(InvalidConfig, match="read-only"):
+        pinned.sql("INSERT INTO t VALUES (9)")
+
+    with pytest.raises(InvalidConfig, match="No snapshot found at version"):
+        DuckLakeSession(spark, db, snapshot_id=9999)
