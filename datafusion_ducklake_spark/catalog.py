@@ -1093,7 +1093,16 @@ class DuckLakeSession:
             if schema_name == DEFAULT_SCHEMA:
                 df.createOrReplaceTempView(f"{table_name}__rowid")
 
-    def sql(self, query: str) -> DataFrame:
+    def sql(self, query: str, args=None) -> DataFrame:
+        """``args``: positional (list) or named (dict) parameters for
+        ``?`` / ``:name`` markers, passed to Spark's parameterized SQL —
+        the engine's prepared-statement surface (corpus:
+        sql/general/prepared_statement.test). Queries only; DML/DDL
+        statements do not take parameters."""
+        if args is not None and not re.match(
+                r"\s*(SELECT|WITH|VALUES|TABLE|FROM)\b", query, re.I):
+            raise InvalidConfig(
+                "parameters are supported for queries, not DML/DDL")
         if not self._view_rewrites:
             self.register_views()
         ddl = self._try_macro_ddl(query)
@@ -1108,8 +1117,11 @@ class DuckLakeSession:
         query = self._resolve_cdc_calls(query)
         self._register_rowid_views(query)
         self._register_virtual_views(query)
-        return self.spark.sql(
-            self._rewrite_outside_literals(query, self._view_rewrites))
+        rewritten = self._rewrite_outside_literals(query,
+                                                   self._view_rewrites)
+        if args is None:
+            return self.spark.sql(rewritten)
+        return self.spark.sql(rewritten, args)
 
     def refresh(self) -> None:
         """Re-pin to the latest snapshot and refresh views (the reference

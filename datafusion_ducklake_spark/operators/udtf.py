@@ -85,6 +85,30 @@ def register_sql_functions(session) -> None:
             finally:
                 p.close()
 
+    @udtf(returnType="data_size_bytes BIGINT, metadata_size_bytes BIGINT, "
+                     "file_count BIGINT")
+    class DucklakeDatabaseSize:
+        # PRAGMA database_size parity (sql/general/database_size.test):
+        # live data+delete bytes at the pinned snapshot, plus the catalog
+        # DB's own on-disk size
+        def eval(self):
+            import os as _os
+
+            from ..metadata.provider import provider_for
+            p = provider_for(catalog_path)
+            try:
+                total = n = 0
+                for _s, _t, f in p.list_all_files(snapshot_id):
+                    total += f.file_size_bytes or 0
+                    n += 1
+                    if f.delete_file is not None:
+                        total += f.delete_file.file_size_bytes or 0
+                meta = (_os.path.getsize(catalog_path)
+                        if _os.path.isfile(catalog_path) else 0)
+                yield total, meta, n
+            finally:
+                p.close()
+
     @udtf(returnType="schema_name STRING, table_name STRING, "
                      "data_file_path STRING, file_size_bytes BIGINT, "
                      "record_count BIGINT, delete_file_path STRING, "
@@ -109,3 +133,5 @@ def register_sql_functions(session) -> None:
                                 DucklakeCurrentSnapshot)
     session.spark.udtf.register("ducklake_last_committed_snapshot",
                                 DucklakeLastCommittedSnapshot)
+    session.spark.udtf.register("ducklake_database_size",
+                                DucklakeDatabaseSize)

@@ -46,6 +46,8 @@ _SPECS = [
               ducklake_gate.ORACLE_VIRTUAL_AGG, False),
     QuerySpec("ducklake_inlined_agg", ducklake_gate.ducklake_inlined_agg,
               ducklake_gate.ORACLE_INLINED_AGG, False),
+    QuerySpec("ducklake_nested_agg", ducklake_gate.ducklake_nested_agg,
+              ducklake_gate.ORACLE_NESTED_AGG, False),
     # training-data pipeline operators (functions/)
     QuerySpec("ngram_jaccard_dup_pairs", pipeline.ngram_jaccard_dup_pairs,
               pipeline.ORACLE_NGRAM_JACCARD, False),

@@ -434,3 +434,62 @@ FROM lineitem
 WHERE l_orderkey >= (SELECT MAX(l_orderkey) * 3.0 / 4.0 FROM lineitem)
 GROUP BY l_returnflag
 """
+
+
+def _build_nested_catalog(spark: SparkSession, sf_dir: str) -> str:
+    """Catalog (once per sf_dir) with a NESTED-typed table — struct and
+    map columns built from orders and written through the engine (the
+    nested-types extension; the reference rejects nesting)."""
+    import shutil
+
+    from ..catalog import DuckLakeSession
+    from ..metadata.writer import CatalogWriter
+
+    tag = hashlib.md5((sf_dir + "/nested-v1").encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"ducklake_nested_{tag}")
+    db = os.path.join(root, "catalog.sqlite")
+    done = os.path.join(root, ".done")
+    if os.path.exists(done):
+        return db
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    os.makedirs(root)
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=os.path.join(root, "lake"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    dl.create_table("main.nested_orders", src.select(
+        "o_orderkey",
+        F.struct(F.col("o_custkey").alias("custkey"),
+                 F.col("o_totalprice").alias("total")).alias("info"),
+        F.create_map(F.lit("priority"),
+                     F.col("o_orderpriority")).alias("attrs")))
+    with open(done, "w") as f:
+        f.write("ok")
+    return db
+
+
+def ducklake_nested_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct/map columns through the full engine write -> catalog ->
+    scan path, flattened back to scalars so plain SQL over the original
+    orders parquet is an exact oracle."""
+    from ..catalog import DuckLakeSession
+    dl = DuckLakeSession(spark, _build_nested_catalog(spark, sf_dir))
+    t = dl.table("main.nested_orders")
+    return (t.select(
+                F.col("attrs")["priority"].alias("priority"),
+                F.col("info.total").alias("total"),
+                F.col("info.custkey").alias("custkey"))
+            .groupBy("priority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("total").alias("sum_total"),
+                 F.sum("custkey").alias("sum_custkey")))
+
+
+ORACLE_NESTED_AGG = """
+SELECT o_orderpriority AS priority, COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_total,
+  SUM(o_custkey) AS sum_custkey
+FROM orders GROUP BY o_orderpriority
+"""
