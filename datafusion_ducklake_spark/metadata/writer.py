@@ -308,22 +308,39 @@ class CatalogWriter:
     # -- transaction helper ------------------------------------------------
 
     def _txn(self):
+        """Catalog transaction scope. REENTRANT: a ``_txn`` opened while
+        another is active on this writer joins it (no nested BEGIN), so a
+        composite operation — e.g. a multi-file insert registration, or
+        an exactly-once streaming commit (files + batch marker) — becomes
+        atomic by wrapping its existing building blocks in one outer
+        ``with writer._txn():``. COMMIT/ROLLBACK happen only when the
+        outermost scope exits; an inner failure rolls the whole thing
+        back (the RLock serializes writers, so depth is thread-local by
+        construction)."""
         writer = self
 
         class _Txn:
             def __enter__(self):
                 writer._lock.acquire()
-                writer._conn.execute(
-                    "BEGIN IMMEDIATE" if writer._dialect == "sqlite"
-                    else "BEGIN TRANSACTION")
+                depth = getattr(writer, "_txn_depth", 0)
+                if depth == 0:
+                    writer._conn.execute(
+                        "BEGIN IMMEDIATE" if writer._dialect == "sqlite"
+                        else "BEGIN TRANSACTION")
+                    writer._txn_failed = False
+                writer._txn_depth = depth + 1
                 return writer._conn
 
             def __exit__(self, exc_type, exc, tb):
                 try:
-                    if exc_type is None:
-                        writer._conn.execute("COMMIT")
-                    else:
-                        writer._conn.execute("ROLLBACK")
+                    writer._txn_depth -= 1
+                    if exc_type is not None:
+                        writer._txn_failed = True
+                    if writer._txn_depth == 0:
+                        if writer._txn_failed:
+                            writer._conn.execute("ROLLBACK")
+                        else:
+                            writer._conn.execute("COMMIT")
                 finally:
                     writer._lock.release()
                 return False

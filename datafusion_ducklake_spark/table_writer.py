@@ -680,9 +680,12 @@ def _try_inline_append(session, writer, setup, table_id: int,
 
 
 def create_or_insert(session, name: str, df: DataFrame, mode: str,
-                     single_file: bool = True, if_exists: str = "error") -> int:
+                     single_file: bool = True, if_exists: str = "error",
+                     commit_marker: tuple[str, str] | None = None) -> int:
     """Returns the number of rows written (the reference returns a 1-row
-    count batch; insert_exec.rs:24-31)."""
+    count batch; insert_exec.rs:24-31). ``commit_marker``: a
+    (metadata key, value) recorded in the SAME catalog transaction as
+    the file registrations — the streaming sink's exactly-once anchor."""
     schema_name, table_name = session._split(name)
     writer = _catalog_writer(session)
     try:
@@ -734,6 +737,8 @@ def create_or_insert(session, name: str, df: DataFrame, mode: str,
                                            table_meta.table_id, df,
                                            not_null)
             if n_inlined is not None:
+                if commit_marker is not None:
+                    writer.set_option(commit_marker[0], commit_marker[1])
                 session.refresh()
                 return n_inlined
 
@@ -797,21 +802,30 @@ def create_or_insert(session, name: str, df: DataFrame, mode: str,
         next_rowid = writer.next_row_id(table_meta.table_id)
         col_ids = dict(zip([f.name for f in df.schema.fields],
                            setup.column_ids))
-        for final_name, size, footer, count, pvals in staged:
-            fid = writer.register_data_file(
-                table_meta.table_id, setup.snapshot_id,
-                DataFileInfo(path=final_name, path_is_relative=True,
-                             file_size_bytes=size, footer_size=footer,
-                             record_count=count, row_id_start=next_rowid))
-            if pvals:
-                writer.register_file_partition_values(
-                    fid, table_meta.table_id, pvals)
-            local = _local_readable(table_path, final_name)
-            if local is not None:
-                writer.register_file_column_stats(
-                    fid, table_meta.table_id, column_stats_of(local, col_ids))
-            next_rowid += count
-            n_rows += count
+        # ONE catalog transaction for the whole registration (reentrant
+        # _txn): either every staged file becomes visible or none — and
+        # the streaming sink's batch marker commits atomically with the
+        # files it covers (exactly-once under foreachBatch replays).
+        with writer._txn():
+            for final_name, size, footer, count, pvals in staged:
+                fid = writer.register_data_file(
+                    table_meta.table_id, setup.snapshot_id,
+                    DataFileInfo(path=final_name, path_is_relative=True,
+                                 file_size_bytes=size, footer_size=footer,
+                                 record_count=count,
+                                 row_id_start=next_rowid))
+                if pvals:
+                    writer.register_file_partition_values(
+                        fid, table_meta.table_id, pvals)
+                local = _local_readable(table_path, final_name)
+                if local is not None:
+                    writer.register_file_column_stats(
+                        fid, table_meta.table_id,
+                        column_stats_of(local, col_ids))
+                next_rowid += count
+                n_rows += count
+            if commit_marker is not None:
+                writer.set_option(commit_marker[0], commit_marker[1])
 
         session.refresh()
         return n_rows
