@@ -130,3 +130,40 @@ def scrub_pii(col: Column | str) -> Column:
     c = F.regexp_replace(c, _PII_EMAIL, "<EMAIL>")
     c = F.regexp_replace(c, _PII_PHONE, "<PHONE>")
     return c
+
+
+# --- PII scrubbing (training-data hygiene) -----------------------------
+
+# Conservative patterns expressible identically in Java regex (Spark)
+# and RE2 (DuckDB) — no backrefs, no lookarounds:
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b"
+PII_SSN_RE = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+PII_IPV4_RE = (r"\b(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])"
+               r"(?:\.(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])){3}\b")
+
+_PII_RULES = ((PII_EMAIL_RE, "<EMAIL>"), (PII_SSN_RE, "<SSN>"),
+              (PII_PHONE_RE, "<PHONE>"), (PII_IPV4_RE, "<IP>"))
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails, phone numbers, SSNs and IPv4 addresses with typed
+    placeholder tokens — a chain of regexp_replace Columns, so the whole
+    scrub stays inside whole-stage codegen (map-side at scan speed; the
+    standard hygiene pass before LLM training). SSN runs before PHONE so
+    the overlapping ddd-dd-dddd shape keeps its specific tag."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pattern, token in _PII_RULES:
+        c = F.regexp_replace(c, pattern, token)
+    return c
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """{kind: per-row match count} for audit metrics (regexp_count —
+    JVM-side, no Python)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        "emails": F.regexp_count(c, F.lit(PII_EMAIL_RE)),
+        "ssns": F.regexp_count(c, F.lit(PII_SSN_RE)),
+        "ipv4s": F.regexp_count(c, F.lit(PII_IPV4_RE)),
+    }

@@ -57,6 +57,10 @@ _SPECS = [
               pipeline.ORACLE_EMB_NEAR_DUP, False),
     QuerySpec("doc_quality_advanced", pipeline.doc_quality_advanced,
               pipeline.ORACLE_QUALITY_ADVANCED, False),
+    QuerySpec("doc_pii_redaction", pipeline.doc_pii_redaction,
+              pipeline.ORACLE_PII, False),
+    QuerySpec("dedup_canonical_select", pipeline.dedup_canonical_select,
+              pipeline.ORACLE_CANONICAL, False),
     QuerySpec("dedup_duplicate_clusters", pipeline.dedup_duplicate_clusters,
               pipeline.ORACLE_DUP_CLUSTERS, False),
     QuerySpec("doc_stratified_sample", pipeline.doc_stratified_sample,

@@ -357,3 +357,114 @@ GROUP BY term
 ORDER BY doc_freq DESC, term_freq DESC, term ASC
 LIMIT 20
 """
+
+
+def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing audit (training-data hygiene): deterministic
+    synthetic PII is appended to each document (the corpus itself is
+    clean synthetic text), redact_pii scrubs it, and the per-source
+    audit aggregates prove the scrub — redacted text carries the typed
+    placeholder tokens and zero surviving matches. Pure Column regex
+    chain, map-side at 100 TB."""
+    from ..functions.text import (PII_EMAIL_RE, pii_counts, redact_pii)
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    aug = d.withColumn(
+        "aug",
+        F.concat(F.col("text"),
+                 F.lit(" contact user"), F.col("doc_id"),
+                 F.lit("@example.com or 555-123-"),
+                 F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                 F.lit(" ssn 123-45-6789 ip 10.0.0."),
+                 (F.col("doc_id") % 255).cast("string")))
+    counts = pii_counts("aug")
+    red = aug.withColumn("redacted", redact_pii("aug")) \
+             .withColumn("n_emails", counts["emails"]) \
+             .withColumn("n_ssns", counts["ssns"]) \
+             .withColumn("n_ipv4s", counts["ipv4s"]) \
+             .withColumn("survivors",
+                         F.regexp_count("redacted", F.lit(PII_EMAIL_RE)))
+    return (red.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_emails").alias("emails"),
+                 F.sum("n_ssns").alias("ssns"),
+                 F.sum("n_ipv4s").alias("ipv4s"),
+                 F.sum("survivors").alias("email_survivors"),
+                 F.sum(F.length("aug") - F.length("redacted"))
+                 .alias("chars_removed"))
+            .orderBy("source"))
+
+
+ORACLE_PII = r"""
+WITH aug AS (
+  SELECT source,
+    text || ' contact user' || doc_id || '@example.com or 555-123-' ||
+      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+      ' ssn 123-45-6789 ip 10.0.0.' || CAST(doc_id % 255 AS VARCHAR)
+      AS aug
+  FROM documents),
+red AS (
+  SELECT source, aug,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(aug,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+        '\b\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g'),
+      '\b(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])(?:\.(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])){3}\b', '<IP>', 'g')
+      AS redacted
+  FROM aug)
+SELECT source, COUNT(*) AS n_docs,
+  SUM(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS emails,
+  SUM(len(regexp_extract_all(aug, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))) AS ssns,
+  SUM(len(regexp_extract_all(aug, '\b(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])(?:\.(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])){3}\b'))) AS ipv4s,
+  SUM(len(regexp_extract_all(redacted, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS email_survivors,
+  SUM(length(aug) - length(redacted)) AS chars_removed
+FROM red GROUP BY source ORDER BY source
+"""
+
+
+def dedup_canonical_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-of-pipeline canonical selection: within each near-duplicate
+    cluster keep ONE representative — the longest document, ties broken
+    by lowest doc_id (the standard keep-best policy before training).
+    Returns the per-source keep/drop audit. Window rank over the
+    cluster assignment; singletons (never in a dup pair) keep
+    themselves."""
+    from pyspark.sql import Window
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), k=3,
+                                      threshold=0.1, use_words=True)
+    clusters = dedup.duplicate_components(pairs)
+    withc = (d.join(clusters, "doc_id", "left")
+             .withColumn("cluster_id",
+                         F.coalesce("cluster_id", F.col("doc_id"))))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id"))
+    ranked = withc.withColumn("rk", F.row_number().over(w))
+    return (ranked.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(F.col("rk") == 1, 1).otherwise(0))
+                 .alias("kept"),
+                 F.sum(F.when(F.col("rk") > 1, 1).otherwise(0))
+                 .alias("dropped"))
+            .orderBy("source"))
+
+
+ORACLE_CANONICAL = ORACLE_DUP_CLUSTERS.replace(
+    "SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n",
+    """, clusters AS (SELECT n AS doc_id, MIN(m) AS cluster_id
+                    FROM reach GROUP BY n),
+assigned AS (
+  SELECT d.doc_id, d.source, d.n_chars,
+         COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id),
+ranked AS (
+  SELECT source,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM assigned)
+SELECT source, COUNT(*) AS n_docs,
+  SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS kept,
+  SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS dropped
+FROM ranked GROUP BY source ORDER BY source""")
