@@ -71,13 +71,16 @@ def parse_slt(path: str) -> list[SltCase]:
             continue
         m = re.fullmatch(r"query at (\w+)", line)
         if line in ("statement ok", "query", "query_engine",
-                    "statement engine", "statement engine error") or m:
+                    "statement engine", "statement engine error",
+                    "statement engine2", "statement engine2 error") or m:
             if m:
                 kind, arg = "query_at", m.group(1)
             else:
                 kind = {"statement ok": "statement", "query": "query",
                         "statement engine": "statement_engine",
                         "statement engine error": "statement_engine_error",
+                        "statement engine2": "statement_engine2",
+                        "statement engine2 error": "statement_engine2_error",
                         "query_engine": "query_engine"}[line]
                 arg = ""
             start = i + 1
@@ -87,7 +90,8 @@ def parse_slt(path: str) -> list[SltCase]:
                 body.append(lines[i])
                 i += 1
             if kind == "query_engine" or (
-                    kind == "statement_engine_error"
+                    kind in ("statement_engine_error",
+                             "statement_engine2_error")
                     and "----" in [b.strip() for b in body]):
                 # body splits at the sqllogictest ``----`` separator:
                 # SQL above, tab-separated expected rows below (for
@@ -97,7 +101,8 @@ def parse_slt(path: str) -> list[SltCase]:
                     raise ValueError(f"{path}:{start}: query_engine "
                                      "requires a ---- expected block")
                 sep = [b.strip() for b in body].index("----")
-                if kind == "statement_engine_error":
+                if kind in ("statement_engine_error",
+                            "statement_engine2_error"):
                     arg = "\n".join(b.strip() for b in body[sep + 1:])
                 else:
                     expected = [r.split("\t") for r in body[sep + 1:]]
@@ -135,9 +140,26 @@ class HybridRunner:
         self.db_path = db
         self.tmpdir = tmpdir
         self.dl = DuckLakeSession(spark, db)
+        self.dl2 = None       # lazy second session (concurrent-dir ports)
         self._known: set[str] = set()
         self._views: set[str] = set()          # engine-created view names
         self._snapshots: dict[str, int] = {}   # name -> pinned snapshot id
+
+    def _second_session(self):
+        """A SECOND DuckLakeSession over the same catalog (ref:
+        sql/concurrent/ — the corpus's con1/con2 connections). Write-only
+        executor (never registers temp views, so `query` directives keep
+        flowing through the primary session) that deliberately does NOT
+        auto-refresh: like a long-lived second connection its pin goes
+        stale when engine1 writes — exactly the read-modify-write race
+        the optimistic conflict check must catch. Its own successful
+        writes re-pin it (the write paths refresh); after a rejected
+        statement the error branch refreshes, modeling retry-after-
+        conflict."""
+        if self.dl2 is None:
+            from datafusion_ducklake_spark.catalog import DuckLakeSession
+            self.dl2 = DuckLakeSession(self.spark, self.db_path)
+        return self.dl2
 
     def _sync(self, table: str) -> None:
         """Mirror one DuckDB table's current state into the DuckLake
@@ -213,11 +235,14 @@ class HybridRunner:
             finally:
                 self.duck.execute("SET search_path = 'main'")
             self._compare(case, ours, theirs)
-        elif case.kind == "statement_engine_error":
+        elif case.kind in ("statement_engine_error",
+                           "statement_engine2_error"):
             # the engine must REJECT this statement (ref: `statement error`
             # in the sqllogictest dialect); arg = expected message substring
+            target = (self._second_session()
+                      if case.kind == "statement_engine2_error" else self.dl)
             try:
-                self.dl.sql(case.sql)
+                target.sql(case.sql)
             except Exception as e:
                 if case.arg and case.arg not in str(e):
                     raise AssertionError(
@@ -227,11 +252,14 @@ class HybridRunner:
                 raise AssertionError(
                     f"line {case.line}: {case.sql!r} succeeded, "
                     "expected an error")
+            target.refresh()
             self.dl.refresh()
-        elif case.kind == "statement_engine":
+        elif case.kind in ("statement_engine", "statement_engine2"):
             from datafusion_ducklake_spark.errors import (SchemaNotFound,
                                                           TableNotFound)
-            self.dl.sql(case.sql)          # our DML/DDL path writes the lake
+            ses = (self._second_session()
+                   if case.kind == "statement_engine2" else self.dl)
+            ses.sql(case.sql)              # our DML/DDL path writes the lake
             self.dl.refresh()
             self.dl.register_views()
             vm = re.match(
