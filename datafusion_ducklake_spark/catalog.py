@@ -1069,6 +1069,37 @@ class DuckLakeSession:
             if schema_name == DEFAULT_SCHEMA:
                 df.createOrReplaceTempView(f"{table_name}__virtual")
 
+    _AT_RE = re.compile(
+        r"\b([A-Za-z_][\w.]*)\s+AT\s*\(\s*(VERSION|TIMESTAMP)\s*=>\s*"
+        r"('[^']*'|\d+)\s*\)", re.I)
+
+    def _resolve_time_travel(self, query: str) -> str:
+        """Rewrite ``t AT (VERSION => N)`` / ``t AT (TIMESTAMP => 'ts')``
+        (the DuckLake SQL time-travel surface; corpus: sql/time_travel/,
+        sql/add_files/ `FROM tbl AT (VERSION => 6)`) into temp views over
+        a snapshot-pinned session. TIMESTAMP resolves to the newest
+        snapshot at-or-before the given time."""
+        def sub(m: "re.Match[str]") -> str:
+            name, kind, raw = m.group(1), m.group(2).upper(), m.group(3)
+            if kind == "VERSION":
+                snap = int(raw.strip("'"))
+            else:
+                snap = self.provider.get_snapshot_at_timestamp(
+                    raw.strip("'"))
+                if snap is None:
+                    raise InvalidConfig(
+                        f"No snapshot found at or before {raw}")
+            dotted = name if "." in name else f"{DEFAULT_SCHEMA}.{name}"
+            flat = f"{dotted.replace('.', '__')}__at_{snap}"
+            if f"{dotted}@{snap}" not in self._view_rewrites:
+                pinned = DuckLakeSession(self.spark, self.catalog_path,
+                                         snapshot_id=snap,
+                                         provider=self.provider)
+                pinned.table(dotted).createOrReplaceTempView(flat)
+                self._view_rewrites[f"{dotted}@{snap}"] = flat
+            return flat
+        return self._AT_RE.sub(sub, query)
+
     def _register_rowid_views(self, query: str) -> None:
         """On-demand ``<table>__rowid`` view twins: the DuckLake virtual
         rowid column exposed to SQL (sql/rowid + sql/virtualcolumns corpus
@@ -1115,6 +1146,7 @@ class DuckLakeSession:
             return dml
         query = self._resolve_comment_calls(query)
         query = self._resolve_cdc_calls(query)
+        query = self._resolve_time_travel(query)
         self._register_rowid_views(query)
         self._register_virtual_views(query)
         rewritten = self._rewrite_outside_literals(query,

@@ -283,6 +283,15 @@ class MetadataProvider:
                 int(nulls) if nulls is not None else None, mn, mx)
         return out
 
+    def get_snapshot_at_timestamp(self, ts: str) -> Optional[int]:
+        """Newest snapshot at or before the ISO timestamp (the
+        AT (TIMESTAMP => ...) resolution rule). Lexicographic compare is
+        exact for the ISO-rendered snapshot_time."""
+        rows = self._fetchall(
+            "SELECT MAX(snapshot_id) FROM ducklake_snapshot "
+            "WHERE CAST(snapshot_time AS VARCHAR) <= ?", (ts,))
+        return int(rows[0][0]) if rows and rows[0][0] is not None else None
+
     def get_snapshot_changes(self) -> dict[int, str]:
         """{snapshot_id: changes_made} from ducklake_snapshot_changes —
         the per-snapshot change summary real DuckLake catalogs record
