@@ -106,7 +106,9 @@ class DuckLakeTable:
         live = self._live_names
         mapped = tuple((src, live[cid]) for cid, src, part in rows
                        if not part and cid in live)
-        hive = tuple((live[cid], _hive_value(data_uri, src))
+        # (live_name, source_name, value): source_name kept so the scan's
+        # many-partition path can re-derive values from file paths
+        hive = tuple((live[cid], src, _hive_value(data_uri, src))
                      for cid, src, part in rows if part and cid in live)
         dead = any(cid not in live for cid, _, _ in rows)
         if hive or dead or any(s != d for s, d in mapped):

@@ -33,6 +33,7 @@ Spark-first design:
 from __future__ import annotations
 
 import os
+import re
 from dataclasses import dataclass
 from functools import reduce
 from typing import Optional
@@ -51,7 +52,18 @@ from ..errors import CatalogCorruption
 # below the threshold.
 MAX_PER_FILE_BRANCHES = 16
 
+# Hive-mapped files: at or below this many distinct partition-value
+# tuples (per mapping shape) the values stamp as per-branch literals
+# (exact types, percent-unescaped); above it, one scan derives them from
+# _metadata.file_path via regexp — O(1) plan nodes in partition count.
+MAX_HIVE_VALUE_BRANCHES = 32
+
 POS_COL = "__ducklake_pos"
+PATH_COL = "__ducklake_path"
+
+
+def _with_path(df: DataFrame) -> DataFrame:
+    return df.withColumn(PATH_COL, F.col("_metadata.file_path"))
 
 
 @dataclass(frozen=True)
@@ -69,9 +81,11 @@ class ResolvedFile:
     # Non-trivial name mapping (DuckLake add_files contract, corpus:
     # sql/add_files/): mapped_cols = ((in_file_name, live_name), ...) —
     # the in-file columns to read and what they are called NOW;
-    # hive_values = ((live_name, value_str), ...) — partition columns NOT
-    # stored in the file, injected from its path's name=value segments.
-    # Live columns covered by neither read as NULL.
+    # hive_values = ((live_name, source_name, value_str), ...) —
+    # partition columns NOT stored in the file, injected from its path's
+    # ``source_name=value`` segments (value resolved driver-side; the
+    # many-partition scan path re-derives it row-side from
+    # _metadata.file_path). Live columns covered by neither read NULL.
     mapped_cols: Optional[tuple] = None
     hive_values: Optional[tuple] = None
 
@@ -231,26 +245,66 @@ def scan_table(spark: SparkSession, schema: T.StructType,
     # the live names, stamps hive path values as typed literals and
     # NULL-fills uncovered live columns — all constant-folded Columns,
     # so the transform stays inside whole-stage codegen.
+    #
+    # SCALE PATH: literal injection makes one scan branch per distinct
+    # partition-value tuple — fine for tens of partitions, a driver-side
+    # plan explosion at 100k. Past MAX_HIVE_VALUE_BRANCHES distinct
+    # tuples (per mapping shape), ONE scan extracts the values from each
+    # row's own ``_metadata.file_path`` with regexp_extract — O(1) plan
+    # nodes in partition count, still codegen'd.
     mapped = [f for f in files if f.mapped_cols is not None]
     files = [f for f in files if f.mapped_cols is None]
     if mapped:
         import dataclasses
         types = {fld.name: fld.dataType for fld in schema.fields}
-        groups: dict[tuple, list[ResolvedFile]] = {}
+        by_shape: dict[tuple, list[ResolvedFile]] = {}
         for f in mapped:
-            groups.setdefault((f.mapped_cols, f.hive_values or ()),
-                              []).append(f)
-        for (mcols, hive), group in sorted(groups.items()):
+            by_shape.setdefault(
+                (f.mapped_cols,
+                 tuple((h[0], h[1]) for h in (f.hive_values or ()))),
+                []).append(f)
+        for (mcols, hive_keys), shape_files in sorted(by_shape.items()):
             read_schema = T.StructType(
                 [T.StructField(src, types[dst], True)
                  for src, dst in mcols])
-            plain = [dataclasses.replace(f, mapped_cols=None,
-                                         hive_values=None) for f in group]
-            df = scan_table(spark, read_schema, plain,
-                            with_rowid=with_rowid, with_virtual=with_virtual)
-            extras = [c for c in df.columns
-                      if c not in {src for src, _ in mcols}]
-            parts.append(apply_mapping(df, schema, mcols, hive, extras))
+            combos = {f.hive_values for f in shape_files}
+            clean = [f for f in shape_files if f.delete_uri is None]
+            if hive_keys and len(combos) > MAX_HIVE_VALUE_BRANCHES \
+                    and not with_rowid and not with_virtual and clean:
+                # one scan for every clean hive file; MOR-dirty files
+                # (rare — DML over an imported partition) fall through
+                # to the literal branches below
+                df = _with_path(_read_parquet(spark, read_schema,
+                                              [f.data_uri for f in clean]))
+                df = apply_mapping(df, schema, mcols, (), [PATH_COL])
+                for live, src in hive_keys:
+                    df = df.withColumn(
+                        live,
+                        F.nullif(
+                            F.regexp_extract(
+                                F.col(PATH_COL),
+                                re.escape(src) + "=([^/]+)", 1),
+                            F.lit("")).cast(types[live]))
+                parts.append(df.drop(PATH_COL))
+                shape_files = [f for f in shape_files
+                               if f.delete_uri is not None]
+                if not shape_files:
+                    continue
+            groups: dict[tuple, list[ResolvedFile]] = {}
+            for f in shape_files:
+                groups.setdefault(f.hive_values or (), []).append(f)
+            for hive, group in sorted(groups.items()):
+                plain = [dataclasses.replace(f, mapped_cols=None,
+                                             hive_values=None)
+                         for f in group]
+                df = scan_table(spark, read_schema, plain,
+                                with_rowid=with_rowid,
+                                with_virtual=with_virtual)
+                extras = [c for c in df.columns
+                          if c not in {src for src, _ in mcols}]
+                hive_lits = tuple((h[0], h[2]) for h in hive)
+                parts.append(apply_mapping(df, schema, mcols, hive_lits,
+                                           extras))
     if encrypted:
         if with_virtual:
             from ..errors import InvalidConfig
@@ -366,8 +420,8 @@ def read_file_with_pos(spark: SparkSession, schema: T.StructType,
         [T.StructField(src, types[dst], True)
          for src, dst in rf.mapped_cols])
     df = _with_pos(_read_parquet(spark, read_schema, [rf.data_uri]))
-    return apply_mapping(df, schema, rf.mapped_cols, rf.hive_values,
-                         [POS_COL])
+    hive_lits = tuple((h[0], h[2]) for h in (rf.hive_values or ()))
+    return apply_mapping(df, schema, rf.mapped_cols, hive_lits, [POS_COL])
 
 
 FILE_COL = "__ducklake_file"

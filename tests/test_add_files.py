@@ -84,3 +84,25 @@ def test_add_files_missing_column_contract(dl, spark, tmp_path):
     rows = sorted(((r["i"], r["j"]) for r in dl.table("main.m").collect()),
                   key=lambda t: (t[0] is None, t[0]))
     assert rows == [(1, 2), (None, 42)]
+
+
+def test_hive_many_partitions_single_scan(dl, spark, tmp_path):
+    """Above MAX_HIVE_VALUE_BRANCHES distinct partition tuples the scan
+    derives hive values from _metadata.file_path in ONE plan branch —
+    no per-partition scan explosion at 100k-partition scale."""
+    dl.create_table("main.hm", spark.sql(
+        "SELECT CAST(NULL AS INT) pk, CAST(NULL AS STRING) v WHERE false"))
+    for pk in range(40):
+        d = tmp_path / f"hm/pk={pk}"
+        d.mkdir(parents=True)
+        _copy(f"SELECT 'val{pk}' v", f"{d}/data.parquet")
+    dl.add_files("main.hm", [f"{tmp_path}/hm/**/*.parquet"])
+    dl.refresh()
+    df = dl.table("main.hm")
+    rows = {(r["pk"], r["v"]) for r in df.collect()}
+    assert rows == {(pk, f"val{pk}") for pk in range(40)}
+    # one scan branch for all 40 partitions (plus the empty seed file)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Relation") <= 2, plan
+    # filters on derived values still work
+    assert df.filter("pk = 17").collect()[0]["v"] == "val17"
