@@ -61,6 +61,8 @@ _SPECS = [
               pipeline.ORACLE_PII, False),
     QuerySpec("dedup_canonical_select", pipeline.dedup_canonical_select,
               pipeline.ORACLE_CANONICAL, False),
+    QuerySpec("doc_chunking", pipeline.doc_chunking,
+              pipeline.ORACLE_CHUNKING, False),
     QuerySpec("dedup_duplicate_clusters", pipeline.dedup_duplicate_clusters,
               pipeline.ORACLE_DUP_CLUSTERS, False),
     QuerySpec("doc_stratified_sample", pipeline.doc_stratified_sample,

@@ -468,3 +468,46 @@ SELECT source, COUNT(*) AS n_docs,
   SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS kept,
   SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS dropped
 FROM ranked GROUP BY source ORDER BY source""")
+
+
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap (the LLM pre-training
+    splitter): 50-token windows every 40 tokens (10-token overlap),
+    emitted as (doc_id, chunk_idx, n_tokens, first/last token). Pure
+    Column ops — sequence + posexplode + slice, no Python, map-side at
+    100 TB; DuckDB's list slicing is the exact oracle."""
+    d = _docs(spark, sf_dir)
+    toks = text.whitespace_tokens("text")
+    base = d.select("doc_id", toks.alias("toks"),
+                    F.size(toks).alias("n"))
+    starts = F.sequence(F.lit(0),
+                        F.greatest(F.col("n") - 1, F.lit(0)), F.lit(40))
+    chunks = (base.select(
+        "doc_id", "toks",
+        F.posexplode(starts).alias("chunk_idx", "start")))
+    piece = F.slice(F.col("toks"), F.col("start") + 1, 50)
+    return (chunks.select(
+        "doc_id", "chunk_idx",
+        F.size(piece).alias("n_tokens"),
+        F.element_at(piece, 1).alias("first_tok"),
+        F.element_at(piece, -1).alias("last_tok"))
+        .orderBy("doc_id", "chunk_idx"))
+
+
+ORACLE_CHUNKING = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+         len(string_split_regex(trim(text), '\s+')) AS n
+  FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(n - 1, 0) + 1, 40)) AS start,
+         generate_subscripts(range(0, greatest(n - 1, 0) + 1, 40), 1) - 1
+           AS chunk_idx
+  FROM t),
+p AS (
+  SELECT doc_id, chunk_idx, toks[start + 1 : start + 50] AS piece FROM s)
+SELECT doc_id, chunk_idx, len(piece) AS n_tokens,
+       piece[1] AS first_tok, piece[-1] AS last_tok
+FROM p ORDER BY doc_id, chunk_idx
+"""
