@@ -568,8 +568,13 @@ class DuckLakeSession:
     #    drives DML through SQL, sql/delete/ sql/update/ sql/insert/) ----
 
     _DELETE_RE = re.compile(
-        r"^\s*DELETE\s+FROM\s+([A-Za-z_][\w.]*)"
+        r"^\s*DELETE\s+FROM\s+([A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?"
+        r"(?!USING\b|WHERE\b)(\w+))?"
+        r"(?:\s+USING\s+([A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?"
+        r"(?!WHERE\b)(\w+))?)?"
         r"(?:\s+WHERE\s+(.*?))?\s*;?\s*$", re.I | re.S)
+    _TRUNCATE_RE = re.compile(
+        r"^\s*TRUNCATE(?:\s+TABLE)?\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.I)
     _UPDATE_RE = re.compile(
         r"^\s*UPDATE\s+([A-Za-z_][\w.]*)\s+SET\s+(.*?)"
         r"(?:\s+WHERE\s+(.*?))?\s*;?\s*$", re.I | re.S)
@@ -849,10 +854,32 @@ class DuckLakeSession:
             else:
                 self.rollback()
             return self._count_df(0)
+        m = self._TRUNCATE_RE.match(query)
+        if m:
+            # TRUNCATE == unconditional delete (corpus:
+            # sql/delete/truncate_table.test)
+            return self._count_df(self.delete_from(m.group(1), "true"))
         m = self._DELETE_RE.match(query)
         if m:
-            return self._count_df(
-                self.delete_from(m.group(1), m.group(2) or "true"))
+            target, talias, src, salias, cond = m.groups()
+            if src is None:
+                return self._count_df(
+                    self.delete_from(target, cond or "true"))
+            # DELETE ... USING (sql/delete/delete_join.test): the using
+            # side may be a lake table or any registered view; both
+            # sides get their (alias or bare) names so the condition's
+            # qualified references resolve
+            from .operators.dml import delete_rows
+            using_df = self.table(src) if "." in src or any(
+                src == t for s in self.catalog.schema_names()
+                for t in self.catalog.schema(s).table_names()) \
+                else self.spark.table(
+                    self._view_rewrites.get(src, src))
+            using_df = using_df.alias(salias or src.rsplit(".", 1)[-1])
+            n = delete_rows(
+                self, target, cond or "true", using=using_df,
+                target_alias=talias or target.rsplit(".", 1)[-1])
+            return self._count_df(n)
         m = self._UPDATE_RE.match(query)
         if m:
             assignments = {}

@@ -73,15 +73,43 @@ def _live_with_filepos(session, handle) -> DataFrame:
             "address parquet rows)")
     _configure_fieldid_read(session.spark)
     files = handle.files
+    plain = [f for f in files if f.mapped_cols is None]
+    mapped = [f for f in files if f.mapped_cols is not None]
     parts = []
     for group_schema, group in _split_by_field_ids(handle.spark_schema,
-                                                   files):
+                                                   plain):
         df = _read_parquet(session.spark, group_schema,
                            [f.data_uri for f in group])
         parts.append(df.withColumn(
             FILE_COL,
             F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
         ).withColumn(POS_COL, F.col("_metadata.row_index")))
+    if mapped:
+        # name-mapped add_files tables (renames / hive injection): apply
+        # the mapping so DML conditions see the LIVE column names
+        from pyspark.sql import types as T
+
+        from ..sources.scan import apply_mapping
+        types = {f.name: f.dataType
+                 for f in handle.spark_schema.fields}
+        groups: dict[tuple, list] = {}
+        for f in mapped:
+            groups.setdefault((f.mapped_cols, f.hive_values or ()),
+                              []).append(f)
+        for (mcols, hive), group in sorted(groups.items()):
+            read_schema = T.StructType(
+                [T.StructField(src, types[dst], True)
+                 for src, dst in mcols])
+            df = (_read_parquet(session.spark, read_schema,
+                                [f.data_uri for f in group])
+                  .withColumn(FILE_COL,
+                              F.element_at(
+                                  F.split(F.col("_metadata.file_path"),
+                                          "/"), -1))
+                  .withColumn(POS_COL, F.col("_metadata.row_index")))
+            hive_lits = tuple((h[0], h[2]) for h in hive)
+            parts.append(apply_mapping(df, handle.spark_schema, mcols,
+                                       hive_lits, [FILE_COL, POS_COL]))
     scanned = reduce(DataFrame.unionByName, parts)
     dels = _existing_deletes(session, handle)
     if dels is None:
@@ -291,11 +319,23 @@ def _register_append(session, writer, snapshot_id: int, handle,
 
 
 def delete_rows(session, name: str,
-                condition: Union[str, Column]) -> int:
-    """DELETE FROM name WHERE condition. Returns rows deleted."""
+                condition: Union[str, Column],
+                using: Optional[DataFrame] = None,
+                target_alias: Optional[str] = None) -> int:
+    """DELETE FROM name [USING using] WHERE condition. With ``using``
+    the matched set is a LEFT SEMI join (each target row deletes at most
+    once no matter how many using-rows it matches — DuckDB's USING
+    semantics; corpus: sql/delete/delete_join.test). Returns rows
+    deleted."""
     handle = session.table_handle(name)
     live = _live_with_filepos(session, handle)
-    matched = live.filter(_as_condition(condition)).select(FILE_COL, POS_COL)
+    if using is not None:
+        lv = live.alias(target_alias) if target_alias else live
+        matched = lv.join(using, _as_condition(condition),
+                          "left_semi").select(FILE_COL, POS_COL)
+    else:
+        matched = live.filter(_as_condition(condition)).select(FILE_COL,
+                                                               POS_COL)
     n_matched, _ = _delete_and_append(session, handle, matched, None)
     return n_matched
 

@@ -117,7 +117,8 @@ def parse_slt(path: str) -> list[SltCase]:
 
 _TABLE_RE = re.compile(
     r"\b(?:INSERT\s+INTO|UPDATE|DELETE\s+FROM|CREATE\s+TABLE|MERGE\s+INTO|"
-    r"ALTER\s+TABLE|DROP\s+TABLE(?:\s+IF\s+EXISTS)?)\s+"
+    r"ALTER\s+TABLE|TRUNCATE(?:\s+TABLE)?|"
+    r"DROP\s+TABLE(?:\s+IF\s+EXISTS)?)\s+"
     r"([A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)?)",
     re.IGNORECASE)
 
