@@ -428,11 +428,11 @@ class DuckLakeSession:
         self.spark = spark
         self.catalog_path = catalog_path
         self.provider = provider or provider_for(catalog_path)
-        if snapshot_id is not None:
-            latest = self.provider.get_current_snapshot()
-            if snapshot_id > latest or snapshot_id < 0:
-                raise InvalidConfig(
-                    f"No snapshot found at version {snapshot_id}")
+        if snapshot_id is not None and \
+                not self.provider.snapshot_exists(snapshot_id):
+            # covers beyond-history AND expired versions
+            raise InvalidConfig(
+                f"No snapshot found at version {snapshot_id}")
         self.catalog = DuckLakeCatalog(spark, self.provider, snapshot_id)
         self._view_rewrites: dict[str, str] = {}
         self._txn_base: Optional[int] = None   # BEGIN's snapshot anchor
@@ -732,6 +732,10 @@ class DuckLakeSession:
     _COMMIT_MSG_RE = re.compile(
         r"^\s*CALL\s+ducklake_set_commit_message\s*\(\s*"
         r"(NULL|'[^']*')\s*,\s*(NULL|'[^']*')\s*\)\s*;?\s*$", re.I)
+    _EXPIRE_NAMED_RE = re.compile(
+        r"^\s*CALL\s+ducklake_expire_snapshots\s*\(\s*"
+        r"((?:(?:versions\s*=>\s*\[[\d\s,]*\]|dry_run\s*=>\s*"
+        r"(?:true|false))\s*,?\s*)+)\)\s*;?\s*$", re.I)
     _ORPHANS_RE = re.compile(
         r"^\s*CALL\s+ducklake_delete_orphaned_files\s*\(\s*"
         r"((?:(?:dry_run|cleanup_all)\s*=>\s*(?:true|false)\s*,?\s*)*)"
@@ -778,6 +782,18 @@ class DuckLakeSession:
             unq = lambda s: None if s.upper() == "NULL" else s[1:-1]  # noqa: E731
             self.set_commit_message(unq(m.group(1)), unq(m.group(2)))
             return self._count_df(0)
+        m = self._EXPIRE_NAMED_RE.match(query)
+        if m:
+            # named form (sql/compaction/expire_snapshots.test):
+            # versions => [..] selects exact snapshots; dry_run counts
+            vm = re.search(r"versions\s*=>\s*\[([\d\s,]*)\]",
+                           m.group(1), re.I)
+            versions = ([int(x) for x in vm.group(1).split(",")
+                         if x.strip()] if vm else None)
+            dm = re.search(r"dry_run\s*=>\s*(true|false)", m.group(1), re.I)
+            return self._count_df(self.expire_snapshots(
+                versions=versions,
+                dry_run=bool(dm and dm.group(1).lower() == "true")))
         m = self._ORPHANS_RE.match(query)
         if m:
             opts = {k.lower(): v.lower() == "true" for k, v in re.findall(
@@ -1396,21 +1412,35 @@ class DuckLakeSession:
             writer.close()
         self.refresh()
 
-    def expire_snapshots(self, before: Optional[int] = None) -> int:
+    def expire_snapshots(self, before: Optional[int] = None,
+                         versions: Optional[list[int]] = None,
+                         dry_run: bool = False) -> int:
         """Drop time-travel points older than ``before`` (default: all
-        but the latest) — ducklake_expire_snapshots parity (corpus:
-        cleanup/ + the reference's maintenance surface). Returns
-        snapshots expired. Rejected inside a transaction."""
+        but the latest), or exactly ``versions`` (the corpus's
+        ``versions => [..]`` form; the latest is always kept) —
+        ducklake_expire_snapshots parity (corpus: cleanup/ +
+        sql/compaction/expire_snapshots.test). ``dry_run`` counts
+        without deleting. Returns snapshots expired. Rejected inside a
+        transaction."""
         from .table_writer import _catalog_writer
         if self._txn_base is not None:
             raise InvalidConfig(
                 "expire_snapshots inside a transaction is not supported")
         writer = _catalog_writer(self)
         try:
-            n = writer.expire_snapshots(before)
+            if versions is not None:
+                n = writer.expire_snapshot_ids(versions, dry_run=dry_run)
+            elif dry_run:
+                cur = self.provider.get_current_snapshot()
+                cutoff = cur if before is None else min(before, cur)
+                n = sum(1 for s in self.provider.list_snapshots()
+                        if s.snapshot_id < cutoff)
+            else:
+                n = writer.expire_snapshots(before)
         finally:
             writer.close()
-        self.refresh()
+        if not dry_run:
+            self.refresh()
         return n
 
     def cleanup_old_files(self, dry_run: bool = False) -> list[str]:

@@ -283,6 +283,12 @@ class MetadataProvider:
                 int(nulls) if nulls is not None else None, mn, mx)
         return out
 
+    def snapshot_exists(self, snapshot_id: int) -> bool:
+        rows = self._fetchall(
+            "SELECT 1 FROM ducklake_snapshot WHERE snapshot_id = ?",
+            (int(snapshot_id),))
+        return bool(rows)
+
     def get_snapshot_at_timestamp(self, ts: str) -> Optional[int]:
         """Newest snapshot at or before the ISO timestamp (the
         AT (TIMESTAMP => ...) resolution rule). Lexicographic compare is

@@ -1211,6 +1211,34 @@ class CatalogWriter:
                         "WHERE snapshot_id < ?", (cutoff,))
             return n
 
+    def expire_snapshot_ids(self, versions: list[int],
+                            dry_run: bool = False) -> int:
+        """Selective expiry (the corpus's ``versions => [..]`` form):
+        drop exactly the listed time-travel points. The latest snapshot
+        is always kept. Returns snapshots (that would be) expired."""
+        with self._txn() as cur:
+            latest = cur.execute(
+                "SELECT MAX(snapshot_id) FROM ducklake_snapshot"
+            ).fetchall()[0][0]
+            if latest is None:
+                return 0
+            doomed = [int(v) for v in versions if int(v) != int(latest)]
+            live = [r[0] for v in doomed for r in cur.execute(
+                "SELECT snapshot_id FROM ducklake_snapshot "
+                "WHERE snapshot_id = ?", (v,)).fetchall()]
+            if dry_run:
+                return len(live)
+            for v in live:
+                cur.execute("DELETE FROM ducklake_snapshot "
+                            "WHERE snapshot_id = ?", (v,))
+            cur.execute(
+                "CREATE TABLE IF NOT EXISTS ducklake_snapshot_changes ("
+                "snapshot_id BIGINT NOT NULL, changes_made VARCHAR)")
+            for v in live:
+                cur.execute("DELETE FROM ducklake_snapshot_changes "
+                            "WHERE snapshot_id = ?", (v,))
+            return len(live)
+
     def list_expired_files(self) -> list[tuple]:
         """(file_path, file_rel, table_path, table_rel, schema_path,
         schema_rel) of every data/delete file ended before the oldest

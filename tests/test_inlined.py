@@ -36,6 +36,10 @@ def dl(spark, tmp_path):
     tid = session.table_handle("main.t").meta.table_id
 
     con = sqlite3.connect(db)
+    # snapshot 2 (the flush point) must exist as a row: pinning at a
+    # nonexistent version is rejected (attach_at_snapshot parity)
+    con.execute(
+        "INSERT INTO ducklake_snapshot (snapshot_id) VALUES (2)")
     con.execute(
         "INSERT INTO ducklake_snapshot (snapshot_id) VALUES (3)")
     con.execute(
