@@ -576,7 +576,10 @@ class DuckLakeSession:
     _TRUNCATE_RE = re.compile(
         r"^\s*TRUNCATE(?:\s+TABLE)?\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.I)
     _UPDATE_RE = re.compile(
-        r"^\s*UPDATE\s+([A-Za-z_][\w.]*)\s+SET\s+(.*?)"
+        r"^\s*UPDATE\s+([A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(?!SET\b)(\w+))?"
+        r"\s+SET\s+(.*?)"
+        r"(?:\s+FROM\s+([A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?"
+        r"(?!WHERE\b)(\w+))?)?"
         r"(?:\s+WHERE\s+(.*?))?\s*;?\s*$", re.I | re.S)
     _INSERT_RE = re.compile(
         r"^\s*INSERT\s+INTO\s+([A-Za-z_][\w.]*)\s*"
@@ -751,6 +754,16 @@ class DuckLakeSession:
         r"^\s*DROP\s+SCHEMA\s+(IF\s+EXISTS\s+)?([A-Za-z_]\w*)"
         r"\s*(CASCADE)?\s*;?\s*$", re.I)
 
+    def _resolve_df(self, name: str) -> DataFrame:
+        """A joinable DataFrame for a DML source reference: a lake table
+        when the name resolves in the catalog, else any registered Spark
+        view (through the dotted-name rewrites)."""
+        if "." in name or any(
+                name == t for s in self.catalog.schema_names()
+                for t in self.catalog.schema(s).table_names()):
+            return self.table(name)
+        return self.spark.table(self._view_rewrites.get(name, name))
+
     def _try_dml(self, query: str) -> Optional[DataFrame]:
         m = self._CALL_RE.match(query)
         if m:
@@ -886,26 +899,32 @@ class DuckLakeSession:
             # sides get their (alias or bare) names so the condition's
             # qualified references resolve
             from .operators.dml import delete_rows
-            using_df = self.table(src) if "." in src or any(
-                src == t for s in self.catalog.schema_names()
-                for t in self.catalog.schema(s).table_names()) \
-                else self.spark.table(
-                    self._view_rewrites.get(src, src))
-            using_df = using_df.alias(salias or src.rsplit(".", 1)[-1])
+            using_df = self._resolve_df(src).alias(
+                salias or src.rsplit(".", 1)[-1])
             n = delete_rows(
                 self, target, cond or "true", using=using_df,
                 target_alias=talias or target.rsplit(".", 1)[-1])
             return self._count_df(n)
         m = self._UPDATE_RE.match(query)
         if m:
+            target, talias, sets, src, salias, cond = m.groups()
             assignments = {}
-            for part in self._split_top_level(m.group(2)):
+            for part in self._split_top_level(sets):
                 col, _, expr = part.partition("=")
                 if not _:
                     raise InvalidConfig(f"UPDATE: bad SET clause {part!r}")
                 assignments[col.strip()] = expr.strip()
-            return self._count_df(
-                self.update_where(m.group(1), assignments, m.group(3)))
+            if src is None:
+                return self._count_df(
+                    self.update_where(target, assignments, cond))
+            # UPDATE ... FROM (sql/update/update_join tests): inner join
+            # to the source, ambiguous multi-matches rejected
+            from .operators.dml import update_rows
+            from_df = self._resolve_df(src).alias(
+                salias or src.rsplit(".", 1)[-1])
+            return self._count_df(update_rows(
+                self, target, assignments, cond, from_df=from_df,
+                target_alias=talias or target.rsplit(".", 1)[-1]))
         m = self._PARTITION_RE.match(query)
         if m:
             cols = ([] if m.group(3)

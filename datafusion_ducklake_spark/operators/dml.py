@@ -341,11 +341,17 @@ def delete_rows(session, name: str,
 
 
 def update_rows(session, name: str, assignments: dict,
-                condition: Union[str, Column, None] = None) -> int:
-    """UPDATE name SET assignments WHERE condition — MOR delete of the
-    matched positions + append of the rewritten rows (fresh rowids, the
-    DuckLake update contract). ``assignments``: column -> SQL expr string
-    or Column, evaluated over the matched rows. Returns rows updated."""
+                condition: Union[str, Column, None] = None,
+                from_df: Optional[DataFrame] = None,
+                target_alias: Optional[str] = None) -> int:
+    """UPDATE name SET assignments [FROM from_df] WHERE condition — MOR
+    delete of the matched positions + append of the rewritten rows
+    (fresh rowids, the DuckLake update contract). ``assignments``:
+    column -> SQL expr string or Column, evaluated over the matched rows
+    (with ``from_df``, over the join — so they may reference the source;
+    a target row matching MULTIPLE source rows is rejected as ambiguous,
+    the corpus's update_join_duplicates contract). Returns rows
+    updated."""
     handle = session.table_handle(name)
     data_cols = [c.column_name for c in handle.columns]
     unknown = set(assignments) - set(data_cols)
@@ -356,23 +362,42 @@ def update_rows(session, name: str, assignments: dict,
     # delete-position write and the rewrite append) consume it, and the
     # cache bounds the live scan + predicate to ONE execution. Size is
     # bounded by the rewrite set, which is materialized as parquet anyway.
-    matched = live.filter(_as_condition(condition)).persist()
+    if from_df is not None:
+        from pyspark.sql import Window
+        lv = live.alias(target_alias) if target_alias else live
+        cached = (lv.join(from_df, _as_condition(condition), "inner")
+                  .withColumn("__n_matches",
+                              F.count(F.lit(1)).over(
+                                  Window.partitionBy(FILE_COL, POS_COL)))
+                  .persist())
+        if cached.filter(F.col("__n_matches") > 1).limit(1).count():
+            cached.unpersist()
+            raise InvalidConfig(
+                "UPDATE ... FROM: a target row matches multiple source "
+                "rows — ambiguous update rejected")
+        matched = cached.drop("__n_matches")
+    else:
+        cached = matched = live.filter(_as_condition(condition)).persist()
     try:
         types = {f.name: f.dataType for f in handle.spark_schema.fields}
         # cast every assignment to the column's catalog type — SQL literals
         # otherwise change it (Spark parses `0.0` as DECIMAL(1,1), not
         # DOUBLE)
+        # with FROM, unassigned target columns must be alias-qualified:
+        # the join output may carry same-named source columns
+        ref = (lambda c: F.col(f"{target_alias}.{c}")) \
+            if from_df is not None and target_alias else F.col
         updated = matched.select(*[
             (F.expr(assignments[c]) if isinstance(assignments[c], str)
              else assignments[c]).cast(types[c]).alias(c)
-            if c in assignments else F.col(c)
+            if c in assignments else ref(c).alias(c)
             for c in data_cols])
         n_matched, _ = _delete_and_append(
             session, handle, matched.select(FILE_COL, POS_COL), updated,
             append_only_if_matched=True)
         return n_matched
     finally:
-        matched.unpersist()
+        cached.unpersist()
 
 
 def merge_rows(session, target: str, source: DataFrame, on: list[str],
