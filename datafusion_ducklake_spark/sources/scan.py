@@ -278,12 +278,15 @@ def scan_table(spark: SparkSession, schema: T.StructType,
                                               [f.data_uri for f in clean]))
                 df = apply_mapping(df, schema, mcols, (), [PATH_COL])
                 for live, src in hive_keys:
+                    # anchor at a path-segment start: a bare "pk=" would
+                    # also match inside "other_pk=5"
                     df = df.withColumn(
                         live,
                         F.nullif(
                             F.regexp_extract(
                                 F.col(PATH_COL),
-                                re.escape(src) + "=([^/]+)", 1),
+                                "(?:^|/)" + re.escape(src) + "=([^/]+)",
+                                1),
                             F.lit("")).cast(types[live]))
                 parts.append(df.drop(PATH_COL))
                 shape_files = [f for f in shape_files

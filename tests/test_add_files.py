@@ -92,8 +92,10 @@ def test_hive_many_partitions_single_scan(dl, spark, tmp_path):
     no per-partition scan explosion at 100k-partition scale."""
     dl.create_table("main.hm", spark.sql(
         "SELECT CAST(NULL AS INT) pk, CAST(NULL AS STRING) v WHERE false"))
+    # decoy segment whose name merely ENDS with "pk=": the value regexp
+    # must anchor at a path-segment start
     for pk in range(40):
-        d = tmp_path / f"hm/pk={pk}"
+        d = tmp_path / f"hm/decoy_pk=999/pk={pk}"
         d.mkdir(parents=True)
         _copy(f"SELECT 'val{pk}' v", f"{d}/data.parquet")
     dl.add_files("main.hm", [f"{tmp_path}/hm/**/*.parquet"])
