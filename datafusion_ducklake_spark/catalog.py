@@ -485,6 +485,9 @@ class DuckLakeSession:
         of poisoning ``sql()`` for the whole catalog."""
         import warnings
 
+        previously = set(getattr(self, "_registered_temp", set()))
+        registered: set[str] = set()
+        self._registered_temp = registered
         self._view_rewrites.clear()
         for schema_name in self.catalog.schema_names():
             schema = self.catalog.schema(schema_name)
@@ -498,9 +501,11 @@ class DuckLakeSession:
                     continue
                 flat = f"{schema_name}__{table_name}"
                 df.createOrReplaceTempView(flat)
+                registered.add(flat)
                 self._view_rewrites[f"{schema_name}.{table_name}"] = flat
                 if schema_name == DEFAULT_SCHEMA:
                     df.createOrReplaceTempView(table_name)
+                    registered.add(table_name)
         # catalog-persisted SQL views (ducklake_view) register after every
         # table, so their bodies resolve dotted table names; within a
         # schema they register in view_id (creation) order, so views over
@@ -521,9 +526,15 @@ class DuckLakeSession:
                     continue
                 flat = f"{schema_name}__{v.view_name}"
                 df.createOrReplaceTempView(flat)
+                registered.add(flat)
                 self._view_rewrites[f"{schema_name}.{v.view_name}"] = flat
                 if schema_name == DEFAULT_SCHEMA:
                     df.createOrReplaceTempView(v.view_name)
+                    registered.add(v.view_name)
+        # stale views from DROPped/RENAMEd entities must stop resolving
+        # (a lingering temp view would silently serve the old state)
+        for gone in previously - registered:
+            self.spark.catalog.dropTempView(gone)
 
     @staticmethod
     def _rewrite_outside_literals(query: str,
@@ -591,6 +602,7 @@ class DuckLakeSession:
         r"|ADD\s+COLUMN\s+(\w+)\s+([\w()]+)(?:\s+DEFAULT\s+(.+?))?"
         r"|DROP\s+COLUMN\s+(\w+)"
         r"|ALTER\s+(?:COLUMN\s+)?(\w+)\s+(SET|DROP)\s+NOT\s+NULL"
+        r"|RENAME\s+TO\s+(\w+)"
         r")\s*;?\s*$", re.I | re.S)
     _CTAS_RE = re.compile(
         r"^\s*CREATE\s+TABLE\s+([A-Za-z_][\w.]*)\s+AS\s+(SELECT\s.*?)"
@@ -959,6 +971,8 @@ class DuckLakeSession:
                     self.set_not_null(name, m.group(8))
                 else:
                     self.drop_not_null(name, m.group(8))
+            elif m.group(10):
+                self.rename_table(name, m.group(10))
             else:
                 self.drop_column(name, m.group(7))
             return self._count_df(0)
@@ -1336,6 +1350,20 @@ class DuckLakeSession:
         writer = _catalog_writer(self)
         try:
             writer.version_columns(handle.meta.table_id, cols)
+        finally:
+            writer.close()
+        self.refresh()
+
+    def rename_table(self, name: str, new_name: str) -> None:
+        """ALTER TABLE name RENAME TO new_name (corpus:
+        sql/alter/rename_table*): MVCC metadata-only rename — same
+        table_id keeps files/columns/rowids; time travel before the
+        rename resolves the old name; the storage path is unchanged."""
+        from .table_writer import _catalog_writer
+        handle = self.table_handle(name)
+        writer = _catalog_writer(self)
+        try:
+            writer.rename_table(handle.meta.table_id, new_name)
         finally:
             writer.close()
         self.refresh()

@@ -56,7 +56,7 @@ CREATE TABLE IF NOT EXISTS ducklake_schema (
     end_snapshot INTEGER
 );
 CREATE TABLE IF NOT EXISTS ducklake_table (
-    table_id INTEGER PRIMARY KEY,
+    table_id INTEGER NOT NULL,
     schema_id INTEGER NOT NULL,
     table_name VARCHAR NOT NULL,
     path VARCHAR NOT NULL DEFAULT '',
@@ -612,6 +612,44 @@ class CatalogWriter:
                 labels = [f"inserted_into_table:{table_id}"]
             self._record_changes(cur, sid, labels)
             return WriteSetup(sid, schema_id, table_id, column_ids)
+
+    def rename_table(self, table_id: int, new_name: str) -> int:
+        """ALTER TABLE ... RENAME TO (corpus: sql/alter/rename_table*):
+        MVCC rename — end the current table row, begin one with the SAME
+        table_id (files, columns, rowids all keyed by id, so zero data
+        moves) and the new name; the storage path keeps the old name.
+        Time travel before the rename still resolves the old name."""
+        validate_name(new_name, "Table")
+        with self._txn() as cur:
+            rows = cur.execute(
+                "SELECT schema_id, path, path_is_relative FROM "
+                "ducklake_table WHERE table_id = ? AND end_snapshot IS "
+                "NULL", (table_id,)).fetchall()
+            if not rows:
+                raise InvalidConfig(f"no live table with id {table_id}")
+            schema_id, path, rel = rows[0]
+            dup = cur.execute(
+                "SELECT 1 FROM ducklake_table WHERE schema_id = ? AND "
+                "table_name = ? AND end_snapshot IS NULL",
+                (schema_id, new_name)).fetchall()
+            if dup:
+                raise InvalidConfig(
+                    f"Table already exists: {new_name}")
+            sid = self._next_id(cur, "ducklake_snapshot", "snapshot_id")
+            cur.execute(
+                "INSERT INTO ducklake_snapshot (snapshot_id, snapshot_time) "
+                "VALUES (?, CURRENT_TIMESTAMP)", (sid,))
+            cur.execute(
+                "UPDATE ducklake_table SET end_snapshot = ? "
+                "WHERE table_id = ? AND end_snapshot IS NULL",
+                (sid, table_id))
+            cur.execute(
+                "INSERT INTO ducklake_table (table_id, schema_id, "
+                "table_name, path, path_is_relative, begin_snapshot) "
+                "VALUES (?, ?, ?, ?, ?, ?)",
+                (table_id, schema_id, new_name, path, rel, sid))
+            self._record_changes(cur, sid, [f"renamed_table:{table_id}"])
+            return sid
 
     def drop_table(self, table_id: int) -> int:
         """End the table, its columns and its files in one new snapshot —

@@ -127,6 +127,11 @@ _CALL_TABLE_RE = re.compile(
     r"\bCALL\s+ducklake_(?:add_data_files|flush_inlined_data)\s*\(\s*"
     r"'(?:\w+\.)?(\w+)'", re.IGNORECASE)
 
+# ALTER TABLE old RENAME TO new: the NEW name needs mirroring too (the
+# old one falls out via the TableNotFound drop path)
+_RENAME_TO_RE = re.compile(r"\bRENAME\s+TO\s+([A-Za-z_][\w.]*)",
+                           re.IGNORECASE)
+
 
 class HybridRunner:
     def __init__(self, spark, tmpdir: str):
@@ -279,7 +284,8 @@ class HybridRunner:
                     self._views.discard(name)
             sync_tables = dict.fromkeys(
                 _TABLE_RE.findall(case.sql)
-                + _CALL_TABLE_RE.findall(case.sql))
+                + _CALL_TABLE_RE.findall(case.sql)
+                + _RENAME_TO_RE.findall(case.sql))
             if re.match(r"\s*(ROLLBACK|COMMIT|BEGIN)\b", case.sql, re.I):
                 # transaction boundary: the engine may have rewound any
                 # table (including re-creating a dropped one) — resync
