@@ -603,6 +603,8 @@ class DuckLakeSession:
         r"|DROP\s+COLUMN\s+(\w+)"
         r"|ALTER\s+(?:COLUMN\s+)?(\w+)\s+(SET|DROP)\s+NOT\s+NULL"
         r"|RENAME\s+TO\s+(\w+)"
+        r"|ALTER\s+(?:COLUMN\s+)?(\w+)\s+(?:SET\s+DATA\s+)?TYPE\s+"
+        r"([\w()<>, ]+)"
         r")\s*;?\s*$", re.I | re.S)
     _CTAS_RE = re.compile(
         r"^\s*CREATE\s+TABLE\s+([A-Za-z_][\w.]*)\s+AS\s+(SELECT\s.*?)"
@@ -973,6 +975,9 @@ class DuckLakeSession:
                     self.drop_not_null(name, m.group(8))
             elif m.group(10):
                 self.rename_table(name, m.group(10))
+            elif m.group(11):
+                self.promote_column_type(name, m.group(11),
+                                         m.group(12).strip())
             else:
                 self.drop_column(name, m.group(7))
             return self._count_df(0)
@@ -1384,6 +1389,36 @@ class DuckLakeSession:
             (c.column_id, ColumnDef(new if c.column_name == old
                                     else c.column_name,
                                     c.column_type, c.nulls_allowed,
+                                    c.initial_default, c.default_value))
+            for c in handle.columns])
+
+    def promote_column_type(self, name: str, col_name: str,
+                            new_type: str) -> None:
+        """ALTER TABLE name ALTER col SET DATA TYPE new_type (corpus:
+        sql/alter/promote_type.test): metadata-only along the DuckLake
+        promotion rules (int widening, float32→float64, int→float64,
+        decimal widening, timestamp→timestamptz) — existing files keep
+        their narrower physical type; Spark's parquet reader widens at
+        scan time (verified: int32 files read under a bigint/decimal
+        schema natively). Lossy changes are rejected."""
+        from .metadata.writer import ColumnDef
+        from .types import is_promotable, normalize_ducklake_type
+        handle = self.table_handle(name)
+        cols = {c.column_name: c for c in handle.columns}
+        if col_name not in cols:
+            raise InvalidConfig(
+                f"promote_column_type: no column {col_name!r} in {name}")
+        canon = normalize_ducklake_type(new_type)
+        old = cols[col_name].column_type
+        if not is_promotable(old, canon):
+            raise InvalidConfig(
+                f"Type promotion from {old} to {canon} is not allowed "
+                "(only safe widenings)")
+        self._alter_columns(name, [
+            (c.column_id, ColumnDef(c.column_name,
+                                    canon if c.column_name == col_name
+                                    else c.column_type,
+                                    c.nulls_allowed,
                                     c.initial_default, c.default_value))
             for c in handle.columns])
 
