@@ -112,13 +112,16 @@ _PII_URL = r"https?://[^\s]+"
 
 
 def pii_counts(col: Column | str) -> dict[str, Column]:
-    """Per-document counts of common PII / link patterns (emails, phone
-    numbers, URLs) — the detection half of a scrubbing stage. regexp_count
-    is JVM-side codegen; no UDF."""
+    """Per-document counts of common PII / link patterns — the detection
+    half of a scrubbing stage. regexp_count is JVM-side codegen; no UDF.
+    Keys: n_emails, n_phones, n_urls (loose patterns) plus n_ssns,
+    n_ipv4s (the strict dialect-portable patterns redact_pii uses)."""
     c = F.col(col) if isinstance(col, str) else col
     return {"n_emails": F.regexp_count(c, F.lit(_PII_EMAIL)),
             "n_phones": F.regexp_count(c, F.lit(_PII_PHONE)),
-            "n_urls": F.regexp_count(c, F.lit(_PII_URL))}
+            "n_urls": F.regexp_count(c, F.lit(_PII_URL)),
+            "n_ssns": F.regexp_count(c, F.lit(PII_SSN_RE)),
+            "n_ipv4s": F.regexp_count(c, F.lit(PII_IPV4_RE))}
 
 
 def scrub_pii(col: Column | str) -> Column:
@@ -158,12 +161,4 @@ def redact_pii(col: Column | str) -> Column:
     return c
 
 
-def pii_counts(col: Column | str) -> dict[str, Column]:
-    """{kind: per-row match count} for audit metrics (regexp_count —
-    JVM-side, no Python)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return {
-        "emails": F.regexp_count(c, F.lit(PII_EMAIL_RE)),
-        "ssns": F.regexp_count(c, F.lit(PII_SSN_RE)),
-        "ipv4s": F.regexp_count(c, F.lit(PII_IPV4_RE)),
-    }
+# (per-row audit counts live in pii_counts above — one shared surface)

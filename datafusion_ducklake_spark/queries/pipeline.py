@@ -378,9 +378,9 @@ def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.col("doc_id") % 255).cast("string")))
     counts = pii_counts("aug")
     red = aug.withColumn("redacted", redact_pii("aug")) \
-             .withColumn("n_emails", counts["emails"]) \
-             .withColumn("n_ssns", counts["ssns"]) \
-             .withColumn("n_ipv4s", counts["ipv4s"]) \
+             .withColumn("n_emails", counts["n_emails"]) \
+             .withColumn("n_ssns", counts["n_ssns"]) \
+             .withColumn("n_ipv4s", counts["n_ipv4s"]) \
              .withColumn("survivors",
                          F.regexp_count("redacted", F.lit(PII_EMAIL_RE)))
     return (red.groupBy("source")
