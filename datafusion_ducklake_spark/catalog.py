@@ -61,10 +61,9 @@ class DuckLakeTable:
         # Eager file-list resolution == snapshot pinning under lazy Spark.
         self.files: list[ResolvedFile] = []
         self._raw_files = provider.get_data_files(meta.table_id, snapshot_id)
-        self._name_maps = (
-            provider.get_name_mappings(meta.table_id)
-            if any(f.mapping_id is not None for f in self._raw_files)
-            else {})
+        # lazy: CDC reads mappings for files no longer live at this
+        # snapshot, so the fetch must not depend on the current file list
+        self._name_maps_cache: Optional[dict] = None
         self._live_names = {c.column_id: c.column_name
                             for c in self.columns}
         for f in self._raw_files:
@@ -100,9 +99,14 @@ class DuckLakeTable:
         files (different column_id), and is_partition rows inject the
         hive path value. The transform only engages when it differs from
         a plain by-name read (rename, dead column, or hive injection)."""
-        if mapping_id not in self._name_maps:
+        if mapping_id is None:
             return None, None
-        rows = sorted(self._name_maps[mapping_id])
+        if self._name_maps_cache is None:
+            self._name_maps_cache = \
+                self._provider.get_name_mappings(self.meta.table_id)
+        if mapping_id not in self._name_maps_cache:
+            return None, None
+        rows = sorted(self._name_maps_cache[mapping_id])
         live = self._live_names
         mapped = tuple((src, live[cid]) for cid, src, part in rows
                        if not part and cid in live)
@@ -1245,6 +1249,11 @@ class DuckLakeSession:
         self._macros = None
         if self._view_rewrites:
             self.register_views()
+        if getattr(self, "_sql_fns_registered", False):
+            # the UDTF closures capture snapshot_id at registration —
+            # re-register so ducklake_snapshots()/current_snapshot()/
+            # database_size() track the new pin
+            self.register_sql_functions()
 
     # -- UDTF / info-schema / CDC / write entry points (other modules) -----
 
@@ -1273,6 +1282,7 @@ class DuckLakeSession:
         / ducklake_list_files() (A14 parity)."""
         from .operators.udtf import register_sql_functions
         register_sql_functions(self)
+        self._sql_fns_registered = True
 
     def table_changes(self, name: str, start: int, end: int) -> DataFrame:
         from .operators.cdc import table_changes
@@ -1583,6 +1593,10 @@ class DuckLakeSession:
         writes: younger orphans are kept unless ``cleanup_all``. Local /
         file:// paths only (object stores raise a capability error).
         Returns the deleted (or, with dry_run, deletable) paths."""
+        if self.read_only:
+            # disk mutation — honors READ_ONLY like every catalog write
+            raise InvalidConfig(
+                "Cannot write to the catalog: the session is read-only")
         registered = {
             p.rsplit("/", 1)[-1]
             for p in self.provider.list_registered_file_names()}
@@ -1760,13 +1774,16 @@ class DuckLakeSession:
             raise InvalidConfig("no transaction in progress")
         pending = getattr(self, "_pending_audit", None)
         if pending is not None:
-            from .table_writer import _catalog_writer
-            writer = _catalog_writer(self)
-            try:
-                writer.set_snapshot_audit(
-                    self.provider.get_current_snapshot(), *pending)
-            finally:
-                writer.close()
+            snap = self.provider.get_current_snapshot()
+            # only stamp a snapshot THIS transaction created — an empty
+            # transaction must not clobber a prior commit's audit record
+            if snap > self._txn_base:
+                from .table_writer import _catalog_writer
+                writer = _catalog_writer(self)
+                try:
+                    writer.set_snapshot_audit(snap, *pending)
+                finally:
+                    writer.close()
             self._pending_audit = None
         self._txn_base = None
 

@@ -460,14 +460,20 @@ class CatalogWriter:
                 "INSERT INTO ducklake_snapshot (snapshot_id, snapshot_time) "
                 "VALUES (?, CURRENT_TIMESTAMP)", (sid,))
             for (tid,) in live:
-                cur.execute(
-                    "UPDATE ducklake_table SET end_snapshot = ? "
-                    "WHERE table_id = ? AND end_snapshot IS NULL",
-                    (sid, int(tid)))
-                cur.execute(
-                    "UPDATE ducklake_data_file SET end_snapshot = ? "
-                    "WHERE table_id = ? AND end_snapshot IS NULL",
-                    (sid, int(tid)))
+                # full drop_table shape: columns and delete files end
+                # too, or cleanup never reclaims them (live rows would
+                # reference dead tables forever)
+                for tbl in ("ducklake_table", "ducklake_column",
+                            "ducklake_data_file", "ducklake_delete_file"):
+                    cur.execute(
+                        f"UPDATE {tbl} SET end_snapshot = ? "
+                        "WHERE table_id = ? AND end_snapshot IS NULL",
+                        (sid, int(tid)))
+            cur.execute(self._VIEW_DDL)
+            cur.execute(
+                "UPDATE ducklake_view SET end_snapshot = ? "
+                "WHERE schema_id = ? AND end_snapshot IS NULL",
+                (sid, schema_id))
             cur.execute(
                 "UPDATE ducklake_schema SET end_snapshot = ? "
                 "WHERE schema_id = ? AND end_snapshot IS NULL",
@@ -613,6 +619,44 @@ class CatalogWriter:
             self._record_changes(cur, sid, labels)
             return WriteSetup(sid, schema_id, table_id, column_ids)
 
+    def _ensure_table_mvcc(self) -> None:
+        """Catalogs created before MVCC renames declared ``table_id
+        INTEGER PRIMARY KEY`` on ducklake_table — which rejects the
+        second same-id row a rename writes. Detect the constraint and
+        rebuild the table without it (copy-swap), once."""
+        has_pk = False
+        try:
+            if self._dialect == "sqlite":
+                with self._txn() as cur:
+                    has_pk = any(
+                        int(r[5]) == 1 for r in cur.execute(
+                            "PRAGMA table_info(ducklake_table)").fetchall())
+            else:
+                with self._txn() as cur:
+                    has_pk = bool(cur.execute(
+                        "SELECT 1 FROM duckdb_constraints() WHERE "
+                        "table_name = 'ducklake_table' AND "
+                        "constraint_type = 'PRIMARY KEY'").fetchall())
+        except Exception:
+            return
+        if not has_pk:
+            return
+        with self._txn() as cur:
+            cur.execute("ALTER TABLE ducklake_table RENAME TO "
+                        "__ducklake_table_pk")
+            cur.execute(
+                "CREATE TABLE ducklake_table ("
+                "table_id INTEGER NOT NULL, schema_id INTEGER NOT NULL, "
+                "table_name VARCHAR NOT NULL, "
+                "path VARCHAR NOT NULL DEFAULT '', "
+                "path_is_relative BOOLEAN NOT NULL DEFAULT 1, "
+                "begin_snapshot INTEGER NOT NULL, end_snapshot INTEGER)")
+            cur.execute(
+                "INSERT INTO ducklake_table SELECT table_id, schema_id, "
+                "table_name, path, path_is_relative, begin_snapshot, "
+                "end_snapshot FROM __ducklake_table_pk")
+            cur.execute("DROP TABLE __ducklake_table_pk")
+
     def rename_table(self, table_id: int, new_name: str) -> int:
         """ALTER TABLE ... RENAME TO (corpus: sql/alter/rename_table*):
         MVCC rename — end the current table row, begin one with the SAME
@@ -620,6 +664,7 @@ class CatalogWriter:
         moves) and the new name; the storage path keeps the old name.
         Time travel before the rename still resolves the old name."""
         validate_name(new_name, "Table")
+        self._ensure_table_mvcc()
         with self._txn() as cur:
             rows = cur.execute(
                 "SELECT schema_id, path, path_is_relative FROM "

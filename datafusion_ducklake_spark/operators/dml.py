@@ -96,7 +96,8 @@ def _live_with_filepos(session, handle) -> DataFrame:
         for f in mapped:
             groups.setdefault((f.mapped_cols, f.hive_values or ()),
                               []).append(f)
-        for (mcols, hive), group in sorted(groups.items()):
+        for (mcols, hive), group in sorted(groups.items(),
+                                           key=lambda kv: repr(kv[0])):
             read_schema = T.StructType(
                 [T.StructField(src, types[dst], True)
                  for src, dst in mcols])

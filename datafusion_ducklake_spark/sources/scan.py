@@ -269,13 +269,24 @@ def scan_table(spark: SparkSession, schema: T.StructType,
                  for src, dst in mcols])
             combos = {f.hive_values for f in shape_files}
             clean = [f for f in shape_files if f.delete_uri is None]
+            # The regexp path reads RAW path segments, so it only serves
+            # files whose values are path-faithful (no percent-escapes,
+            # no NULL marker). Faithful iff quoting is a no-op — urllib
+            # escapes a superset of hive's escape set, so over-flagging
+            # only sends a file to the exact literal branches.
+            from urllib.parse import quote
+            faithful = lambda c: all(  # noqa: E731
+                v is not None and quote(v, safe="") == v
+                for _, _, v in (c or ()))
+            scale_files = [f for f in clean if faithful(f.hive_values)]
             if hive_keys and len(combos) > MAX_HIVE_VALUE_BRANCHES \
-                    and not with_rowid and not with_virtual and clean:
-                # one scan for every clean hive file; MOR-dirty files
-                # (rare — DML over an imported partition) fall through
+                    and not with_rowid and not with_virtual and scale_files:
+                # one scan for every clean path-faithful hive file;
+                # MOR-dirty and escaped-value files (rare) fall through
                 # to the literal branches below
-                df = _with_path(_read_parquet(spark, read_schema,
-                                              [f.data_uri for f in clean]))
+                df = _with_path(_read_parquet(
+                    spark, read_schema,
+                    [f.data_uri for f in scale_files]))
                 df = apply_mapping(df, schema, mcols, (), [PATH_COL])
                 for live, src in hive_keys:
                     # anchor at a path-segment start: a bare "pk=" would
@@ -289,14 +300,18 @@ def scan_table(spark: SparkSession, schema: T.StructType,
                                 1),
                             F.lit("")).cast(types[live]))
                 parts.append(df.drop(PATH_COL))
+                taken = {id(f) for f in scale_files}
                 shape_files = [f for f in shape_files
-                               if f.delete_uri is not None]
+                               if id(f) not in taken]
                 if not shape_files:
                     continue
             groups: dict[tuple, list[ResolvedFile]] = {}
             for f in shape_files:
                 groups.setdefault(f.hive_values or (), []).append(f)
-            for hive, group in sorted(groups.items()):
+            # repr-keyed sort: value tuples may mix None (the hive NULL
+            # marker) with strings, which plain tuple compare rejects
+            for hive, group in sorted(groups.items(),
+                                      key=lambda kv: repr(kv[0])):
                 plain = [dataclasses.replace(f, mapped_cols=None,
                                              hive_values=None)
                          for f in group]
@@ -395,18 +410,21 @@ def apply_mapping(df: DataFrame, schema: T.StructType,
     """Rename a name-mapped file's columns to their live names, stamp
     hive path values as typed literals and NULL-fill uncovered live
     columns (add_files contract — see ResolvedFile.mapped_cols).
-    ``extras``: pass-through columns (positions, virtual cols)."""
+    ``extras``: pass-through columns (positions, virtual cols). Output
+    columns come back in TABLE-SCHEMA ORDER (+ extras) — a mapped part
+    must not reorder SELECT * / toArrow consumers."""
     types = {fld.name: fld.dataType for fld in schema.fields}
     covered = {dst for _, dst in mapped_cols}
+    present = [c for c in extras if c in df.columns]
     df = df.select(*[F.col(src).alias(dst) for src, dst in mapped_cols],
-                   *[c for c in extras if c in df.columns])
+                   *present)
     for col, val in (hive_values or ()):
         df = df.withColumn(col, F.lit(val).cast(types[col]))
         covered.add(col)
     for fld in schema.fields:
         if fld.name not in covered:
             df = df.withColumn(fld.name, F.lit(None).cast(fld.dataType))
-    return df
+    return df.select(*[fld.name for fld in schema.fields], *present)
 
 
 def read_file_with_pos(spark: SparkSession, schema: T.StructType,

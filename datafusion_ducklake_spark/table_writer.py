@@ -733,12 +733,16 @@ def create_or_insert(session, name: str, df: DataFrame, mode: str,
         # path; simple scalar columns only (arrays/structs/binary fall
         # through to parquet).
         if write_mode == WriteMode.APPEND:
-            n_inlined = _try_inline_append(session, writer, setup,
-                                           table_meta.table_id, df,
-                                           not_null)
-            if n_inlined is not None:
-                if commit_marker is not None:
+            # reentrant txn: the inline rows and the streaming sink's
+            # batch marker commit atomically (same guarantee as the
+            # parquet registration path)
+            with writer._txn():
+                n_inlined = _try_inline_append(session, writer, setup,
+                                               table_meta.table_id, df,
+                                               not_null)
+                if n_inlined is not None and commit_marker is not None:
                     writer.set_option(commit_marker[0], commit_marker[1])
+            if n_inlined is not None:
                 session.refresh()
                 return n_inlined
 

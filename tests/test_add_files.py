@@ -108,3 +108,45 @@ def test_hive_many_partitions_single_scan(dl, spark, tmp_path):
     assert plan.count("Relation") <= 2, plan
     # filters on derived values still work
     assert df.filter("pk = 17").collect()[0]["v"] == "val17"
+
+
+def test_hive_null_marker_and_escaped_values(dl, spark, tmp_path):
+    """__HIVE_DEFAULT_PARTITION__ reads as NULL and percent-escaped
+    values decode — with None/str value mixes surviving the scan's
+    group sort (review fix: sorted() TypeError)."""
+    dl.create_table("main.hx", spark.sql(
+        "SELECT CAST(NULL AS STRING) pk, CAST(NULL AS STRING) v "
+        "WHERE false"))
+    cases = [("a%20b", "a b"), ("plain", "plain"),
+             ("__HIVE_DEFAULT_PARTITION__", None)]
+    for raw, _dec in cases:
+        d = tmp_path / f"hx/pk={raw}"
+        d.mkdir(parents=True)
+        _copy(f"SELECT 'v_{raw}' v", f"{d}/data.parquet")
+    dl.add_files("main.hx", [f"{tmp_path}/hx/**/*.parquet"])
+    dl.refresh()
+    rows = {r["v"]: r["pk"] for r in dl.table("main.hx").collect()}
+    assert rows["v_a%20b"] == "a b"
+    assert rows["v_plain"] == "plain"
+    assert rows["v___HIVE_DEFAULT_PARTITION__"] is None
+    # DML over the same mix exercises the dml-side group sort too
+    assert dl.delete_from("main.hx", "pk IS NULL") == 1
+    dl.refresh()
+    assert dl.table("main.hx").count() == 2
+
+
+def test_hive_scan_preserves_schema_column_order(dl, spark, tmp_path):
+    """Partition columns declared FIRST in the table must come back
+    first from the mapped scan (review fix: apply_mapping appended
+    injected columns at the end)."""
+    dl.create_table("main.ho", spark.sql(
+        "SELECT CAST(NULL AS INT) pk, CAST(NULL AS STRING) v "
+        "WHERE false"))
+    d = tmp_path / "ho/pk=1"
+    d.mkdir(parents=True)
+    _copy("SELECT 'x' v", f"{d}/data.parquet")
+    dl.add_files("main.ho", [f"{tmp_path}/ho/**/*.parquet"])
+    dl.refresh()
+    df = dl.table("main.ho")
+    assert df.columns == ["pk", "v"]
+    assert df.collect()[0][0] == 1          # positional access

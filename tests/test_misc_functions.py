@@ -67,3 +67,64 @@ def test_at_timestamp_time_travel(dl, spark):
     from datafusion_ducklake_spark.errors import InvalidConfig as _IC
     with _pytest.raises(_IC, match="No snapshot found"):
         dl.sql("SELECT * FROM t AT (TIMESTAMP => '1999-01-01 00:00:00')")
+
+
+def test_rename_on_legacy_pk_catalog(dl, spark):
+    """Catalogs created before MVCC renames carry a table_id PRIMARY KEY;
+    rename must rebuild the table and succeed (review fix)."""
+    import sqlite3
+    con = sqlite3.connect(dl.catalog_path)
+    # recreate ducklake_table WITH the legacy primary key
+    rows = con.execute("SELECT table_id, schema_id, table_name, path, "
+                       "path_is_relative, begin_snapshot, end_snapshot "
+                       "FROM ducklake_table").fetchall()
+    con.execute("DROP TABLE ducklake_table")
+    con.execute(
+        "CREATE TABLE ducklake_table (table_id INTEGER PRIMARY KEY, "
+        "schema_id INTEGER NOT NULL, table_name VARCHAR NOT NULL, "
+        "path VARCHAR NOT NULL DEFAULT '', "
+        "path_is_relative BOOLEAN NOT NULL DEFAULT 1, "
+        "begin_snapshot INTEGER NOT NULL, end_snapshot INTEGER)")
+    con.executemany("INSERT INTO ducklake_table VALUES (?,?,?,?,?,?,?)",
+                    rows)
+    con.commit()
+    con.close()
+    dl.refresh()
+    dl.sql("ALTER TABLE t RENAME TO t_new")
+    assert dl.table("main.t_new").count() == 100
+
+
+def test_sql_functions_track_refresh(dl, spark):
+    """ducklake_current_snapshot()/snapshots() must follow the session
+    pin across writes (review fix: stale UDTF closures)."""
+    dl.register_sql_functions()
+    before = dl.sql(
+        "SELECT snapshot_id FROM ducklake_current_snapshot()"
+    ).collect()[0][0]
+    dl.insert_into("main.t", spark.range(3).selectExpr(
+        "id", "id % 7 AS grp"))
+    after = dl.sql(
+        "SELECT snapshot_id FROM ducklake_current_snapshot()"
+    ).collect()[0][0]
+    assert after == before + 1
+
+
+def test_drop_schema_cascade_ends_all_rows(dl, spark):
+    """CASCADE must end column/delete-file/view rows too, or cleanup
+    never reclaims them (review fix)."""
+    import sqlite3
+    dl.sql("CREATE SCHEMA scx")
+    dl.sql("CREATE TABLE scx.t1 AS SELECT CAST(1 AS INT) AS a")
+    dl.sql("DELETE FROM scx.t1 WHERE a = 1")      # makes a delete file
+    dl.sql("DROP SCHEMA scx CASCADE")
+    con = sqlite3.connect(dl.catalog_path)
+    tid = con.execute(
+        "SELECT table_id FROM ducklake_table WHERE table_name = 't1'"
+    ).fetchone()[0]
+    for tbl in ("ducklake_table", "ducklake_column",
+                "ducklake_data_file", "ducklake_delete_file"):
+        live = con.execute(
+            f"SELECT count(*) FROM {tbl} WHERE table_id = ? "
+            "AND end_snapshot IS NULL", (tid,)).fetchone()[0]
+        assert live == 0, tbl
+    con.close()

@@ -61,3 +61,23 @@ def test_stream_into_lake_exactly_once(spark, tmp_path):
     assert dl.table("main.sunk").count() == 20
     assert int(dl.provider.get_option(
         "stream_sink:t1:main.sunk")) == last_marker + 1
+
+
+def test_sink_marker_atomic_with_inlined_batch(spark, tmp_path):
+    """With data inlining on, the batch marker still commits atomically
+    with the rows (review fix: it previously landed in a second
+    transaction)."""
+    db = _mk_catalog(tmp_path)
+    dl = DuckLakeSession(spark, db)
+    dl.create_table("main.s2", spark.range(1).selectExpr("id"))
+    dl.set_option("data_inlining_row_limit", 100)
+    sink = ducklake_sink(db, "main.s2", source_id="inl")
+    sink(spark.range(10, 13).selectExpr("id"), 0)
+    dl.refresh()
+    assert dl.table("main.s2").count() == 4
+    assert len(dl.table_handle("main.s2").inlined_rows()) == 3
+    assert dl.provider.get_option("stream_sink:inl:main.s2") == "0"
+    # replay of the same epoch is skipped
+    sink(spark.range(10, 13).selectExpr("id"), 0)
+    dl.refresh()
+    assert dl.table("main.s2").count() == 4
