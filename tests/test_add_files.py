@@ -150,3 +150,29 @@ def test_hive_scan_preserves_schema_column_order(dl, spark, tmp_path):
     df = dl.table("main.ho")
     assert df.columns == ["pk", "v"]
     assert df.collect()[0][0] == 1          # positional access
+
+
+def test_hive_scale_path_with_escaped_minority(dl, spark, tmp_path):
+    """Past the branch threshold, faithful partitions take the one-scan
+    regexp path while escaped/NULL partitions keep exact literal
+    branches — same results either side of the split."""
+    dl.create_table("main.hs", spark.sql(
+        "SELECT CAST(NULL AS STRING) pk, CAST(NULL AS STRING) v "
+        "WHERE false"))
+    expect = {}
+    for i in range(40):
+        raw = f"p{i}"
+        d = tmp_path / f"hs/pk={raw}"
+        d.mkdir(parents=True)
+        _copy(f"SELECT 'v{i}' v", f"{d}/data.parquet")
+        expect[f"v{i}"] = raw
+    for raw, dec in [("x%20y", "x y"), ("__HIVE_DEFAULT_PARTITION__",
+                                        None)]:
+        d = tmp_path / f"hs/pk={raw}"
+        d.mkdir(parents=True)
+        _copy(f"SELECT 'v_{raw}' v", f"{d}/data.parquet")
+        expect[f"v_{raw}"] = dec
+    dl.add_files("main.hs", [f"{tmp_path}/hs/**/*.parquet"])
+    dl.refresh()
+    got = {r["v"]: r["pk"] for r in dl.table("main.hs").collect()}
+    assert got == expect
