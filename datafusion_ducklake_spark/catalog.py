@@ -613,6 +613,9 @@ class DuckLakeSession:
     _CTAS_RE = re.compile(
         r"^\s*CREATE\s+TABLE\s+([A-Za-z_][\w.]*)\s+AS\s+(SELECT\s.*?)"
         r"\s*;?\s*$", re.I | re.S)
+    _CREATE_COLS_RE = re.compile(
+        r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+        r"([A-Za-z_][\w.]*)\s*\((.+)\)\s*;?\s*$", re.I | re.S)
     _MERGE_RE = re.compile(
         r"^\s*MERGE\s+INTO\s+([A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(\w+))?"
         r"\s+USING\s+(\(.*?\)|[A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(\w+))?"
@@ -989,6 +992,12 @@ class DuckLakeSession:
         if m:
             return self._count_df(
                 self.create_table(m.group(1), self.sql(m.group(2))))
+        m = self._CREATE_COLS_RE.match(query)
+        if m:
+            self.create_empty_table(
+                m.group(2), m.group(3),
+                if_not_exists=bool(m.group(1)))
+            return self._count_df(0)
         m = self._DROP_RE.match(query)
         if m:
             ine = re.search(r"IF\s+EXISTS", query, re.I) is not None
@@ -2019,6 +2028,49 @@ class DuckLakeSession:
             return n_rows
         finally:
             writer.close()
+
+    def create_empty_table(self, name: str, col_defs: str,
+                           if_not_exists: bool = False) -> None:
+        """CREATE TABLE name (a INTEGER, b VARCHAR NOT NULL,
+        c INT DEFAULT 7, ...) — the column-definition DDL the corpus
+        uses everywhere. Types go through the DuckLake type parser
+        (nested struct/map/list included); NOT NULL and DEFAULT reach
+        the catalog like their ALTER counterparts."""
+        from pyspark.sql import types as T
+
+        from .metadata.writer import ColumnDef
+        from .table_writer import _catalog_writer
+        from .types import ducklake_to_spark_type
+        schema_name, table_name = self._split(name)
+        snap = self.provider.get_current_snapshot()
+        meta = self.provider.get_schema_by_name(schema_name, snap)
+        if meta is not None and self.provider.table_exists(
+                meta.schema_id, table_name, snap):
+            if if_not_exists:
+                return
+            raise InvalidConfig(f"Table already exists: {name}")
+        cols = []
+        for part in self._split_top_level(col_defs):
+            m = re.match(
+                r"^\s*\"?([A-Za-z_]\w*)\"?\s+(.+?)"
+                r"(\s+NOT\s+NULL)?(?:\s+DEFAULT\s+(.+?))?\s*$",
+                part, re.I | re.S)
+            if not m:
+                raise InvalidConfig(f"CREATE TABLE: bad column def {part!r}")
+            cname, ctype, notnull, default = m.groups()
+            mapped = ducklake_to_spark_type(ctype.strip())
+            cols.append(ColumnDef(cname, mapped.canonical,
+                                  not notnull,
+                                  None,
+                                  default.strip() if default else None))
+        from .metadata.writer import WriteMode
+        writer = _catalog_writer(self)
+        try:
+            writer.begin_write_transaction(
+                schema_name, table_name, cols, WriteMode.APPEND)
+        finally:
+            writer.close()
+        self.refresh()
 
     def create_table(self, name: str, df: DataFrame, mode: str = "error",
                      single_file: bool = True) -> int:
