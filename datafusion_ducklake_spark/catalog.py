@@ -768,6 +768,9 @@ class DuckLakeSession:
         r"^\s*CALL\s+ducklake_merge_adjacent_files\s*\(\s*\)\s*;?\s*$",
         re.I)
     _CHECKPOINT_RE = re.compile(r"^\s*CHECKPOINT\s*;?\s*$", re.I)
+    _COPY_RE = re.compile(
+        r"^\s*COPY\s+(\(.*\)|[A-Za-z_][\w.]*)\s+TO\s+'([^']+)'"
+        r"\s*(?:\(([^)]*)\))?\s*;?\s*$", re.I | re.S)
     _CREATE_SCHEMA_RE = re.compile(
         r"^\s*CREATE\s+SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)"
         r"\s*;?\s*$", re.I)
@@ -842,6 +845,10 @@ class DuckLakeSession:
         m = self._CHECKPOINT_RE.match(query)
         if m:
             return self._count_df(self.checkpoint())
+        m = self._COPY_RE.match(query)
+        if m:
+            return self._count_df(self.copy_to(
+                m.group(1), m.group(2), m.group(3) or ""))
         m = self._CREATE_SCHEMA_RE.match(query)
         if m:
             # multi-schema DDL (corpus: sql/catalog/schema.test)
@@ -2028,6 +2035,43 @@ class DuckLakeSession:
             return n_rows
         finally:
             writer.close()
+
+    def copy_to(self, source: str, dest: str, options: str = "") -> int:
+        """COPY (SELECT ...) TO 'file' / COPY table TO 'file' — the
+        export surface (single parquet or csv file; format from the
+        option list or the extension). Distributed compute, single-file
+        finalize (the export contract is ONE file). Returns rows
+        written."""
+        import shutil
+        import uuid as _uuid
+        if source.startswith("("):
+            df = self.sql(source[1:-1].strip())
+        else:
+            df = self.table(source if "." in source
+                            else f"{DEFAULT_SCHEMA}.{source}")
+        fmt = "csv" if re.search(r"FORMAT\s+CSV", options, re.I) \
+            or dest.lower().endswith(".csv") else "parquet"
+        if "://" in dest:
+            raise InvalidConfig(
+                f"COPY TO supports local paths only (got {dest})")
+        staging = f"{dest}.stage-{_uuid.uuid4().hex}"
+        try:
+            w = df.coalesce(1).write
+            if fmt == "csv":
+                w = w.option("header", "true")
+            getattr(w, fmt)(staging)
+            part = next(p for p in os.listdir(staging)
+                        if p.startswith("part-"))
+            os.makedirs(os.path.dirname(os.path.abspath(dest)),
+                        exist_ok=True)
+            shutil.move(os.path.join(staging, part), dest)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        if fmt == "parquet":
+            import pyarrow.parquet as pq
+            return pq.read_metadata(dest).num_rows
+        with open(dest) as f:
+            return max(sum(1 for _ in f) - 1, 0)
 
     def create_empty_table(self, name: str, col_defs: str,
                            if_not_exists: bool = False) -> None:
