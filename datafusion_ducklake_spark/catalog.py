@@ -771,6 +771,12 @@ class DuckLakeSession:
     _COPY_RE = re.compile(
         r"^\s*COPY\s+(\(.*\)|[A-Za-z_][\w.]*)\s+TO\s+'([^']+)'"
         r"\s*(?:\(([^)]*)\))?\s*;?\s*$", re.I | re.S)
+    _SHOW_TABLES_RE = re.compile(
+        r"^\s*SHOW\s+TABLES(?:\s+(?:FROM|IN)\s+([A-Za-z_]\w*))?\s*;?\s*$",
+        re.I)
+    _DESCRIBE_RE = re.compile(
+        r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([A-Za-z_][\w.]*)\s*;?\s*$",
+        re.I)
     _CREATE_SCHEMA_RE = re.compile(
         r"^\s*CREATE\s+SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)"
         r"\s*;?\s*$", re.I)
@@ -849,6 +855,26 @@ class DuckLakeSession:
         if m:
             return self._count_df(self.copy_to(
                 m.group(1), m.group(2), m.group(3) or ""))
+        m = self._SHOW_TABLES_RE.match(query)
+        if m:
+            snap = self.catalog.snapshot_id
+            target = m.group(1)
+            rows = [(s, t.table_name)
+                    for s, t in self.provider.list_all_tables(snap)
+                    if target is None or s == target]
+            return self.spark.createDataFrame(
+                rows or [], "schema_name STRING, table_name STRING")
+        m = self._DESCRIBE_RE.match(query)
+        if m:
+            handle = self.table_handle(
+                m.group(1) if "." in m.group(1)
+                else f"{DEFAULT_SCHEMA}.{m.group(1)}")
+            rows = [(c.column_name, c.column_type,
+                     "YES" if c.nulls_allowed else "NO", c.default_value)
+                    for c in handle.columns]
+            return self.spark.createDataFrame(
+                rows, "column_name STRING, column_type STRING, "
+                      "null STRING, default STRING")
         m = self._CREATE_SCHEMA_RE.match(query)
         if m:
             # multi-schema DDL (corpus: sql/catalog/schema.test)

@@ -128,3 +128,17 @@ def test_drop_schema_cascade_ends_all_rows(dl, spark):
             "AND end_snapshot IS NULL", (tid,)).fetchone()[0]
         assert live == 0, tbl
     con.close()
+
+
+def test_show_tables_and_describe(dl, spark):
+    dl.sql("CREATE SCHEMA aux2")
+    dl.sql("CREATE TABLE aux2.other (x INTEGER)")
+    rows = {(r["schema_name"], r["table_name"])
+            for r in dl.sql("SHOW TABLES").collect()}
+    assert ("main", "t") in rows and ("aux2", "other") in rows
+    assert {r["table_name"] for r in
+            dl.sql("SHOW TABLES FROM aux2").collect()} == {"other"}
+    desc = {r["column_name"]: (r["column_type"], r["null"])
+            for r in dl.sql("DESCRIBE t").collect()}
+    assert desc["id"][0] == "int64"
+    assert desc["grp"][1] == "YES"
