@@ -626,6 +626,9 @@ class DuckLakeSession:
         r"^WHEN\s+MATCHED\s+THEN\s+DELETE\s*$", re.I)
     _MERGE_WHEN_INSERT_RE = re.compile(
         r"^WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT(?:\s*\*)?\s*$", re.I)
+    _MERGE_WHEN_INSERT_VALUES_RE = re.compile(
+        r"^WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*\(([^)]*)\)\s*"
+        r"VALUES\s*\((.*)\)\s*$", re.I | re.S)
     _DROP_RE = re.compile(
         r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)"
         r"\s*;?\s*$", re.I)
@@ -637,10 +640,16 @@ class DuckLakeSession:
         r"\s*;?\s*$", re.I)
 
     @staticmethod
-    def _split_top_level(s: str, sep: str = ",") -> list[str]:
+    def _split_top_level(s: str, sep: str = ",",
+                         angle: bool = False) -> list[str]:
         """Split on ``sep`` outside quotes/parens (SET-clause commas can
-        appear inside function calls and string literals)."""
+        appear inside function calls and string literals). ``angle=True``
+        also nests on <...> — for column-definition lists where
+        STRUCT<...>/MAP<...> carry commas; never for expressions, where
+        < and > are comparison operators."""
         parts, depth, cur, quote = [], 0, [], None
+        opens = "([<" if angle else "(["
+        closes = ")]>" if angle else ")]"
         for ch in s:
             if quote:
                 cur.append(ch)
@@ -649,10 +658,10 @@ class DuckLakeSession:
             elif ch in ("'", '"'):
                 quote = ch
                 cur.append(ch)
-            elif ch in "([":
+            elif ch in opens:
                 depth += 1
                 cur.append(ch)
-            elif ch in ")]":
+            elif ch in closes:
                 depth -= 1
                 cur.append(ch)
             elif ch == sep and depth == 0:
@@ -1167,6 +1176,19 @@ class DuckLakeSession:
             if self._MERGE_WHEN_INSERT_RE.match(clause):
                 insert = True
                 continue
+            iv = self._MERGE_WHEN_INSERT_VALUES_RE.match(clause)
+            if iv:
+                # INSERT (cols) VALUES (exprs): column -> requalified
+                # src-side expression (merge corpus / geo_dml shape)
+                cols = [c.strip().rsplit(".", 1)[-1]
+                        for c in iv.group(1).split(",") if c.strip()]
+                exprs = [requalify(e.strip()) for e in
+                         self._split_top_level(iv.group(2))]
+                if len(cols) != len(exprs):
+                    raise InvalidConfig(
+                        "MERGE: INSERT column list and VALUES arity differ")
+                insert = dict(zip(cols, exprs))
+                continue
             raise InvalidConfig(f"MERGE: unsupported clause {clause!r}")
 
         counts = self.merge_into(target, source, on_keys,
@@ -1265,6 +1287,19 @@ class DuckLakeSession:
                 "parameters are supported for queries, not DML/DDL")
         if not self._view_rewrites:
             self.register_views()
+        # GEOMETRY literal casts ('WKT'::GEOMETRY / CAST('WKT' AS
+        # GEOMETRY)) become st_geomfromtext calls — Spark has no geometry
+        # DataType, so the cast targets the WKB-binary representation
+        # (geo corpus: sql/geo/ducklake_geometry.test:46).
+        if re.search(r"::\s*GEOMETRY\b|AS\s+GEOMETRY\s*\)", query, re.I):
+            query = re.sub(r"('(?:[^']|'')*')\s*::\s*GEOMETRY\b",
+                           r"st_geomfromtext(\1)", query, flags=re.I)
+            query = re.sub(r"CAST\s*\(\s*('(?:[^']|'')*')\s+AS\s+GEOMETRY"
+                           r"\s*\)", r"st_geomfromtext(\1)", query,
+                           flags=re.I)
+        if not getattr(self, "_sql_fns_registered", False) and \
+                re.search(r"\b(?:st_|ducklake_)\w+\s*\(", query, re.I):
+            self.register_sql_functions()
         ddl = self._try_macro_ddl(query)
         if ddl is not None:
             return ddl
@@ -2045,7 +2080,11 @@ class DuckLakeSession:
                                  record_count=meta.num_rows,
                                  row_id_start=next_rowid,
                                  mapping_id=mapping_id))
-                stats = column_stats_of(path, column_ids)
+                from .types import is_geometry_type
+                stats = column_stats_of(
+                    path, column_ids,
+                    {c.column_name for c in handle.columns
+                     if is_geometry_type(c.column_type)})
                 for col in hive_cols:
                     # exact synthetic stats (min=max=path value) — catalog
                     # file pruning on partition keys needs no footer I/O
@@ -2120,7 +2159,7 @@ class DuckLakeSession:
                 return
             raise InvalidConfig(f"Table already exists: {name}")
         cols = []
-        for part in self._split_top_level(col_defs):
+        for part in self._split_top_level(col_defs, angle=True):
             m = re.match(
                 r"^\s*\"?([A-Za-z_]\w*)\"?\s+(.+?)"
                 r"(\s+NOT\s+NULL)?(?:\s+DEFAULT\s+(.+?))?\s*$",

@@ -283,6 +283,35 @@ class MetadataProvider:
                 int(nulls) if nulls is not None else None, mn, mx)
         return out
 
+    def get_raw_file_column_stats(self) -> list[tuple]:
+        """All ducklake_file_column_stats rows (incl. extra_stats) for the
+        SQL-callable stats functions; [] on catalogs without the table."""
+        try:
+            return self._fetchall(
+                "SELECT data_file_id, table_id, column_id, "
+                "column_size_bytes, value_count, null_count, min_value, "
+                "max_value, contains_nan, extra_stats "
+                "FROM ducklake_file_column_stats")
+        except Exception:
+            try:
+                rows = self._fetchall(
+                    "SELECT data_file_id, table_id, column_id, "
+                    "column_size_bytes, value_count, null_count, "
+                    "min_value, max_value, contains_nan "
+                    "FROM ducklake_file_column_stats")
+                return [(*r, None) for r in rows]
+            except Exception:
+                return []
+
+    def get_raw_table_column_stats(self) -> list[tuple]:
+        try:
+            return self._fetchall(
+                "SELECT table_id, column_id, contains_null, contains_nan, "
+                "min_value, max_value, extra_stats "
+                "FROM ducklake_table_column_stats")
+        except Exception:
+            return []
+
     def snapshot_exists(self, snapshot_id: int) -> bool:
         rows = self._fetchall(
             "SELECT 1 FROM ducklake_snapshot WHERE snapshot_id = ?",

@@ -28,7 +28,7 @@ from enum import Enum
 from typing import Optional
 
 from ..errors import InvalidConfig
-from ..types import types_compatible
+from ..types import is_geometry_type, types_compatible
 
 DDL = """
 CREATE TABLE IF NOT EXISTS ducklake_metadata (
@@ -112,7 +112,17 @@ CREATE TABLE IF NOT EXISTS ducklake_file_column_stats (
     null_count INTEGER,
     min_value VARCHAR,
     max_value VARCHAR,
-    contains_nan BOOLEAN
+    contains_nan BOOLEAN,
+    extra_stats VARCHAR
+);
+CREATE TABLE IF NOT EXISTS ducklake_table_column_stats (
+    table_id INTEGER NOT NULL,
+    column_id INTEGER NOT NULL,
+    contains_null BOOLEAN,
+    contains_nan BOOLEAN,
+    min_value VARCHAR,
+    max_value VARCHAR,
+    extra_stats VARCHAR
 );
 CREATE TABLE IF NOT EXISTS ducklake_view (
     view_id INTEGER PRIMARY KEY,
@@ -572,11 +582,13 @@ class CatalogWriter:
             cur.execute(
                 "UPDATE ducklake_column SET end_snapshot = ? "
                 "WHERE table_id = ? AND end_snapshot IS NULL", (sid, table_id))
+            existing_types = {r[0]: r[1] for r in existing}
             column_ids = []
             next_col_id = self._next_id(cur, "ducklake_column", "column_id")
             for order, col in enumerate(columns):
                 nullable = col.is_nullable
                 initial, default = col.initial_default, col.default_value
+                col_type = col.ducklake_type
                 if col.name in existing_ids:
                     cid = existing_ids[col.name]
                     if mode == WriteMode.APPEND:
@@ -586,6 +598,14 @@ class CatalogWriter:
                         nullable = existing_nulls.get(col.name, nullable)
                         initial, default = existing_defaults.get(
                             col.name, (initial, default))
+                        old_type = existing_types.get(col.name)
+                        if (old_type is not None
+                                and is_geometry_type(old_type)
+                                and col_type.lower() in
+                                ("blob", "binary", "bytea")):
+                            # Spark frames carry geometry as binary; the
+                            # catalog column stays GEOMETRY (geo corpus)
+                            col_type = old_type
                 else:
                     cid = next_col_id
                     next_col_id += 1
@@ -594,7 +614,7 @@ class CatalogWriter:
                     "column_type, column_order, nulls_allowed, initial_default, "
                     "default_value, begin_snapshot) "
                     "VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?)",
-                    (cid, table_id, col.name, col.ducklake_type, order,
+                    (cid, table_id, col.name, col_type, order,
                      nullable, initial, default, sid))
                 column_ids.append(cid)
 
@@ -774,22 +794,81 @@ class CatalogWriter:
         ``ducklake_file_column_stats`` table — real catalogs written by
         DuckDB populate it; the reference leaves reading it as a TODO,
         metadata_provider.rs:569). Rows: (column_id, column_size_bytes,
-        value_count, null_count, min_value, max_value, contains_nan)."""
+        value_count, null_count, min_value, max_value, contains_nan
+        [, extra_stats]) — ``extra_stats`` is the GEOMETRY bbox/types
+        JSON (geo corpus). Geometry rows also fold into the grow-only
+        ``ducklake_table_column_stats`` envelope (table-level stats are
+        an upper bound in DuckLake: deletes never shrink them)."""
         with self._txn() as cur:
             cur.execute(
                 "CREATE TABLE IF NOT EXISTS ducklake_file_column_stats ("
                 "data_file_id INTEGER NOT NULL, table_id INTEGER NOT NULL, "
                 "column_id INTEGER NOT NULL, column_size_bytes INTEGER, "
                 "value_count INTEGER, null_count INTEGER, min_value VARCHAR, "
-                "max_value VARCHAR, contains_nan BOOLEAN)")
-            for (cid, size, count, nulls, mn, mx, nan) in stats:
+                "max_value VARCHAR, contains_nan BOOLEAN, "
+                "extra_stats VARCHAR)")
+            self._ensure_column(cur, "ducklake_file_column_stats",
+                                "extra_stats", "VARCHAR")
+            cur.execute(
+                "CREATE TABLE IF NOT EXISTS ducklake_table_column_stats ("
+                "table_id INTEGER NOT NULL, column_id INTEGER NOT NULL, "
+                "contains_null BOOLEAN, contains_nan BOOLEAN, "
+                "min_value VARCHAR, max_value VARCHAR, extra_stats VARCHAR)")
+            for row in stats:
+                (cid, size, count, nulls, mn, mx, nan) = row[:7]
+                extra = row[7] if len(row) > 7 else None
                 cur.execute(
                     "INSERT INTO ducklake_file_column_stats (data_file_id, "
                     "table_id, column_id, column_size_bytes, value_count, "
-                    "null_count, min_value, max_value, contains_nan) "
-                    "VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?)",
+                    "null_count, min_value, max_value, contains_nan, "
+                    "extra_stats) VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?, ?)",
                     (data_file_id, table_id, cid, size, count, nulls,
-                     mn, mx, nan))
+                     mn, mx, nan, extra))
+                self._fold_table_column_stats(
+                    cur, table_id, cid, nulls, mn, mx, nan, extra)
+
+    @staticmethod
+    def _ensure_column(cur, table: str, column: str, sql_type: str) -> None:
+        """ALTER-if-missing migration for catalogs created before the
+        column existed (older engine versions / foreign writers)."""
+        try:
+            cur.execute(f"ALTER TABLE {table} ADD COLUMN {column} {sql_type}")
+        except Exception:
+            pass  # already present
+
+    def _fold_table_column_stats(self, cur, table_id: int, cid: int,
+                                 nulls, mn, mx, nan, extra) -> None:
+        """Merge one file's column stats into the table-level envelope
+        (min of mins / max of maxes / bbox union). String compare on the
+        rendered values is exact for same-type renders the engine writes;
+        a NULL file min/max widens the envelope to unknown (NULL)."""
+        rows = cur.execute(
+            "SELECT contains_null, contains_nan, min_value, max_value, "
+            "extra_stats FROM ducklake_table_column_stats "
+            "WHERE table_id = ? AND column_id = ?",
+            (table_id, cid)).fetchall()
+        has_null = bool(nulls) if nulls is not None else True
+        if not rows:
+            cur.execute(
+                "INSERT INTO ducklake_table_column_stats (table_id, "
+                "column_id, contains_null, contains_nan, min_value, "
+                "max_value, extra_stats) VALUES (?, ?, ?, ?, ?, ?, ?)",
+                (table_id, cid, has_null, bool(nan), mn, mx, extra))
+            return
+        (t_null, t_nan, t_mn, t_mx, t_extra) = rows[0]
+        new_mn = None if (mn is None or t_mn is None) else min(t_mn, mn)
+        new_mx = None if (mx is None or t_mx is None) else max(t_mx, mx)
+        if extra or t_extra:
+            from ..functions.geo import merge_extra_stats
+            new_extra = merge_extra_stats([t_extra, extra])
+        else:
+            new_extra = None
+        cur.execute(
+            "UPDATE ducklake_table_column_stats SET contains_null = ?, "
+            "contains_nan = ?, min_value = ?, max_value = ?, "
+            "extra_stats = ? WHERE table_id = ? AND column_id = ?",
+            (bool(t_null) or has_null, bool(t_nan) or bool(nan),
+             new_mn, new_mx, new_extra, table_id, cid))
 
     _VIEW_DDL = (
         "CREATE TABLE IF NOT EXISTS ducklake_view ("

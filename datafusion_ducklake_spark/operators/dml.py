@@ -311,9 +311,12 @@ def _register_append(session, writer, snapshot_id: int, handle,
                 fid, handle.meta.table_id, pvals)
         local = _local_readable(table_path, final_name)
         if local is not None:
+            from ..types import is_geometry_type
             writer.register_file_column_stats(
                 fid, handle.meta.table_id,
-                column_stats_of(local, ids_by_name))
+                column_stats_of(local, ids_by_name,
+                                {c.column_name for c in handle.columns
+                                 if is_geometry_type(c.column_type)}))
         next_rowid += count
         n_rows += count
     return n_rows
@@ -404,7 +407,7 @@ def update_rows(session, name: str, assignments: dict,
 def merge_rows(session, target: str, source: DataFrame, on: list[str],
                when_matched_update: Optional[dict] = None,
                when_matched_delete: bool = False,
-               when_not_matched_insert: bool = True) -> dict:
+               when_not_matched_insert: "bool | dict" = True) -> dict:
     """MERGE INTO target USING source ON target.k = source.k ... —
     the corpus's merge_update_insert shape (sql/merge/). Matched target
     rows are deleted (and, for update, rewritten with the source's
@@ -463,13 +466,23 @@ def merge_rows(session, target: str, source: DataFrame, on: list[str],
             matched_pos = matched_pos.limit(0)
 
         if when_not_matched_insert:
-            missing = [c for c in data_cols if c not in source.columns]
-            if missing:
-                raise InvalidConfig(
-                    f"merge insert: source lacks target columns {missing}")
-            fresh = (src.join(live.select(*on), on, "left_anti")
-                     .select(*[F.col(c).cast(types[c]).alias(c)
-                               for c in data_cols]))
+            unmatched = src.join(live.select(*on), on, "left_anti")
+            if isinstance(when_not_matched_insert, dict):
+                # INSERT (cols) VALUES (exprs) — exprs over src.<col>;
+                # unnamed target columns take NULL (merge corpus shape)
+                fresh = unmatched.alias("src").select(*[
+                    (F.expr(when_not_matched_insert[c])
+                     if c in when_not_matched_insert
+                     else F.lit(None)).cast(types[c]).alias(c)
+                    for c in data_cols])
+            else:
+                missing = [c for c in data_cols if c not in source.columns]
+                if missing:
+                    raise InvalidConfig(
+                        f"merge insert: source lacks target columns "
+                        f"{missing}")
+                fresh = unmatched.select(
+                    *[F.col(c).cast(types[c]).alias(c) for c in data_cols])
             appended = fresh if appended is None \
                 else appended.unionByName(fresh)
 

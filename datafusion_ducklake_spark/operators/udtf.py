@@ -126,6 +126,43 @@ def register_sql_functions(session) -> None:
             finally:
                 p.close()
 
+    @udtf(returnType="data_file_id BIGINT, table_id BIGINT, "
+                     "column_id BIGINT, column_size_bytes BIGINT, "
+                     "value_count BIGINT, null_count BIGINT, "
+                     "min_value STRING, max_value STRING, "
+                     "contains_nan BOOLEAN, extra_stats STRING")
+    class DucklakeFileColumnStats:
+        # geo corpus: SELECT extra_stats FROM ducklake_file_column_stats
+        # (sql/geo/ducklake_geometry.test:30-44)
+        def eval(self):
+            from ..metadata.provider import provider_for
+            p = provider_for(catalog_path)
+            try:
+                for row in p.get_raw_file_column_stats():
+                    yield tuple(row)
+            finally:
+                p.close()
+
+    @udtf(returnType="table_id BIGINT, column_id BIGINT, "
+                     "contains_null BOOLEAN, contains_nan BOOLEAN, "
+                     "min_value STRING, max_value STRING, "
+                     "extra_stats STRING")
+    class DucklakeTableColumnStats:
+        def eval(self):
+            from ..metadata.provider import provider_for
+            p = provider_for(catalog_path)
+            try:
+                for row in p.get_raw_table_column_stats():
+                    yield tuple(row)
+            finally:
+                p.close()
+
+    session.spark.udtf.register("ducklake_file_column_stats",
+                                DucklakeFileColumnStats)
+    session.spark.udtf.register("ducklake_table_column_stats",
+                                DucklakeTableColumnStats)
+    from ..functions.geo import register_geo_functions
+    register_geo_functions(session.spark)
     session.spark.udtf.register("ducklake_snapshots", DucklakeSnapshots)
     session.spark.udtf.register("ducklake_table_info", DucklakeTableInfo)
     session.spark.udtf.register("ducklake_list_files", DucklakeListFiles)

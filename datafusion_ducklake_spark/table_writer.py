@@ -29,7 +29,7 @@ from pyspark.sql import types as T
 
 from .errors import InvalidConfig
 from .metadata.writer import CatalogWriter, ColumnDef, DataFileInfo, WriteMode
-from .types import spark_to_ducklake_type
+from .types import is_geometry_type, spark_to_ducklake_type
 
 
 def _catalog_writer(session) -> CatalogWriter:
@@ -208,11 +208,16 @@ def _local_readable(table_path: str, name: str) -> Optional[str]:
     return os.path.join(base, name)
 
 
-def column_stats_of(path: str, column_ids: dict[str, int]) -> list[tuple]:
+def column_stats_of(path: str, column_ids: dict[str, int],
+                    geo_columns: "set[str] | None" = None) -> list[tuple]:
     """Per-column (column_id, size, value_count, null_count, min, max,
-    contains_nan) aggregated across row groups, rendered as DuckLake
-    stores them (stringified values). Columns without usable parquet
-    statistics get NULL min/max — pruning treats that as 'keep'."""
+    contains_nan[, extra_stats]) aggregated across row groups, rendered
+    as DuckLake stores them (stringified values). Columns without usable
+    parquet statistics get NULL min/max — pruning treats that as 'keep'.
+
+    ``geo_columns``: GEOMETRY column names — those get a bbox/types
+    ``extra_stats`` JSON from one single-column read of the just-written
+    file (geo corpus: sql/geo/ducklake_geometry.test:30-44)."""
     import datetime
 
     import pyarrow.parquet as pq
@@ -266,8 +271,12 @@ def column_stats_of(path: str, column_ids: dict[str, int]) -> list[tuple]:
     for name, (size, count, nulls, mn, mx, poison) in agg.items():
         if poison:
             mn = mx = None
+        extra = None
+        if geo_columns and name in geo_columns:
+            from .functions.geo import file_extra_stats
+            extra = file_extra_stats(path, name)
         out.append((column_ids[name], size, count, nulls,
-                    render(mn), render(mx), None))
+                    render(mn), render(mx), None, extra))
     return out
 
 
@@ -554,7 +563,9 @@ def compact_table(session, name: str, single_file: bool = True,
                 writer.register_file_column_stats(
                     fid, handle.meta.table_id,
                     column_stats_of(local,
-                                    dict(zip(data_cols, setup.column_ids))))
+                                    dict(zip(data_cols, setup.column_ids)),
+                                    {c.column_name for c in handle.columns
+                                     if is_geometry_type(c.column_type)}))
             n_rows += cnt
         session.refresh()
         return n_rows
@@ -806,6 +817,10 @@ def create_or_insert(session, name: str, df: DataFrame, mode: str,
         next_rowid = writer.next_row_id(table_meta.table_id)
         col_ids = dict(zip([f.name for f in df.schema.fields],
                            setup.column_ids))
+        geo_cols = {c.column_name for c in
+                    session.provider.get_table_columns(
+                        table_meta.table_id, setup.snapshot_id)
+                    if is_geometry_type(c.column_type)}
         # ONE catalog transaction for the whole registration (reentrant
         # _txn): either every staged file becomes visible or none — and
         # the streaming sink's batch marker commits atomically with the
@@ -825,7 +840,7 @@ def create_or_insert(session, name: str, df: DataFrame, mode: str,
                 if local is not None:
                     writer.register_file_column_stats(
                         fid, table_meta.table_id,
-                        column_stats_of(local, col_ids))
+                        column_stats_of(local, col_ids, geo_cols))
                 next_rowid += count
                 n_rows += count
             if commit_marker is not None:

@@ -67,6 +67,15 @@ _LIST_RE = re.compile(r"^(?:list|array)\s*<(.+)>$")
 _TRAILING_ARRAY_RE = re.compile(r"^(.+)\[\s*\]$")
 
 
+def _reject_nested_geometry(child_canonical: str, full_type: str) -> None:
+    """GEOMETRY only at top level (geo corpus: ducklake_geometry_nested
+    .test — 'GEOMETRY type is only supported as a top-level type')."""
+    if child_canonical in _GEOMETRY:
+        raise UnsupportedType(
+            f"GEOMETRY type is only supported as a top-level type: "
+            f"{full_type}")
+
+
 def _split_type_args(s: str) -> list[str]:
     """Split a nested type's argument list on TOP-LEVEL commas only
     (respects <...> and (...) nesting and double-quoted names)."""
@@ -114,6 +123,7 @@ def ducklake_to_spark_type(type_str: str) -> MappedType:
     m = _LIST_RE.match(s) or _TRAILING_ARRAY_RE.match(s)
     if m:
         elem = ducklake_to_spark_type(m.group(1).strip())
+        _reject_nested_geometry(elem.canonical, type_str)
         return MappedType(T.ArrayType(elem.spark_type, True),
                           f"list<{elem.canonical}>", elem.lossless)
 
@@ -131,6 +141,7 @@ def ducklake_to_spark_type(type_str: str) -> MappedType:
             if not name or not t.strip():
                 raise UnsupportedType(f"Malformed struct type: {type_str}")
             child = ducklake_to_spark_type(t.strip())
+            _reject_nested_geometry(child.canonical, type_str)
             lossless = lossless and child.lossless
             fields.append((name, child))
         if not fields:
@@ -150,6 +161,8 @@ def ducklake_to_spark_type(type_str: str) -> MappedType:
             raise UnsupportedType(f"Malformed map type: {type_str}")
         k = ducklake_to_spark_type(parts[0].strip())
         v = ducklake_to_spark_type(parts[1].strip())
+        _reject_nested_geometry(k.canonical, type_str)
+        _reject_nested_geometry(v.canonical, type_str)
         return MappedType(
             T.MapType(k.spark_type, v.spark_type, True),
             f"map<{k.canonical},{v.canonical}>",
@@ -299,9 +312,26 @@ def is_promotable(from_type: str, to_type: str) -> bool:
     return False
 
 
+def is_geometry_type(type_str: str) -> bool:
+    """True for the GEOMETRY family (stored as WKB blobs in parquet —
+    geo corpus: tests/sqllogictests/sql/geo/)."""
+    return type_str.strip().lower() in _GEOMETRY
+
+
 def types_compatible(existing_type: str, new_type: str) -> bool:
     """Compatibility = same canonical type or promotable
-    (ref: types.rs:402-423)."""
+    (ref: types.rs:402-423). A WKB blob frame appends into a GEOMETRY
+    column (Spark has no geometry DataType, so every geometry value
+    arrives as binary); the catalog keeps the geometry type."""
+    _blobs = ("blob", "binary", "bytea")
+    if is_geometry_type(existing_type) and \
+            new_type.strip().lower() in _blobs:
+        return True
+    if is_geometry_type(new_type) and \
+            existing_type.strip().lower() in _blobs:
+        # a plain-WKB blob file registers into a GEOMETRY column
+        # (add_files; geo corpus ducklake_geometry_add_files.test)
+        return True
     try:
         if normalize_ducklake_type(existing_type) == normalize_ducklake_type(new_type):
             return True
