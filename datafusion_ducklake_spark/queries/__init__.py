@@ -48,6 +48,8 @@ _SPECS = [
               ducklake_gate.ORACLE_INLINED_AGG, False),
     QuerySpec("ducklake_nested_agg", ducklake_gate.ducklake_nested_agg,
               ducklake_gate.ORACLE_NESTED_AGG, False),
+    QuerySpec("ducklake_geo_agg", ducklake_gate.ducklake_geo_agg,
+              ducklake_gate.ORACLE_GEO_AGG, False),
     # training-data pipeline operators (functions/)
     QuerySpec("ngram_jaccard_dup_pairs", pipeline.ngram_jaccard_dup_pairs,
               pipeline.ORACLE_NGRAM_JACCARD, False),
@@ -63,6 +65,8 @@ _SPECS = [
               pipeline.ORACLE_CANONICAL, False),
     QuerySpec("doc_chunking", pipeline.doc_chunking,
               pipeline.ORACLE_CHUNKING, False),
+    QuerySpec("doc_pack_chunks", pipeline.doc_pack_chunks,
+              pipeline.ORACLE_PACK_CHUNKS, False),
     QuerySpec("dedup_duplicate_clusters", pipeline.dedup_duplicate_clusters,
               pipeline.ORACLE_DUP_CLUSTERS, False),
     QuerySpec("doc_stratified_sample", pipeline.doc_stratified_sample,

@@ -493,3 +493,60 @@ SELECT o_orderpriority AS priority, COUNT(*) AS n,
   SUM(o_custkey) AS sum_custkey
 FROM orders GROUP BY o_orderpriority
 """
+
+
+def _build_geo_catalog(spark: SparkSession, sf_dir: str) -> str:
+    """Catalog (once per sf_dir) with a GEOMETRY table — customer rows as
+    WKB points written through the engine's DDL + DML path (geo corpus:
+    sql/geo/ducklake_geometry.test; the value plane is oracle-checkable
+    because st_x/st_y recover the source coordinates exactly — IEEE
+    doubles roundtrip through WKB bit-for-bit)."""
+    import shutil
+
+    from ..catalog import DuckLakeSession
+    from ..metadata.writer import CatalogWriter
+
+    tag = hashlib.md5((sf_dir + "/geo-v1").encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"ducklake_geo_{tag}")
+    db = os.path.join(root, "catalog.sqlite")
+    done = os.path.join(root, ".done")
+    if os.path.exists(done):
+        return db
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    os.makedirs(root)
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=os.path.join(root, "lake"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.sql("CREATE TABLE geo_points (ck BIGINT, g GEOMETRY)")
+    (spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+     .select("c_custkey", "c_acctbal")
+     .createOrReplaceTempView("geo_gate_src"))
+    dl.sql("INSERT INTO geo_points SELECT c_custkey AS ck, "
+           "st_point(CAST(c_custkey AS DOUBLE), c_acctbal) AS g "
+           "FROM geo_gate_src")
+    with open(done, "w") as f:
+        f.write("ok")
+    return db
+
+
+def ducklake_geo_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOMETRY end-to-end: WKT/WKB codec + catalog geometry type +
+    st_x/st_y accessors, folded to a bbox-style aggregate whose oracle is
+    plain SQL over the source customer parquet."""
+    from ..catalog import DuckLakeSession
+    dl = DuckLakeSession(spark, _build_geo_catalog(spark, sf_dir))
+    return dl.sql(
+        "SELECT COUNT(*) AS n, "
+        "CAST(MIN(st_x(g)) AS BIGINT) AS min_x, "
+        "CAST(MAX(st_x(g)) AS BIGINT) AS max_x, "
+        "MIN(st_y(g)) AS min_y, MAX(st_y(g)) AS max_y "
+        "FROM geo_points")
+
+
+ORACLE_GEO_AGG = """
+SELECT COUNT(*) AS n, MIN(c_custkey) AS min_x, MAX(c_custkey) AS max_x,
+  MIN(c_acctbal) AS min_y, MAX(c_acctbal) AS max_y
+FROM customer
+"""

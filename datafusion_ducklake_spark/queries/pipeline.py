@@ -511,3 +511,45 @@ SELECT doc_id, chunk_idx, len(piece) AS n_tokens,
        piece[1] AS first_tok, piece[-1] AS last_tok
 FROM p ORDER BY doc_id, chunk_idx
 """
+
+
+def doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (functions/packing): documents
+    laid end-to-end by doc_id, token stream cut into 2048-token training
+    sequences; per-chunk document/token/straddle counts. The global
+    prefix sum is the distributed range-shuffle + partition-offset
+    formulation — no single-partition window."""
+    from ..functions.packing import pack_chunks
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+         .cast("long").alias("n_tokens"))
+    packed = pack_chunks(docs, "n_tokens", "doc_id", budget=2048)
+    return (packed.groupBy("chunk_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("sum_tokens"),
+                 F.sum("straddles").cast("long").alias("n_straddling"),
+                 F.min("doc_id").alias("first_doc")))
+
+
+ORACLE_PACK_CHUNKS = """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents),
+pref AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM toks)
+SELECT CAST(FLOOR(start / 2048.0) AS BIGINT) AS chunk_id,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+  CAST(SUM(CASE WHEN FLOOR((start + GREATEST(n_tokens, 1) - 1) / 2048.0)
+                     > FLOOR(start / 2048.0) THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_straddling,
+  MIN(doc_id) AS first_doc
+FROM pref
+GROUP BY 1
+"""
