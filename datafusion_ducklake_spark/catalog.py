@@ -776,6 +776,9 @@ class DuckLakeSession:
     _MERGE_ADJ_RE = re.compile(
         r"^\s*CALL\s+ducklake_merge_adjacent_files\s*\(\s*\)\s*;?\s*$",
         re.I)
+    _REWRITE_FILES_RE = re.compile(
+        r"^\s*CALL\s+ducklake_rewrite_data_files\s*\(\s*"
+        r"('[^']*'|[\w.]+)\s*\)\s*;?\s*$", re.I)
     _CHECKPOINT_RE = re.compile(r"^\s*CHECKPOINT\s*;?\s*$", re.I)
     _COPY_RE = re.compile(
         r"^\s*COPY\s+(\(.*\)|[A-Za-z_][\w.]*)\s+TO\s+'([^']+)'"
@@ -857,6 +860,10 @@ class DuckLakeSession:
         m = self._MERGE_ADJ_RE.match(query)
         if m:
             return self._count_df(self.merge_adjacent_files())
+        m = self._REWRITE_FILES_RE.match(query)
+        if m:
+            return self._count_df(self.rewrite_data_files(
+                m.group(1).strip("'")))
         m = self._CHECKPOINT_RE.match(query)
         if m:
             return self._count_df(self.checkpoint())
@@ -1967,6 +1974,13 @@ class DuckLakeSession:
             return compact_table(self, name, single_file=single_file)
         return create_or_insert(self, name, self.table(name),
                                 mode="overwrite", single_file=single_file)
+
+    def rewrite_data_files(self, name: str) -> int:
+        """Selective MOR-debt rewrite (CALL ducklake_rewrite_data_files —
+        sql/rewrite_data_files/ corpus): rewrite only files carrying
+        delete debt; clean files stay untouched. Rowids preserved."""
+        from .table_writer import rewrite_data_files
+        return rewrite_data_files(self, name)
 
     def add_files(self, name: str, parquet_paths: list[str],
                   allow_missing: bool = False,

@@ -1065,6 +1065,15 @@ class CatalogWriter:
                 "WHERE data_file_id = ? AND end_snapshot IS NULL",
                 (snapshot_id, data_file_id))
 
+    def end_delete_file(self, data_file_id: int, snapshot_id: int) -> None:
+        """End the live delete file riding on one data file (selective
+        rewrite: the rewritten file has no MOR debt left)."""
+        with self._txn() as cur:
+            cur.execute(
+                "UPDATE ducklake_delete_file SET end_snapshot = ? "
+                "WHERE data_file_id = ? AND end_snapshot IS NULL",
+                (snapshot_id, data_file_id))
+
     def end_table_files(self, table_id: int, snapshot_id: int) -> int:
         with self._txn() as cur:
             cur.execute(

@@ -573,6 +573,133 @@ def compact_table(session, name: str, single_file: bool = True,
         writer.close()
 
 
+def rewrite_data_files(session, name: str, max_runs: int = 512) -> int:
+    """Selective MOR-debt rewrite — the corpus's
+    ``CALL ducklake_rewrite_data_files`` (sql/rewrite_data_files/):
+    rewrite ONLY the data files carrying a live delete file; clean files
+    keep their catalog registration untouched. At 100 TB the cost is
+    proportional to the DIRTY byte count, never the table size (compact()
+    rewrites everything).
+
+    Rowids survive: within each dirty file the surviving rows form
+    contiguous runs (deletes punch holes); each run becomes one output
+    file registered at its run-start rowid. One snapshot ends the dirty
+    data+delete files and registers the rewrites atomically. The scan
+    reads only the dirty files (scan_table over the dirty subset), and
+    run discovery reads only the delete parquets."""
+    from pyspark.sql import functions as F
+
+    from .sources.scan import scan_table
+
+    handle = session.table_handle(name)
+    if handle.inlined_tables and handle.inlined_rows():
+        raise InvalidConfig(
+            "rewrite_data_files over tables with live inlined data rows "
+            "is not supported — call flush_inlined_data() first")
+    pairs = [(mf, rf) for mf, rf in zip(handle._raw_files, handle.files)
+             if rf.delete_uri is not None]
+    if not pairs:
+        return 0
+    if any(mf.row_id_start is None for mf, _ in pairs):
+        raise InvalidConfig(
+            "rewrite_data_files needs row_id_start on every dirty file — "
+            "compact(preserve_rowids=False) renumbers instead")
+
+    # survivor runs per dirty file, from the delete parquets only (the
+    # same catalog-pairing rule as _carve_rowid_runs: never trust the
+    # delete parquet's own file_path column, ref table.rs:84-85)
+    base = os.path.basename
+    dels = (session.spark.read.parquet(*[rf.delete_uri for _, rf in pairs])
+            .select(F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1)
+                .alias("__del"), "pos")
+            .groupBy("__del")
+            .agg(F.sort_array(F.collect_list("pos")).alias("ps")))
+    pair_map = {rf.delete_uri.rsplit("/", 1)[-1]: base(mf.path)
+                for mf, rf in pairs}
+    del_by_file = {pair_map[r["__del"]]: r["ps"] for r in dels.collect()}
+    run_list: list[tuple[int, int]] = []
+    for mf, _rf in pairs:
+        deleted = del_by_file.get(base(mf.path), [])
+        prev = -1
+        for p in list(deleted) + [mf.record_count]:
+            if p > prev + 1:
+                run_list.append((mf.row_id_start + prev + 1, p - prev - 1))
+            prev = p
+    if len(run_list) > max_runs:
+        raise InvalidConfig(
+            f"rewrite_data_files: {name} shatters into {len(run_list)} "
+            f"rowid runs (> {max_runs}); use compact()")
+
+    tid = handle.meta.table_id
+    writer = _catalog_writer(session)
+    try:
+        snap = writer.create_snapshot(
+            [f"deleted_from_table:{tid}", f"inserted_into_table:{tid}"])
+        if not run_list:
+            # every row of every dirty file was deleted: just end them
+            with writer._txn():
+                for mf, _rf in pairs:
+                    writer.end_delete_file(mf.data_file_id, snap)
+                    writer.end_data_file(mf.data_file_id, snap)
+            session.refresh()
+            return 0
+
+        runs = [(i, s, c) for i, (s, c) in enumerate(run_list)]
+        df = scan_table(session.spark, handle.spark_schema,
+                        [rf for _, rf in pairs], with_rowid=True)
+        ranges = session.spark.createDataFrame(
+            [(i, s, s + c - 1) for i, s, c in runs],
+            "__run LONG, __lo LONG, __hi LONG")
+        df2 = (df.join(F.broadcast(ranges),
+                       (F.col("rowid") >= F.col("__lo"))
+                       & (F.col("rowid") <= F.col("__hi")))
+               .drop("__lo", "__hi"))
+
+        table_path = handle.table_path
+        session.spark.conf.set("spark.sql.parquet.fieldId.write.enabled",
+                               "true")
+        data_cols = [c.column_name for c in handle.columns]
+        col_ids = [c.column_id for c in handle.columns]
+        out = (df2.repartition("__run").sortWithinPartitions("rowid")
+               .select(*data_cols, "__run"))
+        out = _with_field_ids_partial(out, data_cols, col_ids)
+        staging = table_path.rstrip("/") + f"/stage-{uuid.uuid4().hex}"
+        schema_name, _tbl = session._split(name)
+        schema_meta = session.provider.get_schema_by_name(schema_name, snap)
+        wopts = _parquet_write_options(session, schema_meta.schema_id, tid)
+        (out.write.options(**wopts).partitionBy("__run")
+         .parquet(staging, mode="errorifexists"))
+        staged = _finalize_compact_runs(session, staging, table_path, runs)
+
+        geo_cols = {c.column_name for c in handle.columns
+                    if is_geometry_type(c.column_type)}
+        n_rows = 0
+        with writer._txn():
+            for mf, _rf in pairs:
+                writer.end_delete_file(mf.data_file_id, snap)
+                writer.end_data_file(mf.data_file_id, snap)
+            for (run_id, start, cnt), (final_name, size, footer) in \
+                    zip(runs, staged):
+                fid = writer.register_data_file(
+                    tid, snap,
+                    DataFileInfo(path=final_name, path_is_relative=True,
+                                 file_size_bytes=size, footer_size=footer,
+                                 record_count=cnt, row_id_start=int(start)))
+                local = _local_readable(table_path, final_name)
+                if local is not None:
+                    writer.register_file_column_stats(
+                        fid, tid,
+                        column_stats_of(local, dict(zip(data_cols,
+                                                        col_ids)),
+                                        geo_cols))
+                n_rows += cnt
+        session.refresh()
+        return n_rows
+    finally:
+        writer.close()
+
+
 def _finalize_compact_runs(session, staging: str, table_path: str,
                            runs: list[tuple[int, int, int]]
                            ) -> list[tuple[str, int, int]]:

@@ -124,7 +124,8 @@ _TABLE_RE = re.compile(
 
 # engine maintenance CALLs that mutate one table's state (first quoted arg)
 _CALL_TABLE_RE = re.compile(
-    r"\bCALL\s+ducklake_(?:add_data_files|flush_inlined_data)\s*\(\s*"
+    r"\bCALL\s+ducklake_(?:add_data_files|flush_inlined_data"
+    r"|rewrite_data_files)\s*\(\s*"
     r"'(?:\w+\.)?(\w+)'", re.IGNORECASE)
 
 # ALTER TABLE old RENAME TO new: the NEW name needs mirroring too (the

@@ -117,3 +117,54 @@ def test_cleanup_sweeps_expired_inlined_rows(spark, tmp_path):
     con.close()
     assert left == 0                       # expired inlined row swept
     assert sorted(r["id"] for r in dl.table("main.i").collect()) == [1, 2]
+
+
+# --- selective rewrite (sql/rewrite_data_files/ corpus) -------------------
+
+def test_rewrite_data_files_leaves_clean_files_untouched(spark, tmp_path):
+    db = str(tmp_path / "rw.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.create_table("main.rw", spark.createDataFrame(
+        [(i, "a") for i in range(10)], "id INT, tag STRING"))
+    dl.insert_into("main.rw", spark.createDataFrame(
+        [(i, "b") for i in range(10, 20)], "id INT, tag STRING"))
+    dl.delete_from("main.rw", "id IN (2, 3, 4)")   # dirties file 1 only
+
+    before = {f.data_file_id: f.path
+              for f in dl.table_handle("main.rw")._raw_files}
+    dirty_ids = {f.data_file_id
+                 for f in dl.table_handle("main.rw")._raw_files
+                 if f.delete_file is not None}
+    assert len(dirty_ids) == 1
+
+    n = dl.rewrite_data_files("main.rw")
+    assert n == 7                                  # only survivors rewritten
+
+    after = dl.table_handle("main.rw")._raw_files
+    after_ids = {f.data_file_id: f.path for f in after}
+    clean_id = next(i for i in before if i not in dirty_ids)
+    # the clean file keeps its EXACT catalog registration
+    assert after_ids[clean_id] == before[clean_id]
+    # the dirty file is gone; no delete debt remains
+    assert not (set(dirty_ids) & set(after_ids))
+    assert all(f.delete_file is None for f in after)
+    # rowids preserved: survivors keep pre-rewrite ids (holes at 2,3,4)
+    rows = dl.table("main.rw", with_rowid=True).collect()
+    assert sorted(r.rowid for r in rows) == [0, 1] + list(range(5, 20))
+    assert sorted(r.id for r in rows) == [0, 1] + list(range(5, 20))
+
+
+def test_rewrite_data_files_noop_without_debt(spark, tmp_path):
+    db = str(tmp_path / "rw2.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.create_table("main.c", spark.createDataFrame(
+        [(1,), (2,)], "id INT"))
+    snap_before = dl.provider.get_current_snapshot()
+    assert dl.rewrite_data_files("main.c") == 0
+    assert dl.provider.get_current_snapshot() == snap_before
