@@ -428,10 +428,54 @@ class DuckLakeSession:
     def __init__(self, spark: SparkSession, catalog_path: str,
                  snapshot_id: Optional[int] = None,
                  provider: Optional[MetadataProvider] = None,
-                 read_only: bool = False):
+                 read_only: bool = False,
+                 create_if_not_exists: bool = True,
+                 data_path: Optional[str] = None,
+                 override_data_path: bool = False):
+        """Attach semantics (sql/initialize/ + sql/attach/ corpus):
+
+        - missing catalog DB: created when ``create_if_not_exists`` (the
+          DuckDB ATTACH default) — its data path is ``data_path`` or
+          ``<catalog_path>.files``; refused with CREATE_IF_NOT_EXISTS
+          false, and refused in read-only mode (nothing to read).
+        - existing catalog + ``data_path``: must match the catalog's
+          recorded data path (attach/different_paths.test) unless
+          ``override_data_path`` rewrites the recorded value.
+        """
         self.spark = spark
         self.catalog_path = catalog_path
+        if provider is None and not os.path.exists(catalog_path):
+            if not create_if_not_exists:
+                raise InvalidConfig(
+                    "creating a new DuckLake is explicitly disabled "
+                    f"(CREATE_IF_NOT_EXISTS false): {catalog_path}")
+            if read_only:
+                raise InvalidConfig(
+                    "cannot create a new DuckLake in read-only mode: "
+                    f"{catalog_path}")
+            from .metadata.writer import CatalogWriter
+            w = CatalogWriter.sqlite(catalog_path)
+            w.initialize_schema(data_path=data_path
+                                or catalog_path + ".files")
+            w.close()
+            data_path = None        # freshly recorded; nothing to compare
         self.provider = provider or provider_for(catalog_path)
+        self.read_only = read_only          # final value recomputed below
+        if data_path is not None:
+            recorded = self.provider.get_data_path()
+            norm = lambda p: p.rstrip("/")         # noqa: E731
+            if norm(recorded) != norm(data_path):
+                if not override_data_path:
+                    raise InvalidConfig(
+                        f"DATA_PATH '{data_path}' does not match existing "
+                        f"data path in the catalog ('{recorded}') — pass "
+                        "override_data_path=True to rewrite it")
+                from .table_writer import _catalog_writer
+                w = _catalog_writer(self)
+                try:
+                    w.set_option("data_path", data_path)
+                finally:
+                    w.close()
         if snapshot_id is not None and \
                 not self.provider.snapshot_exists(snapshot_id):
             # covers beyond-history AND expired versions
@@ -2174,6 +2218,11 @@ class DuckLakeSession:
             raise InvalidConfig(f"Table already exists: {name}")
         cols = []
         for part in self._split_top_level(col_defs, angle=True):
+            if re.search(r"\bAS\s*\(", part, re.I):
+                # sql/general/generated_columns.test
+                raise InvalidConfig(
+                    "DuckLake does not support generated columns: "
+                    f"{part.strip()!r}")
             m = re.match(
                 r"^\s*\"?([A-Za-z_]\w*)\"?\s+(.+?)"
                 r"(\s+NOT\s+NULL)?(?:\s+DEFAULT\s+(.+?))?\s*$",
