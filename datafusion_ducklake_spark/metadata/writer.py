@@ -254,6 +254,7 @@ class DataFileInfo:
     record_count: Optional[int]
     row_id_start: Optional[int] = None
     mapping_id: Optional[int] = None
+    encryption_key: Optional[str] = None   # base64 AES key (PME footer key)
 
     def __post_init__(self):
         # ref: validated_file_size / validated_record_count (table.rs:59-80)
@@ -781,11 +782,12 @@ class CatalogWriter:
             cur.execute(
                 "INSERT INTO ducklake_data_file (data_file_id, table_id, path, "
                 "path_is_relative, file_size_bytes, footer_size, record_count, "
-                "row_id_start, mapping_id, begin_snapshot) "
-                "VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?, ?)",
+                "row_id_start, mapping_id, encryption_key, begin_snapshot) "
+                "VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?)",
                 (fid, table_id, file.path, file.path_is_relative,
                  file.file_size_bytes, file.footer_size, file.record_count,
-                 file.row_id_start, file.mapping_id, snapshot_id))
+                 file.row_id_start, file.mapping_id, file.encryption_key,
+                 snapshot_id))
             return fid
 
     def register_file_column_stats(self, data_file_id: int, table_id: int,
@@ -1013,7 +1015,8 @@ class CatalogWriter:
                              snapshot_id: int, path: str,
                              path_is_relative: bool, file_size_bytes: int,
                              delete_count: int,
-                             expected_prev_delete_id: Optional[int] = -1
+                             expected_prev_delete_id: Optional[int] = -1,
+                             encryption_key: Optional[str] = None
                              ) -> int:
         """Register a positional-delete parquet file for one data file,
         superseding (ending) any previous delete file for it — mirrors what
@@ -1052,9 +1055,10 @@ class CatalogWriter:
             cur.execute(
                 "INSERT INTO ducklake_delete_file (delete_file_id, data_file_id, "
                 "table_id, path, path_is_relative, file_size_bytes, delete_count, "
-                "begin_snapshot) VALUES (?, ?, ?, ?, ?, ?, ?, ?)",
+                "encryption_key, begin_snapshot) "
+                "VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?)",
                 (did, data_file_id, table_id, path, path_is_relative,
-                 file_size_bytes, delete_count, snapshot_id))
+                 file_size_bytes, delete_count, encryption_key, snapshot_id))
             return did
 
     def end_data_file(self, data_file_id: int, snapshot_id: int) -> None:

@@ -50,7 +50,8 @@ POS_COL = "__ducklake_dml_pos"
 NEW_COL = "__ducklake_dml_new"
 
 _MANIFEST_SCHEMA = ("file_name string, delete_name string, "
-                    "cum_count long, new_count long, size long")
+                    "cum_count long, new_count long, size long, "
+                    "enc_key string")
 
 
 def _as_condition(condition: Union[str, Column, None]) -> Column:
@@ -62,10 +63,6 @@ def _as_condition(condition: Union[str, Column, None]) -> Column:
 def _live_with_filepos(session, handle) -> DataFrame:
     """The table's LIVE rows (existing deletes applied) with the data file
     basename and file-local position attached."""
-    if any(f.encryption_key is not None for f in handle._raw_files):
-        raise InvalidConfig(
-            "DML over encrypted tables is not supported yet "
-            "(the delete-file writer would need PME encryption)")
     if handle.inlined_tables and handle.inlined_rows():
         raise InvalidConfig(
             "DML over tables with live inlined data rows is not supported "
@@ -73,9 +70,26 @@ def _live_with_filepos(session, handle) -> DataFrame:
             "address parquet rows)")
     _configure_fieldid_read(session.spark)
     files = handle.files
+    encd = [f for f in files if f.encryption_key is not None]
+    files = [f for f in files if f.encryption_key is None]
     plain = [f for f in files if f.mapped_cols is None]
     mapped = [f for f in files if f.mapped_cols is not None]
     parts = []
+    if encd:
+        # encrypted data files: executor-side PME decode with positions
+        # (sql/encryption/ corpus — DELETE over an ENCRYPTED catalog)
+        from pyspark.sql import types as T
+
+        from ..sources.encryption import decode_with_positions
+        out_schema = T.StructType(
+            list(handle.spark_schema.fields)
+            + [T.StructField(POS_COL, T.LongType(), False),
+               T.StructField(FILE_COL, T.StringType(), False)])
+        parts.append(decode_with_positions(
+            session.spark,
+            [(f.data_uri, f.encryption_key,
+              f.data_uri.rsplit("/", 1)[-1]) for f in encd],
+            out_schema))
     for group_schema, group in _split_by_field_ids(handle.spark_schema,
                                                    plain):
         df = _read_parquet(session.spark, group_schema,
@@ -129,28 +143,64 @@ def _existing_deletes(session, handle) -> Optional[DataFrame]:
     Iceberg-style writer stores absolute paths/URIs there, and trusting
     it silently resurrects previously-deleted rows). Mirrors
     sources/scan._scan_dirty_grouped."""
-    pairs = [(f.delete_uri, f.data_uri) for f in handle.files
-             if f.delete_uri is not None]
-    if not pairs:
-        return None
     name_of = lambda uri: uri.rsplit("/", 1)[-1]  # noqa: E731
+    enc_pairs = [(f.delete_uri, f.delete_encryption_key, f.data_uri)
+                 for f in handle.files
+                 if f.delete_uri is not None
+                 and f.delete_encryption_key is not None]
+    pairs = [(f.delete_uri, f.data_uri) for f in handle.files
+             if f.delete_uri is not None
+             and f.delete_encryption_key is None]
+    enc_dels = None
+    if enc_pairs:
+        enc_dels = _decode_encrypted_deletes(
+            session.spark, [(d, k, name_of(a)) for d, k, a in enc_pairs])
+    if not pairs:
+        return enc_dels
     if len({name_of(d) for d, _ in pairs}) != len(pairs):
         # non-unique delete basenames (never true for UUID-named files):
         # per-file branches with literal tags
-        return reduce(DataFrame.unionByName, (
+        plain_dels = reduce(DataFrame.unionByName, (
             session.spark.read.parquet(d)
             .select(F.lit(name_of(a)).alias(FILE_COL),
                     F.col("pos").alias(POS_COL))
             for d, a in pairs))
-    dels = (session.spark.read.parquet(*[d for d, _ in pairs])
-            .select(F.element_at(F.split(F.col("_metadata.file_path"), "/"),
-                                 -1).alias("__del_file"),
+    else:
+        dels = (session.spark.read.parquet(*[d for d, _ in pairs])
+                .select(F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"),
+                    -1).alias("__del_file"),
                     F.col("pos").alias(POS_COL)))
-    pairing = session.spark.createDataFrame(
-        [(name_of(d), name_of(a)) for d, a in pairs],
-        f"`__del_file` STRING, `{FILE_COL}` STRING")
-    return (dels.join(F.broadcast(pairing), "__del_file")
-            .select(FILE_COL, POS_COL))
+        pairing = session.spark.createDataFrame(
+            [(name_of(d), name_of(a)) for d, a in pairs],
+            f"`__del_file` STRING, `{FILE_COL}` STRING")
+        plain_dels = (dels.join(F.broadcast(pairing), "__del_file")
+                      .select(FILE_COL, POS_COL))
+    if enc_dels is None:
+        return plain_dels
+    return plain_dels.unionByName(enc_dels)
+
+
+def _decode_encrypted_deletes(spark, triples: list[tuple]) -> DataFrame:
+    """(delete_uri, key, data-file basename) → (FILE_COL, POS_COL) rows,
+    decrypted executor-side (encrypted-catalog DML: the existing delete
+    files are PME parquet too)."""
+    def decode(pdf_iter):
+        import pandas as pd
+
+        from ..sources.encryption import decode_key, read_encrypted_arrow
+        for pdf in pdf_iter:
+            for path, key, tag in zip(pdf["path"], pdf["key"], pdf["tag"]):
+                tbl = read_encrypted_arrow(path, decode_key(key))
+                out = pd.DataFrame({FILE_COL: tag,
+                                    POS_COL: tbl.column("pos").to_pandas()})
+                yield out
+
+    pairs = spark.createDataFrame(
+        triples, "path STRING, key STRING, tag STRING") \
+        .repartition(max(len(triples), 1))
+    return pairs.mapInPandas(decode,
+                             f"`{FILE_COL}` STRING, `{POS_COL}` LONG")
 
 
 def _pyarrow_dest(table_path: str):
@@ -168,7 +218,8 @@ def _pyarrow_dest(table_path: str):
 
 
 def _write_delete_parquets(spark, cumulative: DataFrame,
-                           table_path: str) -> list:
+                           table_path: str,
+                           encrypt: bool = False) -> list:
     """Write one cumulative delete parquet per TOUCHED file from the
     executors; returns the collected manifest rows (O(files)).
 
@@ -190,7 +241,8 @@ def _write_delete_parquets(spark, cumulative: DataFrame,
                 "delete_name": pd.Series(dtype="object"),
                 "cum_count": pd.Series(dtype="int64"),
                 "new_count": pd.Series(dtype="int64"),
-                "size": pd.Series(dtype="int64")})
+                "size": pd.Series(dtype="int64"),
+                "enc_key": pd.Series(dtype="object")})
         fname = pdf[FILE_COL].iloc[0]
         positions = sorted(int(p) for p in pdf[POS_COL].tolist())
         fs, base = _pyarrow_dest(table_path)
@@ -199,12 +251,26 @@ def _write_delete_parquets(spark, cumulative: DataFrame,
         tbl = pa.table({
             "file_path": pa.array([fname] * len(positions), pa.string()),
             "pos": pa.array(positions, pa.int64())})
-        with fs.open_output_stream(dest) as out:
-            pq.write_table(tbl, out)
+        enc_key = None
+        if encrypt:
+            # encrypted catalog: delete files are PME parquet too
+            # (sql/encryption/encryption.test asserts *-del*.parquet
+            # is unreadable as plain parquet)
+            import base64
+            import secrets
+
+            from ..sources.encryption import write_encrypted
+            key = secrets.token_bytes(16)
+            enc_key = base64.b64encode(key).decode("ascii")
+            write_encrypted(tbl, dest, key)
+        else:
+            with fs.open_output_stream(dest) as out:
+                pq.write_table(tbl, out)
         size = fs.get_file_info(dest).size
         return pd.DataFrame([{"file_name": fname, "delete_name": name,
                               "cum_count": len(positions),
-                              "new_count": new_count, "size": size}])
+                              "new_count": new_count, "size": size,
+                              "enc_key": enc_key}])
 
     return (cumulative.repartition(FILE_COL).groupBy(FILE_COL)
             .applyInPandas(write_group, _MANIFEST_SCHEMA).collect())
@@ -229,7 +295,8 @@ def _register_deletes(writer, handle, snapshot_id: int, manifest) -> None:
         writer.register_delete_file(
             handle.meta.table_id, fid, snapshot_id, row["delete_name"],
             True, int(row["size"]), int(row["cum_count"]),
-            expected_prev_delete_id=prev_delete_id)
+            expected_prev_delete_id=prev_delete_id,
+            encryption_key=row["enc_key"])
 
 
 def _stage_append(session, handle, df: DataFrame,
@@ -263,6 +330,18 @@ def _stage_append(session, handle, df: DataFrame,
         handle.meta.table_id, handle.snapshot_id)
     part_keys = [id_to_name[cid] for _, cid in spec if cid in id_to_name]
 
+    if (session.provider.get_option("encrypted") or "").lower() \
+            in ("true", "1"):
+        # encrypted catalog: rewrite/insert halves of UPDATE/MERGE are
+        # PME parquet with per-file keys, like the insert path
+        if part_keys:
+            raise InvalidConfig(
+                "encrypted tables with a partition spec are not supported")
+        from ..sources.encryption import write_encrypted_distributed
+        manifest = write_encrypted_distributed(out, table_path)
+        return [(r["name"], r["size"], r["footer"], r["rows"], None,
+                 r["key"]) for r in manifest]
+
     staging = table_path.rstrip("/") + f"/stage-{uuid.uuid4().hex}"
     try:
         if part_keys:
@@ -279,13 +358,14 @@ def _stage_append(session, handle, df: DataFrame,
         _raise_if_constraint(e)
     if part_keys:
         if "://" in table_path:
-            return _finalize_partitioned_hadoop(session.spark, staging,
-                                                table_path, part_keys)
-        return _finalize_partitioned_local(staging, table_path, part_keys)
+            return [(*t, None) for t in _finalize_partitioned_hadoop(
+                session.spark, staging, table_path, part_keys)]
+        return [(*t, None) for t in _finalize_partitioned_local(
+            staging, table_path, part_keys)]
     if "://" in table_path:
-        return [(*s, None) for s in
+        return [(*s, None, None) for s in
                 _finalize_hadoop(session.spark, staging, table_path)]
-    return [(*s, None) for s in _finalize_local(staging, table_path)]
+    return [(*s, None, None) for s in _finalize_local(staging, table_path)]
 
 
 def _register_append(session, writer, snapshot_id: int, handle,
@@ -298,19 +378,22 @@ def _register_append(session, writer, snapshot_id: int, handle,
     n_rows = 0
     next_rowid = writer.next_row_id(handle.meta.table_id)
     ids_by_name = dict(zip(data_cols, column_ids))
-    for final_name, size, footer, count, pvals in staged:
+    for final_name, size, footer, count, pvals, enc_key in staged:
         if count == 0:
             continue
         fid = writer.register_data_file(
             handle.meta.table_id, snapshot_id,
             DataFileInfo(path=final_name, path_is_relative=True,
                          file_size_bytes=size, footer_size=footer,
-                         record_count=count, row_id_start=next_rowid))
+                         record_count=count, row_id_start=next_rowid,
+                         encryption_key=enc_key))
         if pvals:
             writer.register_file_partition_values(
                 fid, handle.meta.table_id, pvals)
         local = _local_readable(table_path, final_name)
-        if local is not None:
+        if local is not None and enc_key is None:
+            # encrypted files skip stats: the footer is unreadable without
+            # the key, and catalog min/max would leak the payload anyway
             from ..types import is_geometry_type
             writer.register_file_column_stats(
                 fid, handle.meta.table_id,
@@ -524,14 +607,17 @@ def _delete_and_append(session, handle, matched_pos: DataFrame,
     if dels is not None:
         cumulative = cumulative.unionByName(
             dels.withColumn(NEW_COL, F.lit(0)))
+    encrypted_catalog = (session.provider.get_option("encrypted")
+                         or "").lower() in ("true", "1")
     manifest = _write_delete_parquets(session.spark, cumulative,
-                                      handle.table_path)
+                                      handle.table_path,
+                                      encrypt=encrypted_catalog)
     n_matched = sum(int(r["new_count"]) for r in manifest)
 
     staged = []
     if appended is not None and (n_matched > 0 or not append_only_if_matched):
         staged = _stage_append(session, handle, appended)
-    n_append = sum(count for _, _, _, count, _pv in staged)
+    n_append = sum(t[3] for t in staged)
 
     if n_matched == 0 and n_append == 0:
         return 0, 0                    # no snapshot for a no-op DML

@@ -222,3 +222,79 @@ def read_encrypted_distributed(spark: SparkSession,
     pairs = spark.createDataFrame(files, "path STRING, key STRING") \
         .repartition(max(len(files), 1))
     return pairs.mapInPandas(decode_batches, schema)
+
+
+def decode_with_positions(spark: SparkSession,
+                          files: list[tuple[str, str, str]],
+                          out_schema) -> DataFrame:
+    """Decrypt (path, key, tag) triples executor-side; each row carries
+    its file-local position and the tag (the DML live-scan contract:
+    FILE_COL = data file basename, POS_COL = physical row index).
+    ``out_schema`` must be the payload schema + (pos LONG, tag STRING)
+    as its LAST two fields, named by the caller."""
+    pos_name = out_schema.fields[-2].name
+    tag_name = out_schema.fields[-1].name
+    payload = [f.name for f in out_schema.fields[:-2]]
+
+    def decode(pdf_iter):
+        for pdf in pdf_iter:
+            for path, key, tag in zip(pdf["path"], pdf["key"], pdf["tag"]):
+                tbl = read_encrypted_arrow(path, decode_key(key))
+                out = tbl.to_pandas()
+                if payload:
+                    out = out[[c for c in payload if c in out.columns]]
+                out[pos_name] = range(len(out))
+                out[tag_name] = tag
+                yield out
+
+    pairs = spark.createDataFrame(files, "path STRING, key STRING, "
+                                         "tag STRING") \
+        .repartition(max(len(files), 1))
+    return pairs.mapInPandas(decode, out_schema)
+
+
+def write_encrypted_distributed(df: DataFrame, dest_dir: str) -> list[dict]:
+    """Write a DataFrame as PME-encrypted parquet, one file per non-empty
+    partition, written INSIDE executor tasks (the driver never touches
+    payload bytes — the 100 TB path). Each file gets a fresh random
+    AES-128 key; the returned manifest [(name, key_b64, rows, size,
+    footer)] is a tiny per-file collect. Local/posix table paths only —
+    pyarrow's PME writer needs a seekable local file."""
+    if "://" in dest_dir and not dest_dir.startswith("file://"):
+        from ..errors import InvalidConfig
+        raise InvalidConfig(
+            "encrypted writes require a local table path (pyarrow PME "
+            "writer); object-store encrypted staging is not supported")
+    base = dest_dir[len("file://"):] if dest_dir.startswith("file://") \
+        else dest_dir
+
+    def write_part(batch_iter):
+        import base64
+        import os as _os
+        import secrets
+        import uuid as _uuid
+
+        import pyarrow as pa
+        batches = [b for b in batch_iter]
+        rows = sum(b.num_rows for b in batches)
+        if rows == 0:
+            return
+        key = secrets.token_bytes(16)
+        name = f"ducklake-{_uuid.uuid4()}.parquet"
+        path = _os.path.join(base, name)
+        write_encrypted(pa.Table.from_batches(batches), path, key)
+        size = _os.path.getsize(path)
+        with open(path, "rb") as f:
+            f.seek(-8, 2)
+            tail = f.read(8)
+        footer = int.from_bytes(tail[:4], "little") + 8
+        yield pa.RecordBatch.from_pydict({
+            "name": [name],
+            "key": [base64.b64encode(key).decode("ascii")],
+            "rows": [rows], "size": [size], "footer": [footer]})
+
+    manifest = df.mapInArrow(
+        write_part,
+        "name string, key string, rows long, size long, footer long"
+    ).collect()
+    return [r.asDict() for r in manifest]

@@ -501,6 +501,11 @@ def compact_table(session, name: str, single_file: bool = True,
         raise InvalidConfig(
             "compact over tables with live inlined data rows is not "
             "supported — call flush_inlined_data() first")
+    if any(f.encryption_key is not None for f in handle.files):
+        raise InvalidConfig(
+            "compact with rowid preservation over encrypted tables is not "
+            "supported — compact(preserve_rowids=False) rewrites "
+            "encrypted (fresh rowids)")
     if not handle.files or any(f.row_id_start is None for f in handle.files):
         return create_or_insert(session, name, session.table(name),
                                 mode="overwrite", single_file=single_file)
@@ -573,6 +578,41 @@ def compact_table(session, name: str, single_file: bool = True,
         writer.close()
 
 
+def _insert_encrypted(session, writer, setup, table_meta, table_path,
+                      out: DataFrame, df: DataFrame,
+                      commit_marker) -> int:
+    """Encrypted-catalog insert tail: PME-write each partition inside
+    executor tasks (fresh random key per file), then register the
+    manifest in ONE transaction with the keys in the catalog."""
+    from .sources.encryption import write_encrypted_distributed
+
+    base = table_path[len("file://"):] \
+        if table_path.startswith("file://") else table_path
+    os.makedirs(base, exist_ok=True)
+    manifest = write_encrypted_distributed(out, table_path)
+    n_rows = 0
+    next_rowid = writer.next_row_id(table_meta.table_id)
+    with writer._txn():
+        for row in sorted(manifest, key=lambda r: r["name"]):
+            writer.register_data_file(
+                table_meta.table_id, setup.snapshot_id,
+                DataFileInfo(path=row["name"], path_is_relative=True,
+                             file_size_bytes=row["size"],
+                             footer_size=row["footer"],
+                             record_count=row["rows"],
+                             row_id_start=next_rowid,
+                             encryption_key=row["key"]))
+            # column stats stay unwritten: the payload is encrypted and
+            # min/max in the catalog would leak it (DuckDB's extension
+            # does the same — pruning falls back to 'keep all')
+            next_rowid += row["rows"]
+            n_rows += row["rows"]
+        if commit_marker is not None:
+            writer.set_option(commit_marker[0], commit_marker[1])
+    session.refresh()
+    return n_rows
+
+
 def rewrite_data_files(session, name: str, max_runs: int = 512) -> int:
     """Selective MOR-debt rewrite — the corpus's
     ``CALL ducklake_rewrite_data_files`` (sql/rewrite_data_files/):
@@ -600,6 +640,10 @@ def rewrite_data_files(session, name: str, max_runs: int = 512) -> int:
              if rf.delete_uri is not None]
     if not pairs:
         return 0
+    if any(rf.encryption_key is not None for _, rf in pairs):
+        raise InvalidConfig(
+            "rewrite_data_files over encrypted tables is not supported — "
+            "compact(preserve_rowids=False) rewrites encrypted")
     if any(mf.row_id_start is None for mf, _ in pairs):
         raise InvalidConfig(
             "rewrite_data_files needs row_id_start on every dirty file — "
@@ -902,6 +946,18 @@ def create_or_insert(session, name: str, df: DataFrame, mode: str,
             table_meta.table_id, setup.snapshot_id)
         part_keys = [id_to_name[cid] for _, cid in spec
                      if cid in id_to_name]
+
+        if (session.provider.get_option("encrypted") or "").lower() \
+                in ("true", "1"):
+            # ENCRYPTED catalog (sql/encryption/ corpus): every data file
+            # is PME-encrypted with its own random key, recorded in
+            # ducklake_data_file.encryption_key. Written executor-side.
+            if part_keys:
+                raise InvalidConfig(
+                    "encrypted tables with a partition spec are not "
+                    "supported")
+            return _insert_encrypted(session, writer, setup, table_meta,
+                                     table_path, out, df, commit_marker)
 
         staging = table_path.rstrip("/") + f"/stage-{uuid.uuid4().hex}"
         wopts = _parquet_write_options(
