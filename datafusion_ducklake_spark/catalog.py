@@ -647,7 +647,7 @@ class DuckLakeSession:
     _ALTER_RE = re.compile(
         r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+"
         r"(?:RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)"
-        r"|ADD\s+COLUMN\s+(\w+)\s+([\w()]+)(?:\s+DEFAULT\s+(.+?))?"
+        r"|ADD\s+COLUMN\s+(\w+)\s+([\w()<>,:\[\] ]+?)(?:\s+DEFAULT\s+(.+?))?"
         r"|DROP\s+COLUMN\s+(\w+)"
         r"|ALTER\s+(?:COLUMN\s+)?(\w+)\s+(SET|DROP)\s+NOT\s+NULL"
         r"|RENAME\s+TO\s+(\w+)"
