@@ -1756,19 +1756,74 @@ class DuckLakeSession:
                 os.remove(p)
         return sorted(orphans)
 
+    @staticmethod
+    def _parse_size(text: str) -> int:
+        """'5.4MB' / '512KB' / '1GB' / plain bytes → bytes (the
+        target_file_size option format, sql/compaction/
+        compaction_size_limit.test)."""
+        m = re.fullmatch(r"\s*([\d.]+)\s*([KMGT]?I?B?)\s*", text, re.I)
+        if not m:
+            raise InvalidConfig(f"bad size: {text!r}")
+        mult = {"": 1, "B": 1, "KB": 10**3, "MB": 10**6, "GB": 10**9,
+                "TB": 10**12, "KIB": 2**10, "MIB": 2**20, "GIB": 2**30,
+                "TIB": 2**40}[m.group(2).upper()]
+        return int(float(m.group(1)) * mult)
+
     def merge_adjacent_files(self) -> int:
-        """ducklake_merge_adjacent_files parity: rewrite every table's
-        fragmented live files into contiguous rowid runs (compact with
-        rowid preservation). Returns the number of tables rewritten."""
+        """ducklake_merge_adjacent_files parity: pack each table's
+        rowid-adjacent live files into groups of at most
+        ``target_file_size`` bytes (catalog option, e.g. '512MB';
+        compaction_size_limit.test) and rewrite each multi-file or
+        delete-carrying group into contiguous-rowid files. Groups that
+        are a single clean file — including every file at or above the
+        target — keep their exact registration, so the rewrite cost
+        tracks the FRAGMENTED byte count, never the table size. Without
+        the option, each table packs into one group (single output
+        file). Returns the number of tables rewritten."""
+        from .table_writer import rewrite_file_groups
+        target_raw = self.provider.get_option("target_file_size")
+        target = self._parse_size(target_raw) if target_raw else None
         n = 0
         snap = self.provider.get_current_snapshot()
         for schema_name, t in self.provider.list_all_tables(snap):
-            handle = self.table_handle(f"{schema_name}.{t.table_name}")
-            if len(handle.files) > 1 or any(
-                    f.delete_uri for f in handle.files):
-                self.compact(f"{schema_name}.{t.table_name}",
-                             single_file=True)
+            name = f"{schema_name}.{t.table_name}"
+            handle = self.table_handle(name)
+            if not (len(handle.files) > 1
+                    or any(f.delete_uri for f in handle.files)):
+                continue
+            if any(f.encryption_key is not None for f in handle.files):
+                # encrypted rewrite renumbers (PME staging path)
+                self.compact(name, single_file=True,
+                             preserve_rowids=False)
                 n += 1
+                continue
+            if any(mf.row_id_start is None for mf in handle._raw_files) \
+                    or (handle.inlined_tables and handle.inlined_rows()):
+                # no preservable rowids (foreign fixtures) → plain
+                # rewrite; live inlined rows → compact raises, as before
+                self.compact(name, single_file=True)
+                n += 1
+                continue
+            members = sorted(zip(handle._raw_files, handle.files),
+                             key=lambda p: p[0].row_id_start)
+            groups, cur, cur_bytes = [], [], 0
+            for mf, rf in members:
+                sz = mf.file_size_bytes or 0
+                if cur and target is not None and cur_bytes + sz > target:
+                    groups.append(cur)
+                    cur, cur_bytes = [], 0
+                cur.append((mf, rf))
+                cur_bytes += sz
+            if cur:
+                groups.append(cur)
+            # single-clean-file groups stay untouched
+            todo = [g for g in groups
+                    if len(g) > 1 or any(rf.delete_uri for _, rf in g)]
+            if not todo:
+                continue
+            rewrite_file_groups(self, name, todo,
+                                op="merge_adjacent_files")
+            n += 1
         return n
 
     def checkpoint(self) -> int:

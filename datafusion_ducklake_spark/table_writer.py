@@ -619,14 +619,30 @@ def rewrite_data_files(session, name: str, max_runs: int = 512) -> int:
     rewrite ONLY the data files carrying a live delete file; clean files
     keep their catalog registration untouched. At 100 TB the cost is
     proportional to the DIRTY byte count, never the table size (compact()
-    rewrites everything).
+    rewrites everything). Each dirty file is its own group — see
+    rewrite_file_groups for the mechanism."""
+    handle = session.table_handle(name)
+    pairs = [(mf, rf) for mf, rf in zip(handle._raw_files, handle.files)
+             if rf.delete_uri is not None]
+    if not pairs:
+        return 0
+    return rewrite_file_groups(session, name, [[p] for p in pairs],
+                               max_runs=max_runs, op="rewrite_data_files")
 
-    Rowids survive: within each dirty file the surviving rows form
-    contiguous runs (deletes punch holes); each run becomes one output
-    file registered at its run-start rowid. One snapshot ends the dirty
-    data+delete files and registers the rewrites atomically. The scan
-    reads only the dirty files (scan_table over the dirty subset), and
-    run discovery reads only the delete parquets."""
+
+def rewrite_file_groups(session, name: str, groups: list,
+                        max_runs: int = 512,
+                        op: str = "rewrite_file_groups") -> int:
+    """Rewrite arbitrary GROUPS of a table's files in one snapshot.
+
+    ``groups``: list of lists of ``(DataFileMeta, ResolvedFile)`` pairs.
+    Every member file (and its delete file) is ended; the surviving rows
+    re-register as contiguous-rowid runs — runs MERGE across adjacent
+    members within a group (that is what makes ducklake_merge_adjacent's
+    target_file_size packing produce one output file per group), never
+    across groups. Files outside the groups keep their exact catalog
+    registration. Scan + run discovery touch only the group members and
+    their delete parquets."""
     from pyspark.sql import functions as F
 
     from .sources.scan import scan_table
@@ -634,45 +650,57 @@ def rewrite_data_files(session, name: str, max_runs: int = 512) -> int:
     handle = session.table_handle(name)
     if handle.inlined_tables and handle.inlined_rows():
         raise InvalidConfig(
-            "rewrite_data_files over tables with live inlined data rows "
+            f"{op} over tables with live inlined data rows "
             "is not supported — call flush_inlined_data() first")
-    pairs = [(mf, rf) for mf, rf in zip(handle._raw_files, handle.files)
-             if rf.delete_uri is not None]
+    pairs = [m for g in groups for m in g]
     if not pairs:
         return 0
     if any(rf.encryption_key is not None for _, rf in pairs):
         raise InvalidConfig(
-            "rewrite_data_files over encrypted tables is not supported — "
+            f"{op} over encrypted tables is not supported — "
             "compact(preserve_rowids=False) rewrites encrypted")
     if any(mf.row_id_start is None for mf, _ in pairs):
         raise InvalidConfig(
-            "rewrite_data_files needs row_id_start on every dirty file — "
+            f"{op} needs row_id_start on every rewritten file — "
             "compact(preserve_rowids=False) renumbers instead")
 
-    # survivor runs per dirty file, from the delete parquets only (the
+    # survivor runs per member, from the delete parquets only (the
     # same catalog-pairing rule as _carve_rowid_runs: never trust the
     # delete parquet's own file_path column, ref table.rs:84-85)
     base = os.path.basename
-    dels = (session.spark.read.parquet(*[rf.delete_uri for _, rf in pairs])
-            .select(F.element_at(
-                F.split(F.col("_metadata.file_path"), "/"), -1)
-                .alias("__del"), "pos")
-            .groupBy("__del")
-            .agg(F.sort_array(F.collect_list("pos")).alias("ps")))
-    pair_map = {rf.delete_uri.rsplit("/", 1)[-1]: base(mf.path)
-                for mf, rf in pairs}
-    del_by_file = {pair_map[r["__del"]]: r["ps"] for r in dels.collect()}
+    dirty = [(mf, rf) for mf, rf in pairs if rf.delete_uri is not None]
+    del_by_file: dict = {}
+    if dirty:
+        dels = (session.spark.read.parquet(
+                    *[rf.delete_uri for _, rf in dirty])
+                .select(F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1)
+                    .alias("__del"), "pos")
+                .groupBy("__del")
+                .agg(F.sort_array(F.collect_list("pos")).alias("ps")))
+        pair_map = {rf.delete_uri.rsplit("/", 1)[-1]: base(mf.path)
+                    for mf, rf in dirty}
+        del_by_file = {pair_map[r["__del"]]: r["ps"]
+                       for r in dels.collect()}
     run_list: list[tuple[int, int]] = []
-    for mf, _rf in pairs:
-        deleted = del_by_file.get(base(mf.path), [])
-        prev = -1
-        for p in list(deleted) + [mf.record_count]:
-            if p > prev + 1:
-                run_list.append((mf.row_id_start + prev + 1, p - prev - 1))
-            prev = p
+    for group in groups:
+        group_runs: list[list[int]] = []
+        for mf, _rf in sorted(group, key=lambda t: t[0].row_id_start):
+            deleted = del_by_file.get(base(mf.path), [])
+            prev = -1
+            for p in list(deleted) + [mf.record_count]:
+                if p > prev + 1:
+                    s, c = mf.row_id_start + prev + 1, p - prev - 1
+                    if group_runs and \
+                            group_runs[-1][0] + group_runs[-1][1] == s:
+                        group_runs[-1][1] += c     # adjacent: merge
+                    else:
+                        group_runs.append([s, c])
+                prev = p
+        run_list.extend((s, c) for s, c in group_runs)
     if len(run_list) > max_runs:
         raise InvalidConfig(
-            f"rewrite_data_files: {name} shatters into {len(run_list)} "
+            f"{op}: {name} shatters into {len(run_list)} "
             f"rowid runs (> {max_runs}); use compact()")
 
     tid = handle.meta.table_id
@@ -681,7 +709,7 @@ def rewrite_data_files(session, name: str, max_runs: int = 512) -> int:
         snap = writer.create_snapshot(
             [f"deleted_from_table:{tid}", f"inserted_into_table:{tid}"])
         if not run_list:
-            # every row of every dirty file was deleted: just end them
+            # every row of every member file was deleted: just end them
             with writer._txn():
                 for mf, _rf in pairs:
                     writer.end_delete_file(mf.data_file_id, snap)

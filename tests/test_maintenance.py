@@ -168,3 +168,39 @@ def test_rewrite_data_files_noop_without_debt(spark, tmp_path):
     snap_before = dl.provider.get_current_snapshot()
     assert dl.rewrite_data_files("main.c") == 0
     assert dl.provider.get_current_snapshot() == snap_before
+
+
+def test_merge_adjacent_respects_target_file_size(spark, tmp_path):
+    # sql/compaction/compaction_size_limit.test: files pack into groups
+    # of <= target_file_size; each group becomes one output file; a
+    # group that is a single clean file keeps its registration
+    db = str(tmp_path / "tsz.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.create_table("main.t", spark.createDataFrame(
+        [(i, "x" * 50) for i in range(200)], "id INT, pad STRING"))
+    for k in range(4):
+        dl.insert_into("main.t", spark.createDataFrame(
+            [(1000 * (k + 1) + i, "y" * 50) for i in range(200)],
+            "id INT, pad STRING"))
+    sizes = [f.file_size_bytes
+             for f in dl.table_handle("main.t")._raw_files]
+    assert len(sizes) == 5
+    per_file = max(sizes)
+    # target fits two files per group -> 5 files pack into 3 groups
+    dl.set_option("target_file_size", str(per_file * 2 + 100))
+    assert dl.merge_adjacent_files() == 1
+    after = dl.table_handle("main.t")._raw_files
+    assert len(after) == 3
+    # rowids survive and all rows are present
+    rows = dl.table("main.t", with_rowid=True).collect()
+    assert sorted(r.rowid for r in rows) == list(range(1000))
+    assert len({r.id for r in rows}) == 1000
+    # a second merge with the same target is a no-op: every group is a
+    # single clean file now, so registrations stay identical
+    before_ids = {f.data_file_id for f in after}
+    assert dl.merge_adjacent_files() == 0
+    assert {f.data_file_id
+            for f in dl.table_handle("main.t")._raw_files} == before_ids
