@@ -959,7 +959,26 @@ def create_or_insert(session, name: str, df: DataFrame, mode: str,
         out = _with_field_ids(_enforce_not_null(df, not_null),
                               setup.column_ids)
         if single_file:
-            out = out.coalesce(1)
+            # target_file_size (sql/insert/insert_file_size.test): a
+            # large insert splits into ~target-sized files instead of one
+            # coalesced file. Catalyst's plan-stats sizeInBytes is the
+            # split estimate — no extra job; in-memory row width
+            # overestimates the compressed parquet, so the split errs
+            # toward MORE files, never a too-big one.
+            target_raw = session.provider.get_scoped_option(
+                "target_file_size", schema_meta.schema_id,
+                table_meta.table_id)
+            n_out = 1
+            if target_raw:
+                target = session._parse_size(target_raw)
+                try:
+                    est = int(str(out._jdf.queryExecution()
+                                  .optimizedPlan().stats().sizeInBytes()))
+                except Exception:
+                    est = 0
+                if est > 0 and target > 0:
+                    n_out = max(1, min(4096, -(-est // target)))
+            out = out.repartition(n_out) if n_out > 1 else out.coalesce(1)
 
         # Partition spec (sql/partitioning/ corpus): split the insert by
         # the live spec's columns. The partition columns are DUPLICATED

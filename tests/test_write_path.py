@@ -300,3 +300,26 @@ def test_time_travel_sees_snapshot_schema(spark, fresh_dl):
     assert set(old.table("main.ev2").columns) == {"id", "s"}
     assert [(r["id"], r["s"]) for r in old.table("main.ev2").collect()] == \
         [(1, "a")]
+
+
+def test_insert_splits_by_target_file_size(spark, tmp_path):
+    # sql/insert/insert_file_size.test: with target_file_size set, a
+    # large single-file insert splits into several ~target-sized files
+    from datafusion_ducklake_spark.catalog import DuckLakeSession
+    from datafusion_ducklake_spark.metadata.writer import CatalogWriter
+    db = str(tmp_path / "tfs.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake"))
+    w.set_option("target_file_size", "64KB")
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    df = spark.range(100000).selectExpr(
+        "CAST(id AS INT) AS id", "concat('thisisalongstring', id) AS s")
+    n = dl.create_table("main.t", df)
+    assert n == 100000
+    files = dl.table_handle("main.t")._raw_files
+    assert len(files) > 1
+    assert sum(f.record_count for f in files) == 100000
+    # rowids stay globally unique and dense across the split files
+    rows = dl.table("main.t", with_rowid=True).select("rowid").collect()
+    assert sorted(r.rowid for r in rows) == list(range(100000))
