@@ -10,11 +10,14 @@ when its last token falls in a later chunk.
 Scale design: the global prefix sum is distributed — one range shuffle on
 the order column (RangePartitioner assigns ascending key ranges to
 ascending partition ids), a P-row per-partition-sum collect (P =
-partition count, not row count), then a window cumsum WITHIN each
-partition plus the broadcast partition offset. No global single-partition
-window, no driver-side row loop; the only driver data is P longs. Two
-passes over the shuffled frame (partial sums + main), bounded by one
-persist.
+partition count, not row count), then a window cumsum per partition id
+plus the broadcast partition offset. No global single-partition window,
+no driver-side row loop; the only driver data is P longs. Verified plan
+shape (.explain): range Exchange -> InMemoryRelation (one persist, two
+passes: partial sums + main) -> hash Exchange on __pid -> Window. The
+second exchange re-buckets by partition id because Catalyst cannot see
+that range partitioning already aligns with __pid — it moves only the
+narrow (order, tokens) projection, 16 bytes/row, with exactly P buckets.
 """
 
 from __future__ import annotations
