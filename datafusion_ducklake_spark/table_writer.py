@@ -683,7 +683,8 @@ def rewrite_file_groups(session, name: str, groups: list,
         del_by_file = {pair_map[r["__del"]]: r["ps"]
                        for r in dels.collect()}
     run_list: list[tuple[int, int]] = []
-    for group in groups:
+    run_group: list[int] = []          # run index -> group index
+    for gi, group in enumerate(groups):
         group_runs: list[list[int]] = []
         for mf, _rf in sorted(group, key=lambda t: t[0].row_id_start):
             deleted = del_by_file.get(base(mf.path), [])
@@ -698,6 +699,7 @@ def rewrite_file_groups(session, name: str, groups: list,
                         group_runs.append([s, c])
                 prev = p
         run_list.extend((s, c) for s, c in group_runs)
+        run_group.extend(gi for _ in group_runs)
     if len(run_list) > max_runs:
         raise InvalidConfig(
             f"{op}: {name} shatters into {len(run_list)} "
@@ -746,18 +748,34 @@ def rewrite_file_groups(session, name: str, groups: list,
 
         geo_cols = {c.column_name for c in handle.columns
                     if is_geometry_type(c.column_type)}
+        # partition-value carry (sql/compaction/compaction_partitioned_
+        # table shape): a rewritten file inherits its group's exact
+        # partition values when every member agrees — maintenance never
+        # degrades partition pruning on partitioned tables. Mixed groups
+        # (only possible via a caller that packs across partitions) get
+        # no values, which is correct-but-unpruned.
+        pv_map = session.provider.get_file_partition_values(tid)
+        group_pv: list = []
+        for group in groups:
+            pvs = [pv_map.get(mf.data_file_id, {}) for mf, _rf in group]
+            group_pv.append(sorted(pvs[0].items())
+                            if pvs[0] and all(d == pvs[0] for d in pvs)
+                            else None)
         n_rows = 0
         with writer._txn():
             for mf, _rf in pairs:
                 writer.end_delete_file(mf.data_file_id, snap)
                 writer.end_data_file(mf.data_file_id, snap)
-            for (run_id, start, cnt), (final_name, size, footer) in \
-                    zip(runs, staged):
+            for ri, ((run_id, start, cnt), (final_name, size, footer)) in \
+                    enumerate(zip(runs, staged)):
                 fid = writer.register_data_file(
                     tid, snap,
                     DataFileInfo(path=final_name, path_is_relative=True,
                                  file_size_bytes=size, footer_size=footer,
                                  record_count=cnt, row_id_start=int(start)))
+                if group_pv[run_group[ri]]:
+                    writer.register_file_partition_values(
+                        fid, tid, group_pv[run_group[ri]])
                 local = _local_readable(table_path, final_name)
                 if local is not None:
                     writer.register_file_column_stats(

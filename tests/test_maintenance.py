@@ -204,3 +204,40 @@ def test_merge_adjacent_respects_target_file_size(spark, tmp_path):
     assert dl.merge_adjacent_files() == 0
     assert {f.data_file_id
             for f in dl.table_handle("main.t")._raw_files} == before_ids
+
+
+def test_merge_adjacent_preserves_partition_values(spark, tmp_path):
+    # maintenance over a partitioned table: files merge only within one
+    # partition-value tuple and rewritten files keep exact pruning values
+    db = str(tmp_path / "pmv.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.sql("CREATE TABLE pt (pk INTEGER, v INTEGER)")
+    dl.sql("ALTER TABLE pt SET PARTITIONED BY (pk)")
+    for k in range(2):   # two inserts -> two files per partition value
+        dl.insert_into("main.pt", spark.createDataFrame(
+            [(1, 10 + k), (1, 100 + k), (2, 20 + k)], "pk INT, v INT"))
+    handle = dl.table_handle("main.pt")
+    assert len(handle.files) == 4
+    before_ids = {f.data_file_id for f in handle._raw_files}
+    # the per-partition files interleave rowids (insert order), so NO
+    # pair is rowid-adjacent: merge_adjacent must leave all four files
+    # registered untouched rather than rewrite them in place
+    assert dl.merge_adjacent_files() == 0
+    assert {f.data_file_id
+            for f in dl.table_handle("main.pt")._raw_files} == before_ids
+
+    # a selective rewrite of a dirtied partition file carries its exact
+    # partition value to the rewritten file (pruning survives)
+    dl.delete_from("main.pt", "pk = 1 AND v = 10")
+    dl.rewrite_data_files("main.pt")
+    after = dl.table_handle("main.pt")
+    pv = dl.provider.get_file_partition_values(after.meta.table_id)
+    live = [f.data_file_id for f in after._raw_files]
+    vals = sorted(pv[fid][0] for fid in live)
+    assert len(live) == 4 and vals == ["1", "1", "2", "2"]
+    rows = sorted((r.pk, r.v) for r in dl.table("main.pt").collect())
+    assert rows == [(1, 11), (1, 100), (1, 101),
+                    (2, 20), (2, 21)]
