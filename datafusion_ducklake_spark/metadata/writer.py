@@ -1035,6 +1035,19 @@ class CatalogWriter:
         that did no read-modify-write, e.g. foreign-fixture builders)."""
         from ..errors import TransactionConflict
         with self._txn() as cur:
+            live_data = cur.execute(
+                "SELECT 1 FROM ducklake_data_file "
+                "WHERE data_file_id = ? AND end_snapshot IS NULL",
+                (data_file_id,)).fetchall()
+            if not live_data:
+                # the data file was rewritten/compacted concurrently —
+                # a delete registered against the ended file would be
+                # invisible to readers (silently resurrecting rows);
+                # abort like DuckDB's write-write conflict detection
+                # (ref corpus: compaction_delete_conflict.test)
+                raise TransactionConflict(
+                    f"transaction conflict: data file {data_file_id} was "
+                    "rewritten concurrently; retry the statement")
             if expected_prev_delete_id != -1:
                 live = cur.execute(
                     "SELECT delete_file_id FROM ducklake_delete_file "
@@ -1077,6 +1090,28 @@ class CatalogWriter:
                 "UPDATE ducklake_delete_file SET end_snapshot = ? "
                 "WHERE data_file_id = ? AND end_snapshot IS NULL",
                 (snapshot_id, data_file_id))
+
+    def expect_live_delete(self, data_file_id: int,
+                           expected_delete_file_id) -> None:
+        """Optimistic-concurrency check for rewrites: the survivor runs
+        were computed FROM ``expected_delete_file_id``'s positions (None
+        = no delete file existed). A concurrent DML that superseded or
+        added a delete file in the meantime would have its deletions
+        silently dropped by the rewrite — abort instead (ref corpus:
+        test_rewrite_transaction_conflict.test)."""
+        from ..errors import TransactionConflict
+        with self._txn() as cur:
+            rows = cur.execute(
+                "SELECT delete_file_id FROM ducklake_delete_file "
+                "WHERE data_file_id = ? AND end_snapshot IS NULL",
+                (data_file_id,)).fetchall()
+            current = int(rows[0][0]) if rows else None
+            if current != expected_delete_file_id:
+                raise TransactionConflict(
+                    f"transaction conflict: delete file for data file "
+                    f"{data_file_id} changed concurrently (expected "
+                    f"{expected_delete_file_id}, found {current}); "
+                    "retry the rewrite")
 
     def end_table_files(self, table_id: int, snapshot_id: int) -> int:
         with self._txn() as cur:

@@ -714,6 +714,10 @@ def rewrite_file_groups(session, name: str, groups: list,
             # every row of every member file was deleted: just end them
             with writer._txn():
                 for mf, _rf in pairs:
+                    writer.expect_live_delete(
+                        mf.data_file_id,
+                        mf.delete_file.delete_file_id
+                        if mf.delete_file else None)
                     writer.end_delete_file(mf.data_file_id, snap)
                     writer.end_data_file(mf.data_file_id, snap)
             session.refresh()
@@ -764,6 +768,12 @@ def rewrite_file_groups(session, name: str, groups: list,
         n_rows = 0
         with writer._txn():
             for mf, _rf in pairs:
+                # optimistic concurrency: the runs were computed from
+                # THIS delete state; a concurrent DML aborts the rewrite
+                writer.expect_live_delete(
+                    mf.data_file_id,
+                    mf.delete_file.delete_file_id
+                    if mf.delete_file else None)
                 writer.end_delete_file(mf.data_file_id, snap)
                 writer.end_data_file(mf.data_file_id, snap)
             for ri, ((run_id, start, cnt), (final_name, size, footer)) in \

@@ -136,3 +136,50 @@ def test_concurrent_dml_disjoint_files_no_conflict(spark, tmp_path):
     assert b.delete_from("main.t", "id >= 105") == 5  # file 2 only: ok
     assert sorted(r["id"] for r in b.table("main.t").collect()) == \
         [3, 4, 5, 6, 7, 8, 9, 100, 101, 102, 103, 104]
+
+
+# --- rewrite/DML write-write conflicts (ref corpus: rewrite_data_files/
+# test_rewrite_transaction_conflict.test, compaction/
+# compaction_delete_conflict.test) --------------------------------------
+
+def _fresh(spark, tmp_path, name):
+    db = str(tmp_path / f"{name}.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / f"{name}_lake"))
+    w.close()
+    return DuckLakeSession(spark, db)
+
+
+def test_delete_after_concurrent_compact_conflicts(spark, tmp_path):
+    from datafusion_ducklake_spark.errors import TransactionConflict
+    dl1 = _fresh(spark, tmp_path, "cc")
+    dl1.create_table("main.t", spark.createDataFrame(
+        [(i,) for i in range(10)], "id INT"))
+    dl2 = DuckLakeSession(spark, dl1.catalog_path)
+    dl2.compact("main.t")          # rewrites (ends) dl1's pinned files
+    # dl1's stale-pinned DELETE would register positions against the
+    # ENDED file — rows would silently resurrect; it must abort instead
+    with pytest.raises(TransactionConflict, match="rewritten"):
+        dl1.delete_from("main.t", "id < 3")
+    dl1.refresh()
+    assert dl1.delete_from("main.t", "id < 3") == 3
+    assert sorted(r.id for r in dl1.table("main.t").collect()) \
+        == list(range(3, 10))
+
+
+def test_rewrite_after_concurrent_delete_conflicts(spark, tmp_path):
+    from datafusion_ducklake_spark.errors import TransactionConflict
+    dl1 = _fresh(spark, tmp_path, "rc")
+    dl1.create_table("main.t", spark.createDataFrame(
+        [(i,) for i in range(10)], "id INT"))
+    dl1.delete_from("main.t", "id = 0")     # dl1 sees delete file v1
+    dl2 = DuckLakeSession(spark, dl1.catalog_path)
+    dl2.delete_from("main.t", "id = 1")     # supersedes -> v2
+    # dl1's rewrite computed survivors from v1; folding it now would
+    # drop dl2's deletion — abort and retry after refresh
+    with pytest.raises(TransactionConflict, match="changed concurrently"):
+        dl1.rewrite_data_files("main.t")
+    dl1.refresh()
+    assert dl1.rewrite_data_files("main.t") == 8
+    assert sorted(r.id for r in dl1.table("main.t").collect()) \
+        == list(range(2, 10))
