@@ -658,7 +658,8 @@ class DuckLakeSession:
         r"^\s*CREATE\s+TABLE\s+([A-Za-z_][\w.]*)\s+AS\s+(SELECT\s.*?)"
         r"\s*;?\s*$", re.I | re.S)
     _CREATE_COLS_RE = re.compile(
-        r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+        r"^\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?TABLE\s+"
+        r"(IF\s+NOT\s+EXISTS\s+)?"
         r"([A-Za-z_][\w.]*)\s*\((.+)\)\s*;?\s*$", re.I | re.S)
     _MERGE_RE = re.compile(
         r"^\s*MERGE\s+INTO\s+([A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(\w+))?"
@@ -677,7 +678,8 @@ class DuckLakeSession:
         r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)"
         r"\s*;?\s*$", re.I)
     _CREATE_VIEW_RE = re.compile(
-        r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([A-Za-z_][\w.]*)\s+AS\s+"
+        r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?"
+        r"([A-Za-z_][\w.]*)\s+AS\s+"
         r"((?:SELECT|WITH)\s.*?)\s*;?\s*$", re.I | re.S)
     _DROP_VIEW_RE = re.compile(
         r"^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)"
@@ -1087,9 +1089,16 @@ class DuckLakeSession:
                 self.create_table(m.group(1), self.sql(m.group(2))))
         m = self._CREATE_COLS_RE.match(query)
         if m:
+            if m.group(1):
+                # CREATE OR REPLACE TABLE (transaction/create_conflict
+                # corpus): drop-if-exists then create fresh
+                try:
+                    self.drop_table(m.group(3))
+                except (TableNotFound, SchemaNotFound):
+                    pass
             self.create_empty_table(
-                m.group(2), m.group(3),
-                if_not_exists=bool(m.group(1)))
+                m.group(3), m.group(4),
+                if_not_exists=bool(m.group(2)))
             return self._count_df(0)
         m = self._DROP_RE.match(query)
         if m:
@@ -1102,8 +1111,9 @@ class DuckLakeSession:
             return self._count_df(0)
         m = self._CREATE_VIEW_RE.match(query)
         if m:
-            self.create_view(m.group(2), m.group(3),
-                             replace=bool(m.group(1)))
+            self.create_view(m.group(3), m.group(4),
+                             replace=bool(m.group(1)),
+                             if_not_exists=bool(m.group(2)))
             return self._count_df(0)
         m = self._DROP_VIEW_RE.match(query)
         if m:
@@ -1439,15 +1449,29 @@ class DuckLakeSession:
         self._view_rewrites.pop(f"{schema_name}.{table_name}", None)
 
     def create_view(self, name: str, sql_text: str,
-                    replace: bool = False) -> None:
-        """CREATE [OR REPLACE] VIEW — the body (raw SQL with dotted table
-        names) is persisted in the catalog's ``ducklake_view`` entity
-        (DuckLake spec; the reference engine has no view support — this
-        follows its vendored sql/view/ corpus shape). The body is planned
-        once up front so an invalid definition fails at create time."""
+                    replace: bool = False,
+                    if_not_exists: bool = False) -> None:
+        """CREATE [OR REPLACE] VIEW [IF NOT EXISTS] — the body (raw SQL
+        with dotted table names) is persisted in the catalog's
+        ``ducklake_view`` entity (DuckLake spec; the reference engine has
+        no view support — this follows its vendored sql/view/ corpus
+        shape). The body is planned once up front so an invalid
+        definition fails at create time. Tables and views share one
+        namespace (transaction/create_conflict corpus)."""
         from .table_writer import _catalog_writer
         schema_name, view_name = self._split(name)
         schema = self.catalog.schema(schema_name)
+        snap = self.catalog.snapshot_id
+        if self.provider.table_exists(schema.meta.schema_id, view_name,
+                                      snap):
+            raise InvalidConfig(
+                f"cannot create view {name!r}: a table with that name "
+                "already exists")
+        if if_not_exists and any(
+                v.view_name == view_name
+                for v in self.provider.list_views(schema.meta.schema_id,
+                                                  snap)):
+            return
         if not self._view_rewrites:
             self.register_views()
         # validate: the body must plan against the current catalog
@@ -2294,6 +2318,13 @@ class DuckLakeSession:
             if if_not_exists:
                 return
             raise InvalidConfig(f"Table already exists: {name}")
+        if meta is not None and any(
+                v.view_name == table_name
+                for v in self.provider.list_views(meta.schema_id, snap)):
+            # tables and views share one namespace
+            raise InvalidConfig(
+                f"cannot create table {name!r}: a view with that name "
+                "already exists")
         cols = []
         for part in self._split_top_level(col_defs, angle=True):
             if re.search(r"\bAS\s*\(", part, re.I):

@@ -116,7 +116,9 @@ def parse_slt(path: str) -> list[SltCase]:
 
 
 _TABLE_RE = re.compile(
-    r"\b(?:INSERT\s+INTO|UPDATE|DELETE\s+FROM|CREATE\s+TABLE|MERGE\s+INTO|"
+    r"\b(?:INSERT\s+INTO|UPDATE|DELETE\s+FROM|"
+    r"CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s*(?:IF\s+NOT\s+EXISTS)?|"
+    r"MERGE\s+INTO|"
     r"ALTER\s+TABLE|TRUNCATE(?:\s+TABLE)?|"
     r"DROP\s+TABLE(?:\s+IF\s+EXISTS)?)\s+"
     r"([A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)?)",
@@ -270,7 +272,8 @@ class HybridRunner:
             self.dl.refresh()
             self.dl.register_views()
             vm = re.match(
-                r"\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.]+)"
+                r"\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+"
+                r"(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)"
                 r"|\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w.]+)",
                 case.sql, re.I)
             if vm:
