@@ -655,7 +655,8 @@ class DuckLakeSession:
         r"([\w()<>, ]+)"
         r")\s*;?\s*$", re.I | re.S)
     _CTAS_RE = re.compile(
-        r"^\s*CREATE\s+TABLE\s+([A-Za-z_][\w.]*)\s+AS\s+(SELECT\s.*?)"
+        r"^\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?TABLE\s+"
+        r"([A-Za-z_][\w.]*)\s+AS\s+(SELECT\s.*?)"
         r"\s*;?\s*$", re.I | re.S)
     _CREATE_COLS_RE = re.compile(
         r"^\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?TABLE\s+"
@@ -1085,8 +1086,17 @@ class DuckLakeSession:
             return self._count_df(0)
         m = self._CTAS_RE.match(query)
         if m:
-            return self._count_df(
-                self.create_table(m.group(1), self.sql(m.group(2))))
+            df = self.sql(m.group(3))
+            if m.group(1):
+                # CREATE OR REPLACE TABLE ... AS: one Replace snapshot
+                # when the table exists, plain create otherwise
+                try:
+                    self.table_handle(m.group(2))
+                    return self._count_df(
+                        self.insert_into(m.group(2), df, overwrite=True))
+                except (TableNotFound, SchemaNotFound):
+                    pass
+            return self._count_df(self.create_table(m.group(2), df))
         m = self._CREATE_COLS_RE.match(query)
         if m:
             if m.group(1):
