@@ -242,3 +242,25 @@ def duplicate_components(pairs: DataFrame, id_a: str = "id_a",
             break
     return labels.select(F.col("n").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
+
+
+def contamination_flags(df: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 5, min_hits: int = 1) -> DataFrame:
+    """Benchmark decontamination sweep: flag training documents sharing
+    at least ``min_hits`` DISTINCT word k-grams with any benchmark
+    document. The benchmark shingle set dedupes then broadcasts
+    (benchmark suites are tiny next to a training corpus), so the
+    corpus side is one scan + one broadcast semi-ish join + one groupBy
+    — no shuffle of the corpus by gram."""
+    sh = df.select(id_col, word_shingles(text_col, k).alias("sh"))
+    ex = sh.select(id_col, F.explode("sh").alias("g"))
+    bm = (benchmark.select(word_shingles(text_col, k).alias("sh"))
+          .select(F.explode("sh").alias("g")).distinct())
+    hits = (ex.join(F.broadcast(bm), "g")
+            .groupBy(id_col)
+            .agg(F.count_distinct("g").alias("n_contaminated_grams")))
+    return (hits.filter(F.col("n_contaminated_grams") >= min_hits)
+            .select(id_col,
+                    F.col("n_contaminated_grams").cast("long")
+                    .alias("n_contaminated_grams")))

@@ -67,6 +67,8 @@ _SPECS = [
               pipeline.ORACLE_CHUNKING, False),
     QuerySpec("doc_pack_chunks", pipeline.doc_pack_chunks,
               pipeline.ORACLE_PACK_CHUNKS, False),
+    QuerySpec("doc_decontamination", pipeline.doc_decontamination,
+              pipeline.ORACLE_DECONTAMINATION, False),
     QuerySpec("dedup_duplicate_clusters", pipeline.dedup_duplicate_clusters,
               pipeline.ORACLE_DUP_CLUSTERS, False),
     QuerySpec("doc_stratified_sample", pipeline.doc_stratified_sample,

@@ -553,3 +553,31 @@ SELECT CAST(FLOOR(start / 2048.0) AS BIGINT) AS chunk_id,
 FROM pref
 GROUP BY 1
 """
+
+
+def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (functions/dedup.contamination_flags):
+    documents sharing any word 3-gram with the held-out 'benchmark'
+    slice (doc_id % 97 == 0) are flagged with their distinct-overlap
+    count. Benchmark shingles broadcast; the corpus is never shuffled
+    by gram."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return dedup.contamination_flags(train, bench, k=3, min_hits=1)
+
+
+ORACLE_DECONTAMINATION = """
+WITH sh AS (
+  SELECT doc_id, list_distinct([concat_ws(' ', toks[i], toks[i+1],
+      toks[i+2]) for i in range(1, greatest(len(toks)-2, 1) + 1)]) AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents)),
+ex AS (SELECT doc_id, unnest(g) AS gg FROM sh),
+bm AS (SELECT DISTINCT gg FROM ex WHERE doc_id % 97 = 0)
+SELECT e.doc_id,
+       CAST(COUNT(DISTINCT e.gg) AS BIGINT) AS n_contaminated_grams
+FROM ex e JOIN bm USING (gg)
+WHERE e.doc_id % 97 <> 0
+GROUP BY e.doc_id
+"""
