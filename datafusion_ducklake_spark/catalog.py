@@ -1413,9 +1413,12 @@ class DuckLakeSession:
         from .operators.info_schema import table_info_df
         return table_info_df(self)
 
-    def list_files(self) -> DataFrame:
+    def list_files(self, table: str = None,
+                   snapshot_version: int = None) -> DataFrame:
+        """ducklake_list_files parity incl. the optional table filter and
+        ``snapshot_version =>`` as-of listing (sql/list_files/ corpus)."""
         from .operators.info_schema import files_df
-        return files_df(self)
+        return files_df(self, table, snapshot_version)
 
     def information_schema(self, view: str) -> DataFrame:
         from .operators import info_schema

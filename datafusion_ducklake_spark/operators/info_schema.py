@@ -56,10 +56,31 @@ def columns_df(session) -> DataFrame:
               "column_name STRING, column_type STRING, nulls_allowed BOOLEAN")
 
 
-def files_df(session) -> DataFrame:
+def files_df(session, table: str = None,
+             snapshot_version: int = None) -> DataFrame:
+    """``table``/``snapshot_version`` mirror ducklake_list_files'
+    optional arguments (sql/list_files/ducklake_list_files.test:
+    table + schema => + snapshot_version =>): restrict to one table
+    and/or list the files AS OF an earlier snapshot."""
+    from ..errors import InvalidConfig
     snap = session.catalog.snapshot_id
+    if snapshot_version is not None:
+        if not session.provider.snapshot_exists(int(snapshot_version)):
+            raise InvalidConfig(
+                f"No snapshot found at version {snapshot_version}")
+        snap = int(snapshot_version)
+    want = None
+    if table is not None:
+        want = session._split(table)
+        live = {(s, t.table_name)
+                for s, t in session.provider.list_all_tables(snap)}
+        if want not in live:
+            raise InvalidConfig(
+                f"Table {table!r} does not exist at snapshot {snap}")
     rows = []
     for schema_name, table_name, f in session.provider.list_all_files(snap):
+        if want is not None and (schema_name, table_name) != want:
+            continue
         d = f.delete_file
         rows.append((schema_name, table_name, f.data_file_id, f.path,
                      f.path_is_relative, f.file_size_bytes, f.footer_size,

@@ -76,3 +76,38 @@ def test_sql_callable_udtfs(dl):
         "SELECT * FROM ducklake_list_files() WHERE delete_file_path IS NOT NULL"
     ).collect()
     assert len(files) == 1 and files[0]["delete_count"] == 2
+
+
+def test_list_files_table_and_snapshot_args(spark, tmp_path):
+    # sql/list_files/ducklake_list_files.test: per-table filter,
+    # snapshot_version => as-of listing, unknown-table error
+    from datafusion_ducklake_spark.catalog import DuckLakeSession
+    from datafusion_ducklake_spark.errors import InvalidConfig
+    from datafusion_ducklake_spark.metadata.writer import CatalogWriter
+    db = str(tmp_path / "lf.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.sql("CREATE TABLE lt (i INTEGER)")
+    for k in range(3):
+        dl.insert_into("main.lt", spark.createDataFrame(
+            [(100 * k + j,) for j in range(100)], "i INT"))
+    snaps = [s.snapshot_id for s in dl.provider.list_snapshots()]
+
+    assert dl.list_files("main.lt").count() == 3
+    # as-of the first insert: one file
+    first_insert_snap = snaps[2]   # create-schema, create-table, insert1
+    assert dl.list_files("main.lt",
+                         snapshot_version=first_insert_snap).count() == 1
+    # deletes surface on the current listing only
+    dl.delete_from("main.lt", "i % 2 = 0 AND i < 150")
+    cur = dl.list_files("main.lt").collect()
+    assert sum(1 for r in cur if r.delete_file_path is not None) == 2
+    old = dl.list_files("main.lt", snapshot_version=snaps[-1]).collect()
+    assert all(r.delete_file_path is None for r in old)
+
+    with pytest.raises(InvalidConfig, match="does not exist"):
+        dl.list_files("main.nope")
+    with pytest.raises(InvalidConfig, match="No snapshot"):
+        dl.list_files("main.lt", snapshot_version=99999)
