@@ -1841,44 +1841,11 @@ class DuckLakeSession:
                 self.compact(name, single_file=True)
                 n += 1
                 continue
-            members = sorted(zip(handle._raw_files, handle.files),
-                             key=lambda p: p[0].row_id_start)
-            # never pack across partitions: each partition-value tuple
-            # merges separately so rewritten files keep exact pruning
-            # values (compaction_partitioned_table shape)
-            pv_map = self.provider.get_file_partition_values(
-                t.table_id)
-            buckets: dict = {}
-            for mf, rf in members:
-                key = tuple(sorted(
-                    pv_map.get(mf.data_file_id, {}).items()))
-                buckets.setdefault(key, []).append((mf, rf))
-            groups = []
-            for _key, bucket in sorted(buckets.items()):
-                cur, cur_bytes = [], 0
-                for mf, rf in bucket:
-                    sz = mf.file_size_bytes or 0
-                    adjacent = bool(cur) and (
-                        cur[-1][0].row_id_start
-                        + (cur[-1][0].record_count or 0)
-                        == mf.row_id_start)
-                    # only ADJACENT files merge (rowid preservation —
-                    # files whose rowids interleave with another
-                    # partition's stay separate, as DuckDB's
-                    # merge_adjacent_files does); size target caps the
-                    # packed group
-                    if cur and (not adjacent or (
-                            target is not None
-                            and cur_bytes + sz > target)):
-                        groups.append(cur)
-                        cur, cur_bytes = [], 0
-                    cur.append((mf, rf))
-                    cur_bytes += sz
-                if cur:
-                    groups.append(cur)
-            # single-clean-file groups stay untouched
-            todo = [g for g in groups
-                    if len(g) > 1 or any(rf.delete_uri for _, rf in g)]
+            # never pack across partitions, only rowid-ADJACENT chains
+            # merge, size target caps each group, single-clean-file
+            # groups stay registered untouched (see partition_chains)
+            from .table_writer import partition_chains
+            todo = partition_chains(self, handle, target)
             if not todo:
                 continue
             rewrite_file_groups(self, name, todo,

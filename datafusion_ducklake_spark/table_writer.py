@@ -510,6 +510,17 @@ def compact_table(session, name: str, single_file: bool = True,
         return create_or_insert(session, name, session.table(name),
                                 mode="overwrite", single_file=single_file)
 
+    if session.provider.get_partition_columns(handle.meta.table_id,
+                                              handle.snapshot_id):
+        # live partition spec: a cross-partition rewrite would strip the
+        # outputs' exact partition values (pruning loss). Compact becomes
+        # per-partition adjacent-chain rewrites instead (pv carried;
+        # single_file necessarily per-partition, not per-table).
+        groups = partition_chains(session, handle)
+        if not groups:
+            return 0
+        return rewrite_file_groups(session, name, groups, op="compact")
+
     run_list = _carve_rowid_runs(session, handle)
     if len(run_list) > max_runs:
         raise InvalidConfig(
@@ -611,6 +622,41 @@ def _insert_encrypted(session, writer, setup, table_meta, table_path,
             writer.set_option(commit_marker[0], commit_marker[1])
     session.refresh()
     return n_rows
+
+
+def partition_chains(session, handle, target: "int | None" = None
+                     ) -> list:
+    """Groups for partition-aware maintenance: bucket live files by their
+    exact partition-value tuple, chain rowid-ADJACENT files within each
+    bucket (files whose rowids interleave with another partition stay
+    separate — rowid preservation), cap each chain at ``target`` bytes.
+    Returns only the groups worth rewriting: >1 member or delete debt."""
+    pv_map = session.provider.get_file_partition_values(
+        handle.meta.table_id)
+    members = sorted(zip(handle._raw_files, handle.files),
+                     key=lambda pr: pr[0].row_id_start)
+    buckets: dict = {}
+    for mf, rf in members:
+        key = tuple(sorted(pv_map.get(mf.data_file_id, {}).items()))
+        buckets.setdefault(key, []).append((mf, rf))
+    groups = []
+    for _key, bucket in sorted(buckets.items()):
+        cur, cur_bytes = [], 0
+        for mf, rf in bucket:
+            sz = mf.file_size_bytes or 0
+            adjacent = bool(cur) and (
+                cur[-1][0].row_id_start + (cur[-1][0].record_count or 0)
+                == mf.row_id_start)
+            if cur and (not adjacent or (
+                    target is not None and cur_bytes + sz > target)):
+                groups.append(cur)
+                cur, cur_bytes = [], 0
+            cur.append((mf, rf))
+            cur_bytes += sz
+        if cur:
+            groups.append(cur)
+    return [g for g in groups
+            if len(g) > 1 or any(rf.delete_uri for _, rf in g)]
 
 
 def rewrite_data_files(session, name: str, max_runs: int = 512) -> int:

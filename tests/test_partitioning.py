@@ -170,3 +170,39 @@ def test_update_rewrites_keep_partition_values(dl, spark):
     rows = {r["id"]: r["s"] for r in dl.table("main.pt").collect()}
     assert len(rows) == 60
     assert rows[1].endswith("!") and not rows[0].endswith("!")
+
+
+def test_compact_partitioned_preserves_partition_values(spark, tmp_path):
+    # compact over a live partition spec rewrites per-partition chains:
+    # partition values carry to the outputs, rowids survive, and MOR
+    # debt collapses — pruning never degrades through maintenance
+    from datafusion_ducklake_spark.catalog import DuckLakeSession
+    from datafusion_ducklake_spark.metadata.writer import CatalogWriter
+    db = str(tmp_path / "cp.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.sql("CREATE TABLE cp (pk INTEGER, v INTEGER)")
+    dl.sql("ALTER TABLE cp SET PARTITIONED BY (pk)")
+    for k in range(2):
+        dl.insert_into("main.cp", spark.createDataFrame(
+            [(1, 10 + k), (1, 50 + k), (2, 20 + k)], "pk INT, v INT"))
+    dl.delete_from("main.cp", "v = 50")
+    assert len(dl.table_handle("main.cp").files) == 4
+
+    # rowids interleave across partitions, so only the DIRTY file is
+    # rewritable (rowid-preserving merges can't span the gaps): compact
+    # collapses the MOR debt and leaves the clean files registered
+    n = dl.compact("main.cp")
+    assert n == 1                       # the dirty file's one survivor
+    after = dl.table_handle("main.cp")
+    assert len(after._raw_files) == 4
+    assert all(f.delete_file is None for f in after._raw_files)
+    pv = dl.provider.get_file_partition_values(after.meta.table_id)
+    for f in after._raw_files:
+        assert f.data_file_id in pv     # every output carries its value
+    vals = sorted(pv[f.data_file_id][0] for f in after._raw_files)
+    assert set(vals) == {"1", "2"}
+    rows = sorted((r.pk, r.v) for r in dl.table("main.cp").collect())
+    assert rows == [(1, 10), (1, 11), (1, 51), (2, 20), (2, 21)]
