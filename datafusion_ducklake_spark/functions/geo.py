@@ -451,6 +451,68 @@ def file_extra_stats(path: str, column: str) -> Optional[str]:
     return bbox_to_extra_stats(bbox_acc, types)
 
 
+# -------------------------------------------------------- measurements
+
+def wkb_npoints(wkb: bytes) -> int:
+    """Total coordinate count across all parts."""
+    n = 0
+
+    def on_coords(pts, _z, _m):
+        nonlocal n
+        n += sum(0 if all(math.isnan(c) for c in p) else 1 for p in pts)
+
+    _walk(_Reader(wkb), on_coords, set())
+    return n
+
+
+def wkb_length(wkb: bytes) -> float:
+    """Summed 2D segment length of every linestring / ring (polygons
+    contribute their ring perimeters — ST_Perimeter semantics there)."""
+    total = 0.0
+
+    def on_coords(pts, _z, _m):
+        nonlocal total
+        for a, b in zip(pts, pts[1:]):
+            total += math.hypot(b[0] - a[0], b[1] - a[1])
+
+    # points contribute nothing (no consecutive pairs)
+    _walk(_Reader(wkb), on_coords, set())
+    return total
+
+
+def wkb_area(wkb: bytes) -> float:
+    """2D shoelace area of polygon rings: outer ring positive magnitude,
+    holes subtract (|first ring| - |other rings| per polygon, the common
+    GIS convention when ring orientation is unnormalized)."""
+    areas: list[float] = []
+
+    def shoelace(pts) -> float:
+        s = 0.0
+        for a, b in zip(pts, pts[1:]):
+            s += a[0] * b[1] - b[0] * a[1]
+        return s / 2.0
+
+    def walk(r: _Reader) -> None:
+        base, has_z, has_m, endian = r.header()
+        dim = 2 + has_z + has_m
+        if base == 1:
+            r.coords(endian, dim, 1)
+        elif base == 2:
+            r.coords(endian, dim, r.u32(endian))
+        elif base == 3:
+            total = 0.0
+            for ring_i in range(r.u32(endian)):
+                a = abs(shoelace(r.coords(endian, dim, r.u32(endian))))
+                total += a if ring_i == 0 else -a
+            areas.append(total)
+        else:
+            for _ in range(r.u32(endian)):
+                walk(r)
+
+    walk(_Reader(wkb))
+    return sum(areas)
+
+
 # ------------------------------------------------------------ Spark UDFs
 
 def register_geo_functions(spark) -> None:
@@ -505,6 +567,61 @@ def register_geo_functions(spark) -> None:
             return pd.Series(out)
         return fn
 
+    @pandas_udf("long")
+    def st_npoints(g: pd.Series) -> pd.Series:
+        return pd.Series([None if b is None else wkb_npoints(bytes(b))
+                          for b in g])
+
+    @pandas_udf("double")
+    def st_length(g: pd.Series) -> pd.Series:
+        return pd.Series([None if b is None else wkb_length(bytes(b))
+                          for b in g])
+
+    @pandas_udf("double")
+    def st_area(g: pd.Series) -> pd.Series:
+        return pd.Series([None if b is None else wkb_area(bytes(b))
+                          for b in g])
+
+    @pandas_udf("double")
+    def st_distance(a: pd.Series, b: pd.Series) -> pd.Series:
+        # 2D centroid-free point-point distance: bbox centers for
+        # non-points (documented approximation; exact for POINTs)
+        out = []
+        for x, y in zip(a, b):
+            if x is None or y is None:
+                out.append(None)
+                continue
+            bx, _ = wkb_bbox(bytes(x))
+            by, _ = wkb_bbox(bytes(y))
+            if None in bx[:4] or None in by[:4]:
+                out.append(None)
+                continue
+            cx = ((bx[0] + bx[1]) / 2, (bx[2] + bx[3]) / 2)
+            cy = ((by[0] + by[1]) / 2, (by[2] + by[3]) / 2)
+            out.append(math.hypot(cx[0] - cy[0], cx[1] - cy[1]))
+        return pd.Series(out)
+
+    @pandas_udf("boolean")
+    def st_intersects_bbox(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a, b):
+            if x is None or y is None:
+                out.append(None)
+                continue
+            bx, _ = wkb_bbox(bytes(x))
+            by, _ = wkb_bbox(bytes(y))
+            if None in bx[:4] or None in by[:4]:
+                out.append(None)
+                continue
+            out.append(bx[0] <= by[1] and by[0] <= bx[1]
+                       and bx[2] <= by[3] and by[2] <= bx[3])
+        return pd.Series(out)
+
+    spark.udf.register("st_npoints", st_npoints)
+    spark.udf.register("st_length", st_length)
+    spark.udf.register("st_area", st_area)
+    spark.udf.register("st_distance", st_distance)
+    spark.udf.register("st_intersects_bbox", st_intersects_bbox)
     # ST_X/ST_Y on points == xmin/ymin of the bbox; the *min/*max
     # variants work on any geometry.
     spark.udf.register("st_point", st_point)

@@ -50,6 +50,8 @@ _SPECS = [
               ducklake_gate.ORACLE_NESTED_AGG, False),
     QuerySpec("ducklake_geo_agg", ducklake_gate.ducklake_geo_agg,
               ducklake_gate.ORACLE_GEO_AGG, False),
+    QuerySpec("geo_measure_agg", ducklake_gate.geo_measure_agg,
+              ducklake_gate.ORACLE_GEO_MEASURE, False),
     # training-data pipeline operators (functions/)
     QuerySpec("ngram_jaccard_dup_pairs", pipeline.ngram_jaccard_dup_pairs,
               pipeline.ORACLE_NGRAM_JACCARD, False),

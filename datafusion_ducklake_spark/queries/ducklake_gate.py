@@ -550,3 +550,38 @@ SELECT COUNT(*) AS n, MIN(c_custkey) AS min_x, MAX(c_custkey) AS max_x,
   MIN(c_acctbal) AS min_y, MAX(c_acctbal) AS max_y
 FROM customer
 """
+
+
+def geo_measure_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry measurement surface (st_geomfromtext -> st_area /
+    st_length / st_npoints) over rectangles BUILT from customer columns —
+    the oracle recomputes the same quantities with plain arithmetic, so
+    the WKT parser, WKB codec, shoelace area and perimeter walk are all
+    value-checked end-to-end."""
+    from ..functions.geo import register_geo_functions
+    register_geo_functions(spark)
+    cust = (spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+            .select("c_custkey",
+                    (F.col("c_custkey") % 7 + 1).alias("w"),
+                    (F.col("c_custkey") % 11 + 1).alias("h")))
+    wkt = F.format_string(
+        "POLYGON ((0 0, %d 0, %d %d, 0 %d, 0 0))",
+        F.col("w"), F.col("w"), F.col("h"), F.col("h"))
+    g = (cust.withColumn("__wkt", wkt)
+         .selectExpr("c_custkey", "st_geomfromtext(__wkt) AS geom"))
+    return g.selectExpr(
+        "COUNT(*) AS n",
+        "CAST(SUM(st_area(geom)) AS BIGINT) AS sum_area",
+        "CAST(SUM(st_length(geom)) AS BIGINT) AS sum_perimeter",
+        "CAST(SUM(st_npoints(geom)) AS BIGINT) AS sum_points")
+
+
+ORACLE_GEO_MEASURE = """
+SELECT COUNT(*) AS n,
+  CAST(SUM((c_custkey % 7 + 1) * (c_custkey % 11 + 1)) AS BIGINT)
+    AS sum_area,
+  CAST(SUM(2 * ((c_custkey % 7 + 1) + (c_custkey % 11 + 1))) AS BIGINT)
+    AS sum_perimeter,
+  CAST(COUNT(*) * 5 AS BIGINT) AS sum_points
+FROM customer
+"""

@@ -184,3 +184,48 @@ def test_wkb_interop_duckdb_reads_our_bytes(dl, tmp_path):
     path = os.path.join(table_dir, files[0][0])
     raw = duckdb.sql(f"SELECT g FROM read_parquet('{path}')").fetchone()[0]
     assert bytes(raw) == wkt_to_wkb("POINT (7 8)")
+
+
+# ------------------------------------------------------- measurements
+
+def test_measurements_pure():
+    from datafusion_ducklake_spark.functions.geo import (wkb_area,
+                                                         wkb_length,
+                                                         wkb_npoints)
+    sq = wkt_to_wkb("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    assert wkb_area(sq) == 16.0
+    assert wkb_length(sq) == 16.0          # perimeter
+    assert wkb_npoints(sq) == 5
+    hole = wkt_to_wkb("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), "
+                      "(1 1, 2 1, 2 2, 1 2, 1 1))")
+    assert wkb_area(hole) == 15.0          # outer minus hole
+    ln = wkt_to_wkb("LINESTRING (0 0, 3 4)")
+    assert wkb_length(ln) == 5.0
+    assert wkb_area(ln) == 0.0
+    assert wkb_npoints(wkt_to_wkb("POINT (1 2)")) == 1
+    multi = wkt_to_wkb(
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), "
+        "((10 10, 12 10, 12 12, 10 12, 10 10)))")
+    assert wkb_area(multi) == 5.0
+
+
+def test_measurement_udfs(dl):
+    dl.sql("CREATE TABLE gm2 (g GEOMETRY)")
+    dl.sql("INSERT INTO gm2 SELECT "
+           "'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'::GEOMETRY AS g")
+    dl.sql("INSERT INTO gm2 SELECT 'LINESTRING (0 0, 3 4)'::GEOMETRY AS g")
+    rows = dl.sql(
+        "SELECT st_area(g) AS a, st_length(g) AS l, st_npoints(g) AS n "
+        "FROM gm2 ORDER BY a").collect()
+    assert [(r.a, r.l, r.n) for r in rows] == [(0.0, 5.0, 2),
+                                               (16.0, 16.0, 5)]
+    d = dl.sql("SELECT st_distance(st_point(0, 0), st_point(3, 4)) AS d"
+               ).collect()[0][0]
+    assert d == 5.0
+    hit = dl.sql(
+        "SELECT st_intersects_bbox("
+        "'POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'::GEOMETRY, "
+        "st_point(1, 1)) AS i, st_intersects_bbox("
+        "'POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'::GEOMETRY, "
+        "st_point(9, 9)) AS o").collect()[0]
+    assert (hit.i, hit.o) == (True, False)
