@@ -286,6 +286,30 @@ class DuckLakeTable:
             self.meta.table_id, self.snapshot_id)
         types = {c.column_name: (c.column_id, c.column_type)
                  for c in self.columns}
+        # geometry bbox pruning (op == "bbox_intersects", value =
+        # (xmin, ymin, xmax, ymax)): consult the file's extra_stats bbox
+        # written at insert/rewrite time — spatial partition pruning on
+        # top of the DuckLake stats the geo corpus records. Lazy: only
+        # fetched when a bbox filter is present.
+        extra = (self._provider.get_file_extra_stats(
+                    self.meta.table_id, self.snapshot_id)
+                 if any(op == "bbox_intersects" for _c, op, _v in filters)
+                 else {})
+
+        def bbox_keeps(file_id, col, val) -> bool:
+            if col not in types:
+                return True
+            blob = extra.get(file_id, {}).get(types[col][0])
+            if not blob:
+                return True          # no recorded bbox: keep
+            import json as _json
+            bb = _json.loads(blob).get("bbox", {})
+            fx0, fx1 = bb.get("xmin"), bb.get("xmax")
+            fy0, fy1 = bb.get("ymin"), bb.get("ymax")
+            if None in (fx0, fx1, fy0, fy1):
+                return True
+            qx0, qy0, qx1, qy1 = val
+            return fx0 <= qx1 and qx0 <= fx1 and fy0 <= qy1 and qy0 <= fy1
 
         def coerce(column_type: str, v):
             t = column_type.lower()
@@ -295,6 +319,8 @@ class DuckLakeTable:
             return str(v)
 
         def overlaps(fstats, col, op, val) -> bool:
+            if op == "bbox_intersects":
+                return True          # handled by bbox_keeps
             if col not in types:
                 return True
             cid, ctype = types[col]
@@ -351,6 +377,10 @@ class DuckLakeTable:
         for raw, resolved in zip(self._raw_files, self.files):
             if not all(part_keeps(raw.data_file_id, c, op, v)
                        for (c, op, v) in filters):
+                continue
+            if not all(bbox_keeps(raw.data_file_id, c, v)
+                       for (c, op, v) in filters
+                       if op == "bbox_intersects"):
                 continue
             fstats = stats.get(raw.data_file_id)
             if fstats is None or all(

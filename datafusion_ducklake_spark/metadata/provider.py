@@ -283,6 +283,29 @@ class MetadataProvider:
                 int(nulls) if nulls is not None else None, mn, mx)
         return out
 
+    def get_file_extra_stats(self, table_id: int, snapshot_id: int
+                             ) -> dict[int, dict[int, str]]:
+        """{data_file_id: {column_id: extra_stats_json}} for the table's
+        live files (geometry bbox pruning). Separate from
+        get_file_column_stats so catalogs predating the extra_stats
+        column keep their scalar pruning ({} here on failure)."""
+        try:
+            rows = self._fetchall(
+                "SELECT s.data_file_id, s.column_id, s.extra_stats "
+                "FROM ducklake_file_column_stats s "
+                "JOIN ducklake_data_file data "
+                "ON s.data_file_id = data.data_file_id "
+                "WHERE s.table_id = ? AND s.extra_stats IS NOT NULL "
+                "AND data.begin_snapshot <= ? "
+                "AND (data.end_snapshot IS NULL OR data.end_snapshot > ?)",
+                (table_id, snapshot_id, snapshot_id))
+        except Exception:
+            return {}
+        out: dict[int, dict[int, str]] = {}
+        for fid, cid, extra in rows:
+            out.setdefault(int(fid), {})[int(cid)] = extra
+        return out
+
     def get_raw_file_column_stats(self) -> list[tuple]:
         """All ducklake_file_column_stats rows (incl. extra_stats) for the
         SQL-callable stats functions; [] on catalogs without the table."""

@@ -229,3 +229,32 @@ def test_measurement_udfs(dl):
         "'POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'::GEOMETRY, "
         "st_point(9, 9)) AS o").collect()[0]
     assert (hit.i, hit.o) == (True, False)
+
+
+def test_bbox_file_pruning(dl):
+    # extra_stats bbox drives catalog-level spatial file pruning:
+    # a query window intersecting one file's bbox skips the other file
+    # before any parquet I/O
+    dl.sql("CREATE TABLE gp (id INTEGER, g GEOMETRY)")
+    dl.sql("INSERT INTO gp SELECT 1 AS id, st_point(0, 0) AS g")
+    dl.sql("INSERT INTO gp SELECT 2 AS id, st_point(100, 100) AS g")
+    handle = dl.table_handle("main.gp")
+    assert len(handle.files) == 2
+    near = handle.prune_files([("g", "bbox_intersects", (-5, -5, 5, 5))])
+    assert len(near) == 1
+    far = handle.prune_files([("g", "bbox_intersects", (90, 90, 110, 110))])
+    assert len(far) == 1 and far[0].data_uri != near[0].data_uri
+    both = handle.prune_files([("g", "bbox_intersects", (-5, -5, 200, 200))])
+    assert len(both) == 2
+    none = handle.prune_files([("g", "bbox_intersects", (500, 500, 600, 600))])
+    assert none == []
+    # combined with a scalar prune on another column
+    combo = handle.prune_files([("g", "bbox_intersects", (-5, -5, 5, 5)),
+                                ("id", "=", 1)])
+    assert len(combo) == 1
+    # prune + filter through the reader, values correct
+    rows = (dl.table("main.gp",
+                     prune_filters=[("g", "bbox_intersects",
+                                     (-5, -5, 5, 5))])
+            .selectExpr("id", "st_astext(g) AS wkt").collect())
+    assert [(r.id, r.wkt) for r in rows] == [(1, "POINT (0 0)")]
