@@ -677,13 +677,18 @@ class DuckLakeSession:
     _ALTER_RE = re.compile(
         r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+"
         r"(?:RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)"
-        r"|ADD\s+COLUMN\s+(\w+)\s+([\w()<>,:\[\] ]+?)(?:\s+DEFAULT\s+(.+?))?"
-        r"|DROP\s+COLUMN\s+(\w+)"
+        r"|ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+"
+        r"([\w()<>,:\[\] ]+?)(?:\s+DEFAULT\s+(.+?))?"
+        r"|DROP\s+COLUMN\s+(?:IF\s+EXISTS\s+)?([\w.]+)"
         r"|ALTER\s+(?:COLUMN\s+)?(\w+)\s+(SET|DROP)\s+NOT\s+NULL"
         r"|RENAME\s+TO\s+(\w+)"
         r"|ALTER\s+(?:COLUMN\s+)?(\w+)\s+(?:SET\s+DATA\s+)?TYPE\s+"
-        r"([\w()<>, ]+)"
+        r"([\w()<>,:\[\] ]+)"
         r")\s*;?\s*$", re.I | re.S)
+    _IF_NOT_EXISTS_COL_RE = re.compile(
+        r"ADD\s+COLUMN\s+IF\s+NOT\s+EXISTS", re.I)
+    _IF_EXISTS_COL_RE = re.compile(
+        r"DROP\s+COLUMN\s+IF\s+EXISTS", re.I)
     _CTAS_RE = re.compile(
         r"^\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?TABLE\s+"
         r"([A-Za-z_][\w.]*)\s+AS\s+(SELECT\s.*?)"
@@ -1100,7 +1105,9 @@ class DuckLakeSession:
             elif m.group(4):
                 default = m.group(6).strip() if m.group(6) else None
                 self.add_column(name, m.group(4), m.group(5).lower(),
-                                default=default)
+                                default=default,
+                                if_not_exists=bool(
+                                    self._IF_NOT_EXISTS_COL_RE.search(query)))
             elif m.group(8):
                 if m.group(9).upper() == "SET":
                     self.set_not_null(name, m.group(8))
@@ -1112,7 +1119,9 @@ class DuckLakeSession:
                 self.promote_column_type(name, m.group(11),
                                          m.group(12).strip())
             else:
-                self.drop_column(name, m.group(7))
+                self.drop_column(name, m.group(7),
+                                 if_exists=bool(
+                                     self._IF_EXISTS_COL_RE.search(query)))
             return self._count_df(0)
         m = self._CTAS_RE.match(query)
         if m:
@@ -1190,14 +1199,48 @@ class DuckLakeSession:
             # Omitted columns fill with their catalog default_value
             # (sql/default/ corpus) or NULL.
             from pyspark.sql import functions as F
+            from pyspark.sql import types as T
             types = {f.name: f.dataType for f in handle.spark_schema.fields}
             defaults = {c.column_name: c.default_value
                         for c in handle.columns}
             given = set(names)
+            src_types = dict(zip(names, [f.dataType for f in df.schema.fields]))
+
+            def coerce(expr, src_dt, dst_dt):
+                # Spark's struct→struct cast is POSITIONAL; DuckDB (and
+                # DuckLake struct evolution) match fields BY NAME — an
+                # insert written against an older field order must not
+                # silently swap values (sql/alter/struct_evolution*).
+                # Align by name when both sides are structs whose field
+                # sequences differ; extra source fields drop, missing
+                # ones read NULL (DuckDB's struct cast semantics).
+                if isinstance(dst_dt, T.StructType) \
+                        and isinstance(src_dt, T.StructType):
+                    src_map = {f.name.lower(): f for f in src_dt.fields}
+                    if [f.name.lower() for f in src_dt.fields] \
+                            == [f.name.lower() for f in dst_dt.fields]:
+                        return expr.cast(dst_dt)
+                    built = F.struct(*[
+                        coerce(expr[src_map[f.name.lower()].name],
+                               src_map[f.name.lower()].dataType,
+                               f.dataType).alias(f.name)
+                        if f.name.lower() in src_map
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in dst_dt.fields])
+                    return F.when(expr.isNull(),
+                                  F.lit(None).cast(dst_dt)).otherwise(built)
+                if isinstance(dst_dt, T.ArrayType) \
+                        and isinstance(src_dt, T.ArrayType) \
+                        and isinstance(dst_dt.elementType, T.StructType):
+                    return F.transform(
+                        expr, lambda e: coerce(e, src_dt.elementType,
+                                               dst_dt.elementType))
+                return expr.cast(dst_dt)
 
             def filled(c):
                 if c in given:
-                    return F.col(c).cast(types[c]).alias(c)
+                    return coerce(F.col(c), src_types.get(c),
+                                  types[c]).alias(c)
                 if defaults.get(c) is not None:
                     return F.expr(defaults[c]).cast(types[c]).alias(c)
                 return F.lit(None).cast(types[c]).alias(c)
@@ -1606,8 +1649,10 @@ class DuckLakeSession:
         their narrower physical type; Spark's parquet reader widens at
         scan time (verified: int32 files read under a bigint/decimal
         schema natively). Lossy changes are rejected."""
+        from .errors import UnsupportedType
         from .metadata.writer import ColumnDef
-        from .types import is_promotable, normalize_ducklake_type
+        from .types import (_type_kind, check_nested_evolution,
+                            is_promotable, normalize_ducklake_type)
         handle = self.table_handle(name)
         cols = {c.column_name: c for c in handle.columns}
         if col_name not in cols:
@@ -1615,7 +1660,18 @@ class DuckLakeSession:
                 f"promote_column_type: no column {col_name!r} in {name}")
         canon = normalize_ducklake_type(new_type)
         old = cols[col_name].column_type
-        if not is_promotable(old, canon):
+        if _type_kind(normalize_ducklake_type(old)) != "leaf" \
+                or _type_kind(canon) != "leaf":
+            # struct field evolution (sql/alter/struct_evolution*.test):
+            # nested SET DATA TYPE may add/drop struct fields and safely
+            # promote kept ones; child field ids stay stable by path, so
+            # old files keep resolving (and a dropped-then-readded field
+            # gets a fresh id — old values do NOT resurrect)
+            try:
+                check_nested_evolution(old, canon)
+            except UnsupportedType as e:
+                raise InvalidConfig(str(e)) from e
+        elif not is_promotable(old, canon):
             raise InvalidConfig(
                 f"Type promotion from {old} to {canon} is not allowed "
                 "(only safe widenings)")
@@ -1627,8 +1683,48 @@ class DuckLakeSession:
                                     c.initial_default, c.default_value))
             for c in handle.columns])
 
+    def _edit_nested_column(self, name: str, col_path: str, action: str,
+                            new_type: Optional[str] = None,
+                            lenient: bool = False) -> None:
+        """Targeted nested field ALTER — ``ADD/DROP COLUMN col.path.field``
+        (corpus: sql/alter/struct_evolution_*_alter.test). Rewrites the
+        root column's type string via edit_nested_type and versions the
+        columns; kept nested field ids stay stable by path (writer child-
+        row reuse), added fields get fresh ids. ``lenient``: swallow the
+        already-exists / does-not-exist error (IF [NOT] EXISTS)."""
+        from .errors import UnsupportedType
+        from .metadata.writer import ColumnDef
+        from .types import edit_nested_type
+        parts = col_path.split(".")
+        root, path = parts[0], tuple(parts[1:])
+        handle = self.table_handle(name)
+        by_name = {c.column_name.lower(): c for c in handle.columns}
+        if root.lower() not in by_name:
+            if lenient:
+                return
+            raise InvalidConfig(
+                f"{action} column: no column {root!r} in {name}")
+        target = by_name[root.lower()]
+        try:
+            new_root_type = edit_nested_type(
+                target.column_type, path, action, new_type)
+        except UnsupportedType as e:
+            if lenient and ("already exists" in str(e)
+                            or "does not exist" in str(e)):
+                return
+            raise InvalidConfig(str(e)) from e
+        self._alter_columns(name, [
+            (c.column_id, ColumnDef(c.column_name,
+                                    new_root_type
+                                    if c.column_id == target.column_id
+                                    else c.column_type,
+                                    c.nulls_allowed,
+                                    c.initial_default, c.default_value))
+            for c in handle.columns])
+
     def add_column(self, name: str, col_name: str, col_type: str,
-                   default: Optional[str] = None) -> None:
+                   default: Optional[str] = None,
+                   if_not_exists: bool = False) -> None:
         """ALTER TABLE name ADD COLUMN — metadata-only; existing files
         lack the new field id and read back NULL, or ``default`` (a SQL
         literal/expression string) when given: it is recorded as the
@@ -1639,8 +1735,17 @@ class DuckLakeSession:
         from .metadata.writer import ColumnDef
         from .types import ducklake_to_spark_type
         ducklake_to_spark_type(col_type)        # validate early
+        if "." in col_name:
+            if default is not None:
+                raise InvalidConfig(
+                    "DEFAULT is not supported for nested field adds")
+            self._edit_nested_column(name, col_name, "add", col_type,
+                                     lenient=if_not_exists)
+            return
         handle = self.table_handle(name)
         if col_name in [c.column_name for c in handle.columns]:
+            if if_not_exists:
+                return
             raise InvalidConfig(f"add_column: {col_name!r} already exists")
         cols = [(c.column_id, ColumnDef(c.column_name, c.column_type,
                                         c.nulls_allowed,
@@ -1650,14 +1755,22 @@ class DuckLakeSession:
                                      default, default)))
         self._alter_columns(name, cols)
 
-    def drop_column(self, name: str, col_name: str) -> None:
+    def drop_column(self, name: str, col_name: str,
+                    if_exists: bool = False) -> None:
         """ALTER TABLE name DROP COLUMN — metadata-only; the data stays
         in the files but no longer projects (and time travel before the
-        drop still sees it)."""
+        drop still sees it). Dotted names drop a nested struct field
+        (sql/alter/struct_evolution_*_alter.test)."""
         from .metadata.writer import ColumnDef
+        if "." in col_name:
+            self._edit_nested_column(name, col_name, "drop",
+                                     lenient=if_exists)
+            return
         handle = self.table_handle(name)
         names = [c.column_name for c in handle.columns]
         if col_name not in names:
+            if if_exists:
+                return
             raise InvalidConfig(f"drop_column: no column {col_name!r}")
         if len(names) == 1:
             raise InvalidConfig("drop_column: cannot drop the last column")

@@ -66,6 +66,12 @@ class ColumnMeta:
     initial_default: Optional[str] = None
     default_value: Optional[str] = None
     begin_snapshot: Optional[int] = None
+    # Nested field identity for struct evolution (sql/alter/
+    # struct_evolution*.test): ((path_tuple, field_id), ...) where paths
+    # follow types.nested_tree_paths naming — struct children by field
+    # name, list 'element', map 'key'/'value'. Populated from the
+    # catalog's parent/child ducklake_column rows.
+    nested_ids: tuple = ()
 
 
 @dataclass(frozen=True)
@@ -162,9 +168,21 @@ def reconstruct_list_columns(rows: list[tuple[ColumnMeta, Optional[int]]]
             return f"map<{render(kids[0])},{render(kids[1])}>"
         return col.column_type
 
+    def nested_ids_of(root: ColumnMeta) -> tuple:
+        out = []
+
+        def walk(col_id: int, prefix: tuple) -> None:
+            for k in children.get(col_id, []):
+                p = prefix + (k.column_name.lower(),)
+                out.append((p, k.column_id))
+                walk(k.column_id, p)
+
+        walk(root.column_id, ())
+        return tuple(out)
+
     return [ColumnMeta(c.column_id, c.column_name, render(c),
                        c.nulls_allowed, c.initial_default, c.default_value,
-                       c.begin_snapshot)
+                       c.begin_snapshot, nested_ids_of(c))
             if c.column_id in children else c
             for c in roots]
 

@@ -270,6 +270,10 @@ class WriteSetup:
     schema_id: int
     table_id: int
     column_ids: list
+    # per top-level column: {path_tuple: child_field_id} for nested types
+    # (struct evolution identity — empty dict for leaf columns); parallel
+    # to column_ids. None on legacy paths that skip child-row bookkeeping.
+    nested_ids: Optional[list] = None
 
 
 class CatalogWriter:
@@ -362,6 +366,71 @@ class CatalogWriter:
     def _next_id(cur, table: str, id_col: str) -> int:
         return int(cur.execute(
             f"SELECT COALESCE(MAX({id_col}), 0) + 1 FROM {table}").fetchall()[0][0])
+
+    @staticmethod
+    def _live_nested_ids(cur, table_id: int) -> dict:
+        """{root column_id: {path_tuple: child_field_id}} from the LIVE
+        parent/child ducklake_column rows — the previous-version identity
+        map that keeps nested field ids stable across snapshots (a field
+        dropped and re-added must get a FRESH id so old files read NULL:
+        sql/alter/struct_evolution_reuse.test)."""
+        rows = cur.execute(
+            "SELECT column_id, column_name, parent_column "
+            "FROM ducklake_column "
+            "WHERE table_id = ? AND end_snapshot IS NULL "
+            "ORDER BY column_order", (table_id,)).fetchall()
+        kids: dict[int, list] = {}
+        roots = []
+        for cid, name, parent in rows:
+            if parent is None:
+                roots.append(int(cid))
+            else:
+                kids.setdefault(int(parent), []).append((int(cid), name))
+
+        def walk(cid: int, prefix: tuple, acc: dict) -> None:
+            for kcid, kname in kids.get(cid, []):
+                p = prefix + (str(kname).lower(),)
+                acc[p] = kcid
+                walk(kcid, p, acc)
+
+        out = {}
+        for r in roots:
+            acc: dict = {}
+            walk(r, (), acc)
+            out[r] = acc
+        return out
+
+    @staticmethod
+    def _insert_child_rows(cur, table_id: int, parent_id: int,
+                           col_type: str, sid: int, prev_paths: dict,
+                           next_col_id: int, next_order: int):
+        """Insert child ducklake_column rows for a nested column type
+        (struct fields by name, list 'element', map 'key'/'value' — the
+        DuckLake parent/child convention metadata_provider.rs:361-410
+        reads). Ids reuse the previous version's by path; new slots get
+        fresh ids. Returns ({path: id}, next_col_id, next_order)."""
+        from ..types import nested_tree_paths
+        try:
+            tree = nested_tree_paths(col_type)
+        except Exception:
+            return {}, next_col_id, next_order
+        nested: dict = {}
+        for path, child_type in tree:
+            cid = prev_paths.get(path)
+            if cid is None:
+                cid = next_col_id
+                next_col_id += 1
+            parent = parent_id if len(path) == 1 else nested[path[:-1]]
+            cur.execute(
+                "INSERT INTO ducklake_column (column_id, table_id, "
+                "column_name, column_type, column_order, nulls_allowed, "
+                "parent_column, begin_snapshot) "
+                "VALUES (?, ?, ?, ?, ?, 1, ?, ?)",
+                (cid, table_id, path[-1], child_type, next_order,
+                 parent, sid))
+            nested[path] = cid
+            next_order += 1
+        return nested, next_col_id, next_order
 
     # -- public API (mirrors MetadataWriter trait) -------------------------
 
@@ -543,7 +612,8 @@ class CatalogWriter:
 
             existing = cur.execute(
                 "SELECT column_name, column_type, nulls_allowed FROM ducklake_column "
-                "WHERE table_id = ? AND end_snapshot IS NULL ORDER BY column_order",
+                "WHERE table_id = ? AND end_snapshot IS NULL "
+                "AND parent_column IS NULL ORDER BY column_order",
                 (table_id,)).fetchall()
 
             # Append-mode schema evolution: adding nullable columns, removing
@@ -572,21 +642,26 @@ class CatalogWriter:
             # (ref: types.rs:438-456 — DuckLake column_id == field_id).
             existing_ids = {r[0]: int(r[1]) for r in cur.execute(
                 "SELECT column_name, column_id FROM ducklake_column "
-                "WHERE table_id = ? AND end_snapshot IS NULL", (table_id,))}
+                "WHERE table_id = ? AND end_snapshot IS NULL "
+                "AND parent_column IS NULL", (table_id,))}
+            prev_nested = self._live_nested_ids(cur, table_id)
             existing_nulls = {r[0]: (bool(r[2]) if r[2] is not None else True)
                               for r in existing}
             existing_defaults = {r[0]: (r[1], r[2]) for r in cur.execute(
                 "SELECT column_name, initial_default, default_value "
                 "FROM ducklake_column "
-                "WHERE table_id = ? AND end_snapshot IS NULL", (table_id,))
+                "WHERE table_id = ? AND end_snapshot IS NULL "
+                "AND parent_column IS NULL", (table_id,))
             } if existing else {}
             cur.execute(
                 "UPDATE ducklake_column SET end_snapshot = ? "
                 "WHERE table_id = ? AND end_snapshot IS NULL", (sid, table_id))
             existing_types = {r[0]: r[1] for r in existing}
             column_ids = []
+            nested_ids = []
             next_col_id = self._next_id(cur, "ducklake_column", "column_id")
-            for order, col in enumerate(columns):
+            order = 0          # global DFS order: parent, then its children
+            for col in columns:
                 nullable = col.is_nullable
                 initial, default = col.initial_default, col.default_value
                 col_type = col.ducklake_type
@@ -618,6 +693,11 @@ class CatalogWriter:
                     (cid, table_id, col.name, col_type, order,
                      nullable, initial, default, sid))
                 column_ids.append(cid)
+                order += 1
+                nmap, next_col_id, order = self._insert_child_rows(
+                    cur, table_id, cid, col_type, sid,
+                    prev_nested.get(cid, {}), next_col_id, order)
+                nested_ids.append(nmap)
 
             if mode == WriteMode.REPLACE:
                 cur.execute(
@@ -638,7 +718,8 @@ class CatalogWriter:
             else:
                 labels = [f"inserted_into_table:{table_id}"]
             self._record_changes(cur, sid, labels)
-            return WriteSetup(sid, schema_id, table_id, column_ids)
+            return WriteSetup(sid, schema_id, table_id, column_ids,
+                              nested_ids)
 
     def _ensure_table_mvcc(self) -> None:
         """Catalogs created before MVCC renames declared ``table_id
@@ -756,12 +837,14 @@ class CatalogWriter:
                 "INSERT INTO ducklake_snapshot (snapshot_id, snapshot_time) "
                 "VALUES (?, CURRENT_TIMESTAMP)", (sid,))
             self._record_changes(cur, sid, [f"altered_table:{table_id}"])
+            prev_nested = self._live_nested_ids(cur, table_id)
             cur.execute(
                 "UPDATE ducklake_column SET end_snapshot = ? "
                 "WHERE table_id = ? AND end_snapshot IS NULL",
                 (sid, table_id))
             next_col_id = self._next_id(cur, "ducklake_column", "column_id")
-            for order, (cid, col) in enumerate(cols):
+            order = 0
+            for cid, col in cols:
                 if cid is None:
                     cid = next_col_id
                     next_col_id += 1
@@ -773,6 +856,10 @@ class CatalogWriter:
                     (cid, table_id, col.name, col.ducklake_type, order,
                      col.is_nullable, col.initial_default, col.default_value,
                      sid))
+                order += 1
+                _, next_col_id, order = self._insert_child_rows(
+                    cur, table_id, cid, col.ducklake_type, sid,
+                    prev_nested.get(cid, {}), next_col_id, order)
             return sid
 
     def register_data_file(self, table_id: int, snapshot_id: int,

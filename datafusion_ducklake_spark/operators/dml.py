@@ -319,7 +319,8 @@ def _stage_append(session, handle, df: DataFrame,
     column_ids = [c.column_id for c in handle.columns]
     not_null = [c.column_name for c in handle.columns if not c.nulls_allowed]
     out = _with_field_ids(
-        _enforce_not_null(df.select(*data_cols), not_null), column_ids)
+        _enforce_not_null(df.select(*data_cols), not_null), column_ids,
+        [dict(c.nested_ids or ()) for c in handle.columns])
     if single_file:
         out = out.coalesce(1)
     session.spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")

@@ -97,43 +97,113 @@ def _configure_fieldid_read(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
 
 
+def _strip_nested_metadata(dt: T.DataType) -> T.DataType:
+    """Remove parquet.field.id metadata from nested struct fields."""
+    if isinstance(dt, T.StructType):
+        return T.StructType([
+            T.StructField(f.name, _strip_nested_metadata(f.dataType),
+                          f.nullable,
+                          metadata={k: v for k, v in (f.metadata or {}).items()
+                                    if k != "parquet.field.id"})
+            for f in dt.fields])
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_strip_nested_metadata(dt.elementType),
+                           dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_strip_nested_metadata(dt.keyType),
+                         _strip_nested_metadata(dt.valueType),
+                         dt.valueContainsNull)
+    return dt
+
+
 def _strip_field_ids(schema: T.StructType) -> T.StructType:
+    """Drop ALL field-id metadata (top-level and nested) — the read
+    schema for files resolved by name."""
     fields = []
     for f in schema.fields:
         md = {k: v for k, v in (f.metadata or {}).items()
               if k != "parquet.field.id"}
-        fields.append(T.StructField(f.name, f.dataType, f.nullable, metadata=md))
+        fields.append(T.StructField(f.name, _strip_nested_metadata(f.dataType),
+                                    f.nullable, metadata=md))
     return T.StructType(fields)
 
 
-_FIELD_ID_CACHE: dict[str, bool] = {}
+def _strip_nested_ids(schema: T.StructType) -> T.StructType:
+    """Keep top-level field ids, drop nested ones — the read schema for
+    files written before nested-id stamping (their structs resolve by
+    name; a nested-id request over them would NULL out every field)."""
+    return T.StructType([
+        T.StructField(f.name, _strip_nested_metadata(f.dataType),
+                      f.nullable, metadata=f.metadata)
+        for f in schema.fields])
+
+
+def _schema_has_nested_ids(schema: T.StructType) -> bool:
+    def walk(dt: T.DataType) -> bool:
+        if isinstance(dt, T.StructType):
+            return any("parquet.field.id" in (f.metadata or {})
+                       or walk(f.dataType) for f in dt.fields)
+        if isinstance(dt, T.ArrayType):
+            return walk(dt.elementType)
+        if isinstance(dt, T.MapType):
+            return walk(dt.keyType) or walk(dt.valueType)
+        return False
+    return any(walk(f.dataType) for f in schema.fields)
+
+
+_FIELD_ID_CACHE: dict[str, str] = {}
 PROBE_COUNT = 0  # test hook: number of actual footer reads performed
 
 
-def _has_field_ids(uri: str) -> bool:
-    """Footer probe: does this file carry PARQUET:field_id metadata?
-    The reference computes its rename mapping from ONE file footer per
-    table (table.rs:220-295, types.rs:438-456). With fieldId.read enabled
-    AND ignoreMissing, a field-id schema over id-less files silently
-    yields all-NULL columns, so this check is load-bearing. Cached per
-    path; object-store URIs default to True (DuckLake writers stamp ids)."""
+def _field_id_level(uri: str) -> str:
+    """Footer probe: 'none' (no PARQUET:field_id anywhere), 'top'
+    (top-level only — files from before nested-id stamping), or 'full'
+    (nested ids present). The reference computes its rename mapping from
+    ONE file footer per table (table.rs:220-295, types.rs:438-456). With
+    fieldId.read enabled AND ignoreMissing, a field-id schema over
+    id-less files silently yields all-NULL columns, so this check is
+    load-bearing. Cached per path; object-store URIs default to 'full'
+    (DuckLake writers stamp ids at every level)."""
     global PROBE_COUNT
     if uri in _FIELD_ID_CACHE:
         return _FIELD_ID_CACHE[uri]
     path = uri[len("file://"):] if uri.startswith("file://") else uri
     if "://" in path:
-        return True
+        return "full"
     try:
         import pyarrow.parquet as pq
         PROBE_COUNT += 1
         fs = pq.read_schema(path)
-        has = any(fs.field(i).metadata
+
+        def nested_has(t) -> bool:
+            import pyarrow as pa
+            if pa.types.is_struct(t):
+                return any((t.field(i).metadata or {}).get(b"PARQUET:field_id")
+                           or nested_has(t.field(i).type)
+                           for i in range(t.num_fields))
+            if pa.types.is_list(t) or pa.types.is_large_list(t):
+                return nested_has(t.value_type)
+            if pa.types.is_map(t):
+                return nested_has(t.key_type) or nested_has(t.item_type)
+            return False
+
+        top = any(fs.field(i).metadata
                   and b"PARQUET:field_id" in fs.field(i).metadata
                   for i in range(len(fs.names)))
+        if not top:
+            level = "none"
+        elif any(nested_has(fs.field(i).type) for i in range(len(fs.names))):
+            level = "full"
+        else:
+            level = "top"
     except Exception:
-        has = True
-    _FIELD_ID_CACHE[uri] = has
-    return has
+        level = "full"
+    _FIELD_ID_CACHE[uri] = level
+    return level
+
+
+def _has_field_ids(uri: str) -> bool:
+    return _field_id_level(uri) != "none"
 
 
 def _split_by_field_ids(schema: T.StructType, files: list["ResolvedFile"]
@@ -153,10 +223,17 @@ def _split_by_field_ids(schema: T.StructType, files: list["ResolvedFile"]
     unknown = [f for f in files if f.mapping_id is None]
     groups = []
     if unknown:
-        if _has_field_ids(unknown[0].data_uri):
-            groups.append((schema, unknown))
-        else:
+        level = _field_id_level(unknown[0].data_uri)
+        if level == "none":
             named = named + unknown
+        elif level == "top" and _schema_has_nested_ids(schema):
+            # pre-nested-id files under a struct-evolved schema: nested
+            # fields resolve by name (correct for add/drop/promote; a
+            # nested field renamed or dropped-and-readded AFTER such
+            # files were written would need a rewrite first)
+            groups.append((_strip_nested_ids(schema), unknown))
+        else:
+            groups.append((schema, unknown))
     if named:
         groups.append((_strip_field_ids(schema), named))
     return groups

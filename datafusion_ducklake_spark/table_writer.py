@@ -83,16 +83,26 @@ def _column_defs(schema: T.StructType) -> list[ColumnDef]:
             for f in schema.fields]
 
 
-def _with_field_ids(df: DataFrame, column_ids: list[int]) -> DataFrame:
+def _with_field_ids(df: DataFrame, column_ids: list[int],
+                    nested: Optional[list] = None) -> DataFrame:
     """Stamp catalog column_ids as parquet field ids so renames stay
     metadata-only (ref: table_writer.rs:303-317). Uses alias(metadata=...)
-    — DataFrame.to(schema) keeps metadata logically but the parquet writer
-    ignores it; aliased metadata reaches the footer."""
+    for the top level; nested struct-field ids (struct evolution — corpus
+    sql/alter/struct_evolution*.test) ride in via a cast to the same
+    structural type carrying ``parquet.field.id`` metadata on its nested
+    StructFields (verified: the parquet writer emits them at any depth).
+    ``nested``: per-column {path: id} maps parallel to column_ids."""
     from pyspark.sql import functions as F
-    return df.select(*[
-        F.col(f.name).alias(f.name, metadata={**(f.metadata or {}),
-                                              "parquet.field.id": cid})
-        for f, cid in zip(df.schema.fields, column_ids)])
+    from .types import annotate_nested_ids
+    nested = nested or [None] * len(column_ids)
+    cols = []
+    for f, cid, nmap in zip(df.schema.fields, column_ids, nested):
+        c = F.col(f.name)
+        if nmap:
+            c = c.cast(annotate_nested_ids(f.dataType, (), dict(nmap)))
+        cols.append(c.alias(f.name, metadata={**(f.metadata or {}),
+                                              "parquet.field.id": cid}))
+    return df.select(*cols)
 
 
 def _enforce_not_null(df: DataFrame, not_null: list[str]) -> DataFrame:
@@ -556,7 +566,9 @@ def compact_table(session, name: str, single_file: bool = True,
         data_cols = [f.name for f in session.table(name).schema.fields]
         out = (df2.repartition("__run").sortWithinPartitions("rowid")
                .select(*data_cols, "__run"))
-        out = _with_field_ids_partial(out, data_cols, setup.column_ids)
+        out = _with_field_ids_partial(
+            out, data_cols, setup.column_ids,
+            [dict(c.nested_ids or ()) for c in handle.columns])
         staging = table_path.rstrip("/") + f"/stage-{uuid.uuid4().hex}"
         schema_meta = session.provider.get_schema_by_name(
             schema_name, setup.snapshot_id)
@@ -787,7 +799,9 @@ def rewrite_file_groups(session, name: str, groups: list,
         col_ids = [c.column_id for c in handle.columns]
         out = (df2.repartition("__run").sortWithinPartitions("rowid")
                .select(*data_cols, "__run"))
-        out = _with_field_ids_partial(out, data_cols, col_ids)
+        out = _with_field_ids_partial(
+            out, data_cols, col_ids,
+            [dict(c.nested_ids or ()) for c in handle.columns])
         staging = table_path.rstrip("/") + f"/stage-{uuid.uuid4().hex}"
         schema_name, _tbl = session._split(name)
         schema_meta = session.provider.get_schema_by_name(schema_name, snap)
@@ -898,15 +912,27 @@ def _finalize_compact_runs(session, staging: str, table_path: str,
 
 
 def _with_field_ids_partial(df: DataFrame, data_cols: list[str],
-                            column_ids: list[int]) -> DataFrame:
-    """Stamp field ids on the data columns, pass helper columns through."""
+                            column_ids: list[int],
+                            nested: Optional[list] = None) -> DataFrame:
+    """Stamp field ids on the data columns, pass helper columns through.
+    ``nested``: per-column nested-id maps parallel to data_cols (see
+    _with_field_ids)."""
     from pyspark.sql import functions as F
+    from .types import annotate_nested_ids
     ids = dict(zip(data_cols, column_ids))
-    return df.select(*[
-        F.col(f.name).alias(f.name, metadata={**(f.metadata or {}),
-                                              "parquet.field.id": ids[f.name]})
-        if f.name in ids else F.col(f.name)
-        for f in df.schema.fields])
+    nmaps = dict(zip(data_cols, nested)) if nested else {}
+    cols = []
+    for f in df.schema.fields:
+        if f.name not in ids:
+            cols.append(F.col(f.name))
+            continue
+        c = F.col(f.name)
+        if nmaps.get(f.name):
+            c = c.cast(annotate_nested_ids(f.dataType, (),
+                                           dict(nmaps[f.name])))
+        cols.append(c.alias(f.name, metadata={**(f.metadata or {}),
+                                              "parquet.field.id": ids[f.name]}))
+    return df.select(*cols)
 
 
 _INLINABLE_SPARK_TYPES = ("IntegerType", "LongType", "ShortType",
@@ -1031,7 +1057,7 @@ def create_or_insert(session, name: str, df: DataFrame, mode: str,
                 return n_inlined
 
         out = _with_field_ids(_enforce_not_null(df, not_null),
-                              setup.column_ids)
+                              setup.column_ids, setup.nested_ids)
         if single_file:
             # target_file_size (sql/insert/insert_file_size.test): a
             # large insert splits into ~target-sized files instead of one

@@ -340,6 +340,186 @@ def types_compatible(existing_type: str, new_type: str) -> bool:
     return is_promotable(existing_type, new_type)
 
 
+# ---------------------------------------------------------------------------
+# Nested (struct/list/map) field identity — the machinery behind DuckLake
+# struct field evolution (reference corpus: sql/alter/struct_evolution*.test;
+# DuckDB records one ducklake_column row per nested child with parent_column
+# set — metadata_provider.rs:361-410 reads the same shape back).
+# Child-slot naming follows the catalog convention: struct children by field
+# name, list element 'element', map children 'key'/'value'.
+# ---------------------------------------------------------------------------
+
+def nested_child_slots(canonical: str) -> list[tuple[str, str]]:
+    """Immediate child slots of a canonical nested type as
+    (slot_name, child_canonical) pairs; [] for leaves."""
+    s = canonical.strip().lower()
+    m = _LIST_RE.match(s) or _TRAILING_ARRAY_RE.match(s)
+    if m:
+        return [("element", normalize_ducklake_type(m.group(1).strip()))]
+    m = re.match(r"^struct\s*[<(](.*)[>)]$", s)
+    if m:
+        out = []
+        for part in _split_type_args(m.group(1)):
+            name, sep, t = part.partition(":")
+            if not sep or "<" in name or "(" in name:
+                name, _, t = part.strip().partition(" ")
+            out.append((name.strip().strip('"'),
+                        normalize_ducklake_type(t.strip())))
+        return out
+    m = re.match(r"^map\s*[<(](.*)[>)]$", s)
+    if m:
+        parts = _split_type_args(m.group(1))
+        return [("key", normalize_ducklake_type(parts[0].strip())),
+                ("value", normalize_ducklake_type(parts[1].strip()))]
+    return []
+
+
+def nested_tree_paths(canonical: str) -> list[tuple[tuple, str]]:
+    """DFS enumeration of every nested slot: (path_tuple, child_canonical),
+    parents before children — the order child catalog rows are written in."""
+    out: list[tuple[tuple, str]] = []
+
+    def walk(prefix: tuple, t: str) -> None:
+        for name, child in nested_child_slots(t):
+            p = prefix + (name,)
+            out.append((p, child))
+            walk(p, child)
+
+    walk((), normalize_ducklake_type(canonical))
+    return out
+
+
+def _type_kind(canonical: str) -> str:
+    s = canonical.strip().lower()
+    if _LIST_RE.match(s) or _TRAILING_ARRAY_RE.match(s):
+        return "list"
+    if re.match(r"^struct\s*[<(]", s):
+        return "struct"
+    if re.match(r"^map\s*[<(]", s):
+        return "map"
+    return "leaf"
+
+
+def check_nested_evolution(old_type: str, new_type: str) -> None:
+    """Validate a nested SET DATA TYPE as DuckLake struct field evolution
+    (ref corpus: sql/alter/struct_evolution*.test): struct fields may be
+    added, dropped, or safely promoted; list/map recurse into their slots;
+    leaves follow the scalar promotion rules. Shape changes (struct vs
+    list vs map vs scalar) and lossy promotions raise UnsupportedType."""
+    old = normalize_ducklake_type(old_type)
+    new = normalize_ducklake_type(new_type)
+    if old == new:
+        return
+    ok, nk = _type_kind(old), _type_kind(new)
+    if ok != nk:
+        raise UnsupportedType(
+            f"Type promotion from {old} to {new} is not allowed "
+            "(shape change)")
+    if ok == "leaf":
+        if not is_promotable(old, new):
+            raise UnsupportedType(
+                f"Type promotion from {old} to {new} is not allowed "
+                "(only safe widenings)")
+        return
+    old_slots = nested_child_slots(old)
+    new_slots = nested_child_slots(new)
+    if ok in ("list", "map"):
+        for (_, o), (_, n) in zip(old_slots, new_slots):
+            check_nested_evolution(o, n)
+        return
+    # struct: match fields by (case-insensitive) name; added and dropped
+    # fields are fine, kept fields recurse
+    old_map = {n.lower(): t for n, t in old_slots}
+    if not new_slots:
+        raise UnsupportedType(f"struct type must keep at least one field: {new}")
+    for n, t in new_slots:
+        if n.lower() in old_map:
+            check_nested_evolution(old_map[n.lower()], t)
+
+
+def _rebuild_nested(kind: str, slots: list[tuple[str, str]]) -> str:
+    if kind == "struct":
+        return "struct<" + ",".join(f"{n}:{t}" for n, t in slots) + ">"
+    if kind == "list":
+        return f"list<{slots[0][1]}>"
+    return f"map<{slots[0][1]},{slots[1][1]}>"
+
+
+def edit_nested_type(canonical: str, path: tuple, action: str,
+                     new_type: str = None) -> str:
+    """Apply a targeted nested ALTER (corpus: sql/alter/
+    struct_evolution_*_alter.test — ``ADD COLUMN col.path.field T`` /
+    ``DROP COLUMN col.path.field``) to a canonical type string and
+    return the new canonical string. ``path`` addresses struct fields by
+    name and list/map slots as 'element'/'key'/'value' (case-insensitive);
+    the final component is the struct field to add or drop."""
+    canon = normalize_ducklake_type(canonical)
+    kind = _type_kind(canon)
+    if len(path) == 1:
+        if kind != "struct":
+            raise UnsupportedType(
+                f"Cannot {action} field '{path[0]}': type {canon} is not "
+                "a struct")
+        slots = nested_child_slots(canon)
+        names = [n.lower() for n, _ in slots]
+        if action == "add":
+            if path[0].lower() in names:
+                raise UnsupportedType(
+                    f"Field '{path[0]}' already exists in struct")
+            slots.append((path[0].lower(),
+                          normalize_ducklake_type(new_type)))
+        else:
+            if path[0].lower() not in names:
+                raise UnsupportedType(
+                    f"Field '{path[0]}' does not exist in struct")
+            if len(slots) == 1:
+                raise UnsupportedType(
+                    "Cannot drop the last field of a struct")
+            slots = [s for s in slots if s[0].lower() != path[0].lower()]
+        return _rebuild_nested("struct", slots)
+    head = path[0].lower()
+    if kind == "leaf":
+        raise UnsupportedType(
+            f"Cannot traverse into '{head}': type {canon} has no nested "
+            "fields")
+    slots = nested_child_slots(canon)
+    for i, (n, t) in enumerate(slots):
+        if n.lower() == head:
+            slots[i] = (n, edit_nested_type(t, path[1:], action, new_type))
+            return _rebuild_nested(kind, slots)
+    raise UnsupportedType(
+        f"Field '{head}' does not exist in {kind} type {canon}")
+
+
+def annotate_nested_ids(dt: T.DataType, prefix: tuple,
+                        id_map: dict) -> T.DataType:
+    """Stamp ``parquet.field.id`` metadata on nested struct fields from a
+    {path_tuple: field_id} map (paths per nested_tree_paths). Only struct
+    fields can carry Spark metadata; list/map hops are traversal-only
+    (their parquet repetition nodes need no id for resolution)."""
+    if isinstance(dt, T.StructType):
+        fields = []
+        for f in dt.fields:
+            p = prefix + (f.name.lower(),)
+            md = dict(f.metadata or {})
+            if p in id_map:
+                md["parquet.field.id"] = id_map[p]
+            fields.append(T.StructField(
+                f.name, annotate_nested_ids(f.dataType, p, id_map),
+                f.nullable, metadata=md))
+        return T.StructType(fields)
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(
+            annotate_nested_ids(dt.elementType, prefix + ("element",), id_map),
+            dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            annotate_nested_ids(dt.keyType, prefix + ("key",), id_map),
+            annotate_nested_ids(dt.valueType, prefix + ("value",), id_map),
+            dt.valueContainsNull)
+    return dt
+
+
 def build_spark_schema(columns) -> T.StructType:
     """StructType from DuckLake column metadata, stamping the DuckLake
     column_id as the parquet field id so Spark's field-id-aware reader
@@ -349,7 +529,11 @@ def build_spark_schema(columns) -> T.StructType:
     fields = []
     for col in columns:
         mapped = ducklake_to_spark_type(col.column_type)
+        spark_type = mapped.spark_type
+        nested = getattr(col, "nested_ids", ()) or ()
+        if nested:
+            spark_type = annotate_nested_ids(spark_type, (), dict(nested))
         fields.append(T.StructField(
-            col.column_name, mapped.spark_type, col.nulls_allowed,
+            col.column_name, spark_type, col.nulls_allowed,
             metadata={"parquet.field.id": col.column_id}))
     return T.StructType(fields)
