@@ -685,6 +685,9 @@ class DuckLakeSession:
         r"|ALTER\s+(?:COLUMN\s+)?(\w+)\s+(?:SET\s+DATA\s+)?TYPE\s+"
         r"([\w()<>,:\[\] ]+)"
         r")\s*;?\s*$", re.I | re.S)
+    _ALTER_VIEW_RE = re.compile(
+        r"^\s*ALTER\s+VIEW\s+([A-Za-z_][\w.]*)\s+RENAME\s+TO\s+(\w+)"
+        r"\s*;?\s*$", re.I)
     _IF_NOT_EXISTS_COL_RE = re.compile(
         r"ADD\s+COLUMN\s+IF\s+NOT\s+EXISTS", re.I)
     _IF_EXISTS_COL_RE = re.compile(
@@ -1096,6 +1099,10 @@ class DuckLakeSession:
                     raise InvalidConfig(
                         "COMMENT ON COLUMN needs table.column")
                 self.comment_on_column(tbl, col, comment)
+            return self._count_df(0)
+        m = self._ALTER_VIEW_RE.match(query)
+        if m:
+            self.rename_view(m.group(1), m.group(2))
             return self._count_df(0)
         m = self._ALTER_RE.match(query)
         if m:
@@ -1595,6 +1602,25 @@ class DuckLakeSession:
             self.spark.catalog.dropTempView(view_name)
         self._view_rewrites.pop(f"{schema_name}.{view_name}", None)
 
+    def rename_view(self, name: str, new_name: str) -> None:
+        """ALTER VIEW ... RENAME TO (sql/alter/rename_entity.test):
+        MVCC rename keeping the view_id and body."""
+        from .table_writer import _catalog_writer
+        schema_name, view_name = self._split(name)
+        schema = self.catalog.schema(schema_name)
+        writer = _catalog_writer(self)
+        try:
+            writer.rename_view(schema.meta.schema_id, view_name,
+                               new_name.rsplit(".", 1)[-1])
+        finally:
+            writer.close()
+        self.refresh()
+        self.spark.catalog.dropTempView(f"{schema_name}__{view_name}")
+        if schema_name == DEFAULT_SCHEMA:
+            self.spark.catalog.dropTempView(view_name)
+        self._view_rewrites.pop(f"{schema_name}.{view_name}", None)
+        self.register_views()
+
     # -- metadata-only ALTER TABLE (sql/alter/ corpus; zero file I/O) ----
 
     def _alter_columns(self, name: str, cols) -> None:
@@ -1639,6 +1665,16 @@ class DuckLakeSession:
                                     c.column_type, c.nulls_allowed,
                                     c.initial_default, c.default_value))
             for c in handle.columns])
+        if handle.inlined_tables:
+            # inline tables store columns by name — rename the physical
+            # column so live inlined rows keep resolving
+            from .table_writer import _catalog_writer
+            w = _catalog_writer(self)
+            try:
+                w.rename_inlined_column(handle.meta.table_id, old, new)
+            finally:
+                w.close()
+            self.refresh()
 
     def promote_column_type(self, name: str, col_name: str,
                             new_type: str) -> None:

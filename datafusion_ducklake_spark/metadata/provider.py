@@ -494,7 +494,26 @@ class MetadataProvider:
         (row_id, <data columns...>) filtered by the table's own
         begin/end_snapshot MVCC columns — inlined rows version exactly
         like data files do."""
-        cols = ", ".join(f'"{c}"' for c in column_names)
+        # Schema-evolution tolerance (sql/data_inlining/
+        # data_inlining_alter.test): a column ADDed after the rows were
+        # inlined is absent from the inline table — it reads NULL, same
+        # as a parquet file missing the field id. Dropped columns simply
+        # stop being selected.
+        have = None
+        try:
+            have = {str(r[1]).lower() for r in self._fetchall(
+                f'PRAGMA table_info("{inline_table}")')}
+        except Exception:
+            try:
+                have = {str(r[0]).lower() for r in self._fetchall(
+                    "SELECT column_name FROM information_schema.columns "
+                    "WHERE table_name = ?", (inline_table,))}
+            except Exception:
+                have = None
+        cols = ", ".join(
+            f'"{c}"' if (have is None or c.lower() in have)
+            else f'NULL AS "{c}"'
+            for c in column_names)
         # begin_snapshot trails the data columns (consumers zip against
         # the schema, so the extra element is only read where needed —
         # the virtual snapshot_id column)

@@ -961,7 +961,7 @@ class CatalogWriter:
 
     _VIEW_DDL = (
         "CREATE TABLE IF NOT EXISTS ducklake_view ("
-        "view_id INTEGER PRIMARY KEY, schema_id INTEGER NOT NULL, "
+        "view_id INTEGER NOT NULL, schema_id INTEGER NOT NULL, "
         "view_name VARCHAR NOT NULL, dialect VARCHAR NOT NULL DEFAULT "
         "'spark', sql VARCHAR NOT NULL, column_aliases VARCHAR, "
         "begin_snapshot INTEGER NOT NULL, end_snapshot INTEGER)")
@@ -1020,6 +1020,78 @@ class CatalogWriter:
                 (sid, rows[0][0]))
             self._record_changes(cur, sid,
                                  [f"dropped_view:{int(rows[0][0])}"])
+            return sid
+
+    def _ensure_view_mvcc(self) -> None:
+        """Catalogs whose ducklake_view declared ``view_id INTEGER
+        PRIMARY KEY`` reject the second same-id row a rename writes —
+        copy-swap the constraint away, once (same treatment as
+        _ensure_table_mvcc)."""
+        has_pk = False
+        try:
+            if self._dialect == "sqlite":
+                with self._txn() as cur:
+                    rows = cur.execute(
+                        "PRAGMA table_info(ducklake_view)").fetchall()
+                    if not rows:
+                        return
+                    has_pk = any(int(r[5]) == 1 for r in rows)
+            else:
+                with self._txn() as cur:
+                    has_pk = bool(cur.execute(
+                        "SELECT 1 FROM duckdb_constraints() WHERE "
+                        "table_name = 'ducklake_view' AND "
+                        "constraint_type = 'PRIMARY KEY'").fetchall())
+        except Exception:
+            return
+        if not has_pk:
+            return
+        with self._txn() as cur:
+            cur.execute("ALTER TABLE ducklake_view RENAME TO "
+                        "__ducklake_view_pk")
+            cur.execute(self._VIEW_DDL)
+            cur.execute(
+                "INSERT INTO ducklake_view SELECT view_id, schema_id, "
+                "view_name, dialect, sql, column_aliases, begin_snapshot, "
+                "end_snapshot FROM __ducklake_view_pk")
+            cur.execute("DROP TABLE __ducklake_view_pk")
+
+    def rename_view(self, schema_id: int, view_name: str,
+                    new_name: str) -> int:
+        """ALTER VIEW ... RENAME TO (corpus: sql/alter/rename_entity.test):
+        MVCC rename — end the live row, begin one with the SAME view_id
+        and the new name; the body and dialect carry over, and time
+        travel before the rename still resolves the old name."""
+        validate_name(new_name, "view")
+        self._ensure_view_mvcc()
+        with self._txn() as cur:
+            cur.execute(self._VIEW_DDL)
+            rows = cur.execute(
+                "SELECT view_id, dialect, sql FROM ducklake_view "
+                "WHERE schema_id = ? AND view_name = ? "
+                "AND end_snapshot IS NULL",
+                (schema_id, view_name)).fetchall()
+            if not rows:
+                raise InvalidConfig(f"no view named {view_name!r}")
+            dup = cur.execute(
+                "SELECT 1 FROM ducklake_view WHERE schema_id = ? AND "
+                "view_name = ? AND end_snapshot IS NULL",
+                (schema_id, new_name)).fetchall()
+            if dup:
+                raise InvalidConfig(f"view {new_name!r} already exists")
+            vid, dialect, sql_text = rows[0]
+            sid = self._next_id(cur, "ducklake_snapshot", "snapshot_id")
+            cur.execute(
+                "INSERT INTO ducklake_snapshot (snapshot_id, snapshot_time) "
+                "VALUES (?, CURRENT_TIMESTAMP)", (sid,))
+            cur.execute(
+                "UPDATE ducklake_view SET end_snapshot = ? WHERE view_id = ? "
+                "AND end_snapshot IS NULL", (sid, vid))
+            cur.execute(
+                "INSERT INTO ducklake_view (view_id, schema_id, view_name, "
+                "dialect, sql, begin_snapshot) VALUES (?, ?, ?, ?, ?, ?)",
+                (vid, schema_id, new_name, dialect, sql_text, sid))
+            self._record_changes(cur, sid, [f"altered_view:{int(vid)}"])
             return sid
 
     def next_row_id(self, table_id: int) -> int:
@@ -1420,6 +1492,16 @@ class CatalogWriter:
                 f'CREATE TABLE IF NOT EXISTS "{name}" ('
                 "row_id BIGINT, begin_snapshot BIGINT, end_snapshot BIGINT, "
                 f"{cols_ddl})")
+            # schema evolution: an inline table created before an ALTER
+            # ADD COLUMN lacks the new column — extend it in place (old
+            # rows read NULL, matching parquet missing-field semantics)
+            have = {str(r[1]).lower() for r in cur.execute(
+                f'PRAGMA table_info("{name}")').fetchall()}
+            for c, t in zip(column_names, column_types):
+                if c.lower() not in have:
+                    cur.execute(
+                        f'ALTER TABLE "{name}" ADD COLUMN "{c}" '
+                        f"{self._affinity(t)}")
             known = cur.execute(
                 "SELECT COUNT(*) FROM ducklake_inlined_data_tables "
                 "WHERE table_id = ? AND table_name = ?",
@@ -1459,6 +1541,49 @@ class CatalogWriter:
                 if m is not None:
                     top = m if top is None else max(top, int(m))
             return top
+
+    def delete_inlined_rows(self, table_id: int, snapshot_id: int,
+                            row_ids: list[int]) -> int:
+        """MVCC-delete specific LIVE inlined rows (corpus: sql/
+        data_inlining/data_inlining_delete.test — DELETE works directly
+        over inlined rows, no parquet involved): end_snapshot the rows;
+        older snapshots still time-travel to them. Returns rows ended."""
+        if not row_ids:
+            return 0
+        with self._txn() as cur:
+            names = [r[0] for r in cur.execute(
+                "SELECT table_name FROM ducklake_inlined_data_tables "
+                "WHERE table_id = ?", (table_id,))]
+            for nm in names:
+                if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", nm):
+                    continue
+                ph = ",".join("?" * len(row_ids))
+                cur.execute(
+                    f'UPDATE "{nm}" SET end_snapshot = ? '
+                    f"WHERE end_snapshot IS NULL AND row_id IN ({ph})",
+                    (snapshot_id, *[int(r) for r in row_ids]))
+        return len(row_ids)
+
+    def rename_inlined_column(self, table_id: int, old: str,
+                              new: str) -> None:
+        """Keep live inlined-data tables aligned with a catalog column
+        rename: the inline tables store columns BY NAME (no field ids),
+        so the physical column renames with the catalog one. Residual
+        gap: time travel to before the rename reads the renamed inlined
+        column as NULL (parquet gets this right via field ids)."""
+        with self._txn() as cur:
+            names = [r[0] for r in cur.execute(
+                "SELECT table_name FROM ducklake_inlined_data_tables "
+                "WHERE table_id = ?", (table_id,))]
+            for nm in names:
+                if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", nm):
+                    continue
+                try:
+                    cur.execute(
+                        f'ALTER TABLE "{nm}" RENAME COLUMN "{old}" '
+                        f'TO "{new}"')
+                except Exception:
+                    pass        # column may predate/postdate the rows
 
     def end_inlined_rows(self, inline_table: str, snapshot_id: int) -> None:
         """End every live row of one inlined-data table (data-inlining

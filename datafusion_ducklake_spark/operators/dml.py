@@ -60,14 +60,37 @@ def _as_condition(condition: Union[str, Column, None]) -> Column:
     return F.expr(condition) if isinstance(condition, str) else condition
 
 
-def _live_with_filepos(session, handle) -> DataFrame:
-    """The table's LIVE rows (existing deletes applied) with the data file
-    basename and file-local position attached."""
+def _require_no_inlined(handle) -> None:
     if handle.inlined_tables and handle.inlined_rows():
         raise InvalidConfig(
             "DML over tables with live inlined data rows is not supported "
             "— call flush_inlined_data() first (positional deletes only "
             "address parquet rows)")
+
+
+def _match_inlined(handle, condition, using: Optional[DataFrame] = None,
+                   target_alias: Optional[str] = None
+                   ) -> Optional[DataFrame]:
+    """Matched LIVE inlined rows (rowid + data columns) for a DML
+    predicate, or None when the table has none. Inlined sets are bounded
+    by the inlining row limit, so driver-side handling is the right cost
+    shape (corpus: sql/data_inlining/data_inlining_delete.test — DELETE/
+    UPDATE work directly over inlined rows, no flush required)."""
+    if not (handle.inlined_tables and handle.inlined_rows()):
+        return None
+    base = handle._inlined_df(with_rowid=True)
+    if base is None:
+        return None
+    if using is not None:
+        lv = base.alias(target_alias) if target_alias else base
+        return lv.join(using, _as_condition(condition), "left_semi")
+    return base.filter(_as_condition(condition))
+
+
+def _live_with_filepos(session, handle) -> DataFrame:
+    """The table's LIVE rows (existing deletes applied) with the data file
+    basename and file-local position attached. PARQUET rows only — callers
+    handle inlined rows via _match_inlined."""
     _configure_fieldid_read(session.spark)
     files = handle.files
     encd = [f for f in files if f.encryption_key is not None]
@@ -125,6 +148,15 @@ def _live_with_filepos(session, handle) -> DataFrame:
             hive_lits = tuple((h[0], h[2]) for h in hive)
             parts.append(apply_mapping(df, handle.spark_schema, mcols,
                                        hive_lits, [FILE_COL, POS_COL]))
+    if not parts:
+        # every live row is inlined (or the table is empty): the parquet
+        # half of the DML matches nothing
+        from pyspark.sql import types as T
+        empty_schema = T.StructType(
+            list(handle.spark_schema.fields)
+            + [T.StructField(FILE_COL, T.StringType(), True),
+               T.StructField(POS_COL, T.LongType(), True)])
+        return session.spark.createDataFrame([], empty_schema)
     scanned = reduce(DataFrame.unionByName, parts)
     dels = _existing_deletes(session, handle)
     if dels is None:
@@ -416,6 +448,9 @@ def delete_rows(session, name: str,
     semantics; corpus: sql/delete/delete_join.test). Returns rows
     deleted."""
     handle = session.table_handle(name)
+    inl = _match_inlined(handle, condition, using, target_alias)
+    inl_ids = [int(r["rowid"]) for r in inl.select("rowid").collect()] \
+        if inl is not None else []
     live = _live_with_filepos(session, handle)
     if using is not None:
         lv = live.alias(target_alias) if target_alias else live
@@ -424,7 +459,8 @@ def delete_rows(session, name: str,
     else:
         matched = live.filter(_as_condition(condition)).select(FILE_COL,
                                                                POS_COL)
-    n_matched, _ = _delete_and_append(session, handle, matched, None)
+    n_matched, _ = _delete_and_append(session, handle, matched, None,
+                                      inlined_row_ids=inl_ids)
     return n_matched
 
 
@@ -445,6 +481,15 @@ def update_rows(session, name: str, assignments: dict,
     unknown = set(assignments) - set(data_cols)
     if unknown:
         raise InvalidConfig(f"update: unknown columns {sorted(unknown)}")
+    if from_df is not None:
+        # UPDATE ... FROM over live inlined rows stays behind the flush
+        # guard (the ambiguity check is position-keyed)
+        _require_no_inlined(handle)
+        inl = None
+    else:
+        inl = _match_inlined(handle, condition)
+    inl_ids = [int(r["rowid"]) for r in inl.select("rowid").collect()] \
+        if inl is not None else []
     live = _live_with_filepos(session, handle)
     # Persist the matched set for the DML's duration: both halves (the
     # delete-position write and the rewrite append) consume it, and the
@@ -480,9 +525,20 @@ def update_rows(session, name: str, assignments: dict,
              else assignments[c]).cast(types[c]).alias(c)
             if c in assignments else ref(c).alias(c)
             for c in data_cols])
+        if inl_ids:
+            # updated versions of the matched inlined rows append through
+            # the normal parquet path (fresh rowids — the DuckLake
+            # update-as-delete+insert contract); the old inlined rows
+            # MVCC-end in the same snapshot
+            inl_updated = inl.select(*[
+                (F.expr(assignments[c]) if isinstance(assignments[c], str)
+                 else assignments[c]).cast(types[c]).alias(c)
+                if c in assignments else F.col(c).alias(c)
+                for c in data_cols])
+            updated = updated.unionByName(inl_updated)
         n_matched, _ = _delete_and_append(
             session, handle, matched.select(FILE_COL, POS_COL), updated,
-            append_only_if_matched=True)
+            append_only_if_matched=True, inlined_row_ids=inl_ids)
         return n_matched
     finally:
         cached.unpersist()
@@ -511,6 +567,7 @@ def merge_rows(session, target: str, source: DataFrame, on: list[str],
     if when_matched_update is not None and when_matched_delete:
         raise InvalidConfig("merge: choose update OR delete for matches")
     handle = session.table_handle(target)
+    _require_no_inlined(handle)
     data_cols = [c.column_name for c in handle.columns]
     for k in on:
         if k not in data_cols:
@@ -589,7 +646,8 @@ def merge_rows(session, target: str, source: DataFrame, on: list[str],
 
 def _delete_and_append(session, handle, matched_pos: DataFrame,
                        appended: Optional[DataFrame],
-                       append_only_if_matched: bool = False
+                       append_only_if_matched: bool = False,
+                       inlined_row_ids: Optional[list] = None
                        ) -> tuple[int, int]:
     """Shared tail: write cumulative delete files for the matched
     positions, append rewritten/new rows, register everything in ONE
@@ -613,7 +671,8 @@ def _delete_and_append(session, handle, matched_pos: DataFrame,
     manifest = _write_delete_parquets(session.spark, cumulative,
                                       handle.table_path,
                                       encrypt=encrypted_catalog)
-    n_matched = sum(int(r["new_count"]) for r in manifest)
+    n_matched = sum(int(r["new_count"]) for r in manifest) \
+        + len(inlined_row_ids or [])
 
     staged = []
     if appended is not None and (n_matched > 0 or not append_only_if_matched):
@@ -629,6 +688,11 @@ def _delete_and_append(session, handle, matched_pos: DataFrame,
                  ([f"inserted_into_table:{tid}"] if staged else [])
         snapshot_id = writer.create_snapshot(labels)
         _register_deletes(writer, handle, snapshot_id, manifest)
+        if inlined_row_ids:
+            # matched inlined rows MVCC-end in the same snapshot (sql/
+            # data_inlining/data_inlining_delete.test: DML addresses
+            # inlined rows directly, no flush)
+            writer.delete_inlined_rows(tid, snapshot_id, inlined_row_ids)
         if staged:
             _register_append(session, writer, snapshot_id, handle, staged)
     finally:

@@ -91,11 +91,26 @@ def test_sql_sees_inlined_rows(dl):
     assert n == 7
 
 
-def test_dml_requires_flush(dl):
+def test_dml_over_inlined_rows(dl):
+    """DELETE/UPDATE address live inlined rows directly (sql/
+    data_inlining/data_inlining_delete.test — no flush required); the
+    matched inlined row MVCC-ends in the catalog. compact() still
+    requires a flush (it rewrites parquet only)."""
+    pre_snap = dl.provider.get_current_snapshot()
     with pytest.raises(InvalidConfig, match="flush_inlined_data"):
-        dl.delete_from("main.t", "id = 100")
-    with pytest.raises(InvalidConfig, match="flush_inlined_data"):
-        dl.compact("main.t")
+        dl.compact("main.t")            # compact still needs the flush
+    assert dl.delete_from("main.t", "id = 100") == 1
+    assert _ids(dl) == [0, 1, 2, 3, 4, 101]
+    assert dl.update_where("main.t", {"tag": "'patched'"}, "id = 101") == 1
+    assert sorted((r["id"], r["tag"])
+                  for r in dl.table("main.t").collect())[-1] == \
+        (101, "patched")
+    # time travel still sees the pre-DML inlined rows
+    old = DuckLakeSession(dl.spark, dl.catalog_path, snapshot_id=pre_snap)
+    assert sorted(r["id"] for r in old.table("main.t").collect()) == \
+        [0, 1, 2, 3, 4, 100, 101]
+    # after the DMLs consumed every inlined row, compact is unblocked
+    assert dl.table_handle("main.t").inlined_rows() == []
 
 
 def test_flush_moves_rows_to_parquet(dl):
