@@ -356,14 +356,31 @@ class DuckLakeTable:
         pvals = (self._provider.get_file_partition_values(self.meta.table_id)
                  if spec else {})
         id_to_name = {c.column_id: c.column_name for c in self.columns}
-        key_of = {id_to_name.get(cid): idx for idx, cid in spec}
+        key_of = {id_to_name.get(cid): (idx, tf) for idx, cid, tf in spec}
 
         def part_keeps(file_id, col, op, val) -> bool:
-            idx = key_of.get(col)
-            if idx is None:
+            hit = key_of.get(col)
+            if hit is None:
                 return True
+            idx, tf = hit
             stored = pvals.get(file_id, {}).get(idx)
             if stored is None:
+                return True
+            if tf == "year":
+                # transform-aware pruning: year() is monotone in its
+                # argument, so comparing year(filter value) against the
+                # stored partition year with the same op is sound
+                # (corpus: sql/partitioning/year_month_day.test)
+                try:
+                    v = float(str(val)[:4])
+                    s = float(stored)
+                except (TypeError, ValueError):
+                    return True
+                return {"=": s == v, ">": s >= v, ">=": s >= v,
+                        "<": s <= v, "<=": s <= v}.get(op, True)
+            if tf != "identity":
+                # month/day/hour extractions are cyclic, not monotone —
+                # no sound file-level inference from a raw-column filter
                 return True
             _cid, ctype = types[col]
             try:
@@ -767,7 +784,7 @@ class DuckLakeSession:
         r"^\s*(BEGIN(?:\s+TRANSACTION)?|COMMIT|ROLLBACK)\s*;?\s*$", re.I)
     _PARTITION_RE = re.compile(
         r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+"
-        r"(?:SET\s+PARTITIONED\s+BY\s*\(([^)]*)\)"
+        r"(?:SET\s+PARTITIONED\s+BY\s*\((.*)\)"
         r"|(RESET)\s+PARTITIONED\s+BY)\s*;?\s*$", re.I)
     _COMMENT_RE = re.compile(
         r"^\s*COMMENT\s+ON\s+(TABLE|COLUMN)\s+([A-Za-z_][\w.]*)\s+IS\s+"
@@ -2087,24 +2104,42 @@ class DuckLakeSession:
             handle.meta.table_id, target.column_id, "comment",
             self.catalog.snapshot_id)
 
+    _PART_TRANSFORM_RE = re.compile(
+        r"^(year|month|day|hour)\s*\(\s*(\w+)\s*\)$", re.I)
+
     def set_partitioned_by(self, name: str, columns: list[str]) -> None:
         """ALTER TABLE name SET PARTITIONED BY (columns) — records the
         DuckLake partition spec (ducklake_partition_info/_column); future
         inserts split into hive-style per-value files with catalog
         partition values, and prune_files drops non-matching files
-        exactly. [] resets the spec. Existing files are untouched
-        (DuckDB behavior) and stay conservatively un-prunable."""
+        exactly. Entries may be transform expressions — year(ts),
+        month(ts), day(ts), hour(ts) (corpus: sql/partitioning/
+        year_month_day.test) — over date/timestamp columns. [] resets
+        the spec. Existing files are untouched (DuckDB behavior) and
+        stay conservatively un-prunable."""
         from .table_writer import _catalog_writer
         handle = self.table_handle(name)
-        by_name = {c.column_name: c.column_id for c in handle.columns}
-        unknown = [c for c in columns if c not in by_name]
-        if unknown:
-            raise InvalidConfig(
-                f"set_partitioned_by: unknown columns {unknown}")
+        by_name = {c.column_name.lower(): c for c in handle.columns}
+        specs = []
+        for entry in columns:
+            m = self._PART_TRANSFORM_RE.match(entry.strip())
+            cname = (m.group(2) if m else entry.strip()).lower()
+            if cname not in by_name:
+                raise InvalidConfig(
+                    f"set_partitioned_by: unknown columns [{cname!r}]")
+            col = by_name[cname]
+            if m:
+                t = col.column_type.lower()
+                if not any(k in t for k in ("date", "timestamp")):
+                    raise InvalidConfig(
+                        f"partition transform {m.group(1).lower()}() needs "
+                        f"a date/timestamp column, got {col.column_type}")
+                specs.append((col.column_id, m.group(1).lower()))
+            else:
+                specs.append((col.column_id, "identity"))
         writer = _catalog_writer(self)
         try:
-            writer.set_partitioned_by(handle.meta.table_id,
-                                      [by_name[c] for c in columns])
+            writer.set_partitioned_by(handle.meta.table_id, specs)
         finally:
             writer.close()
         self.refresh()

@@ -549,23 +549,34 @@ class MetadataProvider:
 
     def get_partition_columns(self, table_id: int,
                               snapshot_id: int) -> list[tuple]:
-        """[(partition_key_index, column_id)] of the LIVE partition spec
-        (DuckLake ducklake_partition_info/_column); [] when the table is
-        unpartitioned or the catalog predates the feature."""
-        try:
-            rows = self._fetchall(
-                "SELECT c.partition_key_index, c.column_id "
-                "FROM ducklake_partition_info i "
+        """[(partition_key_index, column_id, transform)] of the LIVE
+        partition spec (DuckLake ducklake_partition_info/_column);
+        transform ∈ identity/year/month/day/hour (sql/partitioning/
+        year_month_day.test). [] when the table is unpartitioned or the
+        catalog predates the feature; legacy catalogs without the
+        transform column read as identity."""
+        base = ("FROM ducklake_partition_info i "
                 "JOIN ducklake_partition_column c "
                 "ON i.partition_id = c.partition_id "
                 "AND i.table_id = c.table_id "
                 "WHERE i.table_id = ? AND i.begin_snapshot <= ? "
                 "AND (i.end_snapshot IS NULL OR i.end_snapshot > ?) "
-                "ORDER BY c.partition_key_index",
+                "ORDER BY c.partition_key_index")
+        try:
+            rows = self._fetchall(
+                "SELECT c.partition_key_index, c.column_id, c.transform "
+                + base, (table_id, snapshot_id, snapshot_id))
+            return [(int(r[0]), int(r[1]),
+                     (r[2] or "identity").lower()) for r in rows]
+        except Exception:
+            pass
+        try:
+            rows = self._fetchall(
+                "SELECT c.partition_key_index, c.column_id " + base,
                 (table_id, snapshot_id, snapshot_id))
         except Exception:
             return []
-        return [(int(r[0]), int(r[1])) for r in rows]
+        return [(int(r[0]), int(r[1]), "identity") for r in rows]
 
     def get_file_partition_values(self, table_id: int
                                   ) -> dict[int, dict[int, Optional[str]]]:

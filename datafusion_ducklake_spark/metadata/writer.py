@@ -159,7 +159,8 @@ CREATE TABLE IF NOT EXISTS ducklake_partition_column (
     partition_id INTEGER NOT NULL,
     table_id INTEGER NOT NULL,
     partition_key_index INTEGER NOT NULL,
-    column_id INTEGER NOT NULL
+    column_id INTEGER NOT NULL,
+    transform VARCHAR
 );
 CREATE TABLE IF NOT EXISTS ducklake_file_partition_value (
     data_file_id INTEGER NOT NULL,
@@ -1317,12 +1318,17 @@ class CatalogWriter:
             return sid
 
     def set_partitioned_by(self, table_id: int,
-                           column_ids: list[int]) -> int:
+                           column_ids: list) -> int:
         """Record the table's partition spec (DuckLake
         ducklake_partition_info/_column; corpus: sql/partitioning/).
+        Entries are column_ids or (column_id, transform) pairs —
+        transform ∈ identity/year/month/day/hour (the DuckLake partition
+        transform set; corpus: sql/partitioning/year_month_day.test).
         Empty ``column_ids`` resets the spec. Existing files keep their
         (possibly absent) partition values — only FUTURE inserts split by
         the new spec, matching DuckDB's behavior."""
+        specs = [(c, "identity") if not isinstance(c, tuple) else c
+                 for c in column_ids]
         with self._txn() as cur:
             sid = self._next_id(cur, "ducklake_snapshot", "snapshot_id")
             cur.execute(
@@ -1332,19 +1338,32 @@ class CatalogWriter:
                 "UPDATE ducklake_partition_info SET end_snapshot = ? "
                 "WHERE table_id = ? AND end_snapshot IS NULL",
                 (sid, table_id))
-            if column_ids:
+            if specs:
                 pid = self._next_id(cur, "ducklake_partition_info",
                                     "partition_id")
                 cur.execute(
                     "INSERT INTO ducklake_partition_info (partition_id, "
                     "table_id, begin_snapshot) VALUES (?, ?, ?)",
                     (pid, table_id, sid))
-                for idx, cid in enumerate(column_ids):
-                    cur.execute(
-                        "INSERT INTO ducklake_partition_column "
-                        "(partition_id, table_id, partition_key_index, "
-                        "column_id) VALUES (?, ?, ?, ?)",
-                        (pid, table_id, idx, cid))
+                for idx, (cid, tf) in enumerate(specs):
+                    try:
+                        cur.execute(
+                            "INSERT INTO ducklake_partition_column "
+                            "(partition_id, table_id, partition_key_index, "
+                            "column_id, transform) VALUES (?, ?, ?, ?, ?)",
+                            (pid, table_id, idx, cid, tf))
+                    except Exception:
+                        # legacy catalog without the transform column
+                        if tf != "identity":
+                            raise InvalidConfig(
+                                "this catalog's ducklake_partition_column "
+                                "lacks the transform column — partition "
+                                "transforms need a newer catalog")
+                        cur.execute(
+                            "INSERT INTO ducklake_partition_column "
+                            "(partition_id, table_id, partition_key_index, "
+                            "column_id) VALUES (?, ?, ?, ?)",
+                            (pid, table_id, idx, cid))
             return sid
 
     def register_file_partition_values(self, data_file_id: int,

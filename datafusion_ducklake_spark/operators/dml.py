@@ -359,9 +359,10 @@ def _stage_append(session, handle, df: DataFrame,
     table_path = handle.table_path
 
     id_to_name = dict(zip(column_ids, data_cols))
+    from ..table_writer import _partition_expr, _partition_keys
     spec = session.provider.get_partition_columns(
         handle.meta.table_id, handle.snapshot_id)
-    part_keys = [id_to_name[cid] for _, cid in spec if cid in id_to_name]
+    part_keys = _partition_keys(spec, id_to_name)
 
     if (session.provider.get_option("encrypted") or "").lower() \
             in ("true", "1"):
@@ -378,9 +379,9 @@ def _stage_append(session, handle, df: DataFrame,
     staging = table_path.rstrip("/") + f"/stage-{uuid.uuid4().hex}"
     try:
         if part_keys:
-            for i, name_ in enumerate(part_keys):
+            for i, (base, tf, _dk) in enumerate(part_keys):
                 out = out.withColumn(f"{_PART_PREFIX}{i}",
-                                     F.col(name_).cast("string"))
+                                     _partition_expr(base, tf))
             (out.write
              .partitionBy([f"{_PART_PREFIX}{i}"
                            for i in range(len(part_keys))])
@@ -390,11 +391,12 @@ def _stage_append(session, handle, df: DataFrame,
     except Exception as e:
         _raise_if_constraint(e)
     if part_keys:
+        dir_keys = [dk for _b, _t, dk in part_keys]
         if "://" in table_path:
             return [(*t, None) for t in _finalize_partitioned_hadoop(
-                session.spark, staging, table_path, part_keys)]
+                session.spark, staging, table_path, dir_keys)]
         return [(*t, None) for t in _finalize_partitioned_local(
-            staging, table_path, part_keys)]
+            staging, table_path, dir_keys)]
     if "://" in table_path:
         return [(*s, None, None) for s in
                 _finalize_hadoop(session.spark, staging, table_path)]

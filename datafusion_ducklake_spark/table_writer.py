@@ -345,6 +345,33 @@ def _finalize_hadoop(spark, staging: str, table_path: str
 _PART_PREFIX = "__part_"
 
 
+def _partition_keys(spec: list, id_to_name: dict) -> list[tuple]:
+    """Live-spec staging keys as (base_column, transform, dir_key)
+    triples. dir_key is the hive directory name: the column name for
+    identity, the transform name otherwise (DuckDB's layout —
+    year=2020/month=1; corpus: sql/partitioning/year_month_day.test)."""
+    out = []
+    for _idx, cid, tf in spec:
+        if cid not in id_to_name:
+            continue
+        name = id_to_name[cid]
+        out.append((name, tf, name if tf == "identity" else tf))
+    return out
+
+
+def _partition_expr(base_col: str, transform: str):
+    """Staging Column for one partition key (string-typed hive value)."""
+    from pyspark.sql import functions as F
+    col = F.col(base_col)
+    fns = {"identity": lambda c: c, "year": F.year, "month": F.month,
+           "day": F.dayofmonth, "hour": F.hour}
+    if transform not in fns:
+        raise InvalidConfig(
+            f"unsupported partition transform {transform!r} "
+            "(identity/year/month/day/hour)")
+    return fns[transform](col).cast("string")
+
+
 def _parse_part_segs(segs: list[str], key_names: list[str]):
     """Hive staging dir segments (__part_<i>=<escaped>) → ([(key_index,
     value|None)], final subdir segments using the REAL column names —
@@ -1091,8 +1118,7 @@ def create_or_insert(session, name: str, df: DataFrame, mode: str,
                           setup.column_ids)}
         spec = session.provider.get_partition_columns(
             table_meta.table_id, setup.snapshot_id)
-        part_keys = [id_to_name[cid] for _, cid in spec
-                     if cid in id_to_name]
+        part_keys = _partition_keys(spec, id_to_name)
 
         if (session.provider.get_option("encrypted") or "").lower() \
                 in ("true", "1"):
@@ -1111,9 +1137,9 @@ def create_or_insert(session, name: str, df: DataFrame, mode: str,
             session, schema_meta.schema_id, table_meta.table_id)
         try:
             if part_keys:
-                for i, name_ in enumerate(part_keys):
+                for i, (base, tf, _dk) in enumerate(part_keys):
                     out = out.withColumn(f"{_PART_PREFIX}{i}",
-                                         F.col(name_).cast("string"))
+                                         _partition_expr(base, tf))
                 (out.write.options(**wopts)
                  .partitionBy([f"{_PART_PREFIX}{i}"
                                for i in range(len(part_keys))])
@@ -1130,12 +1156,13 @@ def create_or_insert(session, name: str, df: DataFrame, mode: str,
         #    Scheme'd paths go through the Hadoop FS API (object-store-
         #    capable); bare local paths take the direct os/pyarrow route.
         if part_keys:
+            dir_keys = [dk for _b, _t, dk in part_keys]
             if "://" in table_path:
                 staged = _finalize_partitioned_hadoop(
-                    session.spark, staging, table_path, part_keys)
+                    session.spark, staging, table_path, dir_keys)
             else:
                 staged = _finalize_partitioned_local(
-                    staging, table_path, part_keys)
+                    staging, table_path, dir_keys)
         elif "://" in table_path:
             staged = [(*s, None) for s in
                       _finalize_hadoop(session.spark, staging, table_path)]

@@ -206,3 +206,48 @@ def test_compact_partitioned_preserves_partition_values(spark, tmp_path):
     assert set(vals) == {"1", "2"}
     rows = sorted((r.pk, r.v) for r in dl.table("main.cp").collect())
     assert rows == [(1, 10), (1, 11), (1, 51), (2, 20), (2, 21)]
+
+
+def test_transform_partitioning_year_month(dl, spark):
+    """Partition transforms (sql/partitioning/year_month_day.test):
+    year(ts)/month(ts) split into transform-named hive dirs, the
+    TRANSFORMED values land in ducklake_file_partition_value, and a
+    year() range predicate prunes files (monotone transform)."""
+    import datetime
+    rows = [(i, datetime.datetime(2020, 11, 1) +
+             datetime.timedelta(hours=3 * i)) for i in range(1000)]
+    dl.create_table("main.tp", spark.createDataFrame(
+        rows, "id INT, ts TIMESTAMP_NTZ").limit(0))
+    dl.set_partitioned_by("main.tp", ["year(ts)", "month(ts)"])
+    dl.insert_into("main.tp", spark.createDataFrame(
+        rows, "id INT, ts TIMESTAMP_NTZ"))
+    handle = dl.table_handle("main.tp")
+    hive = [f.path for f in handle._raw_files if "year=" in f.path]
+    assert hive, "expected transform-named hive dirs"
+    assert all(p.split("/")[0].startswith("year=20") and
+               "month=" in p.split("/")[1] for p in hive)
+    vals = dl.provider.get_file_partition_values(handle.meta.table_id)
+    years = {v[0] for v in vals.values()}
+    assert years == {"2020", "2021"}
+    # readback identical to the unpartitioned frame
+    got = sorted((r["id"], r["ts"]) for r in dl.table("main.tp").collect())
+    assert got == sorted(rows)
+    # year-transform pruning: a ts >= 2021 filter drops every 2020 file
+    all_files = handle.files
+    kept = handle.prune_files([("ts", ">=", "2021-01-01 00:00:00")])
+    assert len(kept) < len(all_files)
+    kept_2020 = [f for f in kept if "year=2020" in f.data_uri]
+    assert not kept_2020
+    # and the pruned scan still returns every matching row
+    n_full = dl.table("main.tp").filter("ts >= '2021-01-01'").count()
+    n_pruned = (dl.table("main.tp",
+                         prune_filters=[("ts", ">=", "2021-01-01")])
+                .filter("ts >= '2021-01-01'").count())
+    assert n_full == n_pruned
+
+
+def test_transform_rejects_non_temporal(dl, spark):
+    dl.create_table("main.tnt", spark.createDataFrame(
+        [(1, "a")], "id INT, s STRING"))
+    with pytest.raises(InvalidConfig, match="date/timestamp"):
+        dl.set_partitioned_by("main.tnt", ["year(id)"])
