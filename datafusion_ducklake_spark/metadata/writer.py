@@ -683,6 +683,15 @@ class CatalogWriter:
                             # Spark frames carry geometry as binary; the
                             # catalog column stays GEOMETRY (geo corpus)
                             col_type = old_type
+                        elif (old_type is not None
+                              and col_type != old_type
+                              and ("<" in old_type or "(" in old_type)
+                              and ("<" in col_type or "(" in col_type)):
+                            # nested input that merely permutes or
+                            # subsets struct fields must not rewrite the
+                            # column's declared shape — struct evolution
+                            # goes through ALTER, never implicit INSERT
+                            col_type = old_type
                 else:
                     cid = next_col_id
                     next_col_id += 1
@@ -805,6 +814,16 @@ class CatalogWriter:
         before the drop still resolves everything (MVCC end_snapshot
         semantics, same as Replace's file-ending)."""
         with self._txn() as cur:
+            live = cur.execute(
+                "SELECT 1 FROM ducklake_table WHERE table_id = ? "
+                "AND end_snapshot IS NULL", (table_id,)).fetchall()
+            if not live:
+                # a concurrent session already dropped it (transaction
+                # conflict corpus: drop-drop loses the race cleanly,
+                # never silently re-drops)
+                raise InvalidConfig(
+                    f"DROP TABLE: table id {table_id} is no longer live "
+                    "(dropped by a concurrent transaction)")
             sid = self._next_id(cur, "ducklake_snapshot", "snapshot_id")
             cur.execute(
                 "INSERT INTO ducklake_snapshot (snapshot_id, snapshot_time) "

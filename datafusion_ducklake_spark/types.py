@@ -318,11 +318,35 @@ def is_geometry_type(type_str: str) -> bool:
     return type_str.strip().lower() in _GEOMETRY
 
 
+def _nested_types_compatible(from_type: str, to_type: str) -> bool:
+    """Order-insensitive, name-keyed nested compatibility: every FROM
+    struct field must exist in TO (case-insensitive) with a compatible
+    type; fields FROM lacks read NULL (add_files_missing_fields.test);
+    list/map slots recurse; leaves follow the scalar promotion rules.
+    The shape add_files_nested.test requires — a file whose columns AND
+    struct fields are permuted still registers, because resolution is by
+    name at every level."""
+    fk, tk = _type_kind(from_type), _type_kind(to_type)
+    if fk != tk:
+        return False
+    if fk == "leaf":
+        return from_type == to_type or is_promotable(from_type, to_type)
+    fs, ts = nested_child_slots(from_type), nested_child_slots(to_type)
+    if fk in ("list", "map"):
+        return all(_nested_types_compatible(f[1], t[1])
+                   for f, t in zip(fs, ts))
+    to_map = {n.lower(): t for n, t in ts}
+    return all(n.lower() in to_map
+               and _nested_types_compatible(t, to_map[n.lower()])
+               for n, t in fs)
+
+
 def types_compatible(existing_type: str, new_type: str) -> bool:
     """Compatibility = same canonical type or promotable
     (ref: types.rs:402-423). A WKB blob frame appends into a GEOMETRY
     column (Spark has no geometry DataType, so every geometry value
-    arrives as binary); the catalog keeps the geometry type."""
+    arrives as binary); the catalog keeps the geometry type. Nested
+    types compare name-keyed and order-insensitively."""
     _blobs = ("blob", "binary", "bytea")
     if is_geometry_type(existing_type) and \
             new_type.strip().lower() in _blobs:
@@ -333,10 +357,14 @@ def types_compatible(existing_type: str, new_type: str) -> bool:
         # (add_files; geo corpus ducklake_geometry_add_files.test)
         return True
     try:
-        if normalize_ducklake_type(existing_type) == normalize_ducklake_type(new_type):
-            return True
+        f = normalize_ducklake_type(existing_type)
+        t = normalize_ducklake_type(new_type)
     except UnsupportedType:
         return False
+    if f == t:
+        return True
+    if _type_kind(f) != "leaf" and _type_kind(f) == _type_kind(t):
+        return _nested_types_compatible(f, t)
     return is_promotable(existing_type, new_type)
 
 
