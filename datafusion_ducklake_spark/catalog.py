@@ -461,6 +461,25 @@ class DuckLakeCatalog:
                               meta, self.snapshot_id)
 
 
+# DuckLake secrets (corpus: sql/secrets/ducklake_secrets.test): a named
+# connection profile — METADATA_PATH + DATA_PATH — that an empty attach
+# string ('' / 'ducklake:') resolves. Process-local, like DuckDB's
+# in-memory secret manager default.
+_DUCKLAKE_SECRETS: dict[str, dict] = {}
+
+
+def create_ducklake_secret(metadata_path: str,
+                           data_path: Optional[str] = None,
+                           name: str = "__default") -> None:
+    """CREATE SECRET (TYPE DUCKLAKE, METADATA_PATH ..., DATA_PATH ...)."""
+    _DUCKLAKE_SECRETS[name] = {"metadata_path": metadata_path,
+                               "data_path": data_path}
+
+
+def drop_ducklake_secret(name: str = "__default") -> None:
+    _DUCKLAKE_SECRETS.pop(name, None)
+
+
 class DuckLakeSession:
     """User-facing facade: ``dl = DuckLakeSession(spark, 'catalog.db')``.
 
@@ -490,6 +509,17 @@ class DuckLakeSession:
           ``override_data_path`` rewrites the recorded value.
         """
         self.spark = spark
+        if provider is None and catalog_path.strip() in ("", "ducklake:"):
+            # empty attach string: resolve the default DuckLake secret
+            # (sql/secrets/ducklake_secrets.test)
+            sec = _DUCKLAKE_SECRETS.get("__default")
+            if sec is None:
+                raise InvalidConfig(
+                    "Default secret was not found for an empty DuckLake "
+                    "attach string — CREATE SECRET (TYPE DUCKLAKE, "
+                    "METADATA_PATH ..., DATA_PATH ...) first")
+            catalog_path = sec["metadata_path"]
+            data_path = data_path or sec["data_path"]
         self.catalog_path = catalog_path
         if provider is None and not os.path.exists(catalog_path):
             if not create_if_not_exists:

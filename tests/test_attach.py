@@ -66,3 +66,37 @@ def test_generated_columns_rejected(spark, tmp_path):
     dl = DuckLakeSession(spark, db)
     with pytest.raises(InvalidConfig, match="generated columns"):
         dl.sql("CREATE TABLE t0 (c0 INT AS (1), c1 INT)")
+
+
+def test_ducklake_secret_attach(spark, tmp_path):
+    """sql/secrets/ducklake_secrets.test: an empty attach string resolves
+    the default DUCKLAKE secret (METADATA_PATH + DATA_PATH); without one
+    it errors; data lands under the secret's data path and a re-attach
+    through the secret sees it."""
+    import os
+
+    from datafusion_ducklake_spark.catalog import (DuckLakeSession,
+                                                   create_ducklake_secret,
+                                                   drop_ducklake_secret)
+    from datafusion_ducklake_spark.errors import InvalidConfig
+
+    drop_ducklake_secret()
+    with pytest.raises(InvalidConfig, match="Default secret was not found"):
+        DuckLakeSession(spark, "")
+
+    meta = str(tmp_path / "metadata.db")
+    data = str(tmp_path / "my_data_path")
+    create_ducklake_secret(meta, data)
+    try:
+        dl = DuckLakeSession(spark, "")
+        dl.sql("CREATE TABLE test (i INTEGER)")
+        dl.sql("INSERT INTO test VALUES (1), (2), (3)")
+        files = [f for _r, _d, fs in os.walk(data) for f in fs
+                 if f.endswith(".parquet")]
+        assert len(files) == 1
+        # re-attach through the secret
+        dl2 = DuckLakeSession(spark, "ducklake:")
+        assert sorted(r["i"] for r in dl2.sql("SELECT i FROM test")
+                      .collect()) == [1, 2, 3]
+    finally:
+        drop_ducklake_secret()
