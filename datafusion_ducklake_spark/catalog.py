@@ -497,7 +497,8 @@ class DuckLakeSession:
                  read_only: bool = False,
                  create_if_not_exists: bool = True,
                  data_path: Optional[str] = None,
-                 override_data_path: bool = False):
+                 override_data_path: bool = False,
+                 meta_type: Optional[str] = None):
         """Attach semantics (sql/initialize/ + sql/attach/ corpus):
 
         - missing catalog DB: created when ``create_if_not_exists`` (the
@@ -509,6 +510,12 @@ class DuckLakeSession:
           ``override_data_path`` rewrites the recorded value.
         """
         self.spark = spark
+        if meta_type is not None and meta_type.lower() not in (
+                "sqlite", "duckdb"):
+            # sql/general/metadata_parameters.test: unknown META_TYPE
+            raise InvalidConfig(
+                f"unknown META_TYPE {meta_type.lower()!r} "
+                "(supported: sqlite, duckdb)")
         if provider is None and catalog_path.strip() in ("", "ducklake:"):
             # empty attach string: resolve the default DuckLake secret
             # (sql/secrets/ducklake_secrets.test)
@@ -531,7 +538,12 @@ class DuckLakeSession:
                     "cannot create a new DuckLake in read-only mode: "
                     f"{catalog_path}")
             from .metadata.writer import CatalogWriter
-            w = CatalogWriter.sqlite(catalog_path)
+            if (meta_type or "").lower() == "duckdb" \
+                    or (meta_type is None
+                        and catalog_path.endswith((".duckdb", ".ddb"))):
+                w = CatalogWriter.duckdb(catalog_path)
+            else:
+                w = CatalogWriter.sqlite(catalog_path)
             w.initialize_schema(data_path=data_path
                                 or catalog_path + ".files")
             w.close()

@@ -720,7 +720,16 @@ class DuckdbMetadataProvider(MetadataProvider):
 
     def __init__(self, db_path: str):
         import duckdb
-        self._conn = duckdb.connect(db_path, read_only=True)
+        # Read-write connection even though the provider only reads:
+        # DuckDB rejects same-file connections with DIFFERENT configs in
+        # one process, and the catalog WRITER needs a read-write one for
+        # DML/DDL over duckdb-format catalogs (META_TYPE 'DUCKDB').
+        # Read-only is still honored where it matters: sessions enforce
+        # it at the API layer, and an unwritable file falls back here.
+        try:
+            self._conn = duckdb.connect(db_path)
+        except Exception:
+            self._conn = duckdb.connect(db_path, read_only=True)
         self._lock = threading.Lock()
 
     def _fetchall(self, query: str, params: tuple = ()) -> list[tuple]:

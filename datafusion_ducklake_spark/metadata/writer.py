@@ -644,7 +644,7 @@ class CatalogWriter:
             existing_ids = {r[0]: int(r[1]) for r in cur.execute(
                 "SELECT column_name, column_id FROM ducklake_column "
                 "WHERE table_id = ? AND end_snapshot IS NULL "
-                "AND parent_column IS NULL", (table_id,))}
+                "AND parent_column IS NULL", (table_id,)).fetchall()}
             prev_nested = self._live_nested_ids(cur, table_id)
             existing_nulls = {r[0]: (bool(r[2]) if r[2] is not None else True)
                               for r in existing}
@@ -652,7 +652,7 @@ class CatalogWriter:
                 "SELECT column_name, initial_default, default_value "
                 "FROM ducklake_column "
                 "WHERE table_id = ? AND end_snapshot IS NULL "
-                "AND parent_column IS NULL", (table_id,))
+                "AND parent_column IS NULL", (table_id,)).fetchall()
             } if existing else {}
             cur.execute(
                 "UPDATE ducklake_column SET end_snapshot = ? "
@@ -1569,7 +1569,7 @@ class CatalogWriter:
         with self._txn() as cur:
             names = [r[0] for r in cur.execute(
                 "SELECT table_name FROM ducklake_inlined_data_tables "
-                "WHERE table_id = ?", (table_id,))]
+                "WHERE table_id = ?", (table_id,)).fetchall()]
             top = None
             for n in names:
                 if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", n):
@@ -1591,7 +1591,7 @@ class CatalogWriter:
         with self._txn() as cur:
             names = [r[0] for r in cur.execute(
                 "SELECT table_name FROM ducklake_inlined_data_tables "
-                "WHERE table_id = ?", (table_id,))]
+                "WHERE table_id = ?", (table_id,)).fetchall()]
             for nm in names:
                 if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", nm):
                     continue
@@ -1612,7 +1612,7 @@ class CatalogWriter:
         with self._txn() as cur:
             names = [r[0] for r in cur.execute(
                 "SELECT table_name FROM ducklake_inlined_data_tables "
-                "WHERE table_id = ?", (table_id,))]
+                "WHERE table_id = ?", (table_id,)).fetchall()]
             for nm in names:
                 if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", nm):
                     continue
@@ -1723,7 +1723,7 @@ class CatalogWriter:
                         "JOIN ducklake_table t ON f.table_id = t.table_id "
                         "JOIN ducklake_schema s ON t.schema_id = s.schema_id "
                         "WHERE f.end_snapshot IS NOT NULL "
-                        "AND f.end_snapshot <= ?", (oldest,)))
+                        "AND f.end_snapshot <= ?", (oldest,)).fetchall())
             return out
 
     def drop_expired_file_rows(self) -> int:

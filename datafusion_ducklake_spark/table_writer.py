@@ -46,6 +46,15 @@ def _catalog_writer(session) -> CatalogWriter:
             f"(catalog: {path}); use a sqlite or duckdb catalog for writes")
     if path.endswith((".duckdb", ".ddb")):
         return CatalogWriter.duckdb(path)
+    if path.endswith((".sqlite", ".sqlite3", ".db")):
+        # sniff like provider_for: a .db catalog may be DuckDB-format
+        # (META_TYPE 'DUCKDB'; sql/general/metadata_parameters.test)
+        try:
+            with open(path, "rb") as f:
+                if not f.read(16).startswith(b"SQLite format 3"):
+                    return CatalogWriter.duckdb(path)
+        except FileNotFoundError:
+            pass
     return CatalogWriter.sqlite(path)
 
 

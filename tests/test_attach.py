@@ -100,3 +100,30 @@ def test_ducklake_secret_attach(spark, tmp_path):
                       .collect()) == [1, 2, 3]
     finally:
         drop_ducklake_secret()
+
+
+def test_meta_type_parameter(spark, tmp_path):
+    """sql/general/metadata_parameters.test: META_TYPE selects the
+    catalog backend explicitly; unknown values error by name."""
+    from datafusion_ducklake_spark.catalog import DuckLakeSession
+    from datafusion_ducklake_spark.errors import InvalidConfig
+
+    db = str(tmp_path / "mt_catalog.db")     # .db would sniff — force type
+    dl = DuckLakeSession(spark, db, meta_type="DUCKDB",
+                         data_path=str(tmp_path / "mt_files"))
+    dl.sql("CREATE TABLE tbl AS SELECT * FROM range(1000)")
+    assert dl.sql("SELECT count(*) AS n FROM tbl").collect()[0]["n"] == 1000
+    # the full write surface works against the duckdb-format catalog
+    dl.sql("INSERT INTO tbl SELECT * FROM range(1000, 1100)")
+    dl.sql("DELETE FROM tbl WHERE id < 50")
+    dl.sql("ALTER TABLE tbl ADD COLUMN tag VARCHAR")
+    dl.sql("UPDATE tbl SET tag = 'hi' WHERE id >= 1050")
+    assert dl.sql("SELECT count(*) AS n, count(tag) AS t FROM tbl"
+                  ).collect()[0].asDict() == {"n": 1050, "t": 50}
+    import duckdb
+    con = duckdb.connect(db)    # really a DuckDB-format catalog
+    assert con.sql("SELECT count(*) FROM ducklake_snapshot").fetchone()[0] >= 1
+    con.close()
+
+    with pytest.raises(InvalidConfig, match="duckdbxx"):
+        DuckLakeSession(spark, str(tmp_path / "x.db"), meta_type="DUCKDBXX")
