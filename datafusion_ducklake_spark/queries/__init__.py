@@ -48,6 +48,8 @@ _SPECS = [
               ducklake_gate.ORACLE_INLINED_AGG, False),
     QuerySpec("ducklake_nested_agg", ducklake_gate.ducklake_nested_agg,
               ducklake_gate.ORACLE_NESTED_AGG, False),
+    QuerySpec("ducklake_struct_evo_agg", ducklake_gate.ducklake_struct_evo_agg,
+              ducklake_gate.ORACLE_STRUCT_EVO, False),
     QuerySpec("ducklake_geo_agg", ducklake_gate.ducklake_geo_agg,
               ducklake_gate.ORACLE_GEO_AGG, False),
     QuerySpec("geo_measure_agg", ducklake_gate.geo_measure_agg,

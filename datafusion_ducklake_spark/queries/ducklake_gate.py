@@ -585,3 +585,84 @@ SELECT COUNT(*) AS n,
   CAST(COUNT(*) * 5 AS BIGINT) AS sum_points
 FROM customer
 """
+
+
+def _build_struct_evo_catalog(spark: SparkSession, sf_dir: str) -> str:
+    """Create (once per sf_dir) a table shaped by the FULL struct field
+    evolution cycle (sql/alter/struct_evolution*.test): create with
+    struct<a,b>, insert; ADD field c, insert; DROP a then RE-ADD a
+    (fresh field id), insert. Rows derive deterministically from the
+    driver's orders parquet so a plain-SQL oracle can restate the
+    field-id resolution semantics batch by batch."""
+    import shutil
+
+    from ..catalog import DuckLakeSession
+    from ..metadata.writer import CatalogWriter
+
+    tag = hashlib.md5((sf_dir + "/sevo-v1").encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"ducklake_sevo_{tag}")
+    db = os.path.join(root, "catalog.sqlite")
+    done = os.path.join(root, ".done")
+    if os.path.exists(done):
+        return db
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    os.makedirs(root)
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=os.path.join(root, "lake"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    keys = (spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+            .select(F.col("o_orderkey").cast("long").alias("k"))
+            .filter("o_orderkey % 32 = 0"))
+    keys.createOrReplaceTempView("__sevo_keys")
+    dl.sql("CREATE TABLE evo (col1 STRUCT<a:BIGINT,b:BIGINT>)")
+    dl.sql("INSERT INTO evo SELECT named_struct('a', k, 'b', k + 1) "
+           "FROM __sevo_keys WHERE k % 3 = 0")
+    dl.sql("ALTER TABLE evo ALTER COLUMN col1 SET DATA TYPE "
+           "STRUCT(a BIGINT, b BIGINT, c BIGINT)")
+    dl.sql("INSERT INTO evo SELECT named_struct('a', k, 'b', k + 1, "
+           "'c', k * 2) FROM __sevo_keys WHERE k % 3 = 1")
+    dl.sql("ALTER TABLE evo ALTER COLUMN col1 SET DATA TYPE "
+           "STRUCT(b BIGINT, c BIGINT)")
+    dl.sql("ALTER TABLE evo ALTER COLUMN col1 SET DATA TYPE "
+           "STRUCT(b BIGINT, c BIGINT, a BIGINT)")
+    dl.sql("INSERT INTO evo SELECT named_struct('b', k + 1, 'c', k * 2, "
+           "'a', k * 7) FROM __sevo_keys WHERE k % 3 = 2")
+    with open(done, "w") as f:
+        f.write("ok")
+    return db
+
+
+def ducklake_struct_evo_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct field evolution through the gate: the re-added field 'a'
+    must read NULL for every pre-re-add row (fresh field id — no value
+    resurrection), the added field 'c' NULL for batch 1, and the kept
+    field 'b' everywhere; the oracle restates those semantics from the
+    source keys batch by batch."""
+    from ..catalog import DuckLakeSession
+    dl = DuckLakeSession(spark, _build_struct_evo_catalog(spark, sf_dir))
+    return dl.sql(
+        "SELECT count(*) AS n, "
+        "CAST(sum(col1.b) AS BIGINT) AS sb, "
+        "CAST(sum(col1.c) AS BIGINT) AS sc, "
+        "CAST(sum(col1.a) AS BIGINT) AS sa, "
+        "count(col1.a) AS na, count(col1.c) AS nc FROM evo")
+
+
+ORACLE_STRUCT_EVO = """
+WITH keys AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders
+  WHERE o_orderkey % 32 = 0
+), rows_ AS (
+  SELECT k + 1 AS b, CAST(NULL AS BIGINT) AS c, CAST(NULL AS BIGINT) AS a
+  FROM keys WHERE k % 3 = 0
+  UNION ALL
+  SELECT k + 1, k * 2, CAST(NULL AS BIGINT) FROM keys WHERE k % 3 = 1
+  UNION ALL
+  SELECT k + 1, k * 2, k * 7 FROM keys WHERE k % 3 = 2
+)
+SELECT COUNT(*) AS n, SUM(b) AS sb, SUM(c) AS sc, SUM(a) AS sa,
+       COUNT(a) AS na, COUNT(c) AS nc
+FROM rows_
+"""
