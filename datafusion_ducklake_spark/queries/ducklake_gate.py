@@ -666,3 +666,63 @@ SELECT COUNT(*) AS n, SUM(b) AS sb, SUM(c) AS sc, SUM(a) AS sa,
        COUNT(a) AS na, COUNT(c) AS nc
 FROM rows_
 """
+
+
+def _build_transform_catalog(spark: SparkSession, sf_dir: str) -> str:
+    """Create (once per sf_dir) a table partitioned by year(o_orderdate)
+    (partition TRANSFORM — sql/partitioning/year_month_day.test): the
+    insert splits into year=<y> hive dirs with the transformed values in
+    ducklake_file_partition_value."""
+    import shutil
+
+    from ..catalog import DuckLakeSession
+    from ..metadata.writer import CatalogWriter
+
+    tag = hashlib.md5((sf_dir + "/ptf-v1").encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"ducklake_ptf_{tag}")
+    db = os.path.join(root, "catalog.sqlite")
+    done = os.path.join(root, ".done")
+    if os.path.exists(done):
+        return db
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    os.makedirs(root)
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=os.path.join(root, "lake"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    src = (spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+           .select("o_orderkey", F.col("o_orderdate").cast("date")
+                   .alias("o_orderdate"), "o_totalprice"))
+    dl.sql("CREATE TABLE tf_orders (o_orderkey BIGINT, o_orderdate DATE, "
+           "o_totalprice DOUBLE)")
+    dl.set_partitioned_by("main.tf_orders", ["year(o_orderdate)"])
+    dl.insert_into("main.tf_orders", src, single_file=False)
+    with open(done, "w") as f:
+        f.write("ok")
+    return db
+
+
+def ducklake_transform_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-transform write + transform-aware pruning in the gate:
+    the scan prunes to files whose recorded year(o_orderdate) can hold
+    dates >= 1996-01-01 (monotone year transform); over-pruning (a
+    dropped year=1996+ file) breaks the hash match with the full-table
+    oracle."""
+    from ..catalog import DuckLakeSession
+    dl = DuckLakeSession(spark, _build_transform_catalog(spark, sf_dir))
+    df = dl.table("main.tf_orders",
+                  prune_filters=[("o_orderdate", ">=", "1996-01-01")])
+    return (df.filter(F.col("o_orderdate") >= F.lit("1996-01-01"))
+            .groupBy(F.year("o_orderdate").alias("y"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("o_totalprice").alias("sum_price"))
+            .orderBy("y"))
+
+
+ORACLE_TRANSFORM_AGG = """
+SELECT EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS y, COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+GROUP BY 1 ORDER BY 1
+"""
