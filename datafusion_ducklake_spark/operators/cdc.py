@@ -40,7 +40,14 @@ def _resolve(session, name: str, start: int, end: int):
         raise InvalidConfig(
             f"start_snapshot ({start}) must be <= end_snapshot ({end})")
     schema_name, table_name = session._split(name)
-    schema = session.catalog.schema(schema_name)
+    catalog = session.catalog
+    if end < catalog.snapshot_id:
+        # DuckDB's table_changes resolves the table AT the range's end
+        # snapshot: a window that closes before an ALTER must surface
+        # that era's schema, not today's (columns version per snapshot)
+        from ..catalog import DuckLakeCatalog
+        catalog = DuckLakeCatalog(session.spark, session.provider, end)
+    schema = catalog.schema(schema_name)
     table = schema.table(table_name)
     if table is None:
         raise TableNotFound(name)

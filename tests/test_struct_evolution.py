@@ -151,3 +151,24 @@ def test_pre_nested_id_files_fall_back_to_name(spark, tmp_path):
     dl = DuckLakeSession(spark, cat.db_path)
     assert [tuple(r) for r in
             dl.sql("SELECT col1.i, col1.j FROM legacy").collect()] == [(7, 8)]
+
+
+def test_table_changes_pins_schema_at_range_end(dl):
+    """A CDC window that closes BEFORE an ALTER surfaces that era's
+    schema (DuckDB's table_changes resolves the table at end_snapshot),
+    while a window spanning the ALTER reads under the evolved schema
+    with NULL-filled new fields."""
+    dl.sql("CREATE TABLE t (col1 STRUCT<i:INT,j:INT>)")
+    dl.sql("INSERT INTO t SELECT named_struct('i', 1, 'j', 2)")
+    s1 = dl.provider.get_current_snapshot()
+    dl.sql("ALTER TABLE t ALTER COLUMN col1 SET DATA TYPE "
+           "STRUCT(i INT, j INT, k INT)")
+    dl.sql("INSERT INTO t SELECT named_struct('i', 10, 'j', 20, 'k', 30)")
+    s2 = dl.provider.get_current_snapshot()
+    pre = dl.table_changes("main.t", 0, s1)
+    assert pre.schema["col1"].dataType.names == ["i", "j"]
+    assert [tuple(r["col1"]) for r in pre.collect()] == [(1, 2)]
+    full = dl.table_changes("main.t", 0, s2)
+    assert full.schema["col1"].dataType.names == ["i", "j", "k"]
+    assert sorted(tuple(r["col1"]) for r in full.collect()) == \
+        [(1, 2, None), (10, 20, 30)]
