@@ -1762,6 +1762,7 @@ class DuckLakeSession:
             # promote kept ones; child field ids stay stable by path, so
             # old files keep resolving (and a dropped-then-readded field
             # gets a fresh id — old values do NOT resurrect)
+            self._reject_encrypted_nested_evolution()
             try:
                 check_nested_evolution(old, canon)
             except UnsupportedType as e:
@@ -1778,6 +1779,19 @@ class DuckLakeSession:
                                     c.initial_default, c.default_value))
             for c in handle.columns])
 
+    def _reject_encrypted_nested_evolution(self) -> None:
+        """Encrypted tables decode through the PME reader BY NAME (no
+        nested-field-id resolution there), so a dropped-then-readded
+        field would resurrect old values — refuse nested evolution on
+        encrypted catalogs rather than risk it (documented gap; the
+        KMS/footer-key reader has no per-field id hook)."""
+        if (self.provider.get_option("encrypted") or "").lower() in \
+                ("true", "1"):
+            raise InvalidConfig(
+                "struct field evolution over ENCRYPTED tables is not "
+                "supported (the PME decode path resolves nested fields "
+                "by name, not field id)")
+
     def _edit_nested_column(self, name: str, col_path: str, action: str,
                             new_type: Optional[str] = None,
                             lenient: bool = False) -> None:
@@ -1790,6 +1804,7 @@ class DuckLakeSession:
         from .errors import UnsupportedType
         from .metadata.writer import ColumnDef
         from .types import edit_nested_type
+        self._reject_encrypted_nested_evolution()
         parts = col_path.split(".")
         root, path = parts[0], tuple(parts[1:])
         handle = self.table_handle(name)
