@@ -102,11 +102,30 @@ def normalize(rows) -> list[tuple]:
 
 def run_suite(spark, kind: str, sf: float,
               only: "set[int] | None" = None) -> dict:
+    """Every suite text runs on the engine THROUGH the DuckLake catalog
+    (CTAS'd tables, scan_table read path) vs DuckDB over the same
+    parquet — so the official queries exercise the full lake stack, not
+    a bare parquet view."""
     import duckdb
+
+    from datafusion_ducklake_spark.catalog import DuckLakeSession
     root, tables = build_fixture(kind, sf)
+    db = f"{root}/ducklake_catalog.sqlite"
+    marker = f"{root}/.lake_done"
+    if not os.path.exists(marker):
+        if os.path.exists(db):
+            os.remove(db)
+        dl = DuckLakeSession(spark, db, data_path=f"{root}/lake")
+        for t in tables:
+            dl.create_table(f"main.{t}", spark.read.parquet(
+                f"{root}/{t}.parquet"), single_file=False)
+        with open(marker, "w") as f:
+            f.write("ok")
+    else:
+        dl = DuckLakeSession(spark, db)
+    dl.register_views()
     ducks = duckdb.connect()
     for t in tables:
-        spark.read.parquet(f"{root}/{t}.parquet").createOrReplaceTempView(t)
         ducks.sql(f"CREATE VIEW {t} AS SELECT * FROM "
                   f"read_parquet('{root}/{t}.parquet')")
     ok, failed = [], []
@@ -116,7 +135,7 @@ def run_suite(spark, kind: str, sf: float,
             continue
         try:
             t0 = time.time()
-            ours = [tuple(r) for r in spark.sql(dq_to_backticks(q)).collect()]
+            ours = [tuple(r) for r in dl.sql(dq_to_backticks(q)).collect()]
             spark_s += time.time() - t0
             t0 = time.time()
             theirs = ducks.sql(q).fetchall()
