@@ -758,7 +758,9 @@ class DuckLakeSession:
     _CREATE_COLS_RE = re.compile(
         r"^\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?TABLE\s+"
         r"(IF\s+NOT\s+EXISTS\s+)?"
-        r"([A-Za-z_][\w.]*)\s*\((.+)\)\s*;?\s*$", re.I | re.S)
+        r"([A-Za-z_][\w.]*)\s*\((.+?)\)"
+        r"(?:\s+PARTITIONED\s+BY\s*\(([^)]*(?:\([^)]*\)[^)]*)*)\))?"
+        r"\s*;?\s*$", re.I | re.S)
     _MERGE_RE = re.compile(
         r"^\s*MERGE\s+INTO\s+([A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(\w+))?"
         r"\s+USING\s+(\(.*?\)|[A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(\w+))?"
@@ -1214,6 +1216,12 @@ class DuckLakeSession:
             self.create_empty_table(
                 m.group(3), m.group(4),
                 if_not_exists=bool(m.group(2)))
+            if m.group(5):
+                # CREATE TABLE ... PARTITIONED BY (a, year(b)) — the
+                # one-statement convenience form of SET PARTITIONED BY
+                self.set_partitioned_by(
+                    m.group(3),
+                    [c.strip() for c in m.group(5).split(",") if c.strip()])
             return self._count_df(0)
         m = self._DROP_RE.match(query)
         if m:

@@ -251,3 +251,14 @@ def test_transform_rejects_non_temporal(dl, spark):
         [(1, "a")], "id INT, s STRING"))
     with pytest.raises(InvalidConfig, match="date/timestamp"):
         dl.set_partitioned_by("main.tnt", ["year(id)"])
+
+
+def test_create_table_partitioned_by_clause(dl, spark):
+    """One-statement CREATE TABLE ... PARTITIONED BY (col, year(ts))."""
+    dl.sql("CREATE TABLE ctp (pk INT, d DECIMAL(10,2), ts TIMESTAMP) "
+           "PARTITIONED BY (pk, year(ts))")
+    dl.sql("INSERT INTO ctp VALUES (1, 2.5, TIMESTAMP'2020-01-01 00:00:00')"
+           ", (2, 3.5, TIMESTAMP'2021-06-01 00:00:00')")
+    handle = dl.table_handle("main.ctp")
+    dirs = sorted(tuple(f.path.split("/")[:2]) for f in handle._raw_files)
+    assert dirs == [("pk=1", "year=2020"), ("pk=2", "year=2021")]
