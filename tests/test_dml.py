@@ -432,3 +432,56 @@ def test_merge_executes_source_join_once(dl, spark):
     got = {r["id"]: r["v"] for r in dl.table("main.t").collect()}
     assert got[1] == 100.0 and got[50] == 500.0 and len(got) == 21
     assert acc.value == 1, f"source evaluated {acc.value} times"
+
+
+def test_foreign_delete_file_with_extra_columns(spark, tmp_path):
+    """Iceberg-style positional-delete files may carry EXTRA columns
+    beyond (file_path, pos) — the scan must ignore them (corpus:
+    sql/delete/delete_ignore_extra_columns.test)."""
+    import os
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_ducklake_spark.catalog import DuckLakeSession
+    from datafusion_ducklake_spark.metadata.writer import CatalogWriter
+
+    db = str(tmp_path / "cat.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.create_table("main.t", spark.createDataFrame(
+        [(i,) for i in range(10)], "id INT"))
+    handle = dl.table_handle("main.t")
+    [f] = handle._raw_files
+    tdir = os.path.dirname(
+        handle.files[0].data_uri[len("file://"):]
+        if handle.files[0].data_uri.startswith("file://")
+        else handle.files[0].data_uri)
+    dname = f"ducklake-delete-{_uuid.uuid4()}.parquet"
+    dpath = os.path.join(tdir, dname)
+    pq.write_table(pa.table({
+        "file_path": pa.array([f.path, f.path], pa.string()),
+        "pos": pa.array([0, 3], pa.int64()),
+        "row": pa.array([b"x", b"y"], pa.binary()),      # extra columns
+        "partition_hint": pa.array([7, 7], pa.int32())}), dpath)
+    import sqlite3
+    conn = sqlite3.connect(db)
+    conn.execute(
+        "INSERT INTO ducklake_delete_file (delete_file_id, table_id, "
+        "data_file_id, path, path_is_relative, file_size_bytes, "
+        "delete_count, begin_snapshot) VALUES (1, ?, ?, ?, 1, ?, 2, ?)",
+        (handle.meta.table_id, f.data_file_id, dname,
+         os.path.getsize(dpath), dl.provider.get_current_snapshot()))
+    conn.commit()
+    conn.close()
+    dl2 = DuckLakeSession(spark, db)
+    assert sorted(r["id"] for r in dl2.table("main.t").collect()) == \
+        [1, 2, 4, 5, 6, 7, 8, 9]
+    # and DML over it keys existing deletes through the catalog pairing
+    assert dl2.delete_from("main.t", "id = 5") == 1
+    dl3 = DuckLakeSession(spark, db)
+    assert sorted(r["id"] for r in dl3.table("main.t").collect()) == \
+        [1, 2, 4, 6, 7, 8, 9]
