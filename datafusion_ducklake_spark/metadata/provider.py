@@ -269,6 +269,16 @@ class MetadataProvider:
             (table_id, snapshot_id, snapshot_id, table_id, snapshot_id, snapshot_id))
         out = []
         for r in rows:
+            # numeric metadata validation (ref: numeric_metadata_
+            # validation_tests.rs): a negative file_size_bytes is
+            # catalog corruption and must fail loudly; a negative
+            # footer_size is only a hint and is gracefully skipped
+            if r[3] is not None and int(r[3]) < 0:
+                raise CatalogCorruption(
+                    f"Invalid file_size_bytes {int(r[3])} for data file "
+                    f"{r[1]!r} (catalog corruption)")
+            footer = int(r[4]) if r[4] is not None and int(r[4]) >= 0 \
+                else None
             delete = None
             if r[9] is not None:
                 delete = DeleteFileMeta(int(r[9]), r[10], bool(r[11]), int(r[12]),
@@ -277,7 +287,7 @@ class MetadataProvider:
                                         int(r[15]) if r[15] is not None else None)
             out.append(DataFileMeta(
                 int(r[0]), r[1], bool(r[2]), int(r[3]),
-                int(r[4]) if r[4] is not None else None, r[5],
+                footer, r[5],
                 int(r[6]) if r[6] is not None else None,
                 int(r[7]) if r[7] is not None else None,
                 mapping_id=int(r[8]) if r[8] is not None else None,

@@ -263,3 +263,41 @@ class TestRowid:
         dl = DuckLakeSession(spark, cat.db_path)
         with pytest.raises(InvalidConfig, match="row_id_start"):
             dl.table("main.nr", with_rowid=True)
+
+
+def test_numeric_metadata_validation(spark, tmp_path):
+    """ref: numeric_metadata_validation_tests.rs — a negative
+    file_size_bytes fails loudly naming the value; a negative
+    footer_size is a hint and is gracefully skipped."""
+    import pytest as _pytest
+
+    from datafusion_ducklake_spark.catalog import DuckLakeSession
+    from datafusion_ducklake_spark.errors import CatalogCorruption
+    from tests.ducklake_fixtures import FixtureCatalog, write_data_file
+
+    cat = FixtureCatalog(str(tmp_path))
+    s1 = cat.snapshot()
+    sid = cat.schema("main", s1)
+    tid = cat.table(sid, "main", "items", s1)
+    cat.column(tid, 1, "id", "int32", 0, s1)
+    cat.column(tid, 2, "name", "varchar", 1, s1)
+    cat.column(tid, 3, "email", "varchar", 2, s1)
+    tdir = cat.table_dir("main", "items")
+    name, size = write_data_file(tdir, [(1, "a", "a@x")],
+                                 names=("id", "name", "email"))
+    fid = cat.data_file(tid, name, size, s1, 1)
+    # negative footer_size: skipped, scan succeeds
+    cat.conn.execute(
+        "UPDATE ducklake_data_file SET footer_size = -5 "
+        "WHERE data_file_id = ?", (fid,))
+    cat.conn.commit()
+    dl = DuckLakeSession(spark, cat.db_path)
+    assert dl.table("main.items").count() == 1
+    # negative file_size_bytes: clear corruption error naming the value
+    cat.conn.execute(
+        "UPDATE ducklake_data_file SET file_size_bytes = -1 "
+        "WHERE data_file_id = ?", (fid,))
+    cat.conn.commit()
+    dl2 = DuckLakeSession(spark, cat.db_path)
+    with _pytest.raises(CatalogCorruption, match="-1"):
+        dl2.table("main.items").count()
