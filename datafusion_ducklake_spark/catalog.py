@@ -914,7 +914,9 @@ class DuckLakeSession:
     _EXPIRE_NAMED_RE = re.compile(
         r"^\s*CALL\s+ducklake_expire_snapshots\s*\(\s*"
         r"((?:(?:versions\s*=>\s*\[[\d\s,]*\]|dry_run\s*=>\s*"
-        r"(?:true|false))\s*,?\s*)+)\)\s*;?\s*$", re.I)
+        r"(?:true|false)|older_than\s*=>\s*"
+        r"(?:NOW\s*\(\s*\)|TIMESTAMP\s*'[^']*'|'[^']*'))\s*,?\s*)+)"
+        r"\)\s*;?\s*$", re.I)
     _ORPHANS_RE = re.compile(
         r"^\s*CALL\s+ducklake_delete_orphaned_files\s*\(\s*"
         r"((?:(?:dry_run|cleanup_all)\s*=>\s*(?:true|false)\s*,?\s*)*)"
@@ -992,8 +994,15 @@ class DuckLakeSession:
             versions = ([int(x) for x in vm.group(1).split(",")
                          if x.strip()] if vm else None)
             dm = re.search(r"dry_run\s*=>\s*(true|false)", m.group(1), re.I)
+            om = re.search(r"older_than\s*=>\s*(NOW\s*\(\s*\)|"
+                           r"TIMESTAMP\s*'([^']*)'|'([^']*)')",
+                           m.group(1), re.I)
+            older_than = None
+            if om:
+                older_than = ("now" if om.group(1).upper().startswith("NOW")
+                              else (om.group(2) or om.group(3)))
             return self._count_df(self.expire_snapshots(
-                versions=versions,
+                versions=versions, older_than=older_than,
                 dry_run=bool(dm and dm.group(1).lower() == "true")))
         m = self._ORPHANS_RE.match(query)
         if m:
@@ -1943,7 +1952,8 @@ class DuckLakeSession:
 
     def expire_snapshots(self, before: Optional[int] = None,
                          versions: Optional[list[int]] = None,
-                         dry_run: bool = False) -> int:
+                         dry_run: bool = False,
+                         older_than: Optional[str] = None) -> int:
         """Drop time-travel points older than ``before`` (default: all
         but the latest), or exactly ``versions`` (the corpus's
         ``versions => [..]`` form; the latest is always kept) —
@@ -1955,6 +1965,29 @@ class DuckLakeSession:
         if self._txn_base is not None:
             raise InvalidConfig(
                 "expire_snapshots inside a transaction is not supported")
+        if older_than is not None:
+            # older_than => NOW() / TIMESTAMP '...' (sql/compaction/
+            # expire_snapshots.test): resolve to the matching snapshot
+            # ids by snapshot_time; the latest snapshot is always kept
+            import datetime as _dt
+            # catalog snapshot_time is CURRENT_TIMESTAMP (UTC, naive)
+            cut = (_dt.datetime.utcnow() if older_than == "now"
+                   else _dt.datetime.fromisoformat(older_than))
+            latest = self.provider.get_current_snapshot()
+            sel = []
+            for s in self.provider.list_snapshots():
+                if s.snapshot_id == latest or s.snapshot_time is None:
+                    continue
+                try:
+                    ts = _dt.datetime.fromisoformat(str(s.snapshot_time))
+                except ValueError:
+                    continue
+                if ts < cut:
+                    sel.append(s.snapshot_id)
+            versions = sorted(set(versions or []) | set(sel)) if versions \
+                else sel
+            if not versions:
+                return 0
         writer = _catalog_writer(self)
         try:
             if versions is not None:
