@@ -510,8 +510,20 @@ def read_file_with_pos(spark: SparkSession, schema: T.StructType,
     the read primitive for CDC paths that do their own position algebra."""
     if rf.mapped_cols is None:
         # a name-mapped file with an identity mapping still has no field
-        # ids — read by name (stripped schema), not by field id
-        s = _strip_field_ids(schema) if rf.mapping_id is not None else schema
+        # ids — read by name (stripped schema), not by field id; other
+        # files follow the same tri-level probe as scan_table so a
+        # pre-nested-id file under a struct-evolved schema resolves
+        # nested fields by name instead of reading NULL
+        if rf.mapping_id is not None:
+            s = _strip_field_ids(schema)
+        else:
+            level = _field_id_level(rf.data_uri)
+            if level == "none":
+                s = _strip_field_ids(schema)
+            elif level == "top" and _schema_has_nested_ids(schema):
+                s = _strip_nested_ids(schema)
+            else:
+                s = schema
         return _with_pos(_read_parquet(spark, s, [rf.data_uri]))
     types = {fld.name: fld.dataType for fld in schema.fields}
     read_schema = T.StructType(
