@@ -1318,6 +1318,13 @@ class DuckLakeSession:
                     return F.transform(
                         expr, lambda e: coerce(e, src_dt.elementType,
                                                dst_dt.elementType))
+                if isinstance(dst_dt, T.MapType) \
+                        and isinstance(src_dt, T.MapType) \
+                        and isinstance(dst_dt.valueType, T.StructType):
+                    return F.transform_values(
+                        expr, lambda _k, v: coerce(v, src_dt.valueType,
+                                                   dst_dt.valueType)
+                    ).cast(dst_dt)
                 return expr.cast(dst_dt)
 
             def filled(c):
