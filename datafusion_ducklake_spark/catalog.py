@@ -735,7 +735,7 @@ class DuckLakeSession:
         re.I | re.S)
     _ALTER_RE = re.compile(
         r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+"
-        r"(?:RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)"
+        r"(?:RENAME\s+COLUMN\s+([\w.]+)\s+TO\s+(\w+)"
         r"|ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+"
         r"([\w()<>,:\[\] ]+?)(?:\s+DEFAULT\s+(.+?))?"
         r"|DROP\s+COLUMN\s+(?:IF\s+EXISTS\s+)?([\w.]+)"
@@ -1717,12 +1717,14 @@ class DuckLakeSession:
 
     # -- metadata-only ALTER TABLE (sql/alter/ corpus; zero file I/O) ----
 
-    def _alter_columns(self, name: str, cols) -> None:
+    def _alter_columns(self, name: str, cols,
+                       nested_hints: Optional[dict] = None) -> None:
         from .table_writer import _catalog_writer
         handle = self.table_handle(name)
         writer = _catalog_writer(self)
         try:
-            writer.version_columns(handle.meta.table_id, cols)
+            writer.version_columns(handle.meta.table_id, cols,
+                                   nested_hints=nested_hints)
         finally:
             writer.close()
         self.refresh()
@@ -1741,12 +1743,57 @@ class DuckLakeSession:
             writer.close()
         self.refresh()
 
+    def rename_nested_field(self, name: str, col_path: str,
+                            new_name: str) -> None:
+        """RENAME COLUMN col.path.field TO new — beyond-reference
+        completion of the struct-evolution surface: the nested field
+        keeps its FIELD ID (an explicit path→id hint carries it through
+        the path change), so every existing file resolves under the new
+        field name with zero rewrites — the nested analog of top-level
+        renames, something name-resolved systems cannot do safely."""
+        from .errors import UnsupportedType
+        from .metadata.writer import ColumnDef
+        from .types import edit_nested_type
+        self._reject_encrypted_nested_evolution()
+        parts = col_path.split(".")
+        root, path = parts[0], tuple(p.lower() for p in parts[1:])
+        handle = self.table_handle(name)
+        by_name = {c.column_name.lower(): c for c in handle.columns}
+        if root.lower() not in by_name:
+            raise InvalidConfig(
+                f"rename column: no column {root!r} in {name}")
+        target = by_name[root.lower()]
+        try:
+            new_root_type = edit_nested_type(
+                target.column_type, path, "rename", new_name)
+        except UnsupportedType as e:
+            raise InvalidConfig(str(e)) from e
+        # carry every id under the renamed path to its new path
+        new_prefix = path[:-1] + (new_name.lower(),)
+        hints: dict = {}
+        for p, fid in (target.nested_ids or ()):
+            if p[:len(path)] == path:
+                hints[new_prefix + p[len(path):]] = fid
+        self._alter_columns(name, [
+            (c.column_id, ColumnDef(c.column_name,
+                                    new_root_type
+                                    if c.column_id == target.column_id
+                                    else c.column_type,
+                                    c.nulls_allowed,
+                                    c.initial_default, c.default_value))
+            for c in handle.columns],
+            nested_hints={target.column_id: hints})
+
     def rename_column(self, name: str, old: str, new: str) -> None:
         """ALTER TABLE name RENAME COLUMN old TO new — metadata-only: the
         column keeps its column_id (== parquet field id), so every
         existing file resolves under the new name with zero rewrites (the
-        same mechanism as reading DuckDB-renamed catalogs, A3)."""
+        same mechanism as reading DuckDB-renamed catalogs, A3). Dotted
+        names rename a NESTED struct field (id-preserving)."""
         from .metadata.writer import ColumnDef
+        if "." in old:
+            self.rename_nested_field(name, old, new)
+            return
         handle = self.table_handle(name)
         names = [c.column_name for c in handle.columns]
         if old not in names:

@@ -840,7 +840,8 @@ class CatalogWriter:
             return sid
 
     def version_columns(self, table_id: int,
-                        cols: list[tuple[Optional[int], "ColumnDef"]]) -> int:
+                        cols: list[tuple[Optional[int], "ColumnDef"]],
+                        nested_hints: Optional[dict] = None) -> int:
         """Write a new column version for the table in a fresh snapshot:
         end the current column rows, insert the given ones (keeping the
         provided column_ids — field-id stability across renames; None
@@ -877,9 +878,14 @@ class CatalogWriter:
                      col.is_nullable, col.initial_default, col.default_value,
                      sid))
                 order += 1
+                prev = dict(prev_nested.get(cid, {}))
+                if nested_hints and cid in nested_hints:
+                    # explicit path->id carries (nested field RENAME:
+                    # the path changes but the field id must not)
+                    prev.update(nested_hints[cid])
                 _, next_col_id, order = self._insert_child_rows(
                     cur, table_id, cid, col.ducklake_type, sid,
-                    prev_nested.get(cid, {}), next_col_id, order)
+                    prev, next_col_id, order)
             return sid
 
     def register_data_file(self, table_id: int, snapshot_id: int,

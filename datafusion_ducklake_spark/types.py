@@ -496,6 +496,15 @@ def edit_nested_type(canonical: str, path: tuple, action: str,
                     f"Field '{path[0]}' already exists in struct")
             slots.append((path[0].lower(),
                           normalize_ducklake_type(new_type)))
+        elif action == "rename":
+            if path[0].lower() not in names:
+                raise UnsupportedType(
+                    f"Field '{path[0]}' does not exist in struct")
+            if new_type.lower() in names:
+                raise UnsupportedType(
+                    f"Field '{new_type}' already exists in struct")
+            slots = [(new_type.lower() if n.lower() == path[0].lower()
+                      else n, t) for n, t in slots]
         else:
             if path[0].lower() not in names:
                 raise UnsupportedType(

@@ -172,3 +172,26 @@ def test_table_changes_pins_schema_at_range_end(dl):
     assert full.schema["col1"].dataType.names == ["i", "j", "k"]
     assert sorted(tuple(r["col1"]) for r in full.collect()) == \
         [(1, 2, None), (10, 20, 30)]
+
+
+def test_nested_field_rename_preserves_values(dl):
+    """RENAME COLUMN col1.i TO x keeps the nested FIELD ID, so existing
+    files resolve the renamed field with their original values (the
+    nested analog of metadata-only top-level renames)."""
+    dl.sql("CREATE TABLE t (col1 STRUCT<i:INT,j:STRUCT<c1:INT>>)")
+    dl.sql("INSERT INTO t SELECT named_struct('i', 1, 'j', "
+           "named_struct('c1', 7))")
+    before = dict(dl.table_handle("main.t").columns[0].nested_ids)
+    dl.sql("ALTER TABLE t RENAME COLUMN col1.i TO x")
+    after = dict(dl.table_handle("main.t").columns[0].nested_ids)
+    assert after[("x",)] == before[("i",)]          # id preserved
+    assert _rows(dl, "SELECT col1.x FROM t") == [(1,)]   # value survives
+    # renaming an inner struct carries the grandchildren's ids too
+    dl.sql("ALTER TABLE t RENAME COLUMN col1.j TO jj")
+    after2 = dict(dl.table_handle("main.t").columns[0].nested_ids)
+    assert after2[("jj", "c1")] == before[("j", "c1")]
+    assert _rows(dl, "SELECT col1.jj.c1 FROM t") == [(7,)]
+    with pytest.raises(InvalidConfig, match="already exists"):
+        dl.sql("ALTER TABLE t RENAME COLUMN col1.x TO jj")
+    with pytest.raises(InvalidConfig, match="does not exist"):
+        dl.sql("ALTER TABLE t RENAME COLUMN col1.nope TO y")
