@@ -115,7 +115,20 @@ class DuckLakeTable:
         hive = tuple((live[cid], src, _hive_value(data_uri, src))
                      for cid, src, part in rows if part and cid in live)
         dead = any(cid not in live for cid, _, _ in rows)
-        if hive or dead or any(s != d for s, d in mapped):
+        # nested era mismatch: the mapping covers a struct column whose
+        # CURRENT type contains a field identity newer than anything the
+        # mapped file can carry — force the mapped path so the scan's
+        # era clipping NULLs it instead of resurrecting by name (nested
+        # analog of the dropped-then-readded column shadowing above)
+        nested_evolved = False
+        begins_of = {c.column_name: dict(c.nested_begins or ())
+                     for c in self.columns}
+        for _src, dst in mapped:
+            if begins_of.get(dst):
+                nested_evolved = True
+                break
+        if hive or dead or nested_evolved or any(s != d
+                                                 for s, d in mapped):
             return mapped, hive
         return None, None
 

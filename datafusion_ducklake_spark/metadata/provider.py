@@ -72,6 +72,11 @@ class ColumnMeta:
     # name, list 'element', map 'key'/'value'. Populated from the
     # catalog's parent/child ducklake_column rows.
     nested_ids: tuple = ()
+    # ((path_tuple, first_begin_snapshot), ...) — when each nested field
+    # IDENTITY first appeared (min begin over its id's row versions).
+    # Name-mapped files registered BEFORE a field's identity existed
+    # must read it as NULL, never by name (no-resurrection contract).
+    nested_begins: tuple = ()
 
 
 @dataclass(frozen=True)
@@ -136,7 +141,8 @@ class MacroMeta:
     params: list = field(default_factory=list)  # [(name, default|None)]
 
 
-def reconstruct_list_columns(rows: list[tuple[ColumnMeta, Optional[int]]]
+def reconstruct_list_columns(rows: list[tuple[ColumnMeta, Optional[int]]],
+                             first_begin: Optional[dict] = None
                              ) -> list[ColumnMeta]:
     """Rebuild nested types from DuckLake parent/child column rows:
     a parent row typed 'list' / 'struct' / 'map' carries its children as
@@ -180,11 +186,23 @@ def reconstruct_list_columns(rows: list[tuple[ColumnMeta, Optional[int]]]
         walk(root.column_id, ())
         return tuple(out)
 
-    return [ColumnMeta(c.column_id, c.column_name, render(c),
-                       c.nulls_allowed, c.initial_default, c.default_value,
-                       c.begin_snapshot, nested_ids_of(c))
-            if c.column_id in children else c
-            for c in roots]
+    def nested_begins_of(ids: tuple) -> tuple:
+        if not first_begin:
+            return ()
+        return tuple((p, first_begin[i]) for p, i in ids
+                     if i in first_begin)
+
+    out = []
+    for c in roots:
+        if c.column_id in children:
+            ids = nested_ids_of(c)
+            out.append(ColumnMeta(
+                c.column_id, c.column_name, render(c), c.nulls_allowed,
+                c.initial_default, c.default_value, c.begin_snapshot,
+                ids, nested_begins_of(ids)))
+        else:
+            out.append(c)
+    return out
 
 
 class MetadataProvider:
@@ -261,7 +279,20 @@ class MetadataProvider:
                            int(r[7]) if r[7] is not None else None),
                 int(r[4]) if r[4] is not None else None)
                for r in rows]
-        return reconstruct_list_columns(raw)
+        first_begin = None
+        if any(p is not None for _c, p in raw):
+            # first appearance of each nested field IDENTITY (min begin
+            # over its id's versions) — the no-resurrection boundary for
+            # name-mapped files
+            try:
+                first_begin = {int(r[0]): int(r[1]) for r in self._fetchall(
+                    "SELECT column_id, MIN(begin_snapshot) "
+                    "FROM ducklake_column WHERE table_id = ? "
+                    "AND parent_column IS NOT NULL GROUP BY column_id",
+                    (table_id,))}
+            except Exception:
+                first_begin = None
+        return reconstruct_list_columns(raw, first_begin)
 
     def get_data_files(self, table_id: int, snapshot_id: int) -> list[DataFileMeta]:
         rows = self._fetchall(

@@ -126,18 +126,24 @@ def _live_with_filepos(session, handle) -> DataFrame:
         # the mapping so DML conditions see the LIVE column names
         from pyspark.sql import types as T
 
-        from ..sources.scan import apply_mapping
+        from ..sources.scan import _era_clip_type, apply_mapping
         types = {f.name: f.dataType
                  for f in handle.spark_schema.fields}
         groups: dict[tuple, list] = {}
         for f in mapped:
-            groups.setdefault((f.mapped_cols, f.hive_values or ()),
-                              []).append(f)
-        for (mcols, hive), group in sorted(groups.items(),
-                                           key=lambda kv: repr(kv[0])):
-            read_schema = T.StructType(
-                [T.StructField(src, types[dst], True)
-                 for src, dst in mcols])
+            clipped = {dst: _era_clip_type(types[dst], f.begin_snapshot)
+                       for _src, dst in f.mapped_cols}
+            eff = tuple((src, dst) for src, dst in f.mapped_cols
+                        if clipped[dst] is not None)
+            from ..sources.scan import _strip_nested_metadata
+            rs = T.StructType([T.StructField(
+                src, _strip_nested_metadata(clipped[dst]), True)
+                for src, dst in eff])
+            groups.setdefault(
+                (eff, f.hive_values or (), rs.simpleString()),
+                [rs, []])[1].append(f)
+        for (mcols, hive, _sig), (read_schema, group) in sorted(
+                groups.items(), key=lambda kv: repr(kv[0])):
             df = (_read_parquet(session.spark, read_schema,
                                 [f.data_uri for f in group])
                   .withColumn(FILE_COL,

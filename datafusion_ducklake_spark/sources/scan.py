@@ -334,16 +334,26 @@ def scan_table(spark: SparkSession, schema: T.StructType,
     if mapped:
         import dataclasses
         types = {fld.name: fld.dataType for fld in schema.fields}
-        by_shape: dict[tuple, list[ResolvedFile]] = {}
+        # Era clipping (no-resurrection contract for name-mapped files):
+        # a nested field whose IDENTITY postdates the file's registration
+        # is removed from that file's read schema — a same-named column
+        # in the file belongs to a dropped identity and must read NULL.
+        # Files group by (effective mapping, hive shape, clipped schema).
+        by_shape: dict[tuple, list] = {}
         for f in mapped:
-            by_shape.setdefault(
-                (f.mapped_cols,
-                 tuple((h[0], h[1]) for h in (f.hive_values or ()))),
-                []).append(f)
-        for (mcols, hive_keys), shape_files in sorted(by_shape.items()):
-            read_schema = T.StructType(
-                [T.StructField(src, types[dst], True)
-                 for src, dst in mcols])
+            clipped = {dst: _era_clip_type(types[dst], f.begin_snapshot)
+                       for _src, dst in f.mapped_cols}
+            eff = tuple((src, dst) for src, dst in f.mapped_cols
+                        if clipped[dst] is not None)
+            rs = T.StructType([T.StructField(
+                src, _strip_nested_metadata(clipped[dst]), True)
+                for src, dst in eff])
+            key = (eff,
+                   tuple((h[0], h[1]) for h in (f.hive_values or ())),
+                   rs.simpleString())
+            by_shape.setdefault(key, [rs, []])[1].append(f)
+        for (mcols, hive_keys, _sig), (read_schema, shape_files) in sorted(
+                by_shape.items(), key=lambda kv: repr(kv[0])):
             combos = {f.hive_values for f in shape_files}
             clean = [f for f in shape_files if f.delete_uri is None]
             # The regexp path reads RAW path segments, so it only serves
@@ -481,6 +491,72 @@ def _scan_with_rowid(spark: SparkSession, schema: T.StructType,
     return reduce(DataFrame.unionByName, parts)
 
 
+def _era_clip_type(dt: T.DataType, file_begin: Optional[int]
+                   ) -> Optional[T.DataType]:
+    """For a NAME-MAPPED file registered at ``file_begin``: drop nested
+    struct fields whose identity first appeared AFTER the file was added
+    (``ducklake.field.begin`` metadata). Such a field must read NULL —
+    a same-named column in the old file belongs to a dropped identity,
+    and reading it by name would resurrect deleted values. Returns None
+    when a struct loses every field (read nothing; NULL-fill whole)."""
+    if file_begin is None:
+        return dt
+    if isinstance(dt, T.StructType):
+        fields = []
+        for f in dt.fields:
+            b = (f.metadata or {}).get("ducklake.field.begin")
+            if b is not None and int(b) > file_begin:
+                continue
+            sub = _era_clip_type(f.dataType, file_begin)
+            if sub is None:
+                continue
+            fields.append(T.StructField(f.name, sub, f.nullable,
+                                        metadata=f.metadata))
+        if not fields:
+            return None
+        return T.StructType(fields)
+    if isinstance(dt, T.ArrayType):
+        sub = _era_clip_type(dt.elementType, file_begin)
+        return None if sub is None else T.ArrayType(sub, dt.containsNull)
+    if isinstance(dt, T.MapType):
+        k = _era_clip_type(dt.keyType, file_begin)
+        v = _era_clip_type(dt.valueType, file_begin)
+        if k is None or v is None:
+            return None
+        return T.MapType(k, v, dt.valueContainsNull)
+    return dt
+
+
+def _conform_by_name(expr, src_dt: T.DataType, dst_dt: T.DataType):
+    """Rebuild a value of ``src_dt`` into the full ``dst_dt`` BY NAME,
+    NULL-filling struct fields src lacks (the read-side twin of the
+    INSERT coercion; Spark's struct cast is positional)."""
+    if isinstance(dst_dt, T.StructType) and isinstance(src_dt, T.StructType):
+        src_map = {f.name.lower(): f for f in src_dt.fields}
+        built = F.struct(*[
+            _conform_by_name(expr[src_map[f.name.lower()].name],
+                             src_map[f.name.lower()].dataType,
+                             f.dataType).alias(f.name)
+            if f.name.lower() in src_map
+            else F.lit(None).cast(_strip_nested_metadata(f.dataType))
+            .alias(f.name)
+            for f in dst_dt.fields])
+        return F.when(expr.isNull(),
+                      F.lit(None).cast(_strip_nested_metadata(dst_dt))
+                      ).otherwise(built)
+    if isinstance(dst_dt, T.ArrayType) and isinstance(src_dt, T.ArrayType):
+        return F.transform(
+            expr, lambda e: _conform_by_name(e, src_dt.elementType,
+                                             dst_dt.elementType))
+    if isinstance(dst_dt, T.MapType) and isinstance(src_dt, T.MapType):
+        return F.transform_values(
+            expr, lambda _k, v: _conform_by_name(v, src_dt.valueType,
+                                                 dst_dt.valueType)
+        ).cast(_strip_nested_metadata(dst_dt))
+    return expr.cast(_strip_nested_metadata(dst_dt)) \
+        if src_dt.simpleString() != dst_dt.simpleString() else expr
+
+
 def apply_mapping(df: DataFrame, schema: T.StructType,
                   mapped_cols: tuple, hive_values: Optional[tuple],
                   extras: list[str]) -> DataFrame:
@@ -493,7 +569,18 @@ def apply_mapping(df: DataFrame, schema: T.StructType,
     types = {fld.name: fld.dataType for fld in schema.fields}
     covered = {dst for _, dst in mapped_cols}
     present = [c for c in extras if c in df.columns]
-    df = df.select(*[F.col(src).alias(dst) for src, dst in mapped_cols],
+    in_types = {f.name: f.dataType for f in df.schema.fields}
+
+    def col_expr(src, dst):
+        want = types[dst]
+        have = in_types.get(src)
+        if have is not None and have.simpleString() != want.simpleString():
+            # era-clipped struct (fields newer than the mapped file were
+            # not read): rebuild by name, NULL-filling the clipped slots
+            return _conform_by_name(F.col(src), have, want).alias(dst)
+        return F.col(src).alias(dst)
+
+    df = df.select(*[col_expr(src, dst) for src, dst in mapped_cols],
                    *present)
     for col, val in (hive_values or ()):
         df = df.withColumn(col, F.lit(val).cast(types[col]))
@@ -526,12 +613,16 @@ def read_file_with_pos(spark: SparkSession, schema: T.StructType,
                 s = schema
         return _with_pos(_read_parquet(spark, s, [rf.data_uri]))
     types = {fld.name: fld.dataType for fld in schema.fields}
+    clipped = {dst: _era_clip_type(types[dst], rf.begin_snapshot)
+               for _src, dst in rf.mapped_cols}
+    eff = tuple((src, dst) for src, dst in rf.mapped_cols
+                if clipped[dst] is not None)
     read_schema = T.StructType(
-        [T.StructField(src, types[dst], True)
-         for src, dst in rf.mapped_cols])
+        [T.StructField(src, _strip_nested_metadata(clipped[dst]), True)
+         for src, dst in eff])
     df = _with_pos(_read_parquet(spark, read_schema, [rf.data_uri]))
     hive_lits = tuple((h[0], h[2]) for h in (rf.hive_values or ()))
-    return apply_mapping(df, schema, rf.mapped_cols, hive_lits, [POS_COL])
+    return apply_mapping(df, schema, eff, hive_lits, [POS_COL])
 
 
 FILE_COL = "__ducklake_file"

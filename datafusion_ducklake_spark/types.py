@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
+from typing import Optional
 
 from pyspark.sql import types as T
 
@@ -528,12 +529,14 @@ def edit_nested_type(canonical: str, path: tuple, action: str,
         f"Field '{head}' does not exist in {kind} type {canon}")
 
 
-def annotate_nested_ids(dt: T.DataType, prefix: tuple,
-                        id_map: dict) -> T.DataType:
-    """Stamp ``parquet.field.id`` metadata on nested struct fields from a
-    {path_tuple: field_id} map (paths per nested_tree_paths). Only struct
-    fields can carry Spark metadata; list/map hops are traversal-only
-    (their parquet repetition nodes need no id for resolution)."""
+def annotate_nested_ids(dt: T.DataType, prefix: tuple, id_map: dict,
+                        begin_map: Optional[dict] = None) -> T.DataType:
+    """Stamp ``parquet.field.id`` (and, when known, the identity's first
+    ``ducklake.field.begin`` snapshot) metadata on nested struct fields
+    from {path_tuple: value} maps (paths per nested_tree_paths). Only
+    struct fields can carry Spark metadata; list/map hops are
+    traversal-only (their parquet repetition nodes need no id for
+    resolution)."""
     if isinstance(dt, T.StructType):
         fields = []
         for f in dt.fields:
@@ -541,18 +544,24 @@ def annotate_nested_ids(dt: T.DataType, prefix: tuple,
             md = dict(f.metadata or {})
             if p in id_map:
                 md["parquet.field.id"] = id_map[p]
+            if begin_map and p in begin_map:
+                md["ducklake.field.begin"] = begin_map[p]
             fields.append(T.StructField(
-                f.name, annotate_nested_ids(f.dataType, p, id_map),
+                f.name, annotate_nested_ids(f.dataType, p, id_map,
+                                            begin_map),
                 f.nullable, metadata=md))
         return T.StructType(fields)
     if isinstance(dt, T.ArrayType):
         return T.ArrayType(
-            annotate_nested_ids(dt.elementType, prefix + ("element",), id_map),
+            annotate_nested_ids(dt.elementType, prefix + ("element",),
+                                id_map, begin_map),
             dt.containsNull)
     if isinstance(dt, T.MapType):
         return T.MapType(
-            annotate_nested_ids(dt.keyType, prefix + ("key",), id_map),
-            annotate_nested_ids(dt.valueType, prefix + ("value",), id_map),
+            annotate_nested_ids(dt.keyType, prefix + ("key",), id_map,
+                                begin_map),
+            annotate_nested_ids(dt.valueType, prefix + ("value",), id_map,
+                                begin_map),
             dt.valueContainsNull)
     return dt
 
@@ -569,7 +578,9 @@ def build_spark_schema(columns) -> T.StructType:
         spark_type = mapped.spark_type
         nested = getattr(col, "nested_ids", ()) or ()
         if nested:
-            spark_type = annotate_nested_ids(spark_type, (), dict(nested))
+            begins = dict(getattr(col, "nested_begins", ()) or ())
+            spark_type = annotate_nested_ids(spark_type, (), dict(nested),
+                                             begins or None)
         fields.append(T.StructField(
             col.column_name, spark_type, col.nulls_allowed,
             metadata={"parquet.field.id": col.column_id}))

@@ -195,3 +195,26 @@ def test_nested_field_rename_preserves_values(dl):
         dl.sql("ALTER TABLE t RENAME COLUMN col1.x TO jj")
     with pytest.raises(InvalidConfig, match="does not exist"):
         dl.sql("ALTER TABLE t RENAME COLUMN col1.nope TO y")
+
+
+def test_mapped_files_never_resurrect_nested_fields(dl, spark, tmp_path):
+    """A name-mapped (add_files) file carries NO nested field ids, so a
+    dropped-then-readded struct field must be era-clipped from its read
+    (NULL), not read by name — the nested analog of the mapping's
+    top-level dropped-column shadowing."""
+    import duckdb
+    ext = str(tmp_path / "ext.parquet")
+    duckdb.sql(f"COPY (SELECT {{'i': 7, 'j': 8}} AS col1) TO '{ext}'")
+    dl.sql("CREATE TABLE m (col1 STRUCT<i:INT,j:INT>)")
+    dl.sql(f"CALL ducklake_add_data_files('m', '{ext}')")
+    dl.sql("ALTER TABLE m ALTER COLUMN col1 SET DATA TYPE STRUCT(j INT)")
+    dl.sql("ALTER TABLE m ALTER COLUMN col1 SET DATA TYPE "
+           "STRUCT(j INT, i INT)")
+    assert _rows(dl, "SELECT col1.j, col1.i FROM m") == [(8, None)]
+    # an engine-written post-evolution file coexists, resolving by id
+    dl.sql("INSERT INTO m SELECT named_struct('j', 1, 'i', 2)")
+    assert _rows(dl, "SELECT col1.j, col1.i FROM m") == \
+        [(1, 2), (8, None)]
+    # and DML through the mapped+clipped read stays correct
+    assert dl.delete_from("main.m", "col1.j = 8") == 1
+    assert _rows(dl, "SELECT col1.j, col1.i FROM m") == [(1, 2)]
