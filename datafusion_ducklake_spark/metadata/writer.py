@@ -532,7 +532,12 @@ class CatalogWriter:
                 "SELECT table_id FROM ducklake_table "
                 "WHERE schema_id = ? AND end_snapshot IS NULL",
                 (schema_id,)).fetchall()
-            if live and not cascade:
+            cur.execute(self._VIEW_DDL)
+            live_views = cur.execute(
+                "SELECT view_id FROM ducklake_view "
+                "WHERE schema_id = ? AND end_snapshot IS NULL",
+                (schema_id,)).fetchall()
+            if (live or live_views) and not cascade:
                 raise InvalidConfig(
                     f"Cannot drop schema {schema_name}: there are entries "
                     "that depend on it (use CASCADE)")

@@ -279,13 +279,21 @@ class HybridRunner:
             if vm:
                 # engine-side view DDL mirrors verbatim into DuckDB so
                 # later `query` directives compare through the view on
-                # both sides (view bodies in the corpus are dialect-common)
-                self.duck.execute(case.sql)
-                name = (vm.group(1) or vm.group(2)).rsplit(".", 1)[-1]
-                if vm.group(1):
-                    self._views.add(name)
-                else:
-                    self._views.discard(name)
+                # both sides (view bodies in the corpus are dialect-common).
+                # Best-effort: engine-only schemas (sql/view/
+                # ducklake_view_schema.test) have no DuckDB counterpart —
+                # such views stay engine-only (query_engine checks them).
+                mirrored = True
+                try:
+                    self.duck.execute(case.sql)
+                except Exception:
+                    mirrored = False
+                if mirrored:
+                    name = (vm.group(1) or vm.group(2)).rsplit(".", 1)[-1]
+                    if vm.group(1):
+                        self._views.add(name)
+                    else:
+                        self._views.discard(name)
             sync_tables = dict.fromkeys(
                 _TABLE_RE.findall(case.sql)
                 + _CALL_TABLE_RE.findall(case.sql)
