@@ -869,8 +869,49 @@ class DuckLakeSession:
     _DROP_MACRO_RE = re.compile(
         r"^\s*DROP\s+MACRO\s+(IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*$", re.I)
 
+    _MULTI_MACRO_HEAD_RE = re.compile(
+        r"^\s*CREATE\s+(OR\s+REPLACE\s+)?MACRO\s+([A-Za-z_]\w*)\s*"
+        r"(\(.*)\s*;?\s*$", re.I | re.S)
+    _MACRO_SIG_RE = re.compile(
+        r"^\s*\(([^)]*)\)\s+AS\s+(TABLE\s+)?(.*)$", re.I | re.S)
+
     def _try_macro_ddl(self, query: str) -> Optional[DataFrame]:
         from .table_writer import _catalog_writer
+        mm = self._MULTI_MACRO_HEAD_RE.match(query)
+        if mm:
+            # multi-arity form (sql/macros/test_multiple_implementations
+            # .test): CREATE MACRO f () AS 0, (a) AS a, (a, b) AS a+b.
+            # Top-level commas split candidate segments; a segment that
+            # does not open a new "(sig) AS" belongs to the previous body.
+            pieces = self._split_top_level(mm.group(3))
+            segs: list[str] = []
+            for piece in pieces:
+                if segs and not self._MACRO_SIG_RE.match(piece):
+                    segs[-1] += ", " + piece
+                else:
+                    segs.append(piece)
+            if len(segs) > 1 and all(self._MACRO_SIG_RE.match(s)
+                                     for s in segs):
+                writer = _catalog_writer(self)
+                try:
+                    for seg in segs:
+                        sm = self._MACRO_SIG_RE.match(seg)
+                        params = []
+                        if sm.group(1).strip():
+                            for p in self._split_top_level(sm.group(1)):
+                                pn, sep, dflt = p.partition(":=")
+                                params.append((pn.strip(),
+                                               dflt.strip() if sep
+                                               else None))
+                        kind = "table" if sm.group(2) else "scalar"
+                        writer.create_macro(
+                            mm.group(2), params,
+                            sm.group(3).rstrip().rstrip(";"), kind,
+                            replace=bool(mm.group(1)), arity_scoped=True)
+                finally:
+                    writer.close()
+                self.refresh()
+                return self._count_df(0)
         m = self._CREATE_MACRO_RE.match(query)
         if m:
             params = []

@@ -1410,7 +1410,8 @@ class CatalogWriter:
 
     def create_macro(self, name: str, params: list[tuple],
                      body: str, kind: str, dialect: str = "spark",
-                     replace: bool = False) -> int:
+                     replace: bool = False,
+                     arity_scoped: bool = False) -> int:
         """Register a catalog-persisted SQL macro (DuckLake macro tables:
         ducklake_macro / _impl / _parameters — layout per the reference's
         tests/sqllogictests/sql/macros/test_scalar_table_macros.test).
@@ -1430,6 +1431,15 @@ class CatalogWriter:
                 "JOIN ducklake_macro_impl i ON m.macro_id = i.macro_id "
                 "WHERE m.macro_name = ? AND i.macro_type = ? "
                 "AND m.end_snapshot IS NULL", (name, kind)).fetchall()
+            if live and arity_scoped:
+                # multi-arity registration (sql/macros/
+                # test_multiple_implementations.test): same-name macros
+                # coexist per parameter count; only a same-arity
+                # definition conflicts
+                live = [r for r in live if len(cur.execute(
+                    "SELECT 1 FROM ducklake_macro_parameters "
+                    "WHERE macro_id = ?", (int(r[0]),)).fetchall())
+                    == len(params)]
             if live:
                 if not replace:
                     kind_label = ("Table Macro" if kind == "table"
