@@ -490,7 +490,7 @@ def ducklake_nested_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_NESTED_AGG = """
 SELECT o_orderpriority AS priority, COUNT(*) AS n,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_total,
-  SUM(o_custkey) AS sum_custkey
+  CAST(SUM(o_custkey) AS BIGINT) AS sum_custkey
 FROM orders GROUP BY o_orderpriority
 """
 
@@ -662,7 +662,8 @@ WITH keys AS (
   UNION ALL
   SELECT k + 1, k * 2, k * 7 FROM keys WHERE k % 3 = 2
 )
-SELECT COUNT(*) AS n, SUM(b) AS sb, SUM(c) AS sc, SUM(a) AS sa,
+SELECT COUNT(*) AS n, CAST(SUM(b) AS BIGINT) AS sb,
+       CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(a) AS BIGINT) AS sa,
        COUNT(a) AS na, COUNT(c) AS nc
 FROM rows_
 """

@@ -250,7 +250,8 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_STRATIFIED = """
-SELECT lang, COUNT(*) AS n_sampled, SUM(CAST(n_chars AS BIGINT)) AS chars
+SELECT lang, COUNT(*) AS n_sampled,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars
 FROM documents WHERE doc_id % 5 = 0 GROUP BY lang
 """
 
@@ -415,11 +416,11 @@ red AS (
       AS redacted
   FROM aug)
 SELECT source, COUNT(*) AS n_docs,
-  SUM(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS emails,
-  SUM(len(regexp_extract_all(aug, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))) AS ssns,
-  SUM(len(regexp_extract_all(aug, '\b(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])(?:\.(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])){3}\b'))) AS ipv4s,
-  SUM(len(regexp_extract_all(redacted, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS email_survivors,
-  SUM(length(aug) - length(redacted)) AS chars_removed
+  CAST(SUM(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS emails,
+  CAST(SUM(len(regexp_extract_all(aug, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))) AS BIGINT) AS ssns,
+  CAST(SUM(len(regexp_extract_all(aug, '\b(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])(?:\.(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])){3}\b'))) AS BIGINT) AS ipv4s,
+  CAST(SUM(len(regexp_extract_all(redacted, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS email_survivors,
+  CAST(SUM(length(aug) - length(redacted)) AS BIGINT) AS chars_removed
 FROM red GROUP BY source ORDER BY source
 """
 
@@ -465,8 +466,8 @@ ranked AS (
                             ORDER BY n_chars DESC, doc_id ASC) AS rk
   FROM assigned)
 SELECT source, COUNT(*) AS n_docs,
-  SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS kept,
-  SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS dropped
+  CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+  CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dropped
 FROM ranked GROUP BY source ORDER BY source""")
 
 

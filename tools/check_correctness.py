@@ -89,6 +89,19 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
     if sorted(spark_df.columns) != sorted(oracle_df.columns):
         problems.append(f"columns differ: spark={sorted(spark_df.columns)} oracle={sorted(oracle_df.columns)}")
         return problems
+    # The driver's value-hash is representation-strict: DuckDB surfacing
+    # SUM(BIGINT) as HUGEINT->float64 while Spark returns int64 fails there
+    # even though _cell() canonicalizes it away here. Flag kind mismatches
+    # as hard failures so oracle-typing bugs are caught locally (round-3
+    # verdict "What's wrong #1").
+    for c in sorted(spark_df.columns):
+        sk = spark_df[c].dtype.kind
+        ok = oracle_df[c].dtype.kind
+        if {sk, ok} == {"i", "f"}:
+            problems.append(
+                f"col {c}: dtype kind mismatch spark={spark_df[c].dtype} "
+                f"oracle={oracle_df[c].dtype} (driver hash would fail — "
+                f"CAST the oracle aggregate to BIGINT/DOUBLE to match)")
     if len(spark_df) != len(oracle_df):
         problems.append(f"row count differs: spark={len(spark_df)} oracle={len(oracle_df)}")
     a, b = normalize(spark_df), normalize(oracle_df)
