@@ -26,6 +26,29 @@ from pyspark.sql import functions as F
 _MERSENNE = (1 << 31) - 1
 
 
+def poly_hash64(col: Column | str) -> Column:
+    """SQL-expressible deterministic string hash (~62 bits): two 31-bit
+    polynomial rolling hashes over Unicode code points (multipliers 31/37,
+    inits 7/11, mod 2^31-1) packed as hi*2^31+lo. Bit-identical to the
+    DuckDB expression emitted by ``queries._sqlhash.duck_poly64`` — this is
+    the hash the oracle-gated dedup entries use so MinHash/SimHash/LSH
+    outputs are cross-engine checkable. xxhash64 stays the production
+    default (JVM-native, faster, 64 full bits); the pipelines accept either
+    via their ``hash_fn`` parameter. Stays in ANSI-safe long range:
+    acc < 2^31 so acc*37+c < 2^36, and hi*2^31+lo < 2^62."""
+    c = F.col(col) if isinstance(col, str) else col
+    codes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c), F.lit(1))),
+        lambda i: F.ascii(c.substr(i, F.lit(1))).cast("long"))
+
+    def fold(mult: int, init: int) -> Column:
+        return F.aggregate(
+            codes, F.lit(init).cast("long"),
+            lambda acc, x: F.pmod(acc * mult + x, F.lit(_MERSENNE)))
+
+    return fold(31, 7) * F.lit(1 << 31).cast("long") + fold(37, 11)
+
+
 def exact_dedup(df: DataFrame, cols: list[str] | None = None,
                 id_col: str = "doc_id") -> DataFrame:
     """Keep one row (min id) per distinct value of `cols` (default: all
@@ -37,23 +60,25 @@ def exact_dedup(df: DataFrame, cols: list[str] | None = None,
     return df.join(keep.select(id_col), id_col, "left_semi")
 
 
-def char_shingles(col: Column | str, k: int = 5) -> Column:
-    """Array of xxhash64'd k-char shingles (distinct)."""
+def char_shingles(col: Column | str, k: int = 5, hash_fn=F.xxhash64) -> Column:
+    """Array of hashed k-char shingles (distinct). ``hash_fn`` maps a
+    string Column to a long Column — xxhash64 (default) or poly_hash64
+    (SQL-expressible, for oracle-gated runs)."""
     c = F.col(col) if isinstance(col, str) else col
     starts = F.sequence(F.lit(1), F.greatest(F.length(c) - k + 1, F.lit(1)))
     return F.array_distinct(
-        F.transform(starts, lambda s: F.xxhash64(c.substr(s, F.lit(k)))))
+        F.transform(starts, lambda s: hash_fn(c.substr(s, F.lit(k)))))
 
 
-def word_shingles(col: Column | str, k: int = 3) -> Column:
-    """Array of xxhash64'd k-word shingles (distinct)."""
+def word_shingles(col: Column | str, k: int = 3, hash_fn=F.xxhash64) -> Column:
+    """Array of hashed k-word shingles (distinct)."""
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(F.trim(c), r"\s+")
     n = F.size(toks)
     starts = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
     return F.array_distinct(F.transform(
         starts,
-        lambda s: F.xxhash64(F.concat_ws(" ", F.slice(toks, s, k)))))
+        lambda s: hash_fn(F.concat_ws(" ", F.slice(toks, s, k)))))
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 128,
@@ -76,13 +101,14 @@ def minhash_signature(shingles: Column, num_hashes: int = 128,
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str, sig_col: str,
-                           num_bands: int = 16) -> DataFrame:
+                           num_bands: int = 16,
+                           hash_fn=F.xxhash64) -> DataFrame:
     """Candidate duplicate pairs (id_a < id_b) from band-bucket collisions.
     Shuffle key = (band index, band hash): uniform, small, skew-free."""
-    rows_per_band = None
     bands = df.select(
         F.col(id_col),
-        F.posexplode(_banded(F.col(sig_col), num_bands)).alias("band", "band_hash"))
+        F.posexplode(_banded(F.col(sig_col), num_bands,
+                             hash_fn)).alias("band", "band_hash"))
     a = bands.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = bands.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     return (a.join(b, ["band", "band_hash"])
@@ -90,12 +116,12 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, sig_col: str,
             .select("id_a", "id_b").distinct())
 
 
-def _banded(sig: Column, num_bands: int) -> Column:
+def _banded(sig: Column, num_bands: int, hash_fn=F.xxhash64) -> Column:
     """Split a signature array into num_bands band-hashes."""
     band_size = F.size(sig) / num_bands
     idx = F.sequence(F.lit(0), F.lit(num_bands - 1))
     return F.transform(
-        idx, lambda i: F.xxhash64(F.concat_ws(
+        idx, lambda i: hash_fn(F.concat_ws(
             ",", F.transform(F.slice(sig, (i * band_size + 1).cast("int"),
                                      band_size.cast("int")),
                              lambda v: v.cast("string")))))
@@ -105,14 +131,16 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k_shingle: int = 3,
                         num_hashes: int = 128, num_bands: int = 16,
                         jaccard_threshold: float = 0.8,
-                        use_words: bool = True) -> DataFrame:
+                        use_words: bool = True,
+                        hash_fn=F.xxhash64) -> DataFrame:
     """End-to-end near-dup pairs: shingle → minhash → LSH candidates →
     exact-Jaccard verification of candidates only. Word shingles by
     default (char shingles saturate on small-vocabulary text)."""
     mk = word_shingles if use_words else char_shingles
-    sh = df.select(F.col(id_col), mk(text_col, k_shingle).alias("sh"))
+    sh = df.select(F.col(id_col), mk(text_col, k_shingle,
+                                     hash_fn=hash_fn).alias("sh"))
     sigs = sh.select(id_col, minhash_signature(F.col("sh"), num_hashes).alias("sig"))
-    cands = minhash_lsh_candidates(sigs, id_col, "sig", num_bands)
+    cands = minhash_lsh_candidates(sigs, id_col, "sig", num_bands, hash_fn)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     verified = (cands.join(a, "id_a").join(b, "id_b")
@@ -151,14 +179,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .select("id_a", "id_b", "jaccard"))
 
 
-def simhash(col: Column | str, hash_bits: int = 64) -> Column:
+def simhash(col: Column | str, hash_bits: int = 64,
+            hash_fn=F.xxhash64) -> Column:
     """64-bit SimHash of whitespace tokens: per-bit vote of token hashes.
-    bit_j(sig) = 1 iff Σ_tokens sign(bit_j(xxhash64(tok))) > 0.
+    bit_j(sig) = 1 iff Σ_tokens sign(bit_j(hash(tok))) > 0.
     Pure Column expressions, statically unrolled over bit positions
     (shift amounts must be Python ints in the pyspark API)."""
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(F.trim(c), r"\s+")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, lambda t: hash_fn(t))
     n = F.size(hashes)
     sig = F.lit(0).cast("long")
     for j in range(hash_bits):
@@ -179,11 +208,13 @@ def hamming64(a: Column, b: Column) -> Column:
 def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id",
                            max_hamming: int = 3,
-                           n_prefix_buckets: int = 4) -> DataFrame:
+                           n_prefix_buckets: int = 4,
+                           hash_fn=F.xxhash64) -> DataFrame:
     """Near-dup pairs by SimHash: bucket on 16-bit signature slices (a pair
     within hamming d must share at least one of 4 slices when d ≤ 3 —
     pigeonhole), then verify hamming distance within buckets."""
-    sigs = df.select(F.col(id_col), simhash(text_col).alias("sig"))
+    sigs = df.select(F.col(id_col), simhash(text_col,
+                                            hash_fn=hash_fn).alias("sig"))
     slices = F.array(*[
         F.shiftright(F.col("sig"), i * 16).bitwiseAND(F.lit(0xFFFF))
         for i in range(n_prefix_buckets)])

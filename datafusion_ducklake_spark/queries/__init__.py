@@ -13,7 +13,7 @@ from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import (documents, dsbench, ducklake_gate, events, pipeline,
+from . import (_sqlhash, documents, dsbench, ducklake_gate, events, pipeline,
                similarity, tpch, tpch2)
 
 
@@ -85,12 +85,18 @@ _SPECS = [
               pipeline.ORACLE_REPETITION, False),
     QuerySpec("corpus_term_stats", pipeline.corpus_term_stats,
               pipeline.ORACLE_TERM_STATS, False),
-    QuerySpec("minhash_dup_pairs", pipeline.minhash_dup_pairs, None, False),
-    QuerySpec("simhash_pairs", pipeline.simhash_pairs, None, False),
-    QuerySpec("lsh_ann_neighbors", pipeline.lsh_ann_neighbors, None, False),
-    QuerySpec("mm_image_features", pipeline.mm_image_features, None, False),
-    QuerySpec("mm_audio_features", pipeline.mm_audio_features, None, False),
-    QuerySpec("mm_frame_samples", pipeline.mm_frame_samples, None, False),
+    QuerySpec("minhash_dup_pairs", pipeline.minhash_dup_pairs,
+              _sqlhash.ORACLE_MINHASH, False),
+    QuerySpec("simhash_pairs", pipeline.simhash_pairs,
+              _sqlhash.ORACLE_SIMHASH, False),
+    QuerySpec("lsh_ann_neighbors", pipeline.lsh_ann_neighbors,
+              _sqlhash.ORACLE_LSH_ANN, False),
+    QuerySpec("mm_image_features", pipeline.mm_image_features,
+              _sqlhash.ORACLE_MM_IMAGE, False),
+    QuerySpec("mm_audio_features", pipeline.mm_audio_features,
+              _sqlhash.ORACLE_MM_AUDIO, False),
+    QuerySpec("mm_frame_samples", pipeline.mm_frame_samples,
+              _sqlhash.ORACLE_MM_FRAMES, False),
     # TPC-DS / ClickBench pattern coverage (reference's secondary suites)
     QuerySpec("cube_revenue", dsbench.cube_revenue, dsbench.ORACLE_CUBE, False),
     QuerySpec("ds_channel_union", dsbench.ds_channel_union,

@@ -4,10 +4,10 @@ multimodal).
 
 Oracle strategy: Jaccard and cosine VALUES are hash-independent, so
 ngram-jaccard and brute-force cosine near-dup get exact DuckDB oracles.
-MinHash/SimHash/LSH outputs depend on xxhash64 (JVM-only) — deterministic
-across runs/clusters but not SQL-expressible, so those entries are
-rows-only (the driver records the weaker check; by design, per the
-contract)."""
+MinHash/SimHash gate entries run with poly_hash64 (SQL-expressible; the
+production default stays xxhash64) and LSH-ANN's hyperplane constants are
+seeded, so queries/_sqlhash.py generates bit-exact DuckDB oracles for all
+of them — every pipeline entry is now driver-hash-checkable."""
 
 from __future__ import annotations
 
@@ -132,20 +132,27 @@ FROM g
 """
 
 
-# --- rows-only (xxhash64 / mapInPandas — deterministic, not SQL-expressible)
+# --- hash-parameterized pipelines, oracle-checked end to end ------------
+# The gate entries run with poly_hash64 (SQL-expressible — see
+# queries/_sqlhash.py, which generates the matching DuckDB SQL from the
+# same seeded constants); production callers keep the xxhash64 default.
 
 def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup_pairs(
         _docs(spark, sf_dir), k_shingle=3, num_hashes=128, num_bands=16,
-        jaccard_threshold=0.1).select(
+        jaccard_threshold=0.1, hash_fn=dedup.poly_hash64).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=12)
+    return dedup.simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=12,
+                                        hash_fn=dedup.poly_hash64)
 
 
 def lsh_ann_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-ANN is hash-free (hyperplane sign bits) — the oracle replays the
+    seeded plane coordinates and the exact fold-left dot-product order, so
+    the candidate sets match bit for bit."""
     emb = t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding")
@@ -181,7 +188,10 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("audio/fake").alias("mime"),
         F.lit(None).cast("int").alias("width"),
         F.lit(None).cast("int").alias("height"),
-        F.lit(None).cast("long").alias("duration_ms"))
+        # non-null synthetic duration: an all-NULL long column degrades to
+        # float64 NaN in both engines' pandas bridges, which would make the
+        # driver's dtype-strict hash fragile for no informational gain
+        (F.length("text") * 5).cast("long").alias("duration_ms"))
     return multimodal.decode_audio_features(multimodal.size_bucketed(media))
 
 
@@ -189,7 +199,7 @@ def mm_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing: one input row fans out to N frame
     rows (1-to-many mapInPandas), the shape a real pyav sampler plugs
     into."""
-    media = _docs(spark, sf_dir).limit(50).select(
+    media = _docs(spark, sf_dir).filter(F.col("doc_id") < 50).select(
         F.col("doc_id").alias("media_id"),
         F.lit("video").alias("kind"),
         F.encode("text", "utf-8").alias("payload"),
