@@ -241,3 +241,73 @@ def test_merge_adjacent_preserves_partition_values(spark, tmp_path):
     rows = sorted((r.pk, r.v) for r in dl.table("main.pt").collect())
     assert rows == [(1, 11), (1, 100), (1, 101),
                     (2, 20), (2, 21)]
+
+
+def test_compact_million_deleted_positions_stays_off_driver(spark, tmp_path):
+    """r3 VERDICT wrongness #3 'done' gate: compact a table whose delete
+    file holds >=1M positions. Run carving must happen executor-side —
+    the runs DataFrame plan contains no collect_list and the driver only
+    ever sees the merged run manifest (2 runs here) — and rowids must
+    survive the rewrite."""
+    from datafusion_ducklake_spark.table_writer import (_survivor_run_df,
+                                                        _carve_rowid_runs)
+
+    db = str(tmp_path / "big.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    n, hole_lo, hole_hi = 1_300_000, 100_000, 1_150_000
+    dl.create_table("main.big", spark.range(n).selectExpr(
+        "CAST(id AS BIGINT) AS id", "CAST(id % 97 AS BIGINT) AS v"))
+    dl.delete_from("main.big", f"id >= {hole_lo} AND id < {hole_hi}")
+
+    handle = dl.table_handle("main.big")
+    assert sum(f.delete_file.delete_count
+               for f in handle._raw_files if f.delete_file) >= 1_000_000
+
+    # executor-side contract: the carve plan never materializes positions
+    # on the driver (no collect_list aggregate anywhere in the plan) and
+    # the collected manifest is exactly the merged islands
+    pairs = sorted(zip(handle._raw_files, handle.files),
+                   key=lambda t: t[0].row_id_start)
+    file_rows = [(os.path.basename(mf.path), 0, mf.row_id_start,
+                  mf.record_count) for mf, _ in pairs]
+    dirty = [(rf.delete_uri, os.path.basename(mf.path))
+             for mf, rf in pairs if rf.delete_uri is not None]
+    plan = _survivor_run_df(dl, file_rows, dirty)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "collect_list" not in plan
+    runs = _carve_rowid_runs(dl, handle, cap=256)
+    assert runs == [(0, hole_lo), (hole_hi, n - hole_hi)]
+
+    dl.compact("main.big")
+    after = dl.table_handle("main.big")
+    assert all(f.delete_file is None for f in after._raw_files)
+    assert sorted((f.row_id_start, f.record_count)
+                  for f in after._raw_files) == runs
+    # rowid == id by construction; spot-check both hole edges survive
+    rows = dl.table("main.big", with_rowid=True) \
+        .filter(f"id IN ({hole_lo - 1}, {hole_hi})").collect()
+    assert sorted((r.id, r.rowid) for r in rows) == [
+        (hole_lo - 1, hole_lo - 1), (hole_hi, hole_hi)]
+    assert dl.table("main.big").count() == n - (hole_hi - hole_lo)
+
+
+def test_compact_shatter_refusal_collects_bounded_manifest(spark, tmp_path):
+    """A modulo-shattered table refuses rowid-preserving compaction; the
+    driver-side manifest stays capped at max_runs+1 rows even though the
+    table has thousands of islands."""
+    db = str(tmp_path / "shat.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.create_table("main.s", spark.range(40_000).selectExpr(
+        "CAST(id AS BIGINT) AS id"))
+    dl.delete_from("main.s", "id % 4 = 0")        # 10k islands of 3
+    with pytest.raises(InvalidConfig, match="more than 256"):
+        dl.compact("main.s")
+    # the same table compacts fine when renumbering is allowed
+    dl.compact("main.s", preserve_rowids=False)
+    assert dl.table("main.s").count() == 30_000
