@@ -37,8 +37,11 @@ _DATA_FILE_GLOB = ("ducklake-" + "[0-9a-f]" * 8 + "-*.parquet")
 
 
 class _FileSlice(InputPartition):
-    def __init__(self, uri: str):
+    def __init__(self, uri: str, encryption_key: str | None = None):
         self.uri = uri
+        # stored-form PME footer key: ships inside the serialized
+        # partition so the decrypt happens executor-side
+        self.encryption_key = encryption_key
 
 
 class _CatalogStreamReader(DataSourceStreamReader):
@@ -93,10 +96,7 @@ class _CatalogStreamReader(DataSourceStreamReader):
                     f"every data file of {self._table} (foreign add_files "
                     f"tables: use mode='glob' or replay_changes())")
             if start["rowid"] <= f.row_id_start < end["rowid"]:
-                if f.encryption_key is not None:
-                    raise InvalidConfig(
-                        "streaming over encrypted tables is not supported")
-                out.append(_FileSlice(f.data_uri))
+                out.append(_FileSlice(f.data_uri, f.encryption_key))
         return out or [_FileSlice("")]        # API requires >= 1 partition
 
     def read(self, partition: _FileSlice):
@@ -108,8 +108,13 @@ class _CatalogStreamReader(DataSourceStreamReader):
         if path.startswith("file://"):
             path = path[len("file://"):]
         target = to_arrow_schema(self._schema)
-        table = pq.read_table(path).cast(target)
-        return iter(table.to_batches())
+        if partition.encryption_key is not None:
+            from ..sources.encryption import decode_key, read_encrypted_arrow
+            table = read_encrypted_arrow(
+                path, decode_key(partition.encryption_key))
+        else:
+            table = pq.read_table(path)
+        return iter(table.select(target.names).cast(target).to_batches())
 
     def commit(self, end: dict) -> None:
         pass

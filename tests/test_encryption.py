@@ -262,3 +262,35 @@ def test_binary_key_targeted_error_end_to_end(spark, tmp_path):
     dl = DuckLakeSession(spark, cat.db_path)
     with pytest.raises(Exception, match="non-UTF8"):
         dl.table("main.bk").collect()
+
+
+def test_pyarrow_lowlevel_raw_key_ctors_are_inert(tmp_path):
+    """r3 VERDICT next #9 probe, pinned: pyarrow's low-level
+    ``_parquet.FileEncryptionProperties/FileDecryptionProperties``
+    constructors ACCEPT a raw 16-byte key but configure nothing — a file
+    "written" with one comes out plaintext (magic PAR1, readable with no
+    key). Therefore a raw-binary-key direct-footer PME fixture cannot be
+    produced by any tool in this environment (duckdb's add_parquet_key
+    is VARCHAR-only), and the targeted InvalidConfig in
+    read_footer_key_arrow is the honest ceiling. If a pyarrow upgrade
+    makes these ctors real, this test fails and the capability can be
+    implemented."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyarrow._parquet import (FileDecryptionProperties,
+                                  FileEncryptionProperties)
+
+    key = bytes(range(16))
+    path = str(tmp_path / "raw_probe.parquet")
+    t = pa.table({"a": pa.array([1, 2, 3], pa.int64())})
+    w = pq.ParquetWriter(path, t.schema,
+                         encryption_properties=FileEncryptionProperties(key))
+    w.write_table(t)
+    w.close()
+    with open(path, "rb") as f:
+        assert f.read(4) == b"PAR1"          # NOT encrypted (PARE)
+    # plaintext round-trips with no key and with an ignored "key"
+    assert pq.read_table(path).column("a").to_pylist() == [1, 2, 3]
+    pf = pq.ParquetFile(path,
+                        decryption_properties=FileDecryptionProperties(key))
+    assert pf.read().column("a").to_pylist() == [1, 2, 3]

@@ -250,3 +250,82 @@ def test_click_attribution_stream_matches_batch(spark, tmp_path):
     got = sorted((r["purchase_id"], r["click_id"])
                  for r in spark.sql("SELECT * FROM att").collect())
     assert got == [(2, 1), (6, 4), (6, 5)]
+
+
+def test_catalog_stream_over_partition_transform_table(spark, fresh_dl,
+                                                       tmp_path):
+    """r3 VERDICT next #8: the catalog-driven stream over a table with a
+    partition TRANSFORM spec (year(ts)/month(ts) hive layout). The base
+    columns stay in the parquet files, so every per-partition file
+    streams under its rowid extent; a later partitioned insert arrives
+    incrementally and exactly once."""
+    import datetime
+
+    rows = [(i, datetime.datetime(2020, 11, 1) + datetime.timedelta(
+        hours=30 * i)) for i in range(40)]
+    mk = lambda rs: spark.createDataFrame(rs, "id BIGINT, ts TIMESTAMP_NTZ")  # noqa: E731
+    fresh_dl.create_table("main.pt", mk(rows).limit(0))
+    fresh_dl.set_partitioned_by("main.pt", ["year(ts)", "month(ts)"])
+    fresh_dl.insert_into("main.pt", mk(rows[:25]))
+    handle = fresh_dl.table_handle("main.pt")
+    assert any("year=" in f.path for f in handle._raw_files)  # real split
+
+    ckpt, sink = str(tmp_path / "ckpt_pt"), str(tmp_path / "sink_pt")
+
+    def run_once():
+        q = (cdc_source.stream_inserts(fresh_dl, "main.pt")
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
+
+    run_once()
+    got = sorted((r["id"], r["ts"])
+                 for r in spark.read.parquet(sink).collect())
+    assert got == sorted(rows[:25])
+
+    fresh_dl.insert_into("main.pt", mk(rows[25:]))
+    run_once()
+    got2 = sorted((r["id"], r["ts"])
+                  for r in spark.read.parquet(sink).collect())
+    assert got2 == sorted(rows)           # each row exactly once
+
+
+def test_catalog_stream_over_encrypted_table(spark, tmp_path):
+    """r3 VERDICT next #8: the catalog-driven stream decrypts PME files
+    executor-side (the stored footer key ships inside the serialized
+    partition). Rows stream exactly once across an encrypted append."""
+    from datafusion_ducklake_spark.sources import encryption as enc
+
+    db = str(tmp_path / "enc_stream.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake"))
+    w.set_option("encrypted", "true")
+    w.close()
+    edl = DuckLakeSession(spark, db)
+    edl.create_table("main.es", spark.createDataFrame(
+        [(i, f"s{i}") for i in range(8)], "id BIGINT, s STRING"))
+    handle = edl.table_handle("main.es")
+    assert all(f.encryption_key is not None for f in handle.files)
+    for f in handle.files:
+        p = f.data_uri.removeprefix("file://")
+        assert enc.is_encrypted_parquet(p), p  # actually PME on disk
+
+    ckpt, sink = str(tmp_path / "ckpt_es"), str(tmp_path / "sink_es")
+
+    def run_once():
+        q = (cdc_source.stream_inserts(edl, "main.es")
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
+
+    run_once()
+    got = sorted((r["id"], r["s"]) for r in spark.read.parquet(sink).collect())
+    assert got == [(i, f"s{i}") for i in range(8)]
+
+    edl.insert_into("main.es", spark.createDataFrame(
+        [(100, "x")], "id BIGINT, s STRING"))
+    run_once()
+    got2 = sorted(r["id"] for r in spark.read.parquet(sink).collect())
+    assert got2 == list(range(8)) + [100]
