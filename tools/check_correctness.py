@@ -84,7 +84,8 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
-def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
+def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame,
+            strict_dtypes: bool = True) -> list[str]:
     problems = []
     if sorted(spark_df.columns) != sorted(oracle_df.columns):
         problems.append(f"columns differ: spark={sorted(spark_df.columns)} oracle={sorted(oracle_df.columns)}")
@@ -93,8 +94,10 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
     # SUM(BIGINT) as HUGEINT->float64 while Spark returns int64 fails there
     # even though _cell() canonicalizes it away here. Flag kind mismatches
     # as hard failures so oracle-typing bugs are caught locally (round-3
-    # verdict "What's wrong #1").
-    for c in sorted(spark_df.columns):
+    # verdict "What's wrong #1"). The slt runner compares against raw
+    # DuckDB mirror SQL (no repo-authored casts) and passes
+    # strict_dtypes=False — only value equality matters there.
+    for c in sorted(spark_df.columns) if strict_dtypes else []:
         sk = spark_df[c].dtype.kind
         ok = oracle_df[c].dtype.kind
         if {sk, ok} == {"i", "f"}:
