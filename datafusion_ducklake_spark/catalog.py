@@ -952,6 +952,10 @@ class DuckLakeSession:
         r"^\s*CALL\s+ducklake_(expire_snapshots|cleanup_old_files"
         r"|flush_inlined_data)"
         r"\s*\(\s*(\d*|'[^']*')\s*\)\s*;?\s*$", re.I)
+    _CLEANUP_NAMED_RE = re.compile(
+        r"^\s*CALL\s+ducklake_cleanup_old_files\s*\(\s*"
+        r"((?:(?:dry_run|cleanup_all)\s*=>\s*(?:true|false)\s*,?\s*)+)"
+        r"\)\s*;?\s*$", re.I)
     _SET_OPTION_RE = re.compile(
         r"^\s*CALL\s+ducklake_set_option\s*\(\s*'([^']*)'\s*,\s*"
         r"(NULL|\d+|'[^']*')\s*"
@@ -976,7 +980,10 @@ class DuckLakeSession:
         r"((?:(?:dry_run|cleanup_all)\s*=>\s*(?:true|false)\s*,?\s*)*)"
         r"\)\s*;?\s*$", re.I)
     _MERGE_ADJ_RE = re.compile(
-        r"^\s*CALL\s+ducklake_merge_adjacent_files\s*\(\s*\)\s*;?\s*$",
+        r"^\s*CALL\s+ducklake_merge_adjacent_files\s*\(\s*"
+        r"(?:'([^']*)'\s*,?\s*)?"
+        r"(?:max_compacted_files\s*=>\s*(NULL|-?\d+)\s*)?"
+        r"\)\s*;?\s*$",
         re.I)
     _REWRITE_FILES_RE = re.compile(
         r"^\s*CALL\s+ducklake_rewrite_data_files\s*\(\s*"
@@ -1023,6 +1030,16 @@ class DuckLakeSession:
                 return self._count_df(
                     self.flush_inlined_data(arg[1:-1]))
             return self._count_df(len(self.cleanup_old_files()))
+        m = self._CLEANUP_NAMED_RE.match(query)
+        if m:
+            # named args (sql/compaction/small_insert_compaction.test):
+            # dry_run counts without deleting; cleanup_all ignores the
+            # delete_older_than retention option
+            opts = {k.lower(): v.lower() == "true" for k, v in re.findall(
+                r"(dry_run|cleanup_all)\s*=>\s*(true|false)",
+                m.group(1), re.I)}
+            return self._count_df(len(self.cleanup_old_files(
+                dry_run=opts.get("dry_run", False))))
         m = self._SET_OPTION_RE.match(query)
         if m:
             raw = m.group(2)
@@ -1068,7 +1085,13 @@ class DuckLakeSession:
                 cleanup_all=opts.get("cleanup_all", False))))
         m = self._MERGE_ADJ_RE.match(query)
         if m:
-            return self._count_df(self.merge_adjacent_files())
+            mx = m.group(2)
+            if mx is not None and mx.upper() == "NULL":
+                raise InvalidConfig("The max_compacted_files option must "
+                                    "be a non-null integer")
+            return self._count_df(self.merge_adjacent_files(
+                table_name=m.group(1),
+                max_compacted_files=int(mx) if mx is not None else None))
         m = self._REWRITE_FILES_RE.match(query)
         if m:
             return self._count_df(self.rewrite_data_files(
@@ -2219,7 +2242,9 @@ class DuckLakeSession:
                 "TIB": 2**40}[m.group(2).upper()]
         return int(float(m.group(1)) * mult)
 
-    def merge_adjacent_files(self) -> int:
+    def merge_adjacent_files(self, table_name: Optional[str] = None,
+                             max_compacted_files: Optional[int] = None
+                             ) -> int:
         """ducklake_merge_adjacent_files parity: pack each table's
         rowid-adjacent live files into groups of at most
         ``target_file_size`` bytes (catalog option, e.g. '512MB';
@@ -2229,14 +2254,29 @@ class DuckLakeSession:
         target — keep their exact registration, so the rewrite cost
         tracks the FRAGMENTED byte count, never the table size. Without
         the option, each table packs into one group (single output
-        file). Returns the number of tables rewritten."""
+        file). Returns the number of tables rewritten.
+
+        ``table_name`` scopes the pass to one table, leaving every other
+        table's registration untouched; ``max_compacted_files`` caps how
+        many table rewrites one call performs (corpus:
+        merge_adjacent_options.test, merge_adjacent_max_files.test)."""
         from .table_writer import rewrite_file_groups
+        if max_compacted_files is not None and max_compacted_files < 1:
+            raise InvalidConfig(
+                "The max_compacted_files option must be a non-null "
+                "positive integer")
         target_raw = self.provider.get_option("target_file_size")
         target = self._parse_size(target_raw) if target_raw else None
         n = 0
         snap = self.provider.get_current_snapshot()
         for schema_name, t in self.provider.list_all_tables(snap):
             name = f"{schema_name}.{t.table_name}"
+            if table_name is not None and \
+                    t.table_name != table_name.rsplit(".", 1)[-1]:
+                continue
+            if max_compacted_files is not None and \
+                    n >= max_compacted_files:
+                break
             handle = self.table_handle(name)
             if not (len(handle.files) > 1
                     or any(f.delete_uri for f in handle.files)):
