@@ -169,7 +169,8 @@ class DuckLakeTable:
             # text/numeric — coerce back to the column's Spark type
             if v is None:
                 return None
-            if isinstance(dt, T.TimestampType) and isinstance(v, str):
+            if isinstance(dt, (T.TimestampType, T.TimestampNTZType)) \
+                    and isinstance(v, str):
                 return datetime.datetime.fromisoformat(v)
             if isinstance(dt, T.DateType) and isinstance(v, str):
                 return datetime.date.fromisoformat(v)
@@ -1162,7 +1163,8 @@ class DuckLakeSession:
                 key, arrow, val = part.partition("=>")
                 key, val = key.strip().lower(), val.strip().lower()
                 if not arrow or key not in (
-                        "allow_missing", "hive_partitioning") or \
+                        "allow_missing", "hive_partitioning",
+                        "ignore_extra_columns") or \
                         val not in ("true", "false"):
                     raise InvalidConfig(
                         f"ducklake_add_data_files: bad argument {part!r}")
@@ -1173,7 +1175,9 @@ class DuckLakeSession:
             n = self.add_files(
                 strings[0], strings[1:],
                 allow_missing=opts.get("allow_missing", False),
-                hive_partitioning=opts.get("hive_partitioning"))
+                hive_partitioning=opts.get("hive_partitioning"),
+                ignore_extra_columns=opts.get("ignore_extra_columns",
+                                              False))
             return self._count_df(n)
         m = self._TXN_RE.match(query)
         if m:
@@ -2581,7 +2585,8 @@ class DuckLakeSession:
 
     def add_files(self, name: str, parquet_paths: list[str],
                   allow_missing: bool = False,
-                  hive_partitioning: Optional[bool] = None) -> int:
+                  hive_partitioning: Optional[bool] = None,
+                  ignore_extra_columns: bool = False) -> int:
         """Register existing parquet files into a table without rewriting
         them (the corpus's add_files operation, mirroring DuckDB's
         ``CALL ducklake_add_data_files``): validates each footer's schema
@@ -2635,11 +2640,19 @@ class DuckLakeSession:
             for path in expanded:
                 meta = pq.read_metadata(path)
                 schema = pq.read_schema(path)
+                extra_cols: list[str] = []
                 for i, col_name in enumerate(schema.names):
                     if col_name not in expected:
+                        if ignore_extra_columns:
+                            # sql/add_files/add_files_extra_columns.test:
+                            # the mapping below simply omits the column,
+                            # so scans never read it
+                            extra_cols.append(col_name)
+                            continue
                         raise InvalidConfig(
-                            f"add_files: column '{col_name}' in {path} not in "
-                            f"table {name}")
+                            f"add_files: column '{col_name}' in {path} not "
+                            f"in table {name}; add ignore_extra_columns => "
+                            f"true to register anyway")
                     from pyspark.sql.pandas.types import from_arrow_type
                     spark_t = from_arrow_type(schema.types[i],
                                               prefer_timestamp_ntz=True)
@@ -2676,10 +2689,11 @@ class DuckLakeSession:
                     and b"PARQUET:field_id" in schema.field(i).metadata
                     for i in range(len(schema.names)))
                 mapping_id = None
-                if not has_ids or hive_cols:
+                known_names = [n for n in schema.names if n in expected]
+                if not has_ids or hive_cols or extra_cols:
                     mapping_id = writer.create_name_mapping(
-                        handle.meta.table_id, list(schema.names),
-                        [column_ids[n] for n in schema.names],
+                        handle.meta.table_id, known_names,
+                        [column_ids[n] for n in known_names],
                         partition_cols=[(c, column_ids[c])
                                         for c in hive_cols])
                 fid = writer.register_data_file(

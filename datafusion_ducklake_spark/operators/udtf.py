@@ -112,8 +112,11 @@ def register_sql_functions(session) -> None:
     @udtf(returnType="schema_name STRING, table_name STRING, "
                      "data_file_path STRING, file_size_bytes BIGINT, "
                      "record_count BIGINT, delete_file_path STRING, "
-                     "delete_count BIGINT")
+                     "delete_count BIGINT, data_file_footer_size BIGINT")
     class DucklakeListFiles:
+        # data_file_footer_size: the recorded footer-size hint (DuckDB's
+        # ducklake_list_files exposes it — sql/add_files/
+        # add_file_footer_size.test)
         def eval(self):
             from ..metadata.provider import provider_for
             p = provider_for(catalog_path)
@@ -122,7 +125,7 @@ def register_sql_functions(session) -> None:
                     d = f.delete_file
                     yield (schema_name, table_name, f.path, f.file_size_bytes,
                            f.record_count, d.path if d else None,
-                           d.delete_count if d else None)
+                           d.delete_count if d else None, f.footer_size)
             finally:
                 p.close()
 

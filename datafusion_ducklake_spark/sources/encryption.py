@@ -282,6 +282,9 @@ def write_encrypted_distributed(df: DataFrame, dest_dir: str) -> list[dict]:
         key = secrets.token_bytes(16)
         name = f"ducklake-{_uuid.uuid4()}.parquet"
         path = _os.path.join(base, name)
+        # the table dir may not exist yet: a fully-inlined table being
+        # flushed has no prior file write (data_inlining_encryption)
+        _os.makedirs(base, exist_ok=True)
         write_encrypted(pa.Table.from_batches(batches), path, key)
         size = _os.path.getsize(path)
         with open(path, "rb") as f:

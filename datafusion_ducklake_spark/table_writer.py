@@ -996,7 +996,8 @@ def _with_field_ids_partial(df: DataFrame, data_cols: list[str],
 _INLINABLE_SPARK_TYPES = ("IntegerType", "LongType", "ShortType",
                           "ByteType", "DoubleType", "FloatType",
                           "StringType", "BooleanType", "DateType",
-                          "TimestampType", "DecimalType")
+                          "TimestampType", "TimestampNTZType",
+                          "DecimalType")
 
 
 def _try_inline_append(session, writer, setup, table_id: int,

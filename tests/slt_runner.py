@@ -124,11 +124,12 @@ _TABLE_RE = re.compile(
     r"([A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)?)",
     re.IGNORECASE)
 
-# engine maintenance CALLs that mutate one table's state (first quoted arg)
+# engine maintenance CALLs that mutate one table's state (first quoted
+# arg, schema qualifier preserved so the mirror lands in the right one)
 _CALL_TABLE_RE = re.compile(
     r"\bCALL\s+ducklake_(?:add_data_files|flush_inlined_data"
     r"|rewrite_data_files)\s*\(\s*"
-    r"'(?:\w+\.)?(\w+)'", re.IGNORECASE)
+    r"'((?:\w+\.)?\w+)'", re.IGNORECASE)
 
 # ALTER TABLE old RENAME TO new: the NEW name needs mirroring too (the
 # old one falls out via the TableNotFound drop path)
