@@ -195,10 +195,13 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")))
+    # orders ⋈ (tiny, broadcast) customer subset FIRST: orders shrinks to
+    # ~2/25 map-side before the fact-fact orderkey join, so that shuffle
+    # moves ~1M rows instead of every order (22% at SF3: 3.17s -> 2.48s)
+    o2 = orders.join(cust, orders.o_custkey == cust.c_custkey)
     joined = (
         li.join(supp, li.l_suppkey == supp.s_suppkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(o2, li.l_orderkey == o2.o_orderkey)
         .filter(
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
@@ -472,8 +475,15 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dsum("c_acctbal") / F.count(F.lit(1))).alias("avg_bal"))
     rich = cust.join(F.broadcast(avg_bal_df)).filter(
         F.col("c_acctbal") > F.col("avg_bal"))
+    # NOT EXISTS via anti-join against the PRE-AGGREGATED custkey set:
+    # the groupBy's map-side partial distinct collapses each order
+    # partition to its unique custkeys before the shuffle, so the anti
+    # join moves ~distinct keys instead of every order row (3x at SF3:
+    # 1.80s -> 0.62s). Both sides shuffle on custkey — no forced
+    # broadcast, so the plan survives a customer-count scale-up.
+    ck = orders.groupBy("o_custkey").agg(F.lit(1))
     return (
-        rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+        rich.join(ck, rich.c_custkey == ck.o_custkey, "left_anti")
         .groupBy("c_nationkey")
         .agg(F.count(F.lit(1)).alias("numcust"),
              dsum("c_acctbal").alias("totacctbal"))
