@@ -151,13 +151,19 @@ GROUP BY l_linestatus
 # --- q15-like: top supplier (CTE + scalar-max subquery), via spark.sql -----
 
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import _util
     t(spark, sf_dir, "lineitem").createOrReplaceTempView("__q15_lineitem")
     t(spark, sf_dir, "supplier").createOrReplaceTempView("__q15_supplier")
-    return spark.sql("""
+    # same exact-sums switch as the Column-API queries: the decimal cast
+    # exists only for bit-exact oracle hashing; the bench times the
+    # native-double mode both here and in DuckDB
+    rev = ("CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+           "AS DECIMAL(38,6))) AS DOUBLE)" if _util._EXACT_SUMS
+           else "SUM(l_extendedprice * (1 - l_discount))")
+    return spark.sql(f"""
         WITH revenue AS (
           SELECT l_suppkey AS supplier_no,
-            CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
-                 AS DOUBLE) AS total_revenue
+            {rev} AS total_revenue
           FROM __q15_lineitem
           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
             AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
