@@ -1319,6 +1319,15 @@ class DuckLakeSession:
             try:
                 self.drop_table(m.group(1))
             except (TableNotFound, SchemaNotFound):
+                # one table/view namespace (sql/view/
+                # ducklake_view_table_conflict.test): DROP TABLE on a
+                # name that exists as a VIEW is an error even with
+                # IF EXISTS — the entity exists, its type is wrong
+                if self._view_exists(m.group(1)):
+                    raise InvalidConfig(
+                        f"cannot drop view {m.group(1)!r} with DROP "
+                        f"TABLE: the entity exists with type View, "
+                        f"trying to drop type Table — use DROP VIEW")
                 if not ine:
                     raise
             return self._count_df(0)
@@ -1728,7 +1737,21 @@ class DuckLakeSession:
         namespace (transaction/create_conflict corpus)."""
         from .table_writer import _catalog_writer
         schema_name, view_name = self._split(name)
-        schema = self.catalog.schema(schema_name)
+        try:
+            schema = self.catalog.schema(schema_name)
+        except SchemaNotFound:
+            if schema_name != DEFAULT_SCHEMA:
+                raise
+            # CREATE VIEW as the catalog's very first DDL: materialize
+            # the default schema exactly as the table write path would
+            # (DuckDB creates main on ATTACH)
+            writer = _catalog_writer(self)
+            try:
+                writer.create_schema(DEFAULT_SCHEMA)
+            finally:
+                writer.close()
+            self.refresh()
+            schema = self.catalog.schema(schema_name)
         snap = self.catalog.snapshot_id
         if self.provider.table_exists(schema.meta.schema_id, view_name,
                                       snap):
@@ -1754,6 +1777,16 @@ class DuckLakeSession:
         self.refresh()
         if not self._view_rewrites:
             self.register_views()
+
+    def _view_exists(self, name: str) -> bool:
+        schema_name, view_name = self._split(name)
+        try:
+            schema = self.catalog.schema(schema_name)
+        except SchemaNotFound:
+            return False
+        return any(v.view_name == view_name
+                   for v in self.provider.list_views(
+                       schema.meta.schema_id, self.catalog.snapshot_id))
 
     def drop_view(self, name: str, if_exists: bool = False) -> None:
         """DROP VIEW [IF EXISTS] — MVCC-ends the view row; time travel
@@ -2047,6 +2080,16 @@ class DuckLakeSession:
             raise InvalidConfig(f"drop_column: no column {col_name!r}")
         if len(names) == 1:
             raise InvalidConfig("drop_column: cannot drop the last column")
+        # sql/partitioning/drop_partition_column.test: a column in the
+        # LIVE partition spec cannot drop — RESET PARTITIONED BY first
+        target_id = next(c.column_id for c in handle.columns
+                         if c.column_name == col_name)
+        spec = self.provider.get_partition_columns(handle.meta.table_id,
+                                                   handle.snapshot_id)
+        if any(cid == target_id for _idx, cid, _tf in spec):
+            raise InvalidConfig(
+                f"drop_column: cannot drop {col_name!r} — the table is "
+                f"partitioned by this column (RESET PARTITIONED BY first)")
         self._alter_columns(name, [
             (c.column_id, ColumnDef(c.column_name, c.column_type,
                                     c.nulls_allowed,

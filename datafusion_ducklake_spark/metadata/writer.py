@@ -945,7 +945,8 @@ class CatalogWriter:
                     (data_file_id, table_id, cid, size, count, nulls,
                      mn, mx, nan, extra))
                 self._fold_table_column_stats(
-                    cur, table_id, cid, nulls, mn, mx, nan, extra)
+                    cur, table_id, cid, nulls, mn, mx, nan, extra,
+                    value_count=count)
 
     @staticmethod
     def _ensure_column(cur, table: str, column: str, sql_type: str) -> None:
@@ -957,17 +958,25 @@ class CatalogWriter:
             pass  # already present
 
     def _fold_table_column_stats(self, cur, table_id: int, cid: int,
-                                 nulls, mn, mx, nan, extra) -> None:
+                                 nulls, mn, mx, nan, extra,
+                                 value_count=None) -> None:
         """Merge one file's column stats into the table-level envelope
         (min of mins / max of maxes / bbox union). String compare on the
         rendered values is exact for same-type renders the engine writes;
-        a NULL file min/max widens the envelope to unknown (NULL)."""
+        a NULL file min/max widens the envelope to unknown (NULL) —
+        EXCEPT when the file holds no non-null values at all (parquet
+        writes no min/max then): an all-NULL file only sets
+        contains_null, never erases the envelope (corpus:
+        sql/stats/global_stats.test — Min 42 / Max 84 survive a NULL
+        insert)."""
         rows = cur.execute(
             "SELECT contains_null, contains_nan, min_value, max_value, "
             "extra_stats FROM ducklake_table_column_stats "
             "WHERE table_id = ? AND column_id = ?",
             (table_id, cid)).fetchall()
         has_null = bool(nulls) if nulls is not None else True
+        all_null = (value_count is not None and nulls is not None
+                    and value_count - nulls <= 0)
         if not rows:
             cur.execute(
                 "INSERT INTO ducklake_table_column_stats (table_id, "
@@ -976,8 +985,11 @@ class CatalogWriter:
                 (table_id, cid, has_null, bool(nan), mn, mx, extra))
             return
         (t_null, t_nan, t_mn, t_mx, t_extra) = rows[0]
-        new_mn = None if (mn is None or t_mn is None) else min(t_mn, mn)
-        new_mx = None if (mx is None or t_mx is None) else max(t_mx, mx)
+        if all_null:
+            new_mn, new_mx = t_mn, t_mx
+        else:
+            new_mn = None if (mn is None or t_mn is None) else min(t_mn, mn)
+            new_mx = None if (mx is None or t_mx is None) else max(t_mx, mx)
         if extra or t_extra:
             from ..functions.geo import merge_extra_stats
             new_extra = merge_extra_stats([t_extra, extra])

@@ -156,7 +156,12 @@ def register_sql_functions(session) -> None:
             p = provider_for(catalog_path)
             try:
                 for row in p.get_raw_table_column_stats():
-                    yield tuple(row)
+                    r = list(row)
+                    # sqlite stores booleans as 0/1; the UDTF's Boolean
+                    # fields null out ints unless converted here
+                    r[2] = None if r[2] is None else bool(r[2])
+                    r[3] = None if r[3] is None else bool(r[3])
+                    yield tuple(r)
             finally:
                 p.close()
 

@@ -278,6 +278,17 @@ def column_stats_of(path: str, column_ids: dict[str, int],
                 # no range; pruning treats unknown range as 'keep'
                 has = False
             if not has:
+                # all-NULL chunk: parquet writes no min/max but the null
+                # count is exact — count it and leave the range alone
+                # (sql/stats/global_stats.test: a NULL insert must not
+                # erase the table envelope's Min/Max)
+                try:
+                    nc = st.null_count if st is not None else None
+                except Exception:
+                    nc = None
+                if nc is not None and nc == col.num_values:
+                    a[2] += nc
+                    continue
                 a[3] = a[4] = None
                 a[5] = True                   # poison: unknown range
                 continue
