@@ -258,12 +258,21 @@ class DuckLakeTable:
         defaulted = [c for c in self.columns
                      if c.initial_default is not None
                      and c.begin_snapshot is not None]
+        # nested struct-field defaults (sql/default/
+        # struct_field_default.test): files registered before the field
+        # identity appeared read the default, not NULL — same era
+        # bucketing, filled with Column.withField
+        nested_defaults = self._provider.get_nested_field_defaults(
+            self.meta.table_id, self.snapshot_id)
 
         def predates(f: ResolvedFile) -> tuple:
-            if not defaulted or f.begin_snapshot is None:
+            if f.begin_snapshot is None:
                 return ()
-            return tuple(c.column_name for c in defaulted
-                         if f.begin_snapshot < c.begin_snapshot)
+            out = tuple(c.column_name for c in defaulted
+                        if f.begin_snapshot < c.begin_snapshot)
+            out += tuple(f"{p}.{c}" for p, c, _d, fb in nested_defaults
+                         if f.begin_snapshot < fb)
+            return out
 
         buckets: dict[tuple, list[ResolvedFile]] = {}
         for f in files:
@@ -273,13 +282,24 @@ class DuckLakeTable:
 
         types = {f.name: f.dataType for f in self.spark_schema.fields}
         inits = {c.column_name: c.initial_default for c in defaulted}
+        inits.update({f"{p}.{c}": d for p, c, d, _fb in nested_defaults})
         parts = []
         for missing, group in sorted(buckets.items()):
             df = scan_table(self.spark, self.spark_schema, group,
                             with_rowid=with_rowid)
             for col in missing:
-                df = df.withColumn(
-                    col, F.expr(inits[col]).cast(types[col]))
+                if "." in col:
+                    parent, field = col.split(".", 1)
+                    ptype = types[parent]
+                    ftype = next(f.dataType for f in ptype.fields
+                                 if f.name.lower() == field.lower())
+                    df = df.withColumn(
+                        parent,
+                        F.col(parent).withField(
+                            field, F.expr(inits[col]).cast(ftype)))
+                else:
+                    df = df.withColumn(
+                        col, F.expr(inits[col]).cast(types[col]))
             parts.append(df)
         df = reduce(DataFrame.unionByName, parts)
         inlined = self._inlined_df(with_rowid)
@@ -2043,8 +2063,25 @@ class DuckLakeSession:
         ducklake_to_spark_type(col_type)        # validate early
         if "." in col_name:
             if default is not None:
-                raise InvalidConfig(
-                    "DEFAULT is not supported for nested field adds")
+                # sql/default/struct_field_default.test: supported for
+                # direct fields of a TOP-LEVEL struct column
+                parts = col_name.split(".")
+                if len(parts) != 2:
+                    raise InvalidConfig(
+                        "DEFAULT on nested adds is supported only for "
+                        "direct fields of a top-level struct column")
+                self._edit_nested_column(name, col_name, "add", col_type,
+                                         lenient=if_not_exists)
+                from .table_writer import _catalog_writer
+                handle = self.table_handle(name)
+                writer = _catalog_writer(self)
+                try:
+                    writer.set_nested_field_default(
+                        handle.meta.table_id, parts[0], parts[1], default)
+                finally:
+                    writer.close()
+                self.refresh()
+                return
             self._edit_nested_column(name, col_name, "add", col_type,
                                      lenient=if_not_exists)
             return

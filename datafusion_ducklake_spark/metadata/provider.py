@@ -294,6 +294,32 @@ class MetadataProvider:
                 first_begin = None
         return reconstruct_list_columns(raw, first_begin)
 
+    def get_nested_field_defaults(self, table_id: int,
+                                  snapshot_id: int) -> list[tuple]:
+        """[(parent_name, field_name, initial_default, first_begin)] for
+        live top-level-struct fields carrying a nested DEFAULT
+        (sql/default/struct_field_default.test). first_begin = the field
+        identity's first appearance — files registered before it read
+        the default instead of NULL."""
+        try:
+            return [(r[0], r[1], r[2], int(r[3])) for r in self._fetchall(
+                "SELECT p.column_name, c.column_name, c.initial_default, "
+                "(SELECT MIN(begin_snapshot) FROM ducklake_column "
+                " WHERE table_id = c.table_id AND column_id = c.column_id) "
+                "FROM ducklake_column c "
+                "JOIN ducklake_column p ON c.parent_column = p.column_id "
+                "AND p.table_id = c.table_id "
+                "WHERE c.table_id = ? AND c.initial_default IS NOT NULL "
+                "AND p.parent_column IS NULL "
+                "AND c.begin_snapshot <= ? "
+                "AND (c.end_snapshot IS NULL OR c.end_snapshot > ?) "
+                "AND p.begin_snapshot <= ? "
+                "AND (p.end_snapshot IS NULL OR p.end_snapshot > ?)",
+                (table_id, snapshot_id, snapshot_id, snapshot_id,
+                 snapshot_id))]
+        except Exception:
+            return []
+
     def get_data_files(self, table_id: int, snapshot_id: int) -> list[DataFileMeta]:
         rows = self._fetchall(
             Q.GET_DATA_FILES,

@@ -418,20 +418,55 @@ class CatalogWriter:
         nested: dict = {}
         for path, child_type in tree:
             cid = prev_paths.get(path)
+            carried_default = None
             if cid is None:
                 cid = next_col_id
                 next_col_id += 1
+            else:
+                # re-versioned field identity: carry its nested DEFAULT
+                # forward (sql/default/struct_field_default.test — an
+                # unrelated later alter must not lose it)
+                rows = cur.execute(
+                    "SELECT initial_default FROM ducklake_column "
+                    "WHERE table_id = ? AND column_id = ? "
+                    "ORDER BY begin_snapshot DESC LIMIT 1",
+                    (table_id, cid)).fetchall()
+                carried_default = rows[0][0] if rows else None
             parent = parent_id if len(path) == 1 else nested[path[:-1]]
             cur.execute(
                 "INSERT INTO ducklake_column (column_id, table_id, "
                 "column_name, column_type, column_order, nulls_allowed, "
-                "parent_column, begin_snapshot) "
-                "VALUES (?, ?, ?, ?, ?, 1, ?, ?)",
+                "parent_column, begin_snapshot, initial_default) "
+                "VALUES (?, ?, ?, ?, ?, 1, ?, ?, ?)",
                 (cid, table_id, path[-1], child_type, next_order,
-                 parent, sid))
+                 parent, sid, carried_default))
             nested[path] = cid
             next_order += 1
         return nested, next_col_id, next_order
+
+    def set_nested_field_default(self, table_id: int, parent_name: str,
+                                 field_name: str, default: str) -> None:
+        """Record an initial_default on a live NESTED struct field row
+        (corpus: sql/default/struct_field_default.test — ALTER TABLE t
+        ADD COLUMN col.k INT DEFAULT v fills pre-alter rows with v)."""
+        with self._txn() as cur:
+            rows = cur.execute(
+                "SELECT c.column_id FROM ducklake_column c "
+                "JOIN ducklake_column p ON c.parent_column = p.column_id "
+                "AND p.table_id = c.table_id "
+                "WHERE c.table_id = ? AND c.end_snapshot IS NULL "
+                "AND p.end_snapshot IS NULL AND p.parent_column IS NULL "
+                "AND lower(p.column_name) = lower(?) "
+                "AND lower(c.column_name) = lower(?)",
+                (table_id, parent_name, field_name)).fetchall()
+            if not rows:
+                raise ValueError(
+                    f"no live nested field {parent_name}.{field_name}")
+            cur.execute(
+                "UPDATE ducklake_column SET initial_default = ? "
+                "WHERE table_id = ? AND column_id = ? "
+                "AND end_snapshot IS NULL",
+                (default, table_id, int(rows[0][0])))
 
     # -- public API (mirrors MetadataWriter trait) -------------------------
 
