@@ -778,6 +778,14 @@ class DuckLakeSession:
         r"|ALTER\s+(?:COLUMN\s+)?(\w+)\s+(?:SET\s+DATA\s+)?TYPE\s+"
         r"([\w()<>,:\[\] ]+)"
         r")\s*;?\s*$", re.I | re.S)
+    _ALTER_DEFAULT_RE = re.compile(
+        r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+"
+        r"ALTER\s+(?:COLUMN\s+)?(\w+)\s+"
+        r"(?:SET\s+DEFAULT\s+(.+?)|(DROP)\s+DEFAULT)"
+        r"\s*;?\s*$", re.I | re.S)
+    _INSERT_DEFAULTS_RE = re.compile(
+        r"^\s*INSERT\s+INTO\s+([A-Za-z_][\w.]*)\s+DEFAULT\s+VALUES"
+        r"\s*;?\s*$", re.I)
     _ALTER_VIEW_RE = re.compile(
         r"^\s*ALTER\s+VIEW\s+([A-Za-z_][\w.]*)\s+RENAME\s+TO\s+(\w+)"
         r"\s*;?\s*$", re.I)
@@ -1275,6 +1283,25 @@ class DuckLakeSession:
         if m:
             self.rename_view(m.group(1), m.group(2))
             return self._count_df(0)
+        m = self._ALTER_DEFAULT_RE.match(query)
+        if m:
+            # sql/default/add_column_with_default.test: SET DEFAULT
+            # changes future inserts only; DROP DEFAULT clears it
+            self.set_column_default(
+                m.group(1), m.group(2),
+                None if m.group(4) else m.group(3).strip())
+            return self._count_df(0)
+        m = self._INSERT_DEFAULTS_RE.match(query)
+        if m:
+            # INSERT INTO t DEFAULT VALUES: one row of pure defaults
+            handle = self.table_handle(m.group(1))
+            from pyspark.sql import functions as F
+            row = self.spark.range(1).select(*[
+                (F.expr(c.default_value) if c.default_value is not None
+                 else F.lit(None)).cast(f.dataType).alias(c.column_name)
+                for c, f in zip(handle.columns,
+                                handle.spark_schema.fields)])
+            return self._count_df(self.insert_into(m.group(1), row))
         m = self._ALTER_RE.match(query)
         if m:
             name = m.group(1)
@@ -2097,6 +2124,24 @@ class DuckLakeSession:
         cols.append((None, ColumnDef(col_name, col_type, True,
                                      default, default)))
         self._alter_columns(name, cols)
+
+    def set_column_default(self, name: str, col_name: str,
+                           default: Optional[str]) -> None:
+        """ALTER TABLE name ALTER col SET DEFAULT expr / DROP DEFAULT —
+        changes default_value (applies to FUTURE inserts that omit the
+        column); initial_default, which fills pre-column rows, is
+        untouched (DuckLake's two-default model, sql/default/ corpus)."""
+        from .metadata.writer import ColumnDef
+        handle = self.table_handle(name)
+        if col_name not in [c.column_name for c in handle.columns]:
+            raise InvalidConfig(
+                f"set_column_default: no column {col_name!r}")
+        self._alter_columns(name, [
+            (c.column_id, ColumnDef(
+                c.column_name, c.column_type, c.nulls_allowed,
+                c.initial_default,
+                default if c.column_name == col_name else c.default_value))
+            for c in handle.columns])
 
     def drop_column(self, name: str, col_name: str,
                     if_exists: bool = False) -> None:
