@@ -176,3 +176,29 @@ def test_hive_scale_path_with_escaped_minority(dl, spark, tmp_path):
     dl.refresh()
     got = {r["v"]: r["pk"] for r in dl.table("main.hs").collect()}
     assert got == expect
+
+
+def test_add_files_old_list_structure(dl, spark, tmp_path):
+    """sql/add_files/add_old_list.test: parquet written with the LEGACY
+    list annotation (list.item naming instead of the compliant
+    list.element) registers and reads back — nested-list name mapping
+    must not depend on the modern layout."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "old_list.parquet")
+    t = pa.table({"l": pa.array([[[1, 2], [3, 4]]],
+                                pa.list_(pa.list_(pa.int32())))})
+    pq.write_table(t, path, use_compliant_nested_type=False)
+    # sanity: the file really is old-style (list.item leaves)
+    assert "item" in str(pq.read_schema(path))
+
+    dl.sql("CREATE TABLE ol (l INT[][])")
+    dl.sql(f"CALL ducklake_add_data_files('ol', '{path}')")
+    rows = dl.table("main.ol").collect()
+    assert len(rows) == 1
+    assert rows[0]["l"] == [[1, 2], [3, 4]]
+    # a native insert coexists with the mapped legacy file
+    dl.sql("INSERT INTO ol SELECT array(array(9)) AS l")
+    got = sorted(r["l"] for r in dl.table("main.ol").collect())
+    assert got == [[[1, 2], [3, 4]], [[9]]]
