@@ -82,15 +82,17 @@ def prefix_fingerprint(col: Column | str, n: int = 256) -> Column:
 
 
 def rolling_fingerprints(col: Column | str, window: int = 64,
-                         stride: int = 32) -> Column:
-    """Array of xxhash64 fingerprints over sliding character windows —
+                         stride: int = 32, hash_fn=F.xxhash64) -> Column:
+    """Array of hashed fingerprints over sliding character windows —
     the building block for containment/overlap detection. Computed with
-    sequence+transform (JVM-side), no UDF."""
+    sequence+transform (JVM-side), no UDF. ``hash_fn``: xxhash64
+    (default, production) or dedup.poly_hash64 (SQL-expressible, for
+    oracle-gated runs)."""
     c = F.col(col) if isinstance(col, str) else col
     starts = F.sequence(F.lit(1),
                         F.greatest(F.length(c) - window + 1, F.lit(1)),
                         F.lit(stride))
-    return F.transform(starts, lambda s: F.xxhash64(c.substr(s, F.lit(window))))
+    return F.transform(starts, lambda s: hash_fn(c.substr(s, F.lit(window))))
 
 
 def bigram_array(col: Column | str) -> Column:

@@ -85,6 +85,10 @@ _SPECS = [
               pipeline.ORACLE_REPETITION, False),
     QuerySpec("corpus_term_stats", pipeline.corpus_term_stats,
               pipeline.ORACLE_TERM_STATS, False),
+    QuerySpec("doc_fingerprint_overlap", pipeline.doc_fingerprint_overlap,
+              _sqlhash.ORACLE_FP_OVERLAP, False),
+    QuerySpec("doc_prefix_fingerprint", pipeline.doc_prefix_fingerprint,
+              _sqlhash.ORACLE_PREFIX_FP, False),
     QuerySpec("minhash_dup_pairs", pipeline.minhash_dup_pairs,
               _sqlhash.ORACLE_MINHASH, False),
     QuerySpec("simhash_pairs", pipeline.simhash_pairs,

@@ -236,6 +236,38 @@ SELECT media_id,
 FROM f
 """
 
+def fingerprint_overlap_oracle(window: int = 64, stride: int = 32,
+                               min_shared: int = 2) -> str:
+    """Rolling-fingerprint containment pairs in DuckDB SQL, matching
+    functions.text.rolling_fingerprints(..., hash_fn=poly_hash64):
+    documents sharing >= min_shared distinct window hashes."""
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         [substring(text, __s, {window})
+          for __s in range(1, greatest(length(text) - {window - 1}, 1) + 1,
+                           {stride})] AS ws
+  FROM documents),
+wx AS (SELECT doc_id, unnest(ws) AS s FROM w),
+hx AS (SELECT DISTINCT doc_id, {duck_poly64('s')} AS hv FROM wx),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         COUNT(*) AS n_shared
+  FROM hx a JOIN hx b ON a.hv = b.hv AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
+FROM pairs WHERE n_shared >= {min_shared}
+"""
+
+
+ORACLE_FP_OVERLAP = fingerprint_overlap_oracle()
+
+ORACLE_PREFIX_FP = """
+SELECT source, COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(substring(text, 1, 256))) AS n_fingerprints
+FROM documents GROUP BY source ORDER BY source
+"""
+
 ORACLE_MINHASH = minhash_oracle()
 ORACLE_SIMHASH = simhash_oracle()
 ORACLE_LSH_ANN = lsh_ann_oracle()

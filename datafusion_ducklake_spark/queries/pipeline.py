@@ -210,6 +210,38 @@ def mm_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_video_frames(media, every_ms=1000)
 
 
+def doc_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment/overlap detection via rolling window fingerprints
+    (functions.text.rolling_fingerprints): pairs of documents sharing
+    >= 2 distinct 64-char window hashes — catches embedded copies that
+    whole-document hashing misses. Explode + equi-join on the hash, no
+    cross join; gate runs with the SQL-expressible poly_hash64."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array_distinct(text.rolling_fingerprints(
+            F.col("text"), hash_fn=dedup.poly_hash64)).alias("fp"))
+    ex = d.select("doc_id", F.explode("fp").alias("h"))
+    a = ex.select(F.col("doc_id").alias("id_a"), "h")
+    b = ex.select(F.col("doc_id").alias("id_b"), "h")
+    return (a.join(b, "h").filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= 2))
+
+
+def doc_prefix_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheap near-identity fingerprinting: md5 of the 256-char prefix,
+    aggregated per source (distinct fingerprints vs docs = exact-prefix
+    duplicate pressure). Pure map-side Columns at 100 TB."""
+    d = t(spark, sf_dir, "documents").select("source", "text")
+    return (d.select("source",
+                     text.prefix_fingerprint(F.col("text")).alias("fp"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count_distinct("fp").alias("n_fingerprints"))
+            .orderBy("source"))
+
+
 def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the exact-Jaccard dup-pair graph:
     (doc_id, cluster_id=min reachable doc). Oracle = DuckDB transitive
