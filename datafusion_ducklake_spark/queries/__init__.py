@@ -126,6 +126,8 @@ _SPECS = [
               similarity.ORACLE_INT8_QUANT, False),
     QuerySpec("kmeans_centroids", similarity.kmeans_centroids,
               similarity.ORACLE_KMEANS, False),
+    QuerySpec("ivf_trained_ann", similarity.ivf_trained_ann,
+              similarity.ORACLE_IVF_TRAINED, False),
     # documents / text pipeline
     QuerySpec("doc_token_stats", documents.doc_token_stats, documents.ORACLE_TOKEN_STATS, True),
     QuerySpec("doc_quality_scores", documents.doc_quality_scores, documents.ORACLE_QUALITY, False),

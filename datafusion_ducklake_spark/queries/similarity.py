@@ -296,7 +296,11 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("cent_id", "n", *[f"c{i}" for i in range(K_DIMS)]))
 
 
-def _kmeans_oracle() -> str:
+def _kmeans_ctes(n_assign: "int | None" = None) -> tuple[list, int]:
+    """Shared CTE prefix for the k-means oracles: seed c0, then
+    assign/means pairs a1..c{K_ITERS}; ``n_assign`` > K_ITERS appends
+    extra assignment-only stages against the final centroids (the IVF
+    composition needs the corpus assigned to c{K_ITERS})."""
     dims = range(K_DIMS)
     assign = """
 a{it} AS (
@@ -318,19 +322,32 @@ c0 AS (
   SELECT CAST(vec_id AS INT) AS cent_id, {cs} FROM e
   WHERE vec_id < {k})""".format(
         cs=", ".join(f"ROUND(d{i}, 6) AS c{i}" for i in dims), k=K_CENTS)]
-    for it in range(1, K_ITERS + 1):
-        parts.append(assign.format(
-            it=it, prev=it - 1,
+
+    def one_assign(it: int, prev: int) -> str:
+        return assign.format(
+            it=it, prev=prev,
             dcols=", ".join(f"d{i}" for i in dims),
             edcols=", ".join(f"e.d{i}" for i in dims),
             dist=" + ".join(f"(e.d{i} - c.c{i}) * (e.d{i} - c.c{i})"
-                            for i in dims)))
+                            for i in dims))
+
+    for it in range(1, K_ITERS + 1):
+        parts.append(one_assign(it, it - 1))
         parts.append(means.format(
             it=it,
             mcols=", ".join(
                 f"ROUND(CAST(SUM(CAST(d{i} AS DECIMAL(38,9))) AS DOUBLE)"
                 f" / COUNT(*), 6) AS c{i}" for i in dims)))
     last = K_ITERS
+    for it in range(K_ITERS + 1, (n_assign or K_ITERS) + 1):
+        parts.append(one_assign(it, K_ITERS))
+        last = it
+    return parts, last
+
+
+def _kmeans_oracle() -> str:
+    dims = range(K_DIMS)
+    parts, last = _kmeans_ctes()
     return ("WITH " + ",".join(parts) + f"""
 SELECT c.cent_id, f.n, {", ".join(f"c.c{i}" for i in dims)}
 FROM c{last} c
@@ -339,3 +356,94 @@ JOIN (SELECT cent_id, COUNT(*) AS n FROM a{last} GROUP BY cent_id) f
 
 
 ORACLE_KMEANS = _kmeans_oracle()
+
+# trained-ANN composition parameters
+IVF_T_PROBES = 3
+IVF_T_NPROBE = 2
+IVF_T_TOPK = 5
+
+
+def ivf_trained_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full train-then-search ANN pipeline in one plan: k-means
+    centroids (same fixed-iteration loop as kmeans_centroids) partition
+    the corpus; each probe searches only its IVF_T_NPROBE nearest
+    TRAINED cells; exact squared-distance rank within the candidates.
+    Composition of two oracle-checked stages, itself oracle-checked —
+    the deployment shape the seed-centroid ivf_ann_neighbors entry
+    stands in for. At 100 TB: per-iteration map-side assignment +
+    k-row aggregate, then a cluster_id equi-join — no cross join over
+    the corpus pairs anywhere."""
+    from pyspark.sql.window import Window
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("e"))
+    emb = emb.select(
+        "vec_id", *[F.element_at("e", i + 1).alias(f"d{i}")
+                    for i in range(K_DIMS)])
+    cents = (emb.filter(F.col("vec_id") < K_CENTS)
+             .select(F.col("vec_id").cast("int").alias("cent_id"),
+                     *[F.round(F.col(f"d{i}"), 6).alias(f"c{i}")
+                       for i in range(K_DIMS)]))
+    for _ in range(K_ITERS):
+        cents = _km_means(_km_assign(emb, cents))
+    assigned = _km_assign(emb, cents)          # corpus -> final cells
+    probes = emb.filter(F.col("vec_id") < IVF_T_PROBES)
+    pdist = F.round(sum((F.col(f"d{i}") - F.col(f"c{i}"))
+                        * (F.col(f"d{i}") - F.col(f"c{i}"))
+                        for i in range(K_DIMS)), 9)
+    wp = Window.partitionBy("query_id").orderBy(F.asc("dd"),
+                                                F.asc("cent_id"))
+    probed = (probes.crossJoin(F.broadcast(cents))
+              .select(F.col("vec_id").alias("query_id"), "cent_id",
+                      pdist.alias("dd"))
+              .withColumn("rn", F.row_number().over(wp))
+              .filter(F.col("rn") <= IVF_T_NPROBE)
+              .select("query_id", "cent_id"))
+    q = probes.select(F.col("vec_id").alias("query_id"),
+                      *[F.col(f"d{i}").alias(f"q{i}")
+                        for i in range(K_DIMS)])
+    cand = (assigned.join(F.broadcast(probed), "cent_id")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .join(F.broadcast(q), "query_id"))
+    dist2 = F.round(sum((F.col(f"d{i}") - F.col(f"q{i}"))
+                        * (F.col(f"d{i}") - F.col(f"q{i}"))
+                        for i in range(K_DIMS)), 6)
+    wk = Window.partitionBy("query_id").orderBy(F.asc("dist"),
+                                                F.asc("neighbor_id"))
+    return (cand.select("query_id", F.col("vec_id").alias("neighbor_id"),
+                        dist2.alias("dist"))
+            .withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") <= IVF_T_TOPK)
+            .drop("rn"))
+
+
+def _ivf_trained_oracle() -> str:
+    dims = range(K_DIMS)
+    parts, last = _kmeans_ctes(n_assign=K_ITERS + 1)
+    cdist = " + ".join(f"(e.d{i} - c.c{i}) * (e.d{i} - c.c{i})"
+                       for i in dims)
+    ndist = " + ".join(f"(n.d{i} - q.d{i}) * (n.d{i} - q.d{i})"
+                       for i in dims)
+    return ("WITH " + ",".join(parts) + f""",
+probed AS (
+  SELECT query_id, cent_id FROM (
+    SELECT e.vec_id AS query_id, c.cent_id,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        ROUND({cdist}, 9) ASC, c.cent_id ASC) AS rn
+    FROM e, c{K_ITERS} c WHERE e.vec_id < {IVF_T_PROBES}) x
+  WHERE rn <= {IVF_T_NPROBE}),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM a{last} a JOIN probed p ON a.cent_id = p.cent_id
+  WHERE a.vec_id <> p.query_id),
+d2 AS (
+  SELECT c.query_id, c.neighbor_id, ROUND({ndist}, 6) AS dist
+  FROM cand c
+  JOIN e q ON q.vec_id = c.query_id
+  JOIN e n ON n.vec_id = c.neighbor_id)
+SELECT query_id, neighbor_id, dist FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY dist ASC, neighbor_id ASC) AS rn FROM d2) x
+WHERE rn <= {IVF_T_TOPK}""")
+
+
+ORACLE_IVF_TRAINED = _ivf_trained_oracle()
