@@ -122,5 +122,8 @@ def test_postgres_provider_matches_sqlite_results(fake_psycopg):
     assert pg.list_all_tables(snap) == lite.list_all_tables(snap)
     assert pg.list_all_columns(snap) == lite.list_all_columns(snap)
     assert pg.list_all_files(snap) == lite.list_all_files(snap)
+    # round-4 addition: nested struct-field defaults read path
+    assert pg.get_nested_field_defaults(table.table_id, snap) == \
+        lite.get_nested_field_defaults(table.table_id, snap)
 
     assert len(log) >= 15  # every method actually went through the shim
