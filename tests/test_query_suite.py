@@ -25,6 +25,18 @@ def test_query_matches_oracle(spark, duck, name):
     assert not problems, f"{name}: {problems}"
 
 
+def test_checker_rejects_raw_binary_output():
+    """Driver-parity hardening (r4 verdict #2): a registry entry whose
+    output carries raw bytes/bytearray cells must FAIL the local checker
+    in strict mode (the driver's canonicalizer crashes sorting them),
+    while the slt mode (strict_dtypes=False) still hex-compares BLOBs."""
+    import pandas as pd
+    binary = pd.DataFrame({"id": [1, 2], "payload": [b"\x00\x01", bytearray(b"\x02")]})
+    problems = compare("synthetic_binary", binary, binary.copy())
+    assert any("raw binary" in p for p in problems), problems
+    assert not compare("slt_blob", binary, binary.copy(), strict_dtypes=False)
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as entry_mod
     df = entry_mod.entry(spark)

@@ -84,9 +84,35 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def binary_columns(df: pd.DataFrame) -> list[str]:
+    """Columns containing raw bytes/bytearray cells. The driver's pandas
+    canonicalizer sorts object columns as-is and crashes on bytearrays
+    (r4 CORRECTNESS: `TypeError: unhashable type: 'bytearray'`), while
+    this checker hexes them in _cell() — so a binary output column can
+    pass locally yet fail the gate. Flag it as a hard local failure
+    (r4 verdict "What's wrong" #2): gate queries must project a digest
+    (md5/hex) instead of raw payload bytes."""
+    out = []
+    for c in df.columns:
+        if df[c].dtype == object and any(
+                isinstance(x, (bytes, bytearray)) for x in df[c]):
+            out.append(c)
+    return out
+
+
 def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame,
             strict_dtypes: bool = True) -> list[str]:
     problems = []
+    # registry/driver-parity mode only: the slt runner (strict_dtypes=
+    # False) compares BLOB columns engine-vs-mirror locally, where _cell's
+    # hexing is correct and no driver canonicalizer is involved
+    if strict_dtypes:
+        for side, df in (("spark", spark_df), ("oracle", oracle_df)):
+            for c in binary_columns(df):
+                problems.append(
+                    f"col {c} ({side}): raw binary cells — the driver's "
+                    f"canonicalizer cannot sort bytearrays; project "
+                    f"md5()/hex() in the gate query instead")
     if sorted(spark_df.columns) != sorted(oracle_df.columns):
         problems.append(f"columns differ: spark={sorted(spark_df.columns)} oracle={sorted(oracle_df.columns)}")
         return problems
@@ -123,7 +149,8 @@ def run_one(spark, con, name: str, sf_dir: str) -> list[str]:
     spec = REGISTRY[name]
     sdf = spec.fn(spark, sf_dir).toPandas()
     if spec.oracle is None:
-        return [] if len(sdf) >= 0 else ["spark query failed"]
+        return [f"col {c}: raw binary cells (driver canonicalizer crash)"
+                for c in binary_columns(sdf)]
     odf = con.sql(spec.oracle).df()
     return compare(name, sdf, odf)
 
