@@ -107,6 +107,8 @@ _SPECS = [
               dsbench.ORACLE_DS_CHANNEL, False),
     QuerySpec("ds_rank_in_category", dsbench.ds_rank_in_category,
               dsbench.ORACLE_DS_RANK, False),
+    QuerySpec("ds_monthly_brand_rank", dsbench.ds_monthly_brand_rank,
+              dsbench.ORACLE_DS_MONTHLY_RANK, True),
     QuerySpec("cb_top_users", dsbench.cb_top_users,
               dsbench.ORACLE_CB_TOP_USERS, True),
     QuerySpec("cb_daily_stats", dsbench.cb_daily_stats,

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ._util import dsum, load_events, t
+from ._util import back_to_double, dsum, exact_cast, load_events, t
 
 
 def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,6 +89,59 @@ FROM (
                             ORDER BY p_retailprice DESC, p_partkey ASC) AS rk
   FROM part)
 WHERE rk <= 3
+"""
+
+
+def ds_monthly_brand_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q47 shape (rank over rolling sum): monthly revenue per part
+    brand, 3-month moving average along each brand's time series, and the
+    brand's revenue rank within each month. Two window specs over one
+    small aggregated frame — the window-heavy pattern where Spark beats
+    DuckDB at SF3 (r4 verdict #6), tracked as a headline bench entry.
+
+    Scale shape: the fact join aggregates down to |brands|×|months| rows
+    before any window runs, so the window stage is negligible at 100 TB;
+    the cost is the lineitem⋈orders join + two-phase aggregate."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    p = t(spark, sf_dir, "part")
+    monthly = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+                 F.col("p_brand").alias("brand"))
+        # keep the exact-mode sum in decimal so the window re-sum below is
+        # also order-independent; cast to double only on output
+        .agg(F.sum(exact_cast(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount")))).alias("rev"),
+             F.count(F.lit(1)).alias("n_items")))
+    w_mov = (Window.partitionBy("brand").orderBy("m")
+             .rowsBetween(-2, Window.currentRow))
+    w_rank = Window.partitionBy("m").orderBy(F.desc("rev"), F.asc("brand"))
+    return monthly.select(
+        F.date_format("m", "yyyy-MM").alias("month"), "brand",
+        back_to_double(F.col("rev")).alias("revenue"), "n_items",
+        (back_to_double(F.sum("rev").over(w_mov))
+         / F.count(F.lit(1)).over(w_mov)).alias("mov_avg3"),
+        F.rank().over(w_rank).alias("brand_rank"))
+
+
+ORACLE_DS_MONTHLY_RANK = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS m, p_brand AS brand,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS rev,
+         COUNT(*) AS n_items
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2)
+SELECT strftime(m, '%Y-%m') AS month, brand,
+  CAST(rev AS DOUBLE) AS revenue, n_items,
+  CAST(SUM(rev) OVER w AS DOUBLE) / COUNT(*) OVER w AS mov_avg3,
+  RANK() OVER (PARTITION BY m ORDER BY rev DESC, brand ASC) AS brand_rank
+FROM monthly
+WINDOW w AS (PARTITION BY brand ORDER BY m
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 """
 
 
