@@ -96,9 +96,12 @@ def _tune_for_dir(spark, sf_dir: str) -> None:
                    str(24 * 1024 * 1024))
 
 
-def _time_spark_suite(spark, sf_dir: str, iterations: int = ITERATIONS):
+def _time_spark_suite(spark, sf_dir: str, iterations: int = ITERATIONS,
+                      only: list[str] | None = None):
     _tune_for_dir(spark, sf_dir)
     queries = headline_queries()
+    if only is not None:
+        queries = {n: f for n, f in queries.items() if n in only}
     for fn in queries.values():          # warmup: JIT/codegen + file listing
         _materialize(fn(spark, sf_dir))
     wall, plan, wall_min = {}, {}, {}
@@ -291,14 +294,31 @@ def main() -> None:
     # as compute grows) vs plan-limited (they persist). scale2=0 skips.
     scale2 = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE2",
                                 "30" if scale == 10 else "0"))
+    # SF10-equivalent convergence tier (r4 verdict #3): the residual
+    # Spark/DuckDB gap on q12/q07 is claimed to be fixed join-throughput
+    # overhead that shrinks with scale — this tier MEASURES that trend
+    # rather than extrapolating it. Restricted to the weak/control subset
+    # and 2 iterations so the driver bench stays inside its budget (the
+    # scaled parquet is cached on disk across runs).
+    scale3 = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE3",
+                                "100" if scale == 10 else "0"))
+    SF10_SUBSET = ["q12_shipping_buckets", "q07_volume_shipping",
+                   "q22_global_sales_opportunity", "q08_market_share",
+                   "q04_order_priority", "q05_local_supplier_volume",
+                   "q01_pricing_summary", "q06_forecast_revenue",
+                   "ds_monthly_brand_rank"]
     from tools.scale_data import scale_dir
-    for sc, key, in_headline in ((scale, "scaled", True),
-                                 (scale2, "scaled2", False)):
+    for sc, key, in_headline, only, iters in (
+            (scale, "scaled", True, None, ITERATIONS),
+            (scale2, "scaled2", False, None, ITERATIONS),
+            (scale3, "scaled3", False, SF10_SUBSET, 2)):
         if sc <= 0:
             continue
         scaled_dir = scale_dir(sf_dir, sc, str(REPO / ".bench_scaled"))
-        s_wall, s_plan, s_min = _time_spark_suite(spark, scaled_dir)
-        s_duck, s_duck_min = _time_duckdb_suite(scaled_dir, list(s_wall), cpus)
+        s_wall, s_plan, s_min = _time_spark_suite(spark, scaled_dir,
+                                                  iterations=iters, only=only)
+        s_duck, s_duck_min = _time_duckdb_suite(scaled_dir, list(s_wall), cpus,
+                                                iterations=iters)
         s_dfus, s_dfus_min = _time_datafusion_suite(scaled_dir, list(s_wall),
                                                     cpus)
         s_adj = {n: round(max(t - floor, 0.0), 4) for n, t in s_wall.items()}
@@ -315,6 +335,21 @@ def main() -> None:
         }
         if in_headline:
             headline[key] = s_head
+        elif key == "scaled3":
+            # compact convergence marker in the one-line stdout: the two
+            # r4 weak queries' min-ratios at the largest measured scale
+            headline[key] = {
+                "sf_equivalent": s_head["scale_factor_equivalent"],
+                "ratio_vs_duckdb_raw": s_head["ratio_vs_duckdb_raw"],
+                "q12_ratio_min": (round(s_min["q12_shipping_buckets"]
+                                        / s_duck_min["q12_shipping_buckets"], 2)
+                                  if s_duck_min.get("q12_shipping_buckets")
+                                  else None),
+                "q07_ratio_min": (round(s_min["q07_volume_shipping"]
+                                        / s_duck_min["q07_volume_shipping"], 2)
+                                  if s_duck_min.get("q07_volume_shipping")
+                                  else None),
+            }
         detail[key] = {
             **s_head,
             "queries": s_wall,

@@ -27,6 +27,19 @@ TABLES = (
 
 _DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
+# Layout experiments (operators/layout.py) and catalog-managed storage can
+# inject an alternative physical source (e.g. a bucketed session-catalog
+# table) under the same query bodies: logical query text stays identical,
+# only the scan changes — exactly how a catalog would swap layouts.
+_TABLE_OVERRIDES: dict[str, DataFrame] = {}
+
+
+def set_table_override(name: str, df: DataFrame | None) -> None:
+    if df is None:
+        _TABLE_OVERRIDES.pop(name, None)
+    else:
+        _TABLE_OVERRIDES[name] = df
+
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table. Parquet scan → Catalyst handles column
@@ -36,6 +49,9 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for schema inference on every query (driver-side I/O that at 100k
     files/queries would serialize plan time). No .cache()/persist — data
     is never pinned, each query still scans."""
+    override = _TABLE_OVERRIDES.get(name)
+    if override is not None:
+        return override
     key = (id(spark), sf_dir, name)
     df = _DF_CACHE.get(key)
     if df is None:
