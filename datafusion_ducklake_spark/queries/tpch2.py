@@ -126,7 +126,14 @@ def q12_shipping_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")))
-    orders = t(spark, sf_dir, "orders")
+    # MERGE hint: orders is a FACT side — column pruning (2 cols) makes
+    # its size estimate fall under the broadcast threshold at mid scales,
+    # and the planner's 4.5M-row driver-built broadcast costs 2.7x the
+    # whole query (measured at SF3: 2.70s -> 0.98s with the hint; also
+    # faster at sf0.1). A fact side must never ride broadcast at 100 TB;
+    # AQE still converts the SMJ to shuffled-hash when map output is
+    # small, so small scales lose nothing.
+    orders = t(spark, sf_dir, "orders").hint("merge")
     high = F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1) \
         .otherwise(0)
     return (li.join(orders, li.l_orderkey == orders.o_orderkey)
