@@ -2778,9 +2778,24 @@ class DuckLakeSession:
                             f"add_files: column '{col_name}' in {path} not "
                             f"in table {name}; add ignore_extra_columns => "
                             f"true to register anyway")
+                    import pyarrow as _pa
+                    if (expected[col_name].strip().lower() == "uuid"
+                            and schema.types[i] == _pa.binary(16)):
+                        # parquet UUID surfaces as fixed_size_binary[16]
+                        # (sql/add_files/add_files_type_check_uuid.test);
+                        # the scan reads it as the table's binary-backed
+                        # uuid representation
+                        continue
                     from pyspark.sql.pandas.types import from_arrow_type
-                    spark_t = from_arrow_type(schema.types[i],
-                                              prefer_timestamp_ntz=True)
+                    try:
+                        spark_t = from_arrow_type(schema.types[i],
+                                                  prefer_timestamp_ntz=True)
+                    except Exception as e:
+                        raise InvalidConfig(
+                            f"add_files: column '{col_name}' in {path} has "
+                            f"arrow type {schema.types[i]} with no Spark "
+                            f"mapping — incompatible with table type "
+                            f"{expected[col_name]} ({e})") from e
                     file_type = spark_to_ducklake_type(spark_t)
                     if not types_compatible(file_type, expected[col_name]):
                         raise InvalidConfig(

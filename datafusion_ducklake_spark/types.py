@@ -305,6 +305,13 @@ def is_promotable(from_type: str, to_type: str) -> bool:
         return True
     if f == "timestamp" and t_ == "timestamptz":
         return True
+    if f == "varchar" and t_ == "json":
+        # parquet has no JSON logical type in DuckDB's writer output (a
+        # JSON column lands as a plain String) — string files register
+        # into JSON columns; validity surfaces at query time, as with any
+        # string-backed JSON store (sql/add_files/
+        # add_files_type_check_string_blob.test json section)
+        return True
     fm, tm = _DECIMAL_RE.match(f), _DECIMAL_RE.match(t_)
     if fm and tm:
         fp, fs = int(fm.group(1)), int(fm.group(2))
