@@ -1188,6 +1188,18 @@ class DuckLakeSession:
                 if part.startswith("'") and part.endswith("'"):
                     strings.append(part[1:-1])
                     continue
+                if part.startswith("[") and part.endswith("]"):
+                    # list-literal form: CALL ducklake_add_data_files(
+                    # 'table', ['a.parquet', 'b.parquet'])  — corpus
+                    # sql/add_files/add_files_list.test
+                    for sub in self._split_top_level(part[1:-1]):
+                        sub = sub.strip()
+                        if not (sub.startswith("'") and sub.endswith("'")):
+                            raise InvalidConfig(
+                                f"ducklake_add_data_files: bad path list "
+                                f"element {sub!r}")
+                        strings.append(sub[1:-1])
+                    continue
                 key, arrow, val = part.partition("=>")
                 key, val = key.strip().lower(), val.strip().lower()
                 if not arrow or key not in (
