@@ -642,7 +642,21 @@ class DuckLakeSession:
 
     def table_handle(self, name: str) -> DuckLakeTable:
         schema_name, table_name = self._split(name)
-        return self.catalog.schema(schema_name).table(table_name)
+        try:
+            return self.catalog.schema(schema_name).table(table_name)
+        except (SchemaNotFound, TableNotFound):
+            # unqualified name, table lives in another schema: suggest it
+            # (sql/add_files/add_file_specific_schema.test — upstream says
+            # 'Did you mean "schema_test.test"?')
+            if "." not in name:
+                snap = self.catalog.snapshot_id
+                for sch, t_meta in self.provider.list_all_tables(snap):
+                    if (t_meta.table_name.lower() == table_name.lower()
+                            and sch != schema_name):
+                        raise TableNotFound(
+                            f'{name} — did you mean '
+                            f'"{sch}.{t_meta.table_name}"?') from None
+            raise
 
     # -- SQL over temp views ----------------------------------------------
 
@@ -2813,6 +2827,20 @@ class DuckLakeSession:
                         raise InvalidConfig(
                             f"add_files: column '{col_name}' type {file_type} "
                             f"incompatible with table type {expected[col_name]}")
+                    if not allow_missing:
+                        from .types import missing_nested_fields
+                        missing = missing_nested_fields(
+                            file_type, expected[col_name], col_name)
+                        if missing:
+                            # upstream contract (add_files_missing_fields.
+                            # test): an absent nested field errors unless
+                            # allow_missing — otherwise it would silently
+                            # read NULL
+                            raise InvalidConfig(
+                                f'add_files: Column "{missing[0]}" exists '
+                                f'in table "{tname}" but was not found in '
+                                f'file {path}; pass allow_missing => true '
+                                f'to read NULL')
                 # table columns the file does not store: hive path segment
                 # (value injected at scan), else NULL under allow_missing,
                 # else error — the reference's default contract
@@ -2857,9 +2885,10 @@ class DuckLakeSession:
                                  record_count=meta.num_rows,
                                  row_id_start=next_rowid,
                                  mapping_id=mapping_id))
+                from .table_writer import nested_stats_ids
                 from .types import is_geometry_type
                 stats = column_stats_of(
-                    path, column_ids,
+                    path, {**column_ids, **nested_stats_ids(handle.columns)},
                     {c.column_name for c in handle.columns
                      if is_geometry_type(c.column_type)})
                 for col in hive_cols:

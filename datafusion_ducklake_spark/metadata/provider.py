@@ -115,6 +115,7 @@ class AddedFileMeta:
     encryption_key: Optional[str]
     record_count: Optional[int]
     mapping_id: Optional[int] = None   # non-NULL ⇒ name-mapped (add_files)
+    row_id_start: Optional[int] = None  # base of the file's rowid range
 
 
 @dataclass(frozen=True)
@@ -130,6 +131,7 @@ class DeleteDeltaMeta:
     prev_path_is_relative: Optional[bool]
     snapshot_id: int
     mapping_id: Optional[int] = None   # data file's name mapping, if any
+    row_id_start: Optional[int] = None  # data file's rowid base (CDC rowid)
 
 
 @dataclass(frozen=True)
@@ -516,7 +518,8 @@ class MetadataProvider:
         return [AddedFileMeta(int(r[0]), r[1], bool(r[2]), int(r[3]),
                               int(r[4]) if r[4] is not None else None, r[5],
                               int(r[6]) if r[6] is not None else None,
-                              int(r[7]) if r[7] is not None else None)
+                              int(r[7]) if r[7] is not None else None,
+                              int(r[8]) if r[8] is not None else None)
                 for r in self._fetchall(Q.DATA_FILES_ADDED_BETWEEN,
                                         (table_id, start, end))]
 
@@ -526,7 +529,8 @@ class MetadataProvider:
                     r[0], bool(r[1]), int(r[2]) if r[2] is not None else None,
                     r[3], bool(r[4]) if r[4] is not None else None,
                     r[5], bool(r[6]) if r[6] is not None else None,
-                    int(r[7]), int(r[8]) if r[8] is not None else None)
+                    int(r[7]), int(r[8]) if r[8] is not None else None,
+                    int(r[9]) if r[9] is not None else None)
                 for r in self._fetchall(Q.DELETE_FILES_ADDED_BETWEEN,
                                         (table_id, start, end, table_id, start, end))]
 

@@ -121,7 +121,7 @@ WHERE s.table_id = ? AND {_VISIBLE.format(t='data')}
 DATA_FILES_ADDED_BETWEEN = """
 SELECT data.begin_snapshot, data.path, data.path_is_relative,
        data.file_size_bytes, data.footer_size, data.encryption_key,
-       data.record_count, data.mapping_id
+       data.record_count, data.mapping_id, data.row_id_start
 FROM ducklake_data_file AS data
 WHERE data.table_id = ? AND data.begin_snapshot > ? AND data.begin_snapshot <= ?
 ORDER BY data.begin_snapshot
@@ -136,7 +136,7 @@ SELECT
   data.path, data.path_is_relative, data.record_count,
   cd.path AS cur_path, cd.path_is_relative AS cur_rel,
   pd.path AS prev_path, pd.path_is_relative AS prev_rel,
-  cd.begin_snapshot AS snapshot_id, data.mapping_id
+  cd.begin_snapshot AS snapshot_id, data.mapping_id, data.row_id_start
 FROM ducklake_delete_file cd
 JOIN ducklake_data_file data ON data.data_file_id = cd.data_file_id
 LEFT JOIN ducklake_delete_file pd
@@ -155,7 +155,7 @@ SELECT
   data.path, data.path_is_relative, data.record_count,
   NULL, NULL,
   pd.path, pd.path_is_relative,
-  data.end_snapshot AS snapshot_id, data.mapping_id
+  data.end_snapshot AS snapshot_id, data.mapping_id, data.row_id_start
 FROM ducklake_data_file data
 LEFT JOIN ducklake_delete_file pd
   ON pd.data_file_id = data.data_file_id

@@ -72,13 +72,19 @@ def table_changes(session, name: str, start: int, end: int) -> DataFrame:
         mapped_cols, hive_values = table.mapping_transform(f.mapping_id, uri)
         by_snapshot.setdefault(f.begin_snapshot, []).append(ResolvedFile(
             uri, encryption_key=f.encryption_key, mapping_id=f.mapping_id,
-            mapped_cols=mapped_cols, hive_values=hive_values))
+            mapped_cols=mapped_cols, hive_values=hive_values,
+            row_id_start=f.row_id_start))
     for snapshot_id, rfiles in sorted(by_snapshot.items()):
         # scan_table resolves field-id vs name-mapped groups (add_files
-        # renames/hive injection) exactly like the live-table scan
+        # renames/hive injection) exactly like the live-table scan.
+        # rowid rides along (ref table_functions.rs:86-225 emits it);
+        # catalogs predating row_id_start surface NULL rowids.
+        have_rowid = all(rf.row_id_start is not None for rf in rfiles)
+        part = scan_table(spark, schema, rfiles, with_rowid=have_rowid)
+        if not have_rowid:
+            part = part.withColumn("rowid", F.lit(None).cast("long"))
         parts.append(
-            scan_table(spark, schema, rfiles)
-            .withColumn(CDC_SNAPSHOT_COL, F.lit(snapshot_id).cast("long"))
+            part.withColumn(CDC_SNAPSHOT_COL, F.lit(snapshot_id).cast("long"))
             .withColumn(CDC_CHANGE_COL, F.lit("insert")))
 
     inlined = _inlined_changes(session, table, start, end)
@@ -114,10 +120,11 @@ def _inlined_changes(session, table, start: int, end: int):
         vals = []
         for v, f in zip(r[1:-1], schema.fields):
             vals.append(_coerce_cdc(v, f.dataType))
-        coerced.append(tuple(vals) + (int(r[-1]), "insert"))
+        coerced.append(tuple(vals) + (int(r[0]), int(r[-1]), "insert"))
     out_schema = T.StructType(
         list(schema.fields)
-        + [T.StructField(CDC_SNAPSHOT_COL, T.LongType(), True),
+        + [T.StructField("rowid", T.LongType(), True),
+           T.StructField(CDC_SNAPSHOT_COL, T.LongType(), True),
            T.StructField(CDC_CHANGE_COL, T.StringType(), False)])
     return session.spark.createDataFrame(coerced, out_schema)
 
@@ -164,10 +171,11 @@ def _inlined_deletions(session, table, start: int, end: int):
     schema = table.spark_schema
     coerced = [tuple(_coerce_cdc(v, f.dataType)
                      for v, f in zip(r[1:-1], schema.fields))
-               + (int(r[-1]), "delete") for r in rows]
+               + (int(r[0]), int(r[-1]), "delete") for r in rows]
     out_schema = T.StructType(
         list(schema.fields)
-        + [T.StructField(CDC_SNAPSHOT_COL, T.LongType(), True),
+        + [T.StructField("rowid", T.LongType(), True),
+           T.StructField(CDC_SNAPSHOT_COL, T.LongType(), True),
            T.StructField(CDC_CHANGE_COL, T.StringType(), False)])
     return session.spark.createDataFrame(coerced, out_schema)
 
@@ -219,8 +227,11 @@ def table_deletions(session, name: str, start: int, end: int) -> DataFrame:
         # large delete (a 10 GB delta would be shipped to every executor).
         # AQE downgrades the shuffle join to broadcast when it IS small —
         # same policy as the grouped dirty scan (scan.py).
+        rowid = (F.lit(d.row_id_start) + F.col(POS_COL)).cast("long") \
+            if d.row_id_start is not None else F.lit(None).cast("long")
         parts.append(
             data.join(newly, POS_COL, "left_semi")
+            .withColumn("rowid", rowid)
             .drop(POS_COL)
             .withColumn(CDC_SNAPSHOT_COL, F.lit(d.snapshot_id).cast("long"))
             .withColumn(CDC_CHANGE_COL, F.lit("delete")))
@@ -232,6 +243,7 @@ def table_deletions(session, name: str, start: int, end: int) -> DataFrame:
 def _empty_cdc(spark, schema, change: str = "insert") -> DataFrame:
     from pyspark.sql import types as T
     full = T.StructType(list(schema.fields) + [
+        T.StructField("rowid", T.LongType(), True),
         T.StructField(CDC_SNAPSHOT_COL, T.LongType(), False),
         T.StructField(CDC_CHANGE_COL, T.StringType(), False)])
     return spark.createDataFrame([], full)

@@ -227,6 +227,50 @@ def _local_readable(table_path: str, name: str) -> Optional[str]:
     return os.path.join(base, name)
 
 
+def nested_stats_ids(columns) -> dict[str, int]:
+    """parquet ``path_in_schema`` → field id for NESTED leaves, built from
+    the catalog's per-column nested ids (list element / map key/value /
+    struct fields). Feeding these into column_stats_of records min/max
+    per nested leaf — the statistics the reference keeps for array and
+    struct-array columns (sql/add_files/
+    add_files_complex_nested_stats_mre.test). Both the duckdb/Spark
+    3-level list spelling (``col.list.element``) and pyarrow's
+    (``col.list.item``) are mapped."""
+    from .types import _type_kind, nested_child_slots, normalize_ducklake_type
+    out: dict[str, int] = {}
+    for c in columns:
+        for path, fid in (c.nested_ids or ()):
+            # walk the canonical type along the path: whether 'key'/'value'
+            # is a MAP slot or a struct FIELD NAME depends on the parent
+            # type's kind, not the segment spelling
+            try:
+                cur = normalize_ducklake_type(c.column_type)
+            except Exception:
+                continue
+            segs, item_segs, ok = [c.column_name], [c.column_name], True
+            for p in path:
+                kind = _type_kind(cur)
+                slots = dict(nested_child_slots(cur))
+                child = slots.get(p.lower())
+                if child is None:
+                    ok = False
+                    break
+                if kind == "list":
+                    segs += ["list", "element"]
+                    item_segs += ["list", "item"]
+                elif kind == "map":
+                    segs += ["key_value", p.lower()]
+                    item_segs += ["key_value", p.lower()]
+                else:
+                    segs.append(p)
+                    item_segs.append(p)
+                cur = child
+            if ok:
+                out[".".join(segs)] = fid
+                out[".".join(item_segs)] = fid
+    return out
+
+
 def column_stats_of(path: str, column_ids: dict[str, int],
                     geo_columns: "set[str] | None" = None) -> list[tuple]:
     """Per-column (column_id, size, value_count, null_count, min, max,
@@ -1217,9 +1261,12 @@ def create_or_insert(session, name: str, df: DataFrame, mode: str,
         next_rowid = writer.next_row_id(table_meta.table_id)
         col_ids = dict(zip([f.name for f in df.schema.fields],
                            setup.column_ids))
-        geo_cols = {c.column_name for c in
-                    session.provider.get_table_columns(
-                        table_meta.table_id, setup.snapshot_id)
+        _cat_cols = session.provider.get_table_columns(
+            table_meta.table_id, setup.snapshot_id)
+        # nested leaves (list element / map value / struct fields) get
+        # their own stats rows keyed by field id, like top-level columns
+        col_ids.update(nested_stats_ids(_cat_cols))
+        geo_cols = {c.column_name for c in _cat_cols
                     if is_geometry_type(c.column_type)}
         # ONE catalog transaction for the whole registration (reentrant
         # _txn): either every staged file becomes visible or none — and

@@ -349,6 +349,38 @@ def _nested_types_compatible(from_type: str, to_type: str) -> bool:
                for n, t in fs)
 
 
+def missing_nested_fields(file_type: str, table_type: str,
+                          prefix: str = "") -> list[str]:
+    """Dotted paths of struct fields the TABLE type declares but the FILE
+    type lacks (sql/add_files/add_files_missing_fields.test: an absent
+    nested field is an error unless allow_missing — it would silently
+    read NULL otherwise). Shape mismatches are reported by the
+    compatibility check, not here."""
+    try:
+        f = normalize_ducklake_type(file_type)
+        t = normalize_ducklake_type(table_type)
+    except UnsupportedType:
+        return []
+    fk, tk = _type_kind(f), _type_kind(t)
+    if fk != tk or fk == "leaf":
+        return []
+    fs, ts = nested_child_slots(f), nested_child_slots(t)
+    out: list[str] = []
+    if fk in ("list", "map"):
+        for (fn_, ft), (tn, tt) in zip(fs, ts):
+            out.extend(missing_nested_fields(
+                ft, tt, f"{prefix}.{tn}" if prefix else tn))
+        return out
+    f_map = {n.lower(): ft for n, ft in fs}
+    for tn, tt in ts:
+        path = f"{prefix}.{tn}" if prefix else tn
+        if tn.lower() not in f_map:
+            out.append(path)
+        else:
+            out.extend(missing_nested_fields(f_map[tn.lower()], tt, path))
+    return out
+
+
 def types_compatible(existing_type: str, new_type: str) -> bool:
     """Compatibility = same canonical type or promotable
     (ref: types.rs:402-423). A WKB blob frame appends into a GEOMETRY

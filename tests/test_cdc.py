@@ -42,7 +42,7 @@ class TestTableChanges:
         # (s4, s4] is empty
         df = dl.table_changes("main.users", s4, s4)
         assert df.count() == 0
-        assert df.columns == ["id", "name", "email", "snapshot_id", "change_type"]
+        assert df.columns == ["id", "name", "email", "rowid", "snapshot_id", "change_type"]
 
     def test_invalid_range_rejected(self, dl):
         with pytest.raises(InvalidConfig):
