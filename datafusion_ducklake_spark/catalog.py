@@ -1001,7 +1001,7 @@ class DuckLakeSession:
         r"\)\s*;?\s*$", re.I)
     _SET_OPTION_RE = re.compile(
         r"^\s*CALL\s+ducklake_set_option\s*\(\s*'([^']*)'\s*,\s*"
-        r"(NULL|\d+|'[^']*')\s*"
+        r"(NULL|TRUE|FALSE|\d+|'[^']*')\s*"
         r"((?:,\s*(?:table_name|schema)\s*=>\s*'[^']*'\s*)*)\)\s*;?\s*$",
         re.I)
     _SET_OPTION_SCOPE_RE = re.compile(
@@ -1082,7 +1082,8 @@ class DuckLakeSession:
                 r"(dry_run|cleanup_all)\s*=>\s*(true|false)",
                 m.group(1), re.I)}
             return self._count_df(len(self.cleanup_old_files(
-                dry_run=opts.get("dry_run", False))))
+                dry_run=opts.get("dry_run", False),
+                cleanup_all=opts.get("cleanup_all", False))))
         m = self._SET_OPTION_RE.match(query)
         if m:
             raw = m.group(2)
@@ -2213,7 +2214,8 @@ class DuckLakeSession:
         ``table_name``/``schema`` record a per-table/per-schema override
         (DuckLake scoped settings; corpus: sql/settings/)."""
         from .table_writer import _catalog_writer
-        if key == "delete_older_than" and value is not None:
+        if key in ("delete_older_than", "expire_older_than") \
+                and value is not None:
             self._parse_interval(str(value))   # validate (ref error text)
         scope = scope_id = None
         if table_name is not None:
@@ -2251,6 +2253,15 @@ class DuckLakeSession:
         if self._txn_base is not None:
             raise InvalidConfig(
                 "expire_snapshots inside a transaction is not supported")
+        if older_than is None and versions is None and before is None:
+            # the expire_older_than catalog option supplies the default
+            # retention window (sql/compaction/
+            # expire_snapshot_global_option.test)
+            opt = self.provider.get_option("expire_older_than")
+            delta = self._parse_interval(str(opt)) if opt else None
+            if delta is not None:
+                import datetime as _dt
+                older_than = (_dt.datetime.utcnow() - delta).isoformat()
         if older_than is not None:
             # older_than => NOW() / TIMESTAMP '...' (sql/compaction/
             # expire_snapshots.test): resolve to the matching snapshot
@@ -2291,22 +2302,42 @@ class DuckLakeSession:
             self.refresh()
         return n
 
-    def cleanup_old_files(self, dry_run: bool = False) -> list[str]:
+    def cleanup_old_files(self, dry_run: bool = False,
+                          cleanup_all: bool = False) -> list[str]:
         """Physically delete files no time-travel point can reach (ended
         before the oldest remaining snapshot) and drop their catalog
-        rows — ducklake_cleanup_old_files parity. Returns the deleted
-        (or, with dry_run, deletable) resolved paths."""
+        rows — ducklake_cleanup_old_files parity. The
+        ``delete_older_than`` catalog option is the default retention
+        guard (young expired files are kept for in-flight readers;
+        sql/compaction/cleanup_old_files_global_option.test);
+        ``cleanup_all`` overrides it. Returns the deleted (or, with
+        dry_run, deletable) resolved paths."""
         from .operators.dml import _pyarrow_dest
         from .table_writer import _catalog_writer
         resolver = self.catalog.resolver
+        cutoff = None
+        if not cleanup_all:
+            delta = self._parse_interval(
+                self.provider.get_option("delete_older_than"))
+            if delta is not None:
+                import time
+                cutoff = time.time() - delta.total_seconds()
         writer = _catalog_writer(self)
         try:
             doomed = writer.list_expired_files()
-            paths = []
+            paths, retained = [], False
             for f_path, f_rel, t_path, t_rel, s_path, s_rel in doomed:
                 schema_path = resolver.schema_path(s_path, s_rel)
                 table_path = resolver.table_path(schema_path, t_path, t_rel)
-                paths.append(resolver.file_path(table_path, f_path, f_rel))
+                p = resolver.file_path(table_path, f_path, f_rel)
+                if cutoff is not None:
+                    local = p[len("file://"):] \
+                        if p.startswith("file://") else p
+                    if "://" not in local and os.path.exists(local) \
+                            and os.path.getmtime(local) > cutoff:
+                        retained = True    # young: keep file AND its rows
+                        continue
+                paths.append(p)
             if dry_run:
                 return paths
             for p in paths:
@@ -2317,7 +2348,10 @@ class DuckLakeSession:
                 else:
                     fs, base = _pyarrow_dest(p)
                     fs.delete_file(base)
-            writer.drop_expired_file_rows()
+            if not retained:
+                # retained young files keep their catalog rows so a later
+                # pass (past the retention window) still finds them
+                writer.drop_expired_file_rows()
         finally:
             writer.close()
         self.refresh()
@@ -2429,6 +2463,17 @@ class DuckLakeSession:
             if table_name is not None and \
                     t.table_name != table_name.rsplit(".", 1)[-1]:
                 continue
+            if table_name is None:
+                # scoped auto_compact gates the catalog-wide pass (table
+                # overrides schema overrides global; default true —
+                # sql/compaction/merge_adjacent_global_option.test)
+                smeta = self.provider.get_schema_by_name(schema_name, snap)
+                ac = self.provider.get_scoped_option(
+                    "auto_compact",
+                    smeta.schema_id if smeta else None, t.table_id)
+                if ac is not None and str(ac).strip().lower() in (
+                        "false", "0"):
+                    continue
             if max_compacted_files is not None and \
                     n >= max_compacted_files:
                 break
