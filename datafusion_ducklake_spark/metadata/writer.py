@@ -607,7 +607,8 @@ class CatalogWriter:
 
     def begin_write_transaction(self, schema_name: str, table_name: str,
                                 columns: list[ColumnDef],
-                                mode: WriteMode) -> WriteSetup:
+                                mode: WriteMode,
+                                maintenance: bool = False) -> WriteSetup:
         """One atomic transaction: new snapshot, get-or-create schema and
         table, append-mode schema-evolution check, version the columns,
         Replace⇒end current files (ref: metadata_writer_sqlite.rs:331-470)."""
@@ -762,6 +763,10 @@ class CatalogWriter:
 
             if created_table:
                 labels = [f"created_table:{table_id}"]
+            elif maintenance:
+                # file-layout rewrite, not a data change: CDC skips these
+                # snapshots (operators/cdc.py _compaction_snapshots)
+                labels = [f"compacted_table:{table_id}"]
             elif mode == WriteMode.REPLACE:
                 labels = [f"deleted_from_table:{table_id}",
                           f"inserted_into_table:{table_id}"]

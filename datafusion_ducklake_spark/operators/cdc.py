@@ -62,6 +62,8 @@ def table_changes(session, name: str, start: int, end: int) -> DataFrame:
     spark = session.spark
     added = session.provider.get_data_files_added_between(
         table.meta.table_id, start, end)
+    compacted = _compaction_snapshots(session, table)
+    added = [f for f in added if f.begin_snapshot not in compacted]
     schema = table.spark_schema
     parts = []
 
@@ -93,6 +95,21 @@ def table_changes(session, name: str, start: int, end: int) -> DataFrame:
     if not parts:
         return _empty_cdc(spark, schema)
     return reduce(DataFrame.unionByName, parts)
+
+
+def _compaction_snapshots(session, table) -> set:
+    """Snapshot ids that are file-layout maintenance for this table
+    (compact / merge_adjacent / rewrite_data_files — labeled
+    compacted_table): rewritten files are NOT data changes, so CDC skips
+    them on both the insert and the delete side (upstream table_changes
+    is silent across compaction)."""
+    marker = f"compacted_table:{table.meta.table_id}"
+    try:
+        return {sid for sid, s in
+                session.provider.get_snapshot_changes().items()
+                if marker in (s or "")}
+    except Exception:
+        return set()
 
 
 def _inlined_changes(session, table, start: int, end: int):
@@ -186,6 +203,8 @@ def table_deletions(session, name: str, start: int, end: int) -> DataFrame:
     spark = session.spark
     deltas = session.provider.get_delete_files_added_between(
         table.meta.table_id, start, end)
+    compacted = _compaction_snapshots(session, table)
+    deltas = [d for d in deltas if d.snapshot_id not in compacted]
     schema = table.spark_schema
     inlined = _inlined_deletions(session, table, start, end)
     if not deltas:

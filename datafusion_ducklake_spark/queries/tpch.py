@@ -250,6 +250,11 @@ def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # streams map-side, and only the matched (orderkey, priority) pairs
     # (partial-agg'd map-side) reach the shuffle. Measured min-of-5 at
     # SF1-equivalent: 0.69 s vs 0.80 s for the semi-join formulation.
+    # A q12-style merge hint was A/B'd at SF10/SF3/sf0.1 this round and
+    # measured neutral-to-worse (2.54 vs 2.59 s at SF10; 0.29 vs 0.35 s
+    # at sf0.1) — the quarter filter keeps this side ~30x smaller than
+    # q12's full-orders build, still cheap to broadcast at SF10, so the
+    # adaptive choice stands.
     cond = (li.l_orderkey == orders.o_orderkey) & (
         li.l_shipdate >= orders.o_orderdate + F.expr("INTERVAL 60 DAYS"))
     # single-distinct aggregate: Spark's partial-distinct two-phase plan

@@ -654,7 +654,8 @@ def compact_table(session, name: str, single_file: bool = True,
             "encrypted (fresh rowids)")
     if not handle.files or any(f.row_id_start is None for f in handle.files):
         return create_or_insert(session, name, session.table(name),
-                                mode="overwrite", single_file=single_file)
+                                mode="overwrite", single_file=single_file,
+                                maintenance=True)
 
     if session.provider.get_partition_columns(handle.meta.table_id,
                                               handle.snapshot_id):
@@ -690,7 +691,8 @@ def compact_table(session, name: str, single_file: bool = True,
                 for c in handle.columns]
         schema_name, table_name = session._split(name)
         setup = writer.begin_write_transaction(
-            schema_name, table_name, cols, WriteMode.REPLACE)
+            schema_name, table_name, cols, WriteMode.REPLACE,
+            maintenance=True)
 
         if not runs:          # empty table: just end the old files
             session.refresh()
@@ -879,8 +881,11 @@ def rewrite_file_groups(session, name: str, groups: list,
     tid = handle.meta.table_id
     writer = _catalog_writer(session)
     try:
-        snap = writer.create_snapshot(
-            [f"deleted_from_table:{tid}", f"inserted_into_table:{tid}"])
+        # maintenance marker, not a data change: CDC (operators/cdc.py)
+        # skips compacted_table snapshots so a rewrite never re-reports
+        # rows as inserted/deleted (upstream table_changes is silent
+        # across compaction too)
+        snap = writer.create_snapshot([f"compacted_table:{tid}"])
         if not run_list:
             # every row of every member file was deleted: just end them
             with writer._txn():
@@ -1105,7 +1110,8 @@ def _try_inline_append(session, writer, setup, table_id: int,
 
 def create_or_insert(session, name: str, df: DataFrame, mode: str,
                      single_file: bool = True, if_exists: str = "error",
-                     commit_marker: tuple[str, str] | None = None) -> int:
+                     commit_marker: tuple[str, str] | None = None,
+                     maintenance: bool = False) -> int:
     """Returns the number of rows written (the reference returns a 1-row
     count batch; insert_exec.rs:24-31). ``commit_marker``: a
     (metadata key, value) recorded in the SAME catalog transaction as
@@ -1125,7 +1131,8 @@ def create_or_insert(session, name: str, df: DataFrame, mode: str,
         # 1) one catalog transaction: snapshot + schema/table/columns
         #    (+ end files on overwrite)
         setup = writer.begin_write_transaction(
-            schema_name, table_name, _column_defs(df.schema), write_mode)
+            schema_name, table_name, _column_defs(df.schema), write_mode,
+            maintenance=maintenance)
 
         # 2) stage parquet to the table's data directory (executor-side)
         resolver = session.catalog.resolver
