@@ -227,6 +227,11 @@ def validate_name(name: str, entity: str) -> None:
     if "/" in name or "\\" in name or ".." in name:
         raise InvalidConfig(
             f"{entity} name contains path separators or traversal: {name!r}")
+    if name.startswith("_ducklake_"):
+        # reserved for engine-internal file columns (e.g. the explicit
+        # row_id column UPDATE writes — sources/scan.ROWID_FILE_COL)
+        raise InvalidConfig(
+            f"{entity} name uses the reserved _ducklake_ prefix: {name!r}")
 
 
 class WriteMode(Enum):

@@ -55,6 +55,41 @@ def _resolve(session, name: str, start: int, end: int):
 
 
 def table_changes(session, name: str, start: int, end: int) -> DataFrame:
+    """The FULL change feed in snapshot range (start, end] — the
+    upstream ducklake table_changes surface: inserts (parquet files AND
+    inlined rows), deletions, and UPDATE image pairs. A row whose rowid
+    appears on BOTH sides of one snapshot is an update (rowids are
+    stable through UPDATE — sql/rowid/ducklake_row_id_update.test):
+    its delete half reads ``update_preimage`` and its insert half
+    ``update_postimage``; unpaired rows stay insert/delete. The pairing
+    is a distributed (snapshot_id, rowid) self-join over the bounded
+    change set — no driver materialization."""
+    inserts = _inserted_rows(session, name, start, end)
+    dels = table_deletions(session, name, start, end)
+    pair_keys = (inserts.filter(F.col("rowid").isNotNull())
+                 .select(CDC_SNAPSHOT_COL, "rowid")
+                 .intersect(dels.filter(F.col("rowid").isNotNull())
+                            .select(CDC_SNAPSHOT_COL, "rowid")))
+    mark = pair_keys.withColumn("__upd", F.lit(True))
+
+    def classify(df: DataFrame, paired_label: str) -> DataFrame:
+        return (df.join(F.broadcast(mark), [CDC_SNAPSHOT_COL, "rowid"],
+                        "left")
+                .withColumn(CDC_CHANGE_COL,
+                            F.when(F.col("__upd").isNotNull(),
+                                   F.lit(paired_label))
+                            .otherwise(F.col(CDC_CHANGE_COL)))
+                .drop("__upd"))
+
+    # broadcast is safe: pair keys are bounded by rows UPDATED in the
+    # window; a giant backfill window can disable via AQE (the join
+    # degrades to shuffle when the build side exceeds the threshold —
+    # broadcast() is a hint, not a hard requirement)
+    return (classify(inserts, "update_postimage")
+            .unionByName(classify(dels, "update_preimage")))
+
+
+def _inserted_rows(session, name: str, start: int, end: int) -> DataFrame:
     """Rows inserted in snapshot range (start, end] — parquet files AND
     inlined rows (write-side data inlining registers no data file, so
     the CDC log must read the inlined tables' begin_snapshot too)."""
@@ -76,12 +111,16 @@ def table_changes(session, name: str, start: int, end: int) -> DataFrame:
             uri, encryption_key=f.encryption_key, mapping_id=f.mapping_id,
             mapped_cols=mapped_cols, hive_values=hive_values,
             row_id_start=f.row_id_start))
+    from ..sources.scan import file_has_rowid_column
     for snapshot_id, rfiles in sorted(by_snapshot.items()):
         # scan_table resolves field-id vs name-mapped groups (add_files
         # renames/hive injection) exactly like the live-table scan.
-        # rowid rides along (ref table_functions.rs:86-225 emits it);
+        # rowid rides along (ref table_functions.rs:86-225 emits it):
+        # start+pos, or the in-file column of UPDATE-rewritten files;
         # catalogs predating row_id_start surface NULL rowids.
-        have_rowid = all(rf.row_id_start is not None for rf in rfiles)
+        have_rowid = all(rf.row_id_start is not None
+                         or file_has_rowid_column(rf.data_uri)
+                         for rf in rfiles)
         part = scan_table(spark, schema, rfiles, with_rowid=have_rowid)
         if not have_rowid:
             part = part.withColumn("rowid", F.lit(None).cast("long"))
@@ -239,19 +278,35 @@ def table_deletions(session, name: str, start: int, end: int) -> DataFrame:
 
         mapped_cols, hive_values = table.mapping_transform(
             d.mapping_id, data_uri)
-        data = read_file_with_pos(spark, schema, ResolvedFile(
+        from ..sources.scan import ROWID_FILE_COL, file_has_rowid_column
+        rid_in_file = d.row_id_start is None and d.mapping_id is None \
+            and file_has_rowid_column(data_uri)
+        read_schema = schema
+        if rid_in_file:
+            from pyspark.sql import types as T
+            read_schema = T.StructType(
+                list(schema.fields)
+                + [T.StructField(ROWID_FILE_COL, T.LongType(), True)])
+        data = read_file_with_pos(spark, read_schema, ResolvedFile(
             data_uri, mapping_id=d.mapping_id,
             mapped_cols=mapped_cols, hive_values=hive_values))
         # No forced broadcast: `newly` can approach record_count rows for a
         # large delete (a 10 GB delta would be shipped to every executor).
         # AQE downgrades the shuffle join to broadcast when it IS small —
         # same policy as the grouped dirty scan (scan.py).
-        rowid = (F.lit(d.row_id_start) + F.col(POS_COL)).cast("long") \
-            if d.row_id_start is not None else F.lit(None).cast("long")
+        if rid_in_file:
+            rowid = F.col(ROWID_FILE_COL)
+        elif d.row_id_start is not None:
+            rowid = (F.lit(d.row_id_start) + F.col(POS_COL)).cast("long")
+        else:
+            rowid = F.lit(None).cast("long")
+        part = (data.join(newly, POS_COL, "left_semi")
+                .withColumn("rowid", rowid)
+                .drop(POS_COL))
+        if rid_in_file:
+            part = part.drop(ROWID_FILE_COL)
         parts.append(
-            data.join(newly, POS_COL, "left_semi")
-            .withColumn("rowid", rowid)
-            .drop(POS_COL)
+            part
             .withColumn(CDC_SNAPSHOT_COL, F.lit(d.snapshot_id).cast("long"))
             .withColumn(CDC_CHANGE_COL, F.lit("delete")))
     if inlined is not None:

@@ -21,8 +21,12 @@ Scale shape (100 TB discipline):
   capable) and returns a ONE-ROW manifest. Only the manifest reaches the
   driver (O(touched files), never O(rows)).
 - register: one snapshot carries the delete registrations plus any
-  appended data files (UPDATE/MERGE rewrite rows as new appends, the
-  DuckLake update contract: delete + insert with fresh rowids).
+  appended data files. UPDATE keeps rowids STABLE (the DuckLake
+  contract, sql/rowid/ducklake_row_id_update.test): rewritten rows carry
+  their original ids as the reserved in-file rowid column and the new
+  file registers with row_id_start NULL; MERGE and non-preservable
+  tables (encrypted, foreign fixtures without starts) append with fresh
+  ids.
 """
 
 from __future__ import annotations
@@ -87,17 +91,54 @@ def _match_inlined(handle, condition, using: Optional[DataFrame] = None,
     return base.filter(_as_condition(condition))
 
 
-def _live_with_filepos(session, handle) -> DataFrame:
+def rowids_preservable(handle) -> bool:
+    """True when every live parquet file can yield exact rowids (a
+    catalog row_id_start, or the explicit in-file row_id column of an
+    UPDATE-rewritten file) — the precondition for keeping rowids stable
+    through UPDATE (sql/rowid/ducklake_row_id_update.test)."""
+    from ..sources.scan import file_has_rowid_column
+    for f in handle.files:
+        if f.encryption_key is not None:
+            return False    # PME rewrite path renumbers (documented)
+        if f.row_id_start is None and not file_has_rowid_column(f.data_uri):
+            return False
+    return True
+
+
+def _live_with_filepos(session, handle, with_rowid: bool = False
+                       ) -> DataFrame:
     """The table's LIVE rows (existing deletes applied) with the data file
     basename and file-local position attached. PARQUET rows only — callers
-    handle inlined rows via _match_inlined."""
+    handle inlined rows via _match_inlined. ``with_rowid`` (callers must
+    have checked rowids_preservable) additionally attaches each row's
+    exact rowid: start+pos for catalog-started files, the in-file column
+    for UPDATE-rewritten ones."""
+    from ..sources.scan import ROWID_FILE_COL, file_has_rowid_column
     _configure_fieldid_read(session.spark)
     files = handle.files
     encd = [f for f in files if f.encryption_key is not None]
     files = [f for f in files if f.encryption_key is None]
+    ridcol = [f for f in files if with_rowid and f.row_id_start is None
+              and f.mapped_cols is None
+              and file_has_rowid_column(f.data_uri)]
+    _ridcol_uris = {f.data_uri for f in ridcol}
+    files = [f for f in files if f.data_uri not in _ridcol_uris]
     plain = [f for f in files if f.mapped_cols is None]
     mapped = [f for f in files if f.mapped_cols is not None]
     parts = []
+    if ridcol:
+        from pyspark.sql import types as T
+        rid_schema = T.StructType(
+            list(handle.spark_schema.fields)
+            + [T.StructField(ROWID_FILE_COL, T.LongType(), True)])
+        df = _read_parquet(session.spark, rid_schema,
+                           [f.data_uri for f in ridcol])
+        parts.append(df.withColumnRenamed(ROWID_FILE_COL, "__rid_file")
+                     .withColumn(
+                         FILE_COL,
+                         F.element_at(F.split(
+                             F.col("_metadata.file_path"), "/"), -1))
+                     .withColumn(POS_COL, F.col("_metadata.row_index")))
     if encd:
         # encrypted data files: executor-side PME decode with positions
         # (sql/encryption/ corpus — DELETE over an ENCRYPTED catalog)
@@ -161,9 +202,31 @@ def _live_with_filepos(session, handle) -> DataFrame:
         empty_schema = T.StructType(
             list(handle.spark_schema.fields)
             + [T.StructField(FILE_COL, T.StringType(), True),
-               T.StructField(POS_COL, T.LongType(), True)])
+               T.StructField(POS_COL, T.LongType(), True)]
+            + ([T.StructField("rowid", T.LongType(), True)]
+               if with_rowid else []))
         return session.spark.createDataFrame([], empty_schema)
-    scanned = reduce(DataFrame.unionByName, parts)
+    scanned = reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), parts) \
+        if with_rowid else reduce(DataFrame.unionByName, parts)
+    if with_rowid:
+        if "__rid_file" not in scanned.columns:
+            scanned = scanned.withColumn("__rid_file",
+                                         F.lit(None).cast("long"))
+        starts = [(f.data_uri.rsplit("/", 1)[-1], f.row_id_start)
+                  for f in plain + mapped if f.row_id_start is not None]
+        if starts:
+            smap = session.spark.createDataFrame(
+                starts, f"{FILE_COL} STRING, __rid_start LONG")
+            scanned = scanned.join(F.broadcast(smap), FILE_COL, "left")
+        else:
+            scanned = scanned.withColumn("__rid_start",
+                                         F.lit(None).cast("long"))
+        scanned = (scanned.withColumn(
+            "rowid",
+            F.coalesce(F.col("__rid_file"),
+                       (F.col("__rid_start") + F.col(POS_COL)).cast("long")))
+            .drop("__rid_file", "__rid_start"))
     dels = _existing_deletes(session, handle)
     if dels is None:
         return scanned
@@ -338,7 +401,8 @@ def _register_deletes(writer, handle, snapshot_id: int, manifest) -> None:
 
 
 def _stage_append(session, handle, df: DataFrame,
-                  single_file: bool = True) -> list:
+                  single_file: bool = True,
+                  include_rowid: bool = False) -> list:
     """Write df's rows as finalized parquet in the table dir WITHOUT
     registering them (mirrors table_writer.create_or_insert step 2); the
     returned [(name, size, footer, count, pvals|None)] carries the row
@@ -356,9 +420,23 @@ def _stage_append(session, handle, df: DataFrame,
     data_cols = [c.column_name for c in handle.columns]
     column_ids = [c.column_id for c in handle.columns]
     not_null = [c.column_name for c in handle.columns if not c.nulls_allowed]
-    out = _with_field_ids(
-        _enforce_not_null(df.select(*data_cols), not_null), column_ids,
-        [dict(c.nested_ids or ()) for c in handle.columns])
+    if include_rowid:
+        # UPDATE rewrite keeping original rowids: the ROWID_FILE_COL
+        # rides into the parquet (no field id — resolved by its reserved
+        # name) and the file registers with row_id_start NULL
+        from ..sources.scan import ROWID_FILE_COL
+        from ..table_writer import _with_field_ids_partial
+        out = _with_field_ids_partial(
+            _enforce_not_null(
+                df.select(*data_cols,
+                          F.col("rowid").cast("long")
+                          .alias(ROWID_FILE_COL)), not_null),
+            data_cols, column_ids,
+            [dict(c.nested_ids or ()) for c in handle.columns])
+    else:
+        out = _with_field_ids(
+            _enforce_not_null(df.select(*data_cols), not_null), column_ids,
+            [dict(c.nested_ids or ()) for c in handle.columns])
     if single_file:
         out = out.coalesce(1)
     session.spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
@@ -410,9 +488,11 @@ def _stage_append(session, handle, df: DataFrame,
 
 
 def _register_append(session, writer, snapshot_id: int, handle,
-                     staged: list) -> int:
+                     staged: list, rowid_in_file: bool = False) -> int:
     """Register staged files into an EXISTING snapshot (so UPDATE/MERGE
-    record their delete + insert halves atomically)."""
+    record their delete + insert halves atomically). ``rowid_in_file``:
+    the files carry their rowids as the reserved column — register with
+    row_id_start NULL (the DuckLake stable-rowid-update convention)."""
     data_cols = [c.column_name for c in handle.columns]
     column_ids = [c.column_id for c in handle.columns]
     table_path = handle.table_path
@@ -426,7 +506,8 @@ def _register_append(session, writer, snapshot_id: int, handle,
             handle.meta.table_id, snapshot_id,
             DataFileInfo(path=final_name, path_is_relative=True,
                          file_size_bytes=size, footer_size=footer,
-                         record_count=count, row_id_start=next_rowid,
+                         record_count=count,
+                         row_id_start=None if rowid_in_file else next_rowid,
                          encryption_key=enc_key))
         if pvals:
             writer.register_file_partition_values(
@@ -477,8 +558,9 @@ def update_rows(session, name: str, assignments: dict,
                 from_df: Optional[DataFrame] = None,
                 target_alias: Optional[str] = None) -> int:
     """UPDATE name SET assignments [FROM from_df] WHERE condition — MOR
-    delete of the matched positions + append of the rewritten rows
-    (fresh rowids, the DuckLake update contract). ``assignments``:
+    delete of the matched positions + append of the rewritten rows,
+    KEEPING their rowids whenever every live file can yield exact ids
+    (the DuckLake stable-rowid contract). ``assignments``:
     column -> SQL expr string or Column, evaluated over the matched rows
     (with ``from_df``, over the join — so they may reference the source;
     a target row matching MULTIPLE source rows is rejected as ambiguous,
@@ -498,7 +580,13 @@ def update_rows(session, name: str, assignments: dict,
         inl = _match_inlined(handle, condition)
     inl_ids = [int(r["rowid"]) for r in inl.select("rowid").collect()] \
         if inl is not None else []
-    live = _live_with_filepos(session, handle)
+    # rowid stability through UPDATE (sql/rowid/ducklake_row_id_update.
+    # test): when every live file can yield exact rowids, the rewritten
+    # rows keep them — written as the reserved in-file rowid column,
+    # registered with row_id_start NULL. Otherwise (encrypted / foreign
+    # fixtures without starts) the legacy fresh-rowid path applies.
+    keep_rowids = rowids_preservable(handle)
+    live = _live_with_filepos(session, handle, with_rowid=keep_rowids)
     # Persist the matched set for the DML's duration: both halves (the
     # delete-position write and the rewrite append) consume it, and the
     # cache bounds the live scan + predicate to ONE execution. Size is
@@ -528,25 +616,28 @@ def update_rows(session, name: str, assignments: dict,
         # the join output may carry same-named source columns
         ref = (lambda c: F.col(f"{target_alias}.{c}")) \
             if from_df is not None and target_alias else F.col
-        updated = matched.select(*[
-            (F.expr(assignments[c]) if isinstance(assignments[c], str)
-             else assignments[c]).cast(types[c]).alias(c)
-            if c in assignments else ref(c).alias(c)
-            for c in data_cols])
+        updated = matched.select(*(
+            [(F.expr(assignments[c]) if isinstance(assignments[c], str)
+              else assignments[c]).cast(types[c]).alias(c)
+             if c in assignments else ref(c).alias(c)
+             for c in data_cols]
+            + ([ref("rowid").alias("rowid")] if keep_rowids else [])))
         if inl_ids:
             # updated versions of the matched inlined rows append through
-            # the normal parquet path (fresh rowids — the DuckLake
-            # update-as-delete+insert contract); the old inlined rows
-            # MVCC-end in the same snapshot
-            inl_updated = inl.select(*[
-                (F.expr(assignments[c]) if isinstance(assignments[c], str)
-                 else assignments[c]).cast(types[c]).alias(c)
-                if c in assignments else F.col(c).alias(c)
-                for c in data_cols])
+            # the normal parquet path; with keep_rowids their ORIGINAL
+            # inlined rowids ride along, else fresh ids; the old inlined
+            # rows MVCC-end in the same snapshot either way
+            inl_updated = inl.select(*(
+                [(F.expr(assignments[c]) if isinstance(assignments[c], str)
+                  else assignments[c]).cast(types[c]).alias(c)
+                 if c in assignments else F.col(c).alias(c)
+                 for c in data_cols]
+                + ([F.col("rowid")] if keep_rowids else [])))
             updated = updated.unionByName(inl_updated)
         n_matched, _ = _delete_and_append(
             session, handle, matched.select(FILE_COL, POS_COL), updated,
-            append_only_if_matched=True, inlined_row_ids=inl_ids)
+            append_only_if_matched=True, inlined_row_ids=inl_ids,
+            rowid_in_file=keep_rowids)
         return n_matched
     finally:
         cached.unpersist()
@@ -655,7 +746,8 @@ def merge_rows(session, target: str, source: DataFrame, on: list[str],
 def _delete_and_append(session, handle, matched_pos: DataFrame,
                        appended: Optional[DataFrame],
                        append_only_if_matched: bool = False,
-                       inlined_row_ids: Optional[list] = None
+                       inlined_row_ids: Optional[list] = None,
+                       rowid_in_file: bool = False
                        ) -> tuple[int, int]:
     """Shared tail: write cumulative delete files for the matched
     positions, append rewritten/new rows, register everything in ONE
@@ -684,7 +776,8 @@ def _delete_and_append(session, handle, matched_pos: DataFrame,
 
     staged = []
     if appended is not None and (n_matched > 0 or not append_only_if_matched):
-        staged = _stage_append(session, handle, appended)
+        staged = _stage_append(session, handle, appended,
+                               include_rowid=rowid_in_file)
     n_append = sum(t[3] for t in staged)
 
     if n_matched == 0 and n_append == 0:
@@ -702,7 +795,8 @@ def _delete_and_append(session, handle, matched_pos: DataFrame,
             # inlined rows directly, no flush)
             writer.delete_inlined_rows(tid, snapshot_id, inlined_row_ids)
         if staged:
-            _register_append(session, writer, snapshot_id, handle, staged)
+            _register_append(session, writer, snapshot_id, handle, staged,
+                             rowid_in_file=rowid_in_file)
     finally:
         writer.close()
     session.refresh()

@@ -176,7 +176,7 @@ def _build_dml_catalog(spark: SparkSession, sf_dir: str) -> str:
     from ..catalog import DuckLakeSession
     from ..metadata.writer import CatalogWriter
 
-    tag = hashlib.md5((sf_dir + "/dml-v1").encode()).hexdigest()[:10]
+    tag = hashlib.md5((sf_dir + "/dml-v2").encode()).hexdigest()[:10]
     root = os.path.join(tempfile.gettempdir(), f"ducklake_dml_{tag}")
     db = os.path.join(root, "catalog.sqlite")
     done = os.path.join(root, ".done")
@@ -225,20 +225,17 @@ GROUP BY o_orderstatus
 
 
 def ducklake_cdc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC read path in the gate: table_changes (inserts) + table_deletions
-    (newly-deleted rows, superseding-delete delta math) over the DML
-    catalog's full history — CTAS insert, MOR delete, update rewrite.
-    The oracle recomputes every change cohort from the base table."""
+    """CDC read path in the gate: the FULL table_changes feed (upstream
+    surface — inserts, deletions, rowid-paired update image pairs) over
+    the DML catalog's history: CTAS insert, MOR delete, update rewrite
+    (which keeps rowids, so the update snapshot classifies as
+    update_preimage/update_postimage pairs). The oracle recomputes every
+    change cohort from the base table."""
     from ..catalog import DuckLakeSession
     dl = DuckLakeSession(spark, _build_dml_catalog(spark, sf_dir))
     cur = dl.provider.get_current_snapshot()
-    ins = dl.table_changes("main.dml_orders", 0, cur)
-    dels = dl.table_deletions("main.dml_orders", 0, cur)
-    both = (ins.select(F.lit("insert").alias("change"), "o_totalprice")
-            .unionByName(
-                dels.select(F.lit("delete").alias("change"),
-                            "o_totalprice")))
-    return (both.groupBy("change")
+    feed = dl.table_changes("main.dml_orders", 0, cur)
+    return (feed.groupBy(F.col("change_type").alias("change"))
             .agg(F.count(F.lit(1)).alias("n"),
                  dsum("o_totalprice").alias("sum_price")))
 
@@ -249,18 +246,24 @@ WITH base AS (
          o_totalprice AS p
   FROM orders)
 SELECT 'insert' AS change,
-  (SELECT COUNT(*) FROM base)
-    + (SELECT COUNT(*) FROM base WHERE isF AND NOT is7) AS n,
-  CAST((SELECT SUM(CAST(p AS DECIMAL(38,6))) FROM base)
-    + (SELECT SUM(CAST(p * 2 AS DECIMAL(38,6)))
-       FROM base WHERE isF AND NOT is7) AS DOUBLE) AS sum_price
+  (SELECT COUNT(*) FROM base) AS n,
+  CAST((SELECT SUM(CAST(p AS DECIMAL(38,6))) FROM base) AS DOUBLE)
+    AS sum_price
 UNION ALL
 SELECT 'delete',
-  (SELECT COUNT(*) FROM base WHERE is7)
-    + (SELECT COUNT(*) FROM base WHERE isF AND NOT is7),
+  (SELECT COUNT(*) FROM base WHERE is7),
   CAST((SELECT SUM(CAST(p AS DECIMAL(38,6))) FROM base WHERE is7)
-    + (SELECT SUM(CAST(p AS DECIMAL(38,6)))
-       FROM base WHERE isF AND NOT is7) AS DOUBLE)
+    AS DOUBLE)
+UNION ALL
+SELECT 'update_preimage',
+  (SELECT COUNT(*) FROM base WHERE isF AND NOT is7),
+  CAST((SELECT SUM(CAST(p AS DECIMAL(38,6)))
+        FROM base WHERE isF AND NOT is7) AS DOUBLE)
+UNION ALL
+SELECT 'update_postimage',
+  (SELECT COUNT(*) FROM base WHERE isF AND NOT is7),
+  CAST((SELECT SUM(CAST(p * 2 AS DECIMAL(38,6)))
+        FROM base WHERE isF AND NOT is7) AS DOUBLE)
 """
 
 

@@ -62,6 +62,13 @@ MAX_HIVE_VALUE_BRANCHES = 32
 POS_COL = "__ducklake_pos"
 PATH_COL = "__ducklake_path"
 
+# Explicit per-row id column inside a data file (DuckLake: a data file
+# registered with row_id_start NULL carries its row ids as a column —
+# how UPDATE keeps rowids stable; corpus: sql/rowid/
+# ducklake_row_id_update.test). Reserved name, never a user column
+# (metadata/writer.validate_name rejects the prefix).
+ROWID_FILE_COL = "_ducklake_row_id"
+
 
 def _with_path(df: DataFrame) -> DataFrame:
     return df.withColumn(PATH_COL, F.col("_metadata.file_path"))
@@ -153,7 +160,29 @@ def _schema_has_nested_ids(schema: T.StructType) -> bool:
 
 
 _FIELD_ID_CACHE: dict[str, str] = {}
+_ROWID_COL_CACHE: dict[str, bool] = {}
 PROBE_COUNT = 0  # test hook: number of actual footer reads performed
+
+
+def file_has_rowid_column(uri: str) -> bool:
+    """Footer probe (cached per path): does this data file carry the
+    explicit ROWID_FILE_COL? Only consulted for files registered with
+    row_id_start NULL — the DuckLake convention for UPDATE-rewritten
+    files; a NULL-start file WITHOUT the column keeps the targeted
+    rowid-scan error."""
+    if uri in _ROWID_COL_CACHE:
+        return _ROWID_COL_CACHE[uri]
+    path = uri[len("file://"):] if uri.startswith("file://") else uri
+    if "://" in path:
+        return True     # object store: trust the registration convention
+    try:
+        import pyarrow.parquet as pq
+        has = ROWID_FILE_COL in pq.read_schema(path).names
+    except Exception:
+        has = False
+    _ROWID_COL_CACHE[path if path != uri else uri] = has
+    _ROWID_COL_CACHE[uri] = has
+    return has
 
 
 def _field_id_level(uri: str) -> str:
@@ -527,17 +556,28 @@ def _scan_with_rowid(spark: SparkSession, schema: T.StructType,
     from ..errors import InvalidConfig
     parts = []
     for idx, f in enumerate(files):
-        if f.row_id_start is None and not with_virtual:
+        rowid_in_file = f.row_id_start is None and \
+            file_has_rowid_column(f.data_uri)
+        if f.row_id_start is None and not rowid_in_file and not with_virtual:
             raise InvalidConfig(
                 f"rowid scan requires row_id_start in the catalog for every "
                 f"data file (missing for {f.data_uri})")
         _check_local_exists(f.data_uri)
-        data = _with_pos(_read_parquet(spark, schema, [f.data_uri]))
+        if rowid_in_file:
+            # row_id_start NULL ⇒ the file carries its ids as a column
+            # (UPDATE-rewritten rows keep their original rowids)
+            rid_schema = T.StructType(
+                list(schema.fields)
+                + [T.StructField(ROWID_FILE_COL, T.LongType(), True)])
+            data = _with_pos(_read_parquet(spark, rid_schema, [f.data_uri]))
+            data = data.withColumnRenamed(ROWID_FILE_COL, "rowid")
+        else:
+            data = _with_pos(_read_parquet(spark, schema, [f.data_uri]))
         if f.row_id_start is not None:
             data = data.withColumn(
                 "rowid",
                 (F.lit(f.row_id_start) + F.col(POS_COL)).cast("long"))
-        elif with_virtual:
+        elif with_virtual and not rowid_in_file:
             data = data.withColumn("rowid", F.lit(None).cast("long"))
         if with_virtual:
             data = (data

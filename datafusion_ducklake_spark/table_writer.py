@@ -653,6 +653,14 @@ def compact_table(session, name: str, single_file: bool = True,
             "supported — compact(preserve_rowids=False) rewrites "
             "encrypted (fresh rowids)")
     if not handle.files or any(f.row_id_start is None for f in handle.files):
+        from .operators.dml import rowids_preservable
+        if handle.files and rowids_preservable(handle):
+            # UPDATE-rewritten files carry their rowids as the reserved
+            # in-file column — compact preserves them by carrying the
+            # column through the rewrite (run-carving needs contiguous
+            # start-based ranges, which such tables no longer have)
+            return _compact_rowid_column(session, name, handle,
+                                         single_file=single_file)
         return create_or_insert(session, name, session.table(name),
                                 mode="overwrite", single_file=single_file,
                                 maintenance=True)
@@ -737,6 +745,34 @@ def compact_table(session, name: str, single_file: bool = True,
         return n_rows
     finally:
         writer.close()
+
+
+def _compact_rowid_column(session, name: str, handle,
+                          single_file: bool = True) -> int:
+    """Compact a table whose files carry explicit in-file rowids: scan
+    live rows WITH rowid, rewrite them keeping the reserved column, and
+    register the outputs with row_id_start NULL in one maintenance
+    Replace snapshot — rowids stay stable through compaction exactly as
+    through the UPDATE that created them."""
+    from .operators.dml import _register_append, _stage_append
+    df = session.table(name, with_rowid=True)
+    schema_name, table_name = session._split(name)
+    writer = _catalog_writer(session)
+    try:
+        cols = [ColumnDef(c.column_name, c.column_type, c.nulls_allowed,
+                          c.initial_default, c.default_value)
+                for c in handle.columns]
+        setup = writer.begin_write_transaction(
+            schema_name, table_name, cols, WriteMode.REPLACE,
+            maintenance=True)
+        staged = _stage_append(session, handle, df,
+                               single_file=single_file, include_rowid=True)
+        n = _register_append(session, writer, setup.snapshot_id, handle,
+                             staged, rowid_in_file=True)
+    finally:
+        writer.close()
+    session.refresh()
+    return n
 
 
 def _insert_encrypted(session, writer, setup, table_meta, table_path,

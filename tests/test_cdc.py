@@ -24,12 +24,16 @@ def dl(spark, fx):
 
 class TestTableChanges:
     def test_all_inserts(self, dl, fx):
+        # full-feed surface (upstream table_changes): inserts AND deletes;
+        # the fixture's two delete snapshots appear as delete events
         s1, s2, s3, s4 = fx["snapshots"]
         df = dl.table_changes("main.users", 0, s4)
         rows = sorted((r["id"], r["snapshot_id"], r["change_type"])
                       for r in df.collect())
-        assert rows == [(1, s1, "insert"), (2, s1, "insert"), (3, s1, "insert"),
-                        (4, s1, "insert"), (5, s2, "insert"), (6, s2, "insert")]
+        assert rows == [(1, s1, "insert"), (2, s1, "insert"),
+                        (2, s3, "delete"), (3, s1, "insert"),
+                        (4, s1, "insert"), (4, s4, "delete"),
+                        (5, s2, "insert"), (6, s2, "insert")]
 
     def test_range_excludes_start_includes_end(self, dl, fx):
         s1, s2, _, _ = fx["snapshots"]
@@ -42,7 +46,8 @@ class TestTableChanges:
         # (s4, s4] is empty
         df = dl.table_changes("main.users", s4, s4)
         assert df.count() == 0
-        assert df.columns == ["id", "name", "email", "rowid", "snapshot_id", "change_type"]
+        assert sorted(df.columns) == sorted(
+            ["id", "name", "email", "rowid", "snapshot_id", "change_type"])
 
     def test_invalid_range_rejected(self, dl):
         with pytest.raises(InvalidConfig):
