@@ -186,7 +186,8 @@ def stream_inserts(session, name: str, mode: str = "catalog") -> DataFrame:
 def replay_changes(session, name: str, start: int, end: int,
                    batch_fn: Callable[[DataFrame, int], None],
                    step: int = 1) -> int:
-    """Replay the CDC insert log snapshot-by-snapshot: calls
+    """Replay the FULL CDC feed (inserts + deletes + update image
+    pairs — operators/cdc.table_changes) snapshot-by-snapshot: calls
     ``batch_fn(batch_df, snapshot_id)`` for each snapshot range chunk in
     (start, end], in commit order — the deterministic backfill path.
     Returns the number of non-empty batches delivered."""
