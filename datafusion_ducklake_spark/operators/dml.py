@@ -674,7 +674,11 @@ def merge_rows(session, target: str, source: DataFrame, on: list[str],
         if k not in source.columns:
             raise InvalidConfig(f"merge: key {k!r} not in source columns")
 
-    live = _live_with_filepos(session, handle)
+    # MERGE's update half keeps rowids like plain UPDATE (stable-rowid
+    # contract); its insert half appends separately with fresh ids
+    keep_rowids = when_matched_update is not None \
+        and rowids_preservable(handle)
+    live = _live_with_filepos(session, handle, with_rowid=keep_rowids)
     # Persist source and the joined match set: the source feeds two
     # structurally distinct joins (inner match + left-anti insert probe)
     # and the match set feeds both DML halves — caching bounds each to
@@ -688,19 +692,21 @@ def merge_rows(session, target: str, source: DataFrame, on: list[str],
         counts = {"updated": 0, "deleted": 0, "inserted": 0}
         matched_pos = joined.select(F.col(f"tgt.{FILE_COL}").alias(FILE_COL),
                                     F.col(f"tgt.{POS_COL}").alias(POS_COL))
-        appended = None
+        appended, fresh = None, None
         if when_matched_update == "source":
             when_matched_update = {c: f"src.{c}" for c in data_cols
                                    if c in source.columns and c not in on}
         types = {f.name: f.dataType for f in handle.spark_schema.fields}
         update_mode = when_matched_update is not None
         if update_mode:
-            rewritten = joined.select(*[
-                (F.expr(when_matched_update[c])
-                 if isinstance(when_matched_update[c], str)
-                 else when_matched_update[c]).cast(types[c]).alias(c)
-                if c in when_matched_update else F.col(f"tgt.{c}")
-                for c in data_cols])
+            rewritten = joined.select(*(
+                [(F.expr(when_matched_update[c])
+                  if isinstance(when_matched_update[c], str)
+                  else when_matched_update[c]).cast(types[c]).alias(c)
+                 if c in when_matched_update else F.col(f"tgt.{c}")
+                 for c in data_cols]
+                + ([F.col("tgt.rowid").alias("rowid")]
+                   if keep_rowids else [])))
             appended = rewritten
         elif not when_matched_delete:
             matched_pos = matched_pos.limit(0)
@@ -723,11 +729,15 @@ def merge_rows(session, target: str, source: DataFrame, on: list[str],
                         f"{missing}")
                 fresh = unmatched.select(
                     *[F.col(c).cast(types[c]).alias(c) for c in data_cols])
-            appended = fresh if appended is None \
-                else appended.unionByName(fresh)
+            if appended is None or not keep_rowids:
+                appended = fresh if appended is None \
+                    else appended.unionByName(fresh)
+                fresh = None
 
-        n_matched, n_append = _delete_and_append(session, handle,
-                                                 matched_pos, appended)
+        n_matched, n_append = _delete_and_append(
+            session, handle, matched_pos, appended,
+            rowid_in_file=keep_rowids,
+            appended_fresh=fresh if keep_rowids else None)
         # updated rows re-append 1:1 with matched positions, so the
         # append total splits into (updated = matched) + inserts
         if update_mode:
@@ -747,7 +757,8 @@ def _delete_and_append(session, handle, matched_pos: DataFrame,
                        appended: Optional[DataFrame],
                        append_only_if_matched: bool = False,
                        inlined_row_ids: Optional[list] = None,
-                       rowid_in_file: bool = False
+                       rowid_in_file: bool = False,
+                       appended_fresh: Optional[DataFrame] = None
                        ) -> tuple[int, int]:
     """Shared tail: write cumulative delete files for the matched
     positions, append rewritten/new rows, register everything in ONE
@@ -774,11 +785,16 @@ def _delete_and_append(session, handle, matched_pos: DataFrame,
     n_matched = sum(int(r["new_count"]) for r in manifest) \
         + len(inlined_row_ids or [])
 
-    staged = []
+    staged, staged_fresh = [], []
     if appended is not None and (n_matched > 0 or not append_only_if_matched):
         staged = _stage_append(session, handle, appended,
                                include_rowid=rowid_in_file)
-    n_append = sum(t[3] for t in staged)
+    if appended_fresh is not None:
+        # MERGE's insert half: fresh rows in their own files so the
+        # update half's rowid-column files stay pure (every row of a
+        # rowid-column file must carry an id)
+        staged_fresh = _stage_append(session, handle, appended_fresh)
+    n_append = sum(t[3] for t in staged) + sum(t[3] for t in staged_fresh)
 
     if n_matched == 0 and n_append == 0:
         return 0, 0                    # no snapshot for a no-op DML
@@ -786,7 +802,8 @@ def _delete_and_append(session, handle, matched_pos: DataFrame,
     try:
         tid = handle.meta.table_id
         labels = ([f"deleted_from_table:{tid}"] if n_matched else []) + \
-                 ([f"inserted_into_table:{tid}"] if staged else [])
+                 ([f"inserted_into_table:{tid}"]
+                  if staged or staged_fresh else [])
         snapshot_id = writer.create_snapshot(labels)
         _register_deletes(writer, handle, snapshot_id, manifest)
         if inlined_row_ids:
@@ -797,6 +814,9 @@ def _delete_and_append(session, handle, matched_pos: DataFrame,
         if staged:
             _register_append(session, writer, snapshot_id, handle, staged,
                              rowid_in_file=rowid_in_file)
+        if staged_fresh:
+            _register_append(session, writer, snapshot_id, handle,
+                             staged_fresh)
     finally:
         writer.close()
     session.refresh()
