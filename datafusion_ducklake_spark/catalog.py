@@ -151,7 +151,8 @@ class DuckLakeTable:
                 it, names, self.snapshot_id))
         return rows
 
-    def _inlined_df(self, with_rowid: bool) -> Optional[DataFrame]:
+    def _inlined_df(self, with_rowid: bool,
+                    with_snapshot: bool = False) -> Optional[DataFrame]:
         """Inlined rows as a DataFrame matching the scan schema, or None.
         Driver-side materialization is the right shape here: inlining is
         BY DESIGN bounded to a handful of rows per insert (the row-limit
@@ -191,6 +192,12 @@ class DuckLakeTable:
             schema = StructType(list(schema.fields) + [
                 StructField("rowid", LongType(), True)])
             data = [d + (int(r[0]),) for d, r in zip(data, rows)]
+        if with_snapshot:
+            # trailing begin_snapshot from get_inlined_rows — per-row
+            # insertion snapshot (flush preserves it in-file)
+            schema = StructType(list(schema.fields) + [
+                StructField("__begin_snapshot", LongType(), True)])
+            data = [d + (int(r[-1]),) for d, r in zip(data, rows)]
         return self.spark.createDataFrame(data, schema)
 
     def to_df(self, with_rowid: bool = False,
@@ -742,19 +749,37 @@ class DuckLakeSession:
     # SQL-callable CDC (A14 parity with table_functions.rs:86-225): the
     # call site is resolved at plan time to the SAME vectorized DataFrame
     # the Python API plans (parquet scan + position algebra) — no
-    # row-yielding UDTF in the data path. Constant arguments only.
+    # row-yielding UDTF in the data path. Constant arguments only; a
+    # bound is a snapshot id, a DATE/TIMESTAMP literal, a bare quoted
+    # timestamp string, or now() (upstream accepts time bounds —
+    # table_changes/ducklake_lower_timestamp.test).
+    _CDC_BOUND = (r"(\d+|(?:DATE|TIMESTAMP)?\s*'[^']*'|NOW\s*\(\s*\))")
     _CDC_CALL = re.compile(
-        r"ducklake_table_(changes|deletions)\(\s*'([^']+)'\s*,"
-        r"\s*(\d+)\s*,\s*(\d+)\s*\)", re.IGNORECASE)
+        r"ducklake_table_(changes|deletions|insertions)\(\s*'([^']+)'\s*,"
+        r"\s*" + _CDC_BOUND + r"\s*,\s*" + _CDC_BOUND + r"\s*\)",
+        re.IGNORECASE)
+
+    def _parse_cdc_bound(self, raw: str):
+        raw = raw.strip()
+        if raw.isdigit():
+            return int(raw)
+        if raw.upper().replace(" ", "").startswith("NOW("):
+            return self.provider.get_current_snapshot()
+        return re.sub(r"^(?:DATE|TIMESTAMP)\s*", "", raw,
+                      flags=re.I).strip("'")
 
     def _resolve_cdc_calls(self, query: str) -> str:
         def sub(m: "re.Match[str]") -> str:
             kind = m.group(1).lower()
-            tbl, start, end = m.group(2), int(m.group(3)), int(m.group(4))
-            df = (self.table_changes(tbl, start, end) if kind == "changes"
-                  else self.table_deletions(tbl, start, end))
+            tbl = m.group(2)
+            start = self._parse_cdc_bound(m.group(3))
+            end = self._parse_cdc_bound(m.group(4))
+            df = {"changes": self.table_changes,
+                  "deletions": self.table_deletions,
+                  "insertions": self.table_insertions}[kind](tbl, start, end)
             view = (f"__ducklake_{kind}_"
-                    f"{re.sub(r'[^A-Za-z0-9_]', '_', tbl)}_{start}_{end}")
+                    + re.sub(r"[^A-Za-z0-9_]", "_",
+                             f"{tbl}_{start}_{end}"))
             df.createOrReplaceTempView(view)
             return view
 
@@ -1773,13 +1798,29 @@ class DuckLakeSession:
         register_sql_functions(self)
         self._sql_fns_registered = True
 
-    def table_changes(self, name: str, start: int, end: int) -> DataFrame:
-        from .operators.cdc import table_changes
-        return table_changes(self, name, start, end)
+    def table_changes(self, name: str, start, end) -> DataFrame:
+        """Full CDC feed in (start, end]. Bounds are snapshot ids, or
+        datetime/date/ISO-string points in time resolved against the
+        snapshot log (catalog clock — UTC for SQLite/DuckDB catalogs)."""
+        from .operators.cdc import resolve_cdc_bound, table_changes
+        return table_changes(self, name,
+                             resolve_cdc_bound(self, start, lower=True),
+                             resolve_cdc_bound(self, end, lower=False))
 
-    def table_deletions(self, name: str, start: int, end: int) -> DataFrame:
-        from .operators.cdc import table_deletions
-        return table_deletions(self, name, start, end)
+    def table_deletions(self, name: str, start, end) -> DataFrame:
+        from .operators.cdc import resolve_cdc_bound, table_deletions
+        return table_deletions(self, name,
+                               resolve_cdc_bound(self, start, lower=True),
+                               resolve_cdc_bound(self, end, lower=False))
+
+    def table_insertions(self, name: str, start, end) -> DataFrame:
+        """Insert half of the CDC feed (rows added — including UPDATE
+        postimages as plain rows): data columns + rowid + snapshot_id;
+        upstream's ducklake_table_insertions surface."""
+        from .operators.cdc import resolve_cdc_bound, table_insertions
+        return table_insertions(self, name,
+                                resolve_cdc_bound(self, start, lower=True),
+                                resolve_cdc_bound(self, end, lower=False))
 
     def drop_table(self, name: str) -> None:
         """DROP TABLE — ends the table/columns/files in one snapshot
@@ -2606,21 +2647,25 @@ class DuckLakeSession:
         rows DuckDB stored in the catalog DB) into a registered parquet
         data file, ending the inlined rows in the same snapshot. Older
         snapshots still time-travel to the inlined form. Returns rows
-        flushed. Flushed rows get fresh rowids (same as UPDATE's
-        delete+insert contract). Corpus: sql/data_inlining/
-        data_inlining_flush.test."""
+        flushed. A flush is pure storage migration (upstream corpus:
+        sql/data_inlining/data_inlining_flush.test): rowids AND per-row
+        snapshot_ids survive (written as the reserved in-file columns,
+        row_id_start NULL) and the flush snapshot is CDC-silent —
+        table_changes over the flush window is empty, like compaction."""
         from .operators.dml import _register_append, _stage_append
         from .table_writer import _catalog_writer
         handle = self.table_handle(name)
-        df = handle._inlined_df(with_rowid=False)
+        df = handle._inlined_df(with_rowid=True, with_snapshot=True)
         if df is None:
             return 0
-        staged = _stage_append(self, handle, df)
+        staged = _stage_append(self, handle, df, include_rowid=True,
+                               include_snapshot=True)
         writer = _catalog_writer(self)
         try:
             sid = writer.create_snapshot(
                 [f"flushed_inlined_data:{handle.meta.table_id}"])
-            n = _register_append(self, writer, sid, handle, staged)
+            n = _register_append(self, writer, sid, handle, staged,
+                                 rowid_in_file=True)
             for it in handle.inlined_tables:
                 writer.end_inlined_rows(it, sid)
         finally:
@@ -2741,8 +2786,11 @@ class DuckLakeSession:
     def update_where(self, name: str, assignments: dict,
                      condition=None) -> int:
         """UPDATE name SET assignments WHERE condition — MOR delete of
-        matched positions + append of rewritten rows (fresh rowids, the
-        DuckLake update contract), one snapshot. Returns rows updated."""
+        matched positions + append of rewritten rows keeping their
+        ORIGINAL rowids (in-file rowid column, row_id_start NULL — the
+        DuckLake stable-rowid contract, sql/rowid/
+        ducklake_row_id_update.test), one snapshot. Returns rows
+        updated."""
         from .operators.dml import update_rows
         return update_rows(self, name, assignments, condition)
 

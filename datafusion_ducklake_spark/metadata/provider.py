@@ -437,6 +437,16 @@ class MetadataProvider:
             "WHERE CAST(snapshot_time AS VARCHAR) <= ?", (ts,))
         return int(rows[0][0]) if rows and rows[0][0] is not None else None
 
+    def get_snapshot_before_timestamp(self, ts: str) -> Optional[int]:
+        """Newest snapshot STRICTLY before the ISO timestamp — the
+        exclusive-start CDC bound: table_changes(t, ts, ...) must
+        include snapshots committed AT ts (upstream issue #330,
+        table_changes/ducklake_lower_timestamp.test)."""
+        rows = self._fetchall(
+            "SELECT MAX(snapshot_id) FROM ducklake_snapshot "
+            "WHERE CAST(snapshot_time AS VARCHAR) < ?", (ts,))
+        return int(rows[0][0]) if rows and rows[0][0] is not None else None
+
     def get_snapshot_changes(self) -> dict[int, str]:
         """{snapshot_id: changes_made} from ducklake_snapshot_changes —
         the per-snapshot change summary real DuckLake catalogs record

@@ -89,6 +89,49 @@ def table_changes(session, name: str, start: int, end: int) -> DataFrame:
             .unionByName(classify(dels, "update_preimage")))
 
 
+def table_insertions(session, name: str, start: int, end: int) -> DataFrame:
+    """``ducklake_table_insertions`` (ref table_functions.rs insertions
+    surface; corpus: table_changes/ducklake_table_insertions.test): ONLY
+    the rows ADDED in the window — parquet files, inlined rows, and
+    UPDATE postimages as plain rows — without change-type
+    classification and without the delete feed. Output: data columns +
+    rowid + snapshot_id. Window is (start, end] exclusive-start, this
+    engine's CDC convention (upstream's SQL surface is
+    inclusive-start; the slt ports shift the lower bound by one)."""
+    return _inserted_rows(session, name, start, end).drop(CDC_CHANGE_COL)
+
+
+def resolve_cdc_bound(session, value, lower: bool) -> int:
+    """A CDC window bound may be a snapshot id OR a point in time
+    (upstream table_changes accepts DATE/TIMESTAMP bounds —
+    table_changes/ducklake_lower_timestamp.test, issue #330). Times
+    resolve against the snapshot log: the lower bound becomes the
+    newest snapshot STRICTLY BEFORE the time (so snapshots committed at
+    or after it are inside the exclusive-start window), the upper bound
+    the newest snapshot AT-OR-BEFORE it."""
+    import datetime
+    if isinstance(value, bool):
+        raise InvalidConfig(f"invalid CDC snapshot bound: {value!r}")
+    if isinstance(value, int):
+        return value
+    if isinstance(value, datetime.date) and \
+            not isinstance(value, datetime.datetime):
+        value = datetime.datetime.combine(value, datetime.time.min)
+    if isinstance(value, datetime.datetime):
+        value = value.isoformat(sep=" ")
+    if not isinstance(value, str):
+        raise InvalidConfig(f"invalid CDC snapshot bound: {value!r}")
+    ts = value.strip()
+    if lower:
+        sid = session.provider.get_snapshot_before_timestamp(ts)
+        return 0 if sid is None else sid
+    sid = session.provider.get_snapshot_at_timestamp(ts)
+    if sid is None:
+        raise InvalidConfig(
+            f"no snapshot at or before timestamp {ts!r}")
+    return sid
+
+
 def _inserted_rows(session, name: str, start: int, end: int) -> DataFrame:
     """Rows inserted in snapshot range (start, end] — parquet files AND
     inlined rows (write-side data inlining registers no data file, so
@@ -137,16 +180,19 @@ def _inserted_rows(session, name: str, start: int, end: int) -> DataFrame:
 
 
 def _compaction_snapshots(session, table) -> set:
-    """Snapshot ids that are file-layout maintenance for this table
-    (compact / merge_adjacent / rewrite_data_files — labeled
-    compacted_table): rewritten files are NOT data changes, so CDC skips
+    """Snapshot ids that are STORAGE maintenance for this table — file
+    compaction (compact / merge_adjacent / rewrite_data_files, labeled
+    compacted_table) and inlined-data flushes (labeled
+    flushed_inlined_data): neither changes table contents, so CDC skips
     them on both the insert and the delete side (upstream table_changes
-    is silent across compaction)."""
-    marker = f"compacted_table:{table.meta.table_id}"
+    is silent across compaction AND flush —
+    sql/data_inlining/data_inlining_flush.test)."""
+    markers = (f"compacted_table:{table.meta.table_id}",
+               f"flushed_inlined_data:{table.meta.table_id}")
     try:
         return {sid for sid, s in
                 session.provider.get_snapshot_changes().items()
-                if marker in (s or "")}
+                if any(m in (s or "") for m in markers)}
     except Exception:
         return set()
 
@@ -205,10 +251,12 @@ def _coerce_cdc(v, dt):
     return v
 
 
-def _inlined_deletions(session, table, start: int, end: int):
-    """Inlined rows ENDED in (start, end] — the delete half of a flush
-    (or a future inlined DML), so CDC stays symmetric: a flush reads as
-    delete+insert like an UPDATE, never as a bare duplicate insert."""
+def _inlined_deletions(session, table, start: int, end: int,
+                       skip: set = frozenset()):
+    """Inlined rows ENDED in (start, end] by a DATA change (inlined
+    DELETE/UPDATE). Rows ended by a flush snapshot (``skip``) are NOT
+    deletions — the flush is storage migration and CDC stays silent
+    across it (sql/data_inlining/data_inlining_flush.test)."""
     names = [c.column_name for c in table.columns]
     rows = []
     for it in table.inlined_tables:
@@ -220,7 +268,7 @@ def _inlined_deletions(session, table, start: int, end: int):
                 (start, end))
         except Exception:
             continue
-        rows.extend(raw)
+        rows.extend(r for r in raw if int(r[-1]) not in skip)
     if not rows:
         return None
     import pyspark.sql.types as T
@@ -245,7 +293,7 @@ def table_deletions(session, name: str, start: int, end: int) -> DataFrame:
     compacted = _compaction_snapshots(session, table)
     deltas = [d for d in deltas if d.snapshot_id not in compacted]
     schema = table.spark_schema
-    inlined = _inlined_deletions(session, table, start, end)
+    inlined = _inlined_deletions(session, table, start, end, skip=compacted)
     if not deltas:
         return inlined if inlined is not None \
             else _empty_cdc(spark, schema, change="delete")

@@ -402,7 +402,8 @@ def _register_deletes(writer, handle, snapshot_id: int, manifest) -> None:
 
 def _stage_append(session, handle, df: DataFrame,
                   single_file: bool = True,
-                  include_rowid: bool = False) -> list:
+                  include_rowid: bool = False,
+                  include_snapshot: bool = False) -> list:
     """Write df's rows as finalized parquet in the table dir WITHOUT
     registering them (mirrors table_writer.create_or_insert step 2); the
     returned [(name, size, footer, count, pvals|None)] carries the row
@@ -423,14 +424,18 @@ def _stage_append(session, handle, df: DataFrame,
     if include_rowid:
         # UPDATE rewrite keeping original rowids: the ROWID_FILE_COL
         # rides into the parquet (no field id — resolved by its reserved
-        # name) and the file registers with row_id_start NULL
-        from ..sources.scan import ROWID_FILE_COL
+        # name) and the file registers with row_id_start NULL.
+        # ``include_snapshot`` (flush_inlined_data) additionally rides
+        # each row's original insertion snapshot as SNAPSHOT_FILE_COL so
+        # the virtual snapshot_id column survives the storage migration.
+        from ..sources.scan import ROWID_FILE_COL, SNAPSHOT_FILE_COL
         from ..table_writer import _with_field_ids_partial
+        extra = [F.col("rowid").cast("long").alias(ROWID_FILE_COL)]
+        if include_snapshot:
+            extra.append(F.col("__begin_snapshot").cast("long")
+                         .alias(SNAPSHOT_FILE_COL))
         out = _with_field_ids_partial(
-            _enforce_not_null(
-                df.select(*data_cols,
-                          F.col("rowid").cast("long")
-                          .alias(ROWID_FILE_COL)), not_null),
+            _enforce_not_null(df.select(*data_cols, *extra), not_null),
             data_cols, column_ids,
             [dict(c.nested_ids or ()) for c in handle.columns])
     else:

@@ -162,6 +162,20 @@ def read_footer_key_arrow(path: str, key: bytes):
         con.close()
 
 
+def read_encrypted_schema(path: str, key: bytes):
+    """Arrow schema of an encrypted file without reading data (footer
+    decrypt only); falls back to a full direct-footer-key read for files
+    the KMS-envelope route cannot open."""
+    import pyarrow.parquet as pq
+    factory, pe = _crypto_factory(key)
+    dec_props = factory.file_decryption_properties(pe.KmsConnectionConfig())
+    try:
+        return pq.ParquetFile(
+            path, decryption_properties=dec_props).schema_arrow
+    except Exception:
+        return read_footer_key_arrow(path, key).schema
+
+
 def read_encrypted_arrow(path: str, key: bytes):
     """Driver/executor-side decrypt of one file.
 

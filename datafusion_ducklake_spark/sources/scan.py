@@ -69,6 +69,14 @@ PATH_COL = "__ducklake_path"
 # (metadata/writer.validate_name rejects the prefix).
 ROWID_FILE_COL = "_ducklake_row_id"
 
+# Per-row insertion-snapshot column inside a data file: written by
+# flush_inlined_data so rows migrated from catalog inlining keep their
+# ORIGINAL snapshot_id through the storage change (upstream corpus:
+# sql/data_inlining/data_inlining_flush.test asserts rowid AND
+# snapshot_id survive the flush). Same reserved-prefix convention as
+# ROWID_FILE_COL; only consulted by the virtual-column scan.
+SNAPSHOT_FILE_COL = "_ducklake_snapshot_id"
+
 
 def _with_path(df: DataFrame) -> DataFrame:
     return df.withColumn(PATH_COL, F.col("_metadata.file_path"))
@@ -160,7 +168,7 @@ def _schema_has_nested_ids(schema: T.StructType) -> bool:
 
 
 _FIELD_ID_CACHE: dict[str, str] = {}
-_ROWID_COL_CACHE: dict[str, bool] = {}
+_ROWID_COL_CACHE: dict[str, frozenset] = {}
 PROBE_COUNT = 0  # test hook: number of actual footer reads performed
 
 
@@ -170,19 +178,34 @@ def file_has_rowid_column(uri: str) -> bool:
     row_id_start NULL — the DuckLake convention for UPDATE-rewritten
     files; a NULL-start file WITHOUT the column keeps the targeted
     rowid-scan error."""
+    return ROWID_FILE_COL in _special_columns(uri)
+
+
+def file_has_snapshot_column(uri: str) -> bool:
+    """Footer probe (same cached read as file_has_rowid_column): does
+    this file carry the per-row SNAPSHOT_FILE_COL (flushed inlined
+    data)?"""
+    return SNAPSHOT_FILE_COL in _special_columns(uri)
+
+
+def _special_columns(uri: str) -> frozenset:
+    """One cached footer read answering both reserved-column probes."""
     if uri in _ROWID_COL_CACHE:
         return _ROWID_COL_CACHE[uri]
     path = uri[len("file://"):] if uri.startswith("file://") else uri
     if "://" in path:
-        return True     # object store: trust the registration convention
+        # object store: trust the registration convention (rowid present;
+        # snapshot column cannot be assumed — flush is local-write only)
+        return frozenset({ROWID_FILE_COL})
     try:
         import pyarrow.parquet as pq
-        has = ROWID_FILE_COL in pq.read_schema(path).names
+        names = set(pq.read_schema(path).names)
+        have = frozenset(names & {ROWID_FILE_COL, SNAPSHOT_FILE_COL})
     except Exception:
-        has = False
-    _ROWID_COL_CACHE[path if path != uri else uri] = has
-    _ROWID_COL_CACHE[uri] = has
-    return has
+        have = frozenset()
+    _ROWID_COL_CACHE[path if path != uri else uri] = have
+    _ROWID_COL_CACHE[uri] = have
+    return have
 
 
 def _field_id_level(uri: str) -> str:
@@ -563,12 +586,17 @@ def _scan_with_rowid(spark: SparkSession, schema: T.StructType,
                 f"rowid scan requires row_id_start in the catalog for every "
                 f"data file (missing for {f.data_uri})")
         _check_local_exists(f.data_uri)
+        snap_in_file = with_virtual and rowid_in_file \
+            and file_has_snapshot_column(f.data_uri)
         if rowid_in_file:
             # row_id_start NULL ⇒ the file carries its ids as a column
-            # (UPDATE-rewritten rows keep their original rowids)
-            rid_schema = T.StructType(
-                list(schema.fields)
-                + [T.StructField(ROWID_FILE_COL, T.LongType(), True)])
+            # (UPDATE-rewritten rows keep their original rowids); flushed
+            # inlined data additionally carries per-row snapshot ids
+            extra = [T.StructField(ROWID_FILE_COL, T.LongType(), True)]
+            if snap_in_file:
+                extra.append(
+                    T.StructField(SNAPSHOT_FILE_COL, T.LongType(), True))
+            rid_schema = T.StructType(list(schema.fields) + extra)
             data = _with_pos(_read_parquet(spark, rid_schema, [f.data_uri]))
             data = data.withColumnRenamed(ROWID_FILE_COL, "rowid")
         else:
@@ -587,7 +615,11 @@ def _scan_with_rowid(spark: SparkSession, schema: T.StructType,
                     .withColumn("file_index",
                                 F.lit(index_base + idx).cast("long"))
                     .withColumn("snapshot_id",
-                                F.lit(f.begin_snapshot).cast("long")))
+                                (F.col(SNAPSHOT_FILE_COL) if snap_in_file
+                                 else F.lit(f.begin_snapshot))
+                                .cast("long")))
+        if snap_in_file:
+            data = data.drop(SNAPSHOT_FILE_COL)
         if f.delete_uri is not None:
             data = _apply_delete_filter(spark, data, f)
         parts.append(data.drop(POS_COL))
@@ -731,6 +763,27 @@ def read_file_with_pos(spark: SparkSession, schema: T.StructType,
 FILE_COL = "__ducklake_file"
 
 
+_ENC_ROWID_CACHE: dict[str, bool] = {}
+
+
+def _encrypted_has_rowid(f: "ResolvedFile") -> bool:
+    """Does an encrypted row_id_start-NULL file carry the in-file rowid
+    column? Footer-only decrypt, cached per immutable path."""
+    if f.data_uri in _ENC_ROWID_CACHE:
+        return _ENC_ROWID_CACHE[f.data_uri]
+    from . import encryption as enc
+    path = f.data_uri[len("file://"):] \
+        if f.data_uri.startswith("file://") else f.data_uri
+    try:
+        names = enc.read_encrypted_schema(
+            path, enc.decode_key(f.encryption_key)).names
+        has = ROWID_FILE_COL in names
+    except Exception:
+        has = False
+    _ENC_ROWID_CACHE[f.data_uri] = has
+    return has
+
+
 def _scan_encrypted(spark: SparkSession, schema: T.StructType,
                     files: list[ResolvedFile],
                     with_rowid: bool = False) -> DataFrame:
@@ -750,24 +803,34 @@ def _scan_encrypted(spark: SparkSession, schema: T.StructType,
     for f in files:
         _check_local_exists(f.data_uri)
         enc.check_not_duckdb_encrypted(f.data_uri)
-        if with_rowid and f.row_id_start is None:
-            raise InvalidConfig(
-                f"rowid scan requires row_id_start in the catalog for every "
-                f"data file (missing for {f.data_uri})")
 
     name_of = lambda uri: uri.rsplit("/", 1)[-1]  # noqa: E731
+    want = [f.name for f in schema.fields]
     out_schema = T.StructType(
         list(schema.fields)
         + [T.StructField(POS_COL, T.LongType(), False),
-           T.StructField(FILE_COL, T.StringType(), False)])
+           T.StructField(FILE_COL, T.StringType(), False),
+           T.StructField("__rid_file", T.LongType(), True)])
 
     def decode(pdf_iter):
         for pdf in pdf_iter:
             for path, key in zip(pdf["path"], pdf["key"]):
                 tbl = enc.read_encrypted_arrow(path, enc.decode_key(key))
-                out = tbl.to_pandas()
+                # reserved in-file columns (rowid / per-row snapshot of
+                # UPDATE-rewritten or flushed files) must not leak into
+                # the data schema; the rowid rides out via __rid_file
+                out = tbl.select(
+                    [n for n in tbl.schema.names if n in want]).to_pandas()
+                for n in want:
+                    if n not in out.columns:
+                        out[n] = None
                 out[POS_COL] = range(len(out))
                 out[FILE_COL] = path.rsplit("/", 1)[-1]
+                if ROWID_FILE_COL in tbl.schema.names:
+                    out["__rid_file"] = tbl.column(
+                        ROWID_FILE_COL).to_pandas().values
+                else:
+                    out["__rid_file"] = None
                 yield out
 
     pairs = spark.createDataFrame(
@@ -820,15 +883,24 @@ def _scan_encrypted(spark: SparkSession, schema: T.StructType,
         data = data.join(all_dels, [FILE_COL, POS_COL], "left_anti")
 
     if with_rowid:
+        from ..errors import InvalidConfig  # noqa: F811 — targeted check
+        for f in files:
+            if f.row_id_start is None and not _encrypted_has_rowid(f):
+                raise InvalidConfig(
+                    f"rowid scan requires row_id_start in the catalog (or "
+                    f"the in-file rowid column) for every data file "
+                    f"(missing for {f.data_uri})")
         starts = spark.createDataFrame(
             [(name_of(f.data_uri), f.row_id_start) for f in files],
             f"`{FILE_COL}` STRING, `__rid_start` LONG")
         data = (data.join(F.broadcast(starts), FILE_COL)
                 .withColumn("rowid",
-                            (F.col("__rid_start") + F.col(POS_COL))
-                            .cast("long"))
+                            F.coalesce(
+                                F.col("__rid_file"),
+                                (F.col("__rid_start") + F.col(POS_COL))
+                                .cast("long")))
                 .drop("__rid_start"))
-    return data.drop(POS_COL, FILE_COL)
+    return data.drop(POS_COL, FILE_COL, "__rid_file")
 
 
 def _scan_dirty_grouped(spark: SparkSession, schema: T.StructType,

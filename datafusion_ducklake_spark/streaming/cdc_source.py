@@ -44,6 +44,45 @@ class _FileSlice(InputPartition):
         self.encryption_key = encryption_key
 
 
+_EXTENT_CACHE: dict[str, tuple] = {}
+
+
+def _rowid_extent(uri: str, encryption_key: str | None) -> tuple:
+    """(min, max) of the in-file rowid column — footer row-group stats
+    for plain parquet (no data read), a bounded decrypt-read of just the
+    rowid column for PME files (flush files are small by the inlining
+    row-limit contract). Data files are immutable, so cache per path."""
+    if uri in _EXTENT_CACHE:
+        return _EXTENT_CACHE[uri]
+    from ..sources.scan import ROWID_FILE_COL
+    path = uri[len("file://"):] if uri.startswith("file://") else uri
+    if encryption_key is not None:
+        from ..sources.encryption import decode_key, read_encrypted_arrow
+        col = read_encrypted_arrow(
+            path, decode_key(encryption_key)).column(ROWID_FILE_COL)
+        import pyarrow.compute as pc
+        ext = (pc.min(col).as_py(), pc.max(col).as_py())
+    else:
+        import pyarrow.parquet as pq
+        md = pq.ParquetFile(path).metadata
+        idx = md.schema.names.index(ROWID_FILE_COL)
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                # stats absent: one bounded column read settles it
+                import pyarrow.compute as pc
+                col = pq.read_table(
+                    path, columns=[ROWID_FILE_COL]).column(ROWID_FILE_COL)
+                lo, hi = pc.min(col).as_py(), pc.max(col).as_py()
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        ext = (lo, hi)
+    _EXTENT_CACHE[uri] = ext
+    return ext
+
+
 class _CatalogStreamReader(DataSourceStreamReader):
     """Rowid-extent offsets over ``ducklake_data_file``: a file is
     emitted iff its ``row_id_start`` lies in the unseen rowid range.
@@ -57,6 +96,7 @@ class _CatalogStreamReader(DataSourceStreamReader):
         self._catalog_path = options["catalog_path"]
         self._table = options["table"]
         self._provider = None
+        self._flush_snapshots = None
 
     def __getstate__(self):
         # the reader ships to executors for read(); the provider's DB
@@ -78,24 +118,58 @@ class _CatalogStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"rowid": 0}
 
+    def _placement(self, handle, f):
+        """Where a file sits on the rowid axis: (start, end_exclusive),
+        or None for a file whose rows must NOT re-emit.
+
+        row_id_start NULL files carry their ids as the reserved in-file
+        column; two kinds exist:
+        - flushed inlined data (snapshot labeled flushed_inlined_data):
+          its rows were never visible as a file before — EMIT, placed at
+          the file's minimum rowid (footer stats).
+        - UPDATE/MERGE rewrites: the rows' ORIGINAL file stays live (the
+          raw insert stream ignores positional deletes), so the rewrite
+          must stay silent or rows would stream twice — SKIP.
+        A NULL-start file with NO in-file rowid column (foreign
+        add_files) keeps the targeted error."""
+        from ..errors import InvalidConfig
+        if f.row_id_start is not None:
+            return (f.row_id_start, f.row_id_start + (f.record_count or 0))
+        from ..sources.scan import file_has_rowid_column
+        if not file_has_rowid_column(f.data_uri):
+            raise InvalidConfig(
+                f"catalog-driven streaming needs row_id_start (or the "
+                f"in-file rowid column) for every data file of "
+                f"{self._table} (foreign add_files tables: use "
+                f"mode='glob' or replay_changes())")
+        if self._flush_snapshots is None:
+            marker = "flushed_inlined_data:"
+            self._flush_snapshots = {
+                sid for sid, s in
+                self._provider.get_snapshot_changes().items()
+                if marker in (s or "")}
+        if f.begin_snapshot not in self._flush_snapshots:
+            return None
+        lo, hi = _rowid_extent(f.data_uri, f.encryption_key)
+        return (lo, hi + 1)
+
     def latestOffset(self) -> dict:
         handle = self._handle()
-        top = max((f.row_id_start + (f.record_count or 0)
-                   for f in handle.files if f.row_id_start is not None),
-                  default=0)
+        self._flush_snapshots = None     # fresh snapshot-label view
+        top = 0
+        for f in handle.files:
+            p = self._placement(handle, f)
+            if p is not None:
+                top = max(top, p[1])
         return {"rowid": top}
 
     def partitions(self, start: dict, end: dict):
-        from ..errors import InvalidConfig
         handle = self._handle()
+        self._flush_snapshots = None
         out = []
         for f in handle.files:
-            if f.row_id_start is None:
-                raise InvalidConfig(
-                    f"catalog-driven streaming needs row_id_start for "
-                    f"every data file of {self._table} (foreign add_files "
-                    f"tables: use mode='glob' or replay_changes())")
-            if start["rowid"] <= f.row_id_start < end["rowid"]:
+            p = self._placement(handle, f)
+            if p is not None and start["rowid"] <= p[0] < end["rowid"]:
                 out.append(_FileSlice(f.data_uri, f.encryption_key))
         return out or [_FileSlice("")]        # API requires >= 1 partition
 
@@ -144,11 +218,13 @@ def stream_inserts(session, name: str, mode: str = "catalog") -> DataFrame:
 
     ``mode="catalog"`` (default): file list driven by the catalog's
     ``ducklake_data_file`` registrations with rowid-extent offsets —
-    exactly-once per row even across compaction/overwrite (rewrites
-    preserve rowids and land below the offset). Requires row_id_start on
-    every file. Inlined rows (data inlining) are invisible to the stream
-    until flush_inlined_data migrates them to parquet — they then stream
-    exactly once under their fresh rowids.
+    exactly-once per row even across compaction/overwrite/UPDATE
+    (rewrites preserve rowids: catalog-started rewrites land below the
+    offset; rowid-in-file UPDATE rewrites are skipped since their rows'
+    original file stays live). Inlined rows (data inlining) are
+    invisible to the stream until flush_inlined_data migrates them to
+    parquet — the flush file carries their ORIGINAL rowids in-file and
+    streams exactly once, placed at its minimum rowid.
 
     ``mode="glob"``: plain Spark file source on the data directory.
     Append-only tables only: superseded files from overwrite/compaction

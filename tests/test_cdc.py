@@ -180,3 +180,72 @@ class TestSqlCallableCdc:
             f"JOIN main.users u ON c.id = u.id ORDER BY c.id").collect()
         # users at current snapshot excludes deleted ids 2 and 4
         assert [r["id"] for r in rows] == [1, 3, 5, 6]
+
+
+class TestTableInsertions:
+    """Upstream ducklake_table_insertions: the insert half only — rows
+    added in the window (incl. UPDATE postimages as plain rows), with
+    rowid + snapshot_id, no change_type, no delete feed (corpus:
+    table_changes/ducklake_table_insertions.test)."""
+
+    def test_inserts_only_no_change_type(self, dl, fx):
+        s1, s2, s3, s4 = fx["snapshots"]
+        df = dl.table_insertions("main.users", 0, s4)
+        assert "change_type" not in df.columns
+        assert {"rowid", "snapshot_id"} <= set(df.columns)
+        rows = sorted((r["id"], r["snapshot_id"]) for r in df.collect())
+        # deletes never appear; all six inserted rows, at their snapshots
+        assert rows == [(1, s1), (2, s1), (3, s1), (4, s1),
+                        (5, s2), (6, s2)]
+
+    def test_update_postimage_rows_appear(self, spark, tmp_path):
+        from datafusion_ducklake_spark.metadata.writer import CatalogWriter
+        db = str(tmp_path / "ti.sqlite")
+        w = CatalogWriter.sqlite(db)
+        w.initialize_schema(data_path=str(tmp_path / "tilake"))
+        w.close()
+        dl = DuckLakeSession(spark, db)
+        dl.create_table("main.t", spark.createDataFrame(
+            [(1, 10.0), (2, 20.0)], "id INT, v DOUBLE"))
+        dl.update_where("main.t", {"v": "v + 1"}, "id = 1")
+        upd = dl.provider.get_current_snapshot()
+        rows = sorted(
+            (r["id"], r["v"], r["rowid"]) for r in
+            dl.table_insertions("main.t", upd - 1, upd).collect())
+        assert rows == [(1, 11.0, 0)]      # postimage, ORIGINAL rowid
+
+    def test_sql_surface(self, dl, fx):
+        s1 = fx["snapshots"][0]
+        rows = dl.sql(
+            f"SELECT id, rowid FROM "
+            f"ducklake_table_insertions('main.users', 0, {s1}) "
+            f"ORDER BY id").collect()
+        assert [r["id"] for r in rows] == [1, 2, 3, 4]
+
+
+class TestTimestampBounds:
+    """CDC bounds may be points in time (upstream issue #330,
+    table_changes/ducklake_lower_timestamp.test): lower bound = newest
+    snapshot STRICTLY before the time, upper = newest at-or-before."""
+
+    def test_epoch_to_now_sees_everything(self, dl, fx):
+        import datetime
+        n_all = dl.table_changes(
+            "main.users", 0, fx["snapshots"][-1]).count()
+        got = dl.table_changes(
+            "main.users", datetime.date(1970, 1, 1),
+            datetime.datetime.utcnow() + datetime.timedelta(days=1)).count()
+        assert got == n_all
+
+    def test_sql_date_and_now_bounds(self, dl, fx):
+        n_all = dl.table_changes(
+            "main.users", 0, fx["snapshots"][-1]).count()
+        rows = dl.sql(
+            "SELECT COUNT(*) AS n FROM "
+            "ducklake_table_changes('main.users', DATE '1970-01-01', now())"
+        ).collect()
+        assert rows[0]["n"] == n_all
+
+    def test_upper_bound_before_first_snapshot_rejected(self, dl):
+        with pytest.raises(InvalidConfig):
+            dl.table_changes("main.users", 0, "1969-01-01 00:00:00")

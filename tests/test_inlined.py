@@ -286,10 +286,12 @@ def test_cdc_sees_inlined_inserts(spark, tmp_path):
     assert dl.table_changes("main.c", end, end).collect() == []
 
 
-def test_cdc_flush_is_delete_plus_insert(spark, tmp_path):
-    """A flush migrates storage; CDC reads it as delete (inlined rows
-    ended) + insert (parquet file added) — net zero, like an UPDATE,
-    never a bare duplicate insert."""
+def test_flush_is_cdc_silent_and_preserves_rowids(spark, tmp_path):
+    """Upstream contract (sql/data_inlining/data_inlining_flush.test):
+    a flush is pure STORAGE migration — ``table_changes`` over the flush
+    window is EMPTY (like compaction), history windows still surface the
+    original inlined inserts at their own snapshots, and both rowid and
+    the per-row virtual snapshot_id survive the migration."""
     db = str(tmp_path / "cf.sqlite")
     w = CatalogWriter.sqlite(db)
     w.initialize_schema(data_path=str(tmp_path / "cflake"))
@@ -300,17 +302,29 @@ def test_cdc_flush_is_delete_plus_insert(spark, tmp_path):
     dl.set_option("data_inlining_row_limit", 10)
     dl.insert_into("main.f", spark.createDataFrame(
         [(2, "b")], "id INT, s STRING"))              # inlined
-    pre_flush = dl.provider.get_current_snapshot()
+    ins_snap = dl.provider.get_current_snapshot()
+    pre_virtual = sorted(
+        (r["id"], r["rowid"], r["snapshot_id"]) for r in
+        dl.table_handle("main.f").to_df(with_virtual=True)
+        .select("id", "rowid", "snapshot_id").collect())
     dl.flush_inlined_data("main.f")
     post = dl.provider.get_current_snapshot()
-    ins = dl.table_changes("main.f", pre_flush, post).collect()
-    dels = dl.table_deletions("main.f", pre_flush, post).collect()
-    assert sorted(r["id"] for r in ins) == [2]        # the flushed parquet
-    assert sorted(r["id"] for r in dels) == [2]       # the ended inlined row
-    # over the full history: inserts net of deletes = live state
-    ins_all = dl.table_changes("main.f", 0, post).collect()
-    dels_all = dl.table_deletions("main.f", 0, post).collect()
-    assert len(ins_all) - len(dels_all) == 2
+    # the flush window is silent on both feeds
+    assert dl.table_changes("main.f", ins_snap, post).collect() == []
+    assert dl.table_deletions("main.f", ins_snap, post).collect() == []
+    # history windows still replay the original inserts, at their
+    # ORIGINAL snapshots, exactly once
+    ch = dl.table_changes("main.f", 0, post).collect()
+    assert sorted(r["id"] for r in ch) == [1, 2]
+    assert all(r["change_type"] == "insert" for r in ch)
+    assert {r["id"]: r["snapshot_id"] for r in ch}[2] == ins_snap
+    assert dl.table_deletions("main.f", 0, post).collect() == []
+    # rowid AND per-row snapshot_id survive the storage migration
+    post_virtual = sorted(
+        (r["id"], r["rowid"], r["snapshot_id"]) for r in
+        dl.table_handle("main.f").to_df(with_virtual=True)
+        .select("id", "rowid", "snapshot_id").collect())
+    assert post_virtual == pre_virtual
 
 
 def test_sql_call_flush(spark, tmp_path):

@@ -329,3 +329,77 @@ def test_catalog_stream_over_encrypted_table(spark, tmp_path):
     run_once()
     got2 = sorted(r["id"] for r in spark.read.parquet(sink).collect())
     assert got2 == list(range(8)) + [100]
+
+
+def test_catalog_stream_exactly_once_across_flush(spark, fresh_dl, tmp_path):
+    """Inlined rows are invisible to the insert stream; a flush migrates
+    them to a rowid-in-file parquet (row_id_start NULL) whose extent
+    places it ABOVE the already-seen offset — the rows then stream
+    exactly once, under their original rowids."""
+    fresh_dl.create_table("main.evf", spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id BIGINT, s STRING"))
+    fresh_dl.set_option("data_inlining_row_limit", 10)
+
+    ckpt, sink = str(tmp_path / "ckpt_evf"), str(tmp_path / "sink_evf")
+
+    def run_once():
+        q = (cdc_source.stream_inserts(fresh_dl, "main.evf")
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
+
+    run_once()
+    got = sorted(r["id"] for r in spark.read.parquet(sink).collect())
+    assert got == [1, 2]
+
+    fresh_dl.insert_into("main.evf", spark.createDataFrame(
+        [(3, "c")], "id BIGINT, s STRING"))           # inlined — invisible
+    run_once()
+    got = sorted(r["id"] for r in spark.read.parquet(sink).collect())
+    assert got == [1, 2]
+
+    fresh_dl.flush_inlined_data("main.evf")           # now a file — emits
+    run_once()
+    got = sorted(r["id"] for r in spark.read.parquet(sink).collect())
+    assert got == [1, 2, 3]
+
+    run_once()                                        # and only once
+    got = sorted(r["id"] for r in spark.read.parquet(sink).collect())
+    assert got == [1, 2, 3]
+
+
+def test_catalog_stream_silent_across_update_rewrite(spark, fresh_dl,
+                                                     tmp_path):
+    """UPDATE rewrites register rowid-in-file files (row_id_start NULL);
+    their rows' ORIGINAL file stays live in the raw insert stream, so
+    the rewrite must not re-emit. (Before round 5 the reader raised on
+    any NULL-start file — streaming after UPDATE was broken.)"""
+    fresh_dl.create_table("main.evu", spark.createDataFrame(
+        [(i, float(i)) for i in range(5)], "id BIGINT, v DOUBLE"))
+
+    ckpt, sink = str(tmp_path / "ckpt_evu"), str(tmp_path / "sink_evu")
+
+    def run_once():
+        q = (cdc_source.stream_inserts(fresh_dl, "main.evu")
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
+
+    run_once()
+    got = sorted(r["id"] for r in spark.read.parquet(sink).collect())
+    assert got == [0, 1, 2, 3, 4]
+
+    assert fresh_dl.update_where("main.evu", {"v": "v + 100"}, "id = 2") == 1
+    assert any(f.row_id_start is None
+               for f in fresh_dl.table_handle("main.evu").files)
+    run_once()                                        # rewrite is silent
+    got = sorted(r["id"] for r in spark.read.parquet(sink).collect())
+    assert got == [0, 1, 2, 3, 4]
+
+    fresh_dl.insert_into("main.evu", spark.createDataFrame(
+        [(100, 0.5)], "id BIGINT, v DOUBLE"))
+    run_once()                                        # appends still flow
+    got = sorted(r["id"] for r in spark.read.parquet(sink).collect())
+    assert got == [0, 1, 2, 3, 4, 100]
