@@ -943,6 +943,25 @@ class DuckLakeSession:
     _MACRO_SIG_RE = re.compile(
         r"^\s*\(([^)]*)\)\s+AS\s+(TABLE\s+)?(.*)$", re.I | re.S)
 
+    def _parse_macro_params(self, raw: str) -> list[tuple]:
+        """[(name, default|None, declared_type|None), ...] from a macro
+        signature. A parameter may carry a declared type (upstream
+        sql/macros/test_defined_types.test: ``x INTEGER``, ``x BIGINT :=
+        1``) — recorded in ducklake_macro_parameters.parameter_type;
+        expansion itself stays untyped, like DuckDB's macros."""
+        from .types import normalize_ducklake_type
+        params = []
+        if raw.strip():
+            for p in self._split_top_level(raw):
+                pn, sep, dflt = p.partition(":=")
+                tokens = pn.strip().split(None, 1)
+                ptype = None
+                if len(tokens) == 2:
+                    ptype = normalize_ducklake_type(tokens[1].strip())
+                params.append((tokens[0] if tokens else pn.strip(),
+                               dflt.strip() if sep else None, ptype))
+        return params
+
     def _try_macro_ddl(self, query: str) -> Optional[DataFrame]:
         from .table_writer import _catalog_writer
         mm = self._MULTI_MACRO_HEAD_RE.match(query)
@@ -964,13 +983,7 @@ class DuckLakeSession:
                 try:
                     for seg in segs:
                         sm = self._MACRO_SIG_RE.match(seg)
-                        params = []
-                        if sm.group(1).strip():
-                            for p in self._split_top_level(sm.group(1)):
-                                pn, sep, dflt = p.partition(":=")
-                                params.append((pn.strip(),
-                                               dflt.strip() if sep
-                                               else None))
+                        params = self._parse_macro_params(sm.group(1))
                         kind = "table" if sm.group(2) else "scalar"
                         writer.create_macro(
                             mm.group(2), params,
@@ -982,12 +995,7 @@ class DuckLakeSession:
                 return self._count_df(0)
         m = self._CREATE_MACRO_RE.match(query)
         if m:
-            params = []
-            if m.group(3).strip():
-                for p in self._split_top_level(m.group(3)):
-                    pname, sep, default = p.partition(":=")
-                    params.append((pname.strip(),
-                                   default.strip() if sep else None))
+            params = self._parse_macro_params(m.group(3))
             kind = "table" if m.group(4) else "scalar"
             writer = _catalog_writer(self)
             try:
@@ -1623,6 +1631,38 @@ class DuckLakeSession:
     _ROWID_REF_RE = re.compile(r"\b([A-Za-z_]\w*(?:\.\w+)?)__rowid\b")
     _VIRTUAL_REF_RE = re.compile(r"\b([A-Za-z_]\w*(?:\.\w+)?)__virtual\b")
 
+    def _metadata_table_df(self, name: str) -> DataFrame:
+        """One metadata-catalog table as a DataFrame (SQL passthrough —
+        upstream exposes the metadata DB as an attached catalog).
+        Driver-side materialization matches the feature: catalog tables
+        are metadata-sized by design. Types: ints surface as BIGINT,
+        floats as DOUBLE, everything else as STRING."""
+        from pyspark.sql import types as T
+        if not re.fullmatch(r"ducklake_[a-z0-9_]+", name):
+            raise InvalidConfig(f"not a metadata catalog table: {name!r}")
+        cols = self.provider.get_catalog_table_columns(name)
+        if not cols:
+            raise InvalidConfig(f"not a metadata catalog table: {name!r}")
+        rows = self.provider._fetchall(f'SELECT * FROM "{name}"')
+        fields, casts = [], []
+        for i, c in enumerate(cols):
+            vals = [r[i] for r in rows if r[i] is not None]
+            if vals and all(isinstance(v, bool) for v in vals):
+                dt, conv = T.BooleanType(), bool
+            elif vals and all(isinstance(v, int)
+                              and not isinstance(v, bool) for v in vals):
+                dt, conv = T.LongType(), int
+            elif vals and all(isinstance(v, (int, float))
+                              and not isinstance(v, bool) for v in vals):
+                dt, conv = T.DoubleType(), float
+            else:
+                dt, conv = T.StringType(), str
+            fields.append(T.StructField(c, dt, True))
+            casts.append(conv)
+        data = [tuple(None if v is None else conv(v)
+                      for v, conv in zip(r, casts)) for r in rows]
+        return self.spark.createDataFrame(data, T.StructType(fields))
+
     def _register_virtual_views(self, query: str) -> None:
         """``<table>__virtual`` view twins exposing the DuckLake virtual
         columns (filename / file_row_number / file_index / snapshot_id /
@@ -1732,6 +1772,19 @@ class DuckLakeSession:
                 f"information_schema__{m.lower()}")
         query = re.sub(r"\binformation_schema\.(\w+)",
                        lambda mm: f"information_schema__"
+                                  f"{mm.group(1).lower()}",
+                       query, flags=re.I)
+        # metadata-catalog passthrough: __ducklake_metadata_<name>.X /
+        # ducklake_metadata.X resolve to live snapshots of the catalog's
+        # own tables (upstream ATTACHes the metadata DB as a queryable
+        # catalog — e.g. FROM __ducklake_metadata_ducklake.ducklake_macro)
+        _META_REF = r"\b(?:__ducklake_metadata\w*|ducklake_meta\w*?)\." \
+                    r"(ducklake_\w+)"
+        for t in set(re.findall(_META_REF, query, re.I)):
+            self._metadata_table_df(t.lower()).createOrReplaceTempView(
+                f"ducklake_metadata__{t.lower()}")
+        query = re.sub(_META_REF,
+                       lambda mm: f"ducklake_metadata__"
                                   f"{mm.group(1).lower()}",
                        query, flags=re.I)
         ddl = self._try_macro_ddl(query)

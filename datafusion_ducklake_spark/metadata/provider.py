@@ -447,6 +447,22 @@ class MetadataProvider:
             "WHERE CAST(snapshot_time AS VARCHAR) < ?", (ts,))
         return int(rows[0][0]) if rows and rows[0][0] is not None else None
 
+    def get_catalog_table_columns(self, table: str) -> list[str]:
+        """Column names of one metadata-catalog table, in DDL order —
+        the SQL metadata passthrough's schema source (upstream ATTACHes
+        the metadata DB as a queryable catalog, e.g.
+        __ducklake_metadata_ducklake.ducklake_macro)."""
+        try:
+            cols = [str(r[1]) for r in self._fetchall(
+                f'PRAGMA table_info("{table}")')]
+            if cols:
+                return cols
+        except Exception:
+            pass
+        return [str(r[0]) for r in self._fetchall(
+            "SELECT column_name FROM information_schema.columns "
+            "WHERE table_name = ? ORDER BY ordinal_position", (table,))]
+
     def get_snapshot_changes(self) -> dict[int, str]:
         """{snapshot_id: changes_made} from ducklake_snapshot_changes —
         the per-snapshot change summary real DuckLake catalogs record

@@ -1472,9 +1472,11 @@ class CatalogWriter:
         """Register a catalog-persisted SQL macro (DuckLake macro tables:
         ducklake_macro / _impl / _parameters — layout per the reference's
         tests/sqllogictests/sql/macros/test_scalar_table_macros.test).
-        ``params`` = [(name, default_or_None), ...]; ``kind`` is
-        'scalar' | 'table'. Uniqueness is (name, kind); ``replace`` ends
-        the existing definition first."""
+        ``params`` = [(name, default_or_None), ...] or [(name,
+        default_or_None, declared_type_or_None), ...] (typed parameters,
+        sql/macros/test_defined_types.test); ``kind`` is 'scalar' |
+        'table'. Uniqueness is (name, kind); ``replace`` ends the
+        existing definition first."""
         validate_name(name, "Macro")
         if kind not in ("scalar", "table"):
             raise InvalidConfig(f"macro kind must be scalar|table: {kind}")
@@ -1516,14 +1518,16 @@ class CatalogWriter:
                 "INSERT INTO ducklake_macro_impl (macro_id, impl_index, "
                 "dialect, body, macro_type) VALUES (?, 0, ?, ?, ?)",
                 (mid, dialect, body, kind))
-            for pos, (pname, default) in enumerate(params):
+            for pos, p in enumerate(params):
+                pname, default = p[0], p[1]
+                ptype = p[2] if len(p) > 2 and p[2] else "unknown"
                 validate_name(pname, "Macro parameter")
                 cur.execute(
                     "INSERT INTO ducklake_macro_parameters (macro_id, "
                     "impl_index, position, parameter_name, parameter_type, "
                     "default_value, default_type) "
-                    "VALUES (?, 0, ?, ?, 'unknown', ?, 'unknown')",
-                    (mid, pos, pname, default))
+                    "VALUES (?, 0, ?, ?, ?, ?, 'unknown')",
+                    (mid, pos, pname, ptype, default))
             return sid
 
     def drop_macro(self, name: str) -> bool:

@@ -58,11 +58,45 @@ def columns_df(session) -> DataFrame:
                      # SQL-standard aliases (DuckDB exposes both shapes)
                      c.column_type, "YES" if c.nulls_allowed else "NO",
                      pos))
-    return session.spark.createDataFrame(
-        rows, "schema_name STRING, table_name STRING, column_id BIGINT, "
-              "column_name STRING, column_type STRING, "
-              "nulls_allowed BOOLEAN, data_type STRING, "
-              "is_nullable STRING, ordinal_position INT")
+    # VIEW columns surface too (upstream sql/view/
+    # ducklake_view_info_columns.test): resolved from the view's own
+    # plan schema; column_id is NULL — views have no stored columns.
+    # Re-entrancy guard: a view whose body queries information_schema
+    # would otherwise recurse through this resolution.
+    if getattr(session, "_resolving_view_columns", False):
+        return session.spark.createDataFrame(rows, _COLUMNS_SCHEMA)
+    session._resolving_view_columns = True
+    try:
+        _append_view_columns(session, snap, rows)
+    finally:
+        session._resolving_view_columns = False
+    return session.spark.createDataFrame(rows, _COLUMNS_SCHEMA)
+
+
+_COLUMNS_SCHEMA = ("schema_name STRING, table_name STRING, "
+                   "column_id BIGINT, column_name STRING, "
+                   "column_type STRING, nulls_allowed BOOLEAN, "
+                   "data_type STRING, is_nullable STRING, "
+                   "ordinal_position INT")
+
+
+def _append_view_columns(session, snap, rows) -> None:
+    from ..types import spark_to_ducklake_type
+    for sch in session.provider.list_schemas(snap):
+        for v in session.provider.list_views(sch.schema_id, snap):
+            try:
+                vschema = session.sql(
+                    f"SELECT * FROM {sch.schema_name}.{v.view_name} "
+                    f"LIMIT 0").schema
+            except Exception:
+                continue        # view over a dropped/renamed table
+            for pos, f in enumerate(vschema.fields, start=1):
+                try:
+                    dtype = spark_to_ducklake_type(f.dataType)
+                except Exception:
+                    dtype = f.dataType.simpleString()
+                rows.append((sch.schema_name, v.view_name, None, f.name,
+                             dtype, True, dtype, "YES", pos))
 
 
 def views_df(session) -> DataFrame:
