@@ -932,13 +932,16 @@ class DuckLakeSession:
                     else "'" + v.replace("'", "''") + "'")
         return self._COMMENT_FN_RE.sub(sub, query)
     _CREATE_MACRO_RE = re.compile(
-        r"^\s*CREATE\s+(OR\s+REPLACE\s+)?MACRO\s+([A-Za-z_]\w*)\s*"
+        r"^\s*CREATE\s+(OR\s+REPLACE\s+)?MACRO\s+"
+        r"([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\s*"
         r"\(([^)]*)\)\s+AS\s+(TABLE\s+)?(.*?)\s*;?\s*$", re.I | re.S)
     _DROP_MACRO_RE = re.compile(
-        r"^\s*DROP\s+MACRO\s+(IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*$", re.I)
+        r"^\s*DROP\s+MACRO\s+(IF\s+EXISTS\s+)?"
+        r"([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\s*;?\s*$", re.I)
 
     _MULTI_MACRO_HEAD_RE = re.compile(
-        r"^\s*CREATE\s+(OR\s+REPLACE\s+)?MACRO\s+([A-Za-z_]\w*)\s*"
+        r"^\s*CREATE\s+(OR\s+REPLACE\s+)?MACRO\s+"
+        r"([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\s*"
         r"(\(.*)\s*;?\s*$", re.I | re.S)
     _MACRO_SIG_RE = re.compile(
         r"^\s*\(([^)]*)\)\s+AS\s+(TABLE\s+)?(.*)$", re.I | re.S)
@@ -962,6 +965,18 @@ class DuckLakeSession:
                                dflt.strip() if sep else None, ptype))
         return params
 
+    def _macro_schema_id(self, name: str) -> tuple[str, int]:
+        """(bare_name, schema_id) for a possibly schema-qualified macro
+        name (sql/macros/test_schema_dependency.test)."""
+        if "." not in name:
+            return name, 0
+        schema_name, bare = name.split(".", 1)
+        snap = self.provider.get_current_snapshot()
+        for s in self.provider.list_schemas(snap):
+            if s.schema_name.lower() == schema_name.lower():
+                return bare, int(s.schema_id)
+        raise InvalidConfig(f"Schema not found: {schema_name}")
+
     def _try_macro_ddl(self, query: str) -> Optional[DataFrame]:
         from .table_writer import _catalog_writer
         mm = self._MULTI_MACRO_HEAD_RE.match(query)
@@ -979,6 +994,7 @@ class DuckLakeSession:
                     segs.append(piece)
             if len(segs) > 1 and all(self._MACRO_SIG_RE.match(s)
                                      for s in segs):
+                bare, schema_id = self._macro_schema_id(mm.group(2))
                 writer = _catalog_writer(self)
                 try:
                     for seg in segs:
@@ -986,9 +1002,10 @@ class DuckLakeSession:
                         params = self._parse_macro_params(sm.group(1))
                         kind = "table" if sm.group(2) else "scalar"
                         writer.create_macro(
-                            mm.group(2), params,
+                            bare, params,
                             sm.group(3).rstrip().rstrip(";"), kind,
-                            replace=bool(mm.group(1)), arity_scoped=True)
+                            replace=bool(mm.group(1)), arity_scoped=True,
+                            schema_id=schema_id)
                 finally:
                     writer.close()
                 self.refresh()
@@ -997,19 +1014,24 @@ class DuckLakeSession:
         if m:
             params = self._parse_macro_params(m.group(3))
             kind = "table" if m.group(4) else "scalar"
+            bare, schema_id = self._macro_schema_id(m.group(2))
             writer = _catalog_writer(self)
             try:
-                writer.create_macro(m.group(2), params, m.group(5), kind,
-                                    replace=bool(m.group(1)))
+                writer.create_macro(bare, params, m.group(5), kind,
+                                    replace=bool(m.group(1)),
+                                    schema_id=schema_id)
             finally:
                 writer.close()
             self.refresh()
             return self._count_df(0)
         m = self._DROP_MACRO_RE.match(query)
         if m:
+            bare, schema_id = self._macro_schema_id(m.group(2))
             writer = _catalog_writer(self)
             try:
-                found = writer.drop_macro(m.group(2))
+                found = writer.drop_macro(
+                    bare, schema_id=schema_id if "." in m.group(2)
+                    else None)
             finally:
                 writer.close()
             if not found and not m.group(1):

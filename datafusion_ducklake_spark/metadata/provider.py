@@ -141,6 +141,7 @@ class MacroMeta:
     body: str
     macro_type: str                       # 'scalar' | 'table'
     params: list = field(default_factory=list)  # [(name, default|None)]
+    schema_name: str = "main"             # owning schema (qualified calls)
 
 
 def reconstruct_list_columns(rows: list[tuple[ColumnMeta, Optional[int]]],
@@ -626,22 +627,26 @@ class MetadataProvider:
         the tables have no macros."""
         try:
             rows = self._fetchall(
-                "SELECT m.macro_id, m.macro_name, i.body, i.macro_type "
+                "SELECT m.macro_id, m.macro_name, i.body, i.macro_type, "
+                "COALESCE(s.schema_name, 'main') "
                 "FROM ducklake_macro m "
                 "JOIN ducklake_macro_impl i ON m.macro_id = i.macro_id "
+                "LEFT JOIN ducklake_schema s ON m.schema_id = s.schema_id "
+                "AND s.end_snapshot IS NULL "
                 "WHERE m.begin_snapshot <= ? "
                 "AND (m.end_snapshot IS NULL OR m.end_snapshot > ?)",
                 (snapshot_id, snapshot_id))
         except Exception:
             return []
         out = []
-        for mid, name, body, kind in rows:
+        for mid, name, body, kind, schema_name in rows:
             params = self._fetchall(
                 "SELECT parameter_name, default_value "
                 "FROM ducklake_macro_parameters WHERE macro_id = ? "
                 "ORDER BY position", (int(mid),))
             out.append(MacroMeta(int(mid), name, body, kind,
-                                 [(p, d) for p, d in params]))
+                                 [(p, d) for p, d in params],
+                                 str(schema_name)))
         return out
 
     def get_partition_columns(self, table_id: int,

@@ -577,7 +577,14 @@ class CatalogWriter:
                 "SELECT view_id FROM ducklake_view "
                 "WHERE schema_id = ? AND end_snapshot IS NULL",
                 (schema_id,)).fetchall()
-            if (live or live_views) and not cascade:
+            try:
+                live_macros = cur.execute(
+                    "SELECT macro_id FROM ducklake_macro "
+                    "WHERE schema_id = ? AND end_snapshot IS NULL",
+                    (schema_id,)).fetchall()
+            except Exception:
+                live_macros = []        # catalog predates macro tables
+            if (live or live_views or live_macros) and not cascade:
                 raise InvalidConfig(
                     f"Cannot drop schema {schema_name}: there are entries "
                     "that depend on it (use CASCADE)")
@@ -600,6 +607,13 @@ class CatalogWriter:
                 "UPDATE ducklake_view SET end_snapshot = ? "
                 "WHERE schema_id = ? AND end_snapshot IS NULL",
                 (sid, schema_id))
+            if live_macros:
+                # CASCADE ends the schema's macros too (upstream
+                # sql/macros/test_schema_dependency.test)
+                cur.execute(
+                    "UPDATE ducklake_macro SET end_snapshot = ? "
+                    "WHERE schema_id = ? AND end_snapshot IS NULL",
+                    (sid, schema_id))
             cur.execute(
                 "UPDATE ducklake_schema SET end_snapshot = ? "
                 "WHERE schema_id = ? AND end_snapshot IS NULL",
@@ -1468,7 +1482,8 @@ class CatalogWriter:
     def create_macro(self, name: str, params: list[tuple],
                      body: str, kind: str, dialect: str = "spark",
                      replace: bool = False,
-                     arity_scoped: bool = False) -> int:
+                     arity_scoped: bool = False,
+                     schema_id: int = 0) -> int:
         """Register a catalog-persisted SQL macro (DuckLake macro tables:
         ducklake_macro / _impl / _parameters — layout per the reference's
         tests/sqllogictests/sql/macros/test_scalar_table_macros.test).
@@ -1489,7 +1504,8 @@ class CatalogWriter:
                 "SELECT m.macro_id FROM ducklake_macro m "
                 "JOIN ducklake_macro_impl i ON m.macro_id = i.macro_id "
                 "WHERE m.macro_name = ? AND i.macro_type = ? "
-                "AND m.end_snapshot IS NULL", (name, kind)).fetchall()
+                "AND m.schema_id = ? AND m.end_snapshot IS NULL",
+                (name, kind, int(schema_id))).fetchall()
             if live and arity_scoped:
                 # multi-arity registration (sql/macros/
                 # test_multiple_implementations.test): same-name macros
@@ -1512,8 +1528,8 @@ class CatalogWriter:
             mid = self._next_id(cur, "ducklake_macro", "macro_id")
             cur.execute(
                 "INSERT INTO ducklake_macro (schema_id, macro_id, "
-                "macro_name, begin_snapshot) VALUES (0, ?, ?, ?)",
-                (mid, name, sid))
+                "macro_name, begin_snapshot) VALUES (?, ?, ?, ?)",
+                (int(schema_id), mid, name, sid))
             cur.execute(
                 "INSERT INTO ducklake_macro_impl (macro_id, impl_index, "
                 "dialect, body, macro_type) VALUES (?, 0, ?, ?, ?)",
@@ -1530,13 +1546,17 @@ class CatalogWriter:
                     (mid, pos, pname, ptype, default))
             return sid
 
-    def drop_macro(self, name: str) -> bool:
-        """End every live definition of the macro; False if none."""
+    def drop_macro(self, name: str,
+                   schema_id: Optional[int] = None) -> bool:
+        """End every live definition of the macro (in one schema when
+        ``schema_id`` is given); False if none."""
         with self._txn() as cur:
+            scope = "" if schema_id is None else " AND schema_id = ?"
+            args = (name,) if schema_id is None else (name, int(schema_id))
             live = cur.execute(
                 "SELECT macro_id FROM ducklake_macro "
-                "WHERE macro_name = ? AND end_snapshot IS NULL",
-                (name,)).fetchall()
+                f"WHERE macro_name = ? AND end_snapshot IS NULL{scope}",
+                args).fetchall()
             if not live:
                 return False
             sid = self._next_id(cur, "ducklake_snapshot", "snapshot_id")
@@ -1545,8 +1565,8 @@ class CatalogWriter:
                 "VALUES (?, CURRENT_TIMESTAMP)", (sid,))
             cur.execute(
                 "UPDATE ducklake_macro SET end_snapshot = ? "
-                "WHERE macro_name = ? AND end_snapshot IS NULL",
-                (sid, name))
+                f"WHERE macro_name = ? AND end_snapshot IS NULL{scope}",
+                (sid,) + args)
             return True
 
     def set_option(self, key: str, value: Optional[str],

@@ -93,7 +93,7 @@ def _find_call(query: str, names: set[str]):
             quote = ch
             i += 1
             continue
-        m = re.match(r"[A-Za-z_]\w*", query[i:])
+        m = re.match(r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?", query[i:])
         if m and (i == 0 or not (query[i - 1].isalnum()
                                  or query[i - 1] in "._`")):
             word = m.group(0)
@@ -140,6 +140,10 @@ def expand_macros(query: str, macros: list) -> str:
     by_name: dict[str, list] = {}
     for m in macros:
         by_name.setdefault(m.macro_name.lower(), []).append(m)
+        # schema-qualified call sites (sql/macros/
+        # test_schema_dependency.test: CREATE MACRO test.simple ...)
+        by_name.setdefault(
+            f"{m.schema_name}.{m.macro_name}".lower(), []).append(m)
     names = set(by_name)
     for _ in range(_MAX_DEPTH):
         hit = _find_call(query, names)
