@@ -1082,6 +1082,16 @@ class CatalogWriter:
             cur.execute(
                 "INSERT INTO ducklake_snapshot (snapshot_id, snapshot_time) "
                 "VALUES (?, CURRENT_TIMESTAMP)", (sid,))
+            # one table/view namespace (sql/view/
+            # ducklake_view_table_conflict.test): a live TABLE of the
+            # same name blocks the view even with OR REPLACE
+            tbl = cur.execute(
+                "SELECT table_id FROM ducklake_table WHERE schema_id = ? "
+                "AND table_name = ? AND end_snapshot IS NULL",
+                (schema_id, view_name)).fetchall()
+            if tbl:
+                raise InvalidConfig(
+                    f"a table named {view_name!r} already exists")
             rows = cur.execute(
                 "SELECT view_id FROM ducklake_view WHERE schema_id = ? AND "
                 "view_name = ? AND end_snapshot IS NULL",

@@ -1235,7 +1235,19 @@ def create_or_insert(session, name: str, df: DataFrame, mode: str,
                     est = 0
                 if est > 0 and target > 0:
                     n_out = max(1, min(4096, -(-est // target)))
-            out = out.repartition(n_out) if n_out > 1 else out.coalesce(1)
+            # per_thread_output (sql/settings/per_thread_output.test):
+            # keep the plan's write parallelism — one file per Spark
+            # partition instead of a coalesced single file. The
+            # scale-friendly shape for bulk loads; off by default to
+            # match DuckLake's one-file-per-insert contract.
+            per_thread = (session.provider.get_scoped_option(
+                "per_thread_output", schema_meta.schema_id,
+                table_meta.table_id) or "").lower() in ("true", "1")
+            if per_thread and n_out <= 1:
+                pass                        # plan parallelism untouched
+            else:
+                out = (out.repartition(n_out) if n_out > 1
+                       else out.coalesce(1))
 
         # Partition spec (sql/partitioning/ corpus): split the insert by
         # the live spec's columns. The partition columns are DUPLICATED
