@@ -681,12 +681,23 @@ class CatalogWriter:
             # columns, reordering OK; type changes only along promotion rules;
             # new non-nullable columns rejected (ref: :427-464).
             if mode == WriteMode.APPEND and existing:
+                import dataclasses as _dc
                 existing_map = {r[0]: (r[1], bool(r[2]) if r[2] is not None else True)
                                 for r in existing}
-                for col in columns:
+                for ci, col in enumerate(columns):
                     if col.name in existing_map:
                         old_type = existing_map[col.name][0]
-                        if not types_compatible(old_type, col.ducklake_type):
+                        if types_compatible(col.ducklake_type, old_type) \
+                                and col.ducklake_type != old_type:
+                            # representation-compatible write: the
+                            # incoming Spark type is how the declared
+                            # type is STORED (varchar payload into a
+                            # json/uuid column — sql/types/json.test).
+                            # Keep the declared type, no evolution.
+                            columns[ci] = _dc.replace(
+                                col, ducklake_type=old_type)
+                        elif not types_compatible(old_type,
+                                                  col.ducklake_type):
                             raise InvalidConfig(
                                 f"Schema evolution error: column '{col.name}' has "
                                 f"type '{old_type}' in existing table but "
