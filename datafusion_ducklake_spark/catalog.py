@@ -1505,6 +1505,12 @@ class DuckLakeSession:
             types = {f.name: f.dataType for f in handle.spark_schema.fields}
             defaults = {c.column_name: c.default_value
                         for c in handle.columns}
+            # uuid columns store 16-byte binary; TEXT literals parse
+            # (DuckDB's implicit VARCHAR→UUID cast), they don't
+            # byte-encode (sql/add_files/add_files_type_check_uuid.test
+            # fixes the on-disk shape)
+            uuid_cols = {c.column_name for c in handle.columns
+                         if c.column_type.strip().lower() == "uuid"}
             given = set(names)
             src_types = dict(zip(names, [f.dataType for f in df.schema.fields]))
 
@@ -1548,6 +1554,10 @@ class DuckLakeSession:
 
             def filled(c):
                 if c in given:
+                    if c in uuid_cols and isinstance(src_types.get(c),
+                                                     T.StringType):
+                        return F.unhex(F.regexp_replace(
+                            F.lower(F.col(c)), "-", "")).alias(c)
                     return coerce(F.col(c), src_types.get(c),
                                   types[c]).alias(c)
                 if defaults.get(c) is not None:

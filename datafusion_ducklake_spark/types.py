@@ -312,6 +312,11 @@ def is_promotable(from_type: str, to_type: str) -> bool:
         # string-backed JSON store (sql/add_files/
         # add_files_type_check_string_blob.test json section)
         return True
+    if f == "blob" and t_ == "uuid":
+        # uuid is stored as 16-byte binary (types.py MappedType) — blob
+        # payloads register/insert into uuid columns the same way
+        # varchar does into json (sql/types/json.test analog)
+        return True
     fm, tm = _DECIMAL_RE.match(f), _DECIMAL_RE.match(t_)
     if fm and tm:
         fp, fs = int(fm.group(1)), int(fm.group(2))

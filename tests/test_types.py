@@ -118,3 +118,27 @@ def test_types_compatible_via_alias():
 def test_spark_to_ducklake_roundtrip(spark_t, dl):
     assert spark_to_ducklake_type(spark_t) == dl
     assert ducklake_to_spark_type(dl).spark_type == spark_t
+
+
+def test_uuid_insert_parses_text_to_16_bytes(spark, tmp_path):
+    """sql/types/ + add_files_type_check_uuid fix the on-disk shape:
+    uuid is 16-byte binary. A TEXT literal INSERTed into a uuid column
+    parses (DuckDB's implicit VARCHAR->UUID cast) instead of
+    byte-encoding the 36-char string."""
+    from datafusion_ducklake_spark.catalog import DuckLakeSession
+    from datafusion_ducklake_spark.metadata.writer import CatalogWriter
+    db = str(tmp_path / "uu.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "uulake"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.sql("CREATE TABLE uu (id UUID, tag STRING)")
+    dl.sql("INSERT INTO uu VALUES "
+           "('550e8400-e29b-41d4-a716-446655440000', 'a')")
+    rows = dl.table("main.uu").collect()
+    assert len(rows) == 1
+    assert len(rows[0]["id"]) == 16
+    assert rows[0]["id"].hex() == "550e8400e29b41d4a716446655440000"
+    # the catalog keeps the uuid type identity
+    assert {c.column_name: c.column_type
+            for c in dl.table_handle("main.uu").columns}["id"] == "uuid"
