@@ -539,7 +539,8 @@ class DuckLakeSession:
                  create_if_not_exists: bool = True,
                  data_path: Optional[str] = None,
                  override_data_path: bool = False,
-                 meta_type: Optional[str] = None):
+                 meta_type: Optional[str] = None,
+                 snapshot_time: Optional[str] = None):
         """Attach semantics (sql/initialize/ + sql/attach/ corpus):
 
         - missing catalog DB: created when ``create_if_not_exists`` (the
@@ -606,6 +607,19 @@ class DuckLakeSession:
                     w.set_option("data_path", data_path)
                 finally:
                     w.close()
+        if snapshot_time is not None:
+            # ATTACH (SNAPSHOT_TIME => ...) — sql/general/
+            # attach_at_snapshot.test: resolves to the newest snapshot
+            # at-or-before the time; exclusive with SNAPSHOT_VERSION
+            if snapshot_id is not None:
+                raise InvalidConfig(
+                    "SNAPSHOT_VERSION and SNAPSHOT_TIME cannot be "
+                    "combined")
+            snapshot_id = self.provider.get_snapshot_at_timestamp(
+                str(snapshot_time))
+            if snapshot_id is None:
+                raise InvalidConfig(
+                    f"No snapshot found at or before {snapshot_time}")
         if snapshot_id is not None and \
                 not self.provider.snapshot_exists(snapshot_id):
             # covers beyond-history AND expired versions

@@ -127,3 +127,30 @@ def test_meta_type_parameter(spark, tmp_path):
 
     with pytest.raises(InvalidConfig, match="duckdbxx"):
         DuckLakeSession(spark, str(tmp_path / "x.db"), meta_type="DUCKDBXX")
+
+
+def test_attach_snapshot_time(spark, tmp_path):
+    """ATTACH (SNAPSHOT_TIME => ...) — sql/general/attach_at_snapshot:
+    a time pin resolves to the newest snapshot at-or-before it, the
+    session is read-only, and combining VERSION+TIME or pinning before
+    history errors."""
+    import pytest
+
+    from datafusion_ducklake_spark.errors import InvalidConfig
+    db = str(tmp_path / "st.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "stlake"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.create_table("main.t", spark.createDataFrame([(1,)], "i INT"))
+    dl.insert_into("main.t", spark.createDataFrame([(2,)], "i INT"))
+
+    pinned = DuckLakeSession(spark, db, snapshot_time="9999-01-01")
+    assert sorted(r["i"] for r in pinned.table("main.t").collect()) == [1, 2]
+    assert pinned.read_only
+
+    with pytest.raises(InvalidConfig, match="No snapshot found at or"):
+        DuckLakeSession(spark, db, snapshot_time="1969-01-01")
+    with pytest.raises(InvalidConfig, match="cannot be combined"):
+        DuckLakeSession(spark, db, snapshot_id=1,
+                        snapshot_time="9999-01-01")
