@@ -38,11 +38,14 @@ def _cell(x) -> str:
     from decimal import Decimal
     if x is None:
         return _NULL
-    try:
-        if pd.isna(x):
-            return _NULL
-    except (TypeError, ValueError):  # arrays/lists are not isna-able
-        pass
+    if not isinstance(x, (list, tuple, np.ndarray, dict)):
+        # arrays/lists are not isna-able (and numpy deprecates the
+        # ambiguous truth value of an empty array)
+        try:
+            if pd.isna(x):
+                return _NULL
+        except (TypeError, ValueError):
+            pass
     if isinstance(x, Decimal):
         # same canon as the float branch: one engine may surface a DECIMAL
         # column as float64 (duckdb .df()) while the other keeps Decimal —
