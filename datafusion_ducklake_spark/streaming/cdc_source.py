@@ -116,17 +116,21 @@ class _CatalogStreamReader(DataSourceStreamReader):
             provider=self._provider).table_handle(self._table)
 
     def initialOffset(self) -> dict:
-        return {"rowid": 0}
+        return {"rowid": 0, "flush": 0}
 
     def _placement(self, handle, f):
-        """Where a file sits on the rowid axis: (start, end_exclusive),
+        """Where a file sits: ("rowid"|"flush", start, end_exclusive),
         or None for a file whose rows must NOT re-emit.
 
+        Files with catalog row_id_start ride the main rowid watermark.
         row_id_start NULL files carry their ids as the reserved in-file
         column; two kinds exist:
         - flushed inlined data (snapshot labeled flushed_inlined_data):
-          its rows were never visible as a file before — EMIT, placed at
-          the file's minimum rowid (footer stats).
+          its rows were never visible as a file before — EMIT. Placed on
+          a SEPARATE "flush" watermark keyed by the file's minimum rowid
+          (footer stats): inlined rows' ids can interleave BELOW file
+          ids registered later (insert-inlined → insert-parquet →
+          flush), so the main watermark may already be past them.
         - UPDATE/MERGE rewrites: the rows' ORIGINAL file stays live (the
           raw insert stream ignores positional deletes), so the rewrite
           must stay silent or rows would stream twice — SKIP.
@@ -134,7 +138,8 @@ class _CatalogStreamReader(DataSourceStreamReader):
         add_files) keeps the targeted error."""
         from ..errors import InvalidConfig
         if f.row_id_start is not None:
-            return (f.row_id_start, f.row_id_start + (f.record_count or 0))
+            return ("rowid", f.row_id_start,
+                    f.row_id_start + (f.record_count or 0))
         from ..sources.scan import file_has_rowid_column
         if not file_has_rowid_column(f.data_uri):
             raise InvalidConfig(
@@ -150,18 +155,18 @@ class _CatalogStreamReader(DataSourceStreamReader):
                 if marker in (s or "")}
         if f.begin_snapshot not in self._flush_snapshots:
             return None
-        lo, hi = _rowid_extent(f.data_uri, f.encryption_key)
-        return (lo, hi + 1)
+        lo, _hi = _rowid_extent(f.data_uri, f.encryption_key)
+        return ("flush", lo, lo + 1)
 
     def latestOffset(self) -> dict:
         handle = self._handle()
         self._flush_snapshots = None     # fresh snapshot-label view
-        top = 0
+        top = {"rowid": 0, "flush": 0}
         for f in handle.files:
             p = self._placement(handle, f)
             if p is not None:
-                top = max(top, p[1])
-        return {"rowid": top}
+                top[p[0]] = max(top[p[0]], p[2])
+        return top
 
     def partitions(self, start: dict, end: dict):
         handle = self._handle()
@@ -169,7 +174,10 @@ class _CatalogStreamReader(DataSourceStreamReader):
         out = []
         for f in handle.files:
             p = self._placement(handle, f)
-            if p is not None and start["rowid"] <= p[0] < end["rowid"]:
+            if p is None:
+                continue
+            axis, lo = p[0], p[1]
+            if start.get(axis, 0) <= lo < end.get(axis, 0):
                 out.append(_FileSlice(f.data_uri, f.encryption_key))
         return out or [_FileSlice("")]        # API requires >= 1 partition
 

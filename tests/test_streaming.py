@@ -403,3 +403,41 @@ def test_catalog_stream_silent_across_update_rewrite(spark, fresh_dl,
     run_once()                                        # appends still flow
     got = sorted(r["id"] for r in spark.read.parquet(sink).collect())
     assert got == [0, 1, 2, 3, 4, 100]
+
+
+def test_catalog_stream_flush_after_later_file_insert(spark, fresh_dl,
+                                                      tmp_path):
+    """Inlined rowids can sit BELOW file rowids registered later
+    (insert-inlined → insert-parquet → stream → flush). The flush file
+    rides a separate 'flush' offset axis, so its rows still stream
+    exactly once even though the main rowid watermark already passed
+    their ids."""
+    fresh_dl.create_table("main.evi", spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id BIGINT, s STRING"))
+    fresh_dl.set_option("data_inlining_row_limit", 3)
+    fresh_dl.insert_into("main.evi", spark.createDataFrame(
+        [(3, "c")], "id BIGINT, s STRING"))            # inlined, rowid 2
+    fresh_dl.insert_into("main.evi", spark.createDataFrame(
+        [(10 + i, "x") for i in range(5)], "id BIGINT, s STRING"))  # file
+
+    ckpt, sink = str(tmp_path / "ckpt_evi"), str(tmp_path / "sink_evi")
+
+    def run_once():
+        q = (cdc_source.stream_inserts(fresh_dl, "main.evi")
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
+
+    run_once()      # watermark passes the later file's rowids
+    got = sorted(r["id"] for r in spark.read.parquet(sink).collect())
+    assert got == [1, 2, 10, 11, 12, 13, 14]           # inlined invisible
+
+    fresh_dl.flush_inlined_data("main.evi")
+    run_once()      # the below-watermark flush file still emits
+    got = sorted(r["id"] for r in spark.read.parquet(sink).collect())
+    assert got == [1, 2, 3, 10, 11, 12, 13, 14]
+
+    run_once()      # exactly once
+    got = sorted(r["id"] for r in spark.read.parquet(sink).collect())
+    assert got == [1, 2, 3, 10, 11, 12, 13, 14]
