@@ -1565,6 +1565,9 @@ class CatalogWriter:
                     "default_value, default_type) "
                     "VALUES (?, 0, ?, ?, ?, ?, 'unknown')",
                     (mid, pos, pname, ptype, default))
+            # snapshots() changes parity (upstream labels
+            # scalar_macros_created; this catalog's entity convention)
+            self._record_changes(cur, sid, [f"created_macro:{mid}"])
             return sid
 
     def drop_macro(self, name: str,
@@ -1588,6 +1591,8 @@ class CatalogWriter:
                 "UPDATE ducklake_macro SET end_snapshot = ? "
                 f"WHERE macro_name = ? AND end_snapshot IS NULL{scope}",
                 (sid,) + args)
+            self._record_changes(
+                cur, sid, [f"dropped_macro:{int(r[0])}" for r in live])
             return True
 
     def set_option(self, key: str, value: Optional[str],
