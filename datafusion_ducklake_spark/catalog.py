@@ -2634,15 +2634,28 @@ class DuckLakeSession:
                 self.compact(name, single_file=True)
                 n += 1
                 continue
-            # never pack across partitions, only rowid-ADJACENT chains
-            # merge, size target caps each group, single-clean-file
-            # groups stay registered untouched (see partition_chains)
-            from .table_writer import partition_chains
-            todo = partition_chains(self, handle, target)
+            # never pack across partitions; size target caps each group;
+            # single-clean-file groups stay registered untouched. Within
+            # a partition bucket, files merge even across rowid GAPS
+            # (interleaved per-value inserts — upstream
+            # compaction_partitioned_non_adjacent contract): contiguous
+            # groups take the classic run path (outputs register with
+            # row_id_start), gapped groups write one rowid-in-file
+            # output each, preserving per-row snapshot_ids too.
+            from .table_writer import (group_is_contiguous,
+                                       merge_groups_rowid_column,
+                                       partition_chains)
+            todo = partition_chains(self, handle, target, adjacency=False)
             if not todo:
                 continue
-            rewrite_file_groups(self, name, todo,
-                                op="merge_adjacent_files")
+            contiguous = [g for g in todo if group_is_contiguous(g)]
+            gapped = [g for g in todo if not group_is_contiguous(g)]
+            if contiguous:
+                rewrite_file_groups(self, name, contiguous,
+                                    op="merge_adjacent_files")
+            if gapped:
+                merge_groups_rowid_column(self, name, gapped,
+                                          op="merge_adjacent_files")
             n += 1
         return n
 

@@ -119,8 +119,10 @@ class _CatalogStreamReader(DataSourceStreamReader):
         return {"rowid": 0, "flush": 0}
 
     def _placement(self, handle, f):
-        """Where a file sits: ("rowid"|"flush", start, end_exclusive),
-        or None for a file whose rows must NOT re-emit.
+        """Where a file sits: ("rowid"|"flush", start, end_exclusive,
+        guard_main), or None for a file whose rows must NOT re-emit;
+        guard_main marks compaction outputs that a caught-up consumer
+        already received via the main axis.
 
         Files with catalog row_id_start ride the main rowid watermark.
         row_id_start NULL files carry their ids as the reserved in-file
@@ -139,7 +141,7 @@ class _CatalogStreamReader(DataSourceStreamReader):
         from ..errors import InvalidConfig
         if f.row_id_start is not None:
             return ("rowid", f.row_id_start,
-                    f.row_id_start + (f.record_count or 0))
+                    f.row_id_start + (f.record_count or 0), False)
         from ..sources.scan import file_has_rowid_column
         if not file_has_rowid_column(f.data_uri):
             raise InvalidConfig(
@@ -153,10 +155,28 @@ class _CatalogStreamReader(DataSourceStreamReader):
                 sid for sid, s in
                 self._provider.get_snapshot_changes().items()
                 if marker in (s or "")}
-        if f.begin_snapshot not in self._flush_snapshots:
-            return None
         lo, _hi = _rowid_extent(f.data_uri, f.encryption_key)
-        return ("flush", lo, lo + 1)
+        if f.begin_snapshot in self._flush_snapshots:
+            # flushed inlined data: its rows were NEVER visible via the
+            # main axis (inlined rows don't stream) — always deliverable
+            return ("flush", lo, lo + 1, False)
+        covered = any(
+            g.row_id_start is not None
+            and g.row_id_start <= lo < g.row_id_start
+            + (g.record_count or 0)
+            for g in handle.files)
+        if covered:
+            # UPDATE/MERGE rewrite whose ORIGINAL file is still live:
+            # the originals deliver these rowids — stay silent
+            return None
+        # compaction output carrying in-file rowids (gapped merge /
+        # compact-after-update): originals are ended. Deliverable to a
+        # consumer that has not passed these rowids on the main axis
+        # (guard_main) — a caught-up consumer already received them from
+        # the pre-compaction files. Caveat (documented): a merge racing
+        # a live stream can fold a not-yet-delivered file below the
+        # watermark; pause streams during maintenance, as with glob mode.
+        return ("flush", lo, lo + 1, True)
 
     def latestOffset(self) -> dict:
         handle = self._handle()
@@ -176,9 +196,12 @@ class _CatalogStreamReader(DataSourceStreamReader):
             p = self._placement(handle, f)
             if p is None:
                 continue
-            axis, lo = p[0], p[1]
-            if start.get(axis, 0) <= lo < end.get(axis, 0):
-                out.append(_FileSlice(f.data_uri, f.encryption_key))
+            axis, lo, _hi, guard_main = p
+            if not (start.get(axis, 0) <= lo < end.get(axis, 0)):
+                continue
+            if guard_main and lo < start.get("rowid", 0):
+                continue    # already delivered via the main axis
+            out.append(_FileSlice(f.data_uri, f.encryption_key))
         return out or [_FileSlice("")]        # API requires >= 1 partition
 
     def read(self, partition: _FileSlice):

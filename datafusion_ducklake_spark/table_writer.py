@@ -810,13 +810,17 @@ def _insert_encrypted(session, writer, setup, table_meta, table_path,
     return n_rows
 
 
-def partition_chains(session, handle, target: "int | None" = None
-                     ) -> list:
+def partition_chains(session, handle, target: "int | None" = None,
+                     adjacency: bool = True) -> list:
     """Groups for partition-aware maintenance: bucket live files by their
-    exact partition-value tuple, chain rowid-ADJACENT files within each
-    bucket (files whose rowids interleave with another partition stay
-    separate — rowid preservation), cap each chain at ``target`` bytes.
-    Returns only the groups worth rewriting: >1 member or delete debt."""
+    exact partition-value tuple, chain files within each bucket capped
+    at ``target`` bytes. ``adjacency=True`` additionally breaks a chain
+    at every rowid gap (outputs register with contiguous row_id_start —
+    the classic path); ``adjacency=False`` packs a whole bucket
+    regardless of gaps (the upstream merge shape —
+    compaction_partitioned_non_adjacent.test — whose outputs must carry
+    rowids in-file). Returns only the groups worth rewriting: >1 member
+    or delete debt."""
     pv_map = session.provider.get_file_partition_values(
         handle.meta.table_id)
     members = sorted(zip(handle._raw_files, handle.files),
@@ -833,7 +837,7 @@ def partition_chains(session, handle, target: "int | None" = None
             adjacent = bool(cur) and (
                 cur[-1][0].row_id_start + (cur[-1][0].record_count or 0)
                 == mf.row_id_start)
-            if cur and (not adjacent or (
+            if cur and ((adjacency and not adjacent) or (
                     target is not None and cur_bytes + sz > target)):
                 groups.append(cur)
                 cur, cur_bytes = [], 0
@@ -843,6 +847,95 @@ def partition_chains(session, handle, target: "int | None" = None
             groups.append(cur)
     return [g for g in groups
             if len(g) > 1 or any(rf.delete_uri for _, rf in g)]
+
+
+def group_is_contiguous(group: list) -> bool:
+    """True when the group's member files form one gapless rowid chain
+    (every member catalog-started)."""
+    prev_end = None
+    for mf, _rf in group:
+        if mf.row_id_start is None:
+            return False
+        if prev_end is not None and mf.row_id_start != prev_end:
+            return False
+        prev_end = mf.row_id_start + (mf.record_count or 0)
+    return True
+
+
+def merge_groups_rowid_column(session, name: str, groups: list,
+                              op: str = "merge_adjacent_files") -> int:
+    """Merge arbitrary (non-contiguous) groups of a table's files into
+    ONE output file per group, preserving BOTH virtual rowids and
+    per-row snapshot_ids via the reserved in-file columns
+    (row_id_start NULL) — the upstream merge contract for partitioned
+    tables whose per-value files interleave in rowid order
+    (sql/compaction/compaction_partitioned_non_adjacent.test: rowid AND
+    snapshot_id survive the merge). Stage first, register in one
+    maintenance transaction (orphans on crash, never corruption); the
+    snapshot is labeled compacted_table so CDC stays silent."""
+    from pyspark.sql import functions as F
+
+    from .operators.dml import _stage_append
+    from .sources.scan import scan_table
+
+    handle = session.table_handle(name)
+    tid = handle.meta.table_id
+    data_cols = [c.column_name for c in handle.columns]
+    col_ids = [c.column_id for c in handle.columns]
+    geo_cols = {c.column_name for c in handle.columns
+                if is_geometry_type(c.column_type)}
+    staged_groups = []
+    for group in groups:
+        df = scan_table(session.spark, handle.spark_schema,
+                        [rf for _mf, rf in group], with_virtual=True)
+        df = df.select(*data_cols, "rowid",
+                       F.col("snapshot_id").alias("__begin_snapshot"))
+        staged_groups.append(_stage_append(
+            session, handle, df, single_file=True,
+            include_rowid=True, include_snapshot=True))
+
+    writer = _catalog_writer(session)
+    try:
+        snap = writer.create_snapshot([f"compacted_table:{tid}"])
+        n_rows = 0
+        with writer._txn():
+            for group in groups:
+                for mf, _rf in group:
+                    writer.expect_live_delete(
+                        mf.data_file_id,
+                        mf.delete_file.delete_file_id
+                        if mf.delete_file else None)
+                    writer.end_delete_file(mf.data_file_id, snap)
+                    writer.end_data_file(mf.data_file_id, snap)
+            for staged in staged_groups:
+                for final_name, size, footer, count, pvals, enc_key in \
+                        staged:
+                    if count == 0:
+                        continue
+                    fid = writer.register_data_file(
+                        tid, snap,
+                        DataFileInfo(path=final_name,
+                                     path_is_relative=True,
+                                     file_size_bytes=size,
+                                     footer_size=footer,
+                                     record_count=count,
+                                     row_id_start=None,
+                                     encryption_key=enc_key))
+                    if pvals:
+                        writer.register_file_partition_values(
+                            fid, tid, pvals)
+                    local = _local_readable(handle.table_path, final_name)
+                    if local is not None and enc_key is None:
+                        writer.register_file_column_stats(
+                            fid, tid,
+                            column_stats_of(
+                                local, dict(zip(data_cols, col_ids)),
+                                geo_cols))
+                    n_rows += count
+        session.refresh()
+        return n_rows
+    finally:
+        writer.close()
 
 
 def rewrite_data_files(session, name: str, max_runs: int = 512) -> int:
@@ -858,8 +951,21 @@ def rewrite_data_files(session, name: str, max_runs: int = 512) -> int:
              if rf.delete_uri is not None]
     if not pairs:
         return 0
-    return rewrite_file_groups(session, name, [[p] for p in pairs],
-                               max_runs=max_runs, op="rewrite_data_files")
+    # rowid-in-file members (row_id_start NULL — gapped-merge outputs)
+    # can't re-register as contiguous runs; their surviving rows rewrite
+    # through the rowid-column path instead, one group per dirty file
+    started = [p for p in pairs if p[0].row_id_start is not None]
+    infile = [p for p in pairs if p[0].row_id_start is None]
+    n = 0
+    if started:
+        n += rewrite_file_groups(session, name, [[p] for p in started],
+                                 max_runs=max_runs,
+                                 op="rewrite_data_files")
+    if infile:
+        n += merge_groups_rowid_column(session, name,
+                                       [[p] for p in infile],
+                                       op="rewrite_data_files")
+    return n
 
 
 def rewrite_file_groups(session, name: str, groups: list,

@@ -221,13 +221,22 @@ def test_merge_adjacent_preserves_partition_values(spark, tmp_path):
             [(1, 10 + k), (1, 100 + k), (2, 20 + k)], "pk INT, v INT"))
     handle = dl.table_handle("main.pt")
     assert len(handle.files) == 4
-    before_ids = {f.data_file_id for f in handle._raw_files}
-    # the per-partition files interleave rowids (insert order), so NO
-    # pair is rowid-adjacent: merge_adjacent must leave all four files
-    # registered untouched rather than rewrite them in place
-    assert dl.merge_adjacent_files() == 0
-    assert {f.data_file_id
-            for f in dl.table_handle("main.pt")._raw_files} == before_ids
+    # the per-partition files interleave rowids (insert order): the
+    # upstream non-adjacent contract still packs them per partition
+    # VALUE — one output per value, never across values — with rowids
+    # and per-row snapshot_ids preserved in-file (row_id_start NULL)
+    assert dl.merge_adjacent_files() == 1
+    after = dl.table_handle("main.pt")
+    assert len(after._raw_files) == 2
+    assert all(f.row_id_start is None for f in after._raw_files)
+    pv = dl.provider.get_file_partition_values(after.meta.table_id)
+    vals = sorted(pv[f.data_file_id][0] for f in after._raw_files)
+    assert vals == ["1", "2"]       # exact pruning values survive
+    virt = dl.table("main.pt", with_virtual=True)
+    rows = sorted((r.rowid, r.pk, r.v) for r in virt.collect())
+    assert rows == [(0, 1, 10), (1, 1, 100), (2, 2, 20),
+                    (3, 1, 11), (4, 1, 101), (5, 2, 21)]
+    assert virt.select("snapshot_id").distinct().count() == 2
 
     # a selective rewrite of a dirtied partition file carries its exact
     # partition value to the rewritten file (pruning survives)
@@ -237,7 +246,7 @@ def test_merge_adjacent_preserves_partition_values(spark, tmp_path):
     pv = dl.provider.get_file_partition_values(after.meta.table_id)
     live = [f.data_file_id for f in after._raw_files]
     vals = sorted(pv[fid][0] for fid in live)
-    assert len(live) == 4 and vals == ["1", "1", "2", "2"]
+    assert len(live) == 2 and vals == ["1", "2"]
     rows = sorted((r.pk, r.v) for r in dl.table("main.pt").collect())
     assert rows == [(1, 11), (1, 100), (1, 101),
                     (2, 20), (2, 21)]

@@ -441,3 +441,43 @@ def test_catalog_stream_flush_after_later_file_insert(spark, fresh_dl,
     run_once()      # exactly once
     got = sorted(r["id"] for r in spark.read.parquet(sink).collect())
     assert got == [1, 2, 3, 10, 11, 12, 13, 14]
+
+
+def test_catalog_stream_after_gapped_merge(spark, fresh_dl, tmp_path):
+    """Compaction outputs carrying in-file rowids (gapped per-partition
+    merge) must stream to a FRESH consumer (their originals are ended)
+    while a caught-up consumer, which already received the rows from
+    the pre-merge files, gets no duplicates."""
+    fresh_dl.create_table("main.evg", spark.createDataFrame(
+        [(1, 10)], "pk INT, v INT"))
+    fresh_dl.sql("ALTER TABLE evg SET PARTITIONED BY (pk)")
+    for pk, v in [(2, 100), (1, 20), (2, 200)]:
+        fresh_dl.insert_into("main.evg", spark.createDataFrame(
+            [(pk, v)], "pk INT, v INT"))
+
+    ckpt_a, sink_a = str(tmp_path / "ck_a"), str(tmp_path / "sk_a")
+
+    def run(ckpt, sink):
+        q = (cdc_source.stream_inserts(fresh_dl, "main.evg")
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
+
+    run(ckpt_a, sink_a)        # consumer A catches up pre-merge
+    got_a = sorted(r["v"] for r in spark.read.parquet(sink_a).collect())
+    assert got_a == [10, 20, 100, 200]
+
+    fresh_dl.sql("CALL ducklake_merge_adjacent_files()")
+    files = fresh_dl.table_handle("main.evg").files
+    assert any(f.row_id_start is None for f in files)   # gapped outputs
+
+    run(ckpt_a, sink_a)        # caught-up consumer: no duplicates
+    got_a = sorted(r["v"] for r in spark.read.parquet(sink_a).collect())
+    assert got_a == [10, 20, 100, 200]
+
+    # fresh consumer B, started AFTER the merge, still gets every row
+    ckpt_b, sink_b = str(tmp_path / "ck_b"), str(tmp_path / "sk_b")
+    run(ckpt_b, sink_b)
+    got_b = sorted(r["v"] for r in spark.read.parquet(sink_b).collect())
+    assert got_b == [10, 20, 100, 200]
