@@ -1070,7 +1070,7 @@ class DuckLakeSession:
         r"\)\s*;?\s*$", re.I)
     _SET_OPTION_RE = re.compile(
         r"^\s*CALL\s+ducklake_set_option\s*\(\s*'([^']*)'\s*,\s*"
-        r"(NULL|TRUE|FALSE|\d+|'[^']*')\s*"
+        r"(NULL|TRUE|FALSE|-?\d+(?:\.\d+)?|'[^']*')\s*"
         r"((?:,\s*(?:table_name|schema)\s*=>\s*'[^']*'\s*)*)\)\s*;?\s*$",
         re.I)
     _SET_OPTION_SCOPE_RE = re.compile(
@@ -1099,7 +1099,9 @@ class DuckLakeSession:
         re.I)
     _REWRITE_FILES_RE = re.compile(
         r"^\s*CALL\s+ducklake_rewrite_data_files\s*\(\s*"
-        r"('[^']*'|[\w.]+)\s*\)\s*;?\s*$", re.I)
+        r"('[^']*'|[\w.]+)\s*"
+        r"(?:,\s*('[^']*'|[\w.]+)\s*)?"
+        r"(?:,\s*delete_threshold\s*=>\s*([^\s,)]+)\s*)?\)\s*;?\s*$", re.I)
     _CHECKPOINT_RE = re.compile(r"^\s*CHECKPOINT\s*;?\s*$", re.I)
     _COPY_RE = re.compile(
         r"^\s*COPY\s+(\(.*\)|[A-Za-z_][\w.]*)\s+TO\s+'([^']+)'"
@@ -1207,8 +1209,19 @@ class DuckLakeSession:
                 max_compacted_files=int(mx) if mx is not None else None))
         m = self._REWRITE_FILES_RE.match(query)
         if m:
+            # two positional names = (catalog_alias, table) — the alias
+            # is implicit here, as with the other maintenance CALLs
+            name = (m.group(2) or m.group(1)).strip("'")
+            thr = m.group(3)
+            if thr is not None:
+                try:
+                    thr = float(thr)
+                except ValueError:
+                    raise InvalidConfig(
+                        "The delete_threshold option must be between "
+                        "0 and 1")
             return self._count_df(self.rewrite_data_files(
-                m.group(1).strip("'")))
+                name, delete_threshold=self._rewrite_threshold(thr)))
         m = self._CHECKPOINT_RE.match(query)
         if m:
             return self._count_df(self.checkpoint())
@@ -2357,6 +2370,14 @@ class DuckLakeSession:
         if key in ("delete_older_than", "expire_older_than") \
                 and value is not None:
             self._parse_interval(str(value))   # validate (ref error text)
+        if key == "rewrite_delete_threshold" and value is not None:
+            try:
+                ok = 0.0 <= float(value) <= 1.0
+            except (TypeError, ValueError):
+                ok = False
+            if not ok:
+                raise InvalidConfig(
+                    "The rewrite_delete_threshold must be between 0 and 1")
         scope = scope_id = None
         if table_name is not None:
             qualified = table_name if "." in table_name else (
@@ -2932,12 +2953,34 @@ class DuckLakeSession:
         return create_or_insert(self, name, self.table(name),
                                 mode="overwrite", single_file=single_file)
 
-    def rewrite_data_files(self, name: str) -> int:
+    def _rewrite_threshold(self, explicit: "float | None") -> float:
+        """Effective delete-fraction gate for the CALL surface:
+        explicit ``delete_threshold`` argument > the
+        ``rewrite_delete_threshold`` catalog option > 0.95 (the upstream
+        default — sql/rewrite_data_files/test_last_snapshot_rewrite:
+        a 60%-deleted file is NOT rewritten without an argument)."""
+        if explicit is not None:
+            if not (0.0 <= explicit <= 1.0):
+                raise InvalidConfig(
+                    "The delete_threshold option must be between 0 and 1")
+            return explicit
+        opt = self.provider.get_option("rewrite_delete_threshold")
+        return float(opt) if opt is not None else 0.95
+
+    def rewrite_data_files(self, name: str,
+                           delete_threshold: "float | None" = None
+                           ) -> int:
         """Selective MOR-debt rewrite (CALL ducklake_rewrite_data_files —
         sql/rewrite_data_files/ corpus): rewrite only files carrying
-        delete debt; clean files stay untouched. Rowids preserved."""
+        delete debt; clean files stay untouched. Rowids preserved.
+        ``delete_threshold`` additionally gates on each file's deleted
+        FRACTION (delete_count/record_count >= threshold rewrites —
+        upstream's cost guard: a barely-dirty file isn't worth
+        rewriting); None rewrites every dirty file (library default —
+        the SQL CALL resolves the upstream 0.95 default instead)."""
         from .table_writer import rewrite_data_files
-        return rewrite_data_files(self, name)
+        return rewrite_data_files(self, name,
+                                  delete_threshold=delete_threshold)
 
     def add_files(self, name: str, parquet_paths: list[str],
                   allow_missing: bool = False,

@@ -938,17 +938,28 @@ def merge_groups_rowid_column(session, name: str, groups: list,
         writer.close()
 
 
-def rewrite_data_files(session, name: str, max_runs: int = 512) -> int:
+def rewrite_data_files(session, name: str, max_runs: int = 512,
+                       delete_threshold: "float | None" = None) -> int:
     """Selective MOR-debt rewrite — the corpus's
     ``CALL ducklake_rewrite_data_files`` (sql/rewrite_data_files/):
     rewrite ONLY the data files carrying a live delete file; clean files
-    keep their catalog registration untouched. At 100 TB the cost is
-    proportional to the DIRTY byte count, never the table size (compact()
-    rewrites everything). Each dirty file is its own group — see
-    rewrite_file_groups for the mechanism."""
+    keep their catalog registration untouched. ``delete_threshold``
+    further gates on the deleted fraction (catalog delete_count /
+    record_count — no file reads), skipping barely-dirty files whose
+    rewrite would cost more I/O than the debt it retires. At 100 TB the
+    cost is proportional to the DIRTY byte count above the threshold,
+    never the table size (compact() rewrites everything). Each dirty
+    file is its own group — see rewrite_file_groups for the mechanism."""
     handle = session.table_handle(name)
     pairs = [(mf, rf) for mf, rf in zip(handle._raw_files, handle.files)
              if rf.delete_uri is not None]
+    if delete_threshold is not None and delete_threshold > 0:
+        def _frac(mf):
+            dc = mf.delete_file.delete_count if mf.delete_file else None
+            if dc is None or not mf.record_count:
+                return 1.0      # unknown debt: rewrite (conservative)
+            return dc / mf.record_count
+        pairs = [p for p in pairs if _frac(p[0]) >= delete_threshold]
     if not pairs:
         return 0
     # rowid-in-file members (row_id_start NULL — gapped-merge outputs)

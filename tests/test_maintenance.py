@@ -157,6 +157,46 @@ def test_rewrite_data_files_leaves_clean_files_untouched(spark, tmp_path):
     assert sorted(r.id for r in rows) == [0, 1] + list(range(5, 20))
 
 
+def test_rewrite_data_files_delete_threshold(spark, tmp_path):
+    """sql/rewrite_data_files/test_last_snapshot_rewrite: the
+    delete-fraction gate — a file under the threshold keeps its
+    registration and delete file; at/above it, the file rewrites. The
+    gate reads catalog delete_count/record_count only (no file I/O)."""
+    db = str(tmp_path / "rwt.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.create_table("main.rw", spark.createDataFrame(
+        [(i,) for i in range(10)], "id INT"))
+    dl.delete_from("main.rw", "id < 6")        # 0.6 deleted
+    assert dl.rewrite_data_files("main.rw", delete_threshold=0.7) == 0
+    assert sum(1 for f in dl.table_handle("main.rw")._raw_files
+               if f.delete_file) == 1          # gated: debt stays
+    assert dl.rewrite_data_files("main.rw", delete_threshold=0.5) == 4
+    after = dl.table_handle("main.rw")._raw_files
+    assert all(f.delete_file is None for f in after)
+    rows = dl.table("main.rw", with_rowid=True).collect()
+    assert sorted((r.rowid, r.id) for r in rows) == [
+        (i, i) for i in range(6, 10)]
+    # SQL surface: explicit arg > rewrite_delete_threshold option > 0.95
+    with pytest.raises(InvalidConfig, match="between 0 and 1"):
+        dl.sql("CALL ducklake_rewrite_data_files('rw', "
+               "delete_threshold => 1.5)")
+    with pytest.raises(InvalidConfig, match="between 0 and 1"):
+        dl.set_option("rewrite_delete_threshold", "-0.2")
+    dl.delete_from("main.rw", "id = 7")        # 0.25 of the new file
+    dl.sql("CALL ducklake_rewrite_data_files('rw')")   # 0.95 default
+    assert sum(1 for f in dl.table_handle("main.rw")._raw_files
+               if f.delete_file) == 1
+    dl.set_option("rewrite_delete_threshold", "0.2")
+    dl.sql("CALL ducklake_rewrite_data_files('rw')")   # global applies
+    assert all(f.delete_file is None
+               for f in dl.table_handle("main.rw")._raw_files)
+    assert sorted(r.id for r in dl.table("main.rw").collect()) == \
+        [6, 8, 9]
+
+
 def test_rewrite_data_files_noop_without_debt(spark, tmp_path):
     db = str(tmp_path / "rw2.sqlite")
     w = CatalogWriter.sqlite(db)
