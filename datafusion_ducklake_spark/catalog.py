@@ -1099,9 +1099,10 @@ class DuckLakeSession:
         re.I)
     _REWRITE_FILES_RE = re.compile(
         r"^\s*CALL\s+ducklake_rewrite_data_files\s*\(\s*"
-        r"('[^']*'|[\w.]+)\s*"
+        r"(?:('[^']*'|(?!delete_threshold\b)[\w.]+)\s*)?"
         r"(?:,\s*('[^']*'|[\w.]+)\s*)?"
-        r"(?:,\s*delete_threshold\s*=>\s*([^\s,)]+)\s*)?\)\s*;?\s*$", re.I)
+        r"(?:,?\s*delete_threshold\s*=>\s*([^\s,)]+)\s*)?\)\s*;?\s*$",
+        re.I)
     _CHECKPOINT_RE = re.compile(r"^\s*CHECKPOINT\s*;?\s*$", re.I)
     _COPY_RE = re.compile(
         r"^\s*COPY\s+(\(.*\)|[A-Za-z_][\w.]*)\s+TO\s+'([^']+)'"
@@ -1210,8 +1211,11 @@ class DuckLakeSession:
         m = self._REWRITE_FILES_RE.match(query)
         if m:
             # two positional names = (catalog_alias, table) — the alias
-            # is implicit here, as with the other maintenance CALLs
-            name = (m.group(2) or m.group(1)).strip("'")
+            # is implicit here, as with the other maintenance CALLs; no
+            # name at all = every table (upstream's whole-DB
+            # ducklake_rewrite_data_files('ducklake') form)
+            name = m.group(2) or m.group(1)
+            name = name.strip("'") if name is not None else None
             thr = m.group(3)
             if thr is not None:
                 try:
@@ -2967,20 +2971,28 @@ class DuckLakeSession:
         opt = self.provider.get_option("rewrite_delete_threshold")
         return float(opt) if opt is not None else 0.95
 
-    def rewrite_data_files(self, name: str,
+    def rewrite_data_files(self, name: "str | None" = None,
                            delete_threshold: "float | None" = None
                            ) -> int:
         """Selective MOR-debt rewrite (CALL ducklake_rewrite_data_files —
         sql/rewrite_data_files/ corpus): rewrite only files carrying
         delete debt; clean files stay untouched. Rowids preserved.
-        ``delete_threshold`` additionally gates on each file's deleted
-        FRACTION (delete_count/record_count >= threshold rewrites —
-        upstream's cost guard: a barely-dirty file isn't worth
-        rewriting); None rewrites every dirty file (library default —
-        the SQL CALL resolves the upstream 0.95 default instead)."""
+        ``name`` None spans every table (upstream's whole-DB form —
+        test_rewrite_db.test). ``delete_threshold`` additionally gates
+        on each file's deleted FRACTION (delete_count/record_count >=
+        threshold rewrites — upstream's cost guard: a barely-dirty file
+        isn't worth rewriting); None rewrites every dirty file (library
+        default — the SQL CALL resolves the upstream 0.95 default
+        instead)."""
         from .table_writer import rewrite_data_files
-        return rewrite_data_files(self, name,
-                                  delete_threshold=delete_threshold)
+        if name is not None:
+            return rewrite_data_files(self, name,
+                                      delete_threshold=delete_threshold)
+        snap = self.provider.get_current_snapshot()
+        return sum(
+            rewrite_data_files(self, f"{sch}.{t.table_name}",
+                               delete_threshold=delete_threshold)
+            for sch, t in self.provider.list_all_tables(snap))
 
     def add_files(self, name: str, parquet_paths: list[str],
                   allow_missing: bool = False,
