@@ -3084,9 +3084,26 @@ class DuckLakeSession:
                             f"{expected[col_name]} ({e})") from e
                     file_type = spark_to_ducklake_type(spark_t)
                     if not types_compatible(file_type, expected[col_name]):
-                        raise InvalidConfig(
-                            f"add_files: column '{col_name}' type {file_type} "
-                            f"incompatible with table type {expected[col_name]}")
+                        # legacy 2-level LIST files (old Hive/Avro/Spark
+                        # writeLegacyFormat): pyarrow wraps the element in
+                        # a single-field struct the Spark reader will
+                        # collapse — retry the check through the same
+                        # collapse (sql/add_files/add_old_list.test)
+                        from .types import normalize_legacy_arrow_lists
+                        try:
+                            alt = from_arrow_type(
+                                normalize_legacy_arrow_lists(schema.types[i]),
+                                prefer_timestamp_ntz=True)
+                            alt_type = spark_to_ducklake_type(alt)
+                        except Exception:
+                            alt_type = file_type
+                        if types_compatible(alt_type, expected[col_name]):
+                            file_type = alt_type
+                        else:
+                            raise InvalidConfig(
+                                f"add_files: column '{col_name}' type "
+                                f"{file_type} incompatible with table type "
+                                f"{expected[col_name]}")
                     if not allow_missing:
                         from .types import missing_nested_fields
                         missing = missing_nested_fields(

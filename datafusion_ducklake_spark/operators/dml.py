@@ -480,12 +480,15 @@ def _stage_append(session, handle, df: DataFrame,
     except Exception as e:
         _raise_if_constraint(e)
     if part_keys:
+        from ..table_writer import _hive_file_pattern
         dir_keys = [dk for _b, _t, dk in part_keys]
+        hive = _hive_file_pattern(session, handle.meta.table_id)
         if "://" in table_path:
             return [(*t, None) for t in _finalize_partitioned_hadoop(
-                session.spark, staging, table_path, dir_keys)]
+                session.spark, staging, table_path, dir_keys,
+                hive_dirs=hive)]
         return [(*t, None) for t in _finalize_partitioned_local(
-            staging, table_path, dir_keys)]
+            staging, table_path, dir_keys, hive_dirs=hive)]
     if "://" in table_path:
         return [(*s, None, None) for s in
                 _finalize_hadoop(session.spark, staging, table_path)]

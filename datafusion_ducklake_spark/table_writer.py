@@ -451,10 +451,25 @@ def _parse_part_segs(segs: list[str], key_names: list[str]):
     return pvals, subsegs
 
 
+def _hive_file_pattern(session, table_id: int,
+                       schema_id: "int | None" = None) -> bool:
+    """The ``hive_file_pattern`` scoped option (sql/partitioning/
+    disable_hive_partitioning.test): False writes a partitioned table's
+    files FLAT in the table dir — partition values still register in the
+    catalog, so pruning is unaffected; only the directory layout
+    changes. Default True (hive-style key=value subdirs)."""
+    v = session.provider.get_scoped_option(
+        "hive_file_pattern", schema_id, table_id)
+    return v is None or str(v).strip().lower() not in (
+        "false", "0", "no", "f")
+
+
 def _finalize_partitioned_local(staging: str, table_path: str,
-                                key_names: list[str]) -> list[tuple]:
+                                key_names: list[str],
+                                hive_dirs: bool = True) -> list[tuple]:
     """[(final_relpath, size, footer, rows, [(key_index, value)])] for a
-    hive-partitioned staging dir on the local FS."""
+    hive-partitioned staging dir on the local FS. ``hive_dirs`` False
+    drops the key=value subdirs (flat layout; catalog values only)."""
     import shutil
 
     import pyarrow.parquet as pq
@@ -466,6 +481,8 @@ def _finalize_partitioned_local(staging: str, table_path: str,
         rel = os.path.relpath(root, staging)
         segs = [] if rel == "." else rel.split(os.sep)
         pvals, subsegs = _parse_part_segs(segs, key_names)
+        if not hive_dirs:
+            subsegs = []
         os.makedirs(os.path.join(table_path, *subsegs), exist_ok=True)
         for part in parts:
             final_name = "/".join(
@@ -480,7 +497,8 @@ def _finalize_partitioned_local(staging: str, table_path: str,
 
 
 def _finalize_partitioned_hadoop(spark, staging: str, table_path: str,
-                                 key_names: list[str]) -> list[tuple]:
+                                 key_names: list[str],
+                                 hive_dirs: bool = True) -> list[tuple]:
     """Object-store variant: recursive FileSystem walk, distributed
     footer row counts, ranged tail reads — driver never downloads
     payload bytes."""
@@ -501,6 +519,8 @@ def _finalize_partitioned_hadoop(spark, staging: str, table_path: str,
                  if not is_dir and n.endswith(".parquet")]
         if parts:
             pvals, subsegs = _parse_part_segs(segs, key_names)
+            if not hive_dirs:
+                subsegs = []
             if subsegs:
                 fs.mkdirs(table_path.rstrip("/") + "/" + "/".join(subsegs))
             for part in parts:
@@ -1416,12 +1436,15 @@ def create_or_insert(session, name: str, df: DataFrame, mode: str,
         #    capable); bare local paths take the direct os/pyarrow route.
         if part_keys:
             dir_keys = [dk for _b, _t, dk in part_keys]
+            hive = _hive_file_pattern(session, table_meta.table_id,
+                                      schema_meta.schema_id)
             if "://" in table_path:
                 staged = _finalize_partitioned_hadoop(
-                    session.spark, staging, table_path, dir_keys)
+                    session.spark, staging, table_path, dir_keys,
+                    hive_dirs=hive)
             else:
                 staged = _finalize_partitioned_local(
-                    staging, table_path, dir_keys)
+                    staging, table_path, dir_keys, hive_dirs=hive)
         elif "://" in table_path:
             staged = [(*s, None) for s in
                       _finalize_hadoop(session.spark, staging, table_path)]

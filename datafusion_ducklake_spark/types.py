@@ -629,3 +629,38 @@ def build_spark_schema(columns) -> T.StructType:
             col.column_name, spark_type, col.nulls_allowed,
             metadata={"parquet.field.id": col.column_id}))
     return T.StructType(fields)
+
+
+def normalize_legacy_arrow_lists(at):
+    """Collapse parquet legacy 2-level LIST wrappers out of a pyarrow
+    type. Old writers (Hive, Avro, Spark's ``writeLegacyFormat``) emit
+    ``<name> (LIST) { repeated group array { ... } }``; pyarrow surfaces
+    the repeated group as a single-field struct named ``array``/``bag``/
+    ``<name>_tuple`` (parquet-format LogicalTypes.md backward-compat
+    rules), while Spark's reader collapses it to the plain list.
+    ``add_files`` retries its footer type check through this
+    normalization so legacy files register with the schema the scan will
+    actually read (reference corpus: sql/add_files/add_old_list.test).
+    Only used as a fallback after the direct check fails — a genuine
+    ``list<struct<array: T>>`` column therefore never collapses."""
+    import pyarrow as pa
+
+    def _is_legacy_wrapper(v) -> bool:
+        return (pa.types.is_struct(v) and v.num_fields == 1 and
+                (v.field(0).name in ("array", "bag") or
+                 v.field(0).name.endswith("_tuple")))
+
+    def norm(t):
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            v = t.value_type
+            if _is_legacy_wrapper(v):
+                return pa.list_(norm(v.field(0).type))
+            return pa.list_(norm(v))
+        if pa.types.is_struct(t):
+            return pa.struct([pa.field(f.name, norm(f.type), f.nullable)
+                              for f in t])
+        if pa.types.is_map(t):
+            return pa.map_(norm(t.key_type), norm(t.item_type))
+        return t
+
+    return norm(at)

@@ -202,3 +202,39 @@ def test_add_files_old_list_structure(dl, spark, tmp_path):
     dl.sql("INSERT INTO ol SELECT array(array(9)) AS l")
     got = sorted(r["l"] for r in dl.table("main.ol").collect())
     assert got == [[[1, 2], [3, 4]], [[9]]]
+
+
+def test_add_files_two_level_legacy_list(dl, spark, tmp_path):
+    """sql/add_files/add_old_list.test: the TRUE legacy 2-level avro
+    list layout (`repeated group array` directly under the LIST group —
+    what Spark's writeLegacyFormat and old Hive writers emit). pyarrow
+    surfaces the wrapper as a single-field struct, so the footer type
+    check must collapse it (types.normalize_legacy_arrow_lists); Spark's
+    reader handles the layout natively at scan time."""
+    import glob as _glob
+
+    spark.conf.set("spark.sql.parquet.writeLegacyFormat", "true")
+    try:
+        spark.sql("SELECT array(array(1, 2), array(3, 4)) AS l")\
+            .coalesce(1).write.parquet(str(tmp_path / "old2"))
+    finally:
+        spark.conf.unset("spark.sql.parquet.writeLegacyFormat")
+    f = _glob.glob(str(tmp_path / "old2" / "*.parquet"))[0]
+    # sanity: this really is the 2-level layout (repeated group "array")
+    import pyarrow.parquet as pq
+    assert "repeated group field_id=-1 array" in str(pq.ParquetFile(f).schema)
+
+    dl.sql("CREATE TABLE ol2 (l INT[][])")
+    dl.sql(f"CALL ducklake_add_data_files('ol2', '{f}')")
+    rows = dl.table("main.ol2").collect()
+    assert len(rows) == 1 and rows[0]["l"] == [[1, 2], [3, 4]]
+    # a genuine single-field struct column does NOT collapse: the direct
+    # check passes first, so the fallback never rewrites it
+    dl.sql("CREATE TABLE keep (s STRUCT(array INT[]))")
+    import duckdb
+    duckdb.connect().execute(
+        "COPY (SELECT {'array': [7]} AS s) TO "
+        f"'{tmp_path}/keep.parquet'")
+    dl.sql(f"CALL ducklake_add_data_files('keep', '{tmp_path}/keep.parquet')")
+    krows = dl.table("main.keep").collect()
+    assert krows[0]["s"]["array"] == [7]
