@@ -486,6 +486,22 @@ class MetadataProvider:
             "UNION SELECT path FROM ducklake_delete_file")
         return [r[0] for r in rows]
 
+    def list_options(self) -> list[tuple]:
+        """Every persisted ducklake_metadata row as (key, value, scope,
+        scope_id) — the ducklake_options() listing (corpus:
+        sql/settings/per_table_settings.test). Pre-scope catalogs
+        surface every row as global."""
+        try:
+            rows = self._fetchall(
+                "SELECT key, value, scope, scope_id FROM ducklake_metadata")
+            return [(str(k), str(v), s,
+                     int(sid) if sid is not None else None)
+                    for k, v, s, sid in rows]
+        except Exception:
+            rows = self._fetchall(
+                "SELECT key, value FROM ducklake_metadata")
+            return [(str(k), str(v), None, None) for k, v in rows]
+
     def get_option(self, key: str) -> Optional[str]:
         """GLOBAL catalog option from ducklake_metadata (e.g.
         data_inlining_row_limit), or None. Scoped rows (per-schema/

@@ -165,6 +165,36 @@ def register_sql_functions(session) -> None:
             finally:
                 p.close()
 
+    @udtf(returnType="option_name STRING, value STRING, scope STRING, "
+                     "scope_entry STRING")
+    class DucklakeOptions:
+        # ducklake.options() parity (sql/settings/per_table_settings.test
+        # tail): one row per persisted option with its scope — GLOBAL
+        # (scope_entry NULL), SCHEMA (schema name), TABLE (qualified
+        # schema.table name). Internal bootstrap keys (data_path etc.)
+        # are options too, matching the catalog's ducklake_metadata rows.
+        def eval(self):
+            from ..metadata.provider import provider_for
+            p = provider_for(catalog_path)
+            try:
+                schema_names = {}
+                table_names = {}
+                for s in p.list_schemas(snapshot_id):
+                    schema_names[s.schema_id] = s.schema_name
+                    for t in p.list_tables(s.schema_id, snapshot_id):
+                        table_names[t.table_id] = \
+                            f"{s.schema_name}.{t.table_name}"
+                for key, value, scope, scope_id in p.list_options():
+                    if scope == "schema":
+                        yield key, value, "SCHEMA", schema_names.get(scope_id)
+                    elif scope == "table":
+                        yield key, value, "TABLE", table_names.get(scope_id)
+                    else:
+                        yield key, value, "GLOBAL", None
+            finally:
+                p.close()
+
+    session.spark.udtf.register("ducklake_options", DucklakeOptions)
     session.spark.udtf.register("ducklake_file_column_stats",
                                 DucklakeFileColumnStats)
     session.spark.udtf.register("ducklake_table_column_stats",

@@ -73,8 +73,12 @@ def _parquet_write_options(session, schema_id: int,
     opts: dict[str, str] = {}
     comp = get("parquet_compression")
     if comp:
-        opts["compression"] = ("none" if comp.lower() == "uncompressed"
-                               else comp.lower())
+        # 'lz4' means parquet LZ4_RAW (what DuckDB writes; upstream
+        # per_table_settings.test asserts LZ4_RAW) — Spark's bare "lz4"
+        # is the deprecated Hadoop-framed codec pyarrow/DuckDB can't read
+        opts["compression"] = {"uncompressed": "none",
+                               "lz4": "lz4_raw"}.get(comp.lower(),
+                                                     comp.lower())
     level = get("parquet_compression_level")
     if level:
         opts["parquet.compression.codec.zstd.level"] = level
