@@ -2552,12 +2552,31 @@ class DuckLakeSession:
             # disk mutation — honors READ_ONLY like every catalog write
             raise InvalidConfig(
                 "Cannot write to the catalog: the session is read-only")
-        registered = {
-            p.rsplit("/", 1)[-1]
-            for p in self.provider.list_registered_file_names()}
         data_path = self.provider.get_data_path()
         local = data_path[len("file://"):] \
             if data_path.startswith("file://") else data_path
+        # known set by FULL resolved path — identical basenames in
+        # different directories must not shadow each other
+        # (sql/remove_orphans/mixed_paths.test); rows that fail the
+        # era-resolution fall back to basename matching (conservative:
+        # never deletes a possibly-registered file)
+        from .paths import PathResolver
+
+        def _bare(p: str) -> str:
+            return os.path.normpath(
+                p[len("file://"):] if p.startswith("file://") else p)
+
+        resolver = PathResolver(data_path)
+        registered: set = set()
+        registered_names: set = set()
+        for fp, fr, tp, tr, sp, sr in \
+                self.provider.list_registered_file_paths():
+            try:
+                sch = resolver.schema_path(sp, bool(sr))
+                tbl = resolver.table_path(sch, tp, bool(tr))
+                registered.add(_bare(resolver.file_path(tbl, fp, bool(fr))))
+            except Exception:
+                registered_names.add(str(fp).rsplit("/", 1)[-1])
         if "://" in local:
             raise InvalidConfig(
                 "delete_orphaned_files supports local/file:// data paths "
@@ -2572,9 +2591,11 @@ class DuckLakeSession:
         orphans = []
         for root, _dirs, files in os.walk(local):
             for f in files:
-                if not f.endswith(".parquet") or f in registered:
+                if not f.endswith(".parquet") or f in registered_names:
                     continue
                 full = os.path.join(root, f)
+                if os.path.normpath(full) in registered:
+                    continue
                 if cutoff is not None and os.path.getmtime(full) > cutoff:
                     continue
                 orphans.append(full)

@@ -486,6 +486,21 @@ class MetadataProvider:
             "UNION SELECT path FROM ducklake_delete_file")
         return [r[0] for r in rows]
 
+    def list_registered_file_paths(self) -> list[tuple]:
+        """(file_path, file_rel, table_path, table_rel, schema_path,
+        schema_rel) for every data/delete file EVER registered, across
+        EVERY table/schema path era (renames yield one row per era) —
+        the orphan-detection known set resolved to full paths, so two
+        files with the same basename in different directories never
+        shadow each other (corpus: sql/remove_orphans/mixed_paths.test)."""
+        sql = ("SELECT f.path, f.path_is_relative, t.path, "
+               "t.path_is_relative, s.path, s.path_is_relative "
+               "FROM {tbl} f "
+               "JOIN ducklake_table t ON f.table_id = t.table_id "
+               "JOIN ducklake_schema s ON t.schema_id = s.schema_id")
+        return (self._fetchall(sql.format(tbl="ducklake_data_file")) +
+                self._fetchall(sql.format(tbl="ducklake_delete_file")))
+
     def list_options(self) -> list[tuple]:
         """Every persisted ducklake_metadata row as (key, value, scope,
         scope_id) — the ducklake_options() listing (corpus:

@@ -404,3 +404,37 @@ class HybridRunner:
 
     def close(self):
         self.duck.close()
+
+
+if __name__ == "__main__":
+    # direct CLI: `python tests/slt_runner.py tests/slt/foo.test [...]`
+    # (without this block the module exits 0 silently — the pytest
+    # parametrization in tests/test_sqllogic.py is the canonical entry)
+    import sys
+    import tempfile
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+    from pyspark.sql import SparkSession
+
+    files = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if not files:
+        print("usage: python tests/slt_runner.py <file.test> [...]")
+        sys.exit(2)
+    spark = (SparkSession.builder.master("local[4]")
+             .config("spark.sql.shuffle.partitions", "4")
+             .config("spark.sql.session.timeZone", "UTC")
+             .getOrCreate())
+    failed = 0
+    for f in files:
+        with tempfile.TemporaryDirectory() as td:
+            r = HybridRunner(spark, td)
+            try:
+                n = r.run_file(f)
+                print(f"PASS {f} ({n} cases)")
+            except Exception as e:
+                failed += 1
+                print(f"FAIL {f}: {e}")
+            finally:
+                r.close()
+    sys.exit(1 if failed else 0)

@@ -154,3 +154,32 @@ def test_attach_snapshot_time(spark, tmp_path):
     with pytest.raises(InvalidConfig, match="cannot be combined"):
         DuckLakeSession(spark, db, snapshot_id=1,
                         snapshot_time="9999-01-01")
+
+
+def test_attach_pinned_snapshot_resurrects_macro(spark, tmp_path):
+    """sql/macros/test_attach_timetravel.test: a macro created then
+    dropped is callable again from a session pinned (SNAPSHOT_VERSION)
+    at the create snapshot — macro resolution is MVCC'd on the session's
+    snapshot id, and the snapshot log records both lifecycle events."""
+    db = str(tmp_path / "mtt.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "mttlake"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.sql("CREATE MACRO simple(a) AS a")
+    pin = dl.provider.get_current_snapshot()
+    dl.sql("DROP MACRO simple")
+
+    with pytest.raises(Exception, match="simple"):
+        dl.sql("SELECT simple(1) AS v").collect()
+
+    # the snapshot log carries create + drop (upstream's snapshots() rows)
+    changes = [r["changes"] for r in dl.snapshots().collect()]
+    assert any("macro" in str(c) and "creat" in str(c) for c in changes)
+    assert any("macro" in str(c) and "drop" in str(c) for c in changes)
+
+    pinned = DuckLakeSession(spark, db, snapshot_id=pin)
+    assert pinned.sql("SELECT simple(1) AS v").collect()[0]["v"] == 1
+    # the live session still rejects it
+    with pytest.raises(Exception, match="simple"):
+        dl.sql("SELECT simple(2) AS v").collect()
