@@ -705,6 +705,12 @@ class DuckLakeSession:
                         f"register_views: skipping {schema_name}.{table_name}"
                         f" (cannot map to a Spark DataFrame: {e})")
                     continue
+                if not re.fullmatch(r"[A-Za-z_]\w*", table_name):
+                    # quoted identifiers (spaces/quotes — sql/catalog/
+                    # quoted_identifiers.test) can't name a temp view and
+                    # can't be referenced by the word-char SQL shim
+                    # anyway; the Python API serves them
+                    continue
                 flat = f"{schema_name}__{table_name}"
                 df.createOrReplaceTempView(flat)
                 registered.add(flat)
@@ -2937,7 +2943,15 @@ class DuckLakeSession:
         """DELETE FROM name WHERE condition (str SQL expr or Column) —
         merge-on-read: writes cumulative positional-delete parquet per
         touched file, registered with supersedence in one snapshot
-        (operators/dml.py). Returns rows deleted."""
+        (operators/dml.py). Returns rows deleted.
+
+        Write-write conflicts on the same data file abort with
+        TransactionConflict even under ducklake_max_retry_count — the
+        retry option covers TRANSIENT backend contention (the commit
+        lock), not semantic conflicts, matching the reference corpus
+        where sql/concurrent/file_level_conflict.test's retried deletes
+        all touch DISJOINT files while same-file races in
+        transaction_conflicts_delete.test error regardless."""
         from .operators.dml import delete_rows
         return delete_rows(self, name, condition)
 

@@ -345,9 +345,29 @@ class CatalogWriter:
                 writer._lock.acquire()
                 depth = getattr(writer, "_txn_depth", 0)
                 if depth == 0:
-                    writer._conn.execute(
-                        "BEGIN IMMEDIATE" if writer._dialect == "sqlite"
-                        else "BEGIN TRANSACTION")
+                    begin = ("BEGIN IMMEDIATE"
+                             if writer._dialect == "sqlite"
+                             else "BEGIN TRANSACTION")
+                    # transient cross-process contention on the commit
+                    # lock retries up to max_retry_count (DuckDB's
+                    # ducklake_max_retry_count, default 10 — sql/settings/
+                    # max_retry_count.test); semantic write-write
+                    # conflicts are detected later and never retried
+                    retries = max(0, int(
+                        getattr(writer, "max_retry_count", 10) or 0))
+                    for attempt in range(retries + 1):
+                        try:
+                            writer._conn.execute(begin)
+                            break
+                        except Exception as e:
+                            msg = str(e).lower()
+                            transient = ("locked" in msg or "busy" in msg
+                                         or "could not set lock" in msg)
+                            if not transient or attempt >= retries:
+                                writer._lock.release()
+                                raise
+                            import time as _time
+                            _time.sleep(0.05 * (attempt + 1))
                     writer._txn_failed = False
                 writer._txn_depth = depth + 1
                 return writer._conn

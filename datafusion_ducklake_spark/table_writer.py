@@ -33,6 +33,21 @@ from .types import is_geometry_type, spark_to_ducklake_type
 
 
 def _catalog_writer(session) -> CatalogWriter:
+    w = _catalog_writer_raw(session)
+    # max_retry_count (DuckDB's ducklake_max_retry_count, default 10):
+    # retries of the catalog BEGIN on transient cross-process lock
+    # contention — sql/settings/max_retry_count.test
+    raw = (session.provider.get_option("max_retry_count")
+           or session.provider.get_option("ducklake_max_retry_count"))
+    if raw is not None:
+        try:
+            w.max_retry_count = max(0, int(raw))
+        except (TypeError, ValueError):
+            pass
+    return w
+
+
+def _catalog_writer_raw(session) -> CatalogWriter:
     if getattr(session, "read_only", False):
         # READ_ONLY attach (corpus: sql/general/ducklake_read_only.test)
         raise InvalidConfig(

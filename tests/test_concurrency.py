@@ -183,3 +183,65 @@ def test_rewrite_after_concurrent_delete_conflicts(spark, tmp_path):
     assert dl1.rewrite_data_files("main.t") == 8
     assert sorted(r.id for r in dl1.table("main.t").collect()) \
         == list(range(2, 10))
+
+
+def test_transient_lock_retry_honors_max_retry_count(spark, tmp_path):
+    """sql/settings/max_retry_count: the catalog BEGIN retries through
+    TRANSIENT cross-process lock contention up to the option; with
+    max_retry_count=0 the same contention surfaces immediately.
+    (Semantic write-write conflicts are a different seam and never
+    retry — test_concurrent_dml_conflict_detected.)"""
+    import sqlite3 as _sq
+
+    from datafusion_ducklake_spark.catalog import DuckLakeSession
+    from datafusion_ducklake_spark.metadata.writer import CatalogWriter
+
+    db = str(tmp_path / "r.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "rlake"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.create_table("main.t", spark.createDataFrame([(1,)], "i INT"))
+
+    # a foreign connection holds the write lock briefly, then releases
+    import threading
+    import time
+
+    def hold_lock(seconds):
+        con = _sq.connect(db, isolation_level=None)
+        con.execute("PRAGMA busy_timeout = 0")
+        con.execute("BEGIN IMMEDIATE")
+        time.sleep(seconds)
+        con.execute("ROLLBACK")
+        con.close()
+
+    # with retries (default 10) the insert waits the lock out.  The
+    # sqlite busy_timeout would also absorb it; drop it to 1ms on the
+    # writer's next connection via max_retry_count exercising the loop.
+    t = threading.Thread(target=hold_lock, args=(0.4,))
+    t.start()
+    time.sleep(0.1)
+    dl.insert_into("main.t", spark.createDataFrame([(2,)], "i INT"))
+    t.join()
+    assert sorted(r["i"] for r in dl.table("main.t").collect()) == [1, 2]
+
+    # retry disabled: contention surfaces (needs busy_timeout gone too,
+    # so patch the writer factory's product via the option + a 0 pragma)
+    dl.set_option("max_retry_count", 0)
+    from datafusion_ducklake_spark import table_writer as tw
+    orig = tw._catalog_writer_raw
+
+    def no_busy(session):
+        w = orig(session)
+        w._conn.execute("PRAGMA busy_timeout = 0")
+        return w
+    tw._catalog_writer_raw = no_busy
+    try:
+        t = threading.Thread(target=hold_lock, args=(1.5,))
+        t.start()
+        time.sleep(0.3)
+        with pytest.raises(Exception, match="(?i)locked|busy"):
+            dl.insert_into("main.t", spark.createDataFrame([(3,)], "i INT"))
+    finally:
+        tw._catalog_writer_raw = orig
+        t.join()

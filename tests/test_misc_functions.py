@@ -142,3 +142,25 @@ def test_show_tables_and_describe(dl, spark):
             for r in dl.sql("DESCRIBE t").collect()}
     assert desc["id"][0] == "int64"
     assert desc["grp"][1] == "YES"
+
+
+def test_quoted_identifiers(dl, spark, tmp_path):
+    """sql/catalog/quoted_identifiers.test: table and column names with
+    embedded single quotes, double quotes, and spaces work end-to-end —
+    catalog rows, on-disk table directory, read-back, insert, drop.
+    DIVERGENCE (documented): the upstream test drives these through
+    DuckDB's SQL parser; our SQL shim requires word-character names, so
+    the contract is pinned at the Python API (the primary surface)."""
+    tname = 'main.quoted \'table\' "name"'
+    cname = 'quoted \'column\' "name"'
+    dl.create_table(tname, spark.createDataFrame([(1,)], [cname]))
+    dl.insert_into(tname, spark.createDataFrame([(2,)], [cname]))
+    rows = sorted(r[cname] for r in dl.table(tname).collect())
+    assert rows == [1, 2]
+    # the catalog row carries the raw name; info surfaces render it
+    infos = {r["table_name"] for r in dl.sql(
+        "SELECT table_name FROM ducklake_table_info()").collect()}
+    assert 'quoted \'table\' "name"' in infos
+    dl.drop_table(tname)
+    with pytest.raises(Exception):
+        dl.table(tname).collect()
