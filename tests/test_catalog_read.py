@@ -301,3 +301,77 @@ def test_numeric_metadata_validation(spark, tmp_path):
     dl2 = DuckLakeSession(spark, cat.db_path)
     with _pytest.raises(CatalogCorruption, match="-1"):
         dl2.table("main.items").count()
+
+
+def test_delete_file_with_extra_columns(spark, tmp_path):
+    """sql/delete/delete_ignore_extra_columns.test: a positional-delete
+    parquet carrying EXTRA columns beyond (file_path, pos) — the shape
+    iceberg-style writers produce (row payload, spec ids) — still
+    applies; the MOR reader projects only pos and ignores the rest."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_ducklake_spark.catalog import DuckLakeSession
+    from tests.ducklake_fixtures import FixtureCatalog, write_data_file
+
+    cat = FixtureCatalog(str(tmp_path))
+    s1 = cat.snapshot()
+    schema_id = cat.schema("main", s1)
+    tid = cat.table(schema_id, "main", "users", s1)
+    cat.column(tid, 1, "id", "int32", 0, s1)
+    cat.column(tid, 2, "name", "varchar", 1, s1)
+    cat.column(tid, 3, "email", "varchar", 2, s1)
+    tdir = cat.table_dir("main", "users")
+    rows = [(i, f"u{i}", "x") for i in range(6)]
+    fname, fsize = write_data_file(tdir, rows)
+    fid = cat.data_file(tid, fname, fsize, s1, len(rows))
+
+    s2 = cat.snapshot()
+    dname = "ducklake-delete-extra.parquet"
+    pq.write_table(pa.table({
+        "file_path": pa.array([fname] * 2, pa.string()),
+        "pos": pa.array([1, 4], pa.int64()),
+        # extra columns an external writer might carry
+        "row": pa.array(["dropped-a", "dropped-b"], pa.string()),
+        "partition_spec_id": pa.array([0, 0], pa.int32()),
+    }), f"{tdir}/{dname}")
+    cat.delete_file(tid, fid, dname, 10, 2, s2)
+    cat.conn.close()
+
+    dl = DuckLakeSession(spark, cat.db_path)
+    got = sorted(r["id"] for r in dl.table("main.users").collect())
+    assert got == [0, 2, 3, 5]
+
+
+def test_scan_plan_statistics_track_catalog_sizes(spark, tmp_path):
+    """sql/stats/cardinality.test analog: DuckDB propagates the catalog's
+    record_count into EXPLAIN (~1,000). Spark's optimizer consumes
+    sizeInBytes; assert the scan plan's estimate tracks the catalog's
+    registered file bytes (same property: the optimizer sees REAL scan
+    magnitude, so broadcast/join decisions are grounded), and that the
+    catalog itself reports the exact cardinality."""
+    from datafusion_ducklake_spark.catalog import DuckLakeSession
+    from datafusion_ducklake_spark.metadata.writer import CatalogWriter
+
+    db = str(tmp_path / "card.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "cardlake"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.create_table("main.t", spark.range(1000).selectExpr(
+        "CAST(id AS INT) AS i"))
+
+    # exact cardinality in the catalog surface
+    info = dl.sql("SELECT sum(record_count) AS n FROM ducklake_list_files() "
+                  "WHERE table_name = 't'").collect()
+    assert info[0]["n"] == 1000
+
+    catalog_bytes = dl.sql(
+        "SELECT sum(file_size_bytes) AS b FROM ducklake_list_files() "
+        "WHERE table_name = 't'").collect()[0]["b"]
+    plan_bytes = int(dl.table("main.t")._jdf.queryExecution()
+                     .optimizedPlan().stats().sizeInBytes())
+    # Spark scales file size to an in-memory estimate; same order of
+    # magnitude proves the estimate is file-grounded, not a default
+    assert 0 < plan_bytes <= catalog_bytes * 20
+    assert plan_bytes >= catalog_bytes // 20
