@@ -2879,16 +2879,41 @@ class DuckLakeSession:
 
     def rollback(self) -> None:
         """ROLLBACK: rewind every snapshot made since BEGIN — MVCC rows
-        born after the anchor are deleted, rows ended after it re-open;
-        orphaned data files are left on disk (never catalog corruption)."""
+        born after the anchor are deleted, rows ended after it re-open.
+        Files the rewind unregistered are removed from disk (the
+        upstream conflict-cleanup contract, sql/transaction/
+        transaction_conflict_cleanup.test); a failed removal degrades to
+        an orphan delete_orphaned_files can sweep — never corruption."""
+        from .paths import PathResolver
         from .table_writer import _catalog_writer
         if self._txn_base is None:
             raise InvalidConfig("no transaction in progress")
         writer = _catalog_writer(self)
         try:
-            writer.rollback_to_snapshot(self._txn_base)
+            dropped = writer.rollback_to_snapshot(self._txn_base)
         finally:
             writer.close()
+        data_path = self.provider.get_data_path()
+        resolver = PathResolver(data_path)
+        root = os.path.normpath(data_path[len("file://"):]
+                                if data_path.startswith("file://")
+                                else data_path)
+        for fp, fr, tp, tr, sp, sr in dropped:
+            try:
+                sch = resolver.schema_path(sp, bool(sr))
+                tbl = resolver.table_path(sch, tp, bool(tr))
+                full = resolver.file_path(tbl, fp, bool(fr))
+                local = os.path.normpath(
+                    full[len("file://"):] if full.startswith("file://")
+                    else full)
+                # only files the txn staged INSIDE the lake — an
+                # externally-registered add_files path is the user's
+                # file, not ours to delete (add_files_rollback.test)
+                if "://" not in local and os.path.isfile(local) and \
+                        local.startswith(root + os.sep):
+                    os.remove(local)
+            except Exception:
+                pass    # orphan; delete_orphaned_files can sweep it
         self._txn_base = None
         self._pending_audit = None
         self.refresh()

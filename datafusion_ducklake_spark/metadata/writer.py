@@ -1916,15 +1916,32 @@ class CatalogWriter:
                     "AND end_snapshot <= ?", (oldest,))
             return n
 
-    def rollback_to_snapshot(self, snapshot_id: int) -> None:
+    def rollback_to_snapshot(self, snapshot_id: int) -> list[tuple]:
         """Rewind the catalog to ``snapshot_id``: delete every snapshot
         and every MVCC row born after it, and re-open rows that were
         ended after it. One catalog transaction — the mechanism behind
         ROLLBACK (corpus parity: sql/transaction/; visibility semantics
         via snapshots, matching how DuckLake models all state change).
-        Data files written by the rolled-back snapshots become
-        unregistered orphans — never catalog corruption."""
+        Returns (file_path, file_rel, table_path, table_rel, schema_path,
+        schema_rel) rows for every data/delete file the rewind
+        UNREGISTERED, so the caller can remove them from disk — upstream
+        cleans a conflicted transaction's staged files the same way
+        (sql/transaction/transaction_conflict_cleanup.test). Failing to
+        delete them is never catalog corruption (they're orphans)."""
+        dropped: list[tuple] = []
         with self._txn() as cur:
+            for ftbl in ("ducklake_data_file", "ducklake_delete_file"):
+                try:
+                    dropped += cur.execute(
+                        f"SELECT f.path, f.path_is_relative, t.path, "
+                        f"t.path_is_relative, s.path, s.path_is_relative "
+                        f"FROM {ftbl} f "
+                        "JOIN ducklake_table t ON f.table_id = t.table_id "
+                        "JOIN ducklake_schema s ON t.schema_id = s.schema_id "
+                        "WHERE f.begin_snapshot > ?",
+                        (snapshot_id,)).fetchall()
+                except Exception:
+                    pass    # pre-scope catalog shapes: skip the cleanup
             for tbl in self._MVCC_TABLES:
                 cur.execute(
                     f"DELETE FROM {tbl} WHERE begin_snapshot > ?",
@@ -1971,6 +1988,7 @@ class CatalogWriter:
             cur.execute(
                 "DELETE FROM ducklake_snapshot_changes "
                 "WHERE snapshot_id > ?", (snapshot_id,))
+        return dropped
 
     def close(self) -> None:
         self._conn.close()

@@ -315,3 +315,70 @@ def write_encrypted_distributed(df: DataFrame, dest_dir: str) -> list[dict]:
         "name string, key string, rows long, size long, footer long"
     ).collect()
     return [r.asDict() for r in manifest]
+
+
+def write_encrypted_partitioned(df: DataFrame, dest_dir: str,
+                                pk_cols: list[str]) -> list[dict]:
+    """Encrypted write for a PARTITIONED table: ``df`` carries the
+    string-typed partition-key staging columns (transforms already
+    applied) and has been repartitioned on them, so each executor task
+    holds whole key groups. Each task writes ONE PME-encrypted file per
+    distinct combo — files land FLAT in the table dir (no key=value path
+    segments: an encrypted table's filenames must not leak its values —
+    sql/encryption/partitioning_encryption.test) and the manifest rows
+    carry the combo (JSON list) for catalog partition-value rows."""
+    if "://" in dest_dir and not dest_dir.startswith("file://"):
+        from ..errors import InvalidConfig
+        raise InvalidConfig(
+            "encrypted writes require a local table path (pyarrow PME "
+            "writer); object-store encrypted staging is not supported")
+    base = dest_dir[len("file://"):] if dest_dir.startswith("file://") \
+        else dest_dir
+    keys = list(pk_cols)
+
+    def write_part(batch_iter):
+        import base64
+        import json as _json
+        import os as _os
+        import secrets
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        batches = [b for b in batch_iter]
+        tbl = pa.Table.from_batches(batches) if batches else None
+        if tbl is None or tbl.num_rows == 0:
+            return
+        combos = sorted({tuple(row[k] for k in keys)
+                         for row in tbl.select(keys).to_pylist()},
+                        key=lambda c: tuple("" if v is None else str(v)
+                                            for v in c))
+        _os.makedirs(base, exist_ok=True)
+        for combo in combos:
+            mask = None
+            for k, v in zip(keys, combo):
+                m = (pc.is_null(tbl[k]) if v is None
+                     else pc.equal(tbl[k], pa.scalar(v, pa.string())))
+                mask = m if mask is None else pc.and_(mask, m)
+            sub = tbl.filter(mask).drop_columns(keys)
+            key = secrets.token_bytes(16)
+            name = f"ducklake-{_uuid.uuid4()}.parquet"
+            path = _os.path.join(base, name)
+            write_encrypted(sub, path, key)
+            size = _os.path.getsize(path)
+            with open(path, "rb") as f:
+                f.seek(-8, 2)
+                tail = f.read(8)
+            footer = int.from_bytes(tail[:4], "little") + 8
+            yield pa.RecordBatch.from_pydict({
+                "name": [name],
+                "key": [base64.b64encode(key).decode("ascii")],
+                "rows": [sub.num_rows], "size": [size], "footer": [footer],
+                "pvals": [_json.dumps(list(combo))]})
+
+    manifest = df.mapInArrow(
+        write_part,
+        "name string, key string, rows long, size long, footer long, "
+        "pvals string"
+    ).collect()
+    return [r.asDict() for r in manifest]

@@ -816,21 +816,37 @@ def _compact_rowid_column(session, name: str, handle,
 
 def _insert_encrypted(session, writer, setup, table_meta, table_path,
                       out: DataFrame, df: DataFrame,
-                      commit_marker) -> int:
+                      commit_marker, part_keys=None) -> int:
     """Encrypted-catalog insert tail: PME-write each partition inside
     executor tasks (fresh random key per file), then register the
-    manifest in ONE transaction with the keys in the catalog."""
-    from .sources.encryption import write_encrypted_distributed
+    manifest in ONE transaction with the keys in the catalog. With
+    ``part_keys`` the files land FLAT (no value-leaking path segments)
+    and each file's partition combo registers as catalog rows
+    (sql/encryption/partitioning_encryption.test)."""
+    import json as _json
+
+    from .sources.encryption import (write_encrypted_distributed,
+                                     write_encrypted_partitioned)
 
     base = table_path[len("file://"):] \
         if table_path.startswith("file://") else table_path
     os.makedirs(base, exist_ok=True)
-    manifest = write_encrypted_distributed(out, table_path)
+    if part_keys:
+        from pyspark.sql import functions as F
+        pk_cols = []
+        for i, (base_col, tf, _dk) in enumerate(part_keys):
+            out = out.withColumn(f"{_PART_PREFIX}{i}",
+                                 _partition_expr(base_col, tf))
+            pk_cols.append(f"{_PART_PREFIX}{i}")
+        out = out.repartition(*[F.col(c) for c in pk_cols])
+        manifest = write_encrypted_partitioned(out, table_path, pk_cols)
+    else:
+        manifest = write_encrypted_distributed(out, table_path)
     n_rows = 0
     next_rowid = writer.next_row_id(table_meta.table_id)
     with writer._txn():
         for row in sorted(manifest, key=lambda r: r["name"]):
-            writer.register_data_file(
+            fid = writer.register_data_file(
                 table_meta.table_id, setup.snapshot_id,
                 DataFileInfo(path=row["name"], path_is_relative=True,
                              file_size_bytes=row["size"],
@@ -841,6 +857,10 @@ def _insert_encrypted(session, writer, setup, table_meta, table_path,
             # column stats stay unwritten: the payload is encrypted and
             # min/max in the catalog would leak it (DuckDB's extension
             # does the same — pruning falls back to 'keep all')
+            if row.get("pvals"):
+                writer.register_file_partition_values(
+                    fid, table_meta.table_id,
+                    list(enumerate(_json.loads(row["pvals"]))))
             next_rowid += row["rows"]
             n_rows += row["rows"]
         if commit_marker is not None:
@@ -1423,12 +1443,9 @@ def create_or_insert(session, name: str, df: DataFrame, mode: str,
             # ENCRYPTED catalog (sql/encryption/ corpus): every data file
             # is PME-encrypted with its own random key, recorded in
             # ducklake_data_file.encryption_key. Written executor-side.
-            if part_keys:
-                raise InvalidConfig(
-                    "encrypted tables with a partition spec are not "
-                    "supported")
             return _insert_encrypted(session, writer, setup, table_meta,
-                                     table_path, out, df, commit_marker)
+                                     table_path, out, df, commit_marker,
+                                     part_keys=part_keys)
 
         staging = table_path.rstrip("/") + f"/stage-{uuid.uuid4().hex}"
         wopts = _parquet_write_options(

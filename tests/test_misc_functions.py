@@ -164,3 +164,29 @@ def test_quoted_identifiers(dl, spark, tmp_path):
     dl.drop_table(tname)
     with pytest.raises(Exception):
         dl.table(tname).collect()
+
+
+def test_rollback_removes_staged_files(dl, spark, tmp_path):
+    """sql/transaction/transaction_conflict_cleanup.test: files written
+    by a transaction that never commits are removed from disk when it
+    rolls back (upstream cleans a conflicted txn's staged files the same
+    way) — and the orphan sweep then finds nothing left over."""
+    import glob as _glob
+
+    before = set(_glob.glob(f"{tmp_path}/lake/**/*.parquet",
+                            recursive=True))
+    dl.begin_transaction()
+    dl.sql("CREATE TABLE txn_t (s VARCHAR)")
+    dl.sql("INSERT INTO txn_t VALUES ('hello'), ('world')")
+    staged = set(_glob.glob(f"{tmp_path}/lake/**/*.parquet",
+                            recursive=True)) - before
+    assert staged, "the txn-local insert must stage a parquet file"
+    dl.rollback()
+    after = set(_glob.glob(f"{tmp_path}/lake/**/*.parquet",
+                           recursive=True))
+    assert after == before, f"staged files must be cleaned: {after - before}"
+    assert dl.delete_orphaned_files(dry_run=True, cleanup_all=True) == []
+    # the table is gone; pre-txn data is intact
+    with pytest.raises(Exception):
+        dl.table("main.txn_t").collect()
+    assert dl.table("main.t").count() == 100
