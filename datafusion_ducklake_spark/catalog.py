@@ -1144,10 +1144,14 @@ class DuckLakeSession:
                 n = self.expire_snapshots(int(arg) if arg else None)
                 return self._count_df(n)
             if fn == "flush_inlined_data":
+                if not arg:
+                    # whole-catalog form (the upstream CALL's arg is the
+                    # attached catalog name; bare parens here)
+                    return self._count_df(self.flush_inlined_data())
                 if not (arg.startswith("'") and arg.endswith("'")):
                     raise InvalidConfig(
                         "ducklake_flush_inlined_data needs a quoted "
-                        "table name")
+                        "table name (or no argument for all tables)")
                 return self._count_df(
                     self.flush_inlined_data(arg[1:-1]))
             return self._count_df(len(self.cleanup_old_files()))
@@ -2806,7 +2810,7 @@ class DuckLakeSession:
             writer.close()
         self.refresh()
 
-    def flush_inlined_data(self, name: str) -> int:
+    def flush_inlined_data(self, name: "str | None" = None) -> int:
         """Move a table's LIVE inlined rows (DuckLake data inlining —
         rows DuckDB stored in the catalog DB) into a registered parquet
         data file, ending the inlined rows in the same snapshot. Older
@@ -2815,9 +2819,21 @@ class DuckLakeSession:
         sql/data_inlining/data_inlining_flush.test): rowids AND per-row
         snapshot_ids survive (written as the reserved in-file columns,
         row_id_start NULL) and the flush snapshot is CDC-silent —
-        table_changes over the flush window is empty, like compaction."""
+        table_changes over the flush window is empty, like compaction.
+
+        ``name=None`` flushes EVERY table with live inlined rows —
+        upstream's whole-catalog form, where the CALL's argument is the
+        attached catalog name (sql/data_inlining/
+        inlining_issue_on_empty_inline.test)."""
         from .operators.dml import _register_append, _stage_append
         from .table_writer import _catalog_writer
+        if name is None:
+            total = 0
+            snap = self.provider.get_current_snapshot()
+            for schema_name, meta in self.provider.list_all_tables(snap):
+                total += self.flush_inlined_data(
+                    f"{schema_name}.{meta.table_name}")
+            return total
         handle = self.table_handle(name)
         df = handle._inlined_df(with_rowid=True, with_snapshot=True)
         if df is None:
