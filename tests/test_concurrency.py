@@ -245,3 +245,28 @@ def test_transient_lock_retry_honors_max_retry_count(spark, tmp_path):
     finally:
         tw._catalog_writer_raw = orig
         t.join()
+
+
+def test_parallel_deletes_disjoint_files_all_commit(spark, tmp_path):
+    """sql/concurrent/file_level_conflict.test (the concurrentloop
+    shape): N threads, each deleting rows that live in its OWN
+    partition file, all commit — conflict detection is per data file,
+    not per table, so disjoint-file writers never abort."""
+    dl = _fresh(spark, tmp_path, "flc")
+    dl.create_table("main.t", spark.createDataFrame(
+        [(k, k) for k in range(8)], "key INT, grouping INT"))
+    dl.sql("ALTER TABLE t SET PARTITIONED BY (grouping)")
+    # rewrite into per-partition files
+    dl.insert_into("main.t", spark.createDataFrame(
+        [(k + 100, k) for k in range(8)], "key INT, grouping INT"))
+
+    def wipe(k):
+        local = DuckLakeSession(spark, dl.catalog_path)
+        return local.delete_from("main.t", f"key = {k + 100}")
+
+    with ThreadPoolExecutor(4) as ex:
+        deleted = list(ex.map(wipe, range(8)))
+    assert deleted == [1] * 8
+    dl.refresh()
+    rows = sorted(r["key"] for r in dl.table("main.t").collect())
+    assert rows == list(range(8))
