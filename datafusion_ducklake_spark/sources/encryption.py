@@ -349,10 +349,12 @@ def write_encrypted_partitioned(df: DataFrame, dest_dir: str,
         tbl = pa.Table.from_batches(batches) if batches else None
         if tbl is None or tbl.num_rows == 0:
             return
-        combos = sorted({tuple(row[k] for k in keys)
-                         for row in tbl.select(keys).to_pylist()},
-                        key=lambda c: tuple("" if v is None else str(v)
-                                            for v in c))
+        # distinct combos vectorized (group_by, not a per-row to_pylist —
+        # a task may hold millions of rows)
+        combos = sorted(
+            (tuple(row[k] for k in keys)
+             for row in tbl.group_by(keys).aggregate([]).to_pylist()),
+            key=lambda c: tuple("" if v is None else str(v) for v in c))
         _os.makedirs(base, exist_ok=True)
         for combo in combos:
             mask = None
