@@ -46,6 +46,23 @@ def _hive_value(uri: str, key: str) -> Optional[str]:
     return None
 
 
+def _resolve_catalog_file_row(resolver, row) -> "str | None":
+    """Resolve one (file_path, file_rel, table_path, table_rel,
+    schema_path, schema_rel) catalog row to a normalized local path, or
+    None when any hop fails (callers fall back to basename matching).
+    Shared by orphan detection and rollback cleanup."""
+    fp, fr, tp, tr, sp, sr = row
+    try:
+        sch = resolver.schema_path(sp, bool(sr))
+        tbl = resolver.table_path(sch, tp, bool(tr))
+        full = resolver.file_path(tbl, fp, bool(fr))
+    except Exception:
+        return None
+    if full.startswith("file://"):
+        full = full[len("file://"):]
+    return os.path.normpath(full)
+
+
 class DuckLakeTable:
     def __init__(self, spark: SparkSession, provider: MetadataProvider,
                  resolver: PathResolver, schema_resolved_path: str,
@@ -2572,21 +2589,26 @@ class DuckLakeSession:
         # never deletes a possibly-registered file)
         from .paths import PathResolver
 
-        def _bare(p: str) -> str:
-            return os.path.normpath(
-                p[len("file://"):] if p.startswith("file://") else p)
-
-        resolver = PathResolver(data_path)
         registered: set = set()
         registered_names: set = set()
-        for fp, fr, tp, tr, sp, sr in \
-                self.provider.list_registered_file_paths():
-            try:
-                sch = resolver.schema_path(sp, bool(sr))
-                tbl = resolver.table_path(sch, tp, bool(tr))
-                registered.add(_bare(resolver.file_path(tbl, fp, bool(fr))))
-            except Exception:
-                registered_names.add(str(fp).rsplit("/", 1)[-1])
+        try:
+            rows = self.provider.list_registered_file_paths()
+        except Exception:
+            # pre-scope catalog shapes (no path columns on table/schema):
+            # conservative basename matching, the pre-full-path behavior
+            rows = None
+        if rows is None:
+            registered_names = {
+                str(p).rsplit("/", 1)[-1]
+                for p in self.provider.list_registered_file_names()}
+        else:
+            resolver = PathResolver(data_path)
+            for row in rows:
+                resolved = _resolve_catalog_file_row(resolver, row)
+                if resolved is not None:
+                    registered.add(resolved)
+                else:
+                    registered_names.add(str(row[0]).rsplit("/", 1)[-1])
         if "://" in local:
             raise InvalidConfig(
                 "delete_orphaned_files supports local/file:// data paths "
@@ -2864,7 +2886,17 @@ class DuckLakeSession:
         if self._txn_base is not None:
             raise InvalidConfig("transaction already in progress")
         self._txn_base = self.provider.get_current_snapshot()
+        # this transaction's OWN snapshot ids (filled by the writers'
+        # on_snapshot hook) — ROLLBACK rewinds exactly these, so a
+        # concurrent session's commits after the anchor survive
+        self._txn_snapshots: set = set()
         return self._txn_base
+
+    def _note_txn_snapshot(self, sid: int) -> None:
+        if self._txn_base is not None:
+            snaps = getattr(self, "_txn_snapshots", None)
+            if snaps is not None:
+                snaps.add(sid)
 
     def set_commit_message(self, author, commit_message) -> None:
         """Audit info for the current transaction's commit (DuckDB's
@@ -2906,7 +2938,8 @@ class DuckLakeSession:
             raise InvalidConfig("no transaction in progress")
         writer = _catalog_writer(self)
         try:
-            dropped = writer.rollback_to_snapshot(self._txn_base)
+            dropped = writer.rollback_to_snapshot(
+                self._txn_base, only=getattr(self, "_txn_snapshots", None))
         finally:
             writer.close()
         data_path = self.provider.get_data_path()
@@ -2914,18 +2947,14 @@ class DuckLakeSession:
         root = os.path.normpath(data_path[len("file://"):]
                                 if data_path.startswith("file://")
                                 else data_path)
-        for fp, fr, tp, tr, sp, sr in dropped:
+        for row in dropped:
             try:
-                sch = resolver.schema_path(sp, bool(sr))
-                tbl = resolver.table_path(sch, tp, bool(tr))
-                full = resolver.file_path(tbl, fp, bool(fr))
-                local = os.path.normpath(
-                    full[len("file://"):] if full.startswith("file://")
-                    else full)
+                local = _resolve_catalog_file_row(resolver, row)
                 # only files the txn staged INSIDE the lake — an
                 # externally-registered add_files path is the user's
                 # file, not ours to delete (add_files_rollback.test)
-                if "://" not in local and os.path.isfile(local) and \
+                if local is not None and "://" not in local and \
+                        os.path.isfile(local) and \
                         local.startswith(root + os.sep):
                     os.remove(local)
             except Exception:

@@ -388,10 +388,18 @@ class CatalogWriter:
 
         return _Txn()
 
-    @staticmethod
-    def _next_id(cur, table: str, id_col: str) -> int:
-        return int(cur.execute(
-            f"SELECT COALESCE(MAX({id_col}), 0) + 1 FROM {table}").fetchall()[0][0])
+    def _next_id(self, cur, table: str, id_col: str) -> int:
+        nid = int(cur.execute(
+            f"SELECT COALESCE(MAX({id_col}), 0) + 1 FROM {table}"
+        ).fetchall()[0][0])
+        if table == "ducklake_snapshot":
+            # session hook: an explicit BEGIN tracks ITS OWN snapshot ids
+            # so ROLLBACK rewinds only them — a concurrent session's
+            # commits after the anchor must survive the rewind
+            cb = getattr(self, "on_snapshot", None)
+            if cb is not None:
+                cb(nid)
+        return nid
 
     @staticmethod
     def _live_nested_ids(cur, table_id: int) -> dict:
@@ -1916,7 +1924,8 @@ class CatalogWriter:
                     "AND end_snapshot <= ?", (oldest,))
             return n
 
-    def rollback_to_snapshot(self, snapshot_id: int) -> list[tuple]:
+    def rollback_to_snapshot(self, snapshot_id: int,
+                             only: "set[int] | None" = None) -> list[tuple]:
         """Rewind the catalog to ``snapshot_id``: delete every snapshot
         and every MVCC row born after it, and re-open rows that were
         ended after it. One catalog transaction — the mechanism behind
@@ -1927,7 +1936,25 @@ class CatalogWriter:
         UNREGISTERED, so the caller can remove them from disk — upstream
         cleans a conflicted transaction's staged files the same way
         (sql/transaction/transaction_conflict_cleanup.test). Failing to
-        delete them is never catalog corruption (they're orphans)."""
+        delete them is never catalog corruption (they're orphans).
+
+        ``only``: the snapshot ids THIS transaction created (the
+        session's on_snapshot recording) — the rewind touches exactly
+        those, so a CONCURRENT session's commits after the anchor
+        survive both the catalog rewind and the disk cleanup. ``None``
+        keeps the legacy whole-range rewind (single-writer callers)."""
+        if only is not None:
+            ids = sorted(i for i in only if i > snapshot_id)
+            if not ids:
+                return []
+            ph = ",".join("?" * len(ids))
+            born_p, born_a = f"begin_snapshot IN ({ph})", tuple(ids)
+            end_p, end_a = f"end_snapshot IN ({ph})", tuple(ids)
+            snap_p, snap_a = f"snapshot_id IN ({ph})", tuple(ids)
+        else:
+            born_p, born_a = "begin_snapshot > ?", (snapshot_id,)
+            end_p, end_a = "end_snapshot > ?", (snapshot_id,)
+            snap_p, snap_a = "snapshot_id > ?", (snapshot_id,)
         dropped: list[tuple] = []
         with self._txn() as cur:
             for ftbl in ("ducklake_data_file", "ducklake_delete_file"):
@@ -1938,17 +1965,15 @@ class CatalogWriter:
                         f"FROM {ftbl} f "
                         "JOIN ducklake_table t ON f.table_id = t.table_id "
                         "JOIN ducklake_schema s ON t.schema_id = s.schema_id "
-                        "WHERE f.begin_snapshot > ?",
-                        (snapshot_id,)).fetchall()
+                        f"WHERE f.{born_p}", born_a).fetchall()
                 except Exception:
                     pass    # pre-scope catalog shapes: skip the cleanup
             for tbl in self._MVCC_TABLES:
                 cur.execute(
-                    f"DELETE FROM {tbl} WHERE begin_snapshot > ?",
-                    (snapshot_id,))
+                    f"DELETE FROM {tbl} WHERE {born_p}", born_a)
                 cur.execute(
                     f"UPDATE {tbl} SET end_snapshot = NULL "
-                    f"WHERE end_snapshot > ?", (snapshot_id,))
+                    f"WHERE {end_p}", end_a)
             cur.execute(
                 "DELETE FROM ducklake_file_column_stats WHERE data_file_id "
                 "NOT IN (SELECT data_file_id FROM ducklake_data_file)")
@@ -1964,10 +1989,9 @@ class CatalogWriter:
             for n in inlined:
                 if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", n):
                     continue
-                cur.execute(f'DELETE FROM "{n}" WHERE begin_snapshot > ?',
-                            (snapshot_id,))
+                cur.execute(f'DELETE FROM "{n}" WHERE {born_p}', born_a)
                 cur.execute(f'UPDATE "{n}" SET end_snapshot = NULL '
-                            "WHERE end_snapshot > ?", (snapshot_id,))
+                            f"WHERE {end_p}", end_a)
             for tbl in ("ducklake_macro_impl", "ducklake_macro_parameters"):
                 cur.execute(
                     f"DELETE FROM {tbl} WHERE macro_id "
@@ -1980,14 +2004,13 @@ class CatalogWriter:
                 "data_file_id NOT IN "
                 "(SELECT data_file_id FROM ducklake_data_file)")
             cur.execute(
-                "DELETE FROM ducklake_snapshot WHERE snapshot_id > ?",
-                (snapshot_id,))
+                f"DELETE FROM ducklake_snapshot WHERE {snap_p}", snap_a)
             cur.execute(
                 "CREATE TABLE IF NOT EXISTS ducklake_snapshot_changes ("
                 "snapshot_id BIGINT NOT NULL, changes_made VARCHAR)")
             cur.execute(
-                "DELETE FROM ducklake_snapshot_changes "
-                "WHERE snapshot_id > ?", (snapshot_id,))
+                f"DELETE FROM ducklake_snapshot_changes WHERE {snap_p}",
+                snap_a)
         return dropped
 
     def close(self) -> None:

@@ -458,8 +458,22 @@ def _stage_append(session, handle, df: DataFrame,
         # encrypted catalog: rewrite/insert halves of UPDATE/MERGE are
         # PME parquet with per-file keys, like the insert path
         if part_keys:
-            raise InvalidConfig(
-                "encrypted tables with a partition spec are not supported")
+            # per-combo files, flat names, combos in the manifest —
+            # same shape as the encrypted insert
+            # (sql/encryption/partitioning_encryption.test)
+            import json as _json
+
+            from ..sources.encryption import write_encrypted_partitioned
+            pk_cols = []
+            for i, (base, tf, _dk) in enumerate(part_keys):
+                out = out.withColumn(f"{_PART_PREFIX}{i}",
+                                     _partition_expr(base, tf))
+                pk_cols.append(f"{_PART_PREFIX}{i}")
+            out = out.repartition(*[F.col(c) for c in pk_cols])
+            manifest = write_encrypted_partitioned(out, table_path, pk_cols)
+            return [(r["name"], r["size"], r["footer"], r["rows"],
+                     list(enumerate(_json.loads(r["pvals"]))), r["key"])
+                    for r in manifest]
         from ..sources.encryption import write_encrypted_distributed
         manifest = write_encrypted_distributed(out, table_path)
         return [(r["name"], r["size"], r["footer"], r["rows"], None,

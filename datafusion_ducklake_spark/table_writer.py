@@ -37,13 +37,18 @@ def _catalog_writer(session) -> CatalogWriter:
     # max_retry_count (DuckDB's ducklake_max_retry_count, default 10):
     # retries of the catalog BEGIN on transient cross-process lock
     # contention — sql/settings/max_retry_count.test
-    raw = (session.provider.get_option("max_retry_count")
-           or session.provider.get_option("ducklake_max_retry_count"))
+    raw = session.provider.get_option("max_retry_count")
     if raw is not None:
         try:
             w.max_retry_count = max(0, int(raw))
         except (TypeError, ValueError):
             pass
+    note = getattr(session, "_note_txn_snapshot", None)
+    if note is not None:
+        # explicit-transaction bookkeeping: the session records the
+        # snapshot ids ITS statements allocate so ROLLBACK rewinds only
+        # them (writer.rollback_to_snapshot's `only` parameter)
+        w.on_snapshot = note
     return w
 
 
@@ -477,6 +482,16 @@ def _hive_file_pattern(session, table_id: int,
     files FLAT in the table dir — partition values still register in the
     catalog, so pruning is unaffected; only the directory layout
     changes. Default True (hive-style key=value subdirs)."""
+    if schema_id is None:
+        # callers that only know the table (UPDATE/MERGE rewrite, flush)
+        # still honor a SCHEMA-scoped setting
+        try:
+            rows = session.provider._fetchall(
+                "SELECT schema_id FROM ducklake_table "
+                "WHERE table_id = ? AND end_snapshot IS NULL", (table_id,))
+            schema_id = int(rows[0][0]) if rows else None
+        except Exception:
+            schema_id = None
     v = session.provider.get_scoped_option(
         "hive_file_pattern", schema_id, table_id)
     return v is None or str(v).strip().lower() not in (
@@ -524,8 +539,20 @@ def _finalize_partitioned_hadoop(spark, staging: str, table_path: str,
     from pyspark.sql import functions as F
 
     fs = _HadoopFs(spark, table_path)
+    # key counts by the path RELATIVE to the staging root, not the
+    # basename: Spark's dynamic-partition writer resets its file counter
+    # per partition dir, so two partition dirs can hold files with
+    # IDENTICAL basenames and a basename map would register one file
+    # with the other's record_count (corrupting rowid ranges)
+    stage_base = staging.rstrip("/").rsplit("/", 1)[-1]
+
+    def _relkey(p: str) -> str:
+        i = p.find("/" + stage_base + "/")
+        return p[i + len(stage_base) + 2:] if i >= 0 \
+            else p.rsplit("/", 1)[-1]
+
     counts = {
-        r["f"].rsplit("/", 1)[-1]: r["count"]
+        _relkey(r["f"]): r["count"]
         for r in (spark.read.parquet(staging)
                   .groupBy(F.col("_metadata.file_path").alias("f"))
                   .count().collect())}
@@ -550,7 +577,8 @@ def _finalize_partitioned_hadoop(spark, staging: str, table_path: str,
                 staged.append((final_name, fs.size(final_path),
                                _footer_size_from_tail(
                                    fs.tail(final_path, 8), final_path),
-                               int(counts.get(part, 0)), pvals))
+                               int(counts.get("/".join(segs + [part]), 0)),
+                               pvals))
         for n, is_dir in entries:
             if is_dir and n.startswith(_PART_PREFIX):
                 walk(dir_path.rstrip("/") + "/" + n, segs + [n])

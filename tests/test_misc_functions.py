@@ -190,3 +190,34 @@ def test_rollback_removes_staged_files(dl, spark, tmp_path):
     with pytest.raises(Exception):
         dl.table("main.txn_t").collect()
     assert dl.table("main.t").count() == 100
+
+
+def test_rollback_spares_concurrent_sessions_commits(dl, spark, tmp_path):
+    """A ROLLBACK rewinds only the snapshots ITS transaction created
+    (the writers' on_snapshot bookkeeping): another session's commits
+    landing after the anchor survive both the catalog rewind and the
+    disk cleanup."""
+    import glob as _glob
+
+    from datafusion_ducklake_spark.catalog import DuckLakeSession
+
+    dl.begin_transaction()
+    dl.sql("CREATE TABLE mine (v INTEGER)")
+    dl.sql("INSERT INTO mine VALUES (1)")
+
+    other = DuckLakeSession(dl.spark, str(tmp_path / "cat.sqlite"))
+    other.sql("CREATE TABLE theirs (w INTEGER)")
+    other.sql("INSERT INTO theirs VALUES (7), (8)")
+    theirs_files = set(_glob.glob(f"{tmp_path}/lake/main/theirs/*.parquet"))
+    assert theirs_files
+
+    dl.rollback()
+    # our txn's table and staged file are gone ...
+    assert not _glob.glob(f"{tmp_path}/lake/main/mine/*.parquet")
+    with pytest.raises(Exception):
+        dl.table("main.mine").collect()
+    # ... the other session's commit is intact, catalog AND disk
+    assert set(_glob.glob(
+        f"{tmp_path}/lake/main/theirs/*.parquet")) == theirs_files
+    dl.refresh()
+    assert sorted(r["w"] for r in dl.table("main.theirs").collect()) == [7, 8]
