@@ -323,3 +323,34 @@ def test_insert_splits_by_target_file_size(spark, tmp_path):
     # rowids stay globally unique and dense across the split files
     rows = dl.table("main.t", with_rowid=True).select("rowid").collect()
     assert sorted(r.rowid for r in rows) == list(range(100000))
+
+
+def test_hadoop_partitioned_counts_key_by_relative_path(spark, tmp_path):
+    """Partitioned insert through the Hadoop route where ONE task holds
+    several partition values: Spark's dynamic-partition writer resets
+    its file counter per partition dir, so the staged files share
+    basenames across dirs — record counts must key on the
+    staging-relative path or files register each other's counts
+    (corrupting rowid ranges)."""
+    import sqlite3
+
+    db = str(tmp_path / "catalog.sqlite")
+    data = f"file://{tmp_path}/lake"
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=data)
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.sql("CREATE TABLE hp (k INTEGER, v INTEGER)")
+    dl.sql("ALTER TABLE hp SET PARTITIONED BY (k)")
+    # single file => coalesce(1): one task, two partition dirs, and
+    # DELIBERATELY different row counts per partition (1 vs 4)
+    dl.insert_into("main.hp", spark.createDataFrame(
+        [(0, 0)] + [(1, i) for i in range(4)], "k INT, v INT"))
+
+    con = sqlite3.connect(db)
+    counts = sorted(r[0] for r in con.execute(
+        "SELECT record_count FROM ducklake_data_file").fetchall())
+    con.close()
+    assert counts == [1, 4]
+    got = sorted((r["k"], r["v"]) for r in dl.table("main.hp").collect())
+    assert got == [(0, 0), (1, 0), (1, 1), (1, 2), (1, 3)]
