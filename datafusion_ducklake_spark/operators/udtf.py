@@ -26,18 +26,31 @@ def register_sql_functions(session) -> None:
     catalog_path = session.catalog_path
     snapshot_id = session.catalog.snapshot_id
 
-    @udtf(returnType="snapshot_id BIGINT, snapshot_time STRING, "
-                     "author STRING, commit_message STRING, changes STRING")
+    @udtf(returnType="snapshot_id BIGINT, schema_version BIGINT, "
+                     "snapshot_time STRING, author STRING, "
+                     "commit_message STRING, changes STRING")
     class DucklakeSnapshots:
+        # schema_version mirrors DuckDB's ducklake_snapshots() column
+        # (sql/functions/ducklake_snapshots.test): it increments on every
+        # DDL-bearing snapshot after the bootstrap. The catalog stores
+        # changes, not versions, so it's derived — a snapshot whose
+        # change labels include create/drop/alter/rename bumps it.
+        _DDL = ("created", "dropped", "altered", "renamed", "promoted")
+
         def eval(self):
             from ..metadata.provider import provider_for
             p = provider_for(catalog_path)
             try:
                 changes = p.get_snapshot_changes()
-                for s in p.list_snapshots():
-                    yield (s.snapshot_id, s.snapshot_time,
-                           s.author, s.commit_message,
-                           changes.get(s.snapshot_id))
+                version = 0
+                for s in sorted(p.list_snapshots(),
+                                key=lambda x: x.snapshot_id):
+                    ch = changes.get(s.snapshot_id)
+                    if s.snapshot_id > 0 and ch and any(
+                            k in ch for k in self._DDL):
+                        version += 1
+                    yield (s.snapshot_id, version, s.snapshot_time,
+                           s.author, s.commit_message, ch)
             finally:
                 p.close()
 
