@@ -212,6 +212,67 @@ def _ref_summary(spark_times: dict, duck_times: dict) -> dict:
     }
 
 
+CLUSTERED_QUERIES = ["q05_local_supplier_volume", "q08_market_share",
+                     "q12_shipping_buckets", "q07_volume_shipping",
+                     "ds_monthly_brand_rank"]
+
+
+def _clustered_scaled3(spark, scaled_dir: str, cpus: int, iters: int,
+                       s_duck: dict, s_duck_min: dict, floor: float):
+    """Time the lineitem⋈orders fact-fact queries with both facts served
+    from a DuckLake catalog CLUSTERED on orderkey (one-time build, cached
+    beside the scaled parquet; add_files registers the source without a
+    copy, cluster_by rewrites it once into catalog-registered bucket
+    files). Returns the detail dict, or None if the build fails."""
+    from datafusion_ducklake_spark.queries._util import set_table_override
+    try:
+        root = scaled_dir.rstrip("/") + "-ducklake"
+        db = os.path.join(root, "catalog.sqlite")
+        from datafusion_ducklake_spark.catalog import DuckLakeSession
+        from datafusion_ducklake_spark.metadata.writer import CatalogWriter
+        if not os.path.exists(db):
+            os.makedirs(root, exist_ok=True)
+            w = CatalogWriter.sqlite(db)
+            w.initialize_schema(data_path=os.path.join(root, "lake"))
+            w.close()
+            dl = DuckLakeSession(spark, db)
+            for tname, key_col in (("lineitem", "l_orderkey"),
+                                   ("orders", "o_orderkey")):
+                src = os.path.join(scaled_dir, f"{tname}.parquet")
+                dl.create_table(f"main.{tname}",
+                                spark.read.parquet(src).limit(0))
+                dl.add_files(f"main.{tname}", [src])
+                dl.cluster_by(f"main.{tname}", key_col, cpus)
+        dl = DuckLakeSession(spark, db)
+        li, o = dl.table("main.lineitem"), dl.table("main.orders")
+        set_table_override("lineitem", li)
+        set_table_override("orders", o)
+        try:
+            c_wall, c_plan, c_min = _time_spark_suite(
+                spark, scaled_dir, iterations=iters, only=CLUSTERED_QUERIES)
+        finally:
+            set_table_override("lineitem", None)
+            set_table_override("orders", None)
+        c_adj = {n: round(max(t - floor, 0.0), 4) for n, t in c_wall.items()}
+        return {
+            "note": ("lineitem+orders served from the DuckLake catalog "
+                     "clustered on orderkey (cluster_by; bucket files are "
+                     "ducklake_data_file rows) — same query bodies, same "
+                     "DuckDB baseline as the plain scaled3 tier"),
+            "queries": c_wall,
+            "queries_min": c_min,
+            "queries_floor_adjusted": c_adj,
+            "ratio_vs_duckdb_raw": _ratio(c_wall, s_duck),
+            "queries_ratio_min": {
+                n: round(c_min[n] / s_duck_min[n], 2)
+                for n in c_min if s_duck_min.get(n)},
+        }
+    except Exception:                    # never sink the whole bench
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -253,6 +314,14 @@ def main() -> None:
         "datafusion_total": round(sum(dfus.values()), 4) if dfus else None,
         "ratio_vs_datafusion": _ratio(wall, dfus),
         "detail_file": "BENCH_detail.json",
+        # r5 verdict #8: keep round-over-round ratios interpretable when
+        # suite composition or methodology changes
+        "suite_delta_note": (
+            "r6: headline suite unchanged vs r5 (same 27 queries, same "
+            "floor methodology); scaled3 (SF10) expanded from a 9-query "
+            "subset to the full 27-query suite, and gained a 'clustered' "
+            "sub-tier timing the lineitem-orders fact-fact queries through "
+            "the DuckLake catalog-clustered layout (cluster_by)"),
     }
     detail = {
         **headline,
@@ -294,24 +363,19 @@ def main() -> None:
     # as compute grows) vs plan-limited (they persist). scale2=0 skips.
     scale2 = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE2",
                                 "30" if scale == 10 else "0"))
-    # SF10-equivalent convergence tier (r4 verdict #3): the residual
-    # Spark/DuckDB gap on q12/q07 is claimed to be fixed join-throughput
-    # overhead that shrinks with scale — this tier MEASURES that trend
-    # rather than extrapolating it. Restricted to the weak/control subset
-    # and 2 iterations so the driver bench stays inside its budget (the
-    # scaled parquet is cached on disk across runs).
+    # SF10-equivalent convergence tier (r4 verdict #3; r5 verdict #3
+    # expanded it from a 9-query subset to the FULL headline suite — the
+    # largest scale is where the 100 TB design argument lives, so it is
+    # no longer subset-graded). 2 iterations so the driver bench stays
+    # inside its budget (the scaled parquet is cached on disk across
+    # runs).
     scale3 = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE3",
                                 "100" if scale == 10 else "0"))
-    SF10_SUBSET = ["q12_shipping_buckets", "q07_volume_shipping",
-                   "q22_global_sales_opportunity", "q08_market_share",
-                   "q04_order_priority", "q05_local_supplier_volume",
-                   "q01_pricing_summary", "q06_forecast_revenue",
-                   "ds_monthly_brand_rank"]
     from tools.scale_data import scale_dir
     for sc, key, in_headline, only, iters in (
             (scale, "scaled", True, None, ITERATIONS),
             (scale2, "scaled2", False, None, ITERATIONS),
-            (scale3, "scaled3", False, SF10_SUBSET, 2)):
+            (scale3, "scaled3", False, None, 2)):
         if sc <= 0:
             continue
         scaled_dir = scale_dir(sf_dir, sc, str(REPO / ".bench_scaled"))
@@ -338,17 +402,16 @@ def main() -> None:
         elif key == "scaled3":
             # compact convergence marker in the one-line stdout: the two
             # r4 weak queries' min-ratios at the largest measured scale
+            def _rm(q):
+                return (round(s_min[q] / s_duck_min[q], 2)
+                        if s_duck_min.get(q) and q in s_min else None)
             headline[key] = {
                 "sf_equivalent": s_head["scale_factor_equivalent"],
                 "ratio_vs_duckdb_raw": s_head["ratio_vs_duckdb_raw"],
-                "q12_ratio_min": (round(s_min["q12_shipping_buckets"]
-                                        / s_duck_min["q12_shipping_buckets"], 2)
-                                  if s_duck_min.get("q12_shipping_buckets")
-                                  else None),
-                "q07_ratio_min": (round(s_min["q07_volume_shipping"]
-                                        / s_duck_min["q07_volume_shipping"], 2)
-                                  if s_duck_min.get("q07_volume_shipping")
-                                  else None),
+                "q12_ratio_min": _rm("q12_shipping_buckets"),
+                "q07_ratio_min": _rm("q07_volume_shipping"),
+                "q05_ratio_min": _rm("q05_local_supplier_volume"),
+                "q08_ratio_min": _rm("q08_market_share"),
             }
         detail[key] = {
             **s_head,
@@ -362,6 +425,20 @@ def main() -> None:
                 for n in s_min if s_duck_min.get(n)},
             "reference_summary": _ref_summary(s_wall, s_duck),
         }
+        if key == "scaled3":
+            # catalog-clustered layout tier (r5 verdict #1/#7): the same
+            # fact-fact queries re-timed with lineitem+orders served from
+            # a DuckLake catalog clustered on orderkey (operators/
+            # layout.cluster_by — bucket files ARE ducklake_data_file
+            # rows; scan_table reconstructs the bucketed scan). Query
+            # bodies unchanged — only the physical source swaps, which is
+            # exactly the decision a lake catalog owns at 100 TB.
+            cl = _clustered_scaled3(spark, scaled_dir, cpus, iters,
+                                    s_duck, s_duck_min, floor)
+            if cl is not None:
+                detail[key]["clustered"] = cl
+                headline.setdefault(key, {})["clustered_ratio_min"] = \
+                    cl["queries_ratio_min"]
 
     (REPO / "BENCH_detail.json").write_text(json.dumps(detail, indent=1))
     print(json.dumps(headline))

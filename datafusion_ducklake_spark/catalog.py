@@ -217,12 +217,70 @@ class DuckLakeTable:
             data = [d + (int(r[-1]),) for d, r in zip(data, rows)]
         return self.spark.createDataFrame(data, schema)
 
+    def _clustered_df(self) -> Optional[DataFrame]:
+        """The catalog-bucketed fast path: when this snapshot's live file
+        set is EXACTLY a ``cluster_by`` export (table-scoped
+        ``clustering`` option; operators/layout.py), reconstruct Spark's
+        bucketed scan over those registered files via a session-catalog
+        external bucketed table — two co-clustered facts then join with
+        zero exchanges *through the DuckLake catalog*. Returns None
+        whenever ANY precondition fails (later DML, deletes, schema
+        change, inlined rows, time travel to another snapshot, encrypted
+        files): callers fall back to the plain snapshot-consistent scan
+        of the same files, so the spec going stale can never produce a
+        wrong answer, only a slower plan."""
+        import hashlib
+        import json
+        raw = self._provider.get_scoped_option(
+            "clustering", None, self.meta.table_id)
+        if raw is None:
+            return None
+        try:
+            spec = json.loads(raw)
+        except (ValueError, TypeError):
+            return None
+        if spec.get("columns") != [c.column_name for c in self.columns] \
+                or spec.get("types") != [c.column_type
+                                         for c in self.columns]:
+            return None   # schema evolved after clustering
+        if not self.files:
+            return None
+        marker = f"/{spec.get('dir')}/"
+        for f in self.files:
+            if f.delete_uri is not None or f.encryption_key is not None \
+                    or marker not in f.data_uri:
+                return None
+        if self.inlined_rows():
+            return None
+        digest = hashlib.md5(
+            f"{self.table_path}|{spec['dir']}".encode()).hexdigest()[:16]
+        bname = f"ducklake_clustered_{digest}"
+        spark = self.spark
+        if not spark.catalog.tableExists(bname):
+            ddl = ", ".join(
+                f"`{fld.name}` {fld.dataType.simpleString()}"
+                for fld in self.spark_schema.fields)
+            loc = self.table_path.rstrip("/") + "/" + spec["dir"]
+            sort_clause = (f"SORTED BY (`{spec['key']}`) "
+                           if spec.get("sort") else "")
+            spark.sql(
+                f"CREATE TABLE IF NOT EXISTS `{bname}` ({ddl}) "
+                f"USING PARQUET CLUSTERED BY (`{spec['key']}`) "
+                f"{sort_clause}INTO {int(spec['buckets'])} BUCKETS "
+                f"LOCATION '{loc}'")
+        return spark.table(bname).select(
+            *[f"`{c.column_name}`" for c in self.columns])
+
     def to_df(self, with_rowid: bool = False,
               prune_filters: Optional[list[tuple]] = None,
               with_virtual: bool = False) -> DataFrame:
         from functools import reduce
 
         from pyspark.sql import functions as F
+        if not with_rowid and not with_virtual and not prune_filters:
+            clustered = self._clustered_df()
+            if clustered is not None:
+                return clustered
         files = self.files
         if prune_filters:
             files = self.prune_files(prune_filters)
@@ -2517,8 +2575,9 @@ class DuckLakeSession:
         writer = _catalog_writer(self)
         try:
             doomed = writer.list_expired_files()
-            paths, retained = [], False
-            for f_path, f_rel, t_path, t_rel, s_path, s_rel in doomed:
+            paths, ids = [], []
+            for kind, fid, f_path, f_rel, t_path, t_rel, s_path, s_rel \
+                    in doomed:
                 schema_path = resolver.schema_path(s_path, s_rel)
                 table_path = resolver.table_path(schema_path, t_path, t_rel)
                 p = resolver.file_path(table_path, f_path, f_rel)
@@ -2527,9 +2586,9 @@ class DuckLakeSession:
                         if p.startswith("file://") else p
                     if "://" not in local and os.path.exists(local) \
                             and os.path.getmtime(local) > cutoff:
-                        retained = True    # young: keep file AND its rows
-                        continue
+                        continue    # young: keep file AND its rows
                 paths.append(p)
+                ids.append((kind, fid))
             if dry_run:
                 return paths
             for p in paths:
@@ -2540,10 +2599,11 @@ class DuckLakeSession:
                 else:
                     fs, base = _pyarrow_dest(p)
                     fs.delete_file(base)
-            if not retained:
-                # retained young files keep their catalog rows so a later
-                # pass (past the retention window) still finds them
-                writer.drop_expired_file_rows()
+            # per-file row drops: retained young files keep their rows so
+            # a later pass still finds them, but rows of files deleted in
+            # THIS pass go now (no double-reporting, no lingering stats)
+            writer.drop_file_rows(ids)
+            writer.drop_expired_inlined_rows()
         finally:
             writer.close()
         self.refresh()
@@ -3061,6 +3121,17 @@ class DuckLakeSession:
             return compact_table(self, name, single_file=single_file)
         return create_or_insert(self, name, self.table(name),
                                 mode="overwrite", single_file=single_file)
+
+    def cluster_by(self, name: str, key: str, buckets: int,
+                   sort: bool = True) -> int:
+        """Hash-cluster a table by ``key`` into ``buckets`` bucket files
+        registered in the DuckLake catalog (maintenance Replace snapshot,
+        rowids preserved, CDC-silent) and record the layout as a
+        table-scoped ``clustering`` option. Unchanged tables then scan
+        bucketed: two facts clustered on the same key join with zero
+        exchanges. See operators/layout.cluster_by."""
+        from .operators.layout import cluster_by
+        return cluster_by(self, name, key, buckets, sort=sort)
 
     def _rewrite_threshold(self, explicit: "float | None") -> float:
         """Effective delete-fraction gate for the CALL surface:

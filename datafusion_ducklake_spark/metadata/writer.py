@@ -380,8 +380,21 @@ class CatalogWriter:
                     if writer._txn_depth == 0:
                         if writer._txn_failed:
                             writer._conn.execute("ROLLBACK")
+                            # allocated-but-never-persisted snapshot ids
+                            # must NOT reach the session's rollback scope:
+                            # a concurrent session can commit the same id
+                            # (ids are MAX+1) and our ROLLBACK would then
+                            # delete ITS committed snapshot
+                            writer._pending_snapshot_ids = []
                         else:
                             writer._conn.execute("COMMIT")
+                            pend = getattr(
+                                writer, "_pending_snapshot_ids", [])
+                            writer._pending_snapshot_ids = []
+                            cb = getattr(writer, "on_snapshot", None)
+                            if cb is not None:
+                                for sid in pend:
+                                    cb(sid)
                 finally:
                     writer._lock.release()
                 return False
@@ -395,10 +408,16 @@ class CatalogWriter:
         if table == "ducklake_snapshot":
             # session hook: an explicit BEGIN tracks ITS OWN snapshot ids
             # so ROLLBACK rewinds only them — a concurrent session's
-            # commits after the anchor must survive the rewind
-            cb = getattr(self, "on_snapshot", None)
-            if cb is not None:
-                cb(nid)
+            # commits after the anchor must survive the rewind. Recorded
+            # here but FIRED only when the allocating catalog transaction
+            # COMMITS (_Txn.__exit__): an aborted statement's id may be
+            # re-allocated and committed by a concurrent session, and the
+            # session's ROLLBACK must never rewind that
+            if getattr(self, "on_snapshot", None) is not None:
+                pend = getattr(self, "_pending_snapshot_ids", None)
+                if pend is None:
+                    pend = self._pending_snapshot_ids = []
+                pend.append(nid)
         return nid
 
     @staticmethod
@@ -1004,7 +1023,68 @@ class CatalogWriter:
                  file.file_size_bytes, file.footer_size, file.record_count,
                  file.row_id_start, file.mapping_id, file.encryption_key,
                  snapshot_id))
+            if file.row_id_start is not None:
+                cand = int(file.row_id_start) + int(file.record_count or 0)
+            else:
+                # rowid-in-file (UPDATE keep-rowids / compaction / inlined
+                # flush): the in-file rowids were PRESERVED from rows that
+                # exist in the catalog right now (the superseded started
+                # files are still registered, ended at most; inlined rows
+                # are still in their inline tables) — so the current
+                # next-rowid bound covers them. Persist it before
+                # cleanup_old_files can purge the started rows it is
+                # derived from.
+                rows = cur.execute(
+                    "SELECT COALESCE(MAX(row_id_start + "
+                    "COALESCE(record_count, 0)), 0) FROM ducklake_data_file "
+                    "WHERE table_id = ? AND row_id_start IS NOT NULL",
+                    (table_id,)).fetchall()
+                cand = int(rows[0][0])
+                try:
+                    inl = self.max_inlined_row_id(table_id)
+                except Exception:
+                    inl = None
+                if inl is not None:
+                    cand = max(cand, int(inl) + 1)
+            self._bump_next_row_id(cur, table_id, cand)
             return fid
+
+    def _bump_next_row_id(self, cur, table_id: int, candidate: int) -> None:
+        """Monotone per-table rowid high-water mark in
+        ``ducklake_table_stats.next_row_id`` (the DuckLake-spec stats
+        table). Needed because files registered with row_id_start NULL
+        carry their rowids in-file: once ``cleanup_old_files`` purges the
+        expired started rows those rowids derived from, MAX(row_id_start
+        + record_count) collapses and a naive next_row_id would re-issue
+        rowids that still exist in-file — breaking rowid-targeted
+        DELETE/UPDATE, CDC update pairing, and streaming exactly-once."""
+        cur.execute(
+            "CREATE TABLE IF NOT EXISTS ducklake_table_stats ("
+            "table_id BIGINT PRIMARY KEY, record_count BIGINT, "
+            "next_row_id BIGINT, file_size_bytes BIGINT)")
+        rows = cur.execute(
+            "SELECT next_row_id FROM ducklake_table_stats "
+            "WHERE table_id = ?", (table_id,)).fetchall()
+        if not rows:
+            cur.execute(
+                "INSERT INTO ducklake_table_stats (table_id, next_row_id) "
+                "VALUES (?, ?)", (table_id, int(candidate)))
+        elif rows[0][0] is None or int(rows[0][0]) < int(candidate):
+            cur.execute(
+                "UPDATE ducklake_table_stats SET next_row_id = ? "
+                "WHERE table_id = ?", (int(candidate), table_id))
+
+    def _stored_next_row_id(self, cur, table_id: int) -> int:
+        # create-if-missing rather than try/except: a failed statement
+        # poisons an open DuckDB transaction
+        cur.execute(
+            "CREATE TABLE IF NOT EXISTS ducklake_table_stats ("
+            "table_id BIGINT PRIMARY KEY, record_count BIGINT, "
+            "next_row_id BIGINT, file_size_bytes BIGINT)")
+        rows = cur.execute(
+            "SELECT next_row_id FROM ducklake_table_stats "
+            "WHERE table_id = ?", (table_id,)).fetchall()
+        return int(rows[0][0]) if rows and rows[0][0] is not None else 0
 
     def register_file_column_stats(self, data_file_id: int, table_id: int,
                                    stats: list[tuple]) -> None:
@@ -1249,14 +1329,18 @@ class CatalogWriter:
         """Next unassigned virtual rowid for the table: MAX over ALL files
         ever registered (ended files included, so rowids are never reused
         across overwrite/compaction — the DuckLake rowid contract) AND
-        over inlined rows (which carry row_ids of their own)."""
+        over inlined rows (which carry row_ids of their own) AND the
+        persisted ``ducklake_table_stats.next_row_id`` high-water mark
+        (which survives ``cleanup_old_files`` purging the expired started
+        rows that rowid-in-file files derived their rowids from)."""
         with self._txn() as cur:
             rows = cur.execute(
                 "SELECT COALESCE(MAX(row_id_start + COALESCE(record_count, 0)), 0) "
                 "FROM ducklake_data_file "
                 "WHERE table_id = ? AND row_id_start IS NOT NULL",
                 (table_id,)).fetchall()
-            base = int(rows[0][0])
+            base = max(int(rows[0][0]),
+                       self._stored_next_row_id(cur, table_id))
         try:
             inl = self.max_inlined_row_id(table_id)
         except Exception:
@@ -1856,11 +1940,14 @@ class CatalogWriter:
             return len(live)
 
     def list_expired_files(self) -> list[tuple]:
-        """(file_path, file_rel, table_path, table_rel, schema_path,
-        schema_rel) of every data/delete file ended before the oldest
-        remaining snapshot — unreachable by any time-travel point, safe
-        to physically delete. Carries the full resolution chain so the
-        caller can resolve paths even for since-dropped tables."""
+        """(kind, file_id, file_path, file_rel, table_path, table_rel,
+        schema_path, schema_rel) of every data/delete file ended before
+        the oldest remaining snapshot — unreachable by any time-travel
+        point, safe to physically delete. Carries the catalog identity
+        (kind = source table, file_id = its primary key) so the caller
+        can drop exactly the rows of the files it deleted, and the full
+        resolution chain so paths resolve even for since-dropped
+        tables."""
         with self._txn() as cur:
             oldest = cur.execute(
                 "SELECT MIN(snapshot_id) FROM ducklake_snapshot"
@@ -1868,12 +1955,14 @@ class CatalogWriter:
             if oldest is None:
                 return []
             out = []
-            for tbl in ("ducklake_data_file", "ducklake_delete_file"):
+            for tbl, pk in (("ducklake_data_file", "data_file_id"),
+                            ("ducklake_delete_file", "delete_file_id")):
                 out.extend(
-                    (r[0], bool(r[1]), r[2], bool(r[3]), r[4], bool(r[5]))
+                    (tbl, int(r[0]), r[1], bool(r[2]), r[3], bool(r[4]),
+                     r[5], bool(r[6]))
                     for r in cur.execute(
-                        f"SELECT DISTINCT f.path, f.path_is_relative, "
-                        "t.path, t.path_is_relative, "
+                        f"SELECT DISTINCT f.{pk}, f.path, "
+                        "f.path_is_relative, t.path, t.path_is_relative, "
                         "s.path, s.path_is_relative "
                         f"FROM {tbl} f "
                         "JOIN ducklake_table t ON f.table_id = t.table_id "
@@ -1882,34 +1971,53 @@ class CatalogWriter:
                         "AND f.end_snapshot <= ?", (oldest,)).fetchall())
             return out
 
-    def drop_expired_file_rows(self) -> int:
-        """Remove the catalog rows of files ended before the oldest
-        remaining snapshot (after their physical deletion), sweeping
-        dependent stats/partition-value rows."""
+    def drop_file_rows(self, ids: "list[tuple]") -> int:
+        """Targeted catalog-row drop for files that were PHYSICALLY
+        deleted in this cleanup pass — ``ids`` is (kind, file_id) pairs
+        from list_expired_files. Per-file (not the old all-or-nothing
+        expired sweep) so a pass that RETAINS some young files still
+        drops the rows of the files it did delete — otherwise later
+        passes re-list and double-report them and their stats rows
+        linger."""
+        data_ids = [fid for kind, fid in ids
+                    if kind == "ducklake_data_file"]
+        del_ids = [fid for kind, fid in ids
+                   if kind == "ducklake_delete_file"]
+        with self._txn() as cur:
+            for chunk_start in range(0, len(data_ids), 500):
+                chunk = data_ids[chunk_start:chunk_start + 500]
+                ph = ",".join("?" * len(chunk))
+                cur.execute(
+                    f"DELETE FROM ducklake_data_file "
+                    f"WHERE data_file_id IN ({ph})", tuple(chunk))
+            for chunk_start in range(0, len(del_ids), 500):
+                chunk = del_ids[chunk_start:chunk_start + 500]
+                ph = ",".join("?" * len(chunk))
+                cur.execute(
+                    f"DELETE FROM ducklake_delete_file "
+                    f"WHERE delete_file_id IN ({ph})", tuple(chunk))
+            if data_ids:
+                cur.execute(
+                    "DELETE FROM ducklake_file_column_stats WHERE "
+                    "data_file_id NOT IN "
+                    "(SELECT data_file_id FROM ducklake_data_file)")
+                cur.execute(
+                    "DELETE FROM ducklake_file_partition_value WHERE "
+                    "data_file_id NOT IN "
+                    "(SELECT data_file_id FROM ducklake_data_file)")
+        return len(ids)
+
+    def drop_expired_inlined_rows(self) -> None:
+        """Sweep ended inlined rows no time-travel point can reach.
+        Unconditional in every cleanup pass: inlined rows have no
+        physical file, so the young-file retention guard never applies
+        to them."""
         with self._txn() as cur:
             oldest = cur.execute(
                 "SELECT MIN(snapshot_id) FROM ducklake_snapshot"
             ).fetchall()[0][0]
             if oldest is None:
-                return 0
-            n = len(cur.execute(
-                "SELECT data_file_id FROM ducklake_data_file "
-                "WHERE end_snapshot IS NOT NULL AND end_snapshot <= ?",
-                (oldest,)).fetchall())
-            cur.execute(
-                "DELETE FROM ducklake_data_file WHERE end_snapshot "
-                "IS NOT NULL AND end_snapshot <= ?", (oldest,))
-            cur.execute(
-                "DELETE FROM ducklake_delete_file WHERE end_snapshot "
-                "IS NOT NULL AND end_snapshot <= ?", (oldest,))
-            cur.execute(
-                "DELETE FROM ducklake_file_column_stats WHERE data_file_id "
-                "NOT IN (SELECT data_file_id FROM ducklake_data_file)")
-            cur.execute(
-                "DELETE FROM ducklake_file_partition_value WHERE "
-                "data_file_id NOT IN "
-                "(SELECT data_file_id FROM ducklake_data_file)")
-            # ended inlined rows expire exactly like ended files
+                return
             try:
                 inlined = [r[0] for r in cur.execute(
                     "SELECT DISTINCT table_name "
@@ -1922,7 +2030,6 @@ class CatalogWriter:
                 cur.execute(
                     f'DELETE FROM "{nm}" WHERE end_snapshot IS NOT NULL '
                     "AND end_snapshot <= ?", (oldest,))
-            return n
 
     def rollback_to_snapshot(self, snapshot_id: int,
                              only: "set[int] | None" = None) -> list[tuple]:

@@ -187,12 +187,15 @@ def _compaction_snapshots(session, table) -> set:
     them on both the insert and the delete side (upstream table_changes
     is silent across compaction AND flush —
     sql/data_inlining/data_inlining_flush.test)."""
-    markers = (f"compacted_table:{table.meta.table_id}",
-               f"flushed_inlined_data:{table.meta.table_id}")
+    markers = {f"compacted_table:{table.meta.table_id}",
+               f"flushed_inlined_data:{table.meta.table_id}"}
     try:
+        # token-exact compare, NOT substring: 'compacted_table:1' is a
+        # substring of 'compacted_table:12' and would false-positive on
+        # tables whose id is a prefix of another's
         return {sid for sid, s in
                 session.provider.get_snapshot_changes().items()
-                if any(m in (s or "") for m in markers)}
+                if markers & {t.strip() for t in (s or "").split(",")}}
     except Exception:
         return set()
 

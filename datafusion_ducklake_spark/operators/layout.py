@@ -61,3 +61,157 @@ def join_side_exchanges(joined: DataFrame) -> int:
     if join_at is None:
         return -1
     return sum(1 for ln in lines[join_at:] if "Exchange" in ln)
+
+
+# --------------------------------------------------------------------------
+# Catalog-integrated clustering (round-6: the 7x lever, wired into the lake)
+# --------------------------------------------------------------------------
+
+CLUSTERING_OPTION = "clustering"
+
+
+def cluster_by(session, name: str, key: str, buckets: int,
+               sort: bool = True) -> int:
+    """Re-cluster a DuckLake table by hash(key) into ``buckets`` bucket
+    files INSIDE the table's own data path, register them as
+    ``ducklake_data_file`` rows in one maintenance Replace snapshot
+    (rowids preserved in-file, CDC-silent — exactly like compaction),
+    and record the clustering spec as a table-scoped ``clustering``
+    option. A subsequent ``scan_table`` of the unchanged table
+    reconstructs Spark's bucketed scan, so two tables clustered with the
+    same (key-equivalence, bucket count) join with ZERO exchanges
+    through the catalog.
+
+    Reference parity: none — the reference is a single-node engine with
+    no layout metadata to keep (table.rs:600-653 has no analog); this is
+    the Spark-first scale lever. Any later write (insert/delete/update/
+    compact) simply invalidates the fast path: scans fall back to the
+    plain snapshot-consistent read of the same registered files, so
+    correctness never depends on the spec being current.
+
+    Returns the number of rows clustered."""
+    import json
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from ..errors import InvalidConfig
+    from ..metadata.writer import ColumnDef, DataFileInfo, WriteMode
+    from ..sources.scan import ROWID_FILE_COL
+    from ..table_writer import _catalog_writer, column_stats_of
+
+    handle = session.table_handle(name)
+    if int(buckets) < 1:
+        raise InvalidConfig("buckets must be >= 1")
+    live_names = [c.column_name for c in handle.columns]
+    if key not in live_names:
+        raise InvalidConfig(
+            f"clustering key {key!r} is not a column of {name}")
+    spec_rows = session.provider.get_partition_columns(
+        handle.meta.table_id, handle.snapshot_id)
+    if spec_rows:
+        raise InvalidConfig(
+            "cluster_by over a partitioned table is not supported — "
+            "RESET PARTITIONED BY first (partitioning and hash-"
+            "clustering both fix the file layout; pick one)")
+    schema_name0, _tn0 = session._split(name)
+    smeta = session.provider.get_schema_by_name(
+        schema_name0, handle.snapshot_id)
+    schema_id = smeta.schema_id if smeta else None
+    if session.provider.get_scoped_option(
+            "encrypted", schema_id, handle.meta.table_id) in ("true", "1"):
+        raise InvalidConfig(
+            "cluster_by over an encrypted table is not supported (the "
+            "bucketed scan reads plain parquet footers)")
+    if handle.inlined_rows():
+        session.flush_inlined_data(name)
+        handle = session.table_handle(name)
+
+    table_path = handle.table_path
+    base = table_path[len("file://"):] \
+        if table_path.startswith("file://") else table_path
+    if "://" in base:
+        raise InvalidConfig(
+            "cluster_by currently supports local / file:// table paths")
+
+    rel_dir = f"clustered_{uuid.uuid4().hex[:12]}"
+    out_dir = os.path.join(base, rel_dir)
+
+    # rewrite keeping rowids in the reserved in-file column (the same
+    # stable-rowid convention as UPDATE/compaction outputs)
+    df = session.table(name, with_rowid=True) \
+        .withColumnRenamed("rowid", ROWID_FILE_COL)
+    spark = session.spark
+    tmp = f"ducklake_cluster_tmp_{uuid.uuid4().hex[:8]}"
+    # repartition on the SAME hash Spark's bucketing uses so each write
+    # task holds exactly one bucket -> one file per bucket (see
+    # export_bucketed above for the measured small-file fan-out without)
+    clustered = df.repartition(int(buckets), F.col(key))
+    w = (clustered.write.mode("overwrite").format("parquet")
+         .option("path", out_dir).bucketBy(int(buckets), key))
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(tmp)
+    spark.sql(f"DROP TABLE {tmp}")   # external: metadata only, files stay
+
+    staged = []
+    for fname in sorted(os.listdir(out_dir)):
+        if not fname.endswith(".parquet"):
+            continue
+        fpath = os.path.join(out_dir, fname)
+        md = pq.ParquetFile(fpath).metadata
+        staged.append((fname, os.path.getsize(fpath),
+                       md.serialized_size, md.num_rows))
+
+    schema_name, table_name = session._split(name)
+    cols = [ColumnDef(c.column_name, c.column_type, c.nulls_allowed,
+                      c.initial_default, c.default_value)
+            for c in handle.columns]
+    writer = _catalog_writer(session)
+    n_rows = 0
+    try:
+        with writer._txn():
+            setup = writer.begin_write_transaction(
+                schema_name, table_name, cols, WriteMode.REPLACE,
+                maintenance=True)
+            # Spark's bucketBy writer emits no parquet field ids, so the
+            # files register name-mapped (the add_files contract) — the
+            # PLAIN scan fallback reads them by name, identically to
+            # externally-added parquet
+            mid = writer.create_name_mapping(
+                handle.meta.table_id, live_names,
+                [c.column_id for c in handle.columns])
+            ids_by_name = dict(zip(live_names, setup.column_ids))
+            from ..types import is_geometry_type
+            geo = {c.column_name for c in handle.columns
+                   if is_geometry_type(c.column_type)}
+            for fname, size, footer, count in staged:
+                if count == 0:
+                    continue
+                fid = writer.register_data_file(
+                    handle.meta.table_id, setup.snapshot_id,
+                    DataFileInfo(path=f"{rel_dir}/{fname}",
+                                 path_is_relative=True,
+                                 file_size_bytes=size, footer_size=footer,
+                                 record_count=count, row_id_start=None,
+                                 mapping_id=mid))
+                writer.register_file_column_stats(
+                    fid, handle.meta.table_id,
+                    column_stats_of(os.path.join(out_dir, fname),
+                                    ids_by_name, geo))
+                n_rows += count
+            writer.set_option(
+                CLUSTERING_OPTION,
+                json.dumps({"key": key, "buckets": int(buckets),
+                            "sort": bool(sort), "dir": rel_dir,
+                            "snapshot": setup.snapshot_id,
+                            "columns": live_names,
+                            "types": [c.column_type
+                                      for c in handle.columns]}),
+                scope="table", scope_id=handle.meta.table_id)
+    finally:
+        writer.close()
+    session.refresh()
+    return n_rows

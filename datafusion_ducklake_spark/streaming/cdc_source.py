@@ -37,11 +37,19 @@ _DATA_FILE_GLOB = ("ducklake-" + "[0-9a-f]" * 8 + "-*.parquet")
 
 
 class _FileSlice(InputPartition):
-    def __init__(self, uri: str, encryption_key: str | None = None):
+    def __init__(self, uri: str, encryption_key: str | None = None,
+                 min_rowid: int | None = None):
         self.uri = uri
         # stored-form PME footer key: ships inside the serialized
         # partition so the decrypt happens executor-side
         self.encryption_key = encryption_key
+        # compaction output straddling the consumer's main watermark:
+        # rows below min_rowid were already delivered by the (now ended)
+        # originals — the read emits only rowid >= min_rowid
+        self.min_rowid = min_rowid
+        # main-axis variant (catalog-started file, rowid = start + row
+        # position, no in-file column): skip the first N rows instead
+        self.skip_rows = 0
 
 
 _EXTENT_CACHE: dict[str, tuple] = {}
@@ -141,7 +149,7 @@ class _CatalogStreamReader(DataSourceStreamReader):
         from ..errors import InvalidConfig
         if f.row_id_start is not None:
             return ("rowid", f.row_id_start,
-                    f.row_id_start + (f.record_count or 0), False)
+                    f.row_id_start + (f.record_count or 0), False, None)
         from ..sources.scan import file_has_rowid_column
         if not file_has_rowid_column(f.data_uri):
             raise InvalidConfig(
@@ -155,11 +163,11 @@ class _CatalogStreamReader(DataSourceStreamReader):
                 sid for sid, s in
                 self._provider.get_snapshot_changes().items()
                 if marker in (s or "")}
-        lo, _hi = _rowid_extent(f.data_uri, f.encryption_key)
+        lo, hi = _rowid_extent(f.data_uri, f.encryption_key)
         if f.begin_snapshot in self._flush_snapshots:
             # flushed inlined data: its rows were NEVER visible via the
             # main axis (inlined rows don't stream) — always deliverable
-            return ("flush", lo, lo + 1, False)
+            return ("flush", lo, lo + 1, False, None)
         covered = any(
             g.row_id_start is not None
             and g.row_id_start <= lo < g.row_id_start
@@ -173,10 +181,11 @@ class _CatalogStreamReader(DataSourceStreamReader):
         # compact-after-update): originals are ended. Deliverable to a
         # consumer that has not passed these rowids on the main axis
         # (guard_main) — a caught-up consumer already received them from
-        # the pre-compaction files. Caveat (documented): a merge racing
-        # a live stream can fold a not-yet-delivered file below the
-        # watermark; pause streams during maintenance, as with glob mode.
-        return ("flush", lo, lo + 1, True)
+        # the pre-compaction files, and a PARTIALLY caught-up consumer
+        # (watermark inside this file's rowid extent) gets the file
+        # filtered to rowid >= watermark, so a merge racing a live
+        # stream never silently drops the undelivered tail.
+        return ("flush", lo, lo + 1, True, hi)
 
     def latestOffset(self) -> dict:
         handle = self._handle()
@@ -196,12 +205,29 @@ class _CatalogStreamReader(DataSourceStreamReader):
             p = self._placement(handle, f)
             if p is None:
                 continue
-            axis, lo, _hi, guard_main = p
+            axis, lo, hi, guard_main, max_rid = p
+            wm = start.get("rowid", 0)
             if not (start.get(axis, 0) <= lo < end.get(axis, 0)):
+                if not (axis == "rowid" and lo < wm < hi
+                        <= end.get("rowid", 0)):
+                    continue
+                # catalog-started compaction output STRADDLING the main
+                # watermark (lo < wm < hi): the head was delivered by the
+                # ended originals, the tail was not — emit the tail by
+                # skipping the delivered positions (rowid = lo + pos)
+                sl = _FileSlice(f.data_uri, f.encryption_key)
+                sl.skip_rows = wm - lo
+                out.append(sl)
                 continue
-            if guard_main and lo < start.get("rowid", 0):
-                continue    # already delivered via the main axis
-            out.append(_FileSlice(f.data_uri, f.encryption_key))
+            min_rowid = None
+            if guard_main and lo < wm:
+                if max_rid is None or max_rid < wm:
+                    continue    # fully delivered via the main axis
+                # rowid-in-file compaction output straddling the main
+                # watermark: emit just the undelivered tail
+                min_rowid = wm
+            out.append(_FileSlice(f.data_uri, f.encryption_key,
+                                  min_rowid=min_rowid))
         return out or [_FileSlice("")]        # API requires >= 1 partition
 
     def read(self, partition: _FileSlice):
@@ -219,6 +245,17 @@ class _CatalogStreamReader(DataSourceStreamReader):
                 path, decode_key(partition.encryption_key))
         else:
             table = pq.read_table(path)
+        if getattr(partition, "min_rowid", None) is not None:
+            # straddling compaction output: the sub-watermark rows were
+            # already delivered by the originals
+            import pyarrow.compute as pc
+            from ..sources.scan import ROWID_FILE_COL
+            table = table.filter(
+                pc.field(ROWID_FILE_COL) >= partition.min_rowid)
+        if getattr(partition, "skip_rows", 0):
+            # main-axis straddle: rowid = row_id_start + position, so the
+            # delivered head is exactly the first skip_rows positions
+            table = table.slice(partition.skip_rows)
         return iter(table.select(target.names).cast(target).to_batches())
 
     def commit(self, end: dict) -> None:

@@ -270,3 +270,45 @@ def test_parallel_deletes_disjoint_files_all_commit(spark, tmp_path):
     dl.refresh()
     rows = sorted(r["key"] for r in dl.table("main.t").collect())
     assert rows == list(range(8))
+
+
+def test_aborted_allocation_never_enters_rollback_scope(spark, tmp_path):
+    """ADVICE r5 (medium): a statement inside an explicit BEGIN that
+    allocates snapshot id N and then ABORTS (its catalog transaction
+    rolls back, N is never persisted) must NOT leave N in the session's
+    rollback scope — a concurrent session can commit snapshot N next
+    (ids are MAX+1) and this session's ROLLBACK would delete the other
+    session's committed snapshot and its data files."""
+    db = str(tmp_path / "cat.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake"))
+    w.close()
+    s1 = DuckLakeSession(spark, db)
+    s1.create_table("main.t", spark.createDataFrame(
+        [(1, "a")], "id INT, tag STRING"))
+    s2 = DuckLakeSession(spark, db)
+
+    s1.begin_transaction()
+    # a statement whose catalog txn allocates a snapshot id, then aborts
+    from datafusion_ducklake_spark.table_writer import _catalog_writer
+    w1 = _catalog_writer(s1)
+    try:
+        with pytest.raises(RuntimeError):
+            with w1._txn() as cur:
+                aborted_id = w1._next_id(
+                    cur, "ducklake_snapshot", "snapshot_id")
+                raise RuntimeError("statement aborts after allocation")
+    finally:
+        w1.close()
+    assert aborted_id not in s1._txn_snapshots
+
+    # the concurrent session commits — it gets the SAME id (MAX+1)
+    s2.insert_into("main.t", spark.createDataFrame(
+        [(2, "b")], "id INT, tag STRING"))
+    committed = s2.provider.get_current_snapshot()
+    assert committed == aborted_id
+
+    s1.rollback()   # must NOT rewind s2's committed snapshot
+    s2.refresh()
+    assert sorted(r["id"] for r in s2.table("main.t").collect()) == [1, 2]
+    assert s2.provider.get_current_snapshot() == committed

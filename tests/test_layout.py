@@ -64,3 +64,141 @@ def test_override_swaps_scan_only(spark, bucketed):
     finally:
         set_table_override("lineitem", None)
         set_table_override("orders", None)
+
+
+# ---- catalog-integrated clustering (round 6: the lever, wired in) --------
+
+@pytest.fixture(scope="module")
+def clustered_dl(spark, tmp_path_factory):
+    from datafusion_ducklake_spark.catalog import DuckLakeSession
+    from datafusion_ducklake_spark.metadata.writer import CatalogWriter
+    tmp = tmp_path_factory.mktemp("cluster_cat")
+    db = str(tmp / "catalog.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp / "lake"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.create_table("main.lineitem", spark.read.parquet(
+        f"{SF_SMOKE}/lineitem.parquet"))
+    dl.create_table("main.orders", spark.read.parquet(
+        f"{SF_SMOKE}/orders.parquet"))
+    dl.cluster_by("main.lineitem", "l_orderkey", 8)
+    dl.cluster_by("main.orders", "o_orderkey", 8)
+    return dl
+
+
+def test_catalog_clustered_join_zero_exchanges(spark, clustered_dl):
+    """The VERDICT r5 'done' bar: a catalog-scanned pair of co-clustered
+    facts joins with zero join-side exchanges — the layout is a DuckLake
+    capability now, not a session-catalog sidecar."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = clustered_dl.table("main.lineitem")
+        o = clustered_dl.table("main.orders")
+        j = _q12_shape(li, o)
+        assert join_side_exchanges(j) == 0, (
+            j._jdf.queryExecution().executedPlan().toString())
+        # value parity with the plain shuffle join over the raw parquet
+        plain = _q12_shape(
+            spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet"),
+            spark.read.parquet(f"{SF_SMOKE}/orders.parquet")).collect()
+        assert j.collect() == plain
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_cluster_by_files_are_catalog_rows(clustered_dl):
+    """Bucket files ARE ducklake_data_file rows: listed by the UDTF with
+    record counts, and the pre-clustering files are ended (Replace)."""
+    files = clustered_dl.table_handle("main.orders")._raw_files
+    assert len(files) == 8                      # one per bucket
+    assert all(f.row_id_start is None for f in files)   # rowids in-file
+    total = sum(f.record_count for f in files)
+    assert total == clustered_dl.table("main.orders").count()
+
+
+def test_cluster_by_preserves_rowids(spark, clustered_dl):
+    rows = clustered_dl.table("main.orders", with_rowid=True)
+    n = rows.count()
+    assert rows.select("rowid").distinct().count() == n
+    assert rows.agg(F.max("rowid")).collect()[0][0] == n - 1
+
+
+def test_cluster_by_fast_path_survives_reopen(spark, clustered_dl):
+    from datafusion_ducklake_spark.catalog import DuckLakeSession
+    dl2 = DuckLakeSession(spark, clustered_dl.catalog_path)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = _q12_shape(dl2.table("main.lineitem"),
+                       dl2.table("main.orders"))
+        assert join_side_exchanges(j) == 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_cluster_by_later_dml_falls_back_correctly(spark, tmp_path):
+    """Any later write invalidates the fast path (live set != clustered
+    export) — scans fall back to the plain path with correct values."""
+    from datafusion_ducklake_spark.catalog import DuckLakeSession
+    from datafusion_ducklake_spark.metadata.writer import CatalogWriter
+    db = str(tmp_path / "c2.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake2"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.create_table("main.f", spark.createDataFrame(
+        [(i % 10, i) for i in range(1000)], "k INT, id INT"))
+    dl.cluster_by("main.f", "k", 4)
+    assert dl.table("main.f").count() == 1000
+    dl.delete_from("main.f", "id < 100")        # adds a delete file
+    assert dl.table("main.f").count() == 900    # fallback, MOR applied
+    dl.insert_into("main.f", spark.createDataFrame(
+        [(99, 9999)], "k INT, id INT"))
+    got = dl.table("main.f")
+    assert got.count() == 901
+    assert got.filter("id = 9999").count() == 1
+    # re-clustering re-engages the fast path over the merged state
+    dl.cluster_by("main.f", "k", 4)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = dl.table("main.f").join(dl.table("main.f").withColumnRenamed(
+            "id", "id2"), "k")
+        assert join_side_exchanges(j) == 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert dl.table("main.f").count() == 901
+
+
+def test_cluster_by_time_travel_reads_pre_layout(spark, tmp_path):
+    from datafusion_ducklake_spark.catalog import DuckLakeSession
+    from datafusion_ducklake_spark.metadata.writer import CatalogWriter
+    db = str(tmp_path / "c3.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake3"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.create_table("main.g", spark.createDataFrame(
+        [(i % 5, i) for i in range(100)], "k INT, id INT"))
+    pre = dl.provider.get_current_snapshot()
+    dl.cluster_by("main.g", "k", 4)
+    pinned = DuckLakeSession(spark, db, snapshot_id=pre)
+    assert sorted(r["id"] for r in pinned.table("main.g").collect()) \
+        == list(range(100))
+
+
+def test_cluster_by_refusals(spark, tmp_path):
+    from datafusion_ducklake_spark.catalog import DuckLakeSession
+    from datafusion_ducklake_spark.errors import InvalidConfig
+    from datafusion_ducklake_spark.metadata.writer import CatalogWriter
+    db = str(tmp_path / "c4.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake4"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.create_table("main.h", spark.createDataFrame(
+        [(1, 2)], "k INT, id INT"))
+    with pytest.raises(InvalidConfig, match="not a column"):
+        dl.cluster_by("main.h", "nope", 4)
+    dl.sql("ALTER TABLE h SET PARTITIONED BY (k)")
+    with pytest.raises(InvalidConfig, match="partitioned"):
+        dl.cluster_by("main.h", "k", 4)

@@ -360,3 +360,88 @@ def test_compact_shatter_refusal_collects_bounded_manifest(spark, tmp_path):
     # the same table compacts fine when renumbering is allowed
     dl.compact("main.s", preserve_rowids=False)
     assert dl.table("main.s").count() == 30_000
+
+
+def test_rowids_not_reused_after_cleanup_purges_started_files(dl):
+    """ADVICE r5 (high): UPDATE outputs register with row_id_start NULL
+    and carry rowids in-file. Once expire+cleanup purge the catalog rows
+    of the ORIGINAL started files, a naive next_row_id (MAX over started
+    files only) collapses to 0 and the next INSERT re-issues rowids that
+    still exist in-file — duplicate rowids break rowid-targeted DML, CDC
+    update pairing, and streaming exactly-once. The persisted
+    ducklake_table_stats.next_row_id high-water mark must survive."""
+    dl.update_where("main.m", {"v": "v + 1000"}, "id >= 0")  # all rows
+    dl.compact("main.m")    # ENDS the started originals; the compacted
+    #                         output carries rowids in-file (NULL start)
+    rid_after = {r["rowid"] for r in
+                 dl.table("main.m", with_rowid=True).collect()}
+    assert rid_after == set(range(20))
+
+    dl.expire_snapshots()
+    dl.cleanup_old_files()   # purges the expired started files' rows
+
+    dl.insert_into("main.m", dl.spark.createDataFrame(
+        [(100 + i, 0.5) for i in range(5)], "id INT, v DOUBLE"))
+    rows = dl.table("main.m", with_rowid=True).collect()
+    rids = [r["rowid"] for r in rows]
+    assert len(rids) == len(set(rids)) == 25   # no duplicate rowids
+    assert min(r["rowid"] for r in rows if r["id"] >= 100) >= 20
+
+    # rowid-keyed DML stays precise after the re-insert (the concrete
+    # breakage mode was an UPDATE pairing old and new rows sharing an id)
+    dl.update_where("main.m", {"v": "-1.0"}, "id = 100")
+    after = dl.table("main.m", with_rowid=True).collect()
+    assert len(after) == 25
+    assert len({r["rowid"] for r in after}) == 25
+    assert [r["v"] for r in after if r["id"] == 100] == [-1.0]
+
+
+def test_cleanup_drops_rows_per_file_despite_retained_young(dl, tmp_path):
+    """ADVICE r5 (low): a pass that retains SOME young files must still
+    drop the catalog rows of the files it DID delete — the old
+    all-or-nothing sweep left them listed, double-reported them in later
+    passes, and their stats rows lingered."""
+    import sqlite3
+    import time as _time
+    dl.insert_into("main.m", dl.spark.createDataFrame(
+        [(50, 5.0)], "id INT, v DOUBLE"))
+    dl.insert_into("main.m", dl.spark.createDataFrame(
+        [(60, 6.0)], "id INT, v DOUBLE"), overwrite=True)
+    dl.expire_snapshots()          # all three pre-overwrite files expired
+
+    # age ONE expired file past the retention window; keep others young
+    dl.set_option("delete_older_than", "1 hour")
+    doomed = dl.cleanup_old_files(dry_run=True, cleanup_all=True)
+    assert len(doomed) >= 2
+    old_one = doomed[0]
+    local = old_one[len("file://"):] if old_one.startswith("file://") \
+        else old_one
+    past = _time.time() - 7200
+    os.utime(local, (past, past))
+
+    removed = dl.cleanup_old_files()
+    assert removed == [old_one]    # only the aged file went
+
+    # its catalog row is GONE: a second pass neither re-lists nor
+    # re-reports it
+    again = dl.cleanup_old_files(dry_run=True, cleanup_all=True)
+    assert old_one not in again
+    assert len(again) == len(doomed) - 1
+
+    con = sqlite3.connect(dl.catalog_path)
+    base = os.path.basename(local)
+    rows = con.execute(
+        "SELECT COUNT(*) FROM ducklake_data_file WHERE path LIKE ?",
+        (f"%{base}",)).fetchall()
+    assert rows[0][0] == 0
+    # no orphaned stats rows
+    orphans = con.execute(
+        "SELECT COUNT(*) FROM ducklake_file_column_stats WHERE "
+        "data_file_id NOT IN (SELECT data_file_id FROM "
+        "ducklake_data_file)").fetchall()
+    assert orphans[0][0] == 0
+
+    # the young files survive with rows intact and go in a full pass
+    dl.set_option("delete_older_than", "")
+    rest = dl.cleanup_old_files()
+    assert sorted(rest) == sorted(again)

@@ -481,3 +481,74 @@ def test_catalog_stream_after_gapped_merge(spark, fresh_dl, tmp_path):
     run(ckpt_b, sink_b)
     got_b = sorted(r["v"] for r in spark.read.parquet(sink_b).collect())
     assert got_b == [10, 20, 100, 200]
+
+
+def test_compaction_straddling_partial_consumer_delivers_tail(
+        spark, fresh_dl, tmp_path):
+    """ADVICE r5 (medium): a compaction output whose rowid extent
+    STRADDLES a partially-caught-up consumer's watermark (lo < watermark
+    <= max) used to be skipped whole — the undelivered tail between the
+    watermark and the file max was silently lost. The output must now
+    stream filtered to rowid >= watermark: the tail exactly once, no
+    duplicates of the already-delivered head."""
+    fresh_dl.create_table("main.evs", spark.createDataFrame(
+        [(i, float(i)) for i in range(5)], "id BIGINT, v DOUBLE"))
+
+    ckpt, sink = str(tmp_path / "ck_s"), str(tmp_path / "sk_s")
+
+    def run():
+        q = (cdc_source.stream_inserts(fresh_dl, "main.evs")
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
+
+    run()                       # consumer catches up to rowid 5
+    assert sorted(r["id"] for r in spark.read.parquet(sink).collect()) \
+        == [0, 1, 2, 3, 4]
+
+    # a second file lands (rowids 5..9) that the consumer does NOT see,
+    # then compaction folds both files into one rowid-in-file output
+    # whose extent straddles the watermark (0 < 5 <= 9)
+    fresh_dl.insert_into("main.evs", spark.createDataFrame(
+        [(i, float(i)) for i in range(5, 10)], "id BIGINT, v DOUBLE"))
+    fresh_dl.compact("main.evs")
+    files = fresh_dl.table_handle("main.evs").files
+    # contiguous compact → catalog-started output straddling the
+    # watermark on the MAIN axis (rowid = start + position)
+    assert [f.row_id_start for f in files] == [0]
+
+    run()                       # must deliver EXACTLY the tail
+    got = sorted(r["id"] for r in spark.read.parquet(sink).collect())
+    assert got == list(range(10))
+
+
+def test_compaction_straddle_rowid_in_file_variant(
+        spark, fresh_dl, tmp_path):
+    """Same straddle, rowid-IN-FILE flavor: an UPDATE before compaction
+    forces the compacted output to carry rowids in-file (NULL start), so
+    the tail is recovered by filtering the reserved rowid column."""
+    fresh_dl.create_table("main.evt", spark.createDataFrame(
+        [(i, float(i)) for i in range(5)], "id BIGINT, v DOUBLE"))
+
+    ckpt, sink = str(tmp_path / "ck_t"), str(tmp_path / "sk_t")
+
+    def run():
+        q = (cdc_source.stream_inserts(fresh_dl, "main.evt")
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
+
+    run()                       # watermark at rowid 5
+    fresh_dl.insert_into("main.evt", spark.createDataFrame(
+        [(i, float(i)) for i in range(5, 10)], "id BIGINT, v DOUBLE"))
+    # UPDATE (rewrite keeping rowids) then compact: output is NULL-start
+    fresh_dl.update_where("main.evt", {"v": "v + 0.5"}, "id = 0")
+    fresh_dl.compact("main.evt")
+    files = fresh_dl.table_handle("main.evt").files
+    assert all(f.row_id_start is None for f in files)
+
+    run()
+    got = sorted(r["id"] for r in spark.read.parquet(sink).collect())
+    assert got == list(range(10))   # tail exactly once, head not repeated
