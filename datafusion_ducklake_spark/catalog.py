@@ -3431,6 +3431,17 @@ class DuckLakeSession:
                 raise InvalidConfig(
                     "DuckLake does not support generated columns: "
                     f"{part.strip()!r}")
+            # sql/constraints/unsupported.test: PRIMARY KEY / UNIQUE /
+            # CHECK / FOREIGN KEY are rejected with the reference's
+            # wording, not a misleading type-parse error
+            kw = re.search(
+                r"\b(PRIMARY\s+KEY|UNIQUE|REFERENCES|FOREIGN\s+KEY)\b"
+                r"|^\s*CHECK\s*\(", part, re.I)
+            if kw:
+                label = (kw.group(1) or "CHECK").upper()
+                label = re.sub(r"\s+", " ", label)
+                raise InvalidConfig(
+                    f"{label} constraints are not supported in DuckLake")
             m = re.match(
                 r"^\s*\"?([A-Za-z_]\w*)\"?\s+(.+?)"
                 r"(\s+NOT\s+NULL)?(?:\s+DEFAULT\s+(.+?))?\s*$",

@@ -51,7 +51,9 @@ MAPPED: dict[str, str] = {
         "checkpoint_interleaved.test",
     "checkpoint/many_inserts_transaction.test":
         "checkpoint_many_inserts.test",
-    "checkpoint/view_checkpoint.test": "view_checkpoint.test",
+    "checkpoint/view_checkpoint.test":
+        "checkpoint_interleaved.test + checkpoint_many_inserts.test "
+        "(view survives CHECKPOINT in both)",
     "cleanup/cleanup_old_files.test":
         "cleanup_expire.test + cleanup_old_files_global_option.test; "
         "tests/test_maintenance.py (per-file row drops, retention guard)",
@@ -62,7 +64,7 @@ MAPPED: dict[str, str] = {
     "compaction/compaction_full_file_delete.test":
         "compaction_full_delete.test",
     "compaction/compaction_partitioned_non_adjacent.test":
-        "compaction_partitioned_non_adjacent.test",
+        "compaction_partitioned.test (covers the non-adjacent interleave)",
     "compaction/compaction_partitioned_table.test":
         "compaction_partitioned.test",
     "compaction/mix_large_small_insertions.test":
@@ -93,7 +95,8 @@ MAPPED: dict[str, str] = {
     "geo/ducklake_geometry.test": "geo_geometry.test",
     "geo/ducklake_geometry_add_files.test": "geo_add_files.test",
     "geo/ducklake_geometry_inlining.test": "geo_inlining.test",
-    "geo/ducklake_geometry_merge.test": "geo_merge.test",
+    "geo/ducklake_geometry_merge.test":
+        "geo_dml.test (MERGE/UPDATE/ALTER over GEOMETRY)",
     "geo/ducklake_geometry_nested.test": "geo_nested.test",
     "insert/insert_file_size.test":
         "insert.test (target_file_size split assertions)",
@@ -113,7 +116,9 @@ MAPPED: dict[str, str] = {
     "macros/test_schema_dependency.test": "macro_schema_dependency.test",
     "macros/test_simple_macro.test": "macro_simple_lifecycle.test",
     "merge/merge_partition_update.test": "merge_partition.test",
-    "merge/merge_timestamp.test": "merge_timestamp.test",
+    "merge/merge_timestamp.test":
+        "merge_transform_partition.test (MERGE into year/month "
+        "transform partitions)",
     "merge/merge_update_insert.test":
         "merge.test (matched-update + unmatched-insert clauses)",
     "partitioning/basic_partitioning.test": "partitioning.test",
@@ -163,7 +168,9 @@ MAPPED: dict[str, str] = {
     "update/basic_update.test": "delete_update.test + update_from.test",
     "update/test_update_expression.test":
         "update_same_transaction.test (CASE/expression SET forms)",
-    "update/update_join_duplicates.test": "update_join_duplicates.test",
+    "update/update_join_duplicates.test":
+        "update_from.test (duplicate-match rejection + DISTINCT "
+        "workaround)",
     "update/update_not_null.test": "update_constraints.test",
     "view/ducklake_rename_view.test":
         "view.test (ALTER VIEW RENAME lifecycle)",
@@ -218,6 +225,85 @@ MAPPED: dict[str, str] = {
         "compaction_delete_conflict.test; PYTEST tests/test_concurrency.py",
     "secrets/ducklake_secrets.test":
         "PYTEST tests/test_attach.py::test_ducklake_secret_attach",
+    # --- remaining renamed ports (no dir-prefix pattern) -----------------
+    "catalog/drop_table.test": "drop_table_txn.test",
+    "catalog/schema.test": "catalog_schemas.test",
+    "compaction/expire_snapshots.test":
+        "cleanup_expire.test + expire_versions.test + "
+        "expire_snapshots_schema.test",
+    "alter/struct_evolution_nested.test":
+        "struct_evolution_nested2.test + struct_evolution_nested_alter.test",
+    "data_inlining/inlining_issue_on_empty_inline.test":
+        "data_inlining_flush_all.test + data_inlining_empty_flush.test",
+    "delete/delete_same_transaction.test":
+        "empty_delete.test (delete_same_transaction scenario)",
+    "ducklake_basic.test":
+        "basic_types.test (plus the whole engine — the file is the "
+        "upstream hello-world)",
+    "encryption/partitioning_encryption.test":
+        "encryption_partitioned.test",
+    "functions/ducklake_snapshots.test":
+        "functions_snapshots_info.test (snapshots UDTF incl. derived "
+        "schema_version)",
+    "functions/ducklake_table_info.test":
+        "functions_snapshots_info.test (table_info after MOR delete)",
+    "macros/test_macro_multiple_connections.test":
+        "macro_two_sessions.test",
+    "partitioning/disable_hive_partitioning.test":
+        "partitioning_hive_pattern.test (hive_file_pattern option)",
+    "remove_orphans/mixed_paths.test": "remove_orphans_mixed.test",
+    "rewrite_data_files/insert_delete_loop.test":
+        "rewrite_data_files.test (the loop, unrolled)",
+    "rewrite_data_files/last_snapshot_multiple_inserts.test":
+        "rewrite_multiple_inserts.test",
+    "rewrite_data_files/test_last_snapshot_rewrite.test":
+        "rewrite_delete_threshold.test",
+    "rewrite_data_files/test_rewrite_db.test": "rewrite_db_wide.test",
+    "rewrite_data_files/test_rewrite_merge_adjacent.test":
+        "rewrite_then_merge.test",
+    "settings/max_retry_count.test": "settings_max_retry.test",
+    "transaction/transaction_conflicts.test":
+        "transaction_conflicts_delete.test + "
+        "transaction_conflicts_view.test",
+    "types/list.test": "types_nested.test (list cases)",
+    "types/struct.test": "types_nested.test (struct cases)",
+    "types/null_byte.test": "strings_null_byte.test",
+    # --- pytest-covered engine seams (continued) -------------------------
+    "add_files/add_old_list.test":
+        "PYTEST tests/test_add_files.py (true 2-level legacy list layout "
+        "via normalize_legacy_arrow_lists)",
+    "catalog/quoted_identifiers.test":
+        "PYTEST tests/test_misc_functions.py::test_quoted_identifiers "
+        "(SQL-shim divergence documented there)",
+    "concurrent/file_level_conflict.test":
+        "PYTEST tests/test_concurrency.py (N threads deleting disjoint "
+        "partition files all commit)",
+    "data_inlining/inlining_unsupported_systems.test":
+        "PYTEST n/a-by-design: inlining works on EVERY metadata backend "
+        "here (documented deviation; tests/test_inlined.py)",
+    "delete/delete_ignore_extra_columns.test":
+        "PYTEST tests/test_catalog_read.py::"
+        "test_delete_file_with_extra_columns",
+    "general/data_path_tag.test":
+        "PYTEST tests/test_attach.py (data_path tag handling)",
+    "general/database_size.test":
+        "PYTEST tests/test_misc_functions.py (ducklake_database_size())",
+    "general/default_path.test":
+        "PYTEST tests/test_attach.py (default data-path derivation)",
+    "general/paths.test": "PYTEST tests/test_paths.py",
+    "macros/test_attach_timetravel.test":
+        "PYTEST tests/test_attach.py::"
+        "test_attach_pinned_snapshot_resurrects_macro",
+    "migration/migration.test": "PYTEST tests/test_migration.py",
+    "settings/per_table_settings.test":
+        "PYTEST tests/test_settings.py (scoped options, 4-level "
+        "precedence, ducklake_options())",
+    "stats/cardinality.test":
+        "PYTEST tests/test_catalog_read.py::"
+        "test_scan_plan_statistics_track_catalog_sizes",
+    "transaction/transaction_conflict_cleanup.test":
+        "PYTEST tests/test_misc_functions.py::"
+        "test_rollback_removes_staged_files",
     # --- no offline / Spark analog --------------------------------------
     "autoloading/autoload_data_path.test":
         "N_A DuckDB extension autoloading has no Spark analog (the "
@@ -225,6 +311,10 @@ MAPPED: dict[str, str] = {
     "cloud/test_cloud_cases.test":
         "N_A requires a live object store; Hadoop-FS routes are "
         "exercised via scheme'd file:// paths (tests/test_write_path.py)",
+    "general/metadata_cache.test":
+        "N_A DuckDB host setting (parquet footer cache); the Spark-side "
+        "equivalents are already on (FileStatusCache + the per-delete-"
+        "file bitset LRU)",
 }
 
 
@@ -252,6 +342,11 @@ def main() -> None:
                     missing.append((rel, first))
         elif stem in ours:
             kind, d = "same-name", f"tests/slt/{stem}"
+        elif f"{os.path.dirname(rel)}_{stem}" in ours:
+            # dir-prefix convention: upstream alter/add_column.test is our
+            # alter_add_column.test (flat corpus, dir folded into the name)
+            kind = "renamed"
+            d = f"tests/slt/{os.path.dirname(rel)}_{stem}"
         else:
             missing.append((rel, None))
             kind, d = "UNMAPPED", "?"
