@@ -282,6 +282,45 @@ class WriteSetup:
     nested_ids: Optional[list] = None
 
 
+class _QmarkCursor:
+    """sqlite3-style cursor over a %s-param DB-API cursor: ``execute``
+    returns self so ``cur.execute(sql).fetchall()`` chains, qmark
+    placeholders rewrite to %s (literal-safe: the catalog SQL surface
+    carries no '?' inside string literals — pinned by
+    tests/test_provider_dialects.py), and int-valued booleans pass
+    through as-is (both live backends coerce 0/1 for the catalog's
+    BOOLEAN columns)."""
+
+    def __init__(self, cur):
+        self._cur = cur
+
+    def execute(self, sql, params=()):
+        self._cur.execute(sql.replace("?", "%s"), tuple(params))
+        return self
+
+    def fetchall(self):
+        try:
+            return self._cur.fetchall()
+        except Exception:
+            return []          # DDL/DML statements: no result set
+
+
+class _QmarkConn:
+    """Connection adapter giving psycopg / mysql-connector connections
+    the sqlite3 surface CatalogWriter drives: ``conn.execute(sql,
+    params)`` with qmark placeholders returning a fetchall-able
+    cursor."""
+
+    def __init__(self, conn):
+        self._conn = conn
+
+    def execute(self, sql, params=()):
+        return _QmarkCursor(self._conn.cursor()).execute(sql, params)
+
+    def close(self):
+        self._conn.close()
+
+
 class CatalogWriter:
     """Writes DuckLake catalog metadata over a DB-API connection
     (sqlite3 or duckdb). One transaction per public method, matching the
@@ -306,6 +345,61 @@ class CatalogWriter:
         import duckdb
         return cls(duckdb.connect(db_path), "duckdb")
 
+    @classmethod
+    def postgres(cls, dsn: str) -> "CatalogWriter":
+        """Live Postgres catalog writer (ref:
+        metadata_provider_postgres.rs). Import-gated on psycopg; the
+        qmark SQL surface is rewritten to %s by the connection adapter —
+        the exact statements per method are pinned offline by
+        tests/test_provider_goldens.py, so a live server is a
+        connection-string change. Activated by the env-gated live suite
+        (tests/test_live_backends.py, DUCKLAKE_PG_DSN)."""
+        try:
+            import psycopg
+        except ImportError as e:  # pragma: no cover — driver not bundled
+            raise InvalidConfig(
+                "postgres catalog writes require the 'psycopg' "
+                "package") from e
+        conn = psycopg.connect(dsn, autocommit=True)
+        return cls(_QmarkConn(conn), "postgres")
+
+    @classmethod
+    def mysql(cls, **connect_kwargs) -> "CatalogWriter":
+        """Live MySQL catalog writer (ref: metadata_provider_mysql.rs).
+        Import-gated on mysql-connector; see ``postgres`` for the
+        offline-pinned wire contract."""
+        try:
+            import mysql.connector
+        except ImportError as e:  # pragma: no cover — driver not bundled
+            raise InvalidConfig(
+                "mysql catalog writes require the "
+                "'mysql-connector-python' package") from e
+        conn = mysql.connector.connect(autocommit=True, **connect_kwargs)
+        return cls(_QmarkConn(conn), "mysql")
+
+    def _dialect_ddl(self, stmt: str) -> str:
+        """Port the shared catalog DDL to the live backends: Postgres
+        rejects integer defaults on BOOLEAN columns, MySQL requires a
+        length on VARCHAR (no VARCHAR column is a key, so TEXT is
+        safe)."""
+        if self._dialect == "postgres":
+            return re.sub(r"(BOOLEAN[^,\n)]*DEFAULT )1", r"\1TRUE", stmt)
+        if self._dialect == "mysql":
+            return re.sub(r"\bVARCHAR\b(?!\s*\()", "TEXT", stmt)
+        return stmt
+
+    def _table_columns_of(self, cur, name: str) -> set:
+        """Lower-cased column names of a catalog-side table, dialect-
+        aware (PRAGMA table_info on sqlite/duckdb, information_schema on
+        the live backends)."""
+        if self._dialect in ("postgres", "mysql"):
+            rows = cur.execute(
+                "SELECT column_name FROM information_schema.columns "
+                "WHERE table_name = ?", (name,)).fetchall()
+            return {str(r[0]).lower() for r in rows}
+        return {str(r[1]).lower() for r in cur.execute(
+            f'PRAGMA table_info("{name}")').fetchall()}
+
     def initialize_schema(self, data_path: str = "") -> None:
         """Create the seven catalog tables + data_path + snapshot 0
         (ref: initialize_schema metadata_writer_sqlite.rs:15-86; snapshot 0
@@ -313,7 +407,7 @@ class CatalogWriter:
         with self._txn() as cur:
             for stmt in DDL.strip().split(";"):
                 if stmt.strip():
-                    cur.execute(stmt)
+                    cur.execute(self._dialect_ddl(stmt))
             if not cur.execute(
                     "SELECT 1 FROM ducklake_metadata WHERE key='data_path'"
             ).fetchall():
@@ -345,9 +439,10 @@ class CatalogWriter:
                 writer._lock.acquire()
                 depth = getattr(writer, "_txn_depth", 0)
                 if depth == 0:
-                    begin = ("BEGIN IMMEDIATE"
-                             if writer._dialect == "sqlite"
-                             else "BEGIN TRANSACTION")
+                    begin = {"sqlite": "BEGIN IMMEDIATE",
+                             "mysql": "START TRANSACTION",
+                             "postgres": "BEGIN"}.get(
+                        writer._dialect, "BEGIN TRANSACTION")
                     # transient cross-process contention on the commit
                     # lock retries up to max_retry_count (DuckDB's
                     # ducklake_max_retry_count, default 10 — sql/settings/
@@ -1773,8 +1868,7 @@ class CatalogWriter:
             # schema evolution: an inline table created before an ALTER
             # ADD COLUMN lacks the new column — extend it in place (old
             # rows read NULL, matching parquet missing-field semantics)
-            have = {str(r[1]).lower() for r in cur.execute(
-                f'PRAGMA table_info("{name}")').fetchall()}
+            have = self._table_columns_of(cur, name)
             for c, t in zip(column_names, column_types):
                 if c.lower() not in have:
                     cur.execute(

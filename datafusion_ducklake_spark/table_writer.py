@@ -58,12 +58,14 @@ def _catalog_writer_raw(session) -> CatalogWriter:
         raise InvalidConfig(
             "Cannot write to the catalog: the session is read-only")
     path = session.catalog_path
-    if path.startswith(("postgresql://", "postgres://", "mysql://")):
-        # Read providers exist for these backends; a catalog WRITER does
-        # not. Fail clearly instead of opening a bogus local sqlite file.
-        raise InvalidConfig(
-            "catalog writes are not supported on postgres/mysql backends "
-            f"(catalog: {path}); use a sqlite or duckdb catalog for writes")
+    if path.startswith(("postgresql://", "postgres://")):
+        return CatalogWriter.postgres(path)
+    if path.startswith("mysql://"):
+        from urllib.parse import urlparse
+        u = urlparse(path)
+        return CatalogWriter.mysql(
+            host=u.hostname, port=u.port or 3306, user=u.username,
+            password=u.password, database=u.path.lstrip("/"))
     if path.endswith((".duckdb", ".ddb")):
         return CatalogWriter.duckdb(path)
     if path.endswith((".sqlite", ".sqlite3", ".db")):

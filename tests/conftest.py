@@ -31,3 +31,10 @@ def duck(tmp_path_factory):
                 f"read_parquet('{SF_SMOKE}/{name}.parquet')")
     yield con
     con.close()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "live_backend: needs a live Postgres/MySQL server "
+        "(DUCKLAKE_PG_DSN / DUCKLAKE_MYSQL_DSN); skips cleanly offline")
