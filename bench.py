@@ -371,11 +371,15 @@ def main() -> None:
     # runs).
     scale3 = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE3",
                                 "100" if scale == 10 else "0"))
+    # scaled3 reps: 2 keeps the per-round driver bench inside its budget;
+    # the committed evidence run uses SPARK_GRAFT_SCALE3_ITERS=5 (r5
+    # verdict #2 — quote numbers from a committed >=5-rep artifact)
+    scale3_iters = int(os.environ.get("SPARK_GRAFT_SCALE3_ITERS", "2"))
     from tools.scale_data import scale_dir
     for sc, key, in_headline, only, iters in (
             (scale, "scaled", True, None, ITERATIONS),
             (scale2, "scaled2", False, None, ITERATIONS),
-            (scale3, "scaled3", False, None, 2)):
+            (scale3, "scaled3", False, None, scale3_iters)):
         if sc <= 0:
             continue
         scaled_dir = scale_dir(sf_dir, sc, str(REPO / ".bench_scaled"))

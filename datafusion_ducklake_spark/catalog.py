@@ -1178,6 +1178,10 @@ class DuckLakeSession:
         r"(?:max_compacted_files\s*=>\s*(NULL|-?\d+)\s*)?"
         r"\)\s*;?\s*$",
         re.I)
+    _CLUSTER_BY_RE = re.compile(
+        r"^\s*CALL\s+ducklake_cluster_by\s*\(\s*'([^']*)'\s*,\s*"
+        r"'([^']*)'\s*,\s*(\d+)\s*"
+        r"(?:,\s*sort\s*=>\s*(true|false)\s*)?\)\s*;?\s*$", re.I)
     _REWRITE_FILES_RE = re.compile(
         r"^\s*CALL\s+ducklake_rewrite_data_files\s*\(\s*"
         r"(?:('[^']*'|(?!delete_threshold\b)[\w.]+)\s*)?"
@@ -1293,6 +1297,14 @@ class DuckLakeSession:
             return self._count_df(self.merge_adjacent_files(
                 table_name=m.group(1),
                 max_compacted_files=int(mx) if mx is not None else None))
+        m = self._CLUSTER_BY_RE.match(query)
+        if m:
+            # CALL ducklake_cluster_by('table', 'key', buckets
+            # [, sort => true|false]) — beyond the reference (layout
+            # metadata a single-node engine never needed)
+            sort = (m.group(4) or "true").lower() == "true"
+            return self._count_df(self.cluster_by(
+                m.group(1), m.group(2), int(m.group(3)), sort=sort))
         m = self._REWRITE_FILES_RE.match(query)
         if m:
             # two positional names = (catalog_alias, table) — the alias

@@ -55,6 +55,9 @@ def join_side_exchanges(joined: DataFrame) -> int:
     executed plan — 0 means the storage-partitioned path engaged. Used by
     tests/benchmarks as the plan-level proof, not a heuristic."""
     plan = joined._jdf.queryExecution().executedPlan().toString()
+    # an executed AQE plan prints "== Final Plan ==" followed by
+    # "== Initial Plan ==" — only the final section is the real plan
+    plan = plan.split("== Initial Plan ==")[0]
     lines = plan.splitlines()
     join_at = next((i for i, ln in enumerate(lines)
                     if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln), None)

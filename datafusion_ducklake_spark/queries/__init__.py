@@ -50,6 +50,8 @@ _SPECS = [
               ducklake_gate.ORACLE_NESTED_AGG, False),
     QuerySpec("ducklake_struct_evo_agg", ducklake_gate.ducklake_struct_evo_agg,
               ducklake_gate.ORACLE_STRUCT_EVO, False),
+    QuerySpec("ducklake_clustered_agg", ducklake_gate.ducklake_clustered_agg,
+              ducklake_gate.ORACLE_CLUSTERED_AGG),
     QuerySpec("ducklake_transform_agg", ducklake_gate.ducklake_transform_agg,
               ducklake_gate.ORACLE_TRANSFORM_AGG, False),
     QuerySpec("ducklake_geo_agg", ducklake_gate.ducklake_geo_agg,

@@ -730,3 +730,68 @@ SELECT EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS y, COUNT(*) AS n,
 FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
 GROUP BY 1 ORDER BY 1
 """
+
+
+def _build_clustered_catalog(spark: SparkSession, sf_dir: str) -> str:
+    """Catalog whose lineitem + orders are catalog-CLUSTERED on orderkey
+    (operators/layout.cluster_by via CALL ducklake_cluster_by): bucket
+    files are ducklake_data_file rows, the clustering spec a table-scoped
+    option, and scans reconstruct Spark's bucketed scan — the 100 TB
+    fact-fact join layout, driver-hash-checked end to end."""
+    import shutil
+
+    from ..catalog import DuckLakeSession
+    from ..metadata.writer import CatalogWriter
+
+    tag = hashlib.md5((sf_dir + "/clu-v1").encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"ducklake_clu_{tag}")
+    db = os.path.join(root, "catalog.sqlite")
+    done = os.path.join(root, ".done")
+    if os.path.exists(done):
+        return db
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    os.makedirs(root)
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=os.path.join(root, "lake"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    li = (spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+          .select("l_orderkey", "l_linestatus", "l_quantity",
+                  "l_extendedprice"))
+    o = (spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+         .select("o_orderkey", "o_orderstatus"))
+    dl.create_table("main.cl_lineitem", li)
+    dl.create_table("main.cl_orders", o)
+    dl.sql("CALL ducklake_cluster_by('cl_lineitem', 'l_orderkey', 4)")
+    dl.sql("CALL ducklake_cluster_by('cl_orders', 'o_orderkey', 4)")
+    with open(done, "w") as f:
+        f.write("ok")
+    return db
+
+
+def ducklake_clustered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join THROUGH the catalog-clustered layout: both scans
+    come back bucketed (zero join-side exchanges — asserted in
+    tests/test_layout.py; here the oracle hash proves the values), then
+    aggregate by (l_linestatus, o_orderstatus)."""
+    from ..catalog import DuckLakeSession
+    dl = DuckLakeSession(spark, _build_clustered_catalog(spark, sf_dir))
+    li = dl.table("main.cl_lineitem")
+    o = dl.table("main.cl_orders")
+    return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("l_linestatus", "o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+                 dsum("l_extendedprice").alias("sum_price"))
+            .orderBy("l_linestatus", "o_orderstatus"))
+
+
+ORACLE_CLUSTERED_AGG = """
+SELECT l_linestatus, o_orderstatus, COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_linestatus, o_orderstatus
+ORDER BY l_linestatus, o_orderstatus
+"""
