@@ -217,7 +217,7 @@ CLUSTERED_QUERIES = ["q05_local_supplier_volume", "q08_market_share",
                      "ds_monthly_brand_rank"]
 
 
-def _clustered_scaled3(spark, scaled_dir: str, cpus: int, iters: int,
+def _clustered_tier(spark, scaled_dir: str, cpus: int, iters: int,
                        s_duck: dict, s_duck_min: dict, floor: float):
     """Time the lineitem⋈orders fact-fact queries with both facts served
     from a DuckLake catalog CLUSTERED on orderkey (one-time build, cached
@@ -429,7 +429,7 @@ def main() -> None:
                 for n in s_min if s_duck_min.get(n)},
             "reference_summary": _ref_summary(s_wall, s_duck),
         }
-        if key == "scaled3":
+        if key in ("scaled2", "scaled3"):
             # catalog-clustered layout tier (r5 verdict #1/#7): the same
             # fact-fact queries re-timed with lineitem+orders served from
             # a DuckLake catalog clustered on orderkey (operators/
@@ -437,12 +437,13 @@ def main() -> None:
             # rows; scan_table reconstructs the bucketed scan). Query
             # bodies unchanged — only the physical source swaps, which is
             # exactly the decision a lake catalog owns at 100 TB.
-            cl = _clustered_scaled3(spark, scaled_dir, cpus, iters,
-                                    s_duck, s_duck_min, floor)
+            cl = _clustered_tier(spark, scaled_dir, cpus, iters,
+                                 s_duck, s_duck_min, floor)
             if cl is not None:
                 detail[key]["clustered"] = cl
-                headline.setdefault(key, {})["clustered_ratio_min"] = \
-                    cl["queries_ratio_min"]
+                if key == "scaled3":
+                    headline.setdefault(key, {})["clustered_ratio_min"] = \
+                        cl["queries_ratio_min"]
 
     (REPO / "BENCH_detail.json").write_text(json.dumps(detail, indent=1))
     print(json.dumps(headline))

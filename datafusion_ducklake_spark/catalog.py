@@ -241,22 +241,37 @@ class DuckLakeTable:
             return None
         if spec.get("columns") != [c.column_name for c in self.columns] \
                 or spec.get("types") != [c.column_type
-                                         for c in self.columns]:
-            return None   # schema evolved after clustering
+                                         for c in self.columns] \
+                or spec.get("n_files") is None:
+            return None   # schema evolved after clustering (or pre-r6 spec)
         if not self.files:
             return None
+        # EXACT set equality with the clustered export: every live file
+        # inside the clustered dir, registered AT the clustering
+        # snapshot, and the full cardinality present. Subset is NOT
+        # enough — if maintenance ENDED one bucket file (fully-deleted
+        # rewrite), the location scan would resurrect its rows from disk.
         marker = f"/{spec.get('dir')}/"
         for f in self.files:
             if f.delete_uri is not None or f.encryption_key is not None \
-                    or marker not in f.data_uri:
+                    or marker not in f.data_uri \
+                    or f.begin_snapshot != spec.get("snapshot"):
                 return None
+        if len(self.files) != int(spec["n_files"]):
+            return None
         if self.inlined_rows():
             return None
-        digest = hashlib.md5(
-            f"{self.table_path}|{spec['dir']}".encode()).hexdigest()[:16]
-        bname = f"ducklake_clustered_{digest}"
+        pdigest = hashlib.md5(self.table_path.encode()).hexdigest()[:12]
+        ddigest = hashlib.md5(spec["dir"].encode()).hexdigest()[:8]
+        bname = f"ducklake_clustered_{pdigest}_{ddigest}"
         spark = self.spark
         if not spark.catalog.tableExists(bname):
+            # drop session-catalog entries from SUPERSEDED clusterings of
+            # this same lake table (re-clustering changes the dir digest)
+            for t in spark.catalog.listTables():
+                if t.name.startswith(f"ducklake_clustered_{pdigest}_") \
+                        and t.name != bname:
+                    spark.sql(f"DROP TABLE IF EXISTS `{t.name}`")
             ddl = ", ".join(
                 f"`{fld.name}` {fld.dataType.simpleString()}"
                 for fld in self.spark_schema.fields)
@@ -3445,10 +3460,13 @@ class DuckLakeSession:
                     f"{part.strip()!r}")
             # sql/constraints/unsupported.test: PRIMARY KEY / UNIQUE /
             # CHECK / FOREIGN KEY are rejected with the reference's
-            # wording, not a misleading type-parse error
+            # wording, not a misleading type-parse error. Keywords are
+            # matched OUTSIDE string literals and quoted identifiers —
+            # DEFAULT 'unique' or a column named "references" is fine.
+            bare = re.sub(r"'(?:[^']|'')*'|\"[^\"]*\"", " ", part)
             kw = re.search(
                 r"\b(PRIMARY\s+KEY|UNIQUE|REFERENCES|FOREIGN\s+KEY)\b"
-                r"|^\s*CHECK\s*\(", part, re.I)
+                r"|^\s*CHECK\s*\(", bare, re.I)
             if kw:
                 label = (kw.group(1) or "CHECK").upper()
                 label = re.sub(r"\s+", " ", label)

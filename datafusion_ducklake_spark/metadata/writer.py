@@ -299,10 +299,9 @@ class _QmarkCursor:
         return self
 
     def fetchall(self):
-        try:
-            return self._cur.fetchall()
-        except Exception:
+        if getattr(self._cur, "description", None) is None:
             return []          # DDL/DML statements: no result set
+        return self._cur.fetchall()
 
 
 class _QmarkConn:
@@ -385,17 +384,51 @@ class CatalogWriter:
         if self._dialect == "postgres":
             return re.sub(r"(BOOLEAN[^,\n)]*DEFAULT )1", r"\1TRUE", stmt)
         if self._dialect == "mysql":
-            return re.sub(r"\bVARCHAR\b(?!\s*\()", "TEXT", stmt)
+            stmt = re.sub(r"\bVARCHAR\b(?!\s*\()", "TEXT", stmt)
+            # MySQL forbids literal defaults on TEXT; every writer INSERT
+            # supplies these columns explicitly, so dropping the default
+            # clause is value-neutral for catalogs this engine writes
+            return re.sub(r"(TEXT(?:\s+NOT\s+NULL)?)\s+DEFAULT\s+"
+                          r"'(?:[^']|'')*'", r"\1", stmt)
         return stmt
+
+    def _ensure_lazy(self, cur, table: str, ddl: str) -> None:
+        """Lazy aux-table creation (pre-existing catalogs may predate
+        newer tables). Cached per writer; on MySQL the existence check
+        runs FIRST because any DDL — even a no-op IF NOT EXISTS —
+        implicitly commits an open transaction. The one genuinely-absent
+        case still commits (first-ever use of the feature on that
+        catalog), which is documented and unavoidable without a separate
+        connection."""
+        known = getattr(self, "_known_aux", None)
+        if known is None:
+            known = self._known_aux = set()
+        if table in known:
+            return
+        if self._dialect == "mysql":
+            rows = cur.execute(
+                "SELECT 1 FROM information_schema.tables WHERE "
+                "table_name = ? AND table_schema = DATABASE()",
+                (table,)).fetchall()
+            if rows:
+                known.add(table)
+                return
+        cur.execute(self._dialect_ddl(ddl))
+        known.add(table)
 
     def _table_columns_of(self, cur, name: str) -> set:
         """Lower-cased column names of a catalog-side table, dialect-
         aware (PRAGMA table_info on sqlite/duckdb, information_schema on
         the live backends)."""
         if self._dialect in ("postgres", "mysql"):
+            # scope to OUR schema/database: a shared server may host a
+            # same-named table elsewhere whose columns must not leak in
+            scope = ("current_schema()" if self._dialect == "postgres"
+                     else "DATABASE()")
             rows = cur.execute(
                 "SELECT column_name FROM information_schema.columns "
-                "WHERE table_name = ?", (name,)).fetchall()
+                f"WHERE table_name = ? AND table_schema = {scope}",
+                (name,)).fetchall()
             return {str(r[0]).lower() for r in rows}
         return {str(r[1]).lower() for r in cur.execute(
             f'PRAGMA table_info("{name}")').fetchall()}
@@ -617,8 +650,7 @@ class CatalogWriter:
 
     # -- public API (mirrors MetadataWriter trait) -------------------------
 
-    @staticmethod
-    def _record_changes(cur, snapshot_id: int, changes) -> None:
+    def _record_changes(self, cur, snapshot_id: int, changes) -> None:
         """Append the snapshot's change summary to
         ducklake_snapshot_changes (DuckLake catalog spec; surfaces as the
         ``changes`` column of ducklake_snapshots() — corpus:
@@ -626,7 +658,8 @@ class CatalogWriter:
         rendering."""
         if not changes:
             return
-        cur.execute(
+        self._ensure_lazy(
+            cur, "ducklake_snapshot_changes",
             "CREATE TABLE IF NOT EXISTS ducklake_snapshot_changes ("
             "snapshot_id BIGINT NOT NULL, changes_made VARCHAR)")
         cur.execute(
@@ -687,8 +720,8 @@ class CatalogWriter:
             schema_id = self._next_id(cur, "ducklake_schema", "schema_id")
             cur.execute(
                 "INSERT INTO ducklake_schema (schema_id, schema_name, path, "
-                "path_is_relative, begin_snapshot) VALUES (?, ?, ?, 1, ?)",
-                (schema_id, schema_name, schema_name, sid))
+                "path_is_relative, begin_snapshot) VALUES (?, ?, ?, ?, ?)",
+                (schema_id, schema_name, schema_name, True, sid))
             self._record_changes(cur, sid, [f"created_schema:{schema_id}"])
             return schema_id
 
@@ -714,7 +747,7 @@ class CatalogWriter:
                 "SELECT table_id FROM ducklake_table "
                 "WHERE schema_id = ? AND end_snapshot IS NULL",
                 (schema_id,)).fetchall()
-            cur.execute(self._VIEW_DDL)
+            self._ensure_lazy(cur, "ducklake_view", self._VIEW_DDL)
             live_views = cur.execute(
                 "SELECT view_id FROM ducklake_view "
                 "WHERE schema_id = ? AND end_snapshot IS NULL",
@@ -744,7 +777,7 @@ class CatalogWriter:
                         f"UPDATE {tbl} SET end_snapshot = ? "
                         "WHERE table_id = ? AND end_snapshot IS NULL",
                         (sid, int(tid)))
-            cur.execute(self._VIEW_DDL)
+            self._ensure_lazy(cur, "ducklake_view", self._VIEW_DDL)
             cur.execute(
                 "UPDATE ducklake_view SET end_snapshot = ? "
                 "WHERE schema_id = ? AND end_snapshot IS NULL",
@@ -796,8 +829,8 @@ class CatalogWriter:
                 schema_id = self._next_id(cur, "ducklake_schema", "schema_id")
                 cur.execute(
                     "INSERT INTO ducklake_schema (schema_id, schema_name, path, "
-                    "path_is_relative, begin_snapshot) VALUES (?, ?, ?, 1, ?)",
-                    (schema_id, schema_name, schema_name, sid))
+                    "path_is_relative, begin_snapshot) VALUES (?, ?, ?, ?, ?)",
+                    (schema_id, schema_name, schema_name, True, sid))
 
             rows = cur.execute(
                 "SELECT table_id FROM ducklake_table "
@@ -810,8 +843,10 @@ class CatalogWriter:
                 table_id = self._next_id(cur, "ducklake_table", "table_id")
                 cur.execute(
                     "INSERT INTO ducklake_table (table_id, schema_id, table_name, "
-                    "path, path_is_relative, begin_snapshot) VALUES (?, ?, ?, ?, 1, ?)",
-                    (table_id, schema_id, table_name, table_name, sid))
+                    "path, path_is_relative, begin_snapshot) "
+                    "VALUES (?, ?, ?, ?, ?, ?)",
+                    (table_id, schema_id, table_name, table_name, True,
+                     sid))
 
             existing = cur.execute(
                 "SELECT column_name, column_type, nulls_allowed FROM ducklake_column "
@@ -1114,7 +1149,7 @@ class CatalogWriter:
                 "path_is_relative, file_size_bytes, footer_size, record_count, "
                 "row_id_start, mapping_id, encryption_key, begin_snapshot) "
                 "VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?)",
-                (fid, table_id, file.path, file.path_is_relative,
+                (fid, table_id, file.path, bool(file.path_is_relative),
                  file.file_size_bytes, file.footer_size, file.record_count,
                  file.row_id_start, file.mapping_id, file.encryption_key,
                  snapshot_id))
@@ -1153,7 +1188,8 @@ class CatalogWriter:
         + record_count) collapses and a naive next_row_id would re-issue
         rowids that still exist in-file — breaking rowid-targeted
         DELETE/UPDATE, CDC update pairing, and streaming exactly-once."""
-        cur.execute(
+        self._ensure_lazy(
+            cur, "ducklake_table_stats",
             "CREATE TABLE IF NOT EXISTS ducklake_table_stats ("
             "table_id BIGINT PRIMARY KEY, record_count BIGINT, "
             "next_row_id BIGINT, file_size_bytes BIGINT)")
@@ -1172,7 +1208,8 @@ class CatalogWriter:
     def _stored_next_row_id(self, cur, table_id: int) -> int:
         # create-if-missing rather than try/except: a failed statement
         # poisons an open DuckDB transaction
-        cur.execute(
+        self._ensure_lazy(
+            cur, "ducklake_table_stats",
             "CREATE TABLE IF NOT EXISTS ducklake_table_stats ("
             "table_id BIGINT PRIMARY KEY, record_count BIGINT, "
             "next_row_id BIGINT, file_size_bytes BIGINT)")
@@ -1193,7 +1230,8 @@ class CatalogWriter:
         ``ducklake_table_column_stats`` envelope (table-level stats are
         an upper bound in DuckLake: deletes never shrink them)."""
         with self._txn() as cur:
-            cur.execute(
+            self._ensure_lazy(
+                cur, "ducklake_file_column_stats",
                 "CREATE TABLE IF NOT EXISTS ducklake_file_column_stats ("
                 "data_file_id INTEGER NOT NULL, table_id INTEGER NOT NULL, "
                 "column_id INTEGER NOT NULL, column_size_bytes INTEGER, "
@@ -1202,7 +1240,8 @@ class CatalogWriter:
                 "extra_stats VARCHAR)")
             self._ensure_column(cur, "ducklake_file_column_stats",
                                 "extra_stats", "VARCHAR")
-            cur.execute(
+            self._ensure_lazy(
+                cur, "ducklake_table_column_stats",
                 "CREATE TABLE IF NOT EXISTS ducklake_table_column_stats ("
                 "table_id INTEGER NOT NULL, column_id INTEGER NOT NULL, "
                 "contains_null BOOLEAN, contains_nan BOOLEAN, "
@@ -1291,7 +1330,7 @@ class CatalogWriter:
         new one in the same snapshot, so time travel sees the old body."""
         validate_name(view_name, "view")
         with self._txn() as cur:
-            cur.execute(self._VIEW_DDL)
+            self._ensure_lazy(cur, "ducklake_view", self._VIEW_DDL)
             sid = self._next_id(cur, "ducklake_snapshot", "snapshot_id")
             cur.execute(
                 "INSERT INTO ducklake_snapshot (snapshot_id, snapshot_time) "
@@ -1330,7 +1369,7 @@ class CatalogWriter:
         """End a live view (MVCC; time travel before the drop still
         resolves it). Raises InvalidConfig if no such live view."""
         with self._txn() as cur:
-            cur.execute(self._VIEW_DDL)
+            self._ensure_lazy(cur, "ducklake_view", self._VIEW_DDL)
             rows = cur.execute(
                 "SELECT view_id FROM ducklake_view WHERE schema_id = ? AND "
                 "view_name = ? AND end_snapshot IS NULL",
@@ -1375,7 +1414,7 @@ class CatalogWriter:
         with self._txn() as cur:
             cur.execute("ALTER TABLE ducklake_view RENAME TO "
                         "__ducklake_view_pk")
-            cur.execute(self._VIEW_DDL)
+            self._ensure_lazy(cur, "ducklake_view", self._VIEW_DDL)
             cur.execute(
                 "INSERT INTO ducklake_view SELECT view_id, schema_id, "
                 "view_name, dialect, sql, column_aliases, begin_snapshot, "
@@ -1391,7 +1430,7 @@ class CatalogWriter:
         validate_name(new_name, "view")
         self._ensure_view_mvcc()
         with self._txn() as cur:
-            cur.execute(self._VIEW_DDL)
+            self._ensure_lazy(cur, "ducklake_view", self._VIEW_DDL)
             rows = cur.execute(
                 "SELECT view_id, dialect, sql FROM ducklake_view "
                 "WHERE schema_id = ? AND view_name = ? "
@@ -1464,11 +1503,13 @@ class CatalogWriter:
             + [(cid, name, 1) for name, cid in partition_cols])
         with self._txn() as cur:
             # pre-existing catalogs may predate these tables
-            cur.execute(
+            self._ensure_lazy(
+                cur, "ducklake_column_mapping",
                 "CREATE TABLE IF NOT EXISTS ducklake_column_mapping ("
                 "mapping_id INTEGER PRIMARY KEY, table_id INTEGER NOT NULL, "
                 "type VARCHAR NOT NULL)")
-            cur.execute(
+            self._ensure_lazy(
+                cur, "ducklake_name_mapping",
                 "CREATE TABLE IF NOT EXISTS ducklake_name_mapping ("
                 "mapping_id INTEGER NOT NULL, column_id INTEGER NOT NULL, "
                 "source_name VARCHAR NOT NULL, parent_column INTEGER, "
@@ -1861,10 +1902,10 @@ class CatalogWriter:
             # collide rowids (the catalog txn serializes the allocation)
             row_id_start = self.next_row_id(table_id)
         with self._txn() as cur:
-            cur.execute(
+            cur.execute(self._dialect_ddl(
                 f'CREATE TABLE IF NOT EXISTS "{name}" ('
                 "row_id BIGINT, begin_snapshot BIGINT, end_snapshot BIGINT, "
-                f"{cols_ddl})")
+                f"{cols_ddl})"))
             # schema evolution: an inline table created before an ALTER
             # ADD COLUMN lacks the new column — extend it in place (old
             # rows read NULL, matching parquet missing-field semantics)
@@ -1998,7 +2039,8 @@ class CatalogWriter:
                 "WHERE snapshot_id < ?", (cutoff,)).fetchall())
             cur.execute("DELETE FROM ducklake_snapshot "
                         "WHERE snapshot_id < ?", (cutoff,))
-            cur.execute(
+            self._ensure_lazy(
+                cur, "ducklake_snapshot_changes",
                 "CREATE TABLE IF NOT EXISTS ducklake_snapshot_changes ("
                 "snapshot_id BIGINT NOT NULL, changes_made VARCHAR)")
             cur.execute("DELETE FROM ducklake_snapshot_changes "
@@ -2025,7 +2067,8 @@ class CatalogWriter:
             for v in live:
                 cur.execute("DELETE FROM ducklake_snapshot "
                             "WHERE snapshot_id = ?", (v,))
-            cur.execute(
+            self._ensure_lazy(
+                cur, "ducklake_snapshot_changes",
                 "CREATE TABLE IF NOT EXISTS ducklake_snapshot_changes ("
                 "snapshot_id BIGINT NOT NULL, changes_made VARCHAR)")
             for v in live:
@@ -2206,7 +2249,8 @@ class CatalogWriter:
                 "(SELECT data_file_id FROM ducklake_data_file)")
             cur.execute(
                 f"DELETE FROM ducklake_snapshot WHERE {snap_p}", snap_a)
-            cur.execute(
+            self._ensure_lazy(
+                cur, "ducklake_snapshot_changes",
                 "CREATE TABLE IF NOT EXISTS ducklake_snapshot_changes ("
                 "snapshot_id BIGINT NOT NULL, changes_made VARCHAR)")
             cur.execute(

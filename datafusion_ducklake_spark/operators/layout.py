@@ -205,11 +205,19 @@ def cluster_by(session, name: str, key: str, buckets: int,
                     column_stats_of(os.path.join(out_dir, fname),
                                     ids_by_name, geo))
                 n_rows += count
+            n_files = sum(1 for _f, _s, _ft, count in staged if count)
             writer.set_option(
                 CLUSTERING_OPTION,
                 json.dumps({"key": key, "buckets": int(buckets),
                             "sort": bool(sort), "dir": rel_dir,
                             "snapshot": setup.snapshot_id,
+                            # EXACT live-set cardinality: the scan fast
+                            # path must verify equality, not subset — a
+                            # maintenance op that ENDS one bucket file
+                            # (fully-deleted rewrite) must disable the
+                            # location-based scan or the ended file's
+                            # rows would resurrect from disk
+                            "n_files": n_files,
                             "columns": live_names,
                             "types": [c.column_type
                                       for c in handle.columns]}),

@@ -743,7 +743,7 @@ def _build_clustered_catalog(spark: SparkSession, sf_dir: str) -> str:
     from ..catalog import DuckLakeSession
     from ..metadata.writer import CatalogWriter
 
-    tag = hashlib.md5((sf_dir + "/clu-v1").encode()).hexdigest()[:10]
+    tag = hashlib.md5((sf_dir + "/clu-v2").encode()).hexdigest()[:10]
     root = os.path.join(tempfile.gettempdir(), f"ducklake_clu_{tag}")
     db = os.path.join(root, "catalog.sqlite")
     done = os.path.join(root, ".done")

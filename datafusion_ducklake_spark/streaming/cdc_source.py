@@ -124,26 +124,26 @@ class _CatalogStreamReader(DataSourceStreamReader):
             provider=self._provider).table_handle(self._table)
 
     def initialOffset(self) -> dict:
-        return {"rowid": 0, "flush": 0}
+        return {"rowid": 0, "flush": 0, "tail": 0}
 
     def _placement(self, handle, f):
         """Where a file sits: ("rowid"|"flush", start, end_exclusive,
-        guard_main), or None for a file whose rows must NOT re-emit;
-        guard_main marks compaction outputs that a caught-up consumer
-        already received via the main axis.
+        guard_main, rowid_extent), or None for a file whose rows must
+        NOT re-emit; guard_main marks compaction outputs whose rows may
+        already have been delivered by their (now ended) originals.
 
         Files with catalog row_id_start ride the main rowid watermark.
         row_id_start NULL files carry their ids as the reserved in-file
-        column; two kinds exist:
+        column and ride the "flush" axis, keyed by the file's
+        REGISTRATION SNAPSHOT (monotone, never aliases — a min-rowid key
+        would collide across successive compactions that both start at
+        rowid 0); two kinds exist:
         - flushed inlined data (snapshot labeled flushed_inlined_data):
-          its rows were never visible as a file before — EMIT. Placed on
-          a SEPARATE "flush" watermark keyed by the file's minimum rowid
-          (footer stats): inlined rows' ids can interleave BELOW file
-          ids registered later (insert-inlined → insert-parquet →
-          flush), so the main watermark may already be past them.
-        - UPDATE/MERGE rewrites: the rows' ORIGINAL file stays live (the
-          raw insert stream ignores positional deletes), so the rewrite
-          must stay silent or rows would stream twice — SKIP.
+          its rows were never visible as a file before — EMIT whole.
+        - UPDATE/MERGE rewrites whose ORIGINAL file is still live: the
+          originals deliver these rowids — SKIP.
+        - compaction outputs (originals ended): EMIT the undelivered
+          tail (rowid >= the delivered high-water; see partitions).
         A NULL-start file with NO in-file rowid column (foreign
         add_files) keeps the targeted error."""
         from ..errors import InvalidConfig
@@ -164,10 +164,11 @@ class _CatalogStreamReader(DataSourceStreamReader):
                 self._provider.get_snapshot_changes().items()
                 if marker in (s or "")}
         lo, hi = _rowid_extent(f.data_uri, f.encryption_key)
+        snap = int(f.begin_snapshot or 0)
         if f.begin_snapshot in self._flush_snapshots:
             # flushed inlined data: its rows were NEVER visible via the
             # main axis (inlined rows don't stream) — always deliverable
-            return ("flush", lo, lo + 1, False, None)
+            return ("flush", snap, snap + 1, False, (lo, hi))
         covered = any(
             g.row_id_start is not None
             and g.row_id_start <= lo < g.row_id_start
@@ -177,27 +178,33 @@ class _CatalogStreamReader(DataSourceStreamReader):
             # UPDATE/MERGE rewrite whose ORIGINAL file is still live:
             # the originals deliver these rowids — stay silent
             return None
-        # compaction output carrying in-file rowids (gapped merge /
-        # compact-after-update): originals are ended. Deliverable to a
-        # consumer that has not passed these rowids on the main axis
-        # (guard_main) — a caught-up consumer already received them from
-        # the pre-compaction files, and a PARTIALLY caught-up consumer
-        # (watermark inside this file's rowid extent) gets the file
-        # filtered to rowid >= watermark, so a merge racing a live
-        # stream never silently drops the undelivered tail.
-        return ("flush", lo, lo + 1, True, hi)
+        return ("flush", snap, snap + 1, True, (lo, hi))
 
     def latestOffset(self) -> dict:
         handle = self._handle()
         self._flush_snapshots = None     # fresh snapshot-label view
-        top = {"rowid": 0, "flush": 0}
+        top = {"rowid": 0, "flush": 0, "tail": 0}
         for f in handle.files:
             p = self._placement(handle, f)
             if p is not None:
                 top[p[0]] = max(top[p[0]], p[2])
+                if p[0] == "flush" and p[4] is not None:
+                    # the delivered-rowid high-water after this batch:
+                    # every flush-axis emission covers (up to) its max
+                    # in-file rowid
+                    top["tail"] = max(top["tail"], p[4][1] + 1)
         return top
 
     def partitions(self, start: dict, end: dict):
+        """Residual caveat (narrowed, not closed): delivery state is
+        reconstructed from three scalar offsets (main rowid watermark,
+        flush snapshot watermark, delivered-tail rowid high-water). A
+        maintenance op that folds an UNDELIVERED catalog-started file
+        whose rowids lie below the delivered tail (possible only when a
+        flush/compaction delivery above it happened in the SAME no-batch
+        window) is indistinguishable from delivered — pause streams
+        while running maintenance back-to-back with inserts to avoid
+        that window."""
         handle = self._handle()
         self._flush_snapshots = None
         out = []
@@ -205,8 +212,9 @@ class _CatalogStreamReader(DataSourceStreamReader):
             p = self._placement(handle, f)
             if p is None:
                 continue
-            axis, lo, hi, guard_main, max_rid = p
+            axis, lo, hi, guard_main, extent = p
             wm = start.get("rowid", 0)
+            delivered = max(wm, start.get("tail", 0))
             if not (start.get(axis, 0) <= lo < end.get(axis, 0)):
                 if not (axis == "rowid" and lo < wm < hi
                         <= end.get("rowid", 0)):
@@ -220,12 +228,15 @@ class _CatalogStreamReader(DataSourceStreamReader):
                 out.append(sl)
                 continue
             min_rowid = None
-            if guard_main and lo < wm:
-                if max_rid is None or max_rid < wm:
-                    continue    # fully delivered via the main axis
-                # rowid-in-file compaction output straddling the main
-                # watermark: emit just the undelivered tail
-                min_rowid = wm
+            if guard_main:
+                if extent is not None and extent[1] < delivered:
+                    continue    # fully delivered (main axis or earlier
+                    #             flush-axis tail)
+                # emit only the undelivered tail: rows below the
+                # delivered high-water came from the ended originals or
+                # an earlier flush emission
+                if extent is not None and extent[0] < delivered:
+                    min_rowid = delivered
             out.append(_FileSlice(f.data_uri, f.encryption_key,
                                   min_rowid=min_rowid))
         return out or [_FileSlice("")]        # API requires >= 1 partition

@@ -202,3 +202,34 @@ def test_cluster_by_refusals(spark, tmp_path):
     dl.sql("ALTER TABLE h SET PARTITIONED BY (k)")
     with pytest.raises(InvalidConfig, match="partitioned"):
         dl.cluster_by("main.h", "k", 4)
+
+
+def test_cluster_fast_path_disabled_after_full_bucket_rewrite(
+        spark, tmp_path):
+    """Code-review r6: the fast path must check live-set EQUALITY, not
+    subset — a rewrite that ENDS a fully-deleted bucket file (no
+    replacement) leaves the remaining live files inside the clustered
+    dir, and a location-based bucketed scan would resurrect the ended
+    file's rows from disk until cleanup."""
+    from datafusion_ducklake_spark.catalog import DuckLakeSession
+    from datafusion_ducklake_spark.metadata.writer import CatalogWriter
+    db = str(tmp_path / "c5.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake5"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.create_table("main.r", spark.createDataFrame(
+        [(i % 4, i) for i in range(400)], "k INT, id INT"))
+    dl.cluster_by("main.r", "k", 4)
+    # every row of SOME buckets deleted (hash(k) buckets: delete one k)
+    dl.delete_from("main.r", "k = 1")
+    assert dl.table("main.r").count() == 300     # MOR fallback, correct
+    # the rewrite ends fully-deleted member files with no replacement
+    dl.rewrite_data_files("main.r")
+    live = dl.table_handle("main.r")._raw_files
+    got = dl.table("main.r").collect()
+    assert len(got) == 300
+    assert all(r["k"] != 1 for r in got)         # no resurrection
+    # files on disk still include the ended bucket until cleanup — that
+    # is exactly why the fast path must stay OFF here
+    assert sum(f.record_count for f in live) == 300

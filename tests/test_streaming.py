@@ -552,3 +552,41 @@ def test_compaction_straddle_rowid_in_file_variant(
     run()
     got = sorted(r["id"] for r in spark.read.parquet(sink).collect())
     assert got == list(range(10))   # tail exactly once, head not repeated
+
+
+def test_second_compaction_after_insert_without_batch(
+        spark, fresh_dl, tmp_path):
+    """Code-review r6: the flush axis is keyed by REGISTRATION SNAPSHOT,
+    not min in-file rowid — with a min-rowid key, a second compaction
+    output starting at rowid 0 lands below the flush watermark advanced
+    by the first one and the rows inserted between the two compactions
+    (never streamed) are silently lost."""
+    fresh_dl.create_table("main.evu", spark.createDataFrame(
+        [(i,) for i in range(5)], "id BIGINT"))
+    fresh_dl.update_where("main.evu", {"id": "id"}, "id = 0")  # keep rowids
+    fresh_dl.compact("main.evu")    # rowid-in-file output, min rowid 0
+    ckpt, sink = str(tmp_path / "ck_u"), str(tmp_path / "sk_u")
+
+    def run():
+        q = (cdc_source.stream_inserts(fresh_dl, "main.evu")
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
+
+    run()     # consumer catches up THROUGH the first compaction output
+    assert sorted(r["id"] for r in spark.read.parquet(sink).collect()) \
+        == [0, 1, 2, 3, 4]
+
+    # new rows land and a SECOND compaction folds them in before any
+    # batch runs — its output's min rowid is again 0
+    fresh_dl.insert_into("main.evu", spark.createDataFrame(
+        [(i,) for i in range(5, 10)], "id BIGINT"))
+    fresh_dl.update_where("main.evu", {"id": "id"}, "id = 0")
+    fresh_dl.compact("main.evu")
+    files = fresh_dl.table_handle("main.evu").files
+    assert all(f.row_id_start is None for f in files)
+
+    run()     # the in-between rows must arrive exactly once
+    got = sorted(r["id"] for r in spark.read.parquet(sink).collect())
+    assert got == list(range(10))
