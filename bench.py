@@ -212,9 +212,13 @@ def _ref_summary(spark_times: dict, duck_times: dict) -> dict:
     }
 
 
-CLUSTERED_QUERIES = ["q05_local_supplier_volume", "q08_market_share",
-                     "q12_shipping_buckets", "q07_volume_shipping",
-                     "ds_monthly_brand_rank"]
+# every headline query whose plan contains the lineitem⋈orders fact-fact
+# join — ONE layout decision accelerates the whole family
+CLUSTERED_QUERIES = ["q03_shipping_priority", "q04_order_priority",
+                     "q05_local_supplier_volume", "q07_volume_shipping",
+                     "q08_market_share", "q09_product_profit",
+                     "q10_returned_items", "q12_shipping_buckets",
+                     "q18_large_orders", "ds_monthly_brand_rank"]
 
 
 def _clustered_tier(spark, scaled_dir: str, cpus: int, iters: int,
