@@ -230,7 +230,11 @@ def _clustered_tier(spark, scaled_dir: str, cpus: int, iters: int,
     files). Returns the detail dict, or None if the build fails."""
     from datafusion_ducklake_spark.queries._util import set_table_override
     try:
-        root = scaled_dir.rstrip("/") + "-ducklake"
+        # -v2 = clustering-spec version (n_files field): a cache built
+        # under an older spec would silently disable the fast path and
+        # publish PLAIN scans as "clustered" — version the dir like the
+        # gate catalog's clu-v2 tag so spec changes force a rebuild
+        root = scaled_dir.rstrip("/") + "-ducklake-v2"
         db = os.path.join(root, "catalog.sqlite")
         from datafusion_ducklake_spark.catalog import DuckLakeSession
         from datafusion_ducklake_spark.metadata.writer import CatalogWriter

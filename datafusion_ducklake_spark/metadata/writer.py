@@ -413,8 +413,12 @@ class CatalogWriter:
             if rows:
                 known.add(table)
                 return
+        # NOT cached after executing: the CREATE is transactional on the
+        # other dialects, so a rolled-back enclosing txn would leave the
+        # cache claiming a table that does not exist. Re-running
+        # IF NOT EXISTS is sub-ms; only the verified-exists fast path
+        # above caches.
         cur.execute(self._dialect_ddl(ddl))
-        known.add(table)
 
     def _table_columns_of(self, cur, name: str) -> set:
         """Lower-cased column names of a catalog-side table, dialect-
@@ -617,9 +621,9 @@ class CatalogWriter:
                 "INSERT INTO ducklake_column (column_id, table_id, "
                 "column_name, column_type, column_order, nulls_allowed, "
                 "parent_column, begin_snapshot, initial_default) "
-                "VALUES (?, ?, ?, ?, ?, 1, ?, ?, ?)",
+                "VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?)",
                 (cid, table_id, path[-1], child_type, next_order,
-                 parent, sid, carried_default))
+                 True, parent, sid, carried_default))
             nested[path] = cid
             next_order += 1
         return nested, next_col_id, next_order
@@ -659,9 +663,7 @@ class CatalogWriter:
         if not changes:
             return
         self._ensure_lazy(
-            cur, "ducklake_snapshot_changes",
-            "CREATE TABLE IF NOT EXISTS ducklake_snapshot_changes ("
-            "snapshot_id BIGINT NOT NULL, changes_made VARCHAR)")
+            cur, "ducklake_snapshot_changes", self._CHANGES_DDL)
         cur.execute(
             "INSERT INTO ducklake_snapshot_changes (snapshot_id, "
             "changes_made) VALUES (?, ?)",
@@ -1189,10 +1191,7 @@ class CatalogWriter:
         rowids that still exist in-file — breaking rowid-targeted
         DELETE/UPDATE, CDC update pairing, and streaming exactly-once."""
         self._ensure_lazy(
-            cur, "ducklake_table_stats",
-            "CREATE TABLE IF NOT EXISTS ducklake_table_stats ("
-            "table_id BIGINT PRIMARY KEY, record_count BIGINT, "
-            "next_row_id BIGINT, file_size_bytes BIGINT)")
+            cur, "ducklake_table_stats", self._STATS_DDL)
         rows = cur.execute(
             "SELECT next_row_id FROM ducklake_table_stats "
             "WHERE table_id = ?", (table_id,)).fetchall()
@@ -1209,10 +1208,7 @@ class CatalogWriter:
         # create-if-missing rather than try/except: a failed statement
         # poisons an open DuckDB transaction
         self._ensure_lazy(
-            cur, "ducklake_table_stats",
-            "CREATE TABLE IF NOT EXISTS ducklake_table_stats ("
-            "table_id BIGINT PRIMARY KEY, record_count BIGINT, "
-            "next_row_id BIGINT, file_size_bytes BIGINT)")
+            cur, "ducklake_table_stats", self._STATS_DDL)
         rows = cur.execute(
             "SELECT next_row_id FROM ducklake_table_stats "
             "WHERE table_id = ?", (table_id,)).fetchall()
@@ -1313,6 +1309,14 @@ class CatalogWriter:
             "extra_stats = ? WHERE table_id = ? AND column_id = ?",
             (bool(t_null) or has_null, bool(t_nan) or bool(nan),
              new_mn, new_mx, new_extra, table_id, cid))
+
+    _CHANGES_DDL = (
+        "CREATE TABLE IF NOT EXISTS ducklake_snapshot_changes ("
+        "snapshot_id BIGINT NOT NULL, changes_made VARCHAR)")
+    _STATS_DDL = (
+        "CREATE TABLE IF NOT EXISTS ducklake_table_stats ("
+        "table_id BIGINT PRIMARY KEY, record_count BIGINT, "
+        "next_row_id BIGINT, file_size_bytes BIGINT)")
 
     _VIEW_DDL = (
         "CREATE TABLE IF NOT EXISTS ducklake_view ("
@@ -1533,12 +1537,12 @@ class CatalogWriter:
                 cur.execute(
                     "INSERT INTO ducklake_name_mapping (mapping_id, column_id, "
                     "source_name, parent_column, is_partition) "
-                    "VALUES (?, ?, ?, NULL, 0)", (mid, cid, name))
+                    "VALUES (?, ?, ?, NULL, ?)", (mid, cid, name, False))
             for name, cid in partition_cols:
                 cur.execute(
                     "INSERT INTO ducklake_name_mapping (mapping_id, column_id, "
                     "source_name, parent_column, is_partition) "
-                    "VALUES (?, ?, ?, NULL, 1)", (mid, cid, name))
+                    "VALUES (?, ?, ?, NULL, ?)", (mid, cid, name, True))
             return mid
 
     def register_delete_file(self, table_id: int, data_file_id: int,
@@ -2040,9 +2044,7 @@ class CatalogWriter:
             cur.execute("DELETE FROM ducklake_snapshot "
                         "WHERE snapshot_id < ?", (cutoff,))
             self._ensure_lazy(
-                cur, "ducklake_snapshot_changes",
-                "CREATE TABLE IF NOT EXISTS ducklake_snapshot_changes ("
-                "snapshot_id BIGINT NOT NULL, changes_made VARCHAR)")
+            cur, "ducklake_snapshot_changes", self._CHANGES_DDL)
             cur.execute("DELETE FROM ducklake_snapshot_changes "
                         "WHERE snapshot_id < ?", (cutoff,))
             return n
@@ -2068,9 +2070,7 @@ class CatalogWriter:
                 cur.execute("DELETE FROM ducklake_snapshot "
                             "WHERE snapshot_id = ?", (v,))
             self._ensure_lazy(
-                cur, "ducklake_snapshot_changes",
-                "CREATE TABLE IF NOT EXISTS ducklake_snapshot_changes ("
-                "snapshot_id BIGINT NOT NULL, changes_made VARCHAR)")
+            cur, "ducklake_snapshot_changes", self._CHANGES_DDL)
             for v in live:
                 cur.execute("DELETE FROM ducklake_snapshot_changes "
                             "WHERE snapshot_id = ?", (v,))
@@ -2250,9 +2250,7 @@ class CatalogWriter:
             cur.execute(
                 f"DELETE FROM ducklake_snapshot WHERE {snap_p}", snap_a)
             self._ensure_lazy(
-                cur, "ducklake_snapshot_changes",
-                "CREATE TABLE IF NOT EXISTS ducklake_snapshot_changes ("
-                "snapshot_id BIGINT NOT NULL, changes_made VARCHAR)")
+            cur, "ducklake_snapshot_changes", self._CHANGES_DDL)
             cur.execute(
                 f"DELETE FROM ducklake_snapshot_changes WHERE {snap_p}",
                 snap_a)

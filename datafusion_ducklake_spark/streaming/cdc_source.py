@@ -123,8 +123,15 @@ class _CatalogStreamReader(DataSourceStreamReader):
             None, self._catalog_path,
             provider=self._provider).table_handle(self._table)
 
+    # offset format version: 2 = flush axis keyed by registration
+    # snapshot + delivered-tail high-water (round 6); 1 (implicit) keyed
+    # the flush axis by min in-file rowid, which aliased across
+    # compactions — the two are NOT interchangeable mid-checkpoint
+    OFFSET_VERSION = 2
+
     def initialOffset(self) -> dict:
-        return {"rowid": 0, "flush": 0, "tail": 0}
+        return {"rowid": 0, "flush": 0, "tail": 0,
+                "v": self.OFFSET_VERSION}
 
     def _placement(self, handle, f):
         """Where a file sits: ("rowid"|"flush", start, end_exclusive,
@@ -183,7 +190,8 @@ class _CatalogStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         handle = self._handle()
         self._flush_snapshots = None     # fresh snapshot-label view
-        top = {"rowid": 0, "flush": 0, "tail": 0}
+        top = {"rowid": 0, "flush": 0, "tail": 0,
+               "v": self.OFFSET_VERSION}
         for f in handle.files:
             p = self._placement(handle, f)
             if p is not None:
@@ -205,6 +213,13 @@ class _CatalogStreamReader(DataSourceStreamReader):
         window) is indistinguishable from delivered — pause streams
         while running maintenance back-to-back with inserts to avoid
         that window."""
+        if start.get("v", 1) < self.OFFSET_VERSION and start.get("flush"):
+            from ..errors import InvalidConfig
+            raise InvalidConfig(
+                "this stream checkpoint was written by an older offset "
+                "format (flush axis keyed by in-file rowid); reinterpreting "
+                "it under the snapshot-keyed format could duplicate rows — "
+                "restart the stream with a fresh checkpointLocation")
         handle = self._handle()
         self._flush_snapshots = None
         out = []
