@@ -261,6 +261,13 @@ class DuckLakeTable:
             return None
         if self.inlined_rows():
             return None
+        # catalog-referenced files must exist — the location-based
+        # session-table scan would otherwise SILENTLY return empty for a
+        # moved/deleted data path, where the plain path raises
+        # CatalogCorruption (ref: table.rs:340-354 missing-file contract)
+        from .sources.scan import _check_local_exists
+        for f in self.files:
+            _check_local_exists(f.data_uri)
         pdigest = hashlib.md5(self.table_path.encode()).hexdigest()[:12]
         ddigest = hashlib.md5(spec["dir"].encode()).hexdigest()[:8]
         bname = f"ducklake_clustered_{pdigest}_{ddigest}"

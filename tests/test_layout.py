@@ -233,3 +233,28 @@ def test_cluster_fast_path_disabled_after_full_bucket_rewrite(
     # files on disk still include the ended bucket until cleanup — that
     # is exactly why the fast path must stay OFF here
     assert sum(f.record_count for f in live) == 300
+
+
+def test_clustered_scan_missing_files_raise_not_empty(spark, tmp_path):
+    """A moved/deleted data path must raise CatalogCorruption through the
+    clustered fast path exactly as through the plain scan — the
+    location-based session-table would otherwise silently return an
+    EMPTY result for catalog-registered files that are gone."""
+    import shutil
+
+    from datafusion_ducklake_spark.catalog import DuckLakeSession
+    from datafusion_ducklake_spark.errors import CatalogCorruption
+    from datafusion_ducklake_spark.metadata.writer import CatalogWriter
+    db = str(tmp_path / "c6.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake6"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.create_table("main.m", spark.createDataFrame(
+        [(i % 3, i) for i in range(30)], "k INT, id INT"))
+    dl.cluster_by("main.m", "k", 3)
+    assert dl.table("main.m").count() == 30
+    shutil.rmtree(str(tmp_path / "lake6"))       # data path gone
+    dl2 = DuckLakeSession(spark, db)
+    with pytest.raises(CatalogCorruption):
+        dl2.table("main.m").count()
