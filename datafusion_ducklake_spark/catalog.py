@@ -268,29 +268,42 @@ class DuckLakeTable:
         from .sources.scan import _check_local_exists
         for f in self.files:
             _check_local_exists(f.data_uri)
+        # the spec key and table location are embedded in DDL below:
+        # validate the key against the live column list (a catalog-
+        # supplied value must never reach SQL unchecked) and refuse
+        # quote-bearing paths rather than attempt escaping — fallback to
+        # the plain scan is always correct, only slower
+        if spec.get("key") not in {c.column_name for c in self.columns} \
+                or "`" in str(spec.get("key", "")):
+            return None
+        loc = self.table_path.rstrip("/") + "/" + spec["dir"]
+        if "'" in loc or "`" in loc:
+            return None
         pdigest = hashlib.md5(self.table_path.encode()).hexdigest()[:12]
         ddigest = hashlib.md5(spec["dir"].encode()).hexdigest()[:8]
+        # qualify with an explicit database: the helper must not land in
+        # (or resolve against) whatever database the session has current
         bname = f"ducklake_clustered_{pdigest}_{ddigest}"
+        qname = f"`default`.`{bname}`"
         spark = self.spark
-        if not spark.catalog.tableExists(bname):
+        if not spark.catalog.tableExists(f"default.{bname}"):
             # drop session-catalog entries from SUPERSEDED clusterings of
             # this same lake table (re-clustering changes the dir digest)
-            for t in spark.catalog.listTables():
+            for t in spark.catalog.listTables("default"):
                 if t.name.startswith(f"ducklake_clustered_{pdigest}_") \
                         and t.name != bname:
-                    spark.sql(f"DROP TABLE IF EXISTS `{t.name}`")
+                    spark.sql(f"DROP TABLE IF EXISTS `default`.`{t.name}`")
             ddl = ", ".join(
                 f"`{fld.name}` {fld.dataType.simpleString()}"
                 for fld in self.spark_schema.fields)
-            loc = self.table_path.rstrip("/") + "/" + spec["dir"]
             sort_clause = (f"SORTED BY (`{spec['key']}`) "
                            if spec.get("sort") else "")
             spark.sql(
-                f"CREATE TABLE IF NOT EXISTS `{bname}` ({ddl}) "
+                f"CREATE TABLE IF NOT EXISTS {qname} ({ddl}) "
                 f"USING PARQUET CLUSTERED BY (`{spec['key']}`) "
                 f"{sort_clause}INTO {int(spec['buckets'])} BUCKETS "
                 f"LOCATION '{loc}'")
-        return spark.table(bname).select(
+        return spark.table(f"default.{bname}").select(
             *[f"`{c.column_name}`" for c in self.columns])
 
     def to_df(self, with_rowid: bool = False,

@@ -374,6 +374,14 @@ class CatalogWriter:
                 "mysql catalog writes require the "
                 "'mysql-connector-python' package") from e
         conn = mysql.connector.connect(autocommit=True, **connect_kwargs)
+        # the writer quotes identifiers with double quotes throughout
+        # (inlined-data tables carry user column names); MySQL's default
+        # sql_mode reads "..." as a string literal, so opt into
+        # ANSI_QUOTES for this session before any statement runs
+        cur = conn.cursor()
+        cur.execute(
+            "SET SESSION sql_mode = CONCAT(@@sql_mode, ',ANSI_QUOTES')")
+        cur.close()
         return cls(_QmarkConn(conn), "mysql")
 
     def _dialect_ddl(self, stmt: str) -> str:
@@ -1256,14 +1264,27 @@ class CatalogWriter:
                     cur, table_id, cid, nulls, mn, mx, nan, extra,
                     value_count=count)
 
-    @staticmethod
-    def _ensure_column(cur, table: str, column: str, sql_type: str) -> None:
+    def _ensure_column(self, cur, table: str, column: str,
+                       sql_type: str) -> None:
         """ALTER-if-missing migration for catalogs created before the
-        column existed (older engine versions / foreign writers)."""
-        try:
-            cur.execute(f"ALTER TABLE {table} ADD COLUMN {column} {sql_type}")
-        except Exception:
-            pass  # already present
+        column existed (older engine versions / foreign writers).
+        Probe-first, never try/except around the ALTER: a failed
+        statement inside an open transaction poisons it on Postgres
+        (InFailedSqlTransaction — every later statement in the txn
+        errors) and on DuckDB."""
+        known = getattr(self, "_known_cols", None)
+        if known is None:
+            known = self._known_cols = set()
+        if (table, column) in known:
+            return
+        if column.lower() in self._table_columns_of(cur, table):
+            # cache ONLY the verified-exists path (mirrors _ensure_lazy):
+            # caching right after an ALTER would go stale if the
+            # enclosing transaction rolls back
+            known.add((table, column))
+            return
+        cur.execute(self._dialect_ddl(
+            f"ALTER TABLE {table} ADD COLUMN {column} {sql_type}"))
 
     def _fold_table_column_stats(self, cur, table_id: int, cid: int,
                                  nulls, mn, mx, nan, extra,
@@ -1916,9 +1937,9 @@ class CatalogWriter:
             have = self._table_columns_of(cur, name)
             for c, t in zip(column_names, column_types):
                 if c.lower() not in have:
-                    cur.execute(
+                    cur.execute(self._dialect_ddl(
                         f'ALTER TABLE "{name}" ADD COLUMN "{c}" '
-                        f"{self._affinity(t)}")
+                        f"{self._affinity(t)}"))
             known = cur.execute(
                 "SELECT COUNT(*) FROM ducklake_inlined_data_tables "
                 "WHERE table_id = ? AND table_name = ?",

@@ -61,11 +61,16 @@ def _catalog_writer_raw(session) -> CatalogWriter:
     if path.startswith(("postgresql://", "postgres://")):
         return CatalogWriter.postgres(path)
     if path.startswith("mysql://"):
-        from urllib.parse import urlparse
+        from urllib.parse import unquote, urlparse
         u = urlparse(path)
+        # urlparse leaves userinfo percent-encoded; credentials with
+        # special characters (e.g. %40 for @) must be decoded before
+        # they reach the driver
         return CatalogWriter.mysql(
-            host=u.hostname, port=u.port or 3306, user=u.username,
-            password=u.password, database=u.path.lstrip("/"))
+            host=u.hostname, port=u.port or 3306,
+            user=unquote(u.username) if u.username else u.username,
+            password=unquote(u.password) if u.password else u.password,
+            database=u.path.lstrip("/"))
     if path.endswith((".duckdb", ".ddb")):
         return CatalogWriter.duckdb(path)
     if path.endswith((".sqlite", ".sqlite3", ".db")):
