@@ -104,7 +104,7 @@ def _time_spark_suite(spark, sf_dir: str, iterations: int = ITERATIONS,
         queries = {n: f for n, f in queries.items() if n in only}
     for fn in queries.values():          # warmup: JIT/codegen + file listing
         _materialize(fn(spark, sf_dir))
-    wall, plan, wall_min = {}, {}, {}
+    wall, plan, wall_min, wall_reps = {}, {}, {}, {}
     for name, fn in queries.items():
         w_runs, p_runs = [], []
         for _ in range(iterations):
@@ -119,7 +119,10 @@ def _time_spark_suite(spark, sf_dir: str, iterations: int = ITERATIONS,
         wall[name] = round(sum(w_runs) / len(w_runs), 4)
         plan[name] = round(sum(p_runs) / len(p_runs), 4)
         wall_min[name] = round(min(w_runs), 4)
-    return wall, plan, wall_min
+        # per-rep raw walls: run-to-run variance must be readable from
+        # the artifact, not reconstructed from avg-vs-min deltas
+        wall_reps[name] = [round(t, 4) for t in w_runs]
+    return wall, plan, wall_min, wall_reps
 
 
 def _time_duckdb_suite(sf_dir: str, names, cpus: int,
@@ -256,7 +259,7 @@ def _clustered_tier(spark, scaled_dir: str, cpus: int, iters: int,
         set_table_override("lineitem", li)
         set_table_override("orders", o)
         try:
-            c_wall, c_plan, c_min = _time_spark_suite(
+            c_wall, c_plan, c_min, c_reps = _time_spark_suite(
                 spark, scaled_dir, iterations=iters, only=CLUSTERED_QUERIES)
         finally:
             set_table_override("lineitem", None)
@@ -269,10 +272,14 @@ def _clustered_tier(spark, scaled_dir: str, cpus: int, iters: int,
                      "DuckDB baseline as the plain scaled3 tier"),
             "queries": c_wall,
             "queries_min": c_min,
+            "queries_reps": c_reps,
             "queries_floor_adjusted": c_adj,
             "ratio_vs_duckdb_raw": _ratio(c_wall, s_duck),
             "queries_ratio_min": {
                 n: round(c_min[n] / s_duck_min[n], 2)
+                for n in c_min if s_duck_min.get(n)},
+            "queries_ratio_floor_adjusted": {
+                n: round(max(c_min[n] - floor, 0.0) / s_duck_min[n], 2)
                 for n in c_min if s_duck_min.get(n)},
         }
     except Exception:                    # never sink the whole bench
@@ -298,7 +305,7 @@ def main() -> None:
     set_exact_sums(False)
 
     floor = _measure_floor(spark, cpus)
-    wall, plan, wall_min = _time_spark_suite(spark, sf_dir)
+    wall, plan, wall_min, wall_reps = _time_spark_suite(spark, sf_dir)
     duck, duck_min = _time_duckdb_suite(sf_dir, list(wall), cpus)
     dfus, dfus_min = _time_datafusion_suite(sf_dir, list(wall), cpus)
 
@@ -337,6 +344,7 @@ def main() -> None:
         "queries_plan_sec": plan,
         "queries_floor_adjusted": adjusted,
         "queries_min": wall_min,
+        "queries_reps": wall_reps,
         "duckdb_queries": duck,
         "datafusion_queries": dfus or None,
         "reference_summary": _ref_summary(wall, duck),
@@ -379,10 +387,11 @@ def main() -> None:
     # runs).
     scale3 = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE3",
                                 "100" if scale == 10 else "0"))
-    # scaled3 reps: 2 keeps the per-round driver bench inside its budget;
-    # the committed evidence run uses SPARK_GRAFT_SCALE3_ITERS=5 (r5
-    # verdict #2 — quote numbers from a committed >=5-rep artifact)
-    scale3_iters = int(os.environ.get("SPARK_GRAFT_SCALE3_ITERS", "2"))
+    # scaled3 reps: default 3 (r6 verdict #3 — the 2-rep driver tier was
+    # noisy enough to flip per-query verdicts by 2.4x); the committed
+    # evidence run uses SPARK_GRAFT_SCALE3_ITERS=5 (r5 verdict #2 —
+    # quote numbers from a committed >=5-rep artifact)
+    scale3_iters = int(os.environ.get("SPARK_GRAFT_SCALE3_ITERS", "3"))
     from tools.scale_data import scale_dir
     for sc, key, in_headline, only, iters in (
             (scale, "scaled", True, None, ITERATIONS),
@@ -391,8 +400,8 @@ def main() -> None:
         if sc <= 0:
             continue
         scaled_dir = scale_dir(sf_dir, sc, str(REPO / ".bench_scaled"))
-        s_wall, s_plan, s_min = _time_spark_suite(spark, scaled_dir,
-                                                  iterations=iters, only=only)
+        s_wall, s_plan, s_min, s_reps = _time_spark_suite(
+            spark, scaled_dir, iterations=iters, only=only)
         s_duck, s_duck_min = _time_duckdb_suite(scaled_dir, list(s_wall), cpus,
                                                 iterations=iters)
         s_dfus, s_dfus_min = _time_datafusion_suite(scaled_dir, list(s_wall),
@@ -430,10 +439,18 @@ def main() -> None:
             "queries": s_wall,
             "queries_plan_sec": s_plan,
             "queries_min": s_min,
+            "queries_reps": s_reps,
+            "queries_floor_adjusted": s_adj,
             "duckdb_queries": s_duck,
             "datafusion_queries": s_dfus or None,
             "queries_ratio_min": {
                 n: round(s_min[n] / s_duck_min[n], 2)
+                for n in s_min if s_duck_min.get(n)},
+            # per-query floor-adjusted ratio (min walls): the signal for
+            # sub-2s-absolute rows where the fixed scheduling floor, not
+            # throughput, dominates the raw ratio (r6 verdict #3)
+            "queries_ratio_floor_adjusted": {
+                n: round(max(s_min[n] - floor, 0.0) / s_duck_min[n], 2)
                 for n in s_min if s_duck_min.get(n)},
             "reference_summary": _ref_summary(s_wall, s_duck),
         }
