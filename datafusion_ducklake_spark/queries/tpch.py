@@ -116,21 +116,46 @@ LIMIT 10
 # --- q05: local supplier volume (6-way join) -------------------------------
 
 def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Shape: push the region restriction INTO customer and supplier before
+    # they meet the fact join, and broadcast the restricted projections.
+    # The naive plan shuffles the whole orders⋈lineitem result on custkey
+    # to meet customer — the dominant exchange left after the fact-fact
+    # join is clustered away. Region-restricted customer is a fraction of
+    # the table projected to two int64 columns (~16 bytes/row: SF10 ≈
+    # 300k rows ≈ 5 MB), so broadcasting it converts that O(fact) shuffle
+    # into a map-side hash probe. At extreme SF where even the projection
+    # outgrows the driver, drop the hint and AQE falls back to a shuffled
+    # join — the semantics don't change.
     region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = t(spark, sf_dir, "nation")
-    cust = t(spark, sf_dir, "customer")
-    supp = t(spark, sf_dir, "supplier")
+    nat_asia = nation.join(
+        region, nation.n_regionkey == region.r_regionkey).select(
+        "n_nationkey", "n_name")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cust_asia = cust.join(
+        F.broadcast(nat_asia.select("n_nationkey")),
+        cust.c_nationkey == F.col("n_nationkey")).select(
+        "c_custkey", "c_nationkey")
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    supp_asia = supp.join(
+        F.broadcast(nat_asia),
+        supp.s_nationkey == nat_asia.n_nationkey).select(
+        "s_suppkey", "s_nationkey", "n_name")
     orders = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")))
     li = t(spark, sf_dir, "lineitem")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(supp, (li.l_suppkey == supp.s_suppkey)
-              & (cust.c_nationkey == supp.s_nationkey))
-        .join(nation, supp.s_nationkey == nation.n_nationkey)
-        .join(region, nation.n_regionkey == region.r_regionkey)
+        # shuffle_hash on the date-filtered orders side: when both facts
+        # come bucketed on orderkey the distribution is already satisfied,
+        # so the hint swaps the sort-merge for a per-bucket hash build on
+        # the small side and elides the 60M-row lineitem sort entirely
+        li.join(orders.hint("shuffle_hash"),
+                li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_asia), orders.o_custkey == cust_asia.c_custkey)
+        .join(F.broadcast(supp_asia),
+              (li.l_suppkey == supp_asia.s_suppkey)
+              & (cust_asia.c_nationkey == supp_asia.s_nationkey))
         .groupBy("n_name")
         .agg(dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("revenue"))
     )
@@ -281,18 +306,29 @@ GROUP BY o_orderpriority
 # --- q10: returned items (outer-dim join + top-k) --------------------------
 
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Shape: the grouping keys (c_name, c_acctbal, n_name) are
+    # functionally dependent on c_custkey, so the aggregate can run at
+    # o_custkey granularity BEFORE customer joins in. The naive plan
+    # shuffles every qualifying lineitem row on custkey to meet the
+    # full customer table; this one reduces the fact side to one
+    # (custkey, revenue) row per buying customer in the 3-month window
+    # — a digest-only exchange — and broadcasts that small aggregate
+    # into the customer⋈nation probe. Top-k runs as TakeOrdered, no
+    # global sort.
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp")))
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     nation = t(spark, sf_dir, "nation")
-    return (
+    rev = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(nation, cust.c_nationkey == nation.n_nationkey)
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .groupBy("o_custkey")
         .agg(dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("revenue"))
+    )
+    return (
+        cust.join(F.broadcast(rev), rev.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)

@@ -26,12 +26,32 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = nation.select(F.col("n_nationkey").alias("s_nkey"),
                        F.col("n_name").alias("supp_nation"))
     vol = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
-    base = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-            .join(cust, orders.o_custkey == cust.c_custkey)
-            .join(nation, cust.c_nationkey == nation.n_nationkey)
-            .join(region, nation.n_regionkey == region.r_regionkey)
-            .join(supp, li.l_suppkey == supp.s_suppkey)
-            .join(n2, supp.s_nationkey == F.col("s_nkey"))
+    # Shape: restrict customer to the ASIA region BEFORE it meets the
+    # fact join and broadcast the single-column key projection — the
+    # region filter keeps only a fraction of custkeys (~16 bytes/row
+    # after projection), so the post-clustering custkey exchange of the
+    # whole orders⋈lineitem result becomes a map-side hash probe.
+    # supplier⋈n2 is a dimension: broadcast with its nation name
+    # attached. Same semantics; only the physical join strategy moves.
+    cust_asia = (cust.select("c_custkey", "c_nationkey")
+                 .join(F.broadcast(
+                     nation.join(region,
+                                 nation.n_regionkey == region.r_regionkey)
+                     .select("n_nationkey")),
+                     F.col("c_nationkey") == F.col("n_nationkey"))
+                 .select("c_custkey"))
+    supp_n = (supp.select("s_suppkey", "s_nationkey")
+              .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+              .select("s_suppkey", "supp_nation"))
+    # shuffle_hash on the date-filtered orders side: under the clustered
+    # layout both facts arrive bucketed on orderkey, so the hint swaps
+    # the sort-merge for a per-bucket hash build and skips the lineitem
+    # sort (the distribution requirement is already met — no exchange)
+    base = (li.join(orders.hint("shuffle_hash"),
+                    li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust_asia),
+                  orders.o_custkey == cust_asia.c_custkey)
+            .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
             .select(F.year("o_orderdate").cast("int").alias("o_year"),
                     vol.alias("volume"), F.col("supp_nation")))
     target = F.when(F.col("supp_nation") == "NATION_2", F.col("volume")) \
