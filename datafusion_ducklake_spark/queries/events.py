@@ -23,16 +23,23 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     # Group on the truncated TIMESTAMP and render the string afterwards:
     # the 8-byte group key (not a 19-char string built per input row) cuts
-    # hash-agg key work; the output is byte-identical. (A manual two-phase
-    # per-user pre-aggregate was measured and NOT kept: Spark already
-    # plans a single countDistinct without Expand, so it only re-spelled
-    # the planner's own shape.)
+    # hash-agg key work; the output is byte-identical.
+    # n_users = size(collect_set(user_id)): the generic countDistinct plan
+    # partial-aggregates on (hour, type, user) — which barely dedups when
+    # most users appear once per hour-type — and then ships ~one exchange
+    # row per input row; merging per-group sets ships the same values in
+    # far fewer rows (measured ~1.6x faster at SF10). Memory is bounded
+    # per group by the users active in ONE hour for one type — a bound
+    # set by event rate, not dataset size (more data = more hours) — and
+    # ObjectHashAggregate falls back to sort-based merging under pressure.
+    # If that per-hour bound doesn't hold for a deployment, swap back to
+    # F.countDistinct — same result, row-shaped exchange.
     return (
         ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"),
                    "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"),
              dsum("value").alias("total_value"),
-             F.countDistinct("user_id").alias("n_users"))
+             F.size(F.collect_set("user_id")).cast("long").alias("n_users"))
         .select(F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
                 "event_type", "n_events", "total_value", "n_users")
     )

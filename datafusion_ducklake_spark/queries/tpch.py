@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._util import davg, dsum, exact_cast, t
+from ._util import back_to_double, davg, dsum, exact_cast, t
 
 
 # --- q01: pricing summary (TPC-H Q1: scan-heavy multi-aggregate) -----------
@@ -389,15 +389,29 @@ GROUP BY c_count
 # --- q14: promo revenue share (conditional agg) ----------------------------
 
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Shape: pre-aggregate the month slice of lineitem by partkey BEFORE
+    # the part join — the join input shrinks from every qualifying
+    # lineitem row to at most one row per part (dimension-bounded), and
+    # the shuffle_hash hint builds on that reduced side per-partition
+    # instead of collecting a 2M-entry broadcast map on the driver.
+    # The pre-agg keeps the decimal(38,6) accumulator in exact mode
+    # (exact_cast, cast back to double only at the end), so re-summing
+    # per-part subtotals is order-independent and bit-equal to the
+    # oracle's row-level decimal sum.
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp")))
-    part = t(spark, sf_dir, "part")
+    part = t(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_type").like("ECONOMY%").alias("is_promo"))
     disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
-    promo = F.when(F.col("p_type").like("ECONOMY%"), disc_price).otherwise(F.lit(0.0))
+    pre = li.groupBy("l_partkey").agg(F.sum(exact_cast(disc_price)).alias("s"))
     return (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .agg((F.lit(100.0) * dsum(promo) / dsum(disc_price)).alias("promo_revenue"))
+        pre.hint("shuffle_hash")
+        .join(part, pre.l_partkey == part.p_partkey)
+        .agg((F.lit(100.0)
+              * F.coalesce(back_to_double(
+                  F.sum(F.when(F.col("is_promo"), F.col("s")))), F.lit(0.0))
+              / back_to_double(F.sum("s"))).alias("promo_revenue"))
     )
 
 
