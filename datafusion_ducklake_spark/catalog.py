@@ -973,18 +973,31 @@ class DuckLakeSession:
         r"(?:\s+PARTITIONED\s+BY\s*\(([^)]*(?:\([^)]*\)[^)]*)*)\))?"
         r"\s*;?\s*$", re.I | re.S)
     _MERGE_RE = re.compile(
-        r"^\s*MERGE\s+INTO\s+([A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(\w+))?"
-        r"\s+USING\s+(\(.*?\)|[A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(\w+))?"
-        r"\s+ON\s+(.*?)\s+(WHEN\s+.*?)\s*;?\s*$", re.I | re.S)
+        r"^\s*MERGE\s+INTO\s+([A-Za-z_][\w.]*)"
+        r"(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?"
+        r"\s+USING\s+(\(.*?\)|[A-Za-z_][\w.]*)"
+        r"(?:\s+(?:AS\s+)?(?!USING\b|ON\b|WHEN\b)(\w+))?"
+        r"\s+(?:ON\s+(.*?)|USING\s*\(([^()]*)\))"
+        r"\s+(WHEN\s+.*?)\s*;?\s*$", re.I | re.S)
     _MERGE_WHEN_UPDATE_RE = re.compile(
-        r"^WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*)$", re.I | re.S)
+        r"^WHEN\s+MATCHED\s+(?:AND\s+(.*?)\s+)?THEN\s+UPDATE"
+        r"(?:\s+SET\s+(.*))?\s*$", re.I | re.S)
     _MERGE_WHEN_DELETE_RE = re.compile(
-        r"^WHEN\s+MATCHED\s+THEN\s+DELETE\s*$", re.I)
+        r"^WHEN\s+MATCHED\s+(?:AND\s+(.*?)\s+)?THEN\s+DELETE\s*$",
+        re.I | re.S)
+    _MERGE_WHEN_ERROR_RE = re.compile(
+        r"^WHEN\s+MATCHED\s+(?:AND\s+(.*?)\s+)?THEN\s+ERROR\s*$",
+        re.I | re.S)
     _MERGE_WHEN_INSERT_RE = re.compile(
-        r"^WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT(?:\s*\*)?\s*$", re.I)
+        r"^WHEN\s+NOT\s+MATCHED\s+(?:BY\s+TARGET\s+)?(?:AND\s+(.*?)\s+)?"
+        r"THEN\s+INSERT(?:\s*\*)?\s*$", re.I | re.S)
     _MERGE_WHEN_INSERT_VALUES_RE = re.compile(
-        r"^WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*\(([^)]*)\)\s*"
+        r"^WHEN\s+NOT\s+MATCHED\s+(?:BY\s+TARGET\s+)?(?:AND\s+(.*?)\s+)?"
+        r"THEN\s+INSERT\s*\(([^)]*)\)\s*"
         r"VALUES\s*\((.*)\)\s*$", re.I | re.S)
+    _MERGE_WHEN_BY_SOURCE_DELETE_RE = re.compile(
+        r"^WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+(?:AND\s+(.*?)\s+)?"
+        r"THEN\s+DELETE\s*$", re.I | re.S)
     _DROP_RE = re.compile(
         r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)"
         r"\s*;?\s*$", re.I)
@@ -1732,13 +1745,17 @@ class DuckLakeSession:
         return None
 
     def _merge_sql(self, target: str, talias: str, using: str,
-                   salias: str, on_sql: str, whens: str) -> DataFrame:
-        """MERGE INTO SQL surface (sql/merge/ corpus shape) over
-        operators/dml.merge_rows: equality ON keys, WHEN MATCHED THEN
-        UPDATE SET / DELETE, WHEN NOT MATCHED THEN INSERT [*] (insert by
-        source column name). Alias-qualified references in SET exprs are
-        rewritten to the joined frame's tgt./src. qualifiers, outside
-        string literals."""
+                   salias: str, on_sql: str, key_list: str,
+                   whens: str) -> DataFrame:
+        """MERGE INTO SQL surface (sql/merge/ corpus shape, incl. the
+        merge_into_tpch.test_slow forms) over operators/dml.merge_rows:
+        equality ON keys or a USING (k1, k2) key list, WHEN MATCHED
+        [AND pred] THEN UPDATE [SET ...] / DELETE / ERROR, WHEN NOT
+        MATCHED [BY TARGET] [AND pred] THEN INSERT [*|(cols) VALUES],
+        WHEN NOT MATCHED BY SOURCE [AND pred] THEN DELETE. A bare
+        UPDATE takes every source column. Alias-qualified references in
+        SET exprs and predicates are rewritten to the joined frame's
+        tgt./src. qualifiers, outside string literals."""
         if using.startswith("("):
             source = self.sql(using[1:-1].strip())
             src_names = set()
@@ -1767,28 +1784,48 @@ class DuckLakeSession:
                                   sub, parts[i])
             return "".join(parts)
 
-        on_keys = []
-        for eq in re.split(r"\s+AND\s+", on_sql.strip(), flags=re.I):
-            em = re.fullmatch(r"\s*([\w.]+)\s*=\s*([\w.]+)\s*", eq)
-            if not em:
-                raise InvalidConfig(
-                    f"MERGE: ON supports equality conjunctions only ({eq!r})")
-            lcol = em.group(1).rsplit(".", 1)[-1]
-            rcol = em.group(2).rsplit(".", 1)[-1]
-            if lcol.lower() != rcol.lower():
-                raise InvalidConfig(
-                    "MERGE: ON keys must join same-named columns "
-                    f"({em.group(1)} = {em.group(2)})")
-            on_keys.append(lcol)
+        if key_list:
+            # USING (k1, k2): same-named equality keys on both sides
+            on_keys = [c.strip() for c in key_list.split(",") if c.strip()]
+            if not on_keys:
+                raise InvalidConfig("MERGE: empty USING key list")
+        else:
+            on_keys = []
+            for eq in re.split(r"\s+AND\s+", on_sql.strip(), flags=re.I):
+                em = re.fullmatch(r"\s*([\w.]+)\s*=\s*([\w.]+)\s*", eq)
+                if not em:
+                    raise InvalidConfig(
+                        f"MERGE: ON supports equality conjunctions only "
+                        f"({eq!r})")
+                lcol = em.group(1).rsplit(".", 1)[-1]
+                rcol = em.group(2).rsplit(".", 1)[-1]
+                if lcol.lower() != rcol.lower():
+                    raise InvalidConfig(
+                        "MERGE: ON keys must join same-named columns "
+                        f"({em.group(1)} = {em.group(2)})")
+                on_keys.append(lcol)
 
         update, delete, insert = None, False, False
+        matched_pred, insert_pred, error = None, None, False
+        by_source, by_source_pred = False, None
+
+        def _set_matched_pred(pred):
+            nonlocal matched_pred
+            if update is not None or delete:
+                raise InvalidConfig("MERGE: one matched action only")
+            matched_pred = requalify(pred.strip()) if pred else None
+
         clauses = [c.strip() for c in
                    re.split(r"(?i)(?=WHEN\s)", whens) if c.strip()]
         for clause in clauses:
             um = self._MERGE_WHEN_UPDATE_RE.match(clause)
             if um:
+                _set_matched_pred(um.group(1))
+                if um.group(2) is None:
+                    update = "source"   # bare UPDATE: take source columns
+                    continue
                 update = {}
-                for part in self._split_top_level(um.group(1)):
+                for part in self._split_top_level(um.group(2)):
                     col, eq, expr = part.partition("=")
                     if not eq:
                         raise InvalidConfig(
@@ -1796,20 +1833,38 @@ class DuckLakeSession:
                     update[col.strip().rsplit(".", 1)[-1]] = \
                         requalify(expr.strip())
                 continue
-            if self._MERGE_WHEN_DELETE_RE.match(clause):
+            dm = self._MERGE_WHEN_DELETE_RE.match(clause)
+            if dm:
+                _set_matched_pred(dm.group(1))
                 delete = True
                 continue
-            if self._MERGE_WHEN_INSERT_RE.match(clause):
+            em = self._MERGE_WHEN_ERROR_RE.match(clause)
+            if em:
+                error = requalify(em.group(1).strip()) if em.group(1) \
+                    else True
+                continue
+            bm = self._MERGE_WHEN_BY_SOURCE_DELETE_RE.match(clause)
+            if bm:
+                by_source = True
+                by_source_pred = requalify(bm.group(1).strip()) \
+                    if bm.group(1) else None
+                continue
+            im = self._MERGE_WHEN_INSERT_RE.match(clause)
+            if im:
                 insert = True
+                insert_pred = requalify(im.group(1).strip()) \
+                    if im.group(1) else None
                 continue
             iv = self._MERGE_WHEN_INSERT_VALUES_RE.match(clause)
             if iv:
                 # INSERT (cols) VALUES (exprs): column -> requalified
                 # src-side expression (merge corpus / geo_dml shape)
+                insert_pred = requalify(iv.group(1).strip()) \
+                    if iv.group(1) else None
                 cols = [c.strip().rsplit(".", 1)[-1]
-                        for c in iv.group(1).split(",") if c.strip()]
+                        for c in iv.group(2).split(",") if c.strip()]
                 exprs = [requalify(e.strip()) for e in
-                         self._split_top_level(iv.group(2))]
+                         self._split_top_level(iv.group(3))]
                 if len(cols) != len(exprs):
                     raise InvalidConfig(
                         "MERGE: INSERT column list and VALUES arity differ")
@@ -1820,7 +1875,12 @@ class DuckLakeSession:
         counts = self.merge_into(target, source, on_keys,
                                  when_matched_update=update,
                                  when_matched_delete=delete,
-                                 when_not_matched_insert=insert)
+                                 when_not_matched_insert=insert,
+                                 when_matched_pred=matched_pred,
+                                 when_not_matched_pred=insert_pred,
+                                 when_matched_error=error,
+                                 by_source_delete=by_source,
+                                 by_source_pred=by_source_pred)
         return self._count_df(sum(counts.values()))
 
     _ROWID_REF_RE = re.compile(r"\b([A-Za-z_]\w*(?:\.\w+)?)__rowid\b")
@@ -3145,13 +3205,23 @@ class DuckLakeSession:
 
     def merge_into(self, target: str, source: DataFrame, on: list[str],
                    when_matched_update=None, when_matched_delete=False,
-                   when_not_matched_insert=True) -> dict:
+                   when_not_matched_insert=True,
+                   when_matched_pred=None, when_not_matched_pred=None,
+                   when_matched_error=False,
+                   by_source_delete=False, by_source_pred=None) -> dict:
         """MERGE INTO target USING source ON keys (sql/merge/ corpus
-        shape): update/delete matches, insert unmatched source rows, one
-        snapshot. See operators/dml.merge_rows for the contract."""
+        shape): update/delete matches (optionally predicate-gated),
+        insert unmatched source rows, raise on matches (THEN ERROR),
+        delete target rows absent from the source (NOT MATCHED BY
+        SOURCE) — one snapshot. See operators/dml.merge_rows."""
         from .operators.dml import merge_rows
         return merge_rows(self, target, source, on, when_matched_update,
-                          when_matched_delete, when_not_matched_insert)
+                          when_matched_delete, when_not_matched_insert,
+                          when_matched_pred=when_matched_pred,
+                          when_not_matched_pred=when_not_matched_pred,
+                          when_matched_error=when_matched_error,
+                          by_source_delete=by_source_delete,
+                          by_source_pred=by_source_pred)
 
     def compact(self, name: str, single_file: bool = True,
                 preserve_rowids: bool = True) -> int:

@@ -46,3 +46,10 @@ class TransactionConflict(DuckLakeError):
 class CatalogCorruption(DuckLakeError):
     """A file referenced by the catalog is missing — surfaced as corruption,
     never as silent wrong results (ref: src/table.rs:340-354, 736-748)."""
+
+
+class MergeActionError(DuckLakeError):
+    """MERGE INTO hit a WHEN ... THEN ERROR action (corpus:
+    sql/merge/merge_into_tpch.test_slow — WHEN MATCHED THEN ERROR
+    guards a merge that must only ever insert). The merge aborts before
+    any snapshot is written."""

@@ -39,7 +39,7 @@ from typing import Optional, Union
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..errors import InvalidConfig
+from ..errors import InvalidConfig, MergeActionError
 from ..metadata.writer import DataFileInfo
 from ..sources.scan import (_configure_fieldid_read, _read_parquet,
                             _split_by_field_ids)
@@ -668,17 +668,35 @@ def update_rows(session, name: str, assignments: dict,
 def merge_rows(session, target: str, source: DataFrame, on: list[str],
                when_matched_update: Optional[dict] = None,
                when_matched_delete: bool = False,
-               when_not_matched_insert: "bool | dict" = True) -> dict:
+               when_not_matched_insert: "bool | dict" = True,
+               when_matched_pred: Optional[str] = None,
+               when_not_matched_pred: Optional[str] = None,
+               when_matched_error: "bool | str" = False,
+               by_source_delete: bool = False,
+               by_source_pred: Optional[str] = None) -> dict:
     """MERGE INTO target USING source ON target.k = source.k ... —
-    the corpus's merge_update_insert shape (sql/merge/). Matched target
-    rows are deleted (and, for update, rewritten with the source's
-    values); unmatched source rows are inserted. Exactly one of
-    ``when_matched_update`` / ``when_matched_delete`` may act on matches;
-    with neither, matches are left untouched.
+    the corpus's merge shapes (sql/merge/, incl. the conditional /
+    by-source forms of merge_into_tpch.test_slow and
+    merge_partition.test:75-79). Matched target rows are deleted (and,
+    for update, rewritten with the source's values); unmatched source
+    rows are inserted. Exactly one of ``when_matched_update`` /
+    ``when_matched_delete`` may act on matches; with neither, matches
+    are left untouched.
 
     ``when_matched_update``: column -> SQL expr over the joined frame
     (target columns by name, source columns as ``src.<col>``), or the
     string "source" to take every source column wholesale.
+
+    Conditional clauses (``WHEN ... AND <pred> THEN``):
+    ``when_matched_pred`` gates the matched action (SQL predicate over
+    the joined frame, ``tgt.``/``src.`` qualified); rows failing it stay
+    untouched. ``when_not_matched_pred`` gates the insert (over the
+    unmatched source rows, alias ``src``). ``when_matched_error`` raises
+    MergeActionError before anything is written if any match (satisfying
+    the given predicate, if it is a string) exists — WHEN MATCHED THEN
+    ERROR. ``by_source_delete`` deletes target rows no source row joins
+    to (WHEN NOT MATCHED BY SOURCE THEN DELETE), optionally gated by
+    ``by_source_pred`` over the target columns.
 
     Multiple source rows matching one target row are not detected (DuckDB
     raises; here the last-writer is undefined) — pre-aggregate the source
@@ -710,10 +728,25 @@ def merge_rows(session, target: str, source: DataFrame, on: list[str],
     joined = live.alias("tgt").join(
         src, [F.col(f"tgt.{k}") == F.col(f"src.{k}") for k in on],
         "inner").persist()
+    bs_pos = None
     try:
+        if when_matched_error:
+            # WHEN MATCHED [AND pred] THEN ERROR: probe BEFORE any write
+            # so a triggering merge leaves no snapshot behind. One extra
+            # bounded action over the already-persisted match set.
+            probe = joined
+            if isinstance(when_matched_error, str):
+                probe = probe.filter(F.expr(when_matched_error))
+            hit = probe.limit(1).count()
+            if hit:
+                raise MergeActionError(
+                    f"MERGE INTO {target}: WHEN MATCHED THEN ERROR — "
+                    "a source row matched an existing target row")
         counts = {"updated": 0, "deleted": 0, "inserted": 0}
-        matched_pos = joined.select(F.col(f"tgt.{FILE_COL}").alias(FILE_COL),
-                                    F.col(f"tgt.{POS_COL}").alias(POS_COL))
+        acted = joined if when_matched_pred is None \
+            else joined.filter(F.expr(when_matched_pred))
+        matched_pos = acted.select(F.col(f"tgt.{FILE_COL}").alias(FILE_COL),
+                                   F.col(f"tgt.{POS_COL}").alias(POS_COL))
         appended, fresh = None, None
         if when_matched_update == "source":
             when_matched_update = {c: f"src.{c}" for c in data_cols
@@ -721,7 +754,7 @@ def merge_rows(session, target: str, source: DataFrame, on: list[str],
         types = {f.name: f.dataType for f in handle.spark_schema.fields}
         update_mode = when_matched_update is not None
         if update_mode:
-            rewritten = joined.select(*(
+            rewritten = acted.select(*(
                 [(F.expr(when_matched_update[c])
                   if isinstance(when_matched_update[c], str)
                   else when_matched_update[c]).cast(types[c]).alias(c)
@@ -733,8 +766,26 @@ def merge_rows(session, target: str, source: DataFrame, on: list[str],
         elif not when_matched_delete:
             matched_pos = matched_pos.limit(0)
 
+        n_by_source = 0
+        if by_source_delete:
+            # WHEN NOT MATCHED BY SOURCE THEN DELETE: target rows no
+            # source row joins to. Counted explicitly (one action over an
+            # anti-join of the persisted source) so the manifest total can
+            # split into matched-action vs by-source deletions.
+            bs = live.alias("tgt").join(
+                src, [F.col(f"tgt.{k}") == F.col(f"src.{k}") for k in on],
+                "left_anti")
+            if by_source_pred is not None:
+                bs = bs.alias("tgt").filter(F.expr(by_source_pred))
+            bs_pos = bs.select(FILE_COL, POS_COL).persist()
+            n_by_source = bs_pos.count()
+            matched_pos = matched_pos.unionByName(bs_pos)
+
         if when_not_matched_insert:
             unmatched = src.join(live.select(*on), on, "left_anti")
+            if when_not_matched_pred is not None:
+                unmatched = unmatched.alias("src").filter(
+                    F.expr(when_not_matched_pred))
             if isinstance(when_not_matched_insert, dict):
                 # INSERT (cols) VALUES (exprs) — exprs over src.<col>;
                 # unnamed target columns take NULL (merge corpus shape)
@@ -763,14 +814,19 @@ def merge_rows(session, target: str, source: DataFrame, on: list[str],
         # updated rows re-append 1:1 with matched positions, so the
         # append total splits into (updated = matched) + inserts
         if update_mode:
-            counts["updated"] = n_matched
-            counts["inserted"] = n_append - n_matched
+            counts["updated"] = n_matched - n_by_source
+            counts["deleted"] = n_by_source
+            counts["inserted"] = n_append - counts["updated"]
         else:
             if when_matched_delete:
                 counts["deleted"] = n_matched
+            else:
+                counts["deleted"] = n_by_source
             counts["inserted"] = n_append
         return counts
     finally:
+        if bs_pos is not None:
+            bs_pos.unpersist()
         joined.unpersist()
         src.unpersist()
 

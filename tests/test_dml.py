@@ -170,6 +170,70 @@ def test_merge_custom_update_expr(dl, spark):
     assert got[1] == 1.5 + 5.0
 
 
+# --- extended clause forms (merge_into_tpch.test_slow parity) ------------
+
+def test_merge_conditional_matched_update(dl, spark):
+    source = spark.createDataFrame(
+        [(1, "u", 0.0), (2, "u", 0.0)], "id INT, tag STRING, v DOUBLE")
+    counts = dl.merge_into(
+        "main.t", source, on=["id"], when_matched_update="source",
+        when_not_matched_insert=False, when_matched_pred="tgt.id = 2")
+    assert counts == {"updated": 1, "deleted": 0, "inserted": 0}
+    got = {r["id"]: r["tag"] for r in dl.table("main.t").collect()}
+    assert got[2] == "u" and got[1] != "u"   # pred-failing match untouched
+
+
+def test_merge_conditional_insert(dl, spark):
+    source = spark.createDataFrame(
+        [(30, "x", 1.0), (31, "x", 1.0), (32, "x", 1.0)],
+        "id INT, tag STRING, v DOUBLE")
+    counts = dl.merge_into(
+        "main.t", source, on=["id"],
+        when_not_matched_pred="src.id % 2 = 0")
+    assert counts["inserted"] == 2
+    assert 31 not in _ids(dl) and {30, 32} <= set(_ids(dl))
+
+
+def test_merge_matched_error_aborts_before_write(dl, spark):
+    from datafusion_ducklake_spark.errors import MergeActionError
+    before = _ids(dl)
+    source = spark.createDataFrame(
+        [(5, "x", 0.0), (90, "x", 0.0)], "id INT, tag STRING, v DOUBLE")
+    with pytest.raises(MergeActionError):
+        dl.merge_into("main.t", source, on=["id"],
+                      when_matched_error=True)
+    assert _ids(dl) == before            # nothing written, no snapshot
+    # disjoint keys pass the guard and insert normally
+    source2 = spark.createDataFrame(
+        [(91, "x", 0.0)], "id INT, tag STRING, v DOUBLE")
+    counts = dl.merge_into("main.t", source2, on=["id"],
+                           when_matched_error=True)
+    assert counts["inserted"] == 1
+
+
+def test_merge_by_source_delete_equalizes(dl, spark):
+    source = spark.createDataFrame(
+        [(1, "s", 10.0), (2, "s", 20.0), (77, "s", 77.0)],
+        "id INT, tag STRING, v DOUBLE")
+    counts = dl.merge_into(
+        "main.t", source, on=["id"], when_matched_update="source",
+        by_source_delete=True)
+    assert counts["updated"] == 2 and counts["inserted"] == 1
+    assert counts["deleted"] == 18       # the other original rows
+    got = sorted((r["id"], r["tag"], r["v"])
+                 for r in dl.table("main.t").collect())
+    assert got == [(1, "s", 10.0), (2, "s", 20.0), (77, "s", 77.0)]
+
+
+def test_merge_sql_using_key_list_and_by_source(dl, spark):
+    dl.create_table("main.src2", spark.createDataFrame(
+        [(0, "a", 0.0), (25, "z", 2.5)], "id INT, tag STRING, v DOUBLE"))
+    dl.sql("MERGE INTO main.t USING main.src2 USING (id) "
+           "WHEN NOT MATCHED BY TARGET THEN INSERT "
+           "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    assert _ids(dl) == [0, 25]
+
+
 def test_update_preserves_sql_view_consistency(dl):
     dl.update_where("main.t", {"v": "0.0"}, "tag = 'b'")
     dl.register_views()

@@ -315,12 +315,33 @@ MAPPED: dict[str, str] = {
         "N_A DuckDB host setting (parquet footer cache); the Spark-side "
         "equivalents are already on (FileStatusCache + the per-delete-"
         "file bitset LRU)",
+    # --- .test_slow tier (upstream's SF1-scale files) --------------------
+    "tpch/tpch_sf1.test_slow":
+        "PYTEST tests/test_official_suites.py — the full 22-query TPC-H "
+        "suite cross-engine against DuckDB at bench scale "
+        "(OFFICIAL_SUITES.json: 22/22)",
+    "clickbench/clickbench.test_slow":
+        "PYTEST tests/test_clickbench.py — all 40 ClickBench query texts "
+        "through the catalog, cross-engine (CLICKBENCH.json: 40/40; the "
+        "reference vendors but skips this file)",
+    "partitioning/partition_tpch.test_slow":
+        "partition_tpch.test (reduced scale; the upstream glob-count "
+        "layout assertions become ducklake_list_files() counts and the "
+        "TPC-H answer-file loop becomes the hybrid mirror comparison; "
+        "pruning mechanics in tests/test_partitioning.py + "
+        "tests/test_file_pruning.py)",
+    "merge/merge_into_tpch.test_slow":
+        "merge_into_tpch.test (deterministic predicates replace "
+        "random(); full clause-shape parity: USING key lists, WHEN "
+        "MATCHED THEN ERROR, conditional AND predicates, bare UPDATE, "
+        "NOT MATCHED BY TARGET / BY SOURCE)",
 }
 
 
 def main() -> None:
     upstream = sorted(
-        str(p.relative_to(REF)) for p in REF.rglob("*.test"))
+        str(p.relative_to(REF))
+        for pat in ("*.test", "*.test_slow") for p in REF.rglob(pat))
     ours = {f for f in os.listdir(REPO / "tests" / "slt")
             if f.endswith(".test")}
     rows, missing = [], []
