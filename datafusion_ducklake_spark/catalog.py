@@ -257,7 +257,8 @@ class DuckLakeTable:
                     or marker not in f.data_uri \
                     or f.begin_snapshot != spec.get("snapshot"):
                 return None
-        if len(self.files) != int(spec["n_files"]):
+        if not isinstance(spec["n_files"], int) \
+                or len(self.files) != spec["n_files"]:
             return None
         if self.inlined_rows():
             return None
@@ -275,6 +276,12 @@ class DuckLakeTable:
         # the plain scan is always correct, only slower
         if spec.get("key") not in {c.column_name for c in self.columns} \
                 or "`" in str(spec.get("key", "")):
+            return None
+        # a missing/corrupt bucket count (foreign writer, partial spec
+        # write) must degrade to the always-correct plain scan, same as
+        # every other spec-validation failure — never raise from to_df
+        if not isinstance(spec.get("buckets"), int) \
+                or spec["buckets"] < 1:
             return None
         loc = self.table_path.rstrip("/") + "/" + spec["dir"]
         if "'" in loc or "`" in loc:
@@ -1808,12 +1815,18 @@ class DuckLakeSession:
         update, delete, insert = None, False, False
         matched_pred, insert_pred, error = None, None, False
         by_source, by_source_pred = False, None
+        saw_insert = saw_error = saw_by_source = False
+        matched_action_seen_first = False
 
         def _set_matched_pred(pred):
-            nonlocal matched_pred
+            nonlocal matched_pred, matched_action_seen_first
             if update is not None or delete:
                 raise InvalidConfig("MERGE: one matched action only")
             matched_pred = requalify(pred.strip()) if pred else None
+            # clause order matters for a following THEN ERROR: DuckDB is
+            # first-match-wins per row, so an action clause consumes the
+            # rows its predicate selects before a later ERROR sees them
+            matched_action_seen_first = not saw_error
 
         clauses = [c.strip() for c in
                    re.split(r"(?i)(?=WHEN\s)", whens) if c.strip()]
@@ -1840,17 +1853,28 @@ class DuckLakeSession:
                 continue
             em = self._MERGE_WHEN_ERROR_RE.match(clause)
             if em:
+                if saw_error:
+                    raise InvalidConfig("MERGE: one THEN ERROR clause only")
+                saw_error = True
                 error = requalify(em.group(1).strip()) if em.group(1) \
                     else True
                 continue
             bm = self._MERGE_WHEN_BY_SOURCE_DELETE_RE.match(clause)
             if bm:
+                if saw_by_source:
+                    raise InvalidConfig(
+                        "MERGE: one NOT MATCHED BY SOURCE clause only")
+                saw_by_source = True
                 by_source = True
                 by_source_pred = requalify(bm.group(1).strip()) \
                     if bm.group(1) else None
                 continue
             im = self._MERGE_WHEN_INSERT_RE.match(clause)
             if im:
+                if saw_insert:
+                    raise InvalidConfig(
+                        "MERGE: one NOT MATCHED insert clause only")
+                saw_insert = True
                 insert = True
                 insert_pred = requalify(im.group(1).strip()) \
                     if im.group(1) else None
@@ -1859,6 +1883,10 @@ class DuckLakeSession:
             if iv:
                 # INSERT (cols) VALUES (exprs): column -> requalified
                 # src-side expression (merge corpus / geo_dml shape)
+                if saw_insert:
+                    raise InvalidConfig(
+                        "MERGE: one NOT MATCHED insert clause only")
+                saw_insert = True
                 insert_pred = requalify(iv.group(1).strip()) \
                     if iv.group(1) else None
                 cols = [c.strip().rsplit(".", 1)[-1]
@@ -1871,6 +1899,21 @@ class DuckLakeSession:
                 insert = dict(zip(cols, exprs))
                 continue
             raise InvalidConfig(f"MERGE: unsupported clause {clause!r}")
+
+        if error and matched_action_seen_first and (update is not None
+                                                    or delete):
+            # first-match-wins: rows the earlier action clause consumes
+            # never reach the later ERROR. An unconditional earlier action
+            # consumes every match, so the ERROR can never fire; a
+            # predicate-gated one exempts exactly its rows.
+            if matched_pred is None:
+                error = False
+            else:
+                # COALESCE: a NULL action predicate does NOT consume the
+                # row, so the ERROR clause must still see it
+                guard = f"NOT COALESCE(({matched_pred}), FALSE)"
+                error = guard if error is True \
+                    else f"({error}) AND {guard}"
 
         counts = self.merge_into(target, source, on_keys,
                                  when_matched_update=update,

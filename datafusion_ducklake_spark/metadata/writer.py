@@ -1283,8 +1283,26 @@ class CatalogWriter:
             # enclosing transaction rolls back
             known.add((table, column))
             return
-        cur.execute(self._dialect_ddl(
-            f"ALTER TABLE {table} ADD COLUMN {column} {sql_type}"))
+        if self._dialect in ("postgres", "duckdb"):
+            # atomic — closes the probe/ALTER race against a concurrent
+            # writer without risking a failed statement inside the open
+            # transaction (which Postgres would poison)
+            cur.execute(self._dialect_ddl(
+                f"ALTER TABLE {table} ADD COLUMN IF NOT EXISTS "
+                f"{column} {sql_type}"))
+            return
+        # sqlite/mysql lack ADD COLUMN IF NOT EXISTS. A concurrent
+        # duplicate ALTER is tolerable here: sqlite serializes writers on
+        # the file lock and a failed statement doesn't poison its
+        # transaction; the mysql connection runs autocommit.
+        try:
+            cur.execute(self._dialect_ddl(
+                f"ALTER TABLE {table} ADD COLUMN {column} {sql_type}"))
+        except Exception:
+            if column.lower() not in self._table_columns_of(cur, table):
+                raise          # not a lost duplicate-column race
+        # deliberately NOT cached: an ALTER inside a transaction that
+        # later rolls back would leave a stale "exists" entry
 
     def _fold_table_column_stats(self, cur, table_id: int, cid: int,
                                  nulls, mn, mx, nan, extra,

@@ -156,6 +156,13 @@ def cb_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user,type)->(user) shape pays a second exchange and a string group
     key. Scale-safe: the collect is bounded by the type-domain size, and
     the main agg stays one partial+final pass over user_id.
+
+    The domain is snapshotted when this function BUILDS the DataFrame:
+    the returned plan is correct for the data at build time, and callers
+    that append events with a previously unseen type must rebuild it
+    (the driver gate and bench both rebuild per execution). A generic
+    countDistinct stays the right shape when the domain is unbounded or
+    the plan must remain valid across appends.
     """
     ev = load_events(spark, sf_dir)
     types = sorted(r[0] for r in ev.select("event_type").distinct().collect()

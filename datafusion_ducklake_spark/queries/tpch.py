@@ -123,9 +123,11 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join is clustered away. Region-restricted customer is a fraction of
     # the table projected to two int64 columns (~16 bytes/row: SF10 ≈
     # 300k rows ≈ 5 MB), so broadcasting it converts that O(fact) shuffle
-    # into a map-side hash probe. At extreme SF where even the projection
-    # outgrows the driver, drop the hint and AQE falls back to a shuffled
-    # join — the semantics don't change.
+    # into a map-side hash probe. The explicit hint is MANDATORY — Spark
+    # honors it at any size — and the projection stays driver-safe to
+    # roughly SF1000 (~30M rows ≈ 500 MB); a deployment past that must
+    # remove the hint (AQE then plans a shuffled join from the same
+    # declarative shape — semantics unchanged, one exchange returns).
     region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = t(spark, sf_dir, "nation")
     nat_asia = nation.join(
@@ -149,7 +151,11 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shuffle_hash on the date-filtered orders side: when both facts
         # come bucketed on orderkey the distribution is already satisfied,
         # so the hint swaps the sort-merge for a per-bucket hash build on
-        # the small side and elides the 60M-row lineitem sort entirely
+        # the small side and elides the 60M-row lineitem sort entirely.
+        # On the plain (unbucketed) path the same hint yields a shuffled
+        # hash join whose per-partition build is the filtered orders
+        # slice (spill-capable since Spark 3.2); heavy orderkey skew is
+        # the one regime where removing the hint (sort-merge) is safer
         li.join(orders.hint("shuffle_hash"),
                 li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust_asia), orders.o_custkey == cust_asia.c_custkey)

@@ -70,7 +70,7 @@ def _catalog_writer_raw(session) -> CatalogWriter:
             host=u.hostname, port=u.port or 3306,
             user=unquote(u.username) if u.username else u.username,
             password=unquote(u.password) if u.password else u.password,
-            database=u.path.lstrip("/"))
+            database=unquote(u.path.lstrip("/")))
     if path.endswith((".duckdb", ".ddb")):
         return CatalogWriter.duckdb(path)
     if path.endswith((".sqlite", ".sqlite3", ".db")):

@@ -225,6 +225,33 @@ def test_merge_by_source_delete_equalizes(dl, spark):
     assert got == [(1, "s", 10.0), (2, "s", 20.0), (77, "s", 77.0)]
 
 
+def test_merge_duplicate_not_matched_clause_rejected(dl):
+    with pytest.raises(InvalidConfig, match="one NOT MATCHED insert"):
+        dl.sql("MERGE INTO main.t USING main.t s USING (id) "
+               "WHEN NOT MATCHED AND s.id > 5 THEN INSERT "
+               "WHEN NOT MATCHED THEN INSERT")
+
+
+def test_merge_error_after_consuming_action_does_not_fire(dl, spark):
+    # first-match-wins: an unconditional UPDATE consumes every match, so
+    # a later THEN ERROR can never see a row
+    dl.create_table("main.esrc", spark.createDataFrame(
+        [(1, "e", 1.0)], "id INT, tag STRING, v DOUBLE"))
+    dl.sql("MERGE INTO main.t USING main.esrc USING (id) "
+           "WHEN MATCHED THEN UPDATE WHEN MATCHED THEN ERROR")
+    got = {r["id"]: r["tag"] for r in dl.table("main.t").collect()}
+    assert got[1] == "e"
+    # a predicate-gated action exempts only its rows: a remaining match
+    # still trips the ERROR
+    from datafusion_ducklake_spark.errors import MergeActionError
+    dl.create_table("main.esrc2", spark.createDataFrame(
+        [(2, "f", 1.0), (3, "f", 1.0)], "id INT, tag STRING, v DOUBLE"))
+    with pytest.raises(MergeActionError):
+        dl.sql("MERGE INTO main.t USING main.esrc2 USING (id) "
+               "WHEN MATCHED AND t.id = 2 THEN UPDATE "
+               "WHEN MATCHED THEN ERROR")
+
+
 def test_merge_sql_using_key_list_and_by_source(dl, spark):
     dl.create_table("main.src2", spark.createDataFrame(
         [(0, "a", 0.0), (25, "z", 2.5)], "id INT, tag STRING, v DOUBLE"))

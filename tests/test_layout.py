@@ -117,6 +117,32 @@ def test_cluster_by_files_are_catalog_rows(clustered_dl):
     assert total == clustered_dl.table("main.orders").count()
 
 
+def test_corrupt_clustering_spec_falls_back_not_raises(spark, clustered_dl):
+    """A foreign writer leaving a malformed spec value (bad bucket count,
+    non-integer n_files) must degrade to the plain scan, never raise from
+    to_df — same contract as every other spec-validation failure."""
+    import json
+    handle = clustered_dl.table_handle("main.orders")
+    raw = clustered_dl.provider.get_scoped_option(
+        "clustering", None, handle.meta.table_id)
+    spec = json.loads(raw)
+    expected = clustered_dl.table("main.orders").count()
+    from datafusion_ducklake_spark.metadata.writer import CatalogWriter
+    for bad in ({**spec, "buckets": "4.0"}, {k: v for k, v in spec.items()
+                                             if k != "buckets"},
+                {**spec, "n_files": "8"}):
+        w = CatalogWriter.sqlite(clustered_dl.catalog_path)
+        try:
+            w.set_option("clustering", json.dumps(bad), scope="table",
+                         scope_id=handle.meta.table_id)
+        finally:
+            w.close()
+        clustered_dl.refresh()
+        h = clustered_dl.table_handle("main.orders")
+        assert h._clustered_df() is None
+        assert clustered_dl.table("main.orders").count() == expected
+
+
 def test_cluster_by_preserves_rowids(spark, clustered_dl):
     rows = clustered_dl.table("main.orders", with_rowid=True)
     n = rows.count()
