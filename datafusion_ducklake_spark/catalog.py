@@ -265,10 +265,25 @@ class DuckLakeTable:
         # catalog-referenced files must exist — the location-based
         # session-table scan would otherwise SILENTLY return empty for a
         # moved/deleted data path, where the plain path raises
-        # CatalogCorruption (ref: table.rs:340-354 missing-file contract)
+        # CatalogCorruption (ref: table.rs:340-354 missing-file contract).
+        # Local and file:// URIs check via os.path; object-store URIs via
+        # the Hadoop FileSystem (bounded: one driver round trip per
+        # bucket file) — the silent-empty hazard is identical there.
         from .sources.scan import _check_local_exists
+        remote = [f.data_uri for f in self.files
+                  if "://" in f.data_uri
+                  and not f.data_uri.startswith("file://")]
         for f in self.files:
             _check_local_exists(f.data_uri)
+        if remote:
+            from .table_writer import _HadoopFs
+            from .errors import CatalogCorruption
+            fs = _HadoopFs(self.spark, remote[0])
+            for uri in remote:
+                if not fs.exists(uri):
+                    raise CatalogCorruption(
+                        "Catalog corruption: file referenced by catalog "
+                        f"does not exist: {uri}")
         # the spec key and table location are embedded in DDL below:
         # validate the key against the live column list (a catalog-
         # supplied value must never reach SQL unchecked) and refuse

@@ -135,12 +135,17 @@ def cluster_by(session, name: str, key: str, buckets: int,
     table_path = handle.table_path
     base = table_path[len("file://"):] \
         if table_path.startswith("file://") else table_path
-    if "://" in base:
-        raise InvalidConfig(
-            "cluster_by currently supports local / file:// table paths")
+    # any scheme'd path (file://, s3a://, hdfs://, gs://, abfss://)
+    # routes enumeration through the Hadoop FileSystem API — the same
+    # object-store-capable route the write path stages through
+    # (table_writer._finalize_hadoop); file:// is what is
+    # integration-testable offline and exercises the identical code
+    scheme_d = "://" in table_path
+    is_local = "://" not in base
 
     rel_dir = f"clustered_{uuid.uuid4().hex[:12]}"
-    out_dir = os.path.join(base, rel_dir)
+    out_dir = table_path.rstrip("/") + "/" + rel_dir if scheme_d \
+        else os.path.join(base, rel_dir)
 
     # rewrite keeping rowids in the reserved in-file column (the same
     # stable-rowid convention as UPDATE/compaction outputs)
@@ -160,13 +165,34 @@ def cluster_by(session, name: str, key: str, buckets: int,
     spark.sql(f"DROP TABLE {tmp}")   # external: metadata only, files stay
 
     staged = []
-    for fname in sorted(os.listdir(out_dir)):
-        if not fname.endswith(".parquet"):
-            continue
-        fpath = os.path.join(out_dir, fname)
-        md = pq.ParquetFile(fpath).metadata
-        staged.append((fname, os.path.getsize(fpath),
-                       md.serialized_size, md.num_rows))
+    if scheme_d:
+        # object-store discipline: sizes from FileStatus, footer sizes
+        # from an 8-byte ranged tail read, row counts from ONE
+        # distributed count-from-footer-stats job — the driver never
+        # downloads payload bytes (same contract as _finalize_hadoop)
+        from ..table_writer import _HadoopFs, _footer_size_from_tail
+        fs = _HadoopFs(spark, out_dir)
+        counts = {
+            r["f"].rsplit("/", 1)[-1]: r["count"]
+            for r in (spark.read.parquet(out_dir)
+                      .groupBy(F.col("_metadata.file_path").alias("f"))
+                      .count().collect())}
+        for fname in sorted(fs.list_names(out_dir)):
+            if not fname.endswith(".parquet"):
+                continue
+            fpath = out_dir.rstrip("/") + "/" + fname
+            tail = fs.tail(fpath, 8)
+            staged.append((fname, fs.size(fpath),
+                           _footer_size_from_tail(tail, fpath),
+                           int(counts.get(fname, 0))))
+    else:
+        for fname in sorted(os.listdir(out_dir)):
+            if not fname.endswith(".parquet"):
+                continue
+            fpath = os.path.join(out_dir, fname)
+            md = pq.ParquetFile(fpath).metadata
+            staged.append((fname, os.path.getsize(fpath),
+                           md.serialized_size, md.num_rows))
 
     schema_name, table_name = session._split(name)
     cols = [ColumnDef(c.column_name, c.column_type, c.nulls_allowed,
@@ -200,10 +226,14 @@ def cluster_by(session, name: str, key: str, buckets: int,
                                  file_size_bytes=size, footer_size=footer,
                                  record_count=count, row_id_start=None,
                                  mapping_id=mid))
-                writer.register_file_column_stats(
-                    fid, handle.meta.table_id,
-                    column_stats_of(os.path.join(out_dir, fname),
-                                    ids_by_name, geo))
+                # stats need a locally-readable footer (file:// included);
+                # pure object-store files skip them — the same documented
+                # trade-off as the INSERT staging path (_local_readable)
+                if is_local:
+                    local_f = os.path.join(base, rel_dir, fname)
+                    writer.register_file_column_stats(
+                        fid, handle.meta.table_id,
+                        column_stats_of(local_f, ids_by_name, geo))
                 n_rows += count
             n_files = sum(1 for _f, _s, _ft, count in staged if count)
             writer.set_option(

@@ -217,6 +217,9 @@ class _HadoopFs:
     def size(self, path: str) -> int:
         return int(self._fs.getFileStatus(self._p(path)).getLen())
 
+    def exists(self, path: str) -> bool:
+        return bool(self._fs.exists(self._p(path)))
+
     def delete(self, path: str, recursive: bool = False) -> None:
         self._fs.delete(self._p(path), recursive)
 

@@ -128,19 +128,29 @@ def test_corrupt_clustering_spec_falls_back_not_raises(spark, clustered_dl):
     spec = json.loads(raw)
     expected = clustered_dl.table("main.orders").count()
     from datafusion_ducklake_spark.metadata.writer import CatalogWriter
-    for bad in ({**spec, "buckets": "4.0"}, {k: v for k, v in spec.items()
-                                             if k != "buckets"},
-                {**spec, "n_files": "8"}):
+    try:
+        for bad in ({**spec, "buckets": "4.0"},
+                    {k: v for k, v in spec.items() if k != "buckets"},
+                    {**spec, "n_files": "8"}):
+            w = CatalogWriter.sqlite(clustered_dl.catalog_path)
+            try:
+                w.set_option("clustering", json.dumps(bad), scope="table",
+                             scope_id=handle.meta.table_id)
+            finally:
+                w.close()
+            clustered_dl.refresh()
+            h = clustered_dl.table_handle("main.orders")
+            assert h._clustered_df() is None
+            assert clustered_dl.table("main.orders").count() == expected
+    finally:
+        # the fixture is shared: put the intact spec back
         w = CatalogWriter.sqlite(clustered_dl.catalog_path)
         try:
-            w.set_option("clustering", json.dumps(bad), scope="table",
+            w.set_option("clustering", raw, scope="table",
                          scope_id=handle.meta.table_id)
         finally:
             w.close()
         clustered_dl.refresh()
-        h = clustered_dl.table_handle("main.orders")
-        assert h._clustered_df() is None
-        assert clustered_dl.table("main.orders").count() == expected
 
 
 def test_cluster_by_preserves_rowids(spark, clustered_dl):
@@ -210,6 +220,46 @@ def test_cluster_by_time_travel_reads_pre_layout(spark, tmp_path):
     pinned = DuckLakeSession(spark, db, snapshot_id=pre)
     assert sorted(r["id"] for r in pinned.table("main.g").collect()) \
         == list(range(100))
+
+
+def test_cluster_by_scheme_d_path_through_hadoop_fs(spark, tmp_path):
+    """A scheme'd data_path routes cluster_by's bucket-file enumeration
+    through the Hadoop FileSystem API (sizes from FileStatus, footer
+    sizes from an 8-byte tail read, counts from one distributed
+    footer-stats job) — the object-store-capable route. s3a:// etc. use
+    the identical code path; file:// is what is integration-testable
+    offline. The read fast path reconstructs the bucketed scan over the
+    scheme'd location and still joins with zero exchanges."""
+    from datafusion_ducklake_spark.catalog import DuckLakeSession
+    from datafusion_ducklake_spark.metadata.writer import CatalogWriter
+    db = str(tmp_path / "cs.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=f"file://{tmp_path}/lakes")
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.create_table("main.s1", spark.createDataFrame(
+        [(i % 50, i) for i in range(500)], "k INT, id INT"))
+    dl.create_table("main.s2", spark.createDataFrame(
+        [(i % 50, i * 2) for i in range(500)], "k INT, v INT"))
+    assert dl.cluster_by("main.s1", "k", 4) == 500
+    assert dl.cluster_by("main.s2", "k", 4) == 500
+    # catalog rows carry real sizes/footers/counts from the Hadoop route
+    files = dl.table_handle("main.s1")._raw_files
+    assert len(files) == 4
+    assert all(f.file_size_bytes > 0 and f.footer_size > 0
+               for f in files)
+    assert sum(f.record_count for f in files) == 500
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = dl.table("main.s1").join(dl.table("main.s2"), "k")
+        assert join_side_exchanges(j) == 0
+        assert j.count() == 500 * 10
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    # values identical to an unclustered rebuild
+    assert sorted((r["k"], r["id"])
+                  for r in dl.table("main.s1").collect()) == \
+        sorted((i % 50, i) for i in range(500))
 
 
 def test_cluster_by_refusals(spark, tmp_path):
