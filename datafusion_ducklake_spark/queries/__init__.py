@@ -52,6 +52,14 @@ _SPECS = [
               ducklake_gate.ORACLE_STRUCT_EVO, False),
     QuerySpec("ducklake_clustered_agg", ducklake_gate.ducklake_clustered_agg,
               ducklake_gate.ORACLE_CLUSTERED_AGG),
+    # round-7 reshaped queries ride at the front of the driver's
+    # 50-entry CORRECTNESS window: the queries whose plans changed most
+    # recently are the ones the independent driver hash-check must cover
+    QuerySpec("q05_local_supplier_volume", tpch.q05_local_supplier_volume, tpch.ORACLE_Q05, True),
+    QuerySpec("q08_market_share", tpch2.q08_market_share, tpch2.ORACLE_Q08, True),
+    QuerySpec("q10_returned_items", tpch.q10_returned_items, tpch.ORACLE_Q10, True),
+    QuerySpec("q14_promo_revenue", tpch.q14_promo_revenue, tpch.ORACLE_Q14, True),
+    QuerySpec("events_hourly_rollup", events.events_hourly_rollup, events.ORACLE_HOURLY, True),
     QuerySpec("ducklake_transform_agg", ducklake_gate.ducklake_transform_agg,
               ducklake_gate.ORACLE_TRANSFORM_AGG, False),
     QuerySpec("ducklake_geo_agg", ducklake_gate.ducklake_geo_agg,
@@ -141,7 +149,6 @@ _SPECS = [
     QuerySpec("lang_id_heuristic", documents.lang_id_heuristic, documents.ORACLE_LANG_ID, False),
     QuerySpec("doc_fingerprint", documents.doc_fingerprint, documents.ORACLE_FINGERPRINT, False),
     # events / time-series
-    QuerySpec("events_hourly_rollup", events.events_hourly_rollup, events.ORACLE_HOURLY, True),
     QuerySpec("events_running_value", events.events_running_value, events.ORACLE_RUNNING, True),
     QuerySpec("events_gap_to_next", events.events_gap_to_next, events.ORACLE_GAP, False),
     QuerySpec("events_json_props", events.events_json_props, events.ORACLE_JSON, False),
@@ -163,12 +170,9 @@ _SPECS = [
     QuerySpec("q01_pricing_summary", tpch.q01_pricing_summary, tpch.ORACLE_Q01, True),
     QuerySpec("q03_shipping_priority", tpch.q03_shipping_priority, tpch.ORACLE_Q03, True),
     QuerySpec("q04_order_priority", tpch.q04_order_priority, tpch.ORACLE_Q04, True),
-    QuerySpec("q05_local_supplier_volume", tpch.q05_local_supplier_volume, tpch.ORACLE_Q05, True),
     QuerySpec("q06_forecast_revenue", tpch.q06_forecast_revenue, tpch.ORACLE_Q06, True),
     QuerySpec("q07_volume_shipping", tpch.q07_volume_shipping, tpch.ORACLE_Q07, True),
-    QuerySpec("q10_returned_items", tpch.q10_returned_items, tpch.ORACLE_Q10, True),
     QuerySpec("q13_customer_distribution", tpch.q13_customer_distribution, tpch.ORACLE_Q13, True),
-    QuerySpec("q14_promo_revenue", tpch.q14_promo_revenue, tpch.ORACLE_Q14, True),
     QuerySpec("q18_large_orders", tpch.q18_large_orders, tpch.ORACLE_Q18, True),
     QuerySpec("q19_discounted_revenue", tpch.q19_discounted_revenue, tpch.ORACLE_Q19, True),
     QuerySpec("q21_idle_suppliers", tpch.q21_idle_suppliers, tpch.ORACLE_Q21, False),
@@ -178,7 +182,6 @@ _SPECS = [
     QuerySpec("window_top_order_per_customer", tpch.window_top_order_per_customer,
               tpch.ORACLE_WINDOW_TOP, True),
     QuerySpec("setop_active_parties", tpch.setop_active_parties, tpch.ORACLE_SETOP, False),
-    QuerySpec("q08_market_share", tpch2.q08_market_share, tpch2.ORACLE_Q08, True),
     QuerySpec("q09_product_profit", tpch2.q09_product_profit, tpch2.ORACLE_Q09, True),
     QuerySpec("q11_important_balances", tpch2.q11_important_balances, tpch2.ORACLE_Q11, False),
     QuerySpec("q12_shipping_buckets", tpch2.q12_shipping_buckets, tpch2.ORACLE_Q12, True),
