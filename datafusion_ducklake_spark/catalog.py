@@ -262,28 +262,6 @@ class DuckLakeTable:
             return None
         if self.inlined_rows():
             return None
-        # catalog-referenced files must exist — the location-based
-        # session-table scan would otherwise SILENTLY return empty for a
-        # moved/deleted data path, where the plain path raises
-        # CatalogCorruption (ref: table.rs:340-354 missing-file contract).
-        # Local and file:// URIs check via os.path; object-store URIs via
-        # the Hadoop FileSystem (bounded: one driver round trip per
-        # bucket file) — the silent-empty hazard is identical there.
-        from .sources.scan import _check_local_exists
-        remote = [f.data_uri for f in self.files
-                  if "://" in f.data_uri
-                  and not f.data_uri.startswith("file://")]
-        for f in self.files:
-            _check_local_exists(f.data_uri)
-        if remote:
-            from .table_writer import _HadoopFs
-            from .errors import CatalogCorruption
-            fs = _HadoopFs(self.spark, remote[0])
-            for uri in remote:
-                if not fs.exists(uri):
-                    raise CatalogCorruption(
-                        "Catalog corruption: file referenced by catalog "
-                        f"does not exist: {uri}")
         # the spec key and table location are embedded in DDL below:
         # validate the key against the live column list (a catalog-
         # supplied value must never reach SQL unchecked) and refuse
@@ -301,6 +279,36 @@ class DuckLakeTable:
         loc = self.table_path.rstrip("/") + "/" + spec["dir"]
         if "'" in loc or "`" in loc:
             return None
+        # catalog-referenced files must exist — the location-based
+        # session-table scan would otherwise SILENTLY return empty for a
+        # moved/deleted data path, where the plain path raises
+        # CatalogCorruption (ref: table.rs:340-354 missing-file contract).
+        # Runs LAST so corrupt specs are rejected for free above. Local
+        # and file:// URIs check via os.path; object-store URIs via ONE
+        # Hadoop LIST of the clustered dir (the marker check above
+        # guarantees every live file shares it) + set membership.
+        from .sources.scan import _check_local_exists
+        remote = [f.data_uri for f in self.files
+                  if "://" in f.data_uri
+                  and not f.data_uri.startswith("file://")]
+        for f in self.files:
+            _check_local_exists(f.data_uri)
+        if remote:
+            from .errors import CatalogCorruption
+            from .table_writer import _HadoopFs
+            dir_uri = remote[0].rsplit("/", 1)[0]
+            try:
+                fs = _HadoopFs(self.spark, dir_uri)
+                present = {n for n, _sz in fs.list_files(dir_uri)}
+            except Exception as e:
+                raise CatalogCorruption(
+                    "Catalog corruption: clustered data directory is "
+                    f"unreadable or missing: {dir_uri} ({e})") from e
+            for uri in remote:
+                if uri.rsplit("/", 1)[-1] not in present:
+                    raise CatalogCorruption(
+                        "Catalog corruption: file referenced by catalog "
+                        f"does not exist: {uri}")
         pdigest = hashlib.md5(self.table_path.encode()).hexdigest()[:12]
         ddigest = hashlib.md5(spec["dir"].encode()).hexdigest()[:8]
         # qualify with an explicit database: the helper must not land in

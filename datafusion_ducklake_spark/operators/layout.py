@@ -164,35 +164,25 @@ def cluster_by(session, name: str, key: str, buckets: int,
     w.saveAsTable(tmp)
     spark.sql(f"DROP TABLE {tmp}")   # external: metadata only, files stay
 
-    staged = []
     if scheme_d:
-        # object-store discipline: sizes from FileStatus, footer sizes
-        # from an 8-byte ranged tail read, row counts from ONE
-        # distributed count-from-footer-stats job — the driver never
-        # downloads payload bytes (same contract as _finalize_hadoop)
-        from ..table_writer import _HadoopFs, _footer_size_from_tail
-        fs = _HadoopFs(spark, out_dir)
-        counts = {
-            r["f"].rsplit("/", 1)[-1]: r["count"]
-            for r in (spark.read.parquet(out_dir)
-                      .groupBy(F.col("_metadata.file_path").alias("f"))
-                      .count().collect())}
-        for fname in sorted(fs.list_names(out_dir)):
-            if not fname.endswith(".parquet"):
-                continue
-            fpath = out_dir.rstrip("/") + "/" + fname
-            tail = fs.tail(fpath, 8)
-            staged.append((fname, fs.size(fpath),
-                           _footer_size_from_tail(tail, fpath),
-                           int(counts.get(fname, 0))))
+        # object-store discipline (shared with the INSERT staging path):
+        # one LIST for names+sizes, 8-byte tail footer reads, ONE
+        # distributed count job — the driver never downloads payloads
+        from ..table_writer import _enumerate_parquet_dir
+        staged = _enumerate_parquet_dir(spark, out_dir)
     else:
+        from ..table_writer import footer_size_of
+        staged = []
         for fname in sorted(os.listdir(out_dir)):
             if not fname.endswith(".parquet"):
                 continue
             fpath = os.path.join(out_dir, fname)
-            md = pq.ParquetFile(fpath).metadata
+            # footer_size follows the trailing-8-bytes convention every
+            # other write path records (table_writer.footer_size_of),
+            # not pyarrow's re-serialization estimate
             staged.append((fname, os.path.getsize(fpath),
-                           md.serialized_size, md.num_rows))
+                           footer_size_of(fpath),
+                           pq.ParquetFile(fpath).metadata.num_rows))
 
     schema_name, table_name = session._split(name)
     cols = [ColumnDef(c.column_name, c.column_type, c.nulls_allowed,

@@ -227,14 +227,22 @@ class _HadoopFs:
         return [(st.getPath().getName(), bool(st.isDirectory()))
                 for st in self._fs.listStatus(self._p(dir_path))]
 
+    def list_files(self, dir_path: str) -> list[tuple[str, int]]:
+        """(name, size) for every plain file — one LIST RPC, no
+        per-file getFileStatus round trips."""
+        return [(st.getPath().getName(), int(st.getLen()))
+                for st in self._fs.listStatus(self._p(dir_path))
+                if not st.isDirectory()]
+
     def mkdirs(self, path: str) -> None:
         self._fs.mkdirs(self._p(path))
 
-    def tail(self, path: str, n: int) -> bytes:
+    def tail(self, path: str, n: int, size: Optional[int] = None) -> bytes:
         # py4j passes byte[] by value, so readFully(pos, buf) can't hand
         # data back; n is tiny (8 bytes — the parquet footer-length field),
-        # so per-byte read() round trips are fine.
-        ln = self.size(path)
+        # so per-byte read() round trips are fine. Pass ``size`` when the
+        # file length is already known (from a LIST) to skip one RPC.
+        ln = self.size(path) if size is None else size
         stream = self._fs.open(self._p(path))
         try:
             stream.seek(ln - n)
@@ -408,34 +416,54 @@ def _finalize_local(staging: str, table_path: str
     return staged
 
 
+def _enumerate_parquet_dir(spark, dir_path: str
+                           ) -> list[tuple[str, int, int, int]]:
+    """[(name, size, footer, rows)] for every parquet file already in a
+    scheme'd directory — object-store discipline: one LIST RPC for
+    names+sizes, an 8-byte ranged tail per file for the footer length,
+    ONE distributed count-from-footer-stats job for row counts (skipped
+    entirely when the directory holds no parquet files, e.g. the
+    rewrite of an empty table — spark.read.parquet cannot infer a
+    schema from nothing). The driver never downloads payload bytes."""
+    from pyspark.sql import functions as F
+
+    fs = _HadoopFs(spark, dir_path)
+    files = sorted((n, sz) for n, sz in fs.list_files(dir_path)
+                   if n.endswith(".parquet"))
+    if not files:
+        return []
+    counts = {
+        r["f"].rsplit("/", 1)[-1]: r["count"]
+        for r in (spark.read.parquet(dir_path)
+                  .groupBy(F.col("_metadata.file_path").alias("f"))
+                  .count().collect())}
+    out = []
+    for name, sz in files:
+        fpath = dir_path.rstrip("/") + "/" + name
+        tail = fs.tail(fpath, 8, size=sz)
+        out.append((name, sz, _footer_size_from_tail(tail, fpath),
+                    int(counts.get(name, 0))))
+    return out
+
+
 def _finalize_hadoop(spark, staging: str, table_path: str
                      ) -> list[tuple[str, int, int, int]]:
     """Hadoop-FS staging finalize (file:// s3a:// hdfs:// gs:// abfss://).
 
     Row counts come from one distributed metadata job over the staged
-    parquet (count-from-footer-stats; no payload read), sizes from
-    FileStatus, footer sizes from an 8-byte ranged tail read — the driver
+    parquet (count-from-footer-stats; no payload read), sizes from one
+    LIST, footer sizes from an 8-byte ranged tail read — the driver
     never downloads file contents, matching the reference's object_store
-    discipline (table_writer.rs:261-274)."""
-    from pyspark.sql import functions as F
-
+    discipline (table_writer.rs:261-274). Size/footer/rows are measured
+    BEFORE the rename (they are rename-invariant), so an empty staging
+    dir finalizes to zero files instead of crashing schema inference."""
     fs = _HadoopFs(spark, table_path)
-    counts = {
-        r["f"].rsplit("/", 1)[-1]: r["count"]
-        for r in (spark.read.parquet(staging)
-                  .groupBy(F.col("_metadata.file_path").alias("f"))
-                  .count().collect())}
     staged = []
-    for part in sorted(fs.list_names(staging)):
-        if not part.endswith(".parquet"):
-            continue
+    for part, size, footer, rows in _enumerate_parquet_dir(spark, staging):
         final_name = f"ducklake-{uuid.uuid4()}.parquet"
         final_path = table_path.rstrip("/") + "/" + final_name
         fs.rename(staging.rstrip("/") + "/" + part, final_path)
-        tail = fs.tail(final_path, 8)
-        staged.append((final_name, fs.size(final_path),
-                       _footer_size_from_tail(tail, final_path),
-                       int(counts.get(part, 0))))
+        staged.append((final_name, size, footer, rows))
     fs.delete(staging, recursive=True)
     return staged
 

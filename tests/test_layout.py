@@ -262,6 +262,23 @@ def test_cluster_by_scheme_d_path_through_hadoop_fs(spark, tmp_path):
         sorted((i % 50, i) for i in range(500))
 
 
+def test_cluster_by_empty_table_scheme_d(spark, tmp_path):
+    """Clustering an empty table over a scheme'd path registers zero
+    files and returns 0 instead of crashing schema inference on the
+    empty bucket directory (code-review r7)."""
+    from datafusion_ducklake_spark.catalog import DuckLakeSession
+    from datafusion_ducklake_spark.metadata.writer import CatalogWriter
+    db = str(tmp_path / "ce.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=f"file://{tmp_path}/lakee")
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.create_table("main.e", spark.createDataFrame(
+        [], "k INT, id INT"))
+    assert dl.cluster_by("main.e", "k", 4) == 0
+    assert dl.table("main.e").count() == 0
+
+
 def test_cluster_by_refusals(spark, tmp_path):
     from datafusion_ducklake_spark.catalog import DuckLakeSession
     from datafusion_ducklake_spark.errors import InvalidConfig
