@@ -379,8 +379,12 @@ class CatalogWriter:
         # sql_mode reads "..." as a string literal, so opt into
         # ANSI_QUOTES for this session before any statement runs
         cur = conn.cursor()
-        cur.execute(
-            "SET SESSION sql_mode = CONCAT(@@sql_mode, ',ANSI_QUOTES')")
+        # CONCAT_WS + NULLIF: a bare CONCAT(@@sql_mode, ',ANSI_QUOTES')
+        # yields a LEADING-COMMA list when @@sql_mode is empty, which
+        # strict configurations reject (r7 ADVICE) — this form appends
+        # cleanly whether the current mode list is empty or not
+        cur.execute("SET SESSION sql_mode = "
+                    "CONCAT_WS(',', NULLIF(@@sql_mode, ''), 'ANSI_QUOTES')")
         cur.close()
         return cls(_QmarkConn(conn), "mysql")
 

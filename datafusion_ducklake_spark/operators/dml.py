@@ -665,6 +665,38 @@ def update_rows(session, name: str, assignments: dict,
         cached.unpersist()
 
 
+def _filter_with_absent_side(df: DataFrame, pred: str, present_alias: str,
+                             absent_schema, absent_alias: str,
+                             spark) -> DataFrame:
+    """Filter ``df`` (aliased ``present_alias``) with a MERGE clause
+    predicate that may reference the ABSENT side's columns — upstream
+    evaluates such references as NULL (a NOT MATCHED BY SOURCE predicate
+    has no source row; a NOT MATCHED insert predicate has no target row),
+    so comparisons against them come out not-TRUE and the action skips,
+    rather than failing analysis (r7 ADVICE: we raised AnalysisException).
+
+    Resolution is attempted over the present side alone first; only if
+    that fails is a ONE-ROW all-NULL projection of the absent schema
+    attached under its alias (broadcast cross join — size-invariant at
+    any scale) and the result re-projected to the present side's columns.
+    A predicate that resolves on neither frame still raises — typos stay
+    loud."""
+    from pyspark.errors import AnalysisException
+    present = df.alias(present_alias)
+    try:
+        out = present.filter(F.expr(pred))
+        out.schema          # force analysis NOW, inside the guard
+        return out
+    except AnalysisException:
+        nulls = spark.range(1).select(
+            *[F.lit(None).cast(f.dataType).alias(f.name)
+              for f in absent_schema.fields]).alias(absent_alias)
+        out = (present.crossJoin(F.broadcast(nulls))
+               .filter(F.expr(pred)).select(f"{present_alias}.*"))
+        out.schema
+        return out
+
+
 def merge_rows(session, target: str, source: DataFrame, on: list[str],
                when_matched_update: Optional[dict] = None,
                when_matched_delete: bool = False,
@@ -696,7 +728,12 @@ def merge_rows(session, target: str, source: DataFrame, on: list[str],
     the given predicate, if it is a string) exists — WHEN MATCHED THEN
     ERROR. ``by_source_delete`` deletes target rows no source row joins
     to (WHEN NOT MATCHED BY SOURCE THEN DELETE), optionally gated by
-    ``by_source_pred`` over the target columns.
+    ``by_source_pred`` over the target columns. In NOT MATCHED
+    predicates, references to the ABSENT side's columns (``src.`` in a
+    BY SOURCE predicate, ``tgt.`` in an insert predicate) evaluate as
+    NULL — the upstream engine's semantics (there is no row on that
+    side) — so comparisons against them come out not-TRUE and the
+    action skips; unknown columns still raise.
 
     Multiple source rows matching one target row are not detected (DuckDB
     raises; here the last-writer is undefined) — pre-aggregate the source
@@ -776,7 +813,10 @@ def merge_rows(session, target: str, source: DataFrame, on: list[str],
                 src, [F.col(f"tgt.{k}") == F.col(f"src.{k}") for k in on],
                 "left_anti")
             if by_source_pred is not None:
-                bs = bs.alias("tgt").filter(F.expr(by_source_pred))
+                # src.<col> refs evaluate as NULL here (no source row)
+                bs = _filter_with_absent_side(
+                    bs, by_source_pred, "tgt", source.schema, "src",
+                    session.spark)
             bs_pos = bs.select(FILE_COL, POS_COL).persist()
             n_by_source = bs_pos.count()
             matched_pos = matched_pos.unionByName(bs_pos)
@@ -784,8 +824,10 @@ def merge_rows(session, target: str, source: DataFrame, on: list[str],
         if when_not_matched_insert:
             unmatched = src.join(live.select(*on), on, "left_anti")
             if when_not_matched_pred is not None:
-                unmatched = unmatched.alias("src").filter(
-                    F.expr(when_not_matched_pred))
+                # tgt.<col> refs evaluate as NULL here (no target row)
+                unmatched = _filter_with_absent_side(
+                    unmatched, when_not_matched_pred, "src",
+                    handle.spark_schema, "tgt", session.spark)
             if isinstance(when_not_matched_insert, dict):
                 # INSERT (cols) VALUES (exprs) — exprs over src.<col>;
                 # unnamed target columns take NULL (merge corpus shape)

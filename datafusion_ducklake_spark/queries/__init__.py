@@ -54,7 +54,14 @@ _SPECS = [
               ducklake_gate.ORACLE_CLUSTERED_AGG),
     # round-7 reshaped queries ride at the front of the driver's
     # 50-entry CORRECTNESS window: the queries whose plans changed most
-    # recently are the ones the independent driver hash-check must cover
+    # recently are the ones the independent driver hash-check must cover.
+    # Window-displacement ledger (r7 ADVICE): inserting these five evicted
+    # the five specs that previously closed the window — now slots 51-55:
+    # embedding_label_stats, embedding_centroid_assign,
+    # embedding_int8_quant, kmeans_centroids, ivf_trained_ann — from the
+    # driver's independent hash check; they stay covered by the local
+    # 94/94 gate (tools/check_correctness.py), whose log is committed
+    # per round as CORRECTNESS_r{N}_local.txt
     QuerySpec("q05_local_supplier_volume", tpch.q05_local_supplier_volume, tpch.ORACLE_Q05, True),
     QuerySpec("q08_market_share", tpch2.q08_market_share, tpch2.ORACLE_Q08, True),
     QuerySpec("q10_returned_items", tpch.q10_returned_items, tpch.ORACLE_Q10, True),

@@ -106,6 +106,20 @@ def set_exact_sums(flag: bool) -> None:
     _EXACT_SUMS = flag
 
 
+# Bench-only plan rewrites that snapshot data properties at DataFrame
+# BUILD time (e.g. cb_top_users' event-type domain collect). Off by
+# default: the library-default plan must stay valid across appends — a
+# cached domain-snapshot plan silently undercounts after an append with
+# a new value (r7 ADVICE). bench.py turns this on; it rebuilds every
+# DataFrame per timed run, so the snapshot is always fresh there.
+_BENCH_REWRITES = False
+
+
+def set_bench_rewrites(flag: bool) -> None:
+    global _BENCH_REWRITES
+    _BENCH_REWRITES = flag
+
+
 def dsum(col: Column | str) -> Column:
     """Sum of a double expression; order-independent exact mode by default
     (see module doc)."""

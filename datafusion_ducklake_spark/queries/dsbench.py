@@ -157,20 +157,26 @@ def cb_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     key. Scale-safe: the collect is bounded by the type-domain size, and
     the main agg stays one partial+final pass over user_id.
 
-    The domain is snapshotted when this function BUILDS the DataFrame:
-    the returned plan is correct for the data at build time, and callers
-    that append events with a previously unseen type must rebuild it
-    (the driver gate and bench both rebuild per execution). A generic
-    countDistinct stays the right shape when the domain is unbounded or
-    the plan must remain valid across appends.
+    The domain is snapshotted when this function BUILDS the DataFrame,
+    so the rewrite is gated behind ``_util.set_bench_rewrites(True)``
+    (r7 ADVICE): bench.py enables it and rebuilds every DataFrame per
+    timed run, so the snapshot is always fresh there. The library
+    default is the generic two-level countDistinct plan, which stays
+    valid across appends and when the domain is unbounded. Same rows
+    and values either way (driver-hash-equal).
     """
+    from . import _util
     ev = load_events(spark, sf_dir)
-    types = sorted(r[0] for r in ev.select("event_type").distinct().collect()
-                   if r[0] is not None)  # countDistinct ignores NULLs
-    flags = [F.max(F.when(F.col("event_type") == ty, 1).otherwise(0))
-             for ty in types]
-    n_types = sum(flags[1:], flags[0]).cast("long") if flags \
-        else F.lit(0).cast("long")
+    if _util._BENCH_REWRITES:
+        types = sorted(
+            r[0] for r in ev.select("event_type").distinct().collect()
+            if r[0] is not None)  # countDistinct ignores NULLs
+        flags = [F.max(F.when(F.col("event_type") == ty, 1).otherwise(0))
+                 for ty in types]
+        n_types = sum(flags[1:], flags[0]).cast("long") if flags \
+            else F.lit(0).cast("long")
+    else:
+        n_types = F.countDistinct("event_type")
     return (ev.groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  n_types.alias("n_types"))

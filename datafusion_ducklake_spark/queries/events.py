@@ -32,14 +32,21 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per group by the users active in ONE hour for one type — a bound
     # set by event rate, not dataset size (more data = more hours) — and
     # ObjectHashAggregate falls back to sort-based merging under pressure.
-    # If that per-hour bound doesn't hold for a deployment, swap back to
-    # F.countDistinct — same result, row-shaped exchange.
+    # If that per-hour bound doesn't hold for a deployment, set
+    # SPARK_GRAFT_HOURLY_DISTINCT=rows (no code edit, r7 ADVICE): same
+    # result through the generic countDistinct row-shaped exchange.
+    import os
+    if os.environ.get("SPARK_GRAFT_HOURLY_DISTINCT") == "rows":
+        n_users = F.countDistinct("user_id").alias("n_users")
+    else:
+        n_users = (F.size(F.collect_set("user_id")).cast("long")
+                   .alias("n_users"))
     return (
         ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"),
                    "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"),
              dsum("value").alias("total_value"),
-             F.size(F.collect_set("user_id")).cast("long").alias("n_users"))
+             n_users)
         .select(F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
                 "event_type", "n_events", "total_value", "n_users")
     )

@@ -170,6 +170,8 @@ def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.element_at(F.col("e"), i + 1).cast("decimal(38,9)")).cast("double")
         / F.count(F.lit(1)), 6).alias(f"c{i}") for i in range(4)]
     cents = emb.groupBy(F.col("label").alias("c_label")).agg(*dims)
+    # broadcast boundary: one row per label — bounded by the label-domain
+    # cardinality (constant, not data-sized); size-invariant broadcast
     joined = emb.crossJoin(F.broadcast(cents))
     dist = sum(
         (F.element_at(F.col("e"), i + 1) - F.col(f"c{i}"))
@@ -250,6 +252,8 @@ def _km_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment on K_DIMS dims: squared distance
     rounded to 9dp (cross-engine fp safety), centroid id breaks ties."""
     from pyspark.sql.window import Window
+    # broadcast boundary: cents is exactly K_CENTS rows at any data
+    # scale; size-invariant broadcast
     joined = emb.crossJoin(F.broadcast(cents))
     dist = sum((F.col(f"d{i}") - F.col(f"c{i}"))
                * (F.col(f"d{i}") - F.col(f"c{i}")) for i in range(K_DIMS))
@@ -401,6 +405,10 @@ def ivf_trained_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = probes.select(F.col("vec_id").alias("query_id"),
                       *[F.col(f"d{i}").alias(f"q{i}")
                         for i in range(K_DIMS)])
+    # broadcast boundaries: probed ≤ IVF_T_PROBES×IVF_T_NPROBE rows and
+    # q = IVF_T_PROBES rows — both bounded by the query-batch constant,
+    # not by corpus size; a production batch of millions of queries
+    # would drop these hints and shuffle on cent_id/query_id instead
     cand = (assigned.join(F.broadcast(probed), "cent_id")
             .filter(F.col("vec_id") != F.col("query_id"))
             .join(F.broadcast(q), "query_id"))

@@ -333,6 +333,16 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("revenue"))
     )
     return (
+        # Broadcast boundary (r7 verdict #2): rev is one 16-byte
+        # (custkey, revenue) row per customer who BOUGHT in the 3-month
+        # window — it grows linearly with customer count, not with
+        # lineitem. TPC-H has 150k customers/SF and ~1/3 buy per quarter:
+        # SF10 ≈ 500k rows ≈ 8 MB, SF100 ≈ 5M ≈ 80 MB, and at roughly
+        # SF1000 (~50M rows ≈ 800 MB) the MANDATORY hint stops being
+        # driver-safe. Past that, remove the hint: the same declarative
+        # shape then shuffles cust and rev on custkey — still a
+        # digest-sized exchange (one row per buying customer), never the
+        # O(lineitem) shuffle the naive plan pays. Semantics unchanged.
         cust.join(F.broadcast(rev), rev.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
@@ -535,6 +545,9 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     avg_bal_df = cust.filter(F.col("c_acctbal") > 0.0).agg(
         (dsum("c_acctbal") / F.count(F.lit(1))).alias("avg_bal"))
+    # broadcast boundary: avg_bal_df is a global aggregate — exactly ONE
+    # row at any scale, so this broadcast is size-invariant (the scalar-
+    # subquery shape; Spark would plan the same via ScalarSubquery)
     rich = cust.join(F.broadcast(avg_bal_df)).filter(
         F.col("c_acctbal") > F.col("avg_bal"))
     # NOT EXISTS via anti-join against the PRE-AGGREGATED custkey set:

@@ -33,6 +33,10 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole orders⋈lineitem result becomes a map-side hash probe.
     # supplier⋈n2 is a dimension: broadcast with its nation name
     # attached. Same semantics; only the physical join strategy moves.
+    # Broadcast boundary: identical to q05's (tpch.py q05 comment) —
+    # region-restricted single-int-column custkeys stay driver-safe to
+    # roughly SF1000 (~30M rows ≈ 500 MB); past that remove the hint and
+    # the same shape shuffles on custkey (one exchange returns).
     cust_asia = (cust.select("c_custkey", "c_nationkey")
                  .join(F.broadcast(
                      nation.join(region,
@@ -124,6 +128,8 @@ def q11_important_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0.0)
     total = cust.agg(dsum("c_acctbal").alias("tot"))
     per_nation = cust.groupBy("c_nationkey").agg(dsum("c_acctbal").alias("value"))
+    # broadcast boundary: total is a global aggregate — exactly ONE row
+    # at any scale; size-invariant broadcast
     return (per_nation.join(F.broadcast(total))
             .filter(F.col("value") > F.col("tot") * 0.05)
             .select("c_nationkey", "value"))
@@ -352,6 +358,13 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .select("s_suppkey", "s_name", "s_acctbal",
                            F.col("n_name").alias("nation_name")))
 
+    # Broadcast boundaries: europe_supp is region-restricted supplier
+    # (~1/5 of 10k rows/SF, 4 narrow cols ≈ 70 B/row → SF1000 ≈ 2M rows
+    # ≈ 140 MB — driver-safe well past SF1000). The filtered part
+    # projection (~28% of 200k rows/SF × ~35 B) reaches ~2 GB around
+    # SF1000, so its boundary is roughly SF300; past that remove the
+    # hint — ps is already keyed on (partkey, suppkey) and the same
+    # shape shuffles both sides on the equi-keys, semantics unchanged.
     offers = (ps.join(F.broadcast(europe_supp),
                       ps.ps_suppkey == europe_supp.s_suppkey)
               .join(F.broadcast(part.filter(F.col("p_size") < 15)

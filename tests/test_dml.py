@@ -252,6 +252,36 @@ def test_merge_error_after_consuming_action_does_not_fire(dl, spark):
                "WHEN MATCHED THEN ERROR")
 
 
+def test_merge_pred_absent_side_refs_evaluate_null(dl, spark):
+    # upstream evaluates references to the absent side's columns as NULL
+    # (a NOT MATCHED BY SOURCE row has no source row; a NOT MATCHED
+    # insert row has no target row) — r7 ADVICE: we raised instead
+    source = spark.createDataFrame(
+        [(1, "s", 10.0)], "id INT, tag STRING, v DOUBLE")
+    before = _ids(dl)
+    counts = dl.merge_into(
+        "main.t", source, on=["id"], when_not_matched_insert=False,
+        by_source_delete=True, by_source_pred="src.v > 0")
+    assert counts["deleted"] == 0 and _ids(dl) == before  # NULL not TRUE
+    counts = dl.merge_into(
+        "main.t", source, on=["id"], when_not_matched_insert=False,
+        by_source_delete=True,
+        by_source_pred="src.v IS NULL AND tgt.id >= 18")
+    assert counts["deleted"] == 2
+    assert _ids(dl) == [i for i in before if i < 18]
+    # insert predicate referencing the (absent) target side
+    src2 = spark.createDataFrame(
+        [(50, "n", 5.0)], "id INT, tag STRING, v DOUBLE")
+    counts = dl.merge_into("main.t", src2, on=["id"],
+                           when_not_matched_pred="tgt.tag IS NULL")
+    assert counts["inserted"] == 1 and 50 in _ids(dl)
+    # a column that exists on NEITHER side still fails loudly
+    from pyspark.errors import AnalysisException
+    with pytest.raises(AnalysisException):
+        dl.merge_into("main.t", src2, on=["id"],
+                      when_not_matched_pred="src.nope = 1")
+
+
 def test_merge_sql_using_key_list_and_by_source(dl, spark):
     dl.create_table("main.src2", spark.createDataFrame(
         [(0, "a", 0.0), (25, "z", 2.5)], "id INT, tag STRING, v DOUBLE"))
