@@ -52,21 +52,24 @@ _SPECS = [
               ducklake_gate.ORACLE_STRUCT_EVO, False),
     QuerySpec("ducklake_clustered_agg", ducklake_gate.ducklake_clustered_agg,
               ducklake_gate.ORACLE_CLUSTERED_AGG),
-    # round-7 reshaped queries ride at the front of the driver's
+    # recently reshaped queries ride at the front of the driver's
     # 50-entry CORRECTNESS window: the queries whose plans changed most
     # recently are the ones the independent driver hash-check must cover.
-    # Window-displacement ledger (r7 ADVICE): inserting these five evicted
-    # the five specs that previously closed the window — now slots 51-55:
-    # embedding_label_stats, embedding_centroid_assign,
-    # embedding_int8_quant, kmeans_centroids, ivf_trained_ann — from the
-    # driver's independent hash check; they stay covered by the local
-    # 94/94 gate (tools/check_correctness.py), whose log is committed
-    # per round as CORRECTNESS_r{N}_local.txt
+    # Window-displacement ledger (r7 ADVICE): the r7 insertions (q05/q08/
+    # q10/q14/events_hourly_rollup) evicted embedding_label_stats,
+    # embedding_centroid_assign, embedding_int8_quant, kmeans_centroids,
+    # ivf_trained_ann; the r8 insertions (q15 window-max rewrite, q22
+    # shuffle_hash anti join) evict knn_bruteforce_cosine and
+    # ivf_ann_neighbors. Evicted specs stay covered by the local 94/94
+    # gate (tools/check_correctness.py), whose log is committed per
+    # round as CORRECTNESS_r{N}_local.txt
     QuerySpec("q05_local_supplier_volume", tpch.q05_local_supplier_volume, tpch.ORACLE_Q05, True),
     QuerySpec("q08_market_share", tpch2.q08_market_share, tpch2.ORACLE_Q08, True),
     QuerySpec("q10_returned_items", tpch.q10_returned_items, tpch.ORACLE_Q10, True),
     QuerySpec("q14_promo_revenue", tpch.q14_promo_revenue, tpch.ORACLE_Q14, True),
     QuerySpec("events_hourly_rollup", events.events_hourly_rollup, events.ORACLE_HOURLY, True),
+    QuerySpec("q15_top_supplier", tpch2.q15_top_supplier, tpch2.ORACLE_Q15, True),
+    QuerySpec("q22_global_sales_opportunity", tpch.q22_global_sales_opportunity, tpch.ORACLE_Q22, True),
     QuerySpec("ducklake_transform_agg", ducklake_gate.ducklake_transform_agg,
               ducklake_gate.ORACLE_TRANSFORM_AGG, False),
     QuerySpec("ducklake_geo_agg", ducklake_gate.ducklake_geo_agg,
@@ -183,7 +186,6 @@ _SPECS = [
     QuerySpec("q18_large_orders", tpch.q18_large_orders, tpch.ORACLE_Q18, True),
     QuerySpec("q19_discounted_revenue", tpch.q19_discounted_revenue, tpch.ORACLE_Q19, True),
     QuerySpec("q21_idle_suppliers", tpch.q21_idle_suppliers, tpch.ORACLE_Q21, False),
-    QuerySpec("q22_global_sales_opportunity", tpch.q22_global_sales_opportunity, tpch.ORACLE_Q22, True),
     QuerySpec("part_brand_stats", tpch.part_brand_stats, tpch.ORACLE_PART_STATS, False),
     QuerySpec("top_orders", tpch.top_orders, tpch.ORACLE_TOP_ORDERS, False),
     QuerySpec("window_top_order_per_customer", tpch.window_top_order_per_customer,
@@ -192,7 +194,6 @@ _SPECS = [
     QuerySpec("q09_product_profit", tpch2.q09_product_profit, tpch2.ORACLE_Q09, True),
     QuerySpec("q11_important_balances", tpch2.q11_important_balances, tpch2.ORACLE_Q11, False),
     QuerySpec("q12_shipping_buckets", tpch2.q12_shipping_buckets, tpch2.ORACLE_Q12, True),
-    QuerySpec("q15_top_supplier", tpch2.q15_top_supplier, tpch2.ORACLE_Q15, True),
     QuerySpec("q16_part_supplier_distribution", tpch2.q16_part_supplier_distribution,
               tpch2.ORACLE_Q16, False),
     QuerySpec("q17_small_quantity_orders", tpch2.q17_small_quantity_orders,

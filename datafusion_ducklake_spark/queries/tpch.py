@@ -556,7 +556,15 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join moves ~distinct keys instead of every order row (3x at SF3:
     # 1.80s -> 0.62s). Both sides shuffle on custkey — no forced
     # broadcast, so the plan survives a customer-count scale-up.
-    ck = orders.groupBy("o_custkey").agg(F.lit(1))
+    # shuffle_hash (r8): the default SMJ anti join sorts BOTH sides;
+    # hashing the deduped key set instead elides both sorts (SF10 min
+    # 1.24s -> 1.03s; per-partition build is ~distinct-keys/partitions
+    # rows, spill-capable since Spark 3.2). The residual cost is the
+    # 15M-row orders pass + its exchange — the custkey-clustered
+    # catalog layout serves exactly that (see bench.py's clustered
+    # custkey tier), where the bucketed scan satisfies the groupBy's
+    # distribution and the exchange disappears.
+    ck = orders.groupBy("o_custkey").agg(F.lit(1)).hint("shuffle_hash")
     return (
         rich.join(ck, rich.c_custkey == ck.o_custkey, "left_anti")
         .groupBy("c_nationkey")

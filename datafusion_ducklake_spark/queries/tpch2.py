@@ -193,6 +193,18 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = ("CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
            "AS DECIMAL(38,6))) AS DOUBLE)" if _util._EXACT_SUMS
            else "SUM(l_extendedprice * (1 - l_discount))")
+    # Shape (r8): the scalar-subquery form `WHERE total_revenue =
+    # (SELECT MAX(..) FROM revenue)` executes the subquery as a SEPARATE
+    # plan — Spark does not reuse exchanges across the subquery
+    # boundary, so the lineitem pre-agg ran TWICE (measured 2.25s -> the
+    # window form's 1.02s min at SF10). MAX() OVER () computes the max
+    # inside the one pipeline: revenue is aggregated once, then all
+    # per-supplier rows pass through a single-partition window.
+    # Boundary: the window moves ONE row per active supplier to one
+    # task — supplier-count-bounded (10k/SF; ~SF1000 ≈ 10M rows ≈
+    # 240 MB through one task). Past that, compute MAX as a 1-row
+    # aggregate and broadcast-join it back (stays distributed; measured
+    # slower here, 1.66s, because the 1-row agg is a separate job).
     return spark.sql(f"""
         WITH revenue AS (
           SELECT l_suppkey AS supplier_no,
@@ -200,10 +212,14 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM __q15_lineitem
           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
             AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
-          GROUP BY l_suppkey)
+          GROUP BY l_suppkey),
+        ranked AS (
+          SELECT supplier_no, total_revenue,
+                 MAX(total_revenue) OVER () AS mx
+          FROM revenue)
         SELECT s_suppkey, s_name, total_revenue
-        FROM __q15_supplier JOIN revenue ON s_suppkey = supplier_no
-        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        FROM __q15_supplier JOIN ranked ON s_suppkey = supplier_no
+        WHERE total_revenue = mx
     """)
 
 

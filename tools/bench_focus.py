@@ -35,13 +35,14 @@ def main() -> None:
 
     from datafusion_ducklake_spark.queries import headline_queries, oracle_queries
     from datafusion_ducklake_spark.queries._util import (
-        TABLES, set_exact_sums, set_table_override)
+        TABLES, set_bench_rewrites, set_exact_sums, set_table_override)
     from datafusion_ducklake_spark.sparkutil import build_spark
     import bench
 
     spark = build_spark("bench-focus")
     spark.sparkContext.setLogLevel("ERROR")
     set_exact_sums(False)
+    set_bench_rewrites(True)     # mirror bench.py's timed configuration
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     floor = bench._measure_floor(spark, cpus)
     bench._tune_for_dir(spark, args.sf_dir)
