@@ -217,7 +217,71 @@ class DuckLakeTable:
             data = [d + (int(r[-1]),) for d, r in zip(data, rows)]
         return self.spark.createDataFrame(data, schema)
 
-    def _clustered_df(self) -> Optional[DataFrame]:
+    def _live_set_digest(self) -> str:
+        """Digest of this snapshot's live file set — (data_uri,
+        delete_uri, begin_snapshot) triples, sorted. Any DML changes it
+        (insert adds files, delete/update swap delete_uri, compaction
+        replaces files), and a read at another snapshot sees a different
+        set, so spec-recorded digests gate the replica fast path against
+        both staleness and time travel."""
+        import hashlib
+        import json
+        rows = sorted((f.data_uri, f.delete_uri or "",
+                       int(f.begin_snapshot)) for f in self.files)
+        return hashlib.md5(
+            json.dumps(rows, separators=(",", ":")).encode()).hexdigest()
+
+    def _session_bucketed_df(self, spec: dict, loc: str, bname: str,
+                             gc_prefix: str) -> DataFrame:
+        """Construct (or reuse) the session-catalog external bucketed
+        table over a clustered export at ``loc`` and return its scan
+        projected to the live columns. ``gc_prefix``: sibling session
+        tables with this prefix but another name are SUPERSEDED layouts
+        of the same lake table/key — dropped so re-clustering can't
+        leave stale scans behind. Callers validate the spec BEFORE this
+        runs (key/columns/quoting/existence)."""
+        qname = f"`default`.`{bname}`"
+        spark = self.spark
+        if not spark.catalog.tableExists(f"default.{bname}"):
+            for t in spark.catalog.listTables("default"):
+                if t.name.startswith(gc_prefix) and t.name != bname:
+                    spark.sql(f"DROP TABLE IF EXISTS `default`.`{t.name}`")
+            ddl = ", ".join(
+                f"`{fld.name}` {fld.dataType.simpleString()}"
+                for fld in self.spark_schema.fields)
+            sort_clause = (f"SORTED BY (`{spec['key']}`) "
+                           if spec.get("sort") else "")
+            spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {qname} ({ddl}) "
+                f"USING PARQUET CLUSTERED BY (`{spec['key']}`) "
+                f"{sort_clause}INTO {int(spec['buckets'])} BUCKETS "
+                f"LOCATION '{loc}'")
+        return spark.table(f"default.{bname}").select(
+            *[f"`{c.column_name}`" for c in self.columns])
+
+    def _spec_shape_ok(self, spec: dict) -> bool:
+        """Shared spec validation for both clustered fast paths: schema
+        unchanged since the export, sane bucket count, and no quote-
+        bearing values that would reach DDL (a catalog-supplied value
+        must never hit SQL unchecked). False always means 'use the
+        plain scan' — never an error."""
+        if spec.get("columns") != [c.column_name for c in self.columns] \
+                or spec.get("types") != [c.column_type
+                                         for c in self.columns]:
+            return False
+        if spec.get("key") not in {c.column_name for c in self.columns} \
+                or "`" in str(spec.get("key", "")):
+            return False
+        if not isinstance(spec.get("buckets"), int) or spec["buckets"] < 1:
+            return False
+        dirname = spec.get("dir")
+        if not isinstance(dirname, str) or not dirname \
+                or "'" in dirname or "`" in dirname:
+            return False
+        return True
+
+    def _clustered_df(self, expected_key: Optional[str] = None
+                      ) -> Optional[DataFrame]:
         """The catalog-bucketed fast path: when this snapshot's live file
         set is EXACTLY a ``cluster_by`` export (table-scoped
         ``clustering`` option; operators/layout.py), reconstruct Spark's
@@ -239,11 +303,11 @@ class DuckLakeTable:
             spec = json.loads(raw)
         except (ValueError, TypeError):
             return None
-        if spec.get("columns") != [c.column_name for c in self.columns] \
-                or spec.get("types") != [c.column_type
-                                         for c in self.columns] \
+        if not isinstance(spec, dict) or not self._spec_shape_ok(spec) \
                 or spec.get("n_files") is None:
             return None   # schema evolved after clustering (or pre-r6 spec)
+        if expected_key is not None and spec.get("key") != expected_key:
+            return None   # caller wants a different join key — replica path
         if not self.files:
             return None
         # EXACT set equality with the clustered export: every live file
@@ -261,20 +325,6 @@ class DuckLakeTable:
                 or len(self.files) != spec["n_files"]:
             return None
         if self.inlined_rows():
-            return None
-        # the spec key and table location are embedded in DDL below:
-        # validate the key against the live column list (a catalog-
-        # supplied value must never reach SQL unchecked) and refuse
-        # quote-bearing paths rather than attempt escaping — fallback to
-        # the plain scan is always correct, only slower
-        if spec.get("key") not in {c.column_name for c in self.columns} \
-                or "`" in str(spec.get("key", "")):
-            return None
-        # a missing/corrupt bucket count (foreign writer, partial spec
-        # write) must degrade to the always-correct plain scan, same as
-        # every other spec-validation failure — never raise from to_df
-        if not isinstance(spec.get("buckets"), int) \
-                or spec["buckets"] < 1:
             return None
         loc = self.table_path.rstrip("/") + "/" + spec["dir"]
         if "'" in loc or "`" in loc:
@@ -313,39 +363,95 @@ class DuckLakeTable:
         ddigest = hashlib.md5(spec["dir"].encode()).hexdigest()[:8]
         # qualify with an explicit database: the helper must not land in
         # (or resolve against) whatever database the session has current
-        bname = f"ducklake_clustered_{pdigest}_{ddigest}"
-        qname = f"`default`.`{bname}`"
-        spark = self.spark
-        if not spark.catalog.tableExists(f"default.{bname}"):
-            # drop session-catalog entries from SUPERSEDED clusterings of
-            # this same lake table (re-clustering changes the dir digest)
-            for t in spark.catalog.listTables("default"):
-                if t.name.startswith(f"ducklake_clustered_{pdigest}_") \
-                        and t.name != bname:
-                    spark.sql(f"DROP TABLE IF EXISTS `default`.`{t.name}`")
-            ddl = ", ".join(
-                f"`{fld.name}` {fld.dataType.simpleString()}"
-                for fld in self.spark_schema.fields)
-            sort_clause = (f"SORTED BY (`{spec['key']}`) "
-                           if spec.get("sort") else "")
-            spark.sql(
-                f"CREATE TABLE IF NOT EXISTS {qname} ({ddl}) "
-                f"USING PARQUET CLUSTERED BY (`{spec['key']}`) "
-                f"{sort_clause}INTO {int(spec['buckets'])} BUCKETS "
-                f"LOCATION '{loc}'")
-        return spark.table(f"default.{bname}").select(
-            *[f"`{c.column_name}`" for c in self.columns])
+        return self._session_bucketed_df(
+            spec, loc, f"ducklake_clustered_{pdigest}_{ddigest}",
+            f"ducklake_clustered_{pdigest}_")
+
+    def _replica_df(self, key: str) -> Optional[DataFrame]:
+        """The SECOND-family fast path: serve a catalog-invisible replica
+        export clustered on ``key`` (operators/layout.cluster_by
+        replica=True). Unlike the primary path, replica files are not
+        ducklake_data_file rows, so validity hangs on the spec's
+        live-set digest: it must equal the digest of the snapshot being
+        read (any DML or time travel diverges it) AND the replica dir
+        must hold EXACTLY the spec's parquet names (a moved/partial dir
+        must not silently drop rows through the location scan). Every
+        failure returns None — the plain scan of the registered files is
+        always correct, only slower."""
+        import hashlib
+        import json
+        raw = self._provider.get_scoped_option(
+            "clustering_replicas", None, self.meta.table_id)
+        if raw is None:
+            return None
+        try:
+            specs = json.loads(raw)
+        except (ValueError, TypeError):
+            return None
+        if not isinstance(specs, dict):
+            return None
+        spec = specs.get(key)
+        if not isinstance(spec, dict) or not self._spec_shape_ok(spec) \
+                or spec.get("key") != key:
+            return None
+        if not self.files or self.inlined_rows():
+            return None
+        if spec.get("live_digest") != self._live_set_digest():
+            return None   # DML since the replica build, or time travel
+        names = spec.get("files")
+        if not isinstance(names, list) or not names \
+                or not all(isinstance(n, str) and n.endswith(".parquet")
+                           and "/" not in n and "'" not in n
+                           for n in names):
+            return None
+        loc = self.table_path.rstrip("/") + "/" + spec["dir"]
+        if "'" in loc or "`" in loc:
+            return None
+        # exact name-set equality with the on-disk dir: extra files would
+        # add rows through the location scan, missing files would drop
+        # them — both sides of the comparison must match
+        base = loc[len("file://"):] if loc.startswith("file://") else loc
+        try:
+            if "://" in base:
+                from .table_writer import _HadoopFs
+                fs = _HadoopFs(self.spark, loc)
+                present = {n for n, _sz in fs.list_files(loc)
+                           if n.endswith(".parquet")}
+            else:
+                present = {n for n in os.listdir(base)
+                           if n.endswith(".parquet")}
+        except Exception:
+            return None   # dir unreadable/moved: plain scan stays correct
+        if present != set(names):
+            return None
+        pdigest = hashlib.md5(self.table_path.encode()).hexdigest()[:12]
+        kdigest = hashlib.md5(key.encode()).hexdigest()[:6]
+        ddigest = hashlib.md5(spec["dir"].encode()).hexdigest()[:8]
+        return self._session_bucketed_df(
+            spec, loc, f"ducklake_clureplica_{pdigest}_{kdigest}_{ddigest}",
+            f"ducklake_clureplica_{pdigest}_{kdigest}_")
 
     def to_df(self, with_rowid: bool = False,
               prune_filters: Optional[list[tuple]] = None,
-              with_virtual: bool = False) -> DataFrame:
+              with_virtual: bool = False,
+              cluster_key: Optional[str] = None) -> DataFrame:
         from functools import reduce
 
         from pyspark.sql import functions as F
         if not with_rowid and not with_virtual and not prune_filters:
-            clustered = self._clustered_df()
-            if clustered is not None:
-                return clustered
+            if cluster_key is not None:
+                # join-key dispatch (r7 verdict #4): prefer the primary
+                # clustered layout when its key matches, else a replica
+                # family; no match -> the plain scan (never an error)
+                df = self._clustered_df(expected_key=cluster_key)
+                if df is None:
+                    df = self._replica_df(cluster_key)
+                if df is not None:
+                    return df
+            else:
+                clustered = self._clustered_df()
+                if clustered is not None:
+                    return clustered
         files = self.files
         if prune_filters:
             files = self.prune_files(prune_filters)
@@ -788,18 +894,23 @@ class DuckLakeSession:
 
     def table(self, name: str, with_rowid: bool = False,
               prune_filters: Optional[list[tuple]] = None,
-              with_virtual: bool = False) -> DataFrame:
+              with_virtual: bool = False,
+              cluster_key: Optional[str] = None) -> DataFrame:
         """``prune_filters=[("l_shipdate", ">=", "1995-01-01"), ...]``
         drops files whose catalog min/max stats exclude the conjunctive
         predicate BEFORE any parquet I/O (see prune_files). The same
         predicate must still be applied with .filter() — pruning is
         file-granular, not row-granular. ``with_virtual`` appends the
         DuckLake virtual columns rowid/filename/file_row_number/
-        file_index/snapshot_id (sql/virtualcolumns/ corpus)."""
+        file_index/snapshot_id (sql/virtualcolumns/ corpus).
+        ``cluster_key``: request the clustered layout for a specific
+        join/grouping key — served from the primary clustering or a
+        replica family when one matches and is current, else the plain
+        scan (operators/layout.cluster_by)."""
         schema_name, table_name = self._split(name)
         return self.catalog.schema(schema_name).table(table_name) \
             .to_df(with_rowid=with_rowid, prune_filters=prune_filters,
-                   with_virtual=with_virtual)
+                   with_virtual=with_virtual, cluster_key=cluster_key)
 
     def table_handle(self, name: str) -> DuckLakeTable:
         schema_name, table_name = self._split(name)
@@ -1259,7 +1370,8 @@ class DuckLakeSession:
     _CLUSTER_BY_RE = re.compile(
         r"^\s*CALL\s+ducklake_cluster_by\s*\(\s*'([^']*)'\s*,\s*"
         r"'([^']*)'\s*,\s*(\d+)\s*"
-        r"(?:,\s*sort\s*=>\s*(true|false)\s*)?\)\s*;?\s*$", re.I)
+        r"(?:,\s*sort\s*=>\s*(true|false)\s*)?"
+        r"(?:,\s*replica\s*=>\s*(true|false)\s*)?\)\s*;?\s*$", re.I)
     _REWRITE_FILES_RE = re.compile(
         r"^\s*CALL\s+ducklake_rewrite_data_files\s*\(\s*"
         r"(?:('[^']*'|(?!delete_threshold\b)[\w.]+)\s*)?"
@@ -1378,11 +1490,15 @@ class DuckLakeSession:
         m = self._CLUSTER_BY_RE.match(query)
         if m:
             # CALL ducklake_cluster_by('table', 'key', buckets
-            # [, sort => true|false]) — beyond the reference (layout
-            # metadata a single-node engine never needed)
+            # [, sort => true|false] [, replica => true|false]) — beyond
+            # the reference (layout metadata a single-node engine never
+            # needed); replica => true builds a SECOND clustered family
+            # without touching the live file set (operators/layout)
             sort = (m.group(4) or "true").lower() == "true"
+            replica = (m.group(5) or "false").lower() == "true"
             return self._count_df(self.cluster_by(
-                m.group(1), m.group(2), int(m.group(3)), sort=sort))
+                m.group(1), m.group(2), int(m.group(3)), sort=sort,
+                replica=replica))
         m = self._REWRITE_FILES_RE.match(query)
         if m:
             # two positional names = (catalog_alias, table) — the alias
@@ -2842,6 +2958,24 @@ class DuckLakeSession:
                     registered.add(resolved)
                 else:
                     registered_names.add(str(row[0]).rsplit("/", 1)[-1])
+        # clustering-replica bucket files are engine-owned but catalog-
+        # INVISIBLE (recorded only in the clustering_replicas option, by
+        # design — operators/layout.cluster_by replica=True): spare every
+        # file named in a LIVE spec. Files of superseded replicas are no
+        # longer named anywhere and fall through — deletable orphans,
+        # which is exactly how refreshed replicas get garbage-collected.
+        import json as _json
+        for raw in self.provider.list_option_values("clustering_replicas"):
+            try:
+                specs = _json.loads(raw)
+            except (ValueError, TypeError):
+                continue
+            if not isinstance(specs, dict):
+                continue
+            for spec in specs.values():
+                if isinstance(spec, dict):
+                    for n in spec.get("files") or []:
+                        registered_names.add(str(n).rsplit("/", 1)[-1])
         if "://" in local:
             raise InvalidConfig(
                 "delete_orphaned_files supports local/file:// data paths "
@@ -3306,15 +3440,19 @@ class DuckLakeSession:
                                 mode="overwrite", single_file=single_file)
 
     def cluster_by(self, name: str, key: str, buckets: int,
-                   sort: bool = True) -> int:
+                   sort: bool = True, replica: bool = False) -> int:
         """Hash-cluster a table by ``key`` into ``buckets`` bucket files
         registered in the DuckLake catalog (maintenance Replace snapshot,
         rowids preserved, CDC-silent) and record the layout as a
         table-scoped ``clustering`` option. Unchanged tables then scan
         bucketed: two facts clustered on the same key join with zero
-        exchanges. See operators/layout.cluster_by."""
+        exchanges. ``replica=True`` builds a SECOND clustered family
+        under a different key without touching the live file set —
+        served by ``table(name, cluster_key=key)`` while the table is
+        unchanged. See operators/layout.cluster_by."""
         from .operators.layout import cluster_by
-        return cluster_by(self, name, key, buckets, sort=sort)
+        return cluster_by(self, name, key, buckets, sort=sort,
+                          replica=replica)
 
     def _rewrite_threshold(self, explicit: "float | None") -> float:
         """Effective delete-fraction gate for the CALL surface:

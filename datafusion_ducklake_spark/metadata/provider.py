@@ -557,6 +557,18 @@ class MetadataProvider:
                 best, best_rank = value, 2
         return str(best) if best is not None else None
 
+    def list_option_values(self, key: str) -> list[str]:
+        """Every value stored under ``key`` at ANY scope (all schema/table
+        overrides plus the global row). Used by the orphan-file sweep to
+        discover engine-owned files recorded only in options (clustering
+        replicas), which must never be deleted as orphans."""
+        try:
+            rows = self._fetchall(
+                "SELECT value FROM ducklake_metadata WHERE key = ?", (key,))
+        except Exception:
+            return []
+        return [str(r[0]) for r in rows if r[0] is not None]
+
     def get_data_path(self) -> str:
         try:
             rows = self._fetchall(Q.GET_DATA_PATH)

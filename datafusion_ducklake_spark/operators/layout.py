@@ -71,10 +71,16 @@ def join_side_exchanges(joined: DataFrame) -> int:
 # --------------------------------------------------------------------------
 
 CLUSTERING_OPTION = "clustering"
+# all replica layouts of one table live under ONE table-scoped option:
+# a JSON dict {key -> spec}. Replica bucket files are engine-owned and
+# catalog-INVISIBLE (never ducklake_data_file rows) — the plain scan
+# never reads them; only the cluster_key fast path does, and only while
+# the spec's live-set digest still matches the snapshot being read.
+REPLICA_OPTION = "clustering_replicas"
 
 
 def cluster_by(session, name: str, key: str, buckets: int,
-               sort: bool = True) -> int:
+               sort: bool = True, replica: bool = False) -> int:
     """Re-cluster a DuckLake table by hash(key) into ``buckets`` bucket
     files INSIDE the table's own data path, register them as
     ``ducklake_data_file`` rows in one maintenance Replace snapshot
@@ -91,6 +97,19 @@ def cluster_by(session, name: str, key: str, buckets: int,
     compact) simply invalidates the fast path: scans fall back to the
     plain snapshot-consistent read of the same registered files, so
     correctness never depends on the spec being current.
+
+    ``replica=True`` builds a SECOND clustered family under a different
+    key (r7 verdict #4: one key/table was the last unsupported scale
+    lever). A replica cannot replace the live file set — two live
+    copies would double every row — so its bucket files stay
+    catalog-invisible: written beside the table, recorded only in the
+    table-scoped ``clustering_replicas`` option together with a digest
+    of the live file set at build time. ``to_df(cluster_key=K)`` serves
+    the replica only while the digest still matches the snapshot being
+    read, so ANY later DML (or time travel) silently falls back to the
+    plain scan — stale replicas can never produce a wrong answer, and
+    their files become collectable orphans once superseded
+    (delete_orphaned_files spares files named in live specs).
 
     Returns the number of rows clustered."""
     import json
@@ -183,6 +202,41 @@ def cluster_by(session, name: str, key: str, buckets: int,
             staged.append((fname, os.path.getsize(fpath),
                            footer_size_of(fpath),
                            pq.ParquetFile(fpath).metadata.num_rows))
+
+    if replica:
+        # record EVERY staged parquet name (empty buckets included): the
+        # read path validates by EXACT name-set equality with the dir
+        # listing, so an unrecorded empty bucket file would otherwise
+        # disable the fast path forever
+        fnames = sorted(fname for fname, _s, _ft, _c in staged)
+        n_rows = sum(count for _f, _s, _ft, count in staged)
+        raw = session.provider.get_scoped_option(
+            REPLICA_OPTION, None, handle.meta.table_id)
+        specs = {}
+        if raw:
+            try:
+                loaded = json.loads(raw)
+                if isinstance(loaded, dict):
+                    specs = loaded
+            except (ValueError, TypeError):
+                pass   # corrupt prior spec: overwrite with a clean one
+        specs[key] = {"key": key, "buckets": int(buckets),
+                      "sort": bool(sort), "dir": rel_dir,
+                      "files": fnames, "n_files": len(fnames),
+                      "columns": live_names,
+                      "types": [c.column_type for c in handle.columns],
+                      # the live set this replica mirrors: any DML (or a
+                      # read at another snapshot) changes the digest and
+                      # the fast path declines
+                      "live_digest": handle._live_set_digest()}
+        writer = _catalog_writer(session)
+        try:
+            writer.set_option(REPLICA_OPTION, json.dumps(specs),
+                              scope="table", scope_id=handle.meta.table_id)
+        finally:
+            writer.close()
+        session.refresh()
+        return n_rows
 
     schema_name, table_name = session._split(name)
     cols = [ColumnDef(c.column_name, c.column_type, c.nulls_allowed,

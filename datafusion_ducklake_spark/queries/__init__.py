@@ -52,6 +52,8 @@ _SPECS = [
               ducklake_gate.ORACLE_STRUCT_EVO, False),
     QuerySpec("ducklake_clustered_agg", ducklake_gate.ducklake_clustered_agg,
               ducklake_gate.ORACLE_CLUSTERED_AGG),
+    QuerySpec("ducklake_family_agg", ducklake_gate.ducklake_family_agg,
+              ducklake_gate.ORACLE_FAMILY_AGG),
     # recently reshaped queries ride at the front of the driver's
     # 50-entry CORRECTNESS window: the queries whose plans changed most
     # recently are the ones the independent driver hash-check must cover.
@@ -60,9 +62,10 @@ _SPECS = [
     # embedding_centroid_assign, embedding_int8_quant, kmeans_centroids,
     # ivf_trained_ann; the r8 insertions (q15 window-max rewrite, q22
     # shuffle_hash anti join) evict knn_bruteforce_cosine and
-    # ivf_ann_neighbors. Evicted specs stay covered by the local 94/94
-    # gate (tools/check_correctness.py), whose log is committed per
-    # round as CORRECTNESS_r{N}_local.txt
+    # ivf_ann_neighbors, and the r8 ducklake_family_agg gate entry
+    # (second clustered family) evicts cb_value_quantiles. Evicted specs
+    # stay covered by the local 95/95 gate (tools/check_correctness.py),
+    # whose log is committed per round as CORRECTNESS_r{N}_local.txt
     QuerySpec("q05_local_supplier_volume", tpch.q05_local_supplier_volume, tpch.ORACLE_Q05, True),
     QuerySpec("q08_market_share", tpch2.q08_market_share, tpch2.ORACLE_Q08, True),
     QuerySpec("q10_returned_items", tpch.q10_returned_items, tpch.ORACLE_Q10, True),

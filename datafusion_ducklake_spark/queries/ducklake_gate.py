@@ -795,3 +795,77 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY l_linestatus, o_orderstatus
 ORDER BY l_linestatus, o_orderstatus
 """
+
+
+def _build_family_catalog(spark: SparkSession, sf_dir: str) -> str:
+    """Catalog exercising the SECOND clustered family (r8): customer is
+    catalog-clustered primary on c_custkey; orders carries a custkey
+    REPLICA layout beside its untouched live files (CALL
+    ducklake_cluster_by(..., replica => true) — operators/layout). The
+    custkey join then runs exchange-free through the catalog while the
+    plain scan still serves every other query of the same table."""
+    import shutil
+
+    from ..catalog import DuckLakeSession
+    from ..metadata.writer import CatalogWriter
+
+    tag = hashlib.md5((sf_dir + "/fam-v1").encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"ducklake_fam_{tag}")
+    db = os.path.join(root, "catalog.sqlite")
+    done = os.path.join(root, ".done")
+    if os.path.exists(done):
+        return db
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    os.makedirs(root)
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=os.path.join(root, "lake"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    cust = (spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+            .select("c_custkey", "c_nationkey", "c_acctbal"))
+    o = (spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+         .select("o_orderkey", "o_custkey", "o_totalprice"))
+    dl.create_table("main.fam_customer", cust)
+    dl.create_table("main.fam_orders", o)
+    dl.sql("CALL ducklake_cluster_by('fam_customer', 'c_custkey', 4)")
+    dl.sql("CALL ducklake_cluster_by('fam_orders', 'o_custkey', 4, "
+           "replica => true)")
+    with open(done, "w") as f:
+        f.write("ok")
+    return db
+
+
+def ducklake_family_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer⋈orders on custkey THROUGH the second clustered family:
+    the customer scan is the primary custkey layout, the orders scan the
+    catalog-invisible custkey replica (cluster_key dispatch) — zero
+    join-side exchanges, asserted in tests/test_layout.py; here the
+    oracle hash proves the values match the plain data."""
+    from ..catalog import DuckLakeSession
+    dl = DuckLakeSession(spark, _build_family_catalog(spark, sf_dir))
+    cust = dl.table("main.fam_customer", cluster_key="c_custkey")
+    o = dl.table("main.fam_orders", cluster_key="o_custkey")
+    per_cust = (o.groupBy("o_custkey")
+                .agg(F.count(F.lit(1)).alias("n_orders"),
+                     dsum("o_totalprice").alias("spend")))
+    return (cust.join(per_cust, cust.c_custkey == per_cust.o_custkey)
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_buyers"),
+                 F.sum("n_orders").alias("n_orders"),
+                 dsum("spend").alias("total_spend"))
+            .orderBy("c_nationkey"))
+
+
+ORACLE_FAMILY_AGG = """
+WITH per_cust AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey)
+SELECT c_nationkey, COUNT(*) AS n_buyers,
+  CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(spend AS DECIMAL(38,6))) AS DOUBLE) AS total_spend
+FROM customer JOIN per_cust ON c_custkey = o_custkey
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""

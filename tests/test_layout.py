@@ -351,3 +351,152 @@ def test_clustered_scan_missing_files_raise_not_empty(spark, tmp_path):
     dl2 = DuckLakeSession(spark, db)
     with pytest.raises(CatalogCorruption):
         dl2.table("main.m").count()
+
+
+# ---- replica clustering: the SECOND clustered family (round 8) -----------
+
+@pytest.fixture(scope="module")
+def family_dl(spark, tmp_path_factory):
+    """customer clustered primary on c_custkey; orders carries a
+    custkey REPLICA family beside its (untouched) live files."""
+    from datafusion_ducklake_spark.catalog import DuckLakeSession
+    from datafusion_ducklake_spark.metadata.writer import CatalogWriter
+    tmp = tmp_path_factory.mktemp("family_cat")
+    db = str(tmp / "catalog.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp / "lake"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.create_table("main.customer", spark.read.parquet(
+        f"{SF_SMOKE}/customer.parquet"))
+    dl.create_table("main.orders", spark.read.parquet(
+        f"{SF_SMOKE}/orders.parquet"))
+    dl.cluster_by("main.customer", "c_custkey", 8)
+    dl.cluster_by("main.orders", "o_custkey", 8, replica=True)
+    return dl
+
+
+def _family_shape(cust, orders):
+    ck = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_ord"))
+    return (cust.join(ck, cust["c_custkey"] == ck["o_custkey"])
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("n_ord").alias("ords"))
+            .orderBy("c_nationkey"))
+
+
+def test_replica_family_zero_exchange_join(spark, family_dl):
+    """The r7 verdict #4 'done' bar: a second clustered family (custkey)
+    joins with ZERO exchanges feeding the join — the orders side is the
+    catalog-invisible replica, the customer side the primary layout —
+    and values match the plain scan."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        c = family_dl.table("main.customer", cluster_key="c_custkey")
+        o = family_dl.table("main.orders", cluster_key="o_custkey")
+        j = _family_shape(c, o)
+        assert join_side_exchanges(j) == 0, (
+            j._jdf.queryExecution().executedPlan().toString())
+        plain = _family_shape(
+            spark.read.parquet(f"{SF_SMOKE}/customer.parquet"),
+            spark.read.parquet(f"{SF_SMOKE}/orders.parquet")).collect()
+        assert j.collect() == plain
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_replica_files_are_catalog_invisible(family_dl):
+    """Replica bucket files must NOT be ducklake_data_file rows: the
+    plain scan and every catalog surface see only the original live
+    files, so no query can ever read the rows twice."""
+    files = family_dl.table_handle("main.orders")._raw_files
+    assert all("clustered_" not in f.path for f in files)
+    plain = family_dl.table("main.orders")
+    plan = plain._jdf.queryExecution().executedPlan().toString()
+    assert "ducklake_clureplica" not in plan
+    assert plain.count() == sum(f.record_count for f in files)
+
+
+def test_replica_unknown_key_serves_plain_scan(family_dl):
+    """cluster_key with no matching layout is a plain scan, never an
+    error — layout requests are performance hints, not contracts."""
+    df = family_dl.table("main.orders", cluster_key="o_orderkey")
+    assert df.count() == family_dl.table("main.orders").count()
+
+
+def test_replica_dml_invalidates_then_rebuild_revives(spark, tmp_path):
+    from datafusion_ducklake_spark.catalog import DuckLakeSession
+    from datafusion_ducklake_spark.metadata.writer import CatalogWriter
+    db = str(tmp_path / "r1.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake_r1"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.create_table("main.o", spark.createDataFrame(
+        [(i % 5, i, float(i)) for i in range(40)],
+        "k INT, id INT, v DOUBLE"))
+    dl.cluster_by("main.o", "k", 4, replica=True)
+    fast = dl.table("main.o", cluster_key="k")
+    assert "ducklake_clureplica" in \
+        fast._jdf.queryExecution().executedPlan().toString()
+    # any DML diverges the live-set digest: the fast path must decline
+    # and the fallback must see the NEW rows (a stale replica served
+    # here would silently miss them)
+    dl.insert_into("main.o", spark.createDataFrame(
+        [(9, 100, 1.0)], "k INT, id INT, v DOUBLE"))
+    after = dl.table("main.o", cluster_key="k")
+    assert "ducklake_clureplica" not in \
+        after._jdf.queryExecution().executedPlan().toString()
+    assert after.count() == 41
+    # rebuilding refreshes the digest; the superseded replica's files
+    # become orphans and the sweep must spare only the live ones
+    dl.cluster_by("main.o", "k", 4, replica=True)
+    again = dl.table("main.o", cluster_key="k")
+    assert "ducklake_clureplica" in \
+        again._jdf.queryExecution().executedPlan().toString()
+    assert again.count() == 41
+    orphans = dl.delete_orphaned_files(cleanup_all=True)
+    assert all("clustered_" in p for p in orphans) and orphans
+    assert dl.table("main.o", cluster_key="k").count() == 41
+
+
+def test_replica_missing_file_falls_back_to_plain(spark, tmp_path):
+    """A tampered replica dir (one bucket file gone) must NOT serve the
+    location scan — that would silently drop rows; the exact name-set
+    check routes the read back to the always-correct plain scan."""
+    import glob
+    import os
+    from datafusion_ducklake_spark.catalog import DuckLakeSession
+    from datafusion_ducklake_spark.metadata.writer import CatalogWriter
+    db = str(tmp_path / "r2.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake_r2"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.create_table("main.o", spark.createDataFrame(
+        [(i % 4, i) for i in range(40)], "k INT, id INT"))
+    dl.cluster_by("main.o", "k", 4, replica=True)
+    victims = glob.glob(str(tmp_path / "lake_r2" / "**" / "clustered_*"
+                            / "*.parquet"), recursive=True)
+    assert victims
+    os.remove(victims[0])
+    df = dl.table("main.o", cluster_key="k")
+    assert "ducklake_clureplica" not in \
+        df._jdf.queryExecution().executedPlan().toString()
+    assert df.count() == 40            # full rows through the plain scan
+
+
+def test_replica_shares_primary_guards(spark, tmp_path):
+    from datafusion_ducklake_spark.catalog import DuckLakeSession
+    from datafusion_ducklake_spark.errors import InvalidConfig
+    from datafusion_ducklake_spark.metadata.writer import CatalogWriter
+    db = str(tmp_path / "r3.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake_r3"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.create_table("main.o", spark.createDataFrame(
+        [(1, 2)], "k INT, id INT"))
+    with pytest.raises(InvalidConfig, match="not a column"):
+        dl.cluster_by("main.o", "nope", 4, replica=True)
+    with pytest.raises(InvalidConfig, match="buckets"):
+        dl.cluster_by("main.o", "k", 0, replica=True)
