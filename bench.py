@@ -259,27 +259,38 @@ FAMILY_QUERIES = ["q22_global_sales_opportunity"]
 def _family_subtier(spark, dl, scaled_dir, cpus, iters,
                     s_duck, s_duck_min, floor):
     """Time FAMILY_QUERIES with customer/orders served from the custkey
-    clustered family. Build is idempotent against the cached catalog:
-    customer is added+clustered once; orders gets its custkey replica
-    once (the replica's live-set digest stays valid because nothing
-    writes to the cached bench tables afterward)."""
-    from datafusion_ducklake_spark.errors import TableNotFound
+    clustered family. A completion MARKER gates the one-time build — a
+    crashed partial build (customer created but never clustered) must
+    rebuild, never get mistaken for done and time a wrong layout under
+    this tier's label; before timing, both fast paths are asserted
+    ENGAGED from the plan, else the tier is skipped rather than
+    published mislabeled."""
     from datafusion_ducklake_spark.queries._util import set_table_override
-    try:
-        dl.table_handle("main.customer")
-    except TableNotFound:
+    marker = scaled_dir.rstrip("/") + "-ducklake-v2/.family_done"
+    if not os.path.exists(marker):
+        try:
+            dl.sql("DROP TABLE main.customer")   # half-built prior run
+        except Exception:
+            pass
         src = os.path.join(scaled_dir, "customer.parquet")
         dl.create_table("main.customer",
                         dl.spark.read.parquet(src).limit(0))
         dl.add_files("main.customer", [src])
         dl.cluster_by("main.customer", "c_custkey", cpus)
-    h = dl.table_handle("main.orders")
-    if dl.provider.get_scoped_option(
-            "clustering_replicas", None, h.meta.table_id) is None:
         dl.cluster_by("main.orders", "o_custkey", cpus, replica=True)
-    set_table_override("customer", dl.table("main.customer"))
-    set_table_override("orders",
-                       dl.table("main.orders", cluster_key="o_custkey"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    cust_df = dl.table("main.customer")
+    ord_df = dl.table("main.orders", cluster_key="o_custkey")
+    c_plan = cust_df._jdf.queryExecution().executedPlan().toString()
+    o_plan = ord_df._jdf.queryExecution().executedPlan().toString()
+    if "ducklake_clustered_" not in c_plan \
+            or "ducklake_clureplica_" not in o_plan:
+        print("family sub-tier skipped: fast path not engaged",
+              file=sys.stderr)
+        return None
+    set_table_override("customer", cust_df)
+    set_table_override("orders", ord_df)
     try:
         f_wall, _p, f_min, f_reps, f_sd = _time_spark_suite(
             spark, scaled_dir, iterations=iters, only=FAMILY_QUERIES)
@@ -288,6 +299,7 @@ def _family_subtier(spark, dl, scaled_dir, cpus, iters,
         set_table_override("orders", None)
     f_fadj, f_at_floor = _floor_adjusted_ratios(f_min, floor, s_duck_min)
     return {
+        "ratio_vs_duckdb_raw": _ratio(f_wall, s_duck),
         "note": ("customer clustered primary on c_custkey; orders served "
                  "from its catalog-invisible o_custkey replica "
                  "(cluster_by replica=True) — same query bodies, same "
@@ -380,15 +392,26 @@ def _clustered_tier(spark, scaled_dir: str, cpus: int, iters: int,
 def _detail_path() -> Path:
     """Where the per-query detail sidecar goes. Default BENCH_detail.json
     (the historical name the driver and judge read); overridable with
-    `--out PATH` or SPARK_GRAFT_BENCH_DETAIL so a smoke run cannot
-    silently clobber a committed evidence artifact (r7 verdict #6)."""
-    if "--out" in sys.argv:
-        return Path(sys.argv[sys.argv.index("--out") + 1])
+    `--out PATH` / `--out=PATH` or SPARK_GRAFT_BENCH_DETAIL so a smoke
+    run cannot silently clobber a committed evidence artifact (r7
+    verdict #6). Called at the START of main so an unusable flag fails
+    before any measurement, not after it."""
+    for i, arg in enumerate(sys.argv):
+        if arg == "--out":
+            if i + 1 >= len(sys.argv):
+                sys.exit("bench.py: --out requires a path argument")
+            return Path(sys.argv[i + 1])
+        if arg.startswith("--out="):
+            path = arg[len("--out="):]
+            if not path:
+                sys.exit("bench.py: --out requires a path argument")
+            return Path(path)
     env = os.environ.get("SPARK_GRAFT_BENCH_DETAIL")
     return Path(env) if env else REPO / "BENCH_detail.json"
 
 
 def main() -> None:
+    out = _detail_path()          # validate the redirect BEFORE measuring
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     scale = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE", "10"))
@@ -584,8 +607,10 @@ def main() -> None:
                         headline[key]["family_ratio_min"] = \
                             cl["family"]["queries_ratio_min"]
 
-    out = _detail_path()
-    headline["detail_file"] = detail["detail_file"] = out.name
+    # a redirected sidecar must stay LOCATABLE from the headline: record
+    # the full path whenever it is not the repo-root default
+    label = out.name if out == REPO / "BENCH_detail.json" else str(out)
+    headline["detail_file"] = detail["detail_file"] = label
     out.write_text(json.dumps(detail, indent=1))
     print(json.dumps(headline))
 

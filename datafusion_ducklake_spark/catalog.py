@@ -409,20 +409,26 @@ class DuckLakeTable:
             return None
         # exact name-set equality with the on-disk dir: extra files would
         # add rows through the location scan, missing files would drop
-        # them — both sides of the comparison must match
+        # them — both sides of the comparison must match. Non-hidden
+        # NON-parquet entries also force the fallback: Spark's location
+        # scan lists every non-hidden file, so an alien entry the
+        # .parquet filter would mask here could still error (or worse,
+        # parse) inside the scan; only _/.-prefixed names are ignored by
+        # both Spark and this check.
         base = loc[len("file://"):] if loc.startswith("file://") else loc
         try:
             if "://" in base:
                 from .table_writer import _HadoopFs
                 fs = _HadoopFs(self.spark, loc)
-                present = {n for n, _sz in fs.list_files(loc)
-                           if n.endswith(".parquet")}
+                entries = [n for n, _sz in fs.list_files(loc)
+                           if not n.startswith(("_", "."))]
             else:
-                present = {n for n in os.listdir(base)
-                           if n.endswith(".parquet")}
+                entries = [n for n in os.listdir(base)
+                           if not n.startswith(("_", "."))]
         except Exception:
             return None   # dir unreadable/moved: plain scan stays correct
-        if present != set(names):
+        present = {n for n in entries if n.endswith(".parquet")}
+        if len(entries) != len(present) or present != set(names):
             return None
         pdigest = hashlib.md5(self.table_path.encode()).hexdigest()[:12]
         kdigest = hashlib.md5(key.encode()).hexdigest()[:6]
@@ -2315,12 +2321,18 @@ class DuckLakeSession:
     def drop_table(self, name: str) -> None:
         """DROP TABLE — ends the table/columns/files in one snapshot
         (time travel before the drop still sees everything; data files
-        stay on disk for those reads, the cleanup-orphans contract)."""
+        stay on disk for those reads, the cleanup-orphans contract).
+        Clustering-replica specs are CLEARED here: replica bucket files
+        are catalog-invisible duplicates no time-travel read can ever
+        reference, so a dropped table's replicas would otherwise be
+        spared by the orphan sweep forever — an unbounded leak."""
         from .table_writer import _catalog_writer
         handle = self.table_handle(name)
         writer = _catalog_writer(self)
         try:
             writer.drop_table(handle.meta.table_id)
+            writer.set_option("clustering_replicas", None,
+                              scope="table", scope_id=handle.meta.table_id)
         finally:
             writer.close()
         self.refresh()
@@ -3453,6 +3465,43 @@ class DuckLakeSession:
         from .operators.layout import cluster_by
         return cluster_by(self, name, key, buckets, sort=sort,
                           replica=replica)
+
+    def drop_clustering_replica(self, name: str,
+                                key: Optional[str] = None) -> int:
+        """Remove the replica clustering spec for ``key`` (or ALL of the
+        table's replicas with key=None). The replica's bucket files are
+        then named in no live spec, so the next
+        ``delete_orphaned_files`` collects them — the disposal path for
+        a replica invalidated by DML (its live-set digest can never
+        match again; only a same-key rebuild or this call frees the
+        storage). Returns the number of specs removed."""
+        import json
+        from .table_writer import _catalog_writer
+        handle = self.table_handle(name)
+        raw = self.provider.get_scoped_option(
+            "clustering_replicas", None, handle.meta.table_id)
+        if raw is None:
+            return 0
+        try:
+            specs = json.loads(raw)
+        except (ValueError, TypeError):
+            specs = {}
+        if not isinstance(specs, dict):
+            specs = {}
+        if key is None:
+            removed, specs = len(specs), {}
+        else:
+            removed = 1 if specs.pop(key, None) is not None else 0
+        writer = _catalog_writer(self)
+        try:
+            writer.set_option(
+                "clustering_replicas",
+                json.dumps(specs) if specs else None,
+                scope="table", scope_id=handle.meta.table_id)
+        finally:
+            writer.close()
+        self.refresh()
+        return removed
 
     def _rewrite_threshold(self, explicit: "float | None") -> float:
         """Effective delete-fraction gate for the CALL surface:

@@ -561,12 +561,13 @@ class MetadataProvider:
         """Every value stored under ``key`` at ANY scope (all schema/table
         overrides plus the global row). Used by the orphan-file sweep to
         discover engine-owned files recorded only in options (clustering
-        replicas), which must never be deleted as orphans."""
-        try:
-            rows = self._fetchall(
-                "SELECT value FROM ducklake_metadata WHERE key = ?", (key,))
-        except Exception:
-            return []
+        replicas), which must never be deleted as orphans — so errors
+        PROPAGATE: a transient failure returning [] here would let the
+        sweep delete live replica files (the query touches only the
+        (key, value) columns every catalog generation has, so there is
+        no legacy-shape fallback to degrade to)."""
+        rows = self._fetchall(
+            "SELECT value FROM ducklake_metadata WHERE key = ?", (key,))
         return [str(r[0]) for r in rows if r[0] is not None]
 
     def get_data_path(self) -> str:

@@ -666,8 +666,7 @@ def update_rows(session, name: str, assignments: dict,
 
 
 def _filter_with_absent_side(df: DataFrame, pred: str, present_alias: str,
-                             absent_schema, absent_alias: str,
-                             spark) -> DataFrame:
+                             absent_schema, absent_alias: str) -> DataFrame:
     """Filter ``df`` (aliased ``present_alias``) with a MERGE clause
     predicate that may reference the ABSENT side's columns — upstream
     evaluates such references as NULL (a NOT MATCHED BY SOURCE predicate
@@ -675,26 +674,23 @@ def _filter_with_absent_side(df: DataFrame, pred: str, present_alias: str,
     so comparisons against them come out not-TRUE and the action skips,
     rather than failing analysis (r7 ADVICE: we raised AnalysisException).
 
-    Resolution is attempted over the present side alone first; only if
-    that fails is a ONE-ROW all-NULL projection of the absent schema
-    attached under its alias (broadcast cross join — size-invariant at
-    any scale) and the result re-projected to the present side's columns.
-    A predicate that resolves on neither frame still raises — typos stay
-    loud."""
-    from pyspark.errors import AnalysisException
-    present = df.alias(present_alias)
-    try:
-        out = present.filter(F.expr(pred))
-        out.schema          # force analysis NOW, inside the guard
-        return out
-    except AnalysisException:
-        nulls = spark.range(1).select(
-            *[F.lit(None).cast(f.dataType).alias(f.name)
-              for f in absent_schema.fields]).alias(absent_alias)
-        out = (present.crossJoin(F.broadcast(nulls))
-               .filter(F.expr(pred)).select(f"{present_alias}.*"))
-        out.schema
-        return out
+    The absent side is attached as ONE all-NULL struct column named
+    after its alias, so ``src.v`` resolves as a struct-field access while
+    unqualified names keep resolving to the present side alone — a
+    cross-joined null relation would make every shared unqualified
+    column (the merge keys, always) AMBIGUOUS instead. Pure projection:
+    no join, no execution cost. A predicate naming a column that exists
+    on neither side still raises — typos stay loud."""
+    if absent_alias in df.columns:
+        # a data column literally named like the alias would collide
+        # with the struct: fall back to qualified-only resolution
+        return df.alias(present_alias).filter(F.expr(pred))
+    nulls = F.struct(*[F.lit(None).cast(f.dataType).alias(f.name)
+                       for f in absent_schema.fields])
+    return (df.alias(present_alias)
+            .withColumn(absent_alias, nulls)
+            .filter(F.expr(pred))
+            .drop(absent_alias))
 
 
 def merge_rows(session, target: str, source: DataFrame, on: list[str],
@@ -815,8 +811,7 @@ def merge_rows(session, target: str, source: DataFrame, on: list[str],
             if by_source_pred is not None:
                 # src.<col> refs evaluate as NULL here (no source row)
                 bs = _filter_with_absent_side(
-                    bs, by_source_pred, "tgt", source.schema, "src",
-                    session.spark)
+                    bs, by_source_pred, "tgt", source.schema, "src")
             bs_pos = bs.select(FILE_COL, POS_COL).persist()
             n_by_source = bs_pos.count()
             matched_pos = matched_pos.unionByName(bs_pos)
@@ -827,7 +822,7 @@ def merge_rows(session, target: str, source: DataFrame, on: list[str],
                 # tgt.<col> refs evaluate as NULL here (no target row)
                 unmatched = _filter_with_absent_side(
                     unmatched, when_not_matched_pred, "src",
-                    handle.spark_schema, "tgt", session.spark)
+                    handle.spark_schema, "tgt")
             if isinstance(when_not_matched_insert, dict):
                 # INSERT (cols) VALUES (exprs) — exprs over src.<col>;
                 # unnamed target columns take NULL (merge corpus shape)

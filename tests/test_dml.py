@@ -263,10 +263,13 @@ def test_merge_pred_absent_side_refs_evaluate_null(dl, spark):
         "main.t", source, on=["id"], when_not_matched_insert=False,
         by_source_delete=True, by_source_pred="src.v > 0")
     assert counts["deleted"] == 0 and _ids(dl) == before  # NULL not TRUE
+    # MIXED predicate: an UNQUALIFIED present-side column (id exists on
+    # BOTH sides — merge keys always do) combined with an absent-side
+    # ref; a cross-joined null relation would make `id` ambiguous here
     counts = dl.merge_into(
         "main.t", source, on=["id"], when_not_matched_insert=False,
         by_source_delete=True,
-        by_source_pred="src.v IS NULL AND tgt.id >= 18")
+        by_source_pred="id >= 18 AND src.v IS NULL")
     assert counts["deleted"] == 2
     assert _ids(dl) == [i for i in before if i < 18]
     # insert predicate referencing the (absent) target side

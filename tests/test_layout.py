@@ -500,3 +500,68 @@ def test_replica_shares_primary_guards(spark, tmp_path):
         dl.cluster_by("main.o", "nope", 4, replica=True)
     with pytest.raises(InvalidConfig, match="buckets"):
         dl.cluster_by("main.o", "k", 0, replica=True)
+
+
+def test_replica_lifecycle_drop_api_and_drop_table(spark, tmp_path):
+    """A DML-invalidated replica can never serve again; its disposal
+    paths — drop_clustering_replica and DROP TABLE — must un-spare the
+    files so the orphan sweep can collect them (review finding: without
+    this the storage leak is unbounded)."""
+    import glob
+    from datafusion_ducklake_spark.catalog import DuckLakeSession
+    from datafusion_ducklake_spark.metadata.writer import CatalogWriter
+    db = str(tmp_path / "r4.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake_r4"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.create_table("main.o", spark.createDataFrame(
+        [(i % 3, i) for i in range(30)], "k INT, id INT"))
+    dl.cluster_by("main.o", "k", 3, replica=True)
+    dl.insert_into("main.o", spark.createDataFrame(
+        [(7, 99)], "k INT, id INT"))           # digest diverges forever
+    assert dl.delete_orphaned_files(dry_run=True, cleanup_all=True) == []
+    assert dl.drop_clustering_replica("main.o", "k") == 1
+    orphans = dl.delete_orphaned_files(cleanup_all=True)
+    assert orphans and all("clustered_" in p for p in orphans)
+    assert dl.table("main.o").count() == 31    # live data untouched
+    # DROP TABLE clears replica specs too
+    dl.create_table("main.p", spark.createDataFrame(
+        [(i % 2, i) for i in range(20)], "k INT, id INT"))
+    dl.cluster_by("main.p", "k", 2, replica=True)
+    n_rep_files = len(glob.glob(
+        str(tmp_path / "lake_r4" / "main" / "p" / "clustered_*"
+            / "*.parquet")))
+    assert n_rep_files >= 1
+    dl.drop_table("main.p")
+    orphans = dl.delete_orphaned_files(dry_run=True, cleanup_all=True)
+    reps = [p for p in orphans if "clustered_" in p]
+    assert len(reps) == n_rep_files            # the dropped table's replica
+
+
+def test_replica_alien_file_falls_back_plain(spark, tmp_path):
+    """A non-parquet alien entry in the replica dir would reach Spark's
+    location scan (which lists every non-hidden file) — the name-set
+    check must route to the plain scan instead of letting the scan
+    error or over-read."""
+    import glob
+    import os
+    from datafusion_ducklake_spark.catalog import DuckLakeSession
+    from datafusion_ducklake_spark.metadata.writer import CatalogWriter
+    db = str(tmp_path / "r5.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake_r5"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.create_table("main.o", spark.createDataFrame(
+        [(i % 2, i) for i in range(20)], "k INT, id INT"))
+    dl.cluster_by("main.o", "k", 2, replica=True)
+    rep_dirs = glob.glob(str(tmp_path / "lake_r5" / "**" / "clustered_*"),
+                         recursive=True)
+    rep_dir = next(d for d in rep_dirs if os.path.isdir(d))
+    with open(os.path.join(rep_dir, "alien.txt"), "w") as f:
+        f.write("not parquet")
+    df = dl.table("main.o", cluster_key="k")
+    assert "ducklake_clureplica" not in \
+        df._jdf.queryExecution().executedPlan().toString()
+    assert df.count() == 20
