@@ -459,14 +459,18 @@ def main() -> None:
         # r5 verdict #8: keep round-over-round ratios interpretable when
         # suite composition or methodology changes
         "suite_delta_note": (
-            "r8: same 27 queries and floor methodology as r7; two "
-            "reporting changes — (1) per-query floor-adjusted ratios no "
-            "longer print 0.00 for walls at/under the measured floor: "
-            "such rows move to queries_at_floor_raw_ratio carrying their "
-            "RAW ratio as a conservative upper bound; (2) queries_stdev "
-            "published per tier (reference metrics.rs parity). Query "
-            "bodies and oracle SQL unchanged, so ratios are comparable "
-            "to r7"),
+            "r8: same 27 queries and floor methodology as r7. Two "
+            "queries RESHAPED (oracle SQL unchanged, driver hashes "
+            "green, both moved into the driver's 50-entry window): q15 "
+            "computes its max via MAX() OVER () instead of a scalar "
+            "subquery that re-executed the lineitem pre-agg; q22 hints "
+            "shuffle_hash on the deduped custkey set. Reporting "
+            "changes: floor-adjusted ratios never print 0.00 (at-floor "
+            "rows move to queries_at_floor_raw_ratio with their RAW "
+            "ratio as an upper bound); queries_stdev published per "
+            "tier; the clustered tier adds a `family` sub-tier (q22 "
+            "through the custkey replica family). Other ratios are "
+            "comparable to r7"),
     }
     detail = {
         **headline,

@@ -1378,6 +1378,9 @@ class DuckLakeSession:
         r"'([^']*)'\s*,\s*(\d+)\s*"
         r"(?:,\s*sort\s*=>\s*(true|false)\s*)?"
         r"(?:,\s*replica\s*=>\s*(true|false)\s*)?\)\s*;?\s*$", re.I)
+    _DROP_REPLICA_RE = re.compile(
+        r"^\s*CALL\s+ducklake_drop_clustering_replica\s*\(\s*'([^']*)'"
+        r"\s*(?:,\s*'([^']*)'\s*)?\)\s*;?\s*$", re.I)
     _REWRITE_FILES_RE = re.compile(
         r"^\s*CALL\s+ducklake_rewrite_data_files\s*\(\s*"
         r"(?:('[^']*'|(?!delete_threshold\b)[\w.]+)\s*)?"
@@ -1505,6 +1508,13 @@ class DuckLakeSession:
             return self._count_df(self.cluster_by(
                 m.group(1), m.group(2), int(m.group(3)), sort=sort,
                 replica=replica))
+        m = self._DROP_REPLICA_RE.match(query)
+        if m:
+            # CALL ducklake_drop_clustering_replica('table' [, 'key']) —
+            # disposal for DML-invalidated replicas (files become
+            # orphans the next sweep collects)
+            return self._count_df(self.drop_clustering_replica(
+                m.group(1), m.group(2)))
         m = self._REWRITE_FILES_RE.match(query)
         if m:
             # two positional names = (catalog_alias, table) — the alias
