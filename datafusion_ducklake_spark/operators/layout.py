@@ -133,11 +133,19 @@ def cluster_by(session, name: str, key: str, buckets: int,
             f"clustering key {key!r} is not a column of {name}")
     spec_rows = session.provider.get_partition_columns(
         handle.meta.table_id, handle.snapshot_id)
-    if spec_rows:
+    if spec_rows and not replica:
+        # a PRIMARY clustering replaces the live layout, which a
+        # partition spec also owns — pick one. A REPLICA is fine: the
+        # partitioned live set stays untouched (partition pruning and
+        # every other reader keep working) while the replica serves
+        # cluster_key joins; its export materializes the partition
+        # values physically, so the bucketed scan needs no injection.
         raise InvalidConfig(
             "cluster_by over a partitioned table is not supported — "
             "RESET PARTITIONED BY first (partitioning and hash-"
-            "clustering both fix the file layout; pick one)")
+            "clustering both fix the live file layout; pick one), or "
+            "build a replica family instead (replica=True), which "
+            "leaves the partitioned layout in place")
     schema_name0, _tn0 = session._split(name)
     smeta = session.provider.get_schema_by_name(
         schema_name0, handle.snapshot_id)

@@ -565,3 +565,39 @@ def test_replica_alien_file_falls_back_plain(spark, tmp_path):
     assert "ducklake_clureplica" not in \
         df._jdf.queryExecution().executedPlan().toString()
     assert df.count() == 20
+
+
+def test_replica_on_partitioned_table(spark, tmp_path):
+    """partitioned+clustered (the r7 verdict's other missing combo): a
+    PRIMARY clustering still refuses a partitioned table (both own the
+    live layout), but a REPLICA leaves the partitioned live set
+    untouched — partition pruning keeps working while cluster_key joins
+    serve from the replica, with partition values physically
+    materialized in the replica files."""
+    from datafusion_ducklake_spark.catalog import DuckLakeSession
+    from datafusion_ducklake_spark.errors import InvalidConfig
+    from datafusion_ducklake_spark.metadata.writer import CatalogWriter
+    db = str(tmp_path / "r6.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake_r6"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.create_table("main.o", spark.createDataFrame(
+        [(i % 3, i % 5, i) for i in range(60)],
+        "pk INT, k INT, id INT"))
+    dl.sql("ALTER TABLE o SET PARTITIONED BY (pk)")
+    dl.insert_into("main.o", spark.createDataFrame(
+        [(i % 3, i % 5, 100 + i) for i in range(30)],
+        "pk INT, k INT, id INT"))
+    with pytest.raises(InvalidConfig, match="replica"):
+        dl.cluster_by("main.o", "k", 3)          # primary still refused
+    dl.cluster_by("main.o", "k", 3, replica=True)
+    fast = dl.table("main.o", cluster_key="k")
+    assert "ducklake_clureplica" in \
+        fast._jdf.queryExecution().executedPlan().toString()
+    plain = dl.table("main.o")
+    assert sorted(map(tuple, fast.collect())) \
+        == sorted(map(tuple, plain.collect()))
+    # partition values came through the replica physically
+    assert fast.filter(F.col("pk") == 1).count() \
+        == plain.filter(F.col("pk") == 1).count()
