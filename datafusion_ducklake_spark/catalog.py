@@ -3085,6 +3085,14 @@ class DuckLakeSession:
                     n >= max_compacted_files:
                 break
             handle = self.table_handle(name)
+            from .types import is_interval_type, reject_interval_rewrite
+            if any(is_interval_type(c.column_type)
+                   for c in handle.columns):
+                if table_name is not None:
+                    # explicit single-table call → loud
+                    reject_interval_rewrite(handle.columns,
+                                            "merge_adjacent_files")
+                continue  # catalog-wide sweep skips read-only tables
             if not (len(handle.files) > 1
                     or any(f.delete_uri for f in handle.files)):
                 continue
@@ -3627,6 +3635,15 @@ class DuckLakeSession:
                         # (sql/add_files/add_files_type_check_uuid.test);
                         # the scan reads it as the table's binary-backed
                         # uuid representation
+                        continue
+                    if (expected[col_name].strip().lower() == "interval"
+                            and schema.types[i] == _pa.binary(12)):
+                        # parquet INTERVAL surfaces as
+                        # fixed_size_binary[12] in pyarrow; the scan
+                        # decodes it to struct<months,days,micros>.
+                        # This is the supported write-side interop path
+                        # for interval tables: create_empty_table +
+                        # add_files of an externally-written file
                         continue
                     from pyspark.sql.pandas.types import from_arrow_type
                     try:

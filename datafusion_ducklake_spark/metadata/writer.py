@@ -889,6 +889,15 @@ class CatalogWriter:
                                 col, ducklake_type=old_type)
                         elif not types_compatible(old_type,
                                                   col.ducklake_type):
+                            if old_type.strip().lower() == "interval":
+                                raise InvalidConfig(
+                                    f"column '{col.name}' is INTERVAL: no "
+                                    "available parquet writer emits the "
+                                    "INTERVAL logical type, so INTERVAL "
+                                    "tables are read-only beyond DELETE "
+                                    "and metadata operations (use "
+                                    "add_files to register "
+                                    "externally-written interval files)")
                             raise InvalidConfig(
                                 f"Schema evolution error: column '{col.name}' has "
                                 f"type '{old_type}' in existing table but "

@@ -347,6 +347,13 @@ def _write_delete_parquets(spark, cumulative: DataFrame,
         fname = pdf[FILE_COL].iloc[0]
         positions = sorted(int(p) for p in pdf[POS_COL].tolist())
         fs, base = _pyarrow_dest(table_path)
+        try:
+            # the table dir may not exist yet: a table populated only
+            # via add_files (absolute external paths) never had a data
+            # write create it. Idempotent; object stores have no dirs.
+            fs.create_dir(base, recursive=True)
+        except Exception:
+            pass
         name = f"ducklake-delete-{uuid.uuid4()}.parquet"
         dest = base.rstrip("/") + "/" + name
         tbl = pa.table({
@@ -589,6 +596,8 @@ def update_rows(session, name: str, assignments: dict,
     the corpus's update_join_duplicates contract). Returns rows
     updated."""
     handle = session.table_handle(name)
+    from ..types import reject_interval_rewrite
+    reject_interval_rewrite(handle.columns, "UPDATE")
     data_cols = [c.column_name for c in handle.columns]
     unknown = set(assignments) - set(data_cols)
     if unknown:
@@ -739,6 +748,8 @@ def merge_rows(session, target: str, source: DataFrame, on: list[str],
     if when_matched_update is not None and when_matched_delete:
         raise InvalidConfig("merge: choose update OR delete for matches")
     handle = session.table_handle(target)
+    from ..types import reject_interval_rewrite
+    reject_interval_rewrite(handle.columns, "MERGE")
     _require_no_inlined(handle)
     data_cols = [c.column_name for c in handle.columns]
     for k in on:

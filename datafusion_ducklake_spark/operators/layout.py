@@ -125,6 +125,8 @@ def cluster_by(session, name: str, key: str, buckets: int,
     from ..table_writer import _catalog_writer, column_stats_of
 
     handle = session.table_handle(name)
+    from ..types import reject_interval_rewrite
+    reject_interval_rewrite(handle.columns, "cluster_by")
     if int(buckets) < 1:
         raise InvalidConfig("buckets must be >= 1")
     live_names = [c.column_name for c in handle.columns]

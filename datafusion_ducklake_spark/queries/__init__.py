@@ -54,6 +54,8 @@ _SPECS = [
               ducklake_gate.ORACLE_CLUSTERED_AGG),
     QuerySpec("ducklake_family_agg", ducklake_gate.ducklake_family_agg,
               ducklake_gate.ORACLE_FAMILY_AGG),
+    QuerySpec("ducklake_interval_agg", ducklake_gate.ducklake_interval_agg,
+              ducklake_gate.ORACLE_INTERVAL_AGG),
     # recently reshaped queries ride at the front of the driver's
     # 50-entry CORRECTNESS window: the queries whose plans changed most
     # recently are the ones the independent driver hash-check must cover.
@@ -62,8 +64,10 @@ _SPECS = [
     # embedding_centroid_assign, embedding_int8_quant, kmeans_centroids,
     # ivf_trained_ann; the r8 insertions (q15 window-max rewrite, q22
     # shuffle_hash anti join) evict knn_bruteforce_cosine and
-    # ivf_ann_neighbors, and the r8 ducklake_family_agg gate entry
-    # (second clustered family) evicts cb_value_quantiles. Evicted specs
+    # ivf_ann_neighbors, the r8 ducklake_family_agg gate entry
+    # (second clustered family) evicts cb_value_quantiles, and the r8
+    # ducklake_interval_agg gate entry (INTERVAL column decode) evicts
+    # cb_daily_stats. Evicted specs
     # stay covered by the local 95/95 gate (tools/check_correctness.py),
     # whose log is committed per round as CORRECTNESS_r{N}_local.txt
     QuerySpec("q05_local_supplier_volume", tpch.q05_local_supplier_volume, tpch.ORACLE_Q05, True),

@@ -869,3 +869,102 @@ FROM customer JOIN per_cust ON c_custkey = o_custkey
 GROUP BY c_nationkey
 ORDER BY c_nationkey
 """
+
+
+def _build_interval_catalog(sf_dir: str) -> str:
+    """Create (once per sf_dir) a catalog whose ``main.lineitem_iv``
+    table is a DuckDB-written parquet with a real INTERVAL column
+    (parquet FIXED_LEN_BYTE_ARRAY(12), logical type INTERVAL) derived
+    deterministically from lineitem — the one local engine that can
+    produce that physical type. The gate proves the binary→struct
+    decode (sources/scan.py interval_decode; reference maps the same
+    column to Arrow Interval(MonthDayNano), types.rs:56) against
+    DuckDB's own interval accessors recomputing the identical values
+    from the source columns."""
+    import duckdb
+
+    tag = hashlib.md5((sf_dir + "/iv-v1").encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"ducklake_iv_{tag}")
+    db = os.path.join(root, "catalog.sqlite")
+    done = os.path.join(root, ".done")
+    if os.path.exists(done):
+        return db
+    import shutil
+    if os.path.exists(root):           # half-built leftovers: start over
+        shutil.rmtree(root)
+    os.makedirs(root)
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    data = os.path.join(root, f"ducklake-iv-{uuid.uuid4()}.parquet")
+    duckdb.connect().execute(f"""
+        COPY (SELECT l_orderkey % 7 AS bucket,
+                     INTERVAL (l_linenumber) MONTH
+                     + INTERVAL (l_orderkey % 100) DAY
+                     + INTERVAL (l_suppkey * 50) MILLISECOND AS iv
+              FROM '{src}')
+        TO '{data}' (FORMAT PARQUET)""")
+    import pyarrow.parquet as pq
+    meta = pq.read_metadata(data)
+
+    from ..metadata.writer import CatalogWriter
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=root)
+    with w._txn() as cur:
+        cur.execute("INSERT INTO ducklake_snapshot (snapshot_id) VALUES (1)")
+        cur.execute(
+            "INSERT INTO ducklake_schema (schema_id, schema_name, path, "
+            "path_is_relative, begin_snapshot) VALUES (1, 'main', 'main', 1, 1)")
+        cur.execute(
+            "INSERT INTO ducklake_table (table_id, schema_id, table_name, "
+            "path, path_is_relative, begin_snapshot) "
+            "VALUES (1, 1, 'lineitem_iv', 'lineitem_iv', 1, 1)")
+        for order, (cname, ctype) in enumerate(
+                [("bucket", "int64"), ("iv", "interval")]):
+            cur.execute(
+                "INSERT INTO ducklake_column (column_id, table_id, "
+                "column_name, column_type, column_order, nulls_allowed, "
+                "begin_snapshot) VALUES (?, 1, ?, ?, ?, 1, 1)",
+                (order + 1, cname, ctype, order))
+        cur.execute(
+            "INSERT INTO ducklake_data_file (data_file_id, table_id, path, "
+            "path_is_relative, file_size_bytes, record_count, begin_snapshot) "
+            "VALUES (1, 1, ?, 0, ?, ?, 1)",
+            (data, os.path.getsize(data), meta.num_rows))
+    w.close()
+    with open(done, "w") as f:
+        f.write("ok")
+    return db
+
+
+def ducklake_interval_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-column scan through the connector: sum the decoded
+    months/days/micros components per bucket. The oracle recomputes the
+    same intervals in DuckDB and decomposes them with its own
+    date_part accessors — a full cross-engine check of the FLBA(12)
+    little-endian decode."""
+    from ..catalog import DuckLakeSession
+    dl = DuckLakeSession(spark, _build_interval_catalog(sf_dir))
+    return (dl.table("main.lineitem_iv")
+            .groupBy("bucket")
+            .agg(F.sum("iv.months").alias("sum_months"),
+                 F.sum("iv.days").alias("sum_days"),
+                 F.sum("iv.micros").alias("sum_micros"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+ORACLE_INTERVAL_AGG = """
+WITH t AS (
+  SELECT l_orderkey % 7 AS bucket,
+         INTERVAL (l_linenumber) MONTH
+         + INTERVAL (l_orderkey % 100) DAY
+         + INTERVAL (l_suppkey * 50) MILLISECOND AS iv
+  FROM lineitem)
+SELECT bucket,
+  CAST(SUM(date_part('year', iv)*12 + date_part('month', iv)) AS BIGINT)
+    AS sum_months,
+  CAST(SUM(date_part('day', iv)) AS BIGINT) AS sum_days,
+  CAST(SUM((date_part('hour', iv)*3600 + date_part('minute', iv)*60)*1000000
+           + date_part('microsecond', iv)) AS BIGINT) AS sum_micros,
+  COUNT(*) AS n
+FROM t GROUP BY bucket
+"""

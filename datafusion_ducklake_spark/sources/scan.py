@@ -303,9 +303,62 @@ def _check_local_exists(uri: str) -> None:
             f"Catalog corruption: file referenced by catalog does not exist: {uri}")
 
 
+def _interval_fields(schema: T.StructType) -> list[str]:
+    """Names of top-level columns marked as DuckLake INTERVAL (the
+    ``ducklake.interval`` metadata stamped by build_spark_schema).
+    Detection is metadata-keyed on purpose: a user struct with the same
+    months/days/micros shape must never be decoded."""
+    from ..types import INTERVAL_MARK
+    return [f.name for f in schema.fields
+            if (f.metadata or {}).get(INTERVAL_MARK)]
+
+
+def _le_u32(b, off: int):
+    """Little-endian u32 at 1-indexed byte offset ``off`` of binary
+    column ``b`` — byte-swap via concat of 1-byte substrings, then
+    hex→conv. Entirely built-in expressions (whole-stage codegen)."""
+    swapped = F.concat(F.substring(b, off + 3, 1), F.substring(b, off + 2, 1),
+                       F.substring(b, off + 1, 1), F.substring(b, off, 1))
+    return F.conv(F.hex(swapped), 16, 10).cast("long")
+
+
+def interval_decode(b) -> F.Column:
+    """Decode one parquet INTERVAL value (FIXED_LEN_BYTE_ARRAY(12) read
+    physically as binary: months, days, millis — LE u32 each, the
+    parquet logical-type spec's layout) into the engine's
+    struct<months:int, days:int, micros:long> representation (reference
+    maps the same column to Arrow Interval(MonthDayNano), types.rs:56).
+    micros = millis*1000 — lossless w.r.t. file contents; DuckDB itself
+    truncates sub-milli when writing parquet intervals."""
+    from ..types import INTERVAL_SPARK_TYPE
+    return F.when(b.isNull(), F.lit(None).cast(INTERVAL_SPARK_TYPE)) \
+        .otherwise(F.struct(
+            _le_u32(b, 1).cast("int").alias("months"),
+            _le_u32(b, 5).cast("int").alias("days"),
+            (_le_u32(b, 9) * 1000).alias("micros")))
+
+
 def _read_parquet(spark: SparkSession, schema: T.StructType,
                   paths: list[str]) -> DataFrame:
-    return spark.read.schema(schema).parquet(*paths)
+    iv = set(_interval_fields(schema))
+    if not iv:
+        return spark.read.schema(schema).parquet(*paths)
+    # INTERVAL columns: swap the struct for BinaryType in the physical
+    # read schema (field-id metadata preserved so id-resolution still
+    # applies), then decode right above the scan. The projection is
+    # per-column and constant-shaped, so Catalyst still pushes filters
+    # on OTHER columns into the scan, and ``_metadata.row_index``
+    # remains resolvable on the result (the delete-filter path relies
+    # on it).
+    phys = T.StructType([
+        T.StructField(f.name, T.BinaryType(), f.nullable,
+                      metadata=f.metadata)
+        if f.name in iv else f
+        for f in schema.fields])
+    df = spark.read.schema(phys).parquet(*paths)
+    return df.select(*[
+        interval_decode(F.col(c)).alias(c) if c in iv else F.col(c)
+        for c in df.columns])
 
 
 def _read_delete_positions(spark: SparkSession, delete_uri: str) -> DataFrame:
@@ -451,6 +504,17 @@ def scan_table(spark: SparkSession, schema: T.StructType,
     files = [f for f in files if f.mapped_cols is None]
     if mapped:
         import dataclasses
+        iv_live = set(_interval_fields(schema))
+        if iv_live and any(dst in iv_live
+                           for f in mapped for _s, dst in f.mapped_cols):
+            # the name-mapped read schema is built without StructField
+            # metadata, so the binary→struct decode marker cannot reach
+            # _read_parquet on this path — reject loudly rather than let
+            # Spark's schema converter fail on the raw FLBA(INTERVAL)
+            from ..errors import UnsupportedType
+            raise UnsupportedType(
+                "INTERVAL columns are not supported for name-mapped "
+                "(add_files-renamed) data files")
         types = {fld.name: fld.dataType for fld in schema.fields}
         # Era clipping (no-resurrection contract for name-mapped files):
         # a nested field whose IDENTITY postdates the file's registration
@@ -799,6 +863,15 @@ def _scan_encrypted(spark: SparkSession, schema: T.StructType,
     row_id_start) pairing, then rowid = start + pos."""
     from ..errors import InvalidConfig
     from . import encryption as enc
+
+    if _interval_fields(schema):
+        # the pyarrow decrypt path would surface fixed_size_binary(12)
+        # values, but no writer available to us (Spark, pyarrow, or
+        # DuckDB-with-standard-PME) can PRODUCE an encrypted interval
+        # file to verify against — keep the boundary loud
+        from ..errors import UnsupportedType
+        raise UnsupportedType(
+            "INTERVAL columns over encrypted tables are not supported")
 
     for f in files:
         _check_local_exists(f.data_uri)

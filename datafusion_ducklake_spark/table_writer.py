@@ -748,6 +748,8 @@ def compact_table(session, name: str, single_file: bool = True,
     from pyspark.sql import functions as F
 
     handle = session.table_handle(name)
+    from .types import reject_interval_rewrite
+    reject_interval_rewrite(handle.columns, "compact")
     if handle.inlined_tables and handle.inlined_rows():
         raise InvalidConfig(
             "compact over tables with live inlined data rows is not "
@@ -1004,6 +1006,8 @@ def merge_groups_rowid_column(session, name: str, groups: list,
     from .sources.scan import scan_table
 
     handle = session.table_handle(name)
+    from .types import reject_interval_rewrite
+    reject_interval_rewrite(handle.columns, "merge_adjacent_files")
     tid = handle.meta.table_id
     data_cols = [c.column_name for c in handle.columns]
     col_ids = [c.column_id for c in handle.columns]
@@ -1122,6 +1126,8 @@ def rewrite_file_groups(session, name: str, groups: list,
     from .sources.scan import scan_table
 
     handle = session.table_handle(name)
+    from .types import reject_interval_rewrite
+    reject_interval_rewrite(handle.columns, op)
     if handle.inlined_tables and handle.inlined_rows():
         raise InvalidConfig(
             f"{op} over tables with live inlined data rows "

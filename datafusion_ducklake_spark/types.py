@@ -9,7 +9,17 @@ Documented semantic gaps vs the reference (Spark has no unsigned ints and
 caps decimals at precision 38):
 - uint8→short, uint16→int, uint32→long, uint64→decimal(20,0)
 - decimal(p>38, s) → rejected (reference supports Decimal256 up to 76)
-- time → long (µs of day); interval → rejected for scans
+- time → long (µs of day)
+- interval → struct<months:int, days:int, micros:long> (the reference
+  maps to Arrow Interval(MonthDayNano), types.rs:56; Spark's
+  CalendarIntervalType is not a first-class column type, so the scan
+  reads the parquet FIXED_LEN_BYTE_ARRAY(12) physically as binary and
+  decodes the three little-endian u32 components JVM-side — see
+  sources/scan.py. Lossless w.r.t. file contents: the parquet INTERVAL
+  physical type itself stores millis, is unsigned, and DuckDB truncates
+  sub-milli on write. READ-ONLY: neither Spark nor pyarrow can emit the
+  parquet INTERVAL logical type, so inserts/rewrites are rejected —
+  top-level columns only.)
 Conversely Spark-native struct/map could exceed the reference; we reject
 them for parity (ref: types.rs:74-88).
 """
@@ -63,6 +73,20 @@ _GEOMETRY = {
     "multipolygon", "geometrycollection", "geometry",
 }
 
+# Logical Spark representation of a DuckLake INTERVAL column (reference:
+# Arrow Interval(MonthDayNano), types.rs:56). The parquet physical layout
+# is FIXED_LEN_BYTE_ARRAY(12) = 3 little-endian u32 (months, days, millis);
+# the scan reads it as binary and decodes into this struct JVM-side.
+INTERVAL_SPARK_TYPE = T.StructType([
+    T.StructField("months", T.IntegerType(), True),
+    T.StructField("days", T.IntegerType(), True),
+    T.StructField("micros", T.LongType(), True),
+])
+# StructField metadata key marking a column as a decoded INTERVAL — the
+# scan keys its binary→struct rewrite on this (a user struct with the
+# same field shape must NOT be decoded).
+INTERVAL_MARK = "ducklake.interval"
+
 _DECIMAL_RE = re.compile(r"^(?:decimal|numeric)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$")
 _LIST_RE = re.compile(r"^(?:list|array)\s*<(.+)>$")
 _TRAILING_ARRAY_RE = re.compile(r"^(.+)\[\s*\]$")
@@ -70,10 +94,18 @@ _TRAILING_ARRAY_RE = re.compile(r"^(.+)\[\s*\]$")
 
 def _reject_nested_geometry(child_canonical: str, full_type: str) -> None:
     """GEOMETRY only at top level (geo corpus: ducklake_geometry_nested
-    .test — 'GEOMETRY type is only supported as a top-level type')."""
+    .test — 'GEOMETRY type is only supported as a top-level type').
+    INTERVAL likewise: the scan's binary→struct decode (sources/scan.py)
+    only rewrites top-level columns, so a nested interval would read the
+    raw FLBA(12) through Spark's parquet reader and fail at runtime —
+    reject it loudly at type-parse time instead."""
     if child_canonical in _GEOMETRY:
         raise UnsupportedType(
             f"GEOMETRY type is only supported as a top-level type: "
+            f"{full_type}")
+    if child_canonical == "interval":
+        raise UnsupportedType(
+            f"INTERVAL is only supported as a top-level column type: "
             f"{full_type}")
 
 
@@ -208,9 +240,14 @@ def ducklake_to_spark_type(type_str: str) -> MappedType:
                           lossless=s not in ("timestamp_ns",))
 
     if s == "interval":
-        raise UnsupportedType(
-            "interval columns are not supported in Spark parquet scans "
-            "(reference maps to Arrow MonthDayNano; documented gap)")
+        # Reference: Arrow Interval(MonthDayNano) (types.rs:56). Spark
+        # has no interval COLUMN type readable from parquet, so the scan
+        # decodes the FLBA(12) (months, days, millis — LE u32 each, the
+        # parquet INTERVAL physical layout) into this struct; micros =
+        # millis*1000 (DuckDB itself truncates sub-milli on COPY TO).
+        # lossless=False: the unsigned u32 months/days narrow to int32
+        # (values ≥ 2^31 months ≈ 178M years are unrepresentable).
+        return MappedType(INTERVAL_SPARK_TYPE, "interval", lossless=False)
 
     m = _DECIMAL_RE.match(s)
     if m or s == "decimal":
@@ -329,6 +366,30 @@ def is_geometry_type(type_str: str) -> bool:
     """True for the GEOMETRY family (stored as WKB blobs in parquet —
     geo corpus: tests/sqllogictests/sql/geo/)."""
     return type_str.strip().lower() in _GEOMETRY
+
+
+def is_interval_type(type_str: str) -> bool:
+    """True for the INTERVAL type (read-only: scan decodes, writers
+    reject — see the module docstring)."""
+    return type_str.strip().lower() == "interval"
+
+
+def reject_interval_rewrite(columns, op: str) -> None:
+    """Refuse data-file REWRITE operations on tables with INTERVAL
+    columns: no parquet writer available to Spark (df.write.parquet,
+    pyarrow) can emit the parquet INTERVAL logical type, so a rewrite
+    would re-store the column as a plain struct and silently change the
+    table's physical contract for every other reader. DELETE (which
+    writes only positional-delete files) and metadata-only operations
+    remain allowed; registering externally-written interval files via
+    add_files is the supported write-side interop path."""
+    for c in columns:
+        if is_interval_type(c.column_type):
+            raise UnsupportedType(
+                f"{op} is not supported on tables with INTERVAL columns "
+                f"(column {c.column_name!r}): no available parquet writer "
+                "emits the INTERVAL logical type. INTERVAL tables are "
+                "read-only beyond DELETE and metadata operations.")
 
 
 def _nested_types_compatible(from_type: str, to_type: str) -> bool:
@@ -625,9 +686,14 @@ def build_spark_schema(columns) -> T.StructType:
             begins = dict(getattr(col, "nested_begins", ()) or ())
             spark_type = annotate_nested_ids(spark_type, (), dict(nested),
                                              begins or None)
+        metadata = {"parquet.field.id": col.column_id}
+        if mapped.canonical == "interval":
+            # tells the scan to read this column's FLBA(12) physically
+            # as binary and decode to the months/days/micros struct
+            metadata[INTERVAL_MARK] = True
         fields.append(T.StructField(
             col.column_name, spark_type, col.nulls_allowed,
-            metadata={"parquet.field.id": col.column_id}))
+            metadata=metadata))
     return T.StructType(fields)
 
 

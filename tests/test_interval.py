@@ -1,0 +1,288 @@
+"""INTERVAL column support (reference: types.rs:56 maps DuckLake
+``interval`` to Arrow Interval(MonthDayNano) for scans).
+
+Spark has no interval COLUMN type readable from parquet (its schema
+converter rejects FIXED_LEN_BYTE_ARRAY(INTERVAL)), so the engine reads
+the physical 12-byte value as binary and decodes the three little-endian
+u32 components (months, days, millis — the parquet logical-type spec's
+layout) JVM-side into struct<months:int, days:int, micros:long>.
+Fixtures are written by DuckDB itself (COPY ... TO parquet), the one
+engine here that can produce parquet INTERVAL — every decoded value is
+cross-checked against DuckDB reading the same file.
+
+Write-side: no parquet writer available to Spark emits the INTERVAL
+logical type (pyarrow rejects month_day_nano_interval; df.write has no
+interval column type), so data-file REWRITES are refused loudly and the
+supported interop path is create_empty_table + add_files of an
+externally-written file. DELETE (positional-delete files only) works.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_ducklake_spark.catalog import DuckLakeSession
+from datafusion_ducklake_spark.errors import InvalidConfig, UnsupportedType
+from datafusion_ducklake_spark.metadata.writer import CatalogWriter
+from datafusion_ducklake_spark.types import (
+    INTERVAL_SPARK_TYPE, ducklake_to_spark_type)
+
+N = 60
+
+
+def _write_interval_parquet(path: str, n: int = N) -> None:
+    """DuckDB-written parquet with an INTERVAL column derived
+    deterministically from the row index (NULL every 7th row)."""
+    duckdb.connect().execute(f"""
+        COPY (SELECT i::INT AS id,
+                     CASE WHEN i % 7 = 3 THEN NULL
+                          ELSE INTERVAL (i % 25) MONTH
+                             + INTERVAL (i % 40) DAY
+                             + INTERVAL (i * 321) MILLISECOND END AS iv
+              FROM range({n}) t(i))
+        TO '{path}' (FORMAT PARQUET)""")
+
+
+@pytest.fixture()
+def iv_session(spark, tmp_path):
+    """Session over a catalog whose ``main.iv`` table is one
+    DuckDB-written interval parquet, registered via the interop path
+    (create_empty_table + add_files)."""
+    data = str(tmp_path / "iv.parquet")
+    _write_interval_parquet(data)
+    db = str(tmp_path / "catalog.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake"))
+    w.close()
+    s = DuckLakeSession(spark, db)
+    s.create_empty_table("main.iv", "id INTEGER, iv INTERVAL")
+    assert s.add_files("main.iv", [data]) == N
+    return s, data
+
+
+def _duckdb_expected(data: str, where: str = "TRUE"):
+    """(sum months, sum days, sum micros, null count) via DuckDB's own
+    interval accessors over the same file — the cross-engine oracle."""
+    return duckdb.connect().execute(f"""
+        SELECT sum(date_part('year', iv)*12 + date_part('month', iv)),
+               sum(date_part('day', iv)),
+               sum((date_part('hour', iv)*3600
+                    + date_part('minute', iv)*60)*1000000
+                   + date_part('microsecond', iv)),
+               count(*) FILTER (iv IS NULL)
+        FROM '{data}' WHERE {where}""").fetchone()
+
+
+def _spark_actual(df):
+    r = df.agg(F.sum("iv.months"), F.sum("iv.days"), F.sum("iv.micros"),
+               F.count(F.when(F.col("iv").isNull(), 1))).collect()[0]
+    return tuple(r)
+
+
+def test_type_mapping():
+    m = ducklake_to_spark_type("interval")
+    assert m.spark_type == INTERVAL_SPARK_TYPE
+    assert m.canonical == "interval"
+    assert not m.lossless          # u32 months/days narrow to int32
+
+
+def test_nested_interval_rejected():
+    for t in ("list<interval>", "struct<a:interval>",
+              "map<varchar,interval>"):
+        with pytest.raises(UnsupportedType, match="top-level"):
+            ducklake_to_spark_type(t)
+
+
+def test_scan_values_match_duckdb(iv_session):
+    s, data = iv_session
+    assert _spark_actual(s.table("main.iv")) == _duckdb_expected(data)
+
+
+def test_scan_per_row_decode(iv_session):
+    s, data = iv_session
+    rows = {r.id: r.iv for r in s.table("main.iv").collect()}
+    exp = duckdb.connect().execute(f"""
+        SELECT id,
+               date_part('year', iv)*12 + date_part('month', iv),
+               date_part('day', iv),
+               (date_part('hour', iv)*3600
+                + date_part('minute', iv)*60)*1000000
+               + date_part('microsecond', iv)
+        FROM '{data}' ORDER BY id""").fetchall()
+    assert len(rows) == N
+    for rid, months, days, micros in exp:
+        got = rows[rid]
+        if months is None:
+            assert got is None
+        else:
+            assert (got.months, got.days, got.micros) == \
+                (months, days, micros)
+
+
+def test_zero_interval_is_not_null(iv_session):
+    s, _ = iv_session
+    r0 = s.table("main.iv").filter("id = 0").collect()[0]
+    assert r0.iv is not None
+    assert (r0.iv.months, r0.iv.days, r0.iv.micros) == (0, 0, 0)
+
+
+def test_sql_seam_over_interval(iv_session):
+    s, data = iv_session
+    got = s.sql("SELECT sum(iv.days) AS d FROM main.iv "
+                "WHERE id < 30").collect()[0]["d"]
+    exp = _duckdb_expected(data, "id < 30")[1]
+    assert got == exp
+
+
+def test_filter_on_other_column_pushes_down(iv_session):
+    """The decode projection must not block pushdown of predicates on
+    other columns into the parquet scan."""
+    s, _ = iv_session
+    plan = s.table("main.iv").filter("id > 50") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(id,50)" in plan
+
+
+def test_delete_then_scan(iv_session):
+    """DELETE writes only positional-delete files — allowed; the MOR
+    scan decodes the surviving interval values."""
+    s, data = iv_session
+    n = s.delete_from("main.iv", "id % 2 = 1")
+    assert n == N // 2
+    s.refresh()
+    assert _spark_actual(s.table("main.iv")) == \
+        _duckdb_expected(data, "id % 2 = 0")
+
+
+def test_rowid_scan(iv_session):
+    s, _ = iv_session
+    df = s.table("main.iv", with_rowid=True)
+    rows = df.select("rowid", "id", "iv").orderBy("rowid").collect()
+    assert [r.rowid for r in rows] == list(range(N))
+    assert rows[1].iv.months == 1
+
+
+def test_time_travel_after_delete(iv_session):
+    s, data = iv_session
+    snap_before = s.provider.get_current_snapshot()
+    s.delete_from("main.iv", "id >= 10")
+    s.refresh()
+    assert s.table("main.iv").count() == 10
+    old = s.sql(f"SELECT * FROM main.iv AT (VERSION => {snap_before})")
+    assert _spark_actual(old) == _duckdb_expected(data)
+
+
+def test_insert_rejected(iv_session):
+    s, _ = iv_session
+    df = s.table("main.iv").limit(1)
+    with pytest.raises(InvalidConfig, match="INTERVAL"):
+        s.insert_into("main.iv", df)
+
+
+def test_rewrites_rejected(iv_session):
+    s, _ = iv_session
+    with pytest.raises(UnsupportedType, match="INTERVAL"):
+        s.update_where("main.iv", {"id": "id + 1"})
+    with pytest.raises(UnsupportedType, match="INTERVAL"):
+        s.compact("main.iv")
+    with pytest.raises(UnsupportedType, match="INTERVAL"):
+        s.cluster_by("main.iv", "id", 4)
+    with pytest.raises(UnsupportedType, match="INTERVAL"):
+        s.merge_adjacent_files("iv")
+    src = s.table("main.iv").limit(1).select("id", "iv")
+    with pytest.raises(UnsupportedType, match="INTERVAL"):
+        s.merge_into("main.iv", src, on=["id"])
+
+
+def test_maintenance_sweep_skips_interval_tables(iv_session, spark):
+    """A catalog-wide merge_adjacent_files pass must skip (not abort on)
+    read-only interval tables."""
+    s, _ = iv_session
+    df = spark.createDataFrame([(i,) for i in range(10)], "k INT")
+    s.create_table("main.plain", df)
+    s.insert_into("main.plain", df)      # 2 files → eligible for merge
+    assert s.merge_adjacent_files() == 1  # plain merged, iv skipped
+    s.refresh()
+    assert s.table("main.iv").count() == N
+
+
+def test_add_files_type_check_rejects_non_interval(iv_session, tmp_path):
+    """A file whose column is NOT 12-byte fixed binary must not register
+    into an interval column."""
+    s, _ = iv_session
+    bad = str(tmp_path / "bad.parquet")
+    duckdb.connect().execute(
+        f"COPY (SELECT 1::INT AS id, 'x' AS iv) TO '{bad}' "
+        f"(FORMAT PARQUET)")
+    with pytest.raises(InvalidConfig):
+        s.add_files("main.iv", [bad])
+
+
+def test_interval_stats_recorded_harmlessly(iv_session):
+    """add_files records per-column stats; the interval column's FLBA
+    min/max is non-UTF8 → stored NULL → pruning keeps the file."""
+    s, data = iv_session
+    handle = s.table_handle("main.iv")
+    kept = handle.prune_files([("id", ">", 10)])
+    assert len(kept) == 1          # id stats prune nothing here (one file)
+    assert _spark_actual(s.table("main.iv")) == _duckdb_expected(data)
+
+
+def test_multi_file_and_dirty_union(iv_session, tmp_path):
+    """Second interval file appended via add_files + a delete over the
+    first — clean/dirty branches both decode."""
+    s, data = iv_session
+    data2 = str(tmp_path / "iv2.parquet")
+    duckdb.connect().execute(f"""
+        COPY (SELECT (i + {N})::INT AS id,
+                     INTERVAL (i) DAY AS iv FROM range(10) t(i))
+        TO '{data2}' (FORMAT PARQUET)""")
+    s.add_files("main.iv", [data2])
+    s.refresh()
+    s.delete_from("main.iv", f"id < 5")
+    s.refresh()
+    got = _spark_actual(s.table("main.iv"))
+    exp1 = _duckdb_expected(data, "id >= 5")
+    exp2 = duckdb.connect().execute(f"""
+        SELECT sum(date_part('day', iv)) FROM '{data2}'""").fetchone()[0]
+    assert got[0] == exp1[0]
+    assert got[1] == exp1[1] + exp2
+    assert got[3] == exp1[3]
+
+
+def test_cdc_over_interval(iv_session):
+    """table_changes decodes interval values in delete pre-images (the
+    CDC read primitive funnels through the same _read_parquet)."""
+    s, _ = iv_session
+    s.delete_from("main.iv", "id < 3")
+    s.refresh()
+    snap = s.provider.get_current_snapshot()
+    ch = s.table_changes("main.iv", snap - 1, snap).collect()
+    assert len(ch) == 3
+    assert all(r.change_type == "delete" for r in ch)
+    by_id = {r.id: r.iv for r in ch}
+    assert (by_id[2].months, by_id[2].days) == (2, 2)
+
+
+def test_encrypted_interval_rejected(spark):
+    """No writer can produce an encrypted interval file to verify
+    against — the boundary is loud, not a runtime decode failure."""
+    from datafusion_ducklake_spark.sources.scan import (
+        ResolvedFile, _scan_encrypted)
+    from datafusion_ducklake_spark.types import build_spark_schema
+
+    class Col:
+        def __init__(self, cid, name, t):
+            self.column_id, self.column_name, self.column_type = cid, name, t
+            self.nulls_allowed = True
+            self.nested_ids = ()
+    schema = build_spark_schema([Col(1, "iv", "interval")])
+    f = ResolvedFile(data_uri="/nonexistent.parquet", delete_uri=None,
+                     encryption_key="AAAA")
+    with pytest.raises(UnsupportedType, match="encrypted"):
+        _scan_encrypted(spark, schema, [f])
