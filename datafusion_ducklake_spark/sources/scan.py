@@ -338,6 +338,58 @@ def interval_decode(b) -> F.Column:
             (_le_u32(b, 9) * 1000).alias("micros")))
 
 
+def interval_decode_arrow(col):
+    """pyarrow-side twin of :func:`interval_decode` for paths that read
+    parquet through pyarrow (the streaming source): fixed_size_binary[12]
+    → struct<months:int32, days:int32, micros:int64>, numpy-vectorized
+    (one frombuffer + reshape per chunk, never per-row Python)."""
+    import numpy as np
+    import pyarrow as pa
+
+    out_type = pa.struct([pa.field("months", pa.int32()),
+                          pa.field("days", pa.int32()),
+                          pa.field("micros", pa.int64())])
+    chunks = []
+    for c in (col.chunks if isinstance(col, pa.ChunkedArray) else [col]):
+        n = len(c)
+        data = c.buffers()[1]
+        if n == 0 or data is None:
+            chunks.append(pa.nulls(n, out_type))
+            continue
+        vals = np.frombuffer(data, dtype="<u4",
+                             count=(c.offset + n) * 3)[c.offset * 3:]
+        vals = vals.reshape(-1, 3)
+        mask = None
+        if c.null_count:
+            mask = pa.compute.invert(c.is_valid())
+        chunks.append(pa.StructArray.from_arrays(
+            [pa.array(vals[:, 0].astype("i4")),
+             pa.array(vals[:, 1].astype("i4")),
+             pa.array(vals[:, 2].astype("i8") * 1000)],
+            names=["months", "days", "micros"], mask=mask))
+    return pa.chunked_array(chunks, type=out_type)
+
+
+def decode_arrow_intervals(table, target):
+    """Replace every column that is fixed_size_binary[12] in ``table``
+    but the interval struct in the ``target`` arrow schema with its
+    decoded form. Shape-keyed detection is sound here: that exact
+    physical/declared pairing only arises from the interval mapping."""
+    import pyarrow as pa
+
+    iv_struct = pa.struct([pa.field("months", pa.int32()),
+                           pa.field("days", pa.int32()),
+                           pa.field("micros", pa.int64())])
+    for i, name in enumerate(table.schema.names):
+        want = target.field(name).type if name in target.names else None
+        if (want == iv_struct
+                and table.schema.field(i).type == pa.binary(12)):
+            table = table.set_column(
+                i, pa.field(name, iv_struct),
+                interval_decode_arrow(table.column(i)))
+    return table
+
+
 def _read_parquet(spark: SparkSession, schema: T.StructType,
                   paths: list[str]) -> DataFrame:
     iv = set(_interval_fields(schema))

@@ -282,7 +282,11 @@ class _CatalogStreamReader(DataSourceStreamReader):
             # main-axis straddle: rowid = row_id_start + position, so the
             # delivered head is exactly the first skip_rows positions
             table = table.slice(partition.skip_rows)
-        return iter(table.select(target.names).cast(target).to_batches())
+        # INTERVAL columns arrive as fixed_size_binary[12]; decode to the
+        # declared struct (pyarrow twin of the batch scan's decode)
+        from ..sources.scan import decode_arrow_intervals
+        table = decode_arrow_intervals(table.select(target.names), target)
+        return iter(table.cast(target).to_batches())
 
     def commit(self, end: dict) -> None:
         pass

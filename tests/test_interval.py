@@ -269,6 +269,125 @@ def test_cdc_over_interval(iv_session):
     assert (by_id[2].months, by_id[2].days) == (2, 2)
 
 
+def test_stream_inserts_over_interval(iv_session, spark):
+    """The catalog-driven insert stream reads files through pyarrow —
+    interval columns must arrive decoded (interval_decode_arrow)."""
+    from datafusion_ducklake_spark.streaming import cdc_source
+    s, data = iv_session
+    stream = cdc_source.stream_inserts(s, "main.iv")
+    q = (stream.writeStream.format("memory").queryName("iv_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = spark.sql("SELECT * FROM iv_stream")
+    assert got.count() == N
+    assert _spark_actual(got) == _duckdb_expected(data)
+
+
+def test_grouped_dirty_scan_decodes(spark, tmp_path):
+    """More dirty files than MAX_PER_FILE_BRANCHES routes through the
+    single grouped scan + keyed anti-join — the decode and the
+    _metadata-based position/file keying must still compose."""
+    from datafusion_ducklake_spark.sources import scan as scan_mod
+    n_files, per = 4, 6
+    db = str(tmp_path / "catalog.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake"))
+    w.close()
+    s = DuckLakeSession(spark, db)
+    s.create_empty_table("main.iv", "id INTEGER, iv INTERVAL")
+    for k in range(n_files):
+        p = str(tmp_path / f"f{k}.parquet")
+        duckdb.connect().execute(f"""
+            COPY (SELECT (i + {k * per})::INT AS id,
+                         INTERVAL (i + {k * per}) DAY AS iv
+                  FROM range({per}) t(i)) TO '{p}' (FORMAT PARQUET)""")
+        s.add_files("main.iv", [p])
+        s.refresh()
+    s.delete_from("main.iv", "id % 3 = 0")   # dirties every file
+    s.refresh()
+    old = scan_mod.MAX_PER_FILE_BRANCHES
+    scan_mod.MAX_PER_FILE_BRANCHES = 2       # force the grouped path
+    try:
+        rows = s.table("main.iv").select("id", "iv.days").collect()
+    finally:
+        scan_mod.MAX_PER_FILE_BRANCHES = old
+    surviving = [i for i in range(n_files * per) if i % 3 != 0]
+    assert sorted(r["id"] for r in rows) == surviving
+    assert all(r["id"] == r["days"] for r in rows)
+
+
+def test_sql_ddl_create_interval_table(spark, tmp_path):
+    """CREATE TABLE ... (iv INTERVAL) through the SQL seam."""
+    db = str(tmp_path / "catalog.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake"))
+    w.close()
+    s = DuckLakeSession(spark, db)
+    s.sql("CREATE TABLE main.ivd (id INTEGER, iv INTERVAL)")
+    cols = {c.column_name: c.column_type
+            for c in s.table_handle("main.ivd").columns}
+    assert cols["iv"] == "interval"
+    assert s.table("main.ivd").count() == 0   # empty-table scan works
+
+
+def test_decode_property_fuzz(spark, tmp_path):
+    """Randomized (months, days, millis) triples round-trip bit-exactly
+    through DuckDB's writer and our decode — including u32-boundary-ish
+    values DuckDB can represent."""
+    import random
+    rng = random.Random(8)
+    rows = [(i, rng.randrange(0, 12000), rng.randrange(0, 40000),
+             rng.randrange(0, 2**40)) for i in range(200)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id INT, m INT, d INT, us BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
+    data = str(tmp_path / "fuzz.parquet")
+    con.execute(f"""
+        COPY (SELECT id, INTERVAL (m) MONTH + INTERVAL (d) DAY
+                         + INTERVAL (us) MICROSECOND AS iv FROM t)
+        TO '{data}' (FORMAT PARQUET)""")
+    db = str(tmp_path / "catalog.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake"))
+    w.close()
+    s = DuckLakeSession(spark, db)
+    s.create_empty_table("main.fz", "id INTEGER, iv INTERVAL")
+    s.add_files("main.fz", [data])
+    got = {r.id: r.iv for r in s.table("main.fz").collect()}
+    for rid, m, d, us in rows:
+        # DuckDB truncates sub-milli on parquet write
+        assert (got[rid].months, got[rid].days, got[rid].micros) == \
+            (m, d, (us // 1000) * 1000)
+
+
+def test_interval_decode_arrow_unit():
+    """Direct unit test of the pyarrow decode twin: offsets, nulls,
+    empty and multi-chunk inputs."""
+    import numpy as np
+    import pyarrow as pa
+
+    from datafusion_ducklake_spark.sources.scan import interval_decode_arrow
+
+    def enc(m, d, ms):
+        return np.array([m, d, ms], dtype="<u4").tobytes()
+
+    vals = [enc(1, 2, 3), None, enc(0, 0, 0), enc(4000, 50, 123456)]
+    arr = pa.array(vals, type=pa.binary(12))
+    out = interval_decode_arrow(pa.chunked_array([arr]))
+    assert out.to_pylist() == [
+        {"months": 1, "days": 2, "micros": 3000},
+        None,
+        {"months": 0, "days": 0, "micros": 0},
+        {"months": 4000, "days": 50, "micros": 123456000}]
+    # sliced chunk (non-zero offset)
+    sliced = arr.slice(2)
+    out2 = interval_decode_arrow(pa.chunked_array([sliced]))
+    assert out2.to_pylist()[0] == {"months": 0, "days": 0, "micros": 0}
+    # empty
+    empty = pa.chunked_array([], type=pa.binary(12))
+    assert len(interval_decode_arrow(empty)) == 0
+
+
 def test_encrypted_interval_rejected(spark):
     """No writer can produce an encrypted interval file to verify
     against — the boundary is loud, not a runtime decode failure."""
