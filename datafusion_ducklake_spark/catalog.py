@@ -192,6 +192,8 @@ class DuckLakeTable:
                 return datetime.datetime.fromisoformat(v)
             if isinstance(dt, T.DateType) and isinstance(v, str):
                 return datetime.date.fromisoformat(v)
+            if isinstance(dt, T.TimeType) and isinstance(v, str):
+                return datetime.time.fromisoformat(v)
             if isinstance(dt, T.DecimalType) and \
                     not isinstance(v, decimal.Decimal):
                 return decimal.Decimal(str(v))
@@ -804,6 +806,11 @@ class DuckLakeSession:
           ``override_data_path`` rewrites the recorded value.
         """
         self.spark = spark
+        if spark is not None:
+            # TIME columns map to Spark 4's feature-flagged TimeType;
+            # enable it session-wide so scans, inlined-row frames and
+            # writers all agree (types.py `time` mapping)
+            spark.conf.set("spark.sql.timeType.enabled", "true")
         if meta_type is not None and meta_type.lower() not in (
                 "sqlite", "duckdb"):
             # sql/general/metadata_parameters.test: unknown META_TYPE

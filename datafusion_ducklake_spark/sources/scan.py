@@ -111,6 +111,9 @@ def _configure_fieldid_read(spark: SparkSession) -> None:
     # A file without field ids under a field-id schema should fall back to
     # name matching rather than produce all-null columns.
     spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+    # DuckLake TIME columns map to Spark 4's TimeType (types.py), which
+    # is feature-flagged; enable it wherever a scan might read one.
+    spark.conf.set("spark.sql.timeType.enabled", "true")
 
 
 def _strip_nested_metadata(dt: T.DataType) -> T.DataType:

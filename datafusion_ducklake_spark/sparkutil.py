@@ -25,6 +25,7 @@ def build_spark(app_name: str = "datafusion-ducklake-spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.timeType.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # Tungsten off-heap: hash-aggregation maps and sort buffers leave

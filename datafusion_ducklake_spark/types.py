@@ -9,7 +9,9 @@ Documented semantic gaps vs the reference (Spark has no unsigned ints and
 caps decimals at precision 38):
 - uint8→short, uint16→int, uint32→long, uint64→decimal(20,0)
 - decimal(p>38, s) → rejected (reference supports Decimal256 up to 76)
-- time → long (µs of day)
+- time → TimeType (µs — lossless; matches the reference's Time64(µs).
+  Requires spark.sql.timeType.enabled, set by the engine's conf
+  chokepoints)
 - interval → struct<months:int, days:int, micros:long> (the reference
   maps to Arrow Interval(MonthDayNano), types.rs:56; Spark's
   CalendarIntervalType is not a first-class column type, so the scan
@@ -227,8 +229,11 @@ def ducklake_to_spark_type(type_str: str) -> MappedType:
     if s == "timetz" or s == "time with time zone":
         return MappedType(T.StringType(), "timetz", lossless=False)
     if s == "time":
-        # No TimeType column support pre-Spark-4.x readers; µs-of-day long.
-        return MappedType(T.LongType(), "time", lossless=False)
+        # Spark 4.x TimeType, µs precision — the same unit as DuckDB
+        # TIME and the reference's Time64(µs) (types.rs:46). Reads and
+        # writes require spark.sql.timeType.enabled, set at the engine's
+        # conf chokepoints (DuckLakeSession init, scan conf, build_spark).
+        return MappedType(T.TimeType(), "time")
 
     if s in ("timestamptz", "timestamp with time zone"):
         return MappedType(T.TimestampType(), "timestamptz")
@@ -288,6 +293,10 @@ def spark_to_ducklake_type(dt: T.DataType) -> str:
         return "float64"
     if isinstance(dt, T.DateType):
         return "date"
+    if isinstance(dt, T.TimeType):
+        # µs TimeType round-trips as DuckLake time (parquet TIME(µs) —
+        # readable as TIME by DuckDB, unlike the pre-r8 int64 encoding)
+        return "time"
     if isinstance(dt, T.TimestampNTZType):
         return "timestamp"
     if isinstance(dt, T.TimestampType):

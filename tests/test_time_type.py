@@ -1,0 +1,161 @@
+"""TIME column support via Spark 4's TimeType (µs precision — the same
+unit as DuckDB TIME and the reference's Time64(µs), types.rs:46).
+
+Pre-r8 the engine stored time as a bare int64 (µs of day), which DuckDB
+read back as BIGINT — a silent interop break on the write side. With
+TimeType the written parquet carries the TIME(µs) logical annotation, so
+both engines agree in BOTH directions. TimeType is feature-flagged
+(spark.sql.timeType.enabled), enabled at the engine's conf chokepoints:
+DuckLakeSession init, the scan conf setup, and build_spark.
+"""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datafusion_ducklake_spark.catalog import DuckLakeSession
+from datafusion_ducklake_spark.metadata.writer import CatalogWriter
+from datafusion_ducklake_spark.types import (
+    ducklake_to_spark_type, spark_to_ducklake_type)
+
+TIMES = [datetime.time(0, 0, 0), datetime.time(1, 2, 3, 4),
+         datetime.time(12, 30, 0, 500000), None,
+         datetime.time(23, 59, 59, 999999)]
+
+
+@pytest.fixture()
+def dl(spark, tmp_path):
+    db = str(tmp_path / "catalog.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake"))
+    w.close()
+    return DuckLakeSession(spark, db)
+
+
+def _time_df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TIMES)],
+        T.StructType([T.StructField("id", T.IntegerType(), False),
+                      T.StructField("t", T.TimeType(), True)]))
+
+
+def test_type_mapping_both_directions():
+    assert ducklake_to_spark_type("time").spark_type == T.TimeType()
+    assert ducklake_to_spark_type("time").lossless
+    assert spark_to_ducklake_type(T.TimeType()) == "time"
+
+
+def test_write_scan_roundtrip(dl, spark):
+    dl.create_table("main.tt", _time_df(spark))
+    cols = {c.column_name: c.column_type
+            for c in dl.table_handle("main.tt").columns}
+    assert cols["t"] == "time"
+    got = {r.id: r.t for r in dl.table("main.tt").collect()}
+    assert got == dict(enumerate(TIMES))
+
+
+def test_written_parquet_reads_as_time_in_duckdb(dl, spark, tmp_path):
+    """The on-disk contract: our file must carry the TIME(µs) logical
+    type, not a bare int64."""
+    dl.create_table("main.tt", _time_df(spark))
+    files = glob.glob(str(tmp_path / "lake" / "main" / "tt" / "*.parquet"))
+    assert files
+    con = duckdb.connect()
+    desc = {r[0]: r[1] for r in con.execute(
+        f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchall()}
+    assert desc["t"] == "TIME"
+    vals = con.execute(
+        f"SELECT t FROM read_parquet({files!r}) ORDER BY id").fetchall()
+    assert [v[0] for v in vals] == TIMES
+
+
+def test_insert_append_and_sql(dl, spark):
+    dl.create_table("main.tt", _time_df(spark))
+    dl.insert_into("main.tt", spark.createDataFrame(
+        [(99, datetime.time(6, 0, 0))],
+        T.StructType([T.StructField("id", T.IntegerType(), False),
+                      T.StructField("t", T.TimeType(), True)])))
+    dl.refresh()
+    n = dl.sql("SELECT COUNT(*) AS n FROM main.tt "
+               "WHERE t >= TIME'06:00:00'").collect()[0]["n"]
+    assert n == 3      # 12:30, 23:59:59.999999, 06:00
+
+
+def test_add_files_duckdb_time_parquet(dl, tmp_path):
+    data = str(tmp_path / "times.parquet")
+    duckdb.connect().execute(f"""
+        COPY (SELECT i::INT AS id,
+                     (TIME '00:00:01' + INTERVAL (i * 1500) MILLISECOND)
+                       ::TIME AS t
+              FROM range(40) t2(i)) TO '{data}' (FORMAT PARQUET)""")
+    dl.create_empty_table("main.ext", "id INTEGER, t TIME")
+    assert dl.add_files("main.ext", [data]) == 40
+    rows = {r.id: r.t for r in dl.table("main.ext").collect()}
+    assert rows[0] == datetime.time(0, 0, 1)
+    assert rows[1] == datetime.time(0, 0, 2, 500000)
+    assert len(rows) == 40
+
+
+def test_dml_over_time_table(dl, spark):
+    dl.create_table("main.tt", _time_df(spark))
+    assert dl.delete_from("main.tt", "t < TIME'02:00:00'") == 2
+    dl.refresh()
+    dl.update_where("main.tt", {"id": "id + 100"},
+                    "t = TIME'12:30:00.5'")
+    dl.refresh()
+    got = {r.id: r.t for r in dl.table("main.tt").collect()}
+    assert set(got) == {102, 3, 4}
+    assert got[102] == datetime.time(12, 30, 0, 500000)
+
+
+def test_min_max_group_order(dl, spark):
+    dl.create_table("main.tt", _time_df(spark))
+    r = dl.table("main.tt").agg(
+        F.min("t").alias("lo"), F.max("t").alias("hi")).collect()[0]
+    assert (r.lo, r.hi) == (TIMES[0], TIMES[4])
+    ordered = [x.t for x in dl.table("main.tt").orderBy(
+        F.col("t").asc_nulls_first()).collect()]
+    assert ordered == [None] + sorted(t for t in TIMES if t is not None)
+
+
+def test_inlined_time_rows_coerce(dl, spark):
+    """A foreign catalog may inline time rows as text — the inlined-row
+    frame must coerce them back to TimeType."""
+    from datafusion_ducklake_spark.table_writer import _catalog_writer
+    dl.create_empty_table("main.inl", "id INTEGER, t TIME")
+    handle = dl.table_handle("main.inl")
+    w = _catalog_writer(dl)
+    try:
+        snap = w.create_snapshot(
+            [f"inserted_into_table:{handle.meta.table_id}"])
+        w.insert_inlined_rows(handle.meta.table_id, snap,
+                              ["id", "t"], ["int32", "time"],
+                              [(1, "04:05:06.000007"), (2, "23:00:00")])
+    finally:
+        w.close()
+    dl.refresh()
+    got = {r.id: r.t for r in dl.table("main.inl").collect()}
+    assert got == {1: datetime.time(4, 5, 6, 7), 2: datetime.time(23, 0)}
+
+
+def test_time_survives_compaction(dl, spark):
+    dl.create_table("main.tt", _time_df(spark))
+    dl.insert_into("main.tt", spark.createDataFrame(
+        [(50, datetime.time(7, 7, 7))],
+        T.StructType([T.StructField("id", T.IntegerType(), False),
+                      T.StructField("t", T.TimeType(), True)])))
+    dl.refresh()
+    dl.delete_from("main.tt", "id = 0")
+    dl.refresh()
+    dl.compact("main.tt")
+    dl.refresh()
+    got = {r.id: r.t for r in dl.table("main.tt").collect()}
+    assert got[50] == datetime.time(7, 7, 7)
+    assert 0 not in got and len(got) == 5

@@ -38,7 +38,7 @@ from datafusion_ducklake_spark.types import (ducklake_to_spark_type,
     ("bytea", T.BinaryType()), ("uuid", T.BinaryType()),
     ("geometry", T.BinaryType()), ("point", T.BinaryType()),
     ("timetz", T.StringType()),
-    ("time", T.LongType()),
+    ("time", T.TimeType()),
     ("decimal(10,2)", T.DecimalType(10, 2)),
     ("DECIMAL(38, 6)", T.DecimalType(38, 6)),
     ("numeric(5,0)", T.DecimalType(5, 0)),
