@@ -343,15 +343,23 @@ def interval_decode(b) -> F.Column:
 
 def interval_decode_arrow(col):
     """pyarrow-side twin of :func:`interval_decode` for paths that read
-    parquet through pyarrow (the streaming source): fixed_size_binary[12]
-    → struct<months:int32, days:int32, micros:int64>, numpy-vectorized
-    (one frombuffer + reshape per chunk, never per-row Python)."""
+    parquet through pyarrow (the streaming source, the PME-encrypted
+    scan): → struct<months:int32, days:int32, micros:int64>,
+    numpy-vectorized (one frombuffer per chunk, never per-row Python).
+
+    Handles BOTH arrow surfaces of a parquet INTERVAL column:
+    - fixed_size_binary[12] (ParquetFile.read of plain files): the
+      little-endian (months, days, millis) u32 triple;
+    - month_day_nano_interval (pyarrow's decryption reader): 16-byte
+      (months i32, days i32, nanos i64) values — nanos floor to µs
+      exactly, since every writer here stores ≥µs granularity."""
     import numpy as np
     import pyarrow as pa
 
     out_type = pa.struct([pa.field("months", pa.int32()),
                           pa.field("days", pa.int32()),
                           pa.field("micros", pa.int64())])
+    mdn = pa.types.is_interval(col.type)
     chunks = []
     for c in (col.chunks if isinstance(col, pa.ChunkedArray) else [col]):
         n = len(c)
@@ -359,25 +367,37 @@ def interval_decode_arrow(col):
         if n == 0 or data is None:
             chunks.append(pa.nulls(n, out_type))
             continue
-        vals = np.frombuffer(data, dtype="<u4",
-                             count=(c.offset + n) * 3)[c.offset * 3:]
-        vals = vals.reshape(-1, 3)
+        if mdn:
+            rec = np.frombuffer(
+                data, dtype=np.dtype([("m", "<i4"), ("d", "<i4"),
+                                      ("ns", "<i8")]),
+                count=c.offset + n)[c.offset:]
+            months = rec["m"].astype("i4")
+            days = rec["d"].astype("i4")
+            micros = rec["ns"] // 1000
+        else:
+            vals = np.frombuffer(data, dtype="<u4",
+                                 count=(c.offset + n) * 3)[c.offset * 3:]
+            vals = vals.reshape(-1, 3)
+            months = vals[:, 0].astype("i4")
+            days = vals[:, 1].astype("i4")
+            micros = vals[:, 2].astype("i8") * 1000
         mask = None
         if c.null_count:
             mask = pa.compute.invert(c.is_valid())
         chunks.append(pa.StructArray.from_arrays(
-            [pa.array(vals[:, 0].astype("i4")),
-             pa.array(vals[:, 1].astype("i4")),
-             pa.array(vals[:, 2].astype("i8") * 1000)],
+            [pa.array(months), pa.array(days), pa.array(micros)],
             names=["months", "days", "micros"], mask=mask))
     return pa.chunked_array(chunks, type=out_type)
 
 
 def decode_arrow_intervals(table, target):
-    """Replace every column that is fixed_size_binary[12] in ``table``
-    but the interval struct in the ``target`` arrow schema with its
-    decoded form. Shape-keyed detection is sound here: that exact
-    physical/declared pairing only arises from the interval mapping."""
+    """Replace every column that is fixed_size_binary[12] or
+    month_day_nano_interval in ``table`` but the interval struct in the
+    ``target`` arrow schema with its decoded form. Shape-keyed detection
+    is sound here: those exact physical/declared pairings only arise
+    from the interval mapping (a genuine user struct column arrives as
+    a struct already and is left alone)."""
     import pyarrow as pa
 
     iv_struct = pa.struct([pa.field("months", pa.int32()),
@@ -385,8 +405,9 @@ def decode_arrow_intervals(table, target):
                            pa.field("micros", pa.int64())])
     for i, name in enumerate(table.schema.names):
         want = target.field(name).type if name in target.names else None
-        if (want == iv_struct
-                and table.schema.field(i).type == pa.binary(12)):
+        have = table.schema.field(i).type
+        if want == iv_struct and (have == pa.binary(12)
+                                  or pa.types.is_interval(have)):
             table = table.set_column(
                 i, pa.field(name, iv_struct),
                 interval_decode_arrow(table.column(i)))
@@ -919,15 +940,6 @@ def _scan_encrypted(spark: SparkSession, schema: T.StructType,
     from ..errors import InvalidConfig
     from . import encryption as enc
 
-    if _interval_fields(schema):
-        # the pyarrow decrypt path would surface fixed_size_binary(12)
-        # values, but no writer available to us (Spark, pyarrow, or
-        # DuckDB-with-standard-PME) can PRODUCE an encrypted interval
-        # file to verify against — keep the boundary loud
-        from ..errors import UnsupportedType
-        raise UnsupportedType(
-            "INTERVAL columns over encrypted tables are not supported")
-
     for f in files:
         _check_local_exists(f.data_uri)
         enc.check_not_duckdb_encrypted(f.data_uri)
@@ -940,15 +952,27 @@ def _scan_encrypted(spark: SparkSession, schema: T.StructType,
            T.StructField(FILE_COL, T.StringType(), False),
            T.StructField("__rid_file", T.LongType(), True)])
 
+    iv_cols = set(_interval_fields(schema))
+
     def decode(pdf_iter):
+        from pyspark.sql.pandas.types import to_arrow_schema
+        iv_target = to_arrow_schema(
+            T.StructType([f for f in schema.fields
+                          if f.name in iv_cols])) if iv_cols else None
         for pdf in pdf_iter:
             for path, key in zip(pdf["path"], pdf["key"]):
                 tbl = enc.read_encrypted_arrow(path, enc.decode_key(key))
                 # reserved in-file columns (rowid / per-row snapshot of
                 # UPDATE-rewritten or flushed files) must not leak into
                 # the data schema; the rowid rides out via __rid_file
-                out = tbl.select(
-                    [n for n in tbl.schema.names if n in want]).to_pandas()
+                sel = tbl.select(
+                    [n for n in tbl.schema.names if n in want])
+                if iv_cols:
+                    # INTERVAL columns surface as month_day_nano (or
+                    # FLBA(12)) from the decrypt reader — decode to the
+                    # engine's struct representation before pandas
+                    sel = decode_arrow_intervals(sel, iv_target)
+                out = sel.to_pandas()
                 for n in want:
                     if n not in out.columns:
                         out[n] = None

@@ -388,20 +388,62 @@ def test_interval_decode_arrow_unit():
     assert len(interval_decode_arrow(empty)) == 0
 
 
-def test_encrypted_interval_rejected(spark):
-    """No writer can produce an encrypted interval file to verify
-    against — the boundary is loud, not a runtime decode failure."""
-    from datafusion_ducklake_spark.sources.scan import (
-        ResolvedFile, _scan_encrypted)
-    from datafusion_ducklake_spark.types import build_spark_schema
+def test_encrypted_interval_scan(spark, tmp_path):
+    """A DuckDB-written PME-encrypted file with an interval column reads
+    through the executor-side decrypt path: pyarrow's decryption reader
+    surfaces month_day_nano_interval, decoded to the struct
+    representation (the reference CANNOT read DuckDB-encrypted files at
+    all — parquet-rs requires aad_file_unique; encryption.rs:25-41)."""
+    key = "0123456789abcdef"          # raw 16-byte AES-128, VARCHAR form
+    data = str(tmp_path / "enc_iv.parquet")
+    con = duckdb.connect()
+    con.execute(f"PRAGMA add_parquet_key('k1', '{key}')")
+    con.execute(f"""
+        COPY (SELECT i::INT AS id,
+                     CASE WHEN i = 2 THEN NULL
+                          ELSE INTERVAL (i * 3) MONTH + INTERVAL (i) DAY
+                             + INTERVAL (i * 7) MILLISECOND END AS iv
+              FROM range(12) t(i))
+        TO '{data}' (FORMAT PARQUET, ENCRYPTION_CONFIG {{footer_key: 'k1'}})""")
 
-    class Col:
-        def __init__(self, cid, name, t):
-            self.column_id, self.column_name, self.column_type = cid, name, t
-            self.nulls_allowed = True
-            self.nested_ids = ()
-    schema = build_spark_schema([Col(1, "iv", "interval")])
-    f = ResolvedFile(data_uri="/nonexistent.parquet", delete_uri=None,
-                     encryption_key="AAAA")
-    with pytest.raises(UnsupportedType, match="encrypted"):
-        _scan_encrypted(spark, schema, [f])
+    db = str(tmp_path / "catalog.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path))
+    with w._txn() as cur:
+        cur.execute("INSERT INTO ducklake_snapshot (snapshot_id) VALUES (1)")
+        cur.execute(
+            "INSERT INTO ducklake_schema (schema_id, schema_name, path, "
+            "path_is_relative, begin_snapshot) VALUES (1,'main','main',1,1)")
+        cur.execute(
+            "INSERT INTO ducklake_table (table_id, schema_id, table_name, "
+            "path, path_is_relative, begin_snapshot) "
+            "VALUES (1,1,'enc_iv','enc_iv',1,1)")
+        for order, (cname, ctype) in enumerate(
+                [("id", "int32"), ("iv", "interval")]):
+            cur.execute(
+                "INSERT INTO ducklake_column (column_id, table_id, "
+                "column_name, column_type, column_order, nulls_allowed, "
+                "begin_snapshot) VALUES (?,1,?,?,?,1,1)",
+                (order + 1, cname, ctype, order))
+        cur.execute(
+            "INSERT INTO ducklake_data_file (data_file_id, table_id, path, "
+            "path_is_relative, file_size_bytes, record_count, "
+            "encryption_key, begin_snapshot) VALUES (1,1,?,0,?,12,?,1)",
+            (data, os.path.getsize(data), key))
+    w.close()
+
+    s = DuckLakeSession(spark, db)
+    rows = {r.id: r.iv for r in s.table("main.enc_iv").collect()}
+    assert len(rows) == 12
+    assert rows[2] is None
+    assert (rows[3].months, rows[3].days, rows[3].micros) == (9, 3, 21000)
+    got = sorted((r, v.months, v.days, v.micros)
+                 for r, v in rows.items() if v is not None)
+    exp = con.execute(f"""
+        SELECT id, date_part('year', iv)*12 + date_part('month', iv),
+               date_part('day', iv),
+               (date_part('hour', iv)*3600 + date_part('minute', iv)*60)
+                 *1000000 + date_part('microsecond', iv)
+        FROM read_parquet('{data}', encryption_config={{footer_key: 'k1'}})
+        WHERE iv IS NOT NULL ORDER BY id""").fetchall()
+    assert got == [tuple(e) for e in exp]
