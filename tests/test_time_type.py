@@ -145,6 +145,24 @@ def test_inlined_time_rows_coerce(dl, spark):
     assert got == {1: datetime.time(4, 5, 6, 7), 2: datetime.time(23, 0)}
 
 
+def test_encrypted_time_roundtrip(spark, tmp_path):
+    """TIME through an encrypted catalog: PME write (pyarrow time64),
+    executor-side decrypt scan, values intact."""
+    db = str(tmp_path / "enc.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake"))
+    w.set_option("encrypted", "true")
+    w.close()
+    edl = DuckLakeSession(spark, db)
+    edl.create_table("main.tt", _time_df(spark))
+    from datafusion_ducklake_spark.sources import encryption as enc
+    files = [f for f in __import__("glob").glob(
+        str(tmp_path / "lake" / "**" / "*.parquet"), recursive=True)]
+    assert files and all(enc.is_encrypted_parquet(p) for p in files)
+    got = {r.id: r.t for r in edl.table("main.tt").collect()}
+    assert got == dict(enumerate(TIMES))
+
+
 def test_time_survives_compaction(dl, spark):
     dl.create_table("main.tt", _time_df(spark))
     dl.insert_into("main.tt", spark.createDataFrame(
