@@ -192,8 +192,14 @@ class DuckLakeTable:
                 return datetime.datetime.fromisoformat(v)
             if isinstance(dt, T.DateType) and isinstance(v, str):
                 return datetime.date.fromisoformat(v)
-            if isinstance(dt, T.TimeType) and isinstance(v, str):
-                return datetime.time.fromisoformat(v)
+            if isinstance(dt, T.TimeType) and isinstance(v, (str, int)):
+                # pre-r8 engine inlined time rows as µs-of-day ints
+                # (which SQLite may hand back as digit strings under the
+                # column's text affinity); post-r8 rows are ISO text
+                if isinstance(v, str) and not v.isdigit():
+                    return datetime.time.fromisoformat(v)
+                return (datetime.datetime.min
+                        + datetime.timedelta(microseconds=int(v))).time()
             if isinstance(dt, T.DecimalType) and \
                     not isinstance(v, decimal.Decimal):
                 return decimal.Decimal(str(v))
@@ -3650,8 +3656,29 @@ class DuckLakeSession:
                         # decodes it to struct<months,days,micros>.
                         # This is the supported write-side interop path
                         # for interval tables: create_empty_table +
-                        # add_files of an externally-written file
-                        continue
+                        # add_files of an externally-written file.
+                        # Unlike the byte-transparent uuid rule above,
+                        # the decode is SEMANTIC — require the parquet
+                        # INTERVAL logical annotation so an arbitrary
+                        # 12-byte blob column can't register and be
+                        # silently misread as (months, days, millis)
+                        phys = next(
+                            (meta.schema.column(k)
+                             for k in range(len(meta.schema))
+                             if meta.schema.column(k).path == col_name),
+                            None)
+                        conv = str(getattr(phys, "converted_type", "")
+                                   or "") if phys is not None else ""
+                        logi = str(getattr(phys, "logical_type", "")
+                                   or "") if phys is not None else ""
+                        if "INTERVAL" in conv.upper() \
+                                or "INTERVAL" in logi.upper():
+                            continue
+                        raise InvalidConfig(
+                            f"add_files: column '{col_name}' in {path} "
+                            "is fixed 12-byte binary without the "
+                            "parquet INTERVAL logical type — refusing "
+                            "to register it into an INTERVAL column")
                     from pyspark.sql.pandas.types import from_arrow_type
                     try:
                         spark_t = from_arrow_type(schema.types[i],

@@ -316,6 +316,25 @@ def _interval_fields(schema: T.StructType) -> list[str]:
             if (f.metadata or {}).get(INTERVAL_MARK)]
 
 
+def _time_fields(schema: T.StructType) -> list[str]:
+    """Names of top-level TIME columns (``ducklake.time`` metadata) —
+    read physically as int64 µs-of-day for era-proofness (see
+    types.TIME_MARK)."""
+    from ..types import TIME_MARK
+    return [f.name for f in schema.fields
+            if (f.metadata or {}).get(TIME_MARK)]
+
+
+def time_decode(c) -> F.Column:
+    """µs-of-day long → TimeType, exact to the microsecond (probed:
+    make_time keeps the decimal fraction). NULL propagates through
+    make_time's null-in-null-out semantics."""
+    hour = F.floor(c / F.lit(3600000000)).cast("int")
+    minute = F.floor((c % F.lit(3600000000)) / F.lit(60000000)).cast("int")
+    secs = (c % F.lit(60000000)).cast(T.DecimalType(16, 6)) / F.lit(1000000)
+    return F.make_time(hour, minute, secs)
+
+
 def _le_u32(b, off: int):
     """Little-endian u32 at 1-indexed byte offset ``off`` of binary
     column ``b`` — byte-swap via concat of 1-byte substrings, then
@@ -341,6 +360,19 @@ def interval_decode(b) -> F.Column:
             (_le_u32(b, 9) * 1000).alias("micros")))
 
 
+def _interval_arrow_struct():
+    """The arrow twin of types.INTERVAL_SPARK_TYPE, derived from it (one
+    source of truth — decode_arrow_intervals matches targets by exact
+    type equality, so a hand-copied shape that drifted would silently
+    stop matching)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from ..types import INTERVAL_SPARK_TYPE
+    return to_arrow_schema(
+        T.StructType([T.StructField("iv", INTERVAL_SPARK_TYPE)])
+    ).field("iv").type
+
+
 def interval_decode_arrow(col):
     """pyarrow-side twin of :func:`interval_decode` for paths that read
     parquet through pyarrow (the streaming source, the PME-encrypted
@@ -356,9 +388,7 @@ def interval_decode_arrow(col):
     import numpy as np
     import pyarrow as pa
 
-    out_type = pa.struct([pa.field("months", pa.int32()),
-                          pa.field("days", pa.int32()),
-                          pa.field("micros", pa.int64())])
+    out_type = _interval_arrow_struct()
     mdn = pa.types.is_interval(col.type)
     chunks = []
     for c in (col.chunks if isinstance(col, pa.ChunkedArray) else [col]):
@@ -379,6 +409,13 @@ def interval_decode_arrow(col):
             vals = np.frombuffer(data, dtype="<u4",
                                  count=(c.offset + n) * 3)[c.offset * 3:]
             vals = vals.reshape(-1, 3)
+            if (vals[:, :2] >= 2 ** 31).any():
+                # the documented int32 ceiling — fail LOUDLY like the
+                # JVM decode's ANSI cast, never wrap to negatives
+                raise ValueError(
+                    "interval months/days component >= 2^31 is not "
+                    "representable (engine maps parquet INTERVAL u32 "
+                    "components to int32)")
             months = vals[:, 0].astype("i4")
             days = vals[:, 1].astype("i4")
             micros = vals[:, 2].astype("i8") * 1000
@@ -400,9 +437,7 @@ def decode_arrow_intervals(table, target):
     a struct already and is left alone)."""
     import pyarrow as pa
 
-    iv_struct = pa.struct([pa.field("months", pa.int32()),
-                           pa.field("days", pa.int32()),
-                           pa.field("micros", pa.int64())])
+    iv_struct = _interval_arrow_struct()
     for i, name in enumerate(table.schema.names):
         want = target.field(name).type if name in target.names else None
         have = table.schema.field(i).type
@@ -417,23 +452,37 @@ def decode_arrow_intervals(table, target):
 def _read_parquet(spark: SparkSession, schema: T.StructType,
                   paths: list[str]) -> DataFrame:
     iv = set(_interval_fields(schema))
-    if not iv:
+    tm = set(_time_fields(schema))
+    if not iv and not tm:
         return spark.read.schema(schema).parquet(*paths)
-    # INTERVAL columns: swap the struct for BinaryType in the physical
-    # read schema (field-id metadata preserved so id-resolution still
-    # applies), then decode right above the scan. The projection is
-    # per-column and constant-shaped, so Catalyst still pushes filters
-    # on OTHER columns into the scan, and ``_metadata.row_index``
-    # remains resolvable on the result (the delete-filter path relies
-    # on it).
-    phys = T.StructType([
-        T.StructField(f.name, T.BinaryType(), f.nullable,
-                      metadata=f.metadata)
-        if f.name in iv else f
-        for f in schema.fields])
-    df = spark.read.schema(phys).parquet(*paths)
+    # INTERVAL/TIME columns: swap the logical type for the physical one
+    # in the read schema (binary for FLBA(12) interval, int64 µs-of-day
+    # for time — era-proof across pre-annotation files; field-id
+    # metadata preserved so id-resolution still applies), then decode
+    # right above the scan. The projection is per-column and
+    # constant-shaped, so Catalyst still pushes filters on OTHER columns
+    # into the scan, and ``_metadata.row_index`` remains resolvable on
+    # the result (the delete-filter path relies on it). Columns are
+    # referenced via df[...] — name-safe for dots/backticks.
+    def phys_field(f):
+        if f.name in iv:
+            return T.StructField(f.name, T.BinaryType(), f.nullable,
+                                 metadata=f.metadata)
+        if f.name in tm:
+            return T.StructField(f.name, T.LongType(), f.nullable,
+                                 metadata=f.metadata)
+        return f
+
+    df = spark.read.schema(
+        T.StructType([phys_field(f) for f in schema.fields])).parquet(*paths)
+
+    def ref(c):  # backtick-quoted: a name with a '.' is NOT a field path
+        return F.col("`" + c.replace("`", "``") + "`")
+
     return df.select(*[
-        interval_decode(F.col(c)).alias(c) if c in iv else F.col(c)
+        interval_decode(ref(c)).alias(c) if c in iv
+        else time_decode(ref(c)).alias(c) if c in tm
+        else ref(c).alias(c)
         for c in df.columns])
 
 
@@ -953,8 +1002,10 @@ def _scan_encrypted(spark: SparkSession, schema: T.StructType,
            T.StructField("__rid_file", T.LongType(), True)])
 
     iv_cols = set(_interval_fields(schema))
+    tm_cols = set(_time_fields(schema))
 
     def decode(pdf_iter):
+        import pyarrow as pa
         from pyspark.sql.pandas.types import to_arrow_schema
         iv_target = to_arrow_schema(
             T.StructType([f for f in schema.fields
@@ -972,6 +1023,14 @@ def _scan_encrypted(spark: SparkSession, schema: T.StructType,
                     # FLBA(12)) from the decrypt reader — decode to the
                     # engine's struct representation before pandas
                     sel = decode_arrow_intervals(sel, iv_target)
+                for i, n in enumerate(sel.schema.names):
+                    # TIME columns: pre-r8 encrypted files store bare
+                    # int64 µs-of-day; arrow casts both that and
+                    # time64 to time64(µs) exactly
+                    if n in tm_cols:
+                        sel = sel.set_column(
+                            i, pa.field(n, pa.time64("us")),
+                            sel.column(i).cast(pa.time64("us")))
                 out = sel.to_pandas()
                 for n in want:
                     if n not in out.columns:

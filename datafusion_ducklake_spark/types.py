@@ -88,6 +88,14 @@ INTERVAL_SPARK_TYPE = T.StructType([
 # scan keys its binary→struct rewrite on this (a user struct with the
 # same field shape must NOT be decoded).
 INTERVAL_MARK = "ducklake.interval"
+# StructField metadata key marking a TIME column. The scan reads these
+# physically as int64 and converts µs-of-day → TimeType ABOVE the scan,
+# which makes the read era-proof: pre-r8 data files stored time as a
+# bare un-annotated int64 (µs of day), and Spark's native TimeType read
+# of such a column would silently interpret the values as NANOSECONDS —
+# 1000× too small. The uniform long read gives µs for both the old
+# bare-int64 files and the new TIME(µs)-annotated files.
+TIME_MARK = "ducklake.time"
 
 _DECIMAL_RE = re.compile(r"^(?:decimal|numeric)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$")
 _LIST_RE = re.compile(r"^(?:list|array)\s*<(.+)>$")
@@ -700,6 +708,11 @@ def build_spark_schema(columns) -> T.StructType:
             # tells the scan to read this column's FLBA(12) physically
             # as binary and decode to the months/days/micros struct
             metadata[INTERVAL_MARK] = True
+        elif mapped.canonical == "time":
+            # tells the scan to read physically as int64 µs-of-day and
+            # convert to TimeType above the scan (era-proof — see
+            # TIME_MARK)
+            metadata[TIME_MARK] = True
         fields.append(T.StructField(
             col.column_name, spark_type, col.nulls_allowed,
             metadata=metadata))

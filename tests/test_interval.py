@@ -360,6 +360,74 @@ def test_decode_property_fuzz(spark, tmp_path):
             (m, d, (us // 1000) * 1000)
 
 
+def test_add_files_rejects_unannotated_flba12(iv_session, tmp_path):
+    """A 12-byte binary column WITHOUT the parquet INTERVAL logical type
+    must not register into an interval column — the decode is semantic,
+    so an arbitrary blob would be silently misread as (months, days,
+    millis)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    s, _ = iv_session
+    blob = str(tmp_path / "blob12.parquet")
+    pq.write_table(pa.table({
+        "id": pa.array([100], pa.int32()),
+        "iv": pa.array([b"\x01" * 12], pa.binary(12))}), blob)
+    with pytest.raises(InvalidConfig, match="INTERVAL logical type"):
+        s.add_files("main.iv", [blob])
+
+
+def test_dotted_column_name_beside_interval(spark, tmp_path):
+    """Column names may contain single dots (validate_name rejects only
+    '..'; the DataFrame create path accepts them) — the decode
+    projection must reference them name-safely, not as nested paths."""
+    data = str(tmp_path / "dot.parquet")
+    duckdb.connect().execute(f"""
+        COPY (SELECT i::INT AS "a.b", INTERVAL (i) DAY AS iv
+              FROM range(5) t(i)) TO '{data}' (FORMAT PARQUET)""")
+    db = str(tmp_path / "catalog.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path))
+    with w._txn() as cur:
+        cur.execute("INSERT INTO ducklake_snapshot (snapshot_id) VALUES (1)")
+        cur.execute(
+            "INSERT INTO ducklake_schema (schema_id, schema_name, path, "
+            "path_is_relative, begin_snapshot) VALUES (1,'main','main',1,1)")
+        cur.execute(
+            "INSERT INTO ducklake_table (table_id, schema_id, table_name, "
+            "path, path_is_relative, begin_snapshot) "
+            "VALUES (1,1,'dt','dt',1,1)")
+        for order, (cname, ctype) in enumerate(
+                [("a.b", "int32"), ("iv", "interval")]):
+            cur.execute(
+                "INSERT INTO ducklake_column (column_id, table_id, "
+                "column_name, column_type, column_order, nulls_allowed, "
+                "begin_snapshot) VALUES (?,1,?,?,?,1,1)",
+                (order + 1, cname, ctype, order))
+        cur.execute(
+            "INSERT INTO ducklake_data_file (data_file_id, table_id, path, "
+            "path_is_relative, file_size_bytes, record_count, "
+            "begin_snapshot) VALUES (1,1,?,0,?,5,1)",
+            (data, os.path.getsize(data)))
+    w.close()
+    s = DuckLakeSession(spark, db)
+    rows = s.table("main.dt").collect()
+    assert sorted(r["a.b"] for r in rows) == [0, 1, 2, 3, 4]
+    assert {r["a.b"]: r["iv"].days for r in rows}[3] == 3
+
+
+def test_interval_decode_arrow_overflow_raises():
+    """u32 months/days >= 2^31 must fail loudly in the numpy twin, never
+    wrap to negatives (matching the JVM decode's ANSI cast)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from datafusion_ducklake_spark.sources.scan import interval_decode_arrow
+    big = np.array([2 ** 31, 1, 0], dtype="<u4").tobytes()
+    arr = pa.array([big], type=pa.binary(12))
+    with pytest.raises(ValueError, match="2\\^31"):
+        interval_decode_arrow(pa.chunked_array([arr]))
+
+
 def test_interval_decode_arrow_unit():
     """Direct unit test of the pyarrow decode twin: offsets, nulls,
     empty and multi-chunk inputs."""

@@ -145,6 +145,71 @@ def test_inlined_time_rows_coerce(dl, spark):
     assert got == {1: datetime.time(4, 5, 6, 7), 2: datetime.time(23, 0)}
 
 
+def test_pre_r8_bare_int64_time_files_read_exactly(dl, spark, tmp_path):
+    """Era-proof read: files written by the pre-r8 engine store time as
+    a bare un-annotated int64 (µs of day). A native TimeType read of
+    such a column silently interprets the values as NANOSECONDS (1000×
+    too small) — the scan's uniform long-read + make_time conversion
+    must return the exact original times for BOTH eras, mixed in one
+    table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    old = str(tmp_path / "old_era.parquet")
+    micros = [3600000000, 45296000007, None]     # 01:00, 12:34:56.000007
+    pq.write_table(pa.table({
+        "id": pa.array([0, 1, 2], pa.int32()),
+        "t": pa.array(micros, pa.int64())}), old)
+    dl.create_empty_table("main.era", "id INTEGER, t TIME")
+    # registering the bare-int64 file mimics the pre-r8 on-disk state;
+    # the old engine's own writes produced exactly this physical type
+    from datafusion_ducklake_spark.metadata.writer import DataFileInfo
+    from datafusion_ducklake_spark.table_writer import _catalog_writer
+    handle = dl.table_handle("main.era")
+    w = _catalog_writer(dl)
+    try:
+        snap = w.create_snapshot(
+            [f"inserted_into_table:{handle.meta.table_id}"])
+        w.register_data_file(
+            handle.meta.table_id, snap,
+            DataFileInfo(old, False, os.path.getsize(old), None, 3,
+                         row_id_start=0))
+    finally:
+        w.close()
+    dl.refresh()
+    # a post-r8 annotated file joins the same table via add_files
+    new = str(tmp_path / "new_era.parquet")
+    duckdb.connect().execute(
+        f"COPY (SELECT 10::INT AS id, TIME '23:59:59.999999' AS t) "
+        f"TO '{new}' (FORMAT PARQUET)")
+    dl.add_files("main.era", [new])
+    dl.refresh()
+    got = {r.id: r.t for r in dl.table("main.era").collect()}
+    assert got == {0: datetime.time(1, 0),
+                   1: datetime.time(12, 34, 56, 7),
+                   2: None,
+                   10: datetime.time(23, 59, 59, 999999)}
+
+
+def test_pre_r8_inlined_int_time_rows_coerce(dl, spark):
+    """Pre-r8 catalogs inlined time values as µs-of-day ints; the
+    inlined-row frame must coerce them, not crash createDataFrame."""
+    from datafusion_ducklake_spark.table_writer import _catalog_writer
+    dl.create_empty_table("main.inl8", "id INTEGER, t TIME")
+    handle = dl.table_handle("main.inl8")
+    w = _catalog_writer(dl)
+    try:
+        snap = w.create_snapshot(
+            [f"inserted_into_table:{handle.meta.table_id}"])
+        w.insert_inlined_rows(handle.meta.table_id, snap,
+                              ["id", "t"], ["int32", "time"],
+                              [(1, 3600000000), (2, "04:05:06")])
+    finally:
+        w.close()
+    dl.refresh()
+    got = {r.id: r.t for r in dl.table("main.inl8").collect()}
+    assert got == {1: datetime.time(1, 0), 2: datetime.time(4, 5, 6)}
+
+
 def test_encrypted_time_roundtrip(spark, tmp_path):
     """TIME through an encrypted catalog: PME write (pyarrow time64),
     executor-side decrypt scan, values intact."""
