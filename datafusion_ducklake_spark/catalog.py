@@ -614,6 +614,26 @@ class DuckLakeTable:
 
         def coerce(column_type: str, v):
             t = column_type.lower()
+            if t == "interval":
+                # FLBA(12) stats bytes are not orderable (and may decode
+                # to control-char "strings") — raising keeps the file
+                raise ValueError("interval stats are not orderable")
+            if t == "time":
+                # cross-era normalization to µs-of-day: pre-r8 stats are
+                # digit strings of the old int64 encoding, post-r8 stats
+                # are ISO time text, filter values may be datetime.time.
+                # Comparing the raw strings lexicographically would
+                # wrongly prune ('01:00:00' < '3600000000' as text).
+                import datetime as _dt
+                if isinstance(v, _dt.time):
+                    tv = v
+                else:
+                    s = str(v)
+                    if s.isdigit():
+                        return int(s)
+                    tv = _dt.time.fromisoformat(s)
+                return ((tv.hour * 3600 + tv.minute * 60 + tv.second)
+                        * 1000000 + tv.microsecond)
             if any(k in t for k in ("int", "float", "double", "decimal",
                                     "real", "bigint", "hugeint")):
                 return float(v)

@@ -210,6 +210,44 @@ def test_pre_r8_inlined_int_time_rows_coerce(dl, spark):
     assert got == {1: datetime.time(1, 0), 2: datetime.time(4, 5, 6)}
 
 
+def test_time_stats_pruning_across_eras(dl, spark, tmp_path):
+    """Catalog stats pruning on a time column must normalize both stat
+    eras to µs-of-day: pre-r8 stats are digit strings of the old int64
+    encoding; post-r8 stats are ISO time text. Raw string comparison
+    would wrongly prune ('01:00:00' < '3600000000' as text)."""
+    from datafusion_ducklake_spark.table_writer import _catalog_writer
+    data = str(tmp_path / "t.parquet")
+    duckdb.connect().execute(
+        f"COPY (SELECT i::INT AS id, (TIME '01:00:00' + INTERVAL (i) "
+        f"HOUR)::TIME AS t FROM range(4) x(i)) TO '{data}' "
+        f"(FORMAT PARQUET)")        # times 01:00..04:00
+    dl.create_empty_table("main.pt", "id INTEGER, t TIME")
+    dl.add_files("main.pt", [data])
+    dl.refresh()
+    handle = dl.table_handle("main.pt")
+    col_id = {c.column_name: c.column_id for c in handle.columns}["t"]
+    file_id = handle._raw_files[0].data_file_id
+
+    # overwrite with PRE-R8-STYLE stats: µs-of-day digit strings
+    w = _catalog_writer(dl)
+    try:
+        with w._txn() as cur:
+            cur.execute(
+                "DELETE FROM ducklake_file_column_stats "
+                "WHERE data_file_id = ?", (file_id,))
+        w.register_file_column_stats(file_id, handle.meta.table_id, [
+            (col_id, 32, 4, 0, "3600000000", "14400000000", False)])
+    finally:
+        w.close()
+    dl.refresh()
+    handle = dl.table_handle("main.pt")
+    # file range is [01:00, 04:00]: a filter above it prunes, inside keeps
+    assert handle.prune_files([("t", ">", datetime.time(13, 0))]) == []
+    assert len(handle.prune_files([("t", ">", datetime.time(2, 0))])) == 1
+    # values still correct through the scan either way
+    assert dl.table("main.pt").count() == 4
+
+
 def test_encrypted_time_roundtrip(spark, tmp_path):
     """TIME through an encrypted catalog: PME write (pyarrow time64),
     executor-side decrypt scan, values intact."""
