@@ -3648,6 +3648,22 @@ class DuckLakeSession:
             for path in expanded:
                 meta = pq.read_metadata(path)
                 schema = pq.read_schema(path)
+                for k in range(len(meta.schema)):
+                    # TIME unit gate, ALL leaves (nested included): the
+                    # era-proof scan reads time physically as int64 and
+                    # interprets the values as MICROSECONDS of day — a
+                    # TIME(NANOS)/TIME(MILLIS) file would silently read
+                    # 1000x off, so only µs-annotated files register
+                    leaf_log = str(getattr(meta.schema.column(k),
+                                           "logical_type", "") or "")
+                    if leaf_log.startswith("Time(") \
+                            and "microseconds" not in leaf_log:
+                        raise InvalidConfig(
+                            f"add_files: column "
+                            f"'{meta.schema.column(k).path}' in {path} "
+                            f"has parquet type {leaf_log} — only "
+                            "TIME(MICROS) files are supported (the "
+                            "engine's time representation is µs)")
                 extra_cols: list[str] = []
                 for i, col_name in enumerate(schema.names):
                     if col_name not in expected:

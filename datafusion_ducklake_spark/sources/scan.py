@@ -409,7 +409,13 @@ def interval_decode_arrow(col):
             vals = np.frombuffer(data, dtype="<u4",
                                  count=(c.offset + n) * 3)[c.offset * 3:]
             vals = vals.reshape(-1, 3)
-            if (vals[:, :2] >= 2 ** 31).any():
+            comp = vals[:, :2]
+            if c.null_count:
+                # NULL slots carry unspecified bytes — only check the
+                # valid rows (a zero-filled reader is common but not
+                # guaranteed by the Arrow format)
+                comp = comp[np.asarray(c.is_valid())]
+            if (comp >= 2 ** 31).any():
                 # the documented int32 ceiling — fail LOUDLY like the
                 # JVM decode's ANSI cast, never wrap to negatives
                 raise ValueError(

@@ -154,9 +154,17 @@ class MappedType:
     lossless: bool = True   # False where Spark widens (unsigned ints, time)
 
 
-def ducklake_to_spark_type(type_str: str) -> MappedType:
+def ducklake_to_spark_type(type_str: str, _nested: bool = False
+                           ) -> MappedType:
     """Parse a DuckLake catalog type string into a Spark DataType
-    (ref: types.rs:12-90 for the supported surface)."""
+    (ref: types.rs:12-90 for the supported surface).
+
+    ``_nested`` (internal): set on recursive calls so context-dependent
+    mappings apply — TIME maps to TimeType at top level but keeps the
+    pre-r8 µs-of-day long representation when nested (the scan's
+    era-proof long-read rewrite only reaches top-level columns, and a
+    native nested TimeType read would misinterpret pre-r8 bare-int64
+    fields as nanoseconds)."""
     s = type_str.strip().lower()
 
     # list<T> / array<T> / T[] — element may itself be nested (struct/
@@ -165,7 +173,7 @@ def ducklake_to_spark_type(type_str: str) -> MappedType:
     # nested columns natively, so the engine supports them end-to-end.
     m = _LIST_RE.match(s) or _TRAILING_ARRAY_RE.match(s)
     if m:
-        elem = ducklake_to_spark_type(m.group(1).strip())
+        elem = ducklake_to_spark_type(m.group(1).strip(), _nested=True)
         _reject_nested_geometry(elem.canonical, type_str)
         return MappedType(T.ArrayType(elem.spark_type, True),
                           f"list<{elem.canonical}>", elem.lossless)
@@ -183,7 +191,7 @@ def ducklake_to_spark_type(type_str: str) -> MappedType:
             name = name.strip().strip('"')
             if not name or not t.strip():
                 raise UnsupportedType(f"Malformed struct type: {type_str}")
-            child = ducklake_to_spark_type(t.strip())
+            child = ducklake_to_spark_type(t.strip(), _nested=True)
             _reject_nested_geometry(child.canonical, type_str)
             lossless = lossless and child.lossless
             fields.append((name, child))
@@ -202,8 +210,8 @@ def ducklake_to_spark_type(type_str: str) -> MappedType:
         parts = _split_type_args(m.group(1))
         if len(parts) != 2:
             raise UnsupportedType(f"Malformed map type: {type_str}")
-        k = ducklake_to_spark_type(parts[0].strip())
-        v = ducklake_to_spark_type(parts[1].strip())
+        k = ducklake_to_spark_type(parts[0].strip(), _nested=True)
+        v = ducklake_to_spark_type(parts[1].strip(), _nested=True)
         _reject_nested_geometry(k.canonical, type_str)
         _reject_nested_geometry(v.canonical, type_str)
         return MappedType(
@@ -237,6 +245,15 @@ def ducklake_to_spark_type(type_str: str) -> MappedType:
     if s == "timetz" or s == "time with time zone":
         return MappedType(T.StringType(), "timetz", lossless=False)
     if s == "time":
+        if _nested:
+            # NESTED time keeps the pre-r8 µs-of-day long
+            # representation: the scan's era-proof long-read rewrite
+            # (sources/scan.py) only reaches top-level columns, and a
+            # native nested TimeType read of a pre-r8 bare-int64 field
+            # would silently misinterpret the values as nanoseconds.
+            # Both file eras (bare int64 and TIME(µs)-annotated) read
+            # correctly as long µs.
+            return MappedType(T.LongType(), "time", lossless=False)
         # Spark 4.x TimeType, µs precision — the same unit as DuckDB
         # TIME and the reference's Time64(µs) (types.rs:46). Reads and
         # writes require spark.sql.timeType.enabled, set at the engine's

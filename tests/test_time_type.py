@@ -210,6 +210,83 @@ def test_pre_r8_inlined_int_time_rows_coerce(dl, spark):
     assert got == {1: datetime.time(1, 0), 2: datetime.time(4, 5, 6)}
 
 
+def test_add_files_rejects_non_micro_time_units(dl, tmp_path):
+    """TIME(NANOS)/TIME(MILLIS) files must not register: the era-proof
+    long read interprets raw int64 values as MICROSECONDS of day, so a
+    nanos file would silently read 1000× off. Gate applies to every
+    leaf, nested included."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datafusion_ducklake_spark.errors import InvalidConfig
+    ns = str(tmp_path / "ns.parquet")
+    pq.write_table(pa.table({
+        "id": pa.array([1], pa.int32()),
+        "t": pa.array([1000], pa.time64("ns"))}), ns)
+    dl.create_empty_table("main.nst", "id INTEGER, t TIME")
+    with pytest.raises(InvalidConfig, match="TIME\\(MICROS\\)"):
+        dl.add_files("main.nst", [ns])
+
+
+def test_nested_time_is_us_long_both_eras(dl, spark, tmp_path):
+    """NESTED time keeps the pre-r8 µs-of-day long representation (the
+    era-proof top-level rewrite can't reach nested fields, and a native
+    nested TimeType read would misread pre-r8 bare-int64 fields as
+    nanoseconds). Both file eras read correctly as long µs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datafusion_ducklake_spark.metadata.writer import DataFileInfo
+    from datafusion_ducklake_spark.table_writer import _catalog_writer
+    from datafusion_ducklake_spark.types import ducklake_to_spark_type
+    assert ducklake_to_spark_type("struct<t:time>").spark_type == \
+        T.StructType([T.StructField("t", T.LongType(), True)])
+
+    dl.create_empty_table("main.nt", "id INTEGER, s STRUCT(t TIME)")
+    # post-r8 era: DuckDB-written nested TIME(µs) via add_files
+    new = str(tmp_path / "nt_new.parquet")
+    duckdb.connect().execute(
+        f"COPY (SELECT 1::INT AS id, {{'t': TIME '01:02:03.000004'}} AS s) "
+        f"TO '{new}' (FORMAT PARQUET)")
+    dl.add_files("main.nt", [new])
+    # pre-r8 era: bare nested int64 (the old engine's own physical form)
+    old = str(tmp_path / "nt_old.parquet")
+    pq.write_table(pa.table({
+        "id": pa.array([2], pa.int32()),
+        "s": pa.array([{"t": 7200000000}],
+                      pa.struct([pa.field("t", pa.int64())]))}), old)
+    handle = dl.table_handle("main.nt")
+    w = _catalog_writer(dl)
+    try:
+        snap = w.create_snapshot(
+            [f"inserted_into_table:{handle.meta.table_id}"])
+        w.register_data_file(
+            handle.meta.table_id, snap,
+            DataFileInfo(old, False, os.path.getsize(old), None, 1,
+                         row_id_start=1))
+    finally:
+        w.close()
+    dl.refresh()
+    got = {r.id: r.s.t for r in dl.table("main.nt").collect()}
+    assert got == {1: 3723000004, 2: 7200000000}
+
+
+def test_interval_null_slot_garbage_does_not_trip_overflow():
+    """NULL slots carry unspecified data bytes; the int32-overflow guard
+    must only inspect valid rows."""
+    import numpy as np
+    import pyarrow as pa
+
+    from datafusion_ducklake_spark.sources.scan import interval_decode_arrow
+    good = np.array([1, 2, 3], dtype="<u4").tobytes()
+    garbage = np.array([2 ** 31, 2 ** 31, 0], dtype="<u4").tobytes()
+    validity = pa.array([True, False]).buffers()[1]
+    data = pa.py_buffer(good + garbage)
+    arr = pa.Array.from_buffers(pa.binary(12), 2, [validity, data])
+    assert arr.null_count == 1
+    out = interval_decode_arrow(pa.chunked_array([arr]))
+    assert out.to_pylist() == [
+        {"months": 1, "days": 2, "micros": 3000}, None]
+
+
 def test_time_stats_pruning_across_eras(dl, spark, tmp_path):
     """Catalog stats pruning on a time column must normalize both stat
     eras to µs-of-day: pre-r8 stats are digit strings of the old int64
