@@ -963,6 +963,21 @@ class CatalogWriter:
                             # column's declared shape — struct evolution
                             # goes through ALTER, never implicit INSERT
                             col_type = old_type
+                    elif mode == WriteMode.REPLACE:
+                        old_type = existing_types.get(col.name)
+                        if (old_type is not None and col_type != old_type
+                                and types_compatible(col_type, old_type)):
+                            # store-as-declared on OVERWRITE too: the
+                            # incoming frame is exactly what a scan of
+                            # the declared type produces (varchar→json,
+                            # blob→uuid/geometry, nested µs-long→time),
+                            # so keep the declared type — otherwise
+                            # compact(preserve_rowids=False) silently
+                            # drifted json columns to varchar. A real
+                            # type change on overwrite still applies
+                            # when the pair is not
+                            # representation-compatible.
+                            col_type = old_type
                 else:
                     cid = next_col_id
                     next_col_id += 1

@@ -438,6 +438,15 @@ def _nested_types_compatible(from_type: str, to_type: str) -> bool:
     if fk != tk:
         return False
     if fk == "leaf":
+        if from_type == "int64" and to_type == "time":
+            # representation-compatible write at NESTED level only:
+            # nested time is REPRESENTED as µs-of-day long (this
+            # engine's own scans return it that way), so a rewrite
+            # frame's int64 payload appends into a nested time field —
+            # the same store-as-declared rule as varchar→json. Top-level
+            # long→time stays incompatible (top-level time is TimeType
+            # and writing bare int64 would degrade cross-engine reads).
+            return True
         return from_type == to_type or is_promotable(from_type, to_type)
     fs, ts = nested_child_slots(from_type), nested_child_slots(to_type)
     if fk in ("list", "map"):

@@ -445,3 +445,31 @@ def test_cleanup_drops_rows_per_file_despite_retained_young(dl, tmp_path):
     dl.set_option("delete_older_than", "")
     rest = dl.cleanup_old_files()
     assert sorted(rest) == sorted(again)
+
+
+def test_overwrite_compact_preserves_representation_types(dl, spark):
+    """compact(preserve_rowids=False) routes through the overwrite
+    write; representation-typed columns (json here — stored as varchar
+    physically, like uuid/geometry/nested time) must keep their
+    declared catalog type instead of drifting to the frame's physical
+    type."""
+    dl.create_empty_table("main.j", "id INTEGER, payload JSON")
+    dl.insert_into("main.j", spark.createDataFrame(
+        [(1, '{"a": 1}'), (2, '{"b": [2, 3]}')], "id INT, payload STRING"))
+    dl.refresh()
+    dl.compact("main.j", preserve_rowids=False)
+    dl.refresh()
+    cols = {c.column_name: c.column_type
+            for c in dl.table_handle("main.j").columns}
+    assert cols["payload"] == "json"
+    got = sorted(r.payload for r in dl.table("main.j").collect())
+    assert got == ['{"a": 1}', '{"b": [2, 3]}']
+    # a REAL type change on overwrite still applies (int → varchar is
+    # not representation-compatible)
+    dl.insert_into("main.j", spark.createDataFrame(
+        [("x", "y")], "id STRING, payload STRING"), overwrite=True)
+    dl.refresh()
+    cols = {c.column_name: c.column_type
+            for c in dl.table_handle("main.j").columns}
+    assert cols["id"] == "varchar"
+    assert cols["payload"] == "json"

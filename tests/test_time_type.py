@@ -269,6 +269,30 @@ def test_nested_time_is_us_long_both_eras(dl, spark, tmp_path):
     assert got == {1: 3723000004, 2: 7200000000}
 
 
+def test_nested_time_table_compacts(dl, spark, tmp_path):
+    """Rewrites of nested-time tables work: the rewrite frame carries
+    the nested µs-long representation, accepted into the declared
+    struct<t:time> by the nested store-as-declared rule (catalog type
+    unchanged)."""
+    new = str(tmp_path / "nt.parquet")
+    duckdb.connect().execute(
+        f"COPY (SELECT i::INT AS id, {{'t': (TIME '01:00:00' + "
+        f"INTERVAL (i) MINUTE)::TIME}} AS s FROM range(6) x(i)) "
+        f"TO '{new}' (FORMAT PARQUET)")
+    dl.create_empty_table("main.ntc", "id INTEGER, s STRUCT(t TIME)")
+    dl.add_files("main.ntc", [new])
+    dl.refresh()
+    dl.delete_from("main.ntc", "id < 2")
+    dl.refresh()
+    dl.compact("main.ntc", preserve_rowids=False)
+    dl.refresh()
+    cols = {c.column_name: c.column_type
+            for c in dl.table_handle("main.ntc").columns}
+    assert cols["s"] == "struct<t:time>"
+    got = {r.id: r.s.t for r in dl.table("main.ntc").collect()}
+    assert got == {i: (3600 + 60 * i) * 1000000 for i in range(2, 6)}
+
+
 def test_interval_null_slot_garbage_does_not_trip_overflow():
     """NULL slots carry unspecified data bytes; the int32-overflow guard
     must only inspect valid rows."""
