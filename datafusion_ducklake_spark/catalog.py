@@ -3649,18 +3649,26 @@ class DuckLakeSession:
                 meta = pq.read_metadata(path)
                 schema = pq.read_schema(path)
                 for k in range(len(meta.schema)):
-                    # TIME unit gate, ALL leaves (nested included): the
-                    # era-proof scan reads time physically as int64 and
-                    # interprets the values as MICROSECONDS of day — a
-                    # TIME(NANOS)/TIME(MILLIS) file would silently read
-                    # 1000x off, so only µs-annotated files register
-                    leaf_log = str(getattr(meta.schema.column(k),
-                                           "logical_type", "") or "")
+                    # TIME unit gate over the leaves the table will
+                    # actually READ (nested included): the era-proof
+                    # scan reads time physically as int64 and interprets
+                    # the values as MICROSECONDS of day — a TIME(NANOS)/
+                    # TIME(MILLIS) file would silently read 1000x off,
+                    # so only µs-annotated files register. Leaves under
+                    # an EXTRA column are exempt: ignore_extra_columns
+                    # omits them from the mapping, so they are never
+                    # scanned (and without the flag the per-column loop
+                    # below rejects the file anyway).
+                    leaf = meta.schema.column(k)
+                    top = leaf.path.split(".", 1)[0]
+                    if top not in expected:
+                        continue
+                    leaf_log = str(getattr(leaf, "logical_type", "")
+                                   or "")
                     if leaf_log.startswith("Time(") \
                             and "microseconds" not in leaf_log:
                         raise InvalidConfig(
-                            f"add_files: column "
-                            f"'{meta.schema.column(k).path}' in {path} "
+                            f"add_files: column '{leaf.path}' in {path} "
                             f"has parquet type {leaf_log} — only "
                             "TIME(MICROS) files are supported (the "
                             "engine's time representation is µs)")

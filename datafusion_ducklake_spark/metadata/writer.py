@@ -939,45 +939,47 @@ class CatalogWriter:
                 col_type = col.ducklake_type
                 if col.name in existing_ids:
                     cid = existing_ids[col.name]
-                    if mode == WriteMode.APPEND:
-                        # INSERT never alters constraints or defaults: a
-                        # plain input frame must not silently drop them
-                        # (such changes go through ALTER)
-                        nullable = existing_nulls.get(col.name, nullable)
-                        initial, default = existing_defaults.get(
-                            col.name, (initial, default))
-                        old_type = existing_types.get(col.name)
-                        if (old_type is not None
-                                and is_geometry_type(old_type)
+                    old_type = existing_types.get(col.name)
+                    if old_type is not None and col_type != old_type:
+                        # store-as-declared (ONE rule, both modes): the
+                        # frame's physical type is how the declared type
+                        # is STORED — without this, overwrite
+                        # maintenance (compact(preserve_rowids=False))
+                        # silently drifted such columns. A REAL type
+                        # change on overwrite still applies when the
+                        # pair is not representation-compatible.
+                        if (is_geometry_type(old_type)
                                 and col_type.lower() in
                                 ("blob", "binary", "bytea")):
                             # Spark frames carry geometry as binary; the
                             # catalog column stays GEOMETRY (geo corpus)
                             col_type = old_type
-                        elif (old_type is not None
-                              and col_type != old_type
+                        elif (mode == WriteMode.APPEND
                               and ("<" in old_type or "(" in old_type)
                               and ("<" in col_type or "(" in col_type)):
                             # nested input that merely permutes or
                             # subsets struct fields must not rewrite the
                             # column's declared shape — struct evolution
                             # goes through ALTER, never implicit INSERT
+                            # (append-only: an OVERWRITE with a truly
+                            # new nested shape legitimately replaces it)
                             col_type = old_type
-                    elif mode == WriteMode.REPLACE:
-                        old_type = existing_types.get(col.name)
-                        if (old_type is not None and col_type != old_type
-                                and types_compatible(col_type, old_type)):
-                            # store-as-declared on OVERWRITE too: the
-                            # incoming frame is exactly what a scan of
-                            # the declared type produces (varchar→json,
-                            # blob→uuid/geometry, nested µs-long→time),
-                            # so keep the declared type — otherwise
-                            # compact(preserve_rowids=False) silently
-                            # drifted json columns to varchar. A real
-                            # type change on overwrite still applies
-                            # when the pair is not
-                            # representation-compatible.
+                        elif types_compatible(col_type, old_type):
+                            # varchar→json, blob→uuid, nested µs-long→
+                            # time, permuted nested, …
                             col_type = old_type
+                    if mode == WriteMode.APPEND or col_type == old_type:
+                        # INSERT never alters constraints or defaults,
+                        # and a data OVERWRITE whose declared type is
+                        # unchanged keeps them too (compact must not
+                        # drop DEFAULT / NOT NULL); a real type change
+                        # on overwrite takes the new schema's. The
+                        # restored NOT NULL is ENFORCED against the
+                        # overwrite data: create_or_insert derives its
+                        # constraint set from the post-setup catalog.
+                        nullable = existing_nulls.get(col.name, nullable)
+                        initial, default = existing_defaults.get(
+                            col.name, (initial, default))
                 else:
                     cid = next_col_id
                     next_col_id += 1

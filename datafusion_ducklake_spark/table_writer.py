@@ -1430,16 +1430,18 @@ def create_or_insert(session, name: str, df: DataFrame, mode: str,
             schema_path, table_meta.path, table_meta.path_is_relative)
 
         session.spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-        # Constraint set: append inherits the table's catalog constraints
-        # (begin_write_transaction preserved them); create/replace takes
-        # them from the input schema's nullability.
-        if write_mode == WriteMode.APPEND:
-            not_null = [
-                c.column_name for c in session.provider.get_table_columns(
-                    table_meta.table_id, setup.snapshot_id)
-                if not c.nulls_allowed]
-        else:
-            not_null = [f.name for f in df.schema.fields if not f.nullable]
+        # Constraint set: ALWAYS the post-setup catalog columns. For
+        # append that is the table's preserved constraints; for create
+        # it equals the input schema's nullability (the columns came
+        # from it); for REPLACE it includes any NOT NULL the writer
+        # restored onto type-unchanged columns (a data overwrite keeps
+        # declared constraints — and they are enforced here against the
+        # new data, so the restoration can never record a violated
+        # constraint).
+        not_null = [
+            c.column_name for c in session.provider.get_table_columns(
+                table_meta.table_id, setup.snapshot_id)
+            if not c.nulls_allowed]
         # Write-side data inlining (sql/data_inlining/ corpus): appends at
         # or under data_inlining_row_limit store their rows IN the catalog
         # DB instead of parquet — DuckDB's DATA_INLINING_ROW_LIMIT

@@ -473,3 +473,40 @@ def test_overwrite_compact_preserves_representation_types(dl, spark):
             for c in dl.table_handle("main.j").columns}
     assert cols["id"] == "varchar"
     assert cols["payload"] == "json"
+
+
+def test_overwrite_compact_preserves_defaults_and_not_null(dl, spark):
+    """The same drift class, one field over: DEFAULT and NOT NULL must
+    survive an overwrite compact of a type-unchanged column — and the
+    restored NOT NULL is enforced against overwrite data."""
+    from datafusion_ducklake_spark.errors import InvalidConfig
+    dl.create_empty_table("main.c", "id INTEGER NOT NULL, v INTEGER DEFAULT 7")
+    dl.insert_into("main.c", spark.createDataFrame(
+        [(1, 10), (2, None)], "id INT, v INT"))
+    dl.refresh()
+    dl.compact("main.c", preserve_rowids=False)
+    dl.refresh()
+    cols = {c.column_name: c for c in dl.table_handle("main.c").columns}
+    assert not cols["id"].nulls_allowed
+    assert cols["v"].default_value == "7"
+    # enforcement: an overwrite writing NULL into the kept NOT NULL
+    # column fails loudly instead of silently recording a violated
+    # constraint
+    with pytest.raises(InvalidConfig, match="NOT NULL|NULL"):
+        dl.insert_into("main.c", spark.createDataFrame(
+            [(None, 1)], "id INT, v INT"), overwrite=True)
+
+
+def test_add_files_ignores_extra_non_micro_time_column(dl, spark, tmp_path):
+    """A non-µs TIME column that is an EXTRA column (never scanned under
+    ignore_extra_columns) must not block registration — the unit gate
+    applies only to leaves the table reads."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    f = str(tmp_path / "legacy.parquet")
+    pq.write_table(pa.table({
+        "k": pa.array([1, 2], pa.int32()),
+        "ts": pa.array([1000, 2000], pa.time32("ms"))}), f)
+    dl.create_empty_table("main.x", "k INTEGER")
+    assert dl.add_files("main.x", [f], ignore_extra_columns=True) == 2
+    assert sorted(r.k for r in dl.table("main.x").collect()) == [1, 2]
