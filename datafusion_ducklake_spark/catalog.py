@@ -629,9 +629,27 @@ class DuckLakeTable:
                     tv = v
                 else:
                     s = str(v)
-                    if s.isdigit():
+                    if ":" in s:
+                        # engine-emitted new-era stats are always
+                        # str(datetime.time) = 'HH:MM:SS[.ffffff]'
+                        tv = _dt.time.fromisoformat(s)
+                    elif s.isdigit():
+                        # digits-only MUST stay integer µs: our own
+                        # old-era stats include values like '120000'
+                        # (= 0.12 s) that compact-ISO parsing would
+                        # misread as 12:00:00. A foreign writer's
+                        # colon-less compact ISO ('010203') is
+                        # inherently ambiguous with an integer and
+                        # loses to the engine's own encoding; r8
+                        # ADVICE adjudicated in PLANS.md.
                         return int(s)
-                    tv = _dt.time.fromisoformat(s)
+                    else:
+                        # non-digit, colon-less (e.g. '01:02:03.5'
+                        # variants or junk): fromisoformat either
+                        # parses it or raises ValueError, which the
+                        # caller treats as "keep the file" — the
+                        # conservative no-prune outcome.
+                        tv = _dt.time.fromisoformat(s)
                 return ((tv.hour * 3600 + tv.minute * 60 + tv.second)
                         * 1000000 + tv.microsecond)
             if any(k in t for k in ("int", "float", "double", "decimal",
@@ -1786,11 +1804,18 @@ class DuckLakeSession:
             df = self.sql(m.group(3))
             if m.group(1):
                 # CREATE OR REPLACE TABLE ... AS: one Replace snapshot
-                # when the table exists, plain create otherwise
+                # when the table exists, plain create otherwise. The
+                # DEFINITION is replaced — constraints/defaults come
+                # from the new schema, not retained from the old one
+                # (reference semantics: create_conflict.test:36 replaces
+                # the whole definition) — while column ids stay stable
+                # for time travel / CDC continuity.
                 try:
                     self.table_handle(m.group(2))
-                    return self._count_df(
-                        self.insert_into(m.group(2), df, overwrite=True))
+                    from .table_writer import create_or_insert
+                    return self._count_df(create_or_insert(
+                        self, m.group(2), df, mode="overwrite",
+                        replace_definition=True))
                 except (TableNotFound, SchemaNotFound):
                     pass
             return self._count_df(self.create_table(m.group(2), df))

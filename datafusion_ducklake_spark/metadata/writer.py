@@ -816,10 +816,21 @@ class CatalogWriter:
     def begin_write_transaction(self, schema_name: str, table_name: str,
                                 columns: list[ColumnDef],
                                 mode: WriteMode,
-                                maintenance: bool = False) -> WriteSetup:
+                                maintenance: bool = False,
+                                replace_definition: bool = False
+                                ) -> WriteSetup:
         """One atomic transaction: new snapshot, get-or-create schema and
         table, append-mode schema-evolution check, version the columns,
-        Replace⇒end current files (ref: metadata_writer_sqlite.rs:331-470)."""
+        Replace⇒end current files (ref: metadata_writer_sqlite.rs:331-470).
+
+        ``replace_definition``: the REPLACE is a user CREATE OR REPLACE
+        (table DEFINITION replaced, one snapshot) rather than a data
+        overwrite — NOT NULL/DEFAULT come from the NEW schema instead of
+        being retained from the old one (the reference's OR REPLACE takes
+        the new definition wholesale, transaction/create_conflict.test:36;
+        r8 ADVICE adjudication). Declared types still follow the
+        store-as-declared rule so representation-typed columns
+        (json/uuid/geometry) survive a self-referential replace."""
         validate_name(schema_name, "Schema")
         validate_name(table_name, "Table")
         if not columns:
@@ -968,13 +979,15 @@ class CatalogWriter:
                             # varchar→json, blob→uuid, nested µs-long→
                             # time, permuted nested, …
                             col_type = old_type
-                    if mode == WriteMode.APPEND or col_type == old_type:
+                    if mode == WriteMode.APPEND or (
+                            col_type == old_type and not replace_definition):
                         # INSERT never alters constraints or defaults,
                         # and a data OVERWRITE whose declared type is
                         # unchanged keeps them too (compact must not
                         # drop DEFAULT / NOT NULL); a real type change
-                        # on overwrite takes the new schema's. The
-                        # restored NOT NULL is ENFORCED against the
+                        # on overwrite, or a CREATE OR REPLACE
+                        # (replace_definition), takes the new schema's.
+                        # The restored NOT NULL is ENFORCED against the
                         # overwrite data: create_or_insert derives its
                         # constraint set from the post-setup catalog.
                         nullable = existing_nulls.get(col.name, nullable)

@@ -167,8 +167,11 @@ def _live_with_filepos(session, handle, with_rowid: bool = False
         # the mapping so DML conditions see the LIVE column names
         from pyspark.sql import types as T
 
-        from ..sources.scan import _era_clip_type, apply_mapping
+        from ..sources.scan import (_era_clip_type, _mark_metadata,
+                                    apply_mapping)
         types = {f.name: f.dataType
+                 for f in handle.spark_schema.fields}
+        marks = {f.name: _mark_metadata(f)
                  for f in handle.spark_schema.fields}
         groups: dict[tuple, list] = {}
         for f in mapped:
@@ -178,7 +181,8 @@ def _live_with_filepos(session, handle, with_rowid: bool = False
                         if clipped[dst] is not None)
             from ..sources.scan import _strip_nested_metadata
             rs = T.StructType([T.StructField(
-                src, _strip_nested_metadata(clipped[dst]), True)
+                src, _strip_nested_metadata(clipped[dst]), True,
+                metadata=marks[dst])
                 for src, dst in eff])
             groups.setdefault(
                 (eff, f.hive_values or (), rs.simpleString()),

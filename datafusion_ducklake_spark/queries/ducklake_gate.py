@@ -21,6 +21,35 @@ from pyspark.sql import functions as F
 
 from ._util import dsum
 
+
+def _locked_build(fn):
+    """Serialize a catalog builder across processes (r8 ADVICE: two
+    concurrent gate processes could both miss the ``.done`` marker and
+    one would ``rmtree`` the other's half-built catalog mid-write).
+
+    Takes a blocking exclusive ``flock`` keyed by (builder name, string
+    args) for the duration of the call; the in-function ``.done`` check
+    stays the idempotence fast path, so the steady-state cost is one
+    open+flock+close per gate query (~µs). The lock file lives next to
+    the build roots in the system tempdir and is released on any exit,
+    including exceptions (the ``with open`` closes the fd)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        import fcntl
+        key = hashlib.md5(
+            (fn.__name__ + "|"
+             + "|".join(a for a in args if isinstance(a, str))).encode()
+        ).hexdigest()[:12]
+        lockpath = os.path.join(tempfile.gettempdir(),
+                                f"ducklake_build_{key}.lock")
+        with open(lockpath, "w") as fh:
+            fcntl.flock(fh, fcntl.LOCK_EX)
+            return fn(*args, **kwargs)
+    return wrapper
+
+
 _LINEITEM_COLS = [
     ("l_orderkey", "int64"), ("l_partkey", "int64"), ("l_suppkey", "int64"),
     ("l_linenumber", "int32"), ("l_quantity", "float64"),
@@ -30,6 +59,7 @@ _LINEITEM_COLS = [
 ]
 
 
+@_locked_build
 def _build_catalog(sf_dir: str) -> str:
     """Create (once per sf_dir) a catalog with two tables over the SAME
     lineitem parquet: ``main.lineitem`` (plain) and ``main.lineitem_mor``
@@ -165,6 +195,7 @@ FROM lineitem WHERE l_linenumber <> 1 GROUP BY l_returnflag
 """
 
 
+@_locked_build
 def _build_dml_catalog(spark: SparkSession, sf_dir: str) -> str:
     """Create (once per sf_dir) a catalog whose table is produced by OUR
     full DML cycle: CTAS from the driver's orders parquet, then
@@ -267,6 +298,7 @@ SELECT 'update_postimage',
 """
 
 
+@_locked_build
 def _build_part_catalog(spark: SparkSession, sf_dir: str) -> str:
     """Catalog (once per sf_dir) whose table is CTAS'd from the driver's
     orders parquet (even orderkeys) with a partition spec on
@@ -357,6 +389,7 @@ FROM base b GROUP BY b.is_first
 """
 
 
+@_locked_build
 def _build_inline_catalog(spark: SparkSession, sf_dir: str) -> str:
     """Catalog (once per sf_dir) exercising WRITE-SIDE data inlining:
     CTAS of customers with c_custkey > 100, then an append of the
@@ -439,6 +472,7 @@ GROUP BY l_returnflag
 """
 
 
+@_locked_build
 def _build_nested_catalog(spark: SparkSession, sf_dir: str) -> str:
     """Catalog (once per sf_dir) with a NESTED-typed table — struct and
     map columns built from orders and written through the engine (the
@@ -498,6 +532,7 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+@_locked_build
 def _build_geo_catalog(spark: SparkSession, sf_dir: str) -> str:
     """Catalog (once per sf_dir) with a GEOMETRY table — customer rows as
     WKB points written through the engine's DDL + DML path (geo corpus:
@@ -590,6 +625,7 @@ FROM customer
 """
 
 
+@_locked_build
 def _build_struct_evo_catalog(spark: SparkSession, sf_dir: str) -> str:
     """Create (once per sf_dir) a table shaped by the FULL struct field
     evolution cycle (sql/alter/struct_evolution*.test): create with
@@ -672,6 +708,7 @@ FROM rows_
 """
 
 
+@_locked_build
 def _build_transform_catalog(spark: SparkSession, sf_dir: str) -> str:
     """Create (once per sf_dir) a table partitioned by year(o_orderdate)
     (partition TRANSFORM — sql/partitioning/year_month_day.test): the
@@ -732,6 +769,7 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+@_locked_build
 def _build_clustered_catalog(spark: SparkSession, sf_dir: str) -> str:
     """Catalog whose lineitem + orders are catalog-CLUSTERED on orderkey
     (operators/layout.cluster_by via CALL ducklake_cluster_by): bucket
@@ -797,6 +835,7 @@ ORDER BY l_linestatus, o_orderstatus
 """
 
 
+@_locked_build
 def _build_family_catalog(spark: SparkSession, sf_dir: str) -> str:
     """Catalog exercising the SECOND clustered family (r8): customer is
     catalog-clustered primary on c_custkey; orders carries a custkey
@@ -871,6 +910,7 @@ ORDER BY c_nationkey
 """
 
 
+@_locked_build
 def _build_interval_catalog(sf_dir: str) -> str:
     """Create (once per sf_dir) a catalog whose ``main.lineitem_iv``
     table is a DuckDB-written parquet with a real INTERVAL column

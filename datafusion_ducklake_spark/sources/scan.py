@@ -306,6 +306,20 @@ def _check_local_exists(uri: str) -> None:
             f"Catalog corruption: file referenced by catalog does not exist: {uri}")
 
 
+def _mark_metadata(fld: T.StructField) -> dict:
+    """Physical-read marks (TIME_MARK / INTERVAL_MARK) of a live
+    top-level field, for carrying into a name-mapped read schema so
+    add_files-renamed files take the same era-proof long read (TIME) /
+    binary decode (INTERVAL) as id-resolved files. Field ids are
+    deliberately NOT carried — mapped files resolve by name. (r8
+    ADVICE: TIME previously bypassed the rewrite on this path, so a
+    legacy bare-int64 time file under a renamed column would misread;
+    INTERVAL was rejected loudly.)"""
+    from ..types import INTERVAL_MARK, TIME_MARK
+    return {k: v for k, v in (fld.metadata or {}).items()
+            if k in (INTERVAL_MARK, TIME_MARK)}
+
+
 def _interval_fields(schema: T.StructType) -> list[str]:
     """Names of top-level columns marked as DuckLake INTERVAL (the
     ``ducklake.interval`` metadata stamped by build_spark_schema).
@@ -635,18 +649,12 @@ def scan_table(spark: SparkSession, schema: T.StructType,
     files = [f for f in files if f.mapped_cols is None]
     if mapped:
         import dataclasses
-        iv_live = set(_interval_fields(schema))
-        if iv_live and any(dst in iv_live
-                           for f in mapped for _s, dst in f.mapped_cols):
-            # the name-mapped read schema is built without StructField
-            # metadata, so the binary→struct decode marker cannot reach
-            # _read_parquet on this path — reject loudly rather than let
-            # Spark's schema converter fail on the raw FLBA(INTERVAL)
-            from ..errors import UnsupportedType
-            raise UnsupportedType(
-                "INTERVAL columns are not supported for name-mapped "
-                "(add_files-renamed) data files")
         types = {fld.name: fld.dataType for fld in schema.fields}
+        # TIME/INTERVAL physical-read marks ride into the mapped read
+        # schema per destination column (see _mark_metadata) — the marks
+        # survive _strip_field_ids in the recursive scan, so _read_parquet
+        # applies the identical decode on this path.
+        marks = {fld.name: _mark_metadata(fld) for fld in schema.fields}
         # Era clipping (no-resurrection contract for name-mapped files):
         # a nested field whose IDENTITY postdates the file's registration
         # is removed from that file's read schema — a same-named column
@@ -659,7 +667,8 @@ def scan_table(spark: SparkSession, schema: T.StructType,
             eff = tuple((src, dst) for src, dst in f.mapped_cols
                         if clipped[dst] is not None)
             rs = T.StructType([T.StructField(
-                src, _strip_nested_metadata(clipped[dst]), True)
+                src, _strip_nested_metadata(clipped[dst]), True,
+                metadata=marks[dst])
                 for src, dst in eff])
             key = (eff,
                    tuple((h[0], h[1]) for h in (f.hive_values or ())),
@@ -943,12 +952,14 @@ def read_file_with_pos(spark: SparkSession, schema: T.StructType,
                 s = schema
         return _with_pos(_read_parquet(spark, s, [rf.data_uri]))
     types = {fld.name: fld.dataType for fld in schema.fields}
+    marks = {fld.name: _mark_metadata(fld) for fld in schema.fields}
     clipped = {dst: _era_clip_type(types[dst], rf.begin_snapshot)
                for _src, dst in rf.mapped_cols}
     eff = tuple((src, dst) for src, dst in rf.mapped_cols
                 if clipped[dst] is not None)
     read_schema = T.StructType(
-        [T.StructField(src, _strip_nested_metadata(clipped[dst]), True)
+        [T.StructField(src, _strip_nested_metadata(clipped[dst]), True,
+                       metadata=marks[dst])
          for src, dst in eff])
     df = _with_pos(_read_parquet(spark, read_schema, [rf.data_uri]))
     hive_lits = tuple((h[0], h[2]) for h in (rf.hive_values or ()))

@@ -1395,7 +1395,8 @@ def _try_inline_append(session, writer, setup, table_id: int,
 def create_or_insert(session, name: str, df: DataFrame, mode: str,
                      single_file: bool = True, if_exists: str = "error",
                      commit_marker: tuple[str, str] | None = None,
-                     maintenance: bool = False) -> int:
+                     maintenance: bool = False,
+                     replace_definition: bool = False) -> int:
     """Returns the number of rows written (the reference returns a 1-row
     count batch; insert_exec.rs:24-31). ``commit_marker``: a
     (metadata key, value) recorded in the SAME catalog transaction as
@@ -1416,7 +1417,7 @@ def create_or_insert(session, name: str, df: DataFrame, mode: str,
         #    (+ end files on overwrite)
         setup = writer.begin_write_transaction(
             schema_name, table_name, _column_defs(df.schema), write_mode,
-            maintenance=maintenance)
+            maintenance=maintenance, replace_definition=replace_definition)
 
         # 2) stage parquet to the table's data directory (executor-side)
         resolver = session.catalog.resolver

@@ -515,3 +515,20 @@ def test_encrypted_interval_scan(spark, tmp_path):
         FROM read_parquet('{data}', encryption_config={{footer_key: 'k1'}})
         WHERE iv IS NOT NULL ORDER BY id""").fetchall()
     assert got == [tuple(e) for e in exp]
+
+
+def test_renamed_interval_column_scans(iv_session):
+    """r8 ADVICE follow-through: an add_files interval table whose
+    column was RENAMED reads through the name-mapped branch with the
+    same binary->struct decode (INTERVAL_MARK now rides into the mapped
+    read schema) instead of the pre-r9 loud rejection."""
+    s, data = iv_session
+    s.rename_column("main.iv", "iv", "iv_renamed")
+    s.refresh()
+    df = s.table("main.iv")
+    assert "iv_renamed" in df.columns
+    r = df.agg(F.sum("iv_renamed.months"), F.sum("iv_renamed.days"),
+               F.sum("iv_renamed.micros"),
+               F.count(F.when(F.col("iv_renamed").isNull(), 1))
+               ).collect()[0]
+    assert tuple(r) == _duckdb_expected(data)

@@ -381,3 +381,48 @@ def test_time_survives_compaction(dl, spark):
     got = {r.id: r.t for r in dl.table("main.tt").collect()}
     assert got[50] == datetime.time(7, 7, 7)
     assert 0 not in got and len(got) == 5
+
+
+def test_mapped_bare_int64_time_reads_exactly(dl, spark, tmp_path):
+    """r8 ADVICE (scan.py mapped path): a legacy bare-int64 time file
+    registered under a NAME MAPPING (the pre-r8 add_files shape, here
+    with a rename so the mapping is non-identity) must take the same
+    era-proof long read as id-resolved files. Before the fix the mapped
+    read schema dropped TIME_MARK, so Spark read the un-annotated int64
+    natively as TimeType — i.e. as NANOSECONDS, 1000x off (or failed)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_ducklake_spark.metadata.writer import DataFileInfo
+    from datafusion_ducklake_spark.table_writer import _catalog_writer
+
+    old = str(tmp_path / "legacy_mapped.parquet")
+    micros = [3600000000, 45296000007, None]   # 01:00, 12:34:56.000007
+    pq.write_table(pa.table({
+        "id": pa.array([0, 1, 2], pa.int32()),
+        "t_old": pa.array(micros, pa.int64())}), old)
+    dl.create_empty_table("main.mt", "id INTEGER, t TIME")
+    handle = dl.table_handle("main.mt")
+    cids = {c.column_name: c.column_id for c in handle.columns}
+    w = _catalog_writer(dl)
+    try:
+        snap = w.create_snapshot(
+            [f"inserted_into_table:{handle.meta.table_id}"])
+        mid = w.create_name_mapping(
+            handle.meta.table_id, ["id", "t_old"],
+            [cids["id"], cids["t"]])
+        w.register_data_file(
+            handle.meta.table_id, snap,
+            DataFileInfo(old, False, os.path.getsize(old), None, 3,
+                         row_id_start=0, mapping_id=mid))
+    finally:
+        w.close()
+    dl.refresh()
+    got = {r.id: r.t for r in dl.table("main.mt").collect()}
+    assert got == {0: datetime.time(1, 0),
+                   1: datetime.time(12, 34, 56, 7),
+                   2: None}
+    # the DML read primitive funnels through the same mapped schema
+    dl.delete_from("main.mt", "t = TIME '01:00:00'")
+    dl.refresh()
+    assert sorted(r.id for r in dl.table("main.mt").collect()) == [1, 2]
