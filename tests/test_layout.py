@@ -601,3 +601,72 @@ def test_replica_on_partitioned_table(spark, tmp_path):
     # partition values came through the replica physically
     assert fast.filter(F.col("pk") == 1).count() \
         == plain.filter(F.col("pk") == 1).count()
+
+
+def test_replica_staleness_surface_and_refresh(spark, tmp_path):
+    """r8 verdict Missing #5, the 'done' bar: DML a replica'd table,
+    observe current=false via the status surface (Python API AND the
+    ducklake_clustering_info() SQL UDTF), CALL ducklake_refresh_replica,
+    and get the zero-exchange bucketed plan back."""
+    from datafusion_ducklake_spark.catalog import DuckLakeSession
+    from datafusion_ducklake_spark.metadata.writer import CatalogWriter
+    db = str(tmp_path / "rs.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake_rs"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.create_table("main.o", spark.createDataFrame(
+        [(i % 5, i, float(i)) for i in range(40)],
+        "k INT, id INT, v DOUBLE"))
+    dl.cluster_by("main.o", "k", 4, replica=True)
+
+    def status():
+        rows = dl.clustering_status("main.o").collect()
+        assert len(rows) == 1 and rows[0].kind == "replica" \
+            and rows[0].cluster_key == "k" and rows[0].buckets == 4
+        return rows[0].current
+
+    assert status() is True
+    dl.insert_into("main.o", spark.createDataFrame(
+        [(9, 100, 1.0)], "k INT, id INT, v DOUBLE"))
+    assert status() is False          # DML diverged the live-set digest
+    # SQL twin reports the same staleness
+    sql_rows = dl.sql("SELECT * FROM ducklake_clustering_info()").collect()
+    assert [(r.kind, r.cluster_key, r.current) for r in sql_rows] \
+        == [("replica", "k", False)]
+    assert dl.sql(
+        "CALL ducklake_refresh_replica('main.o', 'k')").collect()[0][0] == 1
+    assert status() is True
+    revived = dl.table("main.o", cluster_key="k")
+    assert "ducklake_clureplica" in \
+        revived._jdf.queryExecution().executedPlan().toString()
+    assert revived.count() == 41
+    # key=None refreshes only NON-current families: everything is
+    # current now, so it's a no-op
+    assert dl.refresh_replica("main.o") == 0
+    # superseded export collected, live one spared
+    orphans = dl.delete_orphaned_files(cleanup_all=True)
+    assert orphans and all("clustered_" in p for p in orphans)
+    assert dl.table("main.o", cluster_key="k").count() == 41
+
+
+def test_clustering_status_covers_primary(spark, tmp_path):
+    """The status surface reports the PRIMARY spec too, with the same
+    catalog-level currency gate (_clustered_df's conditions)."""
+    from datafusion_ducklake_spark.catalog import DuckLakeSession
+    from datafusion_ducklake_spark.metadata.writer import CatalogWriter
+    db = str(tmp_path / "ps.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake_ps"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.create_table("main.t", spark.createDataFrame(
+        [(i % 3, i) for i in range(30)], "k INT, id INT"))
+    dl.cluster_by("main.t", "k", 4)
+    rows = dl.clustering_status("main.t").collect()
+    assert [(r.kind, r.cluster_key, r.current) for r in rows] \
+        == [("primary", "k", True)]
+    dl.delete_from("main.t", "id = 0")
+    dl.refresh()
+    rows = dl.clustering_status("main.t").collect()
+    assert rows[0].current is False   # delete file broke spec currency
