@@ -901,14 +901,24 @@ class CatalogWriter:
                         elif not types_compatible(old_type,
                                                   col.ducklake_type):
                             if old_type.strip().lower() == "interval":
+                                from ..types import is_interval_repr_type
+                                if is_interval_repr_type(col.ducklake_type):
+                                    # the struct representation a scan of
+                                    # an interval column yields: a
+                                    # representation-compatible payload —
+                                    # keep the declared type; the staging
+                                    # re-encodes to parquet INTERVAL via
+                                    # the duckdb-backed writer (r9)
+                                    columns[ci] = _dc.replace(
+                                        col, ducklake_type=old_type)
+                                    continue
                                 raise InvalidConfig(
-                                    f"column '{col.name}' is INTERVAL: no "
-                                    "available parquet writer emits the "
-                                    "INTERVAL logical type, so INTERVAL "
-                                    "tables are read-only beyond DELETE "
-                                    "and metadata operations (use "
-                                    "add_files to register "
-                                    "externally-written interval files)")
+                                    f"column '{col.name}' is INTERVAL: "
+                                    "only the months/days/micros struct "
+                                    "representation (what scanning an "
+                                    "interval column yields) can be "
+                                    "inserted; use add_files to register "
+                                    "externally-written interval files")
                             raise InvalidConfig(
                                 f"Schema evolution error: column '{col.name}' has "
                                 f"type '{old_type}' in existing table but "

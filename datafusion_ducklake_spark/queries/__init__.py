@@ -56,6 +56,9 @@ _SPECS = [
               ducklake_gate.ORACLE_FAMILY_AGG),
     QuerySpec("ducklake_interval_agg", ducklake_gate.ducklake_interval_agg,
               ducklake_gate.ORACLE_INTERVAL_AGG),
+    QuerySpec("ducklake_interval_write_agg",
+              ducklake_gate.ducklake_interval_write_agg,
+              ducklake_gate.ORACLE_INTERVAL_WRITE_AGG),
     # recently reshaped queries ride at the front of the driver's
     # 50-entry CORRECTNESS window: the queries whose plans changed most
     # recently are the ones the independent driver hash-check must cover.
@@ -65,10 +68,12 @@ _SPECS = [
     # ivf_trained_ann; the r8 insertions (q15 window-max rewrite, q22
     # shuffle_hash anti join) evict knn_bruteforce_cosine and
     # ivf_ann_neighbors, the r8 ducklake_family_agg gate entry
-    # (second clustered family) evicts cb_value_quantiles, and the r8
+    # (second clustered family) evicts cb_value_quantiles, the r8
     # ducklake_interval_agg gate entry (INTERVAL column decode) evicts
-    # cb_daily_stats. Evicted specs
-    # stay covered by the local 95/95 gate (tools/check_correctness.py),
+    # cb_daily_stats, and the r9 ducklake_interval_write_agg gate entry
+    # (engine-written parquet INTERVAL via the duckdb-backed staging)
+    # evicts cb_top_users. Evicted specs
+    # stay covered by the local 97/97 gate (tools/check_correctness.py),
     # whose log is committed per round as CORRECTNESS_r{N}_local.txt
     QuerySpec("q05_local_supplier_volume", tpch.q05_local_supplier_volume, tpch.ORACLE_Q05, True),
     QuerySpec("q08_market_share", tpch2.q08_market_share, tpch2.ORACLE_Q08, True),

@@ -1008,3 +1008,98 @@ SELECT bucket,
   COUNT(*) AS n
 FROM t GROUP BY bucket
 """
+
+
+@_locked_build
+def _build_interval_write_catalog(spark: SparkSession, sf_dir: str) -> str:
+    """Create (once per sf_dir) a catalog whose ``main.iv_written``
+    table is produced by the ENGINE's OWN interval write path (r9):
+    CTAS of an INTERVAL_MARK-ed struct frame derived from lineitem (even
+    orderkeys), then an engine INSERT of the odd-orderkey slice, plus a
+    DELETE carving a MOR slice — the write-side twin of
+    _build_interval_catalog, whose files DuckDB writes. Every staged
+    file carries the real parquet INTERVAL logical type via the
+    executor-side duckdb COPY (table_writer._write_interval_distributed;
+    reference writes interval natively, src/types.rs:95-164). Values are
+    millisecond-granular on purpose so the parquet INTERVAL(millis)
+    encoding is lossless and DuckDB recomputing from lineitem is an
+    exact oracle."""
+    import shutil
+
+    from ..catalog import DuckLakeSession
+    from ..metadata.writer import CatalogWriter
+    from ..types import INTERVAL_MARK, INTERVAL_SPARK_TYPE
+
+    tag = hashlib.md5((sf_dir + "/ivw-v1").encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"ducklake_ivw_{tag}")
+    db = os.path.join(root, "catalog.sqlite")
+    done = os.path.join(root, ".done")
+    if os.path.exists(done):
+        return db
+    if os.path.exists(root):           # half-built leftovers: start over
+        shutil.rmtree(root)
+    os.makedirs(root)
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=os.path.join(root, "lake"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    src = (spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+           .select(
+               (F.col("l_orderkey") % 7).alias("bucket"),
+               F.col("l_orderkey"),
+               F.when(F.col("l_orderkey") % 11 == 3,
+                      F.lit(None).cast(INTERVAL_SPARK_TYPE))
+               .otherwise(F.struct(
+                   F.col("l_linenumber").cast("int").alias("months"),
+                   (F.col("l_orderkey") % 100).cast("int").alias("days"),
+                   (F.col("l_suppkey") * 50000).cast("long").alias("micros")))
+               .alias("iv", metadata={INTERVAL_MARK: True})))
+    dl.create_table("main.iv_written",
+                    src.filter(F.col("l_orderkey") % 2 == 0)
+                    .drop("l_orderkey"))
+    dl.insert_into("main.iv_written",
+                   src.filter(F.col("l_orderkey") % 2 == 1)
+                   .drop("l_orderkey"))
+    dl.delete_from("main.iv_written", "bucket = 5")
+    with open(done, "w") as f:
+        f.write("ok")
+    return db
+
+
+def ducklake_interval_write_agg(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Write-side INTERVAL gate (r9): the engine CTAS+INSERTs interval
+    rows through its duckdb-backed staging, DELETEs a MOR slice, and
+    the decoded components aggregate per bucket — the oracle recomputes
+    the identical intervals from lineitem with DuckDB's own date_part
+    accessors, so a wrong encode (or a file that isn't real parquet
+    INTERVAL) breaks the hash."""
+    from ..catalog import DuckLakeSession
+    dl = DuckLakeSession(spark, _build_interval_write_catalog(spark, sf_dir))
+    return (dl.table("main.iv_written")
+            .groupBy("bucket")
+            .agg(F.sum("iv.months").alias("sum_months"),
+                 F.sum("iv.days").alias("sum_days"),
+                 F.sum("iv.micros").alias("sum_micros"),
+                 F.count(F.when(F.col("iv").isNull(), 1)).alias("n_null"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+ORACLE_INTERVAL_WRITE_AGG = """
+WITH t AS (
+  SELECT l_orderkey % 7 AS bucket,
+         CASE WHEN l_orderkey % 11 = 3 THEN NULL
+              ELSE INTERVAL (l_linenumber) MONTH
+                   + INTERVAL (l_orderkey % 100) DAY
+                   + INTERVAL (l_suppkey * 50) MILLISECOND END AS iv
+  FROM lineitem WHERE l_orderkey % 7 <> 5)
+SELECT bucket,
+  CAST(SUM(date_part('year', iv)*12 + date_part('month', iv)) AS BIGINT)
+    AS sum_months,
+  CAST(SUM(date_part('day', iv)) AS BIGINT) AS sum_days,
+  CAST(SUM((date_part('hour', iv)*3600 + date_part('minute', iv)*60)*1000000
+           + date_part('microsecond', iv)) AS BIGINT) AS sum_micros,
+  COUNT(*) FILTER (iv IS NULL) AS n_null,
+  COUNT(*) AS n
+FROM t GROUP BY bucket
+"""

@@ -119,7 +119,16 @@ def _parquet_write_options(session, schema_id: int,
 
 
 def _column_defs(schema: T.StructType) -> list[ColumnDef]:
-    return [ColumnDef(f.name, spark_to_ducklake_type(f.dataType), f.nullable)
+    # a field carrying INTERVAL_MARK (a scan of an interval column, or a
+    # user alias(metadata=...)) declares INTERVAL in the catalog; the
+    # bare struct shape without the mark stays a struct column — a user
+    # struct that merely shares the months/days/micros shape must not be
+    # hijacked into interval CTAS
+    from .types import INTERVAL_MARK
+    return [ColumnDef(f.name,
+                      "interval" if (f.metadata or {}).get(INTERVAL_MARK)
+                      else spark_to_ducklake_type(f.dataType),
+                      f.nullable)
             for f in schema.fields]
 
 
@@ -937,6 +946,133 @@ def _insert_encrypted(session, writer, setup, table_meta, table_path,
     return n_rows
 
 
+def _write_interval_distributed(df: DataFrame, dest_dir: str,
+                                iv_cols: list[str]) -> list[dict]:
+    """Write a DataFrame holding interval columns (months/days/micros
+    struct representation) as parquet files carrying the REAL parquet
+    INTERVAL logical type, one file per non-empty partition, written
+    INSIDE executor tasks through an embedded DuckDB ``COPY`` — the one
+    local engine that emits FLBA(12)/INTERVAL (r9 probe: pyarrow 16
+    raises ArrowNotImplementedError on month_day_nano_interval, and
+    df.write.parquet has no interval column type; reference writes
+    interval natively via its Arrow writer, src/types.rs:95-164). Same
+    distributed shape as write_encrypted_distributed: the driver never
+    touches payload bytes, the returned manifest is a tiny per-file
+    collect.
+
+    Parity notes: sub-millisecond micros truncate (parquet INTERVAL
+    stores millis; DuckDB's own COPY truncates identically), NULL struct
+    → NULL interval, NULL components coalesce to 0, and negative
+    components fail loudly inside the task with DuckDB's own "Parquet
+    files do not support negative intervals". Local/posix table paths
+    only — the embedded COPY writes a local file."""
+    if "://" in dest_dir and not dest_dir.startswith("file://"):
+        from .errors import InvalidConfig
+        raise InvalidConfig(
+            "interval writes require a local table path (the executor-"
+            "side duckdb COPY stages local files); object-store interval "
+            "staging is not supported — use add_files")
+    base = dest_dir[len("file://"):] if dest_dir.startswith("file://") \
+        else dest_dir
+    iv = set(iv_cols)
+
+    def q(name: str) -> str:
+        return '"' + name.replace('"', '""') + '"'
+
+    cols_sql = ", ".join(
+        (f"CASE WHEN {q(c)} IS NULL THEN NULL ELSE "
+         f"to_months(COALESCE({q(c)}.months, 0)) "
+         f"+ to_days(COALESCE({q(c)}.days, 0)) "
+         f"+ to_microseconds(COALESCE({q(c)}.micros, 0)) END AS {q(c)}")
+        if c in iv else q(c)
+        for c in df.columns)
+
+    def write_part(batch_iter):
+        import os as _os
+        import uuid as _uuid
+
+        import duckdb as _duckdb
+        import pyarrow as pa
+        batches = [b for b in batch_iter]
+        rows = sum(b.num_rows for b in batches)
+        if rows == 0:
+            return
+        tbl = pa.Table.from_batches(batches)
+        name = f"ducklake-{_uuid.uuid4()}.parquet"
+        path = _os.path.join(base, name)
+        _os.makedirs(base, exist_ok=True)
+        con = _duckdb.connect()
+        try:
+            con.register("__iv_batch", tbl)
+            con.execute(
+                f"COPY (SELECT {cols_sql} FROM __iv_batch) "
+                f"TO '{path}' (FORMAT PARQUET)")
+        finally:
+            con.close()
+        size = _os.path.getsize(path)
+        with open(path, "rb") as f:
+            f.seek(-8, 2)
+            tail = f.read(8)
+        footer = int.from_bytes(tail[:4], "little") + 8
+        yield pa.RecordBatch.from_pydict({
+            "name": [name], "rows": [rows], "size": [size],
+            "footer": [footer]})
+
+    manifest = df.mapInArrow(
+        write_part, "name string, rows long, size long, footer long"
+    ).collect()
+    return [r.asDict() for r in manifest]
+
+
+def _insert_interval(session, writer, setup, table_meta, table_path,
+                     out: DataFrame, iv_cols: list[str], commit_marker,
+                     post_cols) -> int:
+    """Insert tail for tables with INTERVAL columns: duckdb-backed
+    executor staging (see _write_interval_distributed), then register
+    the manifest in ONE transaction. The files carry no parquet field
+    ids (duckdb's writer doesn't emit them), so they register under an
+    identity name mapping — the same contract as cluster_by exports and
+    add_files, which the scan already resolves by name; interval/time
+    physical-read marks ride into mapped read schemas since r9."""
+    manifest = _write_interval_distributed(out, table_path, iv_cols)
+    live_names = [c.column_name for c in post_cols]
+    n_rows = 0
+    next_rowid = writer.next_row_id(table_meta.table_id)
+    ids_by_name = {c.column_name: c.column_id for c in post_cols}
+    with writer._txn():
+        mid = writer.create_name_mapping(
+            table_meta.table_id, live_names,
+            [ids_by_name[n] for n in live_names])
+        base = table_path[len("file://"):] \
+            if table_path.startswith("file://") else table_path
+        for row in sorted(manifest, key=lambda r: r["name"]):
+            fid = writer.register_data_file(
+                table_meta.table_id, setup.snapshot_id,
+                DataFileInfo(path=row["name"], path_is_relative=True,
+                             file_size_bytes=row["size"],
+                             footer_size=row["footer"],
+                             record_count=row["rows"],
+                             row_id_start=next_rowid,
+                             mapping_id=mid))
+            # stats: interval FLBA min/max is non-UTF8 → stored NULL →
+            # pruning keeps the file (same as the add_files path); the
+            # other columns' stats register normally
+            local_f = os.path.join(base, row["name"])
+            if os.path.exists(local_f):
+                from .types import is_geometry_type
+                geo = {c.column_name for c in post_cols
+                       if is_geometry_type(c.column_type)}
+                writer.register_file_column_stats(
+                    fid, table_meta.table_id,
+                    column_stats_of(local_f, ids_by_name, geo))
+            next_rowid += row["rows"]
+            n_rows += row["rows"]
+        if commit_marker is not None:
+            writer.set_option(commit_marker[0], commit_marker[1])
+    session.refresh()
+    return n_rows
+
+
 def partition_chains(session, handle, target: "int | None" = None,
                      adjacency: bool = True) -> list:
     """Groups for partition-aware maintenance: bucket live files by their
@@ -1439,10 +1575,10 @@ def create_or_insert(session, name: str, df: DataFrame, mode: str,
         # declared constraints — and they are enforced here against the
         # new data, so the restoration can never record a violated
         # constraint).
-        not_null = [
-            c.column_name for c in session.provider.get_table_columns(
-                table_meta.table_id, setup.snapshot_id)
-            if not c.nulls_allowed]
+        post_cols = session.provider.get_table_columns(
+            table_meta.table_id, setup.snapshot_id)
+        not_null = [c.column_name for c in post_cols
+                    if not c.nulls_allowed]
         # Write-side data inlining (sql/data_inlining/ corpus): appends at
         # or under data_inlining_row_limit store their rows IN the catalog
         # DB instead of parquet — DuckDB's DATA_INLINING_ROW_LIMIT
@@ -1512,6 +1648,30 @@ def create_or_insert(session, name: str, df: DataFrame, mode: str,
         spec = session.provider.get_partition_columns(
             table_meta.table_id, setup.snapshot_id)
         part_keys = _partition_keys(spec, id_to_name)
+
+        from .types import is_interval_type
+        iv_cols = [c.column_name for c in post_cols
+                   if is_interval_type(c.column_type)]
+        if iv_cols:
+            # INTERVAL columns: duckdb-backed executor staging emits the
+            # parquet INTERVAL logical type df.write/pyarrow cannot (r9;
+            # see _write_interval_distributed). Encrypted and partitioned
+            # combinations stay refused — PME-writing the struct would
+            # silently change the physical contract, and the partition
+            # staging machinery is not carried by this path.
+            if (session.provider.get_option("encrypted") or "").lower() \
+                    in ("true", "1"):
+                raise InvalidConfig(
+                    "INTERVAL columns in an encrypted catalog are not "
+                    "writable (the PME writer cannot emit the parquet "
+                    "INTERVAL logical type)")
+            if part_keys:
+                raise InvalidConfig(
+                    "INSERT into a partitioned table with INTERVAL "
+                    "columns is not supported")
+            return _insert_interval(session, writer, setup, table_meta,
+                                    table_path, out, iv_cols,
+                                    commit_marker, post_cols)
 
         if (session.provider.get_option("encrypted") or "").lower() \
                 in ("true", "1"):

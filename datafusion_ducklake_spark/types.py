@@ -403,27 +403,46 @@ def is_geometry_type(type_str: str) -> bool:
 
 
 def is_interval_type(type_str: str) -> bool:
-    """True for the INTERVAL type (read-only: scan decodes, writers
-    reject — see the module docstring)."""
+    """True for the INTERVAL type (scan decodes FLBA(12) to the struct
+    representation; INSERT/CTAS re-encode through the duckdb-backed
+    executor staging — see table_writer._insert_interval)."""
     return type_str.strip().lower() == "interval"
+
+
+def is_interval_repr_type(type_str: str) -> bool:
+    """True when ``type_str`` is the engine's in-memory INTERVAL
+    representation as a DuckLake type string — what a frame that scanned
+    an interval column derives via spark_to_ducklake_type. Accepted on
+    INSERT into an interval column (representation-compatible payload,
+    like varchar→json); NOT wired into types_compatible on purpose:
+    add_files must keep rejecting struct-typed parquet files for
+    interval columns (the scan reads interval physically as FLBA(12)
+    binary, and a struct column in the file would break that read)."""
+    try:
+        norm = normalize_ducklake_type(type_str)
+    except UnsupportedType:
+        return False
+    return norm == "struct<months:int32,days:int32,micros:int64>"
 
 
 def reject_interval_rewrite(columns, op: str) -> None:
     """Refuse data-file REWRITE operations on tables with INTERVAL
-    columns: no parquet writer available to Spark (df.write.parquet,
-    pyarrow) can emit the parquet INTERVAL logical type, so a rewrite
-    would re-store the column as a plain struct and silently change the
-    table's physical contract for every other reader. DELETE (which
-    writes only positional-delete files) and metadata-only operations
-    remain allowed; registering externally-written interval files via
-    add_files is the supported write-side interop path."""
+    columns. INSERT/CTAS write intervals since r9 (executor-side duckdb
+    COPY emits the parquet INTERVAL logical type that df.write.parquet
+    and pyarrow cannot), but rewrites (UPDATE/MERGE/compact/cluster_by/
+    merge_adjacent_files/rewrite_data_files) re-stage EXISTING rows with
+    rowid/partition machinery the interval staging does not carry yet —
+    refused loudly rather than silently re-storing the column as a plain
+    struct. DELETE (positional-delete files only) and metadata-only
+    operations remain allowed; add_files registers externally-written
+    interval files."""
     for c in columns:
         if is_interval_type(c.column_type):
             raise UnsupportedType(
                 f"{op} is not supported on tables with INTERVAL columns "
-                f"(column {c.column_name!r}): no available parquet writer "
-                "emits the INTERVAL logical type. INTERVAL tables are "
-                "read-only beyond DELETE and metadata operations.")
+                f"(column {c.column_name!r}): data-file rewrites of "
+                "interval tables are not supported (INSERT, DELETE, "
+                "add_files and metadata operations are).")
 
 
 def _nested_types_compatible(from_type: str, to_type: str) -> bool:

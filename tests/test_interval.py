@@ -10,11 +10,15 @@ Fixtures are written by DuckDB itself (COPY ... TO parquet), the one
 engine here that can produce parquet INTERVAL — every decoded value is
 cross-checked against DuckDB reading the same file.
 
-Write-side: no parquet writer available to Spark emits the INTERVAL
-logical type (pyarrow rejects month_day_nano_interval; df.write has no
-interval column type), so data-file REWRITES are refused loudly and the
-supported interop path is create_empty_table + add_files of an
-externally-written file. DELETE (positional-delete files only) works.
+Write-side (r9): df.write.parquet and pyarrow (probed: 16.1 raises
+ArrowNotImplementedError on month_day_nano_interval) cannot emit the
+parquet INTERVAL logical type, but an executor-side embedded DuckDB
+``COPY`` can — INSERT/CTAS stage through it
+(table_writer._write_interval_distributed), registering the files under
+an identity name mapping exactly like add_files. Data-file REWRITES
+(UPDATE/compact/cluster/merge) remain refused loudly; DELETE
+(positional-delete files only) works; add_files stays the interop path
+for externally-written files.
 """
 
 from __future__ import annotations
@@ -177,11 +181,84 @@ def test_time_travel_after_delete(iv_session):
     assert _spark_actual(old) == _duckdb_expected(data)
 
 
-def test_insert_rejected(iv_session):
-    s, _ = iv_session
-    df = s.table("main.iv").limit(1)
-    with pytest.raises(InvalidConfig, match="INTERVAL"):
-        s.insert_into("main.iv", df)
+def test_insert_from_scan_roundtrips(iv_session, spark):
+    """r9 write path: INSERT of the struct representation (here: a scan
+    of the table itself) stages through the executor-side duckdb COPY
+    and the file carries the REAL parquet INTERVAL logical type —
+    DuckDB reads it back as INTERVAL with the same values."""
+    import glob
+
+    s, data = iv_session
+    sel = s.table("main.iv").filter(F.col("id") < 5)
+    exp = _spark_actual(sel)
+    assert s.insert_into("main.iv", sel) == 5
+    s.refresh()
+    got = _spark_actual(s.table("main.iv"))
+    base = _duckdb_expected(data)
+    assert got[3] == base[3] + exp[3]          # null count adds up
+    assert got[0] == base[0] + (exp[0] or 0)
+    # the engine-written file is genuine parquet INTERVAL
+    lake = s.table_handle("main.iv").table_path
+    lake = lake[len("file://"):] if lake.startswith("file://") else lake
+    written = [p for p in glob.glob(lake + "/*.parquet")
+               if os.path.basename(p).startswith("ducklake-")]
+    assert written
+    typ, cnt = duckdb.connect().execute(
+        f"SELECT any_value(typeof(iv)), count(*) "
+        f"FROM '{written[0]}'").fetchone()
+    assert typ == "INTERVAL" and cnt == 5
+
+
+def test_interval_ctas_and_submilli_truncation(spark, tmp_path):
+    """CTAS with an INTERVAL_MARK-ed struct column declares a real
+    INTERVAL column; sub-millisecond micros truncate exactly as
+    DuckDB's own parquet interval COPY does (parquet stores millis),
+    and a bare struct WITHOUT the mark stays a struct column."""
+    from pyspark.sql import types as T
+
+    from datafusion_ducklake_spark.types import INTERVAL_MARK
+    db = str(tmp_path / "ctas.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake"))
+    w.close()
+    s = DuckLakeSession(spark, db)
+    src = spark.range(6).select(
+        F.col("id").cast("int").alias("id"),
+        F.struct(F.lit(1).cast("int").alias("months"),
+                 F.lit(2).cast("int").alias("days"),
+                 (F.col("id") * 1000 + 1).cast("long").alias("micros"))
+        .alias("iv", metadata={INTERVAL_MARK: True}))
+    s.create_table("main.ivc", src)
+    assert [(c.column_name, c.column_type)
+            for c in s.table_handle("main.ivc").columns] \
+        == [("id", "int32"), ("iv", "interval")]
+    rows = {r.id: r.iv for r in s.table("main.ivc").collect()}
+    # micros = id*1000 + 1: the trailing +1 µs truncates on write
+    assert all(v.micros == k * 1000 for k, v in rows.items())
+    assert all((v.months, v.days) == (1, 2) for v in rows.values())
+    # unmarked struct (same shape, no INTERVAL_MARK): stays a struct
+    # column — the shape alone must never be hijacked into interval.
+    # (Selecting/aliasing a MARKED column keeps its metadata, so derived
+    # frames of real intervals still declare interval — by design.)
+    s.create_table("main.plain_struct", spark.range(2).select(
+        F.col("id").cast("int").alias("id"),
+        F.struct(F.lit(1).cast("int").alias("months"),
+                 F.lit(2).cast("int").alias("days"),
+                 F.lit(0).cast("long").alias("micros")).alias("s")))
+    assert s.table_handle("main.plain_struct").columns[1].column_type \
+        != "interval"
+    # rewrites remain refused on the interval table
+    with pytest.raises(UnsupportedType, match="INTERVAL"):
+        s.compact("main.ivc")
+    # negative components fail loudly (DuckDB's own parquet guard)
+    import pyspark.errors
+    with pytest.raises(Exception, match="negative intervals"):
+        s.insert_into("main.ivc", spark.range(1).select(
+            F.lit(99).cast("int").alias("id"),
+            F.struct(F.lit(-1).cast("int").alias("months"),
+                     F.lit(0).cast("int").alias("days"),
+                     F.lit(0).cast("long").alias("micros"))
+            .alias("iv", metadata={INTERVAL_MARK: True})))
 
 
 def test_rewrites_rejected(iv_session):
