@@ -426,3 +426,43 @@ def test_mapped_bare_int64_time_reads_exactly(dl, spark, tmp_path):
     dl.delete_from("main.mt", "t = TIME '01:00:00'")
     dl.refresh()
     assert sorted(r.id for r in dl.table("main.mt").collect()) == [1, 2]
+
+
+def test_nested_time_representation_pinned_cross_engine(dl, spark, tmp_path):
+    """r8 verdict #6: pin the documented nested-time representation with
+    a test on BOTH seams. DuckDB-written struct<t TIME(us)> scans as
+    long µs-of-day (types.py nested-time rule); after an ENGINE rewrite
+    (compact), DuckDB reading the engine-written file sees the nested
+    field as BIGINT µs — the representation gap is the documented
+    contract, not an accident: a nested TimeType write would make
+    pre-r8 bare-int64 nested fields unreadable (era split is
+    per-top-level-column, and nested fields have no mark channel)."""
+    new = str(tmp_path / "ntx.parquet")
+    duckdb.connect().execute(
+        f"COPY (SELECT i::INT AS id, {{'t': (TIME '10:00:00' + "
+        f"INTERVAL (i) SECOND)::TIME}} AS s FROM range(4) x(i)) "
+        f"TO '{new}' (FORMAT PARQUET)")
+    dl.create_empty_table("main.ntx", "id INTEGER, s STRUCT(t TIME)")
+    dl.add_files("main.ntx", [new])
+    dl.refresh()
+    # seam 1: engine scan of the DuckDB-written TIME(µs) file → long µs
+    got = {r.id: r.s.t for r in dl.table("main.ntx").collect()}
+    assert got == {i: (10 * 3600 + i) * 1000000 for i in range(4)}
+    # engine DML + rewrite produce an engine-written file
+    dl.delete_from("main.ntx", "id = 0")
+    dl.refresh()
+    dl.compact("main.ntx", preserve_rowids=False)
+    dl.refresh()
+    lake = dl.table_handle("main.ntx").table_path
+    lake = lake[len("file://"):] if lake.startswith("file://") else lake
+    files = [os.path.join(lake, f) for f in os.listdir(lake)
+             if f.endswith(".parquet")
+             and not f.startswith("ducklake-delete-")]
+    assert len(files) == 1
+    # seam 2: DuckDB reads the ENGINE-written nested field as BIGINT µs
+    rows = duckdb.connect().execute(
+        f"SELECT id, s.t, typeof(s.t) FROM '{files[0]}' ORDER BY id"
+    ).fetchall()
+    assert [(r[0], r[1]) for r in rows] \
+        == [(i, (10 * 3600 + i) * 1000000) for i in range(1, 4)]
+    assert all(r[2] == "BIGINT" for r in rows)
