@@ -246,6 +246,17 @@ class DuckLakeTable:
         runs (key/columns/quoting/existence)."""
         qname = f"`default`.`{bname}`"
         spark = self.spark
+        # Report the exports' in-bucket sort order to the planner: with
+        # it, a SortMergeJoin of two co-clustered tables drops BOTH Sort
+        # nodes (zero exchanges AND zero sorts). Spark gates the
+        # ordering claim on exactly-one-file-per-bucket, which
+        # cluster_by's repartition-before-bucketBy guarantees — with
+        # multiple files per bucket the scan silently reports unordered,
+        # so this can never produce a wrong merge. Measured at
+        # SF10-equivalent (r9 q04 adjudication): q04 clustered min wall
+        # 1.22 s → 0.64 s with the flag; plan shows Sort nodes 2 → 0.
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         if not spark.catalog.tableExists(f"default.{bname}"):
             for t in spark.catalog.listTables("default"):
                 if t.name.startswith(gc_prefix) and t.name != bname:
