@@ -463,18 +463,19 @@ def main() -> None:
         # r5 verdict #8: keep round-over-round ratios interpretable when
         # suite composition or methodology changes
         "suite_delta_note": (
-            "r8: same 27 queries and floor methodology as r7. Two "
-            "queries RESHAPED (oracle SQL unchanged, driver hashes "
-            "green, both moved into the driver's 50-entry window): q15 "
-            "computes its max via MAX() OVER () instead of a scalar "
-            "subquery that re-executed the lineitem pre-agg; q22 hints "
-            "shuffle_hash on the deduped custkey set. Reporting "
-            "changes: floor-adjusted ratios never print 0.00 (at-floor "
-            "rows move to queries_at_floor_raw_ratio with their RAW "
-            "ratio as an upper bound); queries_stdev published per "
-            "tier; the clustered tier adds a `family` sub-tier (q22 "
-            "through the custkey replica family). Other ratios are "
-            "comparable to r7"),
+            "r9: same 27 queries, floor methodology and tiers as r8; "
+            "no query text or oracle changed. One PLAN change affecting "
+            "the clustered/family sub-tiers only: clustered reads now "
+            "report the exports' in-bucket sort order "
+            "(legacy.bucketedTableScan.outputOrdering, sound because "
+            "cluster_by guarantees one file per bucket), so every "
+            "co-clustered SortMergeJoin drops both Sort nodes — q04 "
+            "clustered min wall 1.22->0.58 s at SF10 (the r8 verdict's "
+            "q04 adjudication: a real elidable cost under the "
+            "variance). Reporting change: the detail sidecar defaults "
+            "to BENCH_detail_run.json; committed BENCH_detail.json "
+            "updates only via an explicit --out. Plain-tier ratios are "
+            "directly comparable to r8"),
     }
     detail = {
         **headline,

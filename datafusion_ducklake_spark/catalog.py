@@ -3160,14 +3160,6 @@ class DuckLakeSession:
                     n >= max_compacted_files:
                 break
             handle = self.table_handle(name)
-            from .types import is_interval_type, reject_interval_rewrite
-            if any(is_interval_type(c.column_type)
-                   for c in handle.columns):
-                if table_name is not None:
-                    # explicit single-table call → loud
-                    reject_interval_rewrite(handle.columns,
-                                            "merge_adjacent_files")
-                continue  # catalog-wide sweep skips read-only tables
             if not (len(handle.files) > 1
                     or any(f.delete_uri for f in handle.files)):
                 continue

@@ -989,6 +989,16 @@ class CatalogWriter:
                             # varchar→json, blob→uuid, nested µs-long→
                             # time, permuted nested, …
                             col_type = old_type
+                        elif old_type.strip().lower() == "interval":
+                            from ..types import is_interval_repr_type
+                            if is_interval_repr_type(col_type):
+                                # the struct representation an interval
+                                # scan yields — REPLACE (compact
+                                # preserve_rowids=False / overwrite)
+                                # keeps the declared INTERVAL; the
+                                # staging re-encodes via the duckdb
+                                # writer (r9)
+                                col_type = old_type
                     if mode == WriteMode.APPEND or (
                             col_type == old_type and not replace_definition):
                         # INSERT never alters constraints or defaults,

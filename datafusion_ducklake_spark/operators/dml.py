@@ -131,14 +131,20 @@ def _live_with_filepos(session, handle, with_rowid: bool = False
         rid_schema = T.StructType(
             list(handle.spark_schema.fields)
             + [T.StructField(ROWID_FILE_COL, T.LongType(), True)])
-        df = _read_parquet(session.spark, rid_schema,
-                           [f.data_uri for f in ridcol])
-        parts.append(df.withColumnRenamed(ROWID_FILE_COL, "__rid_file")
-                     .withColumn(
-                         FILE_COL,
-                         F.element_at(F.split(
-                             F.col("_metadata.file_path"), "/"), -1))
-                     .withColumn(POS_COL, F.col("_metadata.row_index")))
+        # tri-level footer probe, same as scan_table: an UPDATE-rewritten
+        # file written by Spark carries field ids, but a duckdb-staged
+        # rewrite of an INTERVAL table (r9) carries none — reading the
+        # id-stamped schema over an id-less file returns NULL columns
+        for group_schema, group in _split_by_field_ids(rid_schema, ridcol):
+            df = _read_parquet(session.spark, group_schema,
+                               [f.data_uri for f in group])
+            parts.append(
+                df.withColumnRenamed(ROWID_FILE_COL, "__rid_file")
+                .withColumn(
+                    FILE_COL,
+                    F.element_at(F.split(
+                        F.col("_metadata.file_path"), "/"), -1))
+                .withColumn(POS_COL, F.col("_metadata.row_index")))
     if encd:
         # encrypted data files: executor-side PME decode with positions
         # (sql/encryption/ corpus — DELETE over an ENCRYPTED catalog)
@@ -464,6 +470,32 @@ def _stage_append(session, handle, df: DataFrame,
         handle.meta.table_id, handle.snapshot_id)
     part_keys = _partition_keys(spec, id_to_name)
 
+    from ..types import is_interval_type
+    iv_cols = [c.column_name for c in handle.columns
+               if is_interval_type(c.column_type)]
+    if iv_cols:
+        # INTERVAL rewrite halves (UPDATE/MERGE/compact) stage through
+        # the duckdb-backed writer — the only local route to the parquet
+        # INTERVAL logical type (r9; table_writer._write_interval_
+        # distributed). Rowid/snapshot rider columns pass through as
+        # plain longs. Partitioned/encrypted interval rewrites stay
+        # refused (neither staging shape is carried by this path).
+        from ..errors import InvalidConfig
+        if part_keys:
+            raise InvalidConfig(
+                "rewrites of a partitioned table with INTERVAL columns "
+                "are not supported")
+        if (session.provider.get_option("encrypted") or "").lower() \
+                in ("true", "1"):
+            raise InvalidConfig(
+                "rewrites of INTERVAL columns in an encrypted catalog "
+                "are not supported (the PME writer cannot emit the "
+                "parquet INTERVAL logical type)")
+        from ..table_writer import _write_interval_distributed
+        manifest = _write_interval_distributed(out, table_path, iv_cols)
+        return [(r["name"], r["size"], r["footer"], r["rows"], None, None)
+                for r in manifest]
+
     if (session.provider.get_option("encrypted") or "").lower() \
             in ("true", "1"):
         # encrypted catalog: rewrite/insert halves of UPDATE/MERGE are
@@ -600,8 +632,6 @@ def update_rows(session, name: str, assignments: dict,
     the corpus's update_join_duplicates contract). Returns rows
     updated."""
     handle = session.table_handle(name)
-    from ..types import reject_interval_rewrite
-    reject_interval_rewrite(handle.columns, "UPDATE")
     data_cols = [c.column_name for c in handle.columns]
     unknown = set(assignments) - set(data_cols)
     if unknown:
@@ -752,8 +782,6 @@ def merge_rows(session, target: str, source: DataFrame, on: list[str],
     if when_matched_update is not None and when_matched_delete:
         raise InvalidConfig("merge: choose update OR delete for matches")
     handle = session.table_handle(target)
-    from ..types import reject_interval_rewrite
-    reject_interval_rewrite(handle.columns, "MERGE")
     _require_no_inlined(handle)
     data_cols = [c.column_name for c in handle.columns]
     for k in on:

@@ -499,8 +499,14 @@ def _read_parquet(spark: SparkSession, schema: T.StructType,
     def ref(c):  # backtick-quoted: a name with a '.' is NOT a field path
         return F.col("`" + c.replace("`", "``") + "`")
 
+    # the decoded interval column carries INTERVAL_MARK on its output
+    # field too, so frames DERIVED from a scan (CTAS ... AS SELECT,
+    # compact's overwrite rewrite) still declare a real INTERVAL column
+    # instead of silently downgrading to a plain struct (r9 write path)
+    from ..types import INTERVAL_MARK
     return df.select(*[
-        interval_decode(ref(c)).alias(c) if c in iv
+        interval_decode(ref(c)).alias(c, metadata={INTERVAL_MARK: True})
+        if c in iv
         else time_decode(ref(c)).alias(c) if c in tm
         else ref(c).alias(c)
         for c in df.columns])
@@ -910,14 +916,21 @@ def apply_mapping(df: DataFrame, schema: T.StructType,
     present = [c for c in extras if c in df.columns]
     in_types = {f.name: f.dataType for f in df.schema.fields}
 
+    marks = {fld.name: _mark_metadata(fld) for fld in schema.fields}
+
     def col_expr(src, dst):
         want = types[dst]
         have = in_types.get(src)
         if have is not None and have.simpleString() != want.simpleString():
             # era-clipped struct (fields newer than the mapped file were
             # not read): rebuild by name, NULL-filling the clipped slots
-            return _conform_by_name(F.col(src), have, want).alias(dst)
-        return F.col(src).alias(dst)
+            expr = _conform_by_name(F.col(src), have, want)
+        else:
+            expr = F.col(src)
+        # physical-read marks survive onto the mapped OUTPUT field too,
+        # so derived frames keep declaring interval (see _read_parquet)
+        md = marks[dst]
+        return expr.alias(dst, metadata=md) if md else expr.alias(dst)
 
     df = df.select(*[col_expr(src, dst) for src, dst in mapped_cols],
                    *present)

@@ -757,8 +757,19 @@ def compact_table(session, name: str, single_file: bool = True,
     from pyspark.sql import functions as F
 
     handle = session.table_handle(name)
-    from .types import reject_interval_rewrite
-    reject_interval_rewrite(handle.columns, "compact")
+    from .types import is_interval_type
+    if any(is_interval_type(c.column_type) for c in handle.columns):
+        # interval rewrite (r9): carry rowids in-file through the
+        # duckdb-backed staging — the run-carving path below writes via
+        # Spark's parquet writer, which cannot emit INTERVAL
+        if handle.inlined_tables and handle.inlined_rows():
+            raise InvalidConfig(
+                "compact over tables with live inlined data rows is not "
+                "supported — call flush_inlined_data() first")
+        if not handle.files:
+            return 0
+        return _compact_rowid_column(session, name, handle,
+                                     single_file=single_file)
     if handle.inlined_tables and handle.inlined_rows():
         raise InvalidConfig(
             "compact over tables with live inlined data rows is not "
@@ -1142,8 +1153,6 @@ def merge_groups_rowid_column(session, name: str, groups: list,
     from .sources.scan import scan_table
 
     handle = session.table_handle(name)
-    from .types import reject_interval_rewrite
-    reject_interval_rewrite(handle.columns, "merge_adjacent_files")
     tid = handle.meta.table_id
     data_cols = [c.column_name for c in handle.columns]
     col_ids = [c.column_id for c in handle.columns]
@@ -1262,8 +1271,6 @@ def rewrite_file_groups(session, name: str, groups: list,
     from .sources.scan import scan_table
 
     handle = session.table_handle(name)
-    from .types import reject_interval_rewrite
-    reject_interval_rewrite(handle.columns, op)
     if handle.inlined_tables and handle.inlined_rows():
         raise InvalidConfig(
             f"{op} over tables with live inlined data rows "

@@ -426,23 +426,21 @@ def is_interval_repr_type(type_str: str) -> bool:
 
 
 def reject_interval_rewrite(columns, op: str) -> None:
-    """Refuse data-file REWRITE operations on tables with INTERVAL
-    columns. INSERT/CTAS write intervals since r9 (executor-side duckdb
-    COPY emits the parquet INTERVAL logical type that df.write.parquet
-    and pyarrow cannot), but rewrites (UPDATE/MERGE/compact/cluster_by/
-    merge_adjacent_files/rewrite_data_files) re-stage EXISTING rows with
-    rowid/partition machinery the interval staging does not carry yet —
-    refused loudly rather than silently re-storing the column as a plain
-    struct. DELETE (positional-delete files only) and metadata-only
-    operations remain allowed; add_files registers externally-written
-    interval files."""
+    """Refuse cluster_by on tables with INTERVAL columns — since r9 the
+    only remaining interval rewrite boundary: every other write
+    (INSERT/CTAS/UPDATE/MERGE/compact/merge_adjacent_files/
+    rewrite_data_files) stages through the duckdb-backed writer
+    (table_writer._write_interval_distributed), but the clustered export
+    must be written by Spark's bucketBy writer (the bucketed scan
+    depends on Spark's bucket-id file naming), which cannot emit the
+    parquet INTERVAL logical type."""
     for c in columns:
         if is_interval_type(c.column_type):
             raise UnsupportedType(
                 f"{op} is not supported on tables with INTERVAL columns "
-                f"(column {c.column_name!r}): data-file rewrites of "
-                "interval tables are not supported (INSERT, DELETE, "
-                "add_files and metadata operations are).")
+                f"(column {c.column_name!r}): the clustered export must "
+                "be written by Spark's bucketed writer, which cannot "
+                "emit the parquet INTERVAL logical type.")
 
 
 def _nested_types_compatible(from_type: str, to_type: str) -> bool:

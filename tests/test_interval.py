@@ -15,10 +15,11 @@ ArrowNotImplementedError on month_day_nano_interval) cannot emit the
 parquet INTERVAL logical type, but an executor-side embedded DuckDB
 ``COPY`` can — INSERT/CTAS stage through it
 (table_writer._write_interval_distributed), registering the files under
-an identity name mapping exactly like add_files. Data-file REWRITES
-(UPDATE/compact/cluster/merge) remain refused loudly; DELETE
-(positional-delete files only) works; add_files stays the interop path
-for externally-written files.
+an identity name mapping exactly like add_files. Rewrites
+(UPDATE/MERGE/compact/merge_adjacent) stage through the same writer;
+cluster_by is the one remaining boundary (Spark's bucketed writer owns
+bucket-id file naming). DELETE (positional-delete files only) and
+add_files work as before.
 """
 
 from __future__ import annotations
@@ -247,9 +248,17 @@ def test_interval_ctas_and_submilli_truncation(spark, tmp_path):
                  F.lit(0).cast("long").alias("micros")).alias("s")))
     assert s.table_handle("main.plain_struct").columns[1].column_type \
         != "interval"
-    # rewrites remain refused on the interval table
+    # rewrites stage through the same duckdb writer (r9): compact after
+    # a delete keeps the truncated-but-stable values
+    s.delete_from("main.ivc", "id = 0")
+    s.refresh()
+    s.compact("main.ivc")
+    s.refresh()
+    rows2 = {r.id: r.iv for r in s.table("main.ivc").collect()}
+    assert rows2 == {k: v for k, v in rows.items() if k != 0}
+    # the one remaining rewrite boundary: the bucketed export
     with pytest.raises(UnsupportedType, match="INTERVAL"):
-        s.compact("main.ivc")
+        s.cluster_by("main.ivc", "id", 2)
     # negative components fail loudly (DuckDB's own parquet guard)
     import pyspark.errors
     with pytest.raises(Exception, match="negative intervals"):
@@ -261,24 +270,51 @@ def test_interval_ctas_and_submilli_truncation(spark, tmp_path):
             .alias("iv", metadata={INTERVAL_MARK: True})))
 
 
-def test_rewrites_rejected(iv_session):
-    s, _ = iv_session
-    with pytest.raises(UnsupportedType, match="INTERVAL"):
-        s.update_where("main.iv", {"id": "id + 1"})
-    with pytest.raises(UnsupportedType, match="INTERVAL"):
-        s.compact("main.iv")
+def test_rewrites_work_cluster_by_rejected(iv_session):
+    """r9: every rewrite except cluster_by stages through the
+    duckdb-backed interval writer. UPDATE of a non-interval column
+    keeps the decoded interval values intact through the rewrite;
+    compact collapses MOR debt; MERGE updates rows. cluster_by is the
+    one remaining boundary (Spark's bucketed writer owns the bucket-id
+    file naming and cannot emit INTERVAL)."""
+    s, data = iv_session
+    base = _duckdb_expected(data)
+    assert s.update_where("main.iv", {"id": "id + 1000"},
+                          "id < 3") == 3
+    s.refresh()
+    assert _spark_actual(s.table("main.iv")) == base
+    assert sorted(r.id for r in
+                  s.table("main.iv").filter("id >= 1000").collect()) \
+        == [1000, 1001, 1002]
+    s.delete_from("main.iv", "id = 1000")
+    s.refresh()
+    s.compact("main.iv")
+    s.refresh()
+    exp = _duckdb_expected(data, "id <> 0")       # original row 0 deleted
+    got = _spark_actual(s.table("main.iv"))
+    assert got[3] == exp[3] and got[1] == exp[1]
+    # MERGE from an independent source frame (self-referential merge
+    # sources are a separate, pre-existing lineage limitation)
+    from pyspark.sql import types as T
+    row = s.table("main.iv").filter("id = 1001").select("iv").collect()[0]
+    src = s.spark.createDataFrame(
+        [(1001, row.iv)],
+        T.StructType([T.StructField("id", T.IntegerType()),
+                      T.StructField("iv", INTERVAL_SPARK_TYPE)]))
+    res = s.merge_into("main.iv", src, on=["id"],
+                       when_matched_update={"id": "100001"})
+    assert res["updated"] == 1
+    s.refresh()
+    assert s.table("main.iv").filter("id = 100001").count() == 1
     with pytest.raises(UnsupportedType, match="INTERVAL"):
         s.cluster_by("main.iv", "id", 4)
-    with pytest.raises(UnsupportedType, match="INTERVAL"):
-        s.merge_adjacent_files("iv")
-    src = s.table("main.iv").limit(1).select("id", "iv")
-    with pytest.raises(UnsupportedType, match="INTERVAL"):
-        s.merge_into("main.iv", src, on=["id"])
 
 
 def test_maintenance_sweep_skips_interval_tables(iv_session, spark):
-    """A catalog-wide merge_adjacent_files pass must skip (not abort on)
-    read-only interval tables."""
+    """A catalog-wide merge_adjacent_files pass leaves a single-file
+    interval table untouched (ineligible: no adjacency or delete debt);
+    since r9 eligible interval tables DO rewrite through the duckdb
+    staging instead of being skipped."""
     s, _ = iv_session
     df = spark.createDataFrame([(i,) for i in range(10)], "k INT")
     s.create_table("main.plain", df)
