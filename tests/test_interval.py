@@ -645,3 +645,20 @@ def test_renamed_interval_column_scans(iv_session):
                F.count(F.when(F.col("iv_renamed").isNull(), 1))
                ).collect()[0]
     assert tuple(r) == _duckdb_expected(data)
+
+
+def test_cdc_update_pair_over_interval(iv_session):
+    """table_changes pairs pre/postimage for an UPDATE over an interval
+    table (r9: updates rewrite through the duckdb staging; the CDC read
+    primitive decodes the rewritten file's intervals)."""
+    s, _ = iv_session
+    assert s.update_where("main.iv", {"id": "id + 500"}, "id = 2") == 1
+    s.refresh()
+    snap = s.provider.get_current_snapshot()
+    ch = s.table_changes("main.iv", snap - 1, snap).collect()
+    assert sorted(r.change_type for r in ch) \
+        == ["update_postimage", "update_preimage"]
+    pre = next(r for r in ch if r.change_type == "update_preimage")
+    post = next(r for r in ch if r.change_type == "update_postimage")
+    assert (pre.id, post.id) == (2, 502)
+    assert pre.iv == post.iv and pre.iv.months == 2
