@@ -280,6 +280,16 @@ def _family_subtier(spark, dl, scaled_dir, cpus, iters,
         dl.cluster_by("main.orders", "o_custkey", cpus, replica=True)
         with open(marker, "w") as f:
             f.write("ok")
+    # a cached catalog whose replica digest predates the current digest
+    # definition (or whose table saw DML) reports current=false — the
+    # r9 staleness surface; refresh rebuilds the family in place
+    try:
+        stale = [r for r in dl.clustering_status("main.orders").collect()
+                 if r.kind == "replica" and not r.current]
+        if stale:
+            dl.sql("CALL ducklake_refresh_replica('main.orders')")
+    except Exception:
+        pass          # never sink the tier on the freshness probe
     cust_df = dl.table("main.customer")
     ord_df = dl.table("main.orders", cluster_key="o_custkey")
     c_plan = cust_df._jdf.queryExecution().executedPlan().toString()
