@@ -542,10 +542,15 @@ def main() -> None:
     # evidence run uses SPARK_GRAFT_SCALE3_ITERS=5 (r5 verdict #2 —
     # quote numbers from a committed >=5-rep artifact)
     scale3_iters = int(os.environ.get("SPARK_GRAFT_SCALE3_ITERS", "3"))
+    # scaled2 reps likewise env-raisable for evidence runs (r9: the SF3
+    # tier's 3-rep walls sit near the floor, so its cross-round ratios
+    # are the noisiest — 5-rep evidence runs tighten the spread)
+    scale2_iters = int(os.environ.get("SPARK_GRAFT_SCALE2_ITERS",
+                                      str(ITERATIONS)))
     from tools.scale_data import scale_dir
     for sc, key, in_headline, only, iters in (
             (scale, "scaled", True, None, ITERATIONS),
-            (scale2, "scaled2", False, None, ITERATIONS),
+            (scale2, "scaled2", False, None, scale2_iters),
             (scale3, "scaled3", False, None, scale3_iters)):
         if sc <= 0:
             continue
