@@ -936,6 +936,21 @@ class MySqlMetadataProvider(MetadataProvider):
         self._conn.close()
 
 
+def live_set_digest_of(files) -> str:
+    """Digest over an already-fetched ``get_data_files`` row list — see
+    :func:`live_set_digest`; callers that need the file list for other
+    checks too (clustering_status_rows) avoid a second catalog query."""
+    import hashlib
+    import json
+    rows = sorted(
+        (f.path, bool(f.path_is_relative),
+         f.delete_file.path if f.delete_file is not None else "",
+         int(f.begin_snapshot or 0))
+        for f in files)
+    return hashlib.md5(
+        json.dumps(rows, separators=(",", ":")).encode()).hexdigest()
+
+
 def live_set_digest(provider: "MetadataProvider", table_id: int,
                     snapshot_id: int) -> str:
     """Digest of a table's live file set at a snapshot, from the RAW
@@ -950,15 +965,8 @@ def live_set_digest(provider: "MetadataProvider", table_id: int,
     compaction replaces paths — and a read at another snapshot sees a
     different set, so a spec-recorded digest gates the replica fast path
     against both staleness and time travel."""
-    import hashlib
-    import json
-    rows = sorted(
-        (f.path, bool(f.path_is_relative),
-         f.delete_file.path if f.delete_file is not None else "",
-         int(f.begin_snapshot or 0))
-        for f in provider.get_data_files(table_id, snapshot_id))
-    return hashlib.md5(
-        json.dumps(rows, separators=(",", ":")).encode()).hexdigest()
+    return live_set_digest_of(provider.get_data_files(table_id,
+                                                      snapshot_id))
 
 
 def provider_for(catalog_path: str) -> MetadataProvider:

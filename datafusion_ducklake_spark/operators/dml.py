@@ -564,6 +564,16 @@ def _register_append(session, writer, snapshot_id: int, handle,
     n_rows = 0
     next_rowid = writer.next_row_id(handle.meta.table_id)
     ids_by_name = dict(zip(data_cols, column_ids))
+    from ..types import is_interval_type
+    mid = None
+    if any(is_interval_type(c.column_type) for c in handle.columns):
+        # interval rewrites staged through the duckdb writer carry no
+        # parquet field ids (r9 review finding): register the identity
+        # name mapping — the same contract as _insert_interval and
+        # add_files — so a later column RENAME keeps resolving instead
+        # of silently reading the renamed column as NULL
+        mid = writer.create_name_mapping(
+            handle.meta.table_id, data_cols, column_ids)
     for final_name, size, footer, count, pvals, enc_key in staged:
         if count == 0:
             continue
@@ -573,6 +583,7 @@ def _register_append(session, writer, snapshot_id: int, handle,
                          file_size_bytes=size, footer_size=footer,
                          record_count=count,
                          row_id_start=None if rowid_in_file else next_rowid,
+                         mapping_id=mid,
                          encryption_key=enc_key))
         if pvals:
             writer.register_file_partition_values(

@@ -79,7 +79,7 @@ CLUSTERING_OPTION = "clustering"
 REPLICA_OPTION = "clustering_replicas"
 
 
-def _primary_spec_current(p, table_id: int, snapshot_id: int, spec: dict,
+def _primary_spec_current(files, spec: dict,
                           col_names: list, col_types: list) -> bool:
     """Catalog-level currency of a PRIMARY clustering spec — the same
     conditions DuckLakeTable._clustered_df gates on, minus the on-disk
@@ -91,7 +91,6 @@ def _primary_spec_current(p, table_id: int, snapshot_id: int, spec: dict,
     n_files, d = spec.get("n_files"), spec.get("dir")
     if not isinstance(n_files, int) or not d:
         return False
-    files = p.get_data_files(table_id, snapshot_id)
     if not files or len(files) != n_files:
         return False
     for f in files:
@@ -123,7 +122,7 @@ def clustering_status_rows(p, snapshot_id: int):
     the read path additionally re-validates on-disk file presence."""
     import json
 
-    from ..metadata.provider import live_set_digest
+    from ..metadata.provider import live_set_digest_of
     for schema_name, t in sorted(p.list_all_tables(snapshot_id),
                                  key=lambda st: (st[0], st[1].table_name)):
         cols = p.get_table_columns(t.table_id, snapshot_id)
@@ -138,6 +137,14 @@ def clustering_status_rows(p, snapshot_id: int):
                                             col_names)
             return inlined
 
+        files = None           # fetched at most once per table
+
+        def _files():
+            nonlocal files
+            if files is None:
+                files = p.get_data_files(t.table_id, snapshot_id)
+            return files
+
         raw = p.get_scoped_option(CLUSTERING_OPTION, None, t.table_id)
         if raw:
             try:
@@ -146,7 +153,7 @@ def clustering_status_rows(p, snapshot_id: int):
                 spec = None
             if isinstance(spec, dict):
                 cur = _primary_spec_current(
-                    p, t.table_id, snapshot_id, spec, col_names,
+                    _files(), spec, col_names,
                     col_types) and not _inlined()
                 yield (schema_name, t.table_name, "primary",
                        spec.get("key"), spec.get("buckets"),
@@ -164,7 +171,7 @@ def clustering_status_rows(p, snapshot_id: int):
                     if not isinstance(spec, dict):
                         continue
                     if digest is None:
-                        digest = live_set_digest(p, t.table_id, snapshot_id)
+                        digest = live_set_digest_of(_files())
                     cur = (spec.get("columns") == col_names
                            and spec.get("types") == col_types
                            and spec.get("live_digest") == digest

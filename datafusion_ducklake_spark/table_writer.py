@@ -757,23 +757,19 @@ def compact_table(session, name: str, single_file: bool = True,
     from pyspark.sql import functions as F
 
     handle = session.table_handle(name)
+    if handle.inlined_tables and handle.inlined_rows():
+        raise InvalidConfig(
+            "compact over tables with live inlined data rows is not "
+            "supported — call flush_inlined_data() first")
     from .types import is_interval_type
     if any(is_interval_type(c.column_type) for c in handle.columns):
         # interval rewrite (r9): carry rowids in-file through the
         # duckdb-backed staging — the run-carving path below writes via
         # Spark's parquet writer, which cannot emit INTERVAL
-        if handle.inlined_tables and handle.inlined_rows():
-            raise InvalidConfig(
-                "compact over tables with live inlined data rows is not "
-                "supported — call flush_inlined_data() first")
         if not handle.files:
             return 0
         return _compact_rowid_column(session, name, handle,
                                      single_file=single_file)
-    if handle.inlined_tables and handle.inlined_rows():
-        raise InvalidConfig(
-            "compact over tables with live inlined data rows is not "
-            "supported — call flush_inlined_data() first")
     if any(f.encryption_key is not None for f in handle.files):
         raise InvalidConfig(
             "compact with rowid preservation over encrypted tables is not "
@@ -1017,7 +1013,8 @@ def _write_interval_distributed(df: DataFrame, dest_dir: str,
             con.register("__iv_batch", tbl)
             con.execute(
                 f"COPY (SELECT {cols_sql} FROM __iv_batch) "
-                f"TO '{path}' (FORMAT PARQUET)")
+                f"TO '{path.replace(chr(39), chr(39) * 2)}' "
+                f"(FORMAT PARQUET)")
         finally:
             con.close()
         size = _os.path.getsize(path)
@@ -1029,9 +1026,16 @@ def _write_interval_distributed(df: DataFrame, dest_dir: str,
             "name": [name], "rows": [rows], "size": [size],
             "footer": [footer]})
 
-    manifest = df.mapInArrow(
-        write_part, "name string, rows long, size long, footer long"
-    ).collect()
+    try:
+        manifest = df.mapInArrow(
+            write_part, "name string, rows long, size long, footer long"
+        ).collect()
+    except Exception as e:
+        # NOT NULL violations raised by _enforce_not_null inside the
+        # write job must surface as the engine's constraint error here
+        # too, not as a raw executor exception (r9 review finding);
+        # _raise_if_constraint re-raises everything else untouched
+        _raise_if_constraint(e)
     return [r.asDict() for r in manifest]
 
 
@@ -1241,6 +1245,12 @@ def rewrite_data_files(session, name: str, max_runs: int = 512,
     # through the rowid-column path instead, one group per dirty file
     started = [p for p in pairs if p[0].row_id_start is not None]
     infile = [p for p in pairs if p[0].row_id_start is None]
+    from .types import is_interval_type
+    if any(is_interval_type(c.column_type) for c in handle.columns):
+        # interval rewrites must stage through the duckdb writer (the
+        # run path's Spark writer can't emit INTERVAL) — the rowid-
+        # column route preserves ids in-file for both member kinds
+        infile, started = started + infile, []
     n = 0
     if started:
         n += rewrite_file_groups(session, name, [[p] for p in started],
@@ -1271,6 +1281,17 @@ def rewrite_file_groups(session, name: str, groups: list,
     from .sources.scan import scan_table
 
     handle = session.table_handle(name)
+    from .types import is_interval_type
+    if any(is_interval_type(c.column_type) for c in handle.columns):
+        # defense in depth (r9 review): this path writes via Spark's
+        # parquet writer, which would silently re-store INTERVAL as a
+        # plain struct and make the table unreadable — interval groups
+        # must route through merge_groups_rowid_column (duckdb staging),
+        # as compact/merge_adjacent/rewrite_data_files now do
+        from .errors import UnsupportedType
+        raise UnsupportedType(
+            f"{op}: interval file groups must rewrite through the "
+            "rowid-column path (merge_groups_rowid_column)")
     if handle.inlined_tables and handle.inlined_rows():
         raise InvalidConfig(
             f"{op} over tables with live inlined data rows "

@@ -662,3 +662,65 @@ def test_cdc_update_pair_over_interval(iv_session):
     post = next(r for r in ch if r.change_type == "update_postimage")
     assert (pre.id, post.id) == (2, 502)
     assert pre.iv == post.iv and pre.iv.months == 2
+
+
+def test_rename_after_interval_rewrite_keeps_values(iv_session):
+    """r9 review finding: rewrite files staged by the duckdb writer
+    carry no parquet field ids, so they must register under an identity
+    name mapping — otherwise a later column RENAME silently reads the
+    renamed column as NULL in every rewritten row."""
+    s, data = iv_session
+    assert s.update_where("main.iv", {"id": "id + 1000"}, "id < 3") == 3
+    s.refresh()
+    s.rename_column("main.iv", "id", "id2")
+    s.refresh()
+    got = sorted(r.id2 for r in
+                 s.table("main.iv").filter("id2 >= 1000").collect())
+    assert got == [1000, 1001, 1002]      # NOT NULLs
+    df = s.table("main.iv")
+    r = df.agg(F.sum("iv.months"), F.sum("iv.days"), F.sum("iv.micros"),
+               F.count(F.when(F.col("iv").isNull(), 1))).collect()[0]
+    assert tuple(r) == _duckdb_expected(data)
+
+
+def test_merge_adjacent_and_rewrite_data_files_over_interval(
+        iv_session, spark):
+    """r9 review finding: contiguous-rowid interval groups must NOT
+    route through rewrite_file_groups (Spark's writer would silently
+    re-store INTERVAL as a plain struct and break every later scan) —
+    both maintenance surfaces take the rowid-column duckdb staging."""
+    s, data = iv_session
+    # second contiguous file via engine INSERT (row_id_start set)
+    s.insert_into("main.iv", s.table("main.iv").filter("id < 10"))
+    s.refresh()
+    assert len(s.table_handle("main.iv").files) == 2
+    assert s.merge_adjacent_files("iv") == 1
+    s.refresh()
+    assert len(s.table_handle("main.iv").files) == 1
+    base, extra = _duckdb_expected(data), _duckdb_expected(data, "id < 10")
+    got = _spark_actual(s.table("main.iv"))
+    assert got[3] == base[3] + extra[3]
+    assert got[1] == base[1] + extra[1]
+    # the merged file is still genuine parquet INTERVAL
+    import glob
+    lake = s.table_handle("main.iv").table_path
+    lake = lake[len("file://"):] if lake.startswith("file://") else lake
+    files = [p for p in glob.glob(lake + "/*.parquet")
+             if "delete" not in os.path.basename(p)]
+    live = {f.data_uri.rsplit("/", 1)[-1]
+            for f in s.table_handle("main.iv").files}
+    merged = [p for p in files if os.path.basename(p) in live]
+    assert merged
+    assert duckdb.connect().execute(
+        f"SELECT any_value(typeof(iv)) FROM '{merged[0]}'"
+    ).fetchone()[0] == "INTERVAL"
+    # rewrite_data_files over a dirty interval file: same routing
+    s.delete_from("main.iv", "id = 1")
+    s.refresh()
+    assert s.rewrite_data_files("main.iv", delete_threshold=0.0) > 0
+    s.refresh()
+    assert s.table_handle("main.iv").files[0].delete_uri is None
+    got2 = _spark_actual(s.table("main.iv"))
+    base2 = _duckdb_expected(data, "id <> 1")
+    extra2 = _duckdb_expected(data, "id < 10 AND id <> 1")
+    assert got2[3] == base2[3] + extra2[3]
