@@ -261,6 +261,11 @@ class DuckLakeTable:
         # declared, so that trust only breaks for foreign-written files
         # under a hand-declared DDL; set SPARK_GRAFT_BUCKETED_ORDERING=off
         # to keep the Spark default (clustered joins then re-sort).
+        # Scoping (set/restore around construction) is UNSOUND: Spark
+        # reads the conf at physical-planning time, so a restored plan
+        # re-grows both Sorts — the session-global contract and its
+        # exact blast radius are pinned by
+        # tests/test_layout.py::test_bucketed_ordering_conf_blast_radius.
         if os.environ.get("SPARK_GRAFT_BUCKETED_ORDERING",
                           "on").lower() not in ("off", "false", "0"):
             spark.conf.set(
@@ -3626,15 +3631,23 @@ class DuckLakeSession:
         previously only a manual re-``cluster_by`` restored the
         zero-exchange plan). ``key`` names one family (rebuilt even if
         current — an explicit refresh is a user command); with
-        ``key=None`` every NON-current family of the table rebuilds and
-        current ones are left untouched. The superseded bucket dirs are
+        ``key=None`` every NON-current family of the table rebuilds
+        (non-current by the SAME predicate ``clustering_status`` reports:
+        columns/types mismatch after a schema change, live-set digest
+        divergence, or live inlined rows — cluster_by flushes the latter
+        itself) and current ones are left untouched. A family whose key
+        column no longer exists in the live schema (renamed/dropped away)
+        cannot rebuild — it is skipped with a warning; drop it or
+        re-cluster under the new name. The superseded bucket dirs are
         named in no live spec afterwards, so the next
         ``delete_orphaned_files`` collects them. Returns the number of
         families rebuilt. SQL:
         ``CALL ducklake_refresh_replica('table' [, 'key'])``."""
         import json
+        import warnings
 
         from .errors import InvalidConfig
+        from .operators.layout import _has_inlined_rows
         handle = self.table_handle(name)
         raw = self.provider.get_scoped_option(
             "clustering_replicas", None, handle.meta.table_id)
@@ -3653,13 +3666,38 @@ class DuckLakeSession:
                     f"(build one with cluster_by(..., replica=True))")
             targets = [key]
         else:
+            # currency must match what clustering_status/
+            # ducklake_clustering_info REPORT as current=false, or a
+            # blanket refresh can return 0 while the status surface
+            # keeps showing stale families (r9 advice)
             digest = handle._live_set_digest()
+            col_names = [c.column_name for c in handle.columns]
+            col_types = [c.column_type for c in handle.columns]
+            inlined = _has_inlined_rows(
+                self.provider, handle.meta.table_id,
+                handle.snapshot_id, col_names)
             targets = [k for k, s in sorted(specs.items())
                        if isinstance(s, dict)
-                       and s.get("live_digest") != digest]
+                       and (s.get("live_digest") != digest
+                            or s.get("columns") != col_names
+                            or s.get("types") != col_types
+                            or inlined)]
+        live_names = {c.column_name for c in handle.columns}
         refreshed = 0
         for k in targets:
             spec = specs[k]
+            if k not in live_names:
+                if key is not None:
+                    raise InvalidConfig(
+                        f"replica key {k!r} is no longer a column of "
+                        f"{name}; drop the replica or cluster_by the "
+                        f"renamed column")
+                warnings.warn(
+                    f"refresh_replica({name!r}): family {k!r} skipped — "
+                    f"its key is no longer a column (renamed/dropped); "
+                    f"drop_clustering_replica or cluster_by the new name",
+                    stacklevel=2)
+                continue
             self.cluster_by(name, k, int(spec.get("buckets", 32)),
                             sort=bool(spec.get("sort", True)), replica=True)
             refreshed += 1

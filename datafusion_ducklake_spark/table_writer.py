@@ -29,7 +29,8 @@ from pyspark.sql import types as T
 
 from .errors import InvalidConfig
 from .metadata.writer import CatalogWriter, ColumnDef, DataFileInfo, WriteMode
-from .types import is_geometry_type, spark_to_ducklake_type
+from .types import (is_geometry_type, is_interval_type,
+                    spark_to_ducklake_type)
 
 
 def _catalog_writer(session) -> CatalogWriter:
@@ -1021,6 +1022,13 @@ def _write_interval_distributed(df: DataFrame, dest_dir: str,
         with open(path, "rb") as f:
             f.seek(-8, 2)
             tail = f.read(8)
+        if tail[4:] != b"PAR1":
+            # a truncated/partial COPY output must fail loudly inside
+            # the task, not register a garbage footer_size (matches
+            # _footer_size_from_tail's magic check)
+            raise IOError(
+                f"staged interval file {name!r} is not a complete "
+                f"parquet file (missing PAR1 magic)")
         footer = int.from_bytes(tail[:4], "little") + 8
         yield pa.RecordBatch.from_pydict({
             "name": [name], "rows": [rows], "size": [size],
@@ -1177,6 +1185,15 @@ def merge_groups_rowid_column(session, name: str, groups: list,
         snap = writer.create_snapshot([f"compacted_table:{tid}"])
         n_rows = 0
         with writer._txn():
+            mid = None
+            if any(is_interval_type(c.column_type)
+                   for c in handle.columns):
+                # interval groups staged through the duckdb writer carry
+                # no parquet field ids: register the identity name
+                # mapping (same contract as _register_append /
+                # _insert_interval) so a later column RENAME keeps
+                # resolving instead of reading these rows as NULL
+                mid = writer.create_name_mapping(tid, data_cols, col_ids)
             for group in groups:
                 for mf, _rf in group:
                     writer.expect_live_delete(
@@ -1198,6 +1215,7 @@ def merge_groups_rowid_column(session, name: str, groups: list,
                                      footer_size=footer,
                                      record_count=count,
                                      row_id_start=None,
+                                     mapping_id=mid,
                                      encryption_key=enc_key))
                     if pvals:
                         writer.register_file_partition_values(

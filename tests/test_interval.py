@@ -724,3 +724,27 @@ def test_merge_adjacent_and_rewrite_data_files_over_interval(
     base2 = _duckdb_expected(data, "id <> 1")
     extra2 = _duckdb_expected(data, "id < 10 AND id <> 1")
     assert got2[3] == base2[3] + extra2[3]
+
+
+def test_rename_after_interval_merge_adjacent_keeps_values(iv_session):
+    """r10 advice: merge_groups_rowid_column (the merge_adjacent_files /
+    rewrite_data_files staging for interval tables) registered its
+    duckdb-staged outputs WITHOUT a name mapping — the same
+    no-field-ids hazard _register_append fixed in r9, missed on this
+    path: a later column RENAME silently read every merged row's
+    renamed column as NULL."""
+    s, data = iv_session
+    s.insert_into("main.iv", s.table("main.iv").filter("id < 10"))
+    s.refresh()
+    assert s.merge_adjacent_files("iv") == 1     # duckdb-staged merge
+    s.refresh()
+    assert len(s.table_handle("main.iv").files) == 1
+    s.rename_column("main.iv", "id", "id2")
+    s.refresh()
+    df = s.table("main.iv")
+    assert df.filter("id2 IS NULL").count() == 0    # NOT all-NULL
+    assert df.filter("id2 < 10").count() == 20      # originals + copies
+    got = _spark_actual(df)
+    base, extra = _duckdb_expected(data), _duckdb_expected(data, "id < 10")
+    assert got[3] == base[3] + extra[3]
+    assert got[0] == base[0] + extra[0]

@@ -670,3 +670,171 @@ def test_clustering_status_covers_primary(spark, tmp_path):
     dl.refresh()
     rows = dl.clustering_status("main.t").collect()
     assert rows[0].current is False   # delete file broke spec currency
+
+
+_ORDERING_CONF = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+
+
+@pytest.fixture()
+def _ordering_conf_restored(spark):
+    """Save/restore the session-global ordering conf around a test that
+    mutates it (the module's other tests assume whatever default the
+    clustered reads left behind)."""
+    try:
+        before = spark.conf.get(_ORDERING_CONF)
+    except Exception:
+        before = None
+    yield
+    if before is None:
+        spark.conf.unset(_ORDERING_CONF)
+    else:
+        spark.conf.set(_ORDERING_CONF, before)
+
+
+def test_bucketed_ordering_conf_blast_radius(spark, tmp_path,
+                                             _ordering_conf_restored):
+    """Pins the session-global contract of
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering`` (r9 verdict
+    'What's wrong #2'): the conf a clustered DuckLake read sets cannot
+    be scoped, and its only hazard is a FOREIGN-written bucket file
+    under a hand-declared SORTED BY DDL. Four facts proven:
+
+    1. set/restore around DataFrame CONSTRUCTION is useless — Spark
+       reads the conf at physical-planning (action) time, so the
+       restored plan re-grows both Sort nodes. This is why
+       _session_bucketed_df leaves the conf set for the session.
+    2. a user's own Spark-WRITTEN bucketed SORTED BY table stays
+       correct under the flag (Spark's writer actually sorts, so the
+       trusted claim is true).
+    3. the hazard: an UNSORTED foreign file placed under a
+       single-file-per-bucket SORTED BY DDL merge-joins WRONG under the
+       flag (here: 1 row instead of 10) — exactly the blast radius the
+       docstring claims, nothing wider.
+    4. SPARK_GRAFT_BUCKETED_ORDERING=off keeps the Spark default: a
+       clustered DuckLake read then leaves the conf untouched."""
+    import glob
+    import shutil
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # -- (2)+(3) fixture tables: one honest, one lying about order
+        loc_a = str(tmp_path / "foreign_bucketed")
+        stage = str(tmp_path / "stage")
+        rows = [(k, f"a{k}") for k in
+                [50, 1, 30, 2, 40, 3, 20, 4, 10, 5]]   # NOT sorted by k
+        spark.createDataFrame(rows, "k INT, s STRING") \
+            .coalesce(1).write.parquet(stage)
+        import os as _os
+        _os.makedirs(loc_a, exist_ok=True)
+        # Spark parses the bucket id from the trailing _NNNNN token, so
+        # this registers as bucket 0 of a 1-bucket table
+        shutil.copy(glob.glob(stage + "/part-*.parquet")[0],
+                    loc_a + "/data_00000.parquet")
+        spark.sql("DROP TABLE IF EXISTS t_foreign_sorted")
+        spark.sql(
+            f"CREATE TABLE t_foreign_sorted (k INT, s STRING) "
+            f"USING PARQUET CLUSTERED BY (k) SORTED BY (k) "
+            f"INTO 1 BUCKETS LOCATION '{loc_a}'")
+        spark.sql("DROP TABLE IF EXISTS t_own_sorted")
+        (spark.createDataFrame([(k, f"b{k}") for k in range(1, 60)],
+                               "k INT, s2 STRING")
+         .repartition(1, "k").write.bucketBy(1, "k").sortBy("k")
+         .saveAsTable("t_own_sorted"))
+
+        def joined(left):
+            return spark.table(left).join(spark.table("t_own_sorted"),
+                                          "k")
+
+        def sorts(df):
+            return df._jdf.queryExecution().executedPlan() \
+                .toString().count("Sort [")
+
+        # -- (1) restore-after-construction loses the elision
+        spark.conf.set(_ORDERING_CONF, "true")
+        j = joined("t_own_sorted")
+        spark.conf.set(_ORDERING_CONF, "false")
+        j.count()
+        assert sorts(j) == 2      # conf was false at action time
+        spark.conf.set(_ORDERING_CONF, "true")
+        j2 = joined("t_own_sorted")
+        j2.count()
+        assert sorts(j2) == 0     # true at action time: both Sorts gone
+
+        # -- (2) own Spark-written tables stay correct under the flag
+        assert joined("t_own_sorted").count() == 59
+
+        # -- (3) the foreign-file hazard, and its exact boundary
+        spark.conf.set(_ORDERING_CONF, "false")
+        assert joined("t_foreign_sorted").count() == 10   # Spark default
+        spark.conf.set(_ORDERING_CONF, "true")
+        wrong = joined("t_foreign_sorted")
+        assert sorts(wrong) == 0          # claim trusted...
+        assert wrong.count() != 10        # ...and the merge is WRONG
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_foreign_sorted")
+        spark.sql("DROP TABLE IF EXISTS t_own_sorted")
+
+
+def test_bucketed_ordering_env_off_keeps_spark_default(
+        spark, tmp_path, monkeypatch, _ordering_conf_restored):
+    """(4) of the blast-radius pin: with SPARK_GRAFT_BUCKETED_ORDERING=off
+    a clustered DuckLake read does NOT set the legacy conf — the user's
+    session keeps Spark defaults (clustered joins then re-sort)."""
+    from datafusion_ducklake_spark.catalog import DuckLakeSession
+    from datafusion_ducklake_spark.metadata.writer import CatalogWriter
+    monkeypatch.setenv("SPARK_GRAFT_BUCKETED_ORDERING", "off")
+    spark.conf.unset(_ORDERING_CONF)
+    db = str(tmp_path / "env.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake_env"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.create_table("main.t", spark.createDataFrame(
+        [(i % 3, i) for i in range(30)], "k INT, id INT"))
+    dl.cluster_by("main.t", "k", 4)
+    df = dl.table("main.t")
+    assert df.count() == 30
+    assert "ducklake_clu" in \
+        df._jdf.queryExecution().executedPlan().toString()
+    assert spark.conf.get(_ORDERING_CONF, None) in (None, "false")
+
+
+def test_refresh_replica_covers_schema_staleness(spark, tmp_path):
+    """r10 advice: a blanket CALL ducklake_refresh_replica('t') must
+    rebuild every family the status surface reports current=false —
+    including columns/types staleness after a schema change, where the
+    live-set digest still matches (the old predicate returned 0 while
+    clustering_status kept showing stale). A family whose KEY column
+    was renamed away cannot rebuild: blanket refresh warns and skips
+    it; the explicit-key form raises."""
+    from datafusion_ducklake_spark.catalog import DuckLakeSession
+    from datafusion_ducklake_spark.errors import InvalidConfig
+    from datafusion_ducklake_spark.metadata.writer import CatalogWriter
+    db = str(tmp_path / "ss.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake_ss"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    dl.create_table("main.o", spark.createDataFrame(
+        [(i % 5, i, float(i)) for i in range(40)],
+        "k INT, id INT, v DOUBLE"))
+    dl.cluster_by("main.o", "k", 4, replica=True)
+    # rename a NON-key column: digest unchanged, columns stale
+    dl.rename_column("main.o", "v", "v2")
+    dl.refresh()
+    st = dl.clustering_status("main.o").collect()
+    assert [(r.cluster_key, r.current) for r in st] == [("k", False)]
+    assert dl.refresh_replica("main.o") == 1      # was 0 pre-fix
+    assert dl.clustering_status("main.o").collect()[0].current is True
+    assert dl.table("main.o", cluster_key="k").count() == 40
+    # rename the KEY column away: blanket refresh warns + skips
+    dl.rename_column("main.o", "k", "k2")
+    dl.refresh()
+    assert dl.clustering_status("main.o").collect()[0].current is False
+    with pytest.warns(UserWarning, match="no longer a column"):
+        assert dl.refresh_replica("main.o") == 0
+    with pytest.raises(InvalidConfig, match="no longer a column"):
+        dl.refresh_replica("main.o", "k")
+    # the stale family still never serves reads: plain scan fallback
+    assert dl.table("main.o", cluster_key="k").count() == 40
