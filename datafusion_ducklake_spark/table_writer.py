@@ -954,6 +954,34 @@ def _insert_encrypted(session, writer, setup, table_meta, table_path,
     return n_rows
 
 
+def _interval_dest_uri(dest_dir: str) -> "str | None":
+    """None for posix/file:// table paths (the direct local write). For
+    an object-store path, the pyarrow-FileSystem URI the executor tasks
+    upload through: s3a:// (Hadoop's S3 scheme) maps to pyarrow's
+    s3://; gs/hdfs pass through; anything else fails driver-side with a
+    clean error before any job runs. SPARK_GRAFT_MOCK_OBJECT_STORE=<dir>
+    reroutes s3/s3a URIs to file://<dir>/<bucket-and-path> — the tests'
+    mock object store: the task still resolves FileSystem.from_uri and
+    streams through open_output_stream, the identical upload code path
+    as real S3 with a local client behind it."""
+    if "://" not in dest_dir or dest_dir.startswith("file://"):
+        return None
+    scheme, rest = dest_dir.split("://", 1)
+    scheme = scheme.lower()
+    if scheme in ("s3", "s3a"):
+        mock = os.environ.get("SPARK_GRAFT_MOCK_OBJECT_STORE")
+        if mock:
+            return "file://" + os.path.join(mock, rest)
+        return "s3://" + rest
+    if scheme in ("gs", "gcs", "hdfs", "viewfs"):
+        return dest_dir
+    from .errors import InvalidConfig
+    raise InvalidConfig(
+        f"interval writes to {scheme}:// table paths are not supported "
+        f"(no executor-side pyarrow FileSystem client for this scheme); "
+        f"use add_files or a local/s3a/gs/hdfs table path")
+
+
 def _write_interval_distributed(df: DataFrame, dest_dir: str,
                                 iv_cols: list[str]) -> list[dict]:
     """Write a DataFrame holding interval columns (months/days/micros
@@ -972,16 +1000,23 @@ def _write_interval_distributed(df: DataFrame, dest_dir: str,
     stores millis; DuckDB's own COPY truncates identically), NULL struct
     → NULL interval, NULL components coalesce to 0, and negative
     components fail loudly inside the task with DuckDB's own "Parquet
-    files do not support negative intervals". Local/posix table paths
-    only — the embedded COPY writes a local file."""
-    if "://" in dest_dir and not dest_dir.startswith("file://"):
-        from .errors import InvalidConfig
-        raise InvalidConfig(
-            "interval writes require a local table path (the executor-"
-            "side duckdb COPY stages local files); object-store interval "
-            "staging is not supported — use add_files")
-    base = dest_dir[len("file://"):] if dest_dir.startswith("file://") \
-        else dest_dir
+    files do not support negative intervals".
+
+    Object-store table paths (r10, reference parity
+    src/table_writer.rs:261-274 — write buffer → object_store.put): the
+    COPY stages to EXECUTOR-local tmp, then the task streams the bytes
+    up through a pyarrow FileSystem resolved from the destination URI
+    (s3a:// translated to pyarrow's s3://). The Hadoop FileSystem API
+    the driver-side paths use is py4j-only and unreachable from an
+    executor's Python worker, so the executor-side client is pyarrow's
+    native one — same object-store discipline (the driver still never
+    touches payload bytes). Posix and file:// paths keep the direct
+    local write."""
+    fs_uri = _interval_dest_uri(dest_dir)
+    base = None
+    if fs_uri is None:
+        base = dest_dir[len("file://"):] \
+            if dest_dir.startswith("file://") else dest_dir
     iv = set(iv_cols)
 
     def q(name: str) -> str:
@@ -997,6 +1032,8 @@ def _write_interval_distributed(df: DataFrame, dest_dir: str,
 
     def write_part(batch_iter):
         import os as _os
+        import shutil as _shutil
+        import tempfile as _tempfile
         import uuid as _uuid
 
         import duckdb as _duckdb
@@ -1007,29 +1044,49 @@ def _write_interval_distributed(df: DataFrame, dest_dir: str,
             return
         tbl = pa.Table.from_batches(batches)
         name = f"ducklake-{_uuid.uuid4()}.parquet"
-        path = _os.path.join(base, name)
-        _os.makedirs(base, exist_ok=True)
-        con = _duckdb.connect()
+        tmpdir = None
+        if fs_uri is None:
+            path = _os.path.join(base, name)
+            _os.makedirs(base, exist_ok=True)
+        else:
+            tmpdir = _tempfile.mkdtemp(prefix="ducklake-iv-")
+            path = _os.path.join(tmpdir, name)
         try:
-            con.register("__iv_batch", tbl)
-            con.execute(
-                f"COPY (SELECT {cols_sql} FROM __iv_batch) "
-                f"TO '{path.replace(chr(39), chr(39) * 2)}' "
-                f"(FORMAT PARQUET)")
+            con = _duckdb.connect()
+            try:
+                con.register("__iv_batch", tbl)
+                con.execute(
+                    f"COPY (SELECT {cols_sql} FROM __iv_batch) "
+                    f"TO '{path.replace(chr(39), chr(39) * 2)}' "
+                    f"(FORMAT PARQUET)")
+            finally:
+                con.close()
+            size = _os.path.getsize(path)
+            with open(path, "rb") as f:
+                f.seek(-8, 2)
+                tail = f.read(8)
+            if tail[4:] != b"PAR1":
+                # a truncated/partial COPY output must fail loudly inside
+                # the task, not register a garbage footer_size (matches
+                # _footer_size_from_tail's magic check)
+                raise IOError(
+                    f"staged interval file {name!r} is not a complete "
+                    f"parquet file (missing PAR1 magic)")
+            footer = int.from_bytes(tail[:4], "little") + 8
+            if fs_uri is not None:
+                from pyarrow import fs as _pafs
+                fs, inner = _pafs.FileSystem.from_uri(fs_uri)
+                try:
+                    fs.create_dir(inner, recursive=True)
+                except Exception:
+                    pass        # object stores have no real directories
+                dest = inner.rstrip("/") + "/" + name
+                with open(path, "rb") as src, \
+                        fs.open_output_stream(dest) as out:
+                    _shutil.copyfileobj(src, out, 1 << 20)
         finally:
-            con.close()
-        size = _os.path.getsize(path)
-        with open(path, "rb") as f:
-            f.seek(-8, 2)
-            tail = f.read(8)
-        if tail[4:] != b"PAR1":
-            # a truncated/partial COPY output must fail loudly inside
-            # the task, not register a garbage footer_size (matches
-            # _footer_size_from_tail's magic check)
-            raise IOError(
-                f"staged interval file {name!r} is not a complete "
-                f"parquet file (missing PAR1 magic)")
-        footer = int.from_bytes(tail[:4], "little") + 8
+            if tmpdir is not None:
+                _shutil.rmtree(tmpdir, ignore_errors=True)
         yield pa.RecordBatch.from_pydict({
             "name": [name], "rows": [rows], "size": [size],
             "footer": [footer]})
