@@ -285,8 +285,16 @@ class DuckLakeTable:
                 f"USING PARQUET CLUSTERED BY (`{spec['key']}`) "
                 f"{sort_clause}INTO {int(spec['buckets'])} BUCKETS "
                 f"LOCATION '{loc}'")
+        from pyspark.sql import functions as F
+        # re-attach each field's metadata (INTERVAL_MARK/TIME_MARK ride
+        # in spark_schema metadata; the external table's DDL loses it,
+        # and a replica-served interval read must look exactly like the
+        # plain scan's decoded struct — r10)
         return spark.table(f"default.{bname}").select(
-            *[f"`{c.column_name}`" for c in self.columns])
+            *[F.col(f"`{fld.name}`").alias(fld.name,
+                                           metadata=dict(fld.metadata))
+              if fld.metadata else F.col(f"`{fld.name}`")
+              for fld in self.spark_schema.fields])
 
     def _spec_shape_ok(self, spec: dict) -> bool:
         """Shared spec validation for both clustered fast paths: schema

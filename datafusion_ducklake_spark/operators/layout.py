@@ -227,8 +227,21 @@ def cluster_by(session, name: str, key: str, buckets: int,
     from ..table_writer import _catalog_writer, column_stats_of
 
     handle = session.table_handle(name)
-    from ..types import reject_interval_rewrite
-    reject_interval_rewrite(handle.columns, "cluster_by")
+    if not replica:
+        # r10 probe (PLANS.md): the PRIMARY path registers its bucket
+        # files as ducklake_data_file rows, which for interval columns
+        # must carry the parquet INTERVAL logical type Spark's bucketed
+        # writer cannot emit — and the ceiling is the READER, not file
+        # naming: Spark's parquet schema converter rejects FLBA(12)/
+        # INTERVAL outright, so a duckdb-staged file renamed to bucket
+        # naming still cannot serve a bucketed scan. A REPLICA family is
+        # fine: its files are catalog-invisible (never ducklake_data_file
+        # rows), so they store the engine's own DECODED struct
+        # representation — exactly what table(name) returns — through
+        # Spark's bucketed writer, while the live file set stays genuine
+        # INTERVAL for interop.
+        from ..types import reject_interval_rewrite
+        reject_interval_rewrite(handle.columns, "cluster_by")
     if int(buckets) < 1:
         raise InvalidConfig("buckets must be >= 1")
     live_names = [c.column_name for c in handle.columns]

@@ -426,21 +426,28 @@ def is_interval_repr_type(type_str: str) -> bool:
 
 
 def reject_interval_rewrite(columns, op: str) -> None:
-    """Refuse cluster_by on tables with INTERVAL columns — since r9 the
-    only remaining interval rewrite boundary: every other write
+    """Refuse PRIMARY cluster_by on tables with INTERVAL columns — since
+    r9 the only remaining interval rewrite boundary: every other write
     (INSERT/CTAS/UPDATE/MERGE/compact/merge_adjacent_files/
     rewrite_data_files) stages through the duckdb-backed writer
-    (table_writer._write_interval_distributed), but the clustered export
-    must be written by Spark's bucketBy writer (the bucketed scan
-    depends on Spark's bucket-id file naming), which cannot emit the
-    parquet INTERVAL logical type."""
+    (table_writer._write_interval_distributed), but a primary clustered
+    export registers as ducklake_data_file rows, which must carry the
+    parquet INTERVAL logical type Spark's bucketBy writer cannot emit —
+    and Spark's parquet reader rejects FLBA(12)/INTERVAL anyway, so
+    duckdb-staged files renamed to bucket naming could never serve the
+    bucketed scan (r10 probe, PLANS.md). REPLICA families are allowed:
+    catalog-invisible, so they store the decoded struct
+    representation."""
     for c in columns:
         if is_interval_type(c.column_type):
             raise UnsupportedType(
                 f"{op} is not supported on tables with INTERVAL columns "
                 f"(column {c.column_name!r}): the clustered export must "
                 "be written by Spark's bucketed writer, which cannot "
-                "emit the parquet INTERVAL logical type.")
+                "emit the parquet INTERVAL logical type. Build a "
+                "replica family instead (replica=True): catalog-"
+                "invisible, it serves table(name, cluster_key=...) "
+                "while the live files stay genuine parquet INTERVAL.")
 
 
 def _nested_types_compatible(from_type: str, to_type: str) -> bool:

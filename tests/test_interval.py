@@ -851,3 +851,72 @@ def test_interval_write_unsupported_scheme_fails_cleanly(spark, tmp_path):
     assert _interval_dest_uri("/plain/posix") is None
     assert _interval_dest_uri("file:///x/y") is None
     assert _interval_dest_uri("s3a://b/k") == "s3://b/k"
+
+
+def test_interval_replica_family_serves_cluster_key(iv_session, spark):
+    """r10 (r9 verdict task #5): REPLICA clustering over an interval
+    table. The replica's bucket files are catalog-invisible, so they
+    store the engine's decoded struct representation through Spark's
+    bucketed writer — table(name, cluster_key=k) then serves the
+    bucketed layout with values identical to the plain scan, while the
+    live file set stays genuine parquet INTERVAL for interop."""
+    s, data = iv_session
+    assert s.cluster_by("main.iv", "id", 4, replica=True) == N
+    s.refresh()
+    rep = s.table("main.iv", cluster_key="id")
+    assert "ducklake_clureplica" in \
+        rep._jdf.queryExecution().executedPlan().toString()
+    # identical values through the replica
+    assert _spark_actual(rep) == _duckdb_expected(data)
+    # the INTERVAL_MARK metadata survives the replica projection, so a
+    # replica-read frame round-trips into another interval table
+    fld = next(f for f in rep.schema.fields if f.name == "iv")
+    from datafusion_ducklake_spark.types import INTERVAL_MARK
+    assert fld.metadata.get(INTERVAL_MARK) is True
+    # live files are still genuine INTERVAL (replica never replaces them)
+    handle = s.table_handle("main.iv")
+    live = sorted(f.data_uri for f in handle.files)
+    lp = live[0][len("file://"):] if live[0].startswith("file://") \
+        else live[0]
+    assert duckdb.connect().execute(
+        f"SELECT any_value(typeof(iv)) FROM '{lp}'"
+    ).fetchone()[0] == "INTERVAL"
+    # DML invalidates -> silent plain-scan fallback, never wrong rows
+    s.insert_into("main.iv", s.table("main.iv").filter("id = 0"))
+    s.refresh()
+    post = s.table("main.iv", cluster_key="id")
+    assert "ducklake_clureplica" not in \
+        post._jdf.queryExecution().executedPlan().toString()
+    assert post.count() == N + 1
+    # refresh rebuilds the family, reviving the fast path
+    assert s.refresh_replica("main.iv") == 1
+    revived = s.table("main.iv", cluster_key="id")
+    assert "ducklake_clureplica" in \
+        revived._jdf.queryExecution().executedPlan().toString()
+    assert revived.count() == N + 1
+
+
+def test_interval_primary_cluster_by_still_refused(iv_session):
+    """The PRIMARY path stays refused: its bucket files register as
+    ducklake_data_file rows, which must be genuine parquet INTERVAL —
+    and the ceiling is the READER (probe below), not file naming."""
+    s, _ = iv_session
+    with pytest.raises(UnsupportedType, match="replica"):
+        s.cluster_by("main.iv", "id", 4)
+
+
+def test_interval_bucket_naming_probe_reader_is_the_ceiling(
+        spark, tmp_path):
+    """r10 probe (r9 verdict task #5): a duckdb-staged genuine-INTERVAL
+    file renamed to Spark's bucket naming convention is still unusable —
+    Spark's parquet schema converter rejects FLBA(12)/INTERVAL at READ
+    time, so bucket-id naming was never the blocker. Pinned so the
+    primary-path refusal stays justified by a committed probe."""
+    import shutil
+    src = str(tmp_path / "iv_src.parquet")
+    _write_interval_parquet(src, 20)
+    loc = tmp_path / "bucketed_iv"
+    loc.mkdir()
+    shutil.copy(src, str(loc / "data_00000.parquet"))  # bucket-0 name
+    with pytest.raises(Exception, match="(?i)parquet|interval"):
+        spark.read.parquet(str(loc)).collect()
