@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 VIEWS = ("snapshots", "schemata", "tables", "table_info", "columns",
-         "files", "views")
+         "files", "views", "clustering")
 
 
 def snapshots_df(session) -> DataFrame:
@@ -186,6 +186,28 @@ def table_info_df(session) -> DataFrame:
               "delete_file_count BIGINT, delete_file_size_bytes BIGINT")
 
 
+def clustering_df(session) -> DataFrame:
+    """SQL-visible staleness surface for catalog-clustered layouts —
+    the ``ducklake_clustering_info()`` UDTF's information_schema twin
+    (r10, r9 verdict task #6: pure-SQL sessions need the staleness row
+    the way they get the six reference info-schema tables). One row per
+    clustering entry — primary spec and each replica family — with the
+    same catalog-level currency flag the read-path gate applies
+    (operators/layout.clustering_status_rows). Beyond reference: the
+    single-node reference keeps no layout metadata."""
+    from .layout import clustering_status_rows
+    rows = [(r[0], r[1], r[2], r[3],
+             int(r[4]) if r[4] is not None else None,
+             int(r[5]) if r[5] is not None else None,
+             r[6], bool(r[7]))
+            for r in clustering_status_rows(session.provider,
+                                            session.catalog.snapshot_id)]
+    return session.spark.createDataFrame(
+        rows, "schema_name STRING, table_name STRING, kind STRING, "
+              "cluster_key STRING, buckets BIGINT, n_files BIGINT, "
+              "directory STRING, current BOOLEAN")
+
+
 _BUILDERS = {
     "snapshots": snapshots_df,
     "schemata": schemata_df,
@@ -194,6 +216,7 @@ _BUILDERS = {
     "columns": columns_df,
     "views": views_df,
     "files": files_df,
+    "clustering": clustering_df,
 }
 
 

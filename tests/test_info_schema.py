@@ -125,3 +125,33 @@ def test_information_schema_sql_surface(dl):
     n = dl.sql("SELECT count(*) AS n FROM information_schema.tables"
                ).collect()[0]["n"]
     assert n >= 1
+
+
+def test_information_schema_clustering(spark, tmp_path):
+    """r10 (r9 verdict task #6): clustering staleness is SQL-visible as
+    information_schema.clustering — same rows and currency flag as the
+    ducklake_clustering_info() UDTF / clustering_status API."""
+    from datafusion_ducklake_spark.metadata.writer import CatalogWriter
+    db = str(tmp_path / "ic.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake_ic"))
+    w.close()
+    s = DuckLakeSession(spark, db)
+    # empty catalog: the view exists and is empty, not an error
+    assert s.sql(
+        "SELECT * FROM information_schema.clustering").count() == 0
+    s.create_table("main.t", spark.createDataFrame(
+        [(i % 4, i) for i in range(40)], "k INT, id INT"))
+    s.cluster_by("main.t", "k", 4, replica=True)
+    rows = s.sql("SELECT table_name, kind, cluster_key, buckets, current"
+                 " FROM information_schema.clustering").collect()
+    assert [tuple(r) for r in rows] == [("t", "replica", "k", 4, True)]
+    s.insert_into("main.t", spark.createDataFrame(
+        [(9, 99)], "k INT, id INT"))
+    rows = s.sql("SELECT current FROM information_schema.clustering"
+                 " WHERE table_name = 't'").collect()
+    assert [r.current for r in rows] == [False]
+    # agrees with the UDTF by construction (shared row builder)
+    udtf = s.sql("SELECT * FROM ducklake_clustering_info()").collect()
+    assert [(r.kind, r.cluster_key, r.current) for r in udtf] \
+        == [("replica", "k", False)]
