@@ -46,6 +46,17 @@ ITERATIONS = 3     # reference default is 5 (benchmark/src/main.rs:55);
 #                    while still giving avg AND min like metrics.rs
 
 
+def _parse_size(s: str) -> int:
+    """'16g' / '512m' / '1024' (bytes) → bytes, the same suffix grammar
+    Spark's memory confs accept (k/m/g/t, case-insensitive)."""
+    m = re.fullmatch(r"\s*(\d+)\s*([kmgt]?)b?\s*", s.lower())
+    if not m:
+        raise ValueError(f"unparseable size {s!r}")
+    mult = {"": 1, "k": 1 << 10, "m": 1 << 20,
+            "g": 1 << 30, "t": 1 << 40}[m.group(2)]
+    return int(m.group(1)) * mult
+
+
 def _measure_floor(spark, cpus: int) -> float:
     """Fixed per-query overhead: a job with no data and `cpus` no-op tasks
     (scheduling + Python<->JVM round trip), median of 7."""
@@ -66,6 +77,40 @@ def _materialize(df) -> None:
     df.toArrow()
 
 
+def _shj_conversion_threshold(total_bytes: int, cpus: int,
+                              offheap_bytes: int) -> str:
+    """AQE's SMJ→shuffled-hash conversion threshold, derived from the
+    memory envelope instead of a constant. The conversion skips the
+    sort (~30% on the fact-dim joins at suite scale), but the hash
+    build it creates (LongToUnsafeRowMap) CANNOT spill — grow() needs a
+    contiguous execution-memory acquire — and in local mode every
+    concurrent task's build, every aggregation map, and every broadcast
+    build share ONE off-heap pool. Measured at SF30-equivalent
+    (PLANS.md round-10 scale-trend): with ~4.9 GB of input, EVERY
+    threshold that allowed conversion (64m/128m/256m, at 128 AND 512
+    shuffle partitions) hard-failed q18 with "Can't acquire 67108864
+    bytes to build hash relation", while threshold 0 (sort-merge, which
+    spills) completed every rep — the r5 comment's "degrades
+    gracefully" claim was wrong because the threshold compares
+    COMPRESSED shuffle bytes while the build expands ~4x in memory.
+    Rule: allow conversion only while the projected concurrent build
+    memory — cpus tasks × (total/parts ≈ 32 MB compressed per reduce
+    partition) × 4x expansion ≈ total·4·cpus/parts ≈ total (with
+    parts ≈ 4·cpus) — fits with equal headroom for agg maps and
+    broadcast builds inside a quarter of the pool: total·8 ≤ offheap.
+    At the 16 GiB default the bound is 2 GiB of input, which keeps
+    every committed evidence tier exactly as measured (sf0.1 17 MB,
+    SF1 0.2 GB, SF3 0.5 GB, SF10 1.7 GB — five rounds green at 256m)
+    and turns the conversion OFF before the empirically failing regime
+    (SF30 = 4.9 GB). Explicit shuffle_hash HINTS are unaffected and
+    stay safe at SF30 — their builds are small filtered/deduped
+    slices, sized in each query's docstring — q05 with its hint beat
+    the no-hint sort-merge 14.2 vs 17.7 s min at SF30."""
+    if total_bytes * 8 <= offheap_bytes:
+        return "256m"
+    return "0"
+
+
 def _tune_for_dir(spark, sf_dir: str) -> None:
     """Size scan splits so the largest table fans out across all cores
     (a 1-file table must not become a 1-task scan), and keep dimension
@@ -84,12 +129,13 @@ def _tune_for_dir(spark, sf_dir: str) -> None:
     # into the thousands. AQE coalescing still adapts per stage.
     parts = min(4 * cpus, max(cpus // 4, total // (32 * 1024 * 1024)))
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    # Let AQE swap sort-merge for shuffled-hash when a join's per-task
-    # map output is small (skips the sort; ~30% on the fact-dim joins
-    # here). Scale-safe: joins whose map output exceeds the threshold
-    # keep sort-merge, so a 100x scale-up degrades gracefully.
+    # SMJ→shuffled-hash conversion: memory-budget-gated (see
+    # _shj_conversion_threshold — the constant 256m hard-failed q18 at
+    # SF30-equivalent because the conversion's hash build cannot spill).
+    offheap = _parse_size(os.environ.get("SPARK_GRAFT_OFFHEAP", "16g"))
     spark.conf.set(
-        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "256m")
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        _shj_conversion_threshold(total, cpus, offheap))
     # 24 MB: dimension tables (customer at SF1 ~ 15 MB on disk) stay
     # broadcast, while AQE can't "promote" a multi-million-row filtered
     # fact side to broadcast (measured: 64 MB regressed q04 3x).
@@ -547,11 +593,21 @@ def main() -> None:
     # are the noisiest — 5-rep evidence runs tighten the spread)
     scale2_iters = int(os.environ.get("SPARK_GRAFT_SCALE2_ITERS",
                                       str(ITERATIONS)))
+    # SF30-equivalent scale-trend tier (round 10): OPT-IN (default off —
+    # a default/driver invocation never pays for it). This is the tier
+    # where the fixed SHJ-conversion threshold hard-failed q18 ("Can't
+    # acquire ... to build hash relation", PLANS.md round-10
+    # scale-trend) and where _shj_conversion_threshold now keeps the
+    # spillable sort-merge; running it proves the envelope gate at the
+    # scale that broke the old constant.
+    scale4 = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE4", "0"))
+    scale4_iters = int(os.environ.get("SPARK_GRAFT_SCALE4_ITERS", "3"))
     from tools.scale_data import scale_dir
     for sc, key, in_headline, only, iters in (
             (scale, "scaled", True, None, ITERATIONS),
             (scale2, "scaled2", False, None, scale2_iters),
-            (scale3, "scaled3", False, None, scale3_iters)):
+            (scale3, "scaled3", False, None, scale3_iters),
+            (scale4, "scaled4", False, None, scale4_iters)):
         if sc <= 0:
             continue
         scaled_dir = scale_dir(sf_dir, sc, str(REPO / ".bench_scaled"))
@@ -589,6 +645,19 @@ def main() -> None:
                 "q05_ratio_min": _rm("q05_local_supplier_volume"),
                 "q08_ratio_min": _rm("q08_market_share"),
             }
+        elif key == "scaled4":
+            # scale-trend marker: the two queries the SHJ-threshold
+            # adjudication turned on (q18 = the old hard-fail, q05 =
+            # the explicit-hint regime that must stay fast)
+            def _rm4(q):
+                return (round(s_min[q] / s_duck_min[q], 2)
+                        if s_duck_min.get(q) and q in s_min else None)
+            headline[key] = {
+                "sf_equivalent": s_head["scale_factor_equivalent"],
+                "ratio_vs_duckdb_raw": s_head["ratio_vs_duckdb_raw"],
+                "q18_ratio_min": _rm4("q18_large_orders"),
+                "q05_ratio_min": _rm4("q05_local_supplier_volume"),
+            }
         s_fadj, s_at_floor = _floor_adjusted_ratios(s_min, floor, s_duck_min)
         detail[key] = {
             **s_head,
@@ -612,7 +681,7 @@ def main() -> None:
             "queries_at_floor_raw_ratio": s_at_floor,
             "reference_summary": _ref_summary(s_wall, s_duck),
         }
-        if key in ("scaled2", "scaled3"):
+        if key in ("scaled2", "scaled3", "scaled4"):
             # catalog-clustered layout tier (r5 verdict #1/#7): the same
             # fact-fact queries re-timed with lineitem+orders served from
             # a DuckLake catalog clustered on orderkey (operators/
@@ -624,7 +693,7 @@ def main() -> None:
                                  s_duck, s_duck_min, floor)
             if cl is not None:
                 detail[key]["clustered"] = cl
-                if key == "scaled3":
+                if key in ("scaled3", "scaled4"):
                     headline.setdefault(key, {})["clustered_ratio_min"] = \
                         cl["queries_ratio_min"]
                     if cl.get("family"):
