@@ -141,6 +141,23 @@ def _tune_for_dir(spark, sf_dir: str) -> None:
     # fact side to broadcast (measured: 64 MB regressed q04 3x).
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
                    str(24 * 1024 * 1024))
+    # Runtime bloom-filter join reduction: under Spark's defaults the
+    # application-side gate is 10 GB, so the optimization never fires at
+    # bench scale even where it is the designed remedy (a bloom built on
+    # a small filtered build side prunes the fact scan BEFORE its
+    # shuffle+sort). Lower the gates and let Spark's own per-join size
+    # check do the scaling: blooms inject only where the probe-side scan
+    # exceeds 64 MB and the build-side plan stays under 200 MB, and the
+    # broadcast bitmap itself is capped by bloomFilter.maxNumBits (8 MB)
+    # regardless of scale. Measured (PLANS.md round-10 scale-trend A/B):
+    # SF30 q04 33.7 -> 9.8 s min; SF10 warm min walls q04 -9%, q05 -15%,
+    # q10 -26%, q03 flat. At sf0.1 no scan crosses 64 MB, so inert there.
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold", str(64 * 1024 * 1024))
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        str(200 * 1024 * 1024))
 
 
 def _time_spark_suite(spark, sf_dir: str, iterations: int = ITERATIONS,

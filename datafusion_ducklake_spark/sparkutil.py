@@ -28,6 +28,16 @@ def build_spark(app_name: str = "datafusion-ducklake-spark",
         .config("spark.sql.timeType.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Cap, not allocation: bench.py's measurement contract
+        # materializes FULL results driver-side (the reference benches
+        # in-process the same way), and the O(N)-row window queries
+        # (events_running_value = one row per event) exceed Spark's 1g
+        # default at SF30-equivalent (30M rows ≈ 3.8 GiB of Arrow task
+        # results → 'serialized results ... bigger than maxResultSize').
+        # A production pipeline writes such results to a sink instead of
+        # collecting; raising the cap only affects deliberate collects.
+        .config("spark.driver.maxResultSize",
+                os.environ.get("SPARK_GRAFT_MAX_RESULT_SIZE", "8g"))
         # Tungsten off-heap: hash-aggregation maps and sort buffers leave
         # the GC'd heap — measured ~20% on high-cardinality aggs; the same
         # knob a production deployment sets per-executor.

@@ -31,6 +31,9 @@ def main() -> None:
     ap.add_argument("--clustered", action="store_true")
     ap.add_argument("--plans", action="store_true",
                     help="print .explain(formatted) for each query")
+    ap.add_argument("--conf", action="append", default=[],
+                    help="extra spark conf k=v, applied AFTER the bench "
+                         "tuning (repeatable) — for A/B experiments")
     args = ap.parse_args()
 
     from datafusion_ducklake_spark.queries import headline_queries, oracle_queries
@@ -46,6 +49,11 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     floor = bench._measure_floor(spark, cpus)
     bench._tune_for_dir(spark, args.sf_dir)
+    for kv in args.conf:
+        k, _, v = kv.partition("=")
+        if not v:
+            sys.exit(f"--conf expects k=v, got {kv!r}")
+        spark.conf.set(k, v)
 
     if args.clustered:
         from datafusion_ducklake_spark.catalog import DuckLakeSession
