@@ -70,3 +70,54 @@ class TestShjConversionThreshold:
             int(1.7 * GiB), 32, 4 * GiB) == "0"
         assert bench._shj_conversion_threshold(
             500 * MiB, 32, 4 * GiB) == "256m"
+
+class _ConfRecorder:
+    """Duck-typed SparkSession: records conf.set calls from _tune_for_dir."""
+    class _Conf:
+        def __init__(self):
+            self.values = {}
+        def set(self, k, v):
+            self.values[k] = v
+    def __init__(self):
+        self.conf = self._Conf()
+
+
+class TestTuneForDir:
+    """Pins the conf policy _tune_for_dir applies per input size —
+    including the round-10 bloom-filter gates (PLANS.md round-10
+    scale-trend A/B: blooms inject only where Spark's own per-join size
+    check passes; the conf is the policy, the planner does the scaling)."""
+
+    def _tune(self, tmp_path, nbytes, cpus=32):
+        p = tmp_path / "lineitem.parquet"
+        p.write_bytes(b"\0" * min(nbytes, 1 * MiB))
+        import os
+        os.truncate(p, nbytes)  # sparse — size without the disk cost
+        rec = _ConfRecorder()
+        import unittest.mock as mock
+        with mock.patch.dict("os.environ", {"SPARK_GRAFT_CPUS": str(cpus)}):
+            bench._tune_for_dir(rec, str(tmp_path))
+        return rec.conf.values
+
+    def test_bloom_filter_gates_are_set(self, tmp_path):
+        vals = self._tune(tmp_path, 17 * MiB)
+        assert vals[
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold"] == str(64 * MiB)
+        assert vals[
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "creationSideThreshold"] == str(200 * MiB)
+
+    def test_split_fans_largest_table_across_cores(self, tmp_path):
+        vals = self._tune(tmp_path, 96 * MiB, cpus=32)
+        split = int(vals["spark.sql.files.maxPartitionBytes"])
+        assert split == max(4 * MiB, 96 * MiB // 96)  # floor wins here
+        vals = self._tune(tmp_path, 9600 * MiB, cpus=32)
+        assert int(vals["spark.sql.files.maxPartitionBytes"]) == \
+            9600 * MiB // 96
+
+    def test_shuffle_partitions_scale_with_input(self, tmp_path):
+        vals = self._tune(tmp_path, 17 * MiB, cpus=32)
+        assert int(vals["spark.sql.shuffle.partitions"]) == 8  # cpus//4
+        vals = self._tune(tmp_path, 100 * GiB, cpus=32)
+        assert int(vals["spark.sql.shuffle.partitions"]) == 128  # 4*cpus
