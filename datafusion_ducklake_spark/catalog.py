@@ -1235,6 +1235,16 @@ class DuckLakeSession:
     _DROP_VIEW_RE = re.compile(
         r"^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)"
         r"\s*;?\s*$", re.I)
+    _CREATE_MATVIEW_RE = re.compile(
+        r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?"
+        r"([A-Za-z_][\w.]*)\s+AS\s+"
+        r"((?:SELECT|WITH)\s.*?)\s*;?\s*$", re.I | re.S)
+    _DROP_MATVIEW_RE = re.compile(
+        r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(?:(IF\s+EXISTS)\s+)?"
+        r"([A-Za-z_][\w.]*)\s*;?\s*$", re.I)
+    _REFRESH_MATVIEW_RE = re.compile(
+        r"^\s*CALL\s+ducklake_refresh_materialized_view\s*\(\s*"
+        r"'([^']*)'\s*\)\s*;?\s*$", re.I)
 
     @staticmethod
     def _split_top_level(s: str, sep: str = ",",
@@ -1605,6 +1615,14 @@ class DuckLakeSession:
             # is visible via ducklake_clustering_info())
             return self._count_df(self.refresh_replica(
                 m.group(1), m.group(2)))
+        m = self._REFRESH_MATVIEW_RE.match(query)
+        if m:
+            # CALL ducklake_refresh_materialized_view('name') — returns
+            # the refresh mode so SQL callers see which path ran
+            out = self.refresh_materialized_view(m.group(1))
+            return self.spark.createDataFrame(
+                [(out["mode"], out["snapshot"])],
+                "mode STRING, snapshot BIGINT")
         m = self._REWRITE_FILES_RE.match(query)
         if m:
             # two positional names = (catalog_alias, table) — the alias
@@ -1894,6 +1912,16 @@ class DuckLakeSession:
                         f"trying to drop type Table — use DROP VIEW")
                 if not ine:
                     raise
+            return self._count_df(0)
+        m = self._CREATE_MATVIEW_RE.match(query)
+        if m:
+            self.create_materialized_view(m.group(2), m.group(3),
+                                          if_not_exists=bool(m.group(1)))
+            return self._count_df(0)
+        m = self._DROP_MATVIEW_RE.match(query)
+        if m:
+            self.drop_materialized_view(m.group(2),
+                                        if_exists=bool(m.group(1)))
             return self._count_df(0)
         m = self._CREATE_VIEW_RE.match(query)
         if m:
@@ -3631,6 +3659,59 @@ class DuckLakeSession:
             [tuple(r[:4]) + (int(r[4]) if r[4] is not None else None,
                              int(r[5]) if r[5] is not None else None,
                              r[6], bool(r[7])) for r in rows], schema)
+
+    def create_materialized_view(self, name: str, sql_text: str,
+                                 if_not_exists: bool = False) -> int:
+        """CREATE MATERIALIZED VIEW — a catalog TABLE materializing the
+        definition, refreshable incrementally from the CDC feed when
+        the shape allows (see operators/matview.py). SQL:
+        ``CREATE MATERIALIZED VIEW [IF NOT EXISTS] name AS SELECT``."""
+        from .operators.matview import create_materialized_view
+        return create_materialized_view(self, name, sql_text,
+                                        if_not_exists=if_not_exists)
+
+    def refresh_materialized_view(self, name: str) -> dict:
+        """Bring an MV up to the source's current snapshot — insert-only
+        windows of a recognized aggregate shape MERGE a per-group delta
+        (cost O(|changes|)); everything else recomputes in full. SQL:
+        ``CALL ducklake_refresh_materialized_view('name')``."""
+        from .operators.matview import refresh_materialized_view
+        return refresh_materialized_view(self, name)
+
+    def drop_materialized_view(self, name: str,
+                               if_exists: bool = False) -> None:
+        """DROP MATERIALIZED VIEW name — clears the spec and drops the
+        backing table."""
+        from .operators.matview import drop_materialized_view
+        return drop_materialized_view(self, name, if_exists=if_exists)
+
+    def matview_status(self, name: Optional[str] = None) -> DataFrame:
+        """One row per materialized view with its source, refresh
+        capability, covered snapshot, and a catalog-level ``current``
+        flag. SQL twin: ``SELECT * FROM ducklake_matview_info()``."""
+        from pyspark.sql import types as T
+
+        from .operators.matview import matview_status_rows
+        rows = list(matview_status_rows(
+            self.provider, self.catalog.snapshot_id))
+        if name is not None:
+            schema_name, table_name = self._split(name)
+            rows = [r for r in rows
+                    if r[0] == schema_name and r[1] == table_name]
+        schema = T.StructType([
+            T.StructField("schema_name", T.StringType()),
+            T.StructField("table_name", T.StringType()),
+            T.StructField("source_table", T.StringType()),
+            T.StructField("incremental", T.BooleanType()),
+            T.StructField("last_snapshot", T.LongType()),
+            T.StructField("current_snapshot", T.LongType()),
+            T.StructField("current", T.BooleanType())])
+        return self.spark.createDataFrame(
+            [(r[0], r[1], r[2], bool(r[3]),
+              int(r[4]) if r[4] is not None else None,
+              int(r[5]) if r[5] is not None else None,
+              bool(r[6]) if r[6] is not None else None)
+             for r in rows], schema)
 
     def refresh_replica(self, name: str, key: Optional[str] = None) -> int:
         """Rebuild diverged replica families by re-running the bucketed

@@ -226,6 +226,25 @@ def register_sql_functions(session) -> None:
             finally:
                 p.close()
 
+    @udtf(returnType="schema_name STRING, table_name STRING, "
+                     "source_table STRING, incremental BOOLEAN, "
+                     "last_snapshot BIGINT, current_snapshot BIGINT, "
+                     "current BOOLEAN")
+    class DucklakeMatviewInfo:
+        # one row per materialized view; current=false means the source
+        # gained data/delete files since the last refresh — run
+        # CALL ducklake_refresh_materialized_view('name')
+        def eval(self):
+            from ..metadata.provider import provider_for
+            from .matview import matview_status_rows
+            p = provider_for(catalog_path)
+            try:
+                yield from matview_status_rows(p, snapshot_id)
+            finally:
+                p.close()
+
+    session.spark.udtf.register("ducklake_matview_info",
+                                DucklakeMatviewInfo)
     session.spark.udtf.register("ducklake_clustering_info",
                                 DucklakeClusteringInfo)
     session.spark.udtf.register("ducklake_options", DucklakeOptions)

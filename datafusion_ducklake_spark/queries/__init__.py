@@ -59,6 +59,8 @@ _SPECS = [
     QuerySpec("ducklake_interval_write_agg",
               ducklake_gate.ducklake_interval_write_agg,
               ducklake_gate.ORACLE_INTERVAL_WRITE_AGG),
+    QuerySpec("ducklake_mv_agg", ducklake_gate.ducklake_mv_agg,
+              ducklake_gate.ORACLE_MV_AGG),
     # recently reshaped queries ride at the front of the driver's
     # 50-entry CORRECTNESS window: the queries whose plans changed most
     # recently are the ones the independent driver hash-check must cover.
@@ -72,8 +74,11 @@ _SPECS = [
     # ducklake_interval_agg gate entry (INTERVAL column decode) evicts
     # cb_daily_stats, and the r9 ducklake_interval_write_agg gate entry
     # (engine-written parquet INTERVAL via the duckdb-backed staging)
-    # evicts cb_top_users. Evicted specs
-    # stay covered by the local 97/97 gate (tools/check_correctness.py),
+    # evicts cb_top_users, and the r10 ducklake_mv_agg gate entry
+    # (materialized views: incremental CDC-delta MERGE refresh + full
+    # recompute, both exercised in the build) evicts
+    # ds_rank_in_category. Evicted specs
+    # stay covered by the local 98/98 gate (tools/check_correctness.py),
     # whose log is committed per round as CORRECTNESS_r{N}_local.txt
     QuerySpec("q05_local_supplier_volume", tpch.q05_local_supplier_volume, tpch.ORACLE_Q05, True),
     QuerySpec("q08_market_share", tpch2.q08_market_share, tpch2.ORACLE_Q08, True),

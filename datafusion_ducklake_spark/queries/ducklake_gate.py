@@ -1103,3 +1103,84 @@ SELECT bucket,
   COUNT(*) AS n
 FROM t GROUP BY bucket
 """
+
+
+@_locked_build
+def _build_mv_catalog(spark: SparkSession, sf_dir: str) -> str:
+    """Create (once per sf_dir) a catalog exercising the materialized-
+    view surface end to end (operators/matview.py, beyond-parity — the
+    reference has plain views only): CTAS the source from two thirds of
+    orders, CREATE MATERIALIZED VIEW over it, engine-INSERT the
+    remaining third and refresh (the window is insert-only and the
+    definition is a recognized SUM/COUNT/MAX shape, so this MUST take
+    the incremental CDC-delta MERGE path — the build fails loudly if it
+    does not), then DELETE a slice and refresh again (MUST take the
+    full-recompute path). The final MV contents therefore combine both
+    refresh modes; DuckDB recomputing the definition over the final
+    source state is an exact oracle because the sums are decimal."""
+    import shutil
+
+    from ..catalog import DuckLakeSession
+    from ..metadata.writer import CatalogWriter
+
+    tag = hashlib.md5((sf_dir + "/mv-v1").encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"ducklake_mv_{tag}")
+    db = os.path.join(root, "catalog.sqlite")
+    done = os.path.join(root, ".done")
+    if os.path.exists(done):
+        return db
+    if os.path.exists(root):           # half-built leftovers: start over
+        shutil.rmtree(root)
+    os.makedirs(root)
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=os.path.join(root, "lake"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    src = (spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+           .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    dl.create_table("main.mv_src", src.filter(F.col("o_orderkey") % 3 != 0))
+    dl.sql("CREATE MATERIALIZED VIEW main.mv_agg AS "
+           "SELECT o_orderstatus, "
+           "SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total, "
+           "COUNT(*) AS n, MAX(o_totalprice) AS hi "
+           "FROM main.mv_src GROUP BY o_orderstatus")
+    dl.insert_into("main.mv_src", src.filter(F.col("o_orderkey") % 3 == 0))
+    out = dl.refresh_materialized_view("main.mv_agg")
+    if out["mode"] != "incremental":
+        raise RuntimeError(
+            f"mv gate: insert-only refresh took {out['mode']!r}, "
+            f"expected the incremental CDC-delta MERGE path")
+    dl.delete_from("main.mv_src", "o_orderkey % 7 = 0")
+    out = dl.refresh_materialized_view("main.mv_agg")
+    if out["mode"] != "full":
+        raise RuntimeError(
+            f"mv gate: delete-window refresh took {out['mode']!r}, "
+            f"expected the full-recompute path")
+    with open(done, "w") as f:
+        f.write("ok")
+    return db
+
+
+def ducklake_mv_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view gate: the MV's final contents after an
+    incremental (insert-only MERGE) refresh AND a full (post-DELETE)
+    refresh must equal DuckDB recomputing the definition over the final
+    source state — a wrong delta combine, a missed group, or a stale
+    window breaks the hash."""
+    from ..catalog import DuckLakeSession
+    dl = DuckLakeSession(spark, _build_mv_catalog(spark, sf_dir))
+    return (dl.table("main.mv_agg")
+            .select("o_orderstatus",
+                    F.col("total").cast("double").alias("total"),
+                    F.col("n").cast("long").alias("n"),
+                    F.col("hi").alias("hi")))
+
+
+ORACLE_MV_AGG = """
+SELECT o_orderstatus,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total,
+  COUNT(*) AS n, MAX(o_totalprice) AS hi
+FROM orders
+WHERE o_orderkey % 7 <> 0
+GROUP BY o_orderstatus
+"""
