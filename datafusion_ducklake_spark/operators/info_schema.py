@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 VIEWS = ("snapshots", "schemata", "tables", "table_info", "columns",
-         "files", "views", "clustering")
+         "files", "views", "clustering", "materialized_views")
 
 
 def snapshots_df(session) -> DataFrame:
@@ -208,6 +208,27 @@ def clustering_df(session) -> DataFrame:
               "directory STRING, current BOOLEAN")
 
 
+def materialized_views_df(session) -> DataFrame:
+    """SQL-visible staleness surface for materialized views — the
+    ``ducklake_matview_info()`` UDTF's information_schema twin, built
+    from the same provider-only row builder
+    (operators/matview.matview_status_rows) so the view and the refresh
+    path cannot disagree. Beyond reference: the reference has plain
+    views only."""
+    from .matview import matview_status_rows
+    rows = [(r[0], r[1], r[2], bool(r[3]),
+             int(r[4]) if r[4] is not None else None,
+             int(r[5]) if r[5] is not None else None,
+             bool(r[6]) if r[6] is not None else None)
+            for r in matview_status_rows(session.provider,
+                                         session.catalog.snapshot_id)]
+    return session.spark.createDataFrame(
+        rows, "schema_name STRING, table_name STRING, "
+              "source_table STRING, incremental BOOLEAN, "
+              "last_snapshot BIGINT, current_snapshot BIGINT, "
+              "current BOOLEAN")
+
+
 _BUILDERS = {
     "snapshots": snapshots_df,
     "schemata": schemata_df,
@@ -217,6 +238,7 @@ _BUILDERS = {
     "views": views_df,
     "files": files_df,
     "clustering": clustering_df,
+    "materialized_views": materialized_views_df,
 }
 
 

@@ -202,6 +202,20 @@ class TestSql:
         dl.sql("DROP MATERIALIZED VIEW main.mv2")
         assert dl.matview_status().count() == 0
 
+    def test_information_schema_materialized_views(self, dl, spark):
+        assert dl.sql("SELECT * FROM information_schema"
+                      ".materialized_views").count() == 0
+        dl.sql("CREATE MATERIALIZED VIEW main.mv4 AS " + MV_SQL)
+        rows = dl.sql(
+            "SELECT table_name, source_table, incremental, current "
+            "FROM information_schema.materialized_views").collect()
+        assert [tuple(r) for r in rows] == [("mv4", "main.t", True, True)]
+        dl.insert_into("main.t", spark.createDataFrame(
+            [(700, "c", 7.0)], "id INT, tag STRING, v DOUBLE"))
+        rows = dl.sql("SELECT current FROM information_schema"
+                      ".materialized_views").collect()
+        assert rows[0]["current"] is False
+
     def test_if_not_exists_and_if_exists(self, dl):
         dl.sql("CREATE MATERIALIZED VIEW main.mv3 AS " + MV_SQL)
         dl.sql("CREATE MATERIALIZED VIEW IF NOT EXISTS main.mv3 AS "
