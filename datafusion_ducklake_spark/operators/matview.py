@@ -65,7 +65,17 @@ _AGG_ITEM = re.compile(
 _ALIAS_ITEM = re.compile(r"^(?P<expr>.+?)\s+AS\s+(?P<alias>\w+)$",
                          re.I | re.S)
 
-_COMBINE = {"SUM": "tgt.{t} + src.{t}", "COUNT": "tgt.{t} + src.{t}",
+# combine rules treat NULL as the aggregate's identity: a delta SUM
+# over a group whose inserted rows are all NULL is NULL, and the
+# recompute semantics (SUM ignores NULLs) say the total is UNCHANGED —
+# naive tgt+src would poison it to NULL; symmetrically a tgt that is
+# NULL (all-NULL group from the start) takes the delta's value.
+# least/greatest already skip NULLs (null only when ALL args are null),
+# which is exactly MIN/MAX's insert-only delta semantics.
+_ADD_NULL_ID = ("CASE WHEN src.{t} IS NULL THEN tgt.{t} "
+                "WHEN tgt.{t} IS NULL THEN src.{t} "
+                "ELSE tgt.{t} + src.{t} END")
+_COMBINE = {"SUM": _ADD_NULL_ID, "COUNT": _ADD_NULL_ID,
             "MIN": "least(tgt.{t}, src.{t})",
             "MAX": "greatest(tgt.{t}, src.{t})"}
 

@@ -123,6 +123,24 @@ class TestLifecycle:
             "SELECT tag, SUM(v) AS total FROM main.t "
             "WHERE id < 50 GROUP BY tag"))
 
+    def test_null_agg_values_in_delta(self, dl, spark):
+        # an all-NULL delta SUM must leave the group's total UNCHANGED
+        # (SUM ignores NULLs) — the NULL-identity combine, not tgt+NULL
+        dl.create_materialized_view("main.mv", MV_SQL)
+        dl.insert_into("main.t", spark.createDataFrame(
+            [(400, "a", None), (401, "a", None),   # existing group
+             (402, "y", None)],                    # NEW all-NULL group
+            "id INT, tag STRING, v DOUBLE"))
+        out = dl.refresh_materialized_view("main.mv")
+        assert out["mode"] == "incremental"
+        assert _rows(dl.table("main.mv")) == _recompute(dl)
+        # ...and the all-NULL group later gaining a value takes it
+        dl.insert_into("main.t", spark.createDataFrame(
+            [(403, "y", 9.0)], "id INT, tag STRING, v DOUBLE"))
+        out = dl.refresh_materialized_view("main.mv")
+        assert out["mode"] == "incremental"
+        assert _rows(dl.table("main.mv")) == _recompute(dl)
+
     def test_null_group_key_falls_to_full(self, dl, spark):
         dl.create_materialized_view("main.mv", MV_SQL)
         dl.insert_into("main.t", spark.createDataFrame(
