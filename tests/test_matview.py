@@ -174,6 +174,41 @@ class TestLifecycle:
             assert out["mode"] == "incremental"
             assert _rows(dl.table("main.mv")) == _recompute(dl)
 
+    def test_source_add_column_keeps_incremental(self, dl, spark):
+        # ADD COLUMN on the source must not break the delta: the
+        # definition references only the original columns, and the
+        # insertions feed simply carries the extra column along
+        dl.create_materialized_view("main.mv", MV_SQL)
+        dl.sql("ALTER TABLE main.t ADD COLUMN extra INT")
+        dl.insert_into("main.t", spark.createDataFrame(
+            [(800, "d", 8.0, 1)], "id INT, tag STRING, v DOUBLE, "
+                                  "extra INT"))
+        out = dl.refresh_materialized_view("main.mv")
+        assert out["mode"] == "incremental"
+        assert _rows(dl.table("main.mv")) == _recompute(dl)
+
+    def test_source_rename_referenced_column_errors_loudly(self, dl,
+                                                           spark):
+        # renaming a column the definition references cannot be served:
+        # the delta fails to plan, the full fallback fails to plan, and
+        # the user gets the analyzer's missing-column error, not silence
+        dl.create_materialized_view("main.mv", MV_SQL)
+        dl.rename_column("main.t", "v", "val")
+        dl.insert_into("main.t", spark.createDataFrame(
+            [(900, "e", 9.0)], "id INT, tag STRING, val DOUBLE"))
+        with pytest.raises(Exception, match="v|UNRESOLVED"):
+            dl.refresh_materialized_view("main.mv")
+
+    def test_clustered_source(self, dl, spark):
+        # a catalog-clustered source serves the MV like any other table
+        dl.cluster_by("main.t", "id", 4)
+        dl.create_materialized_view("main.mv", MV_SQL)
+        dl.insert_into("main.t", spark.createDataFrame(
+            [(1000, "a", 10.0)], "id INT, tag STRING, v DOUBLE"))
+        out = dl.refresh_materialized_view("main.mv")
+        assert out["mode"] == "incremental"
+        assert _rows(dl.table("main.mv")) == _recompute(dl)
+
     def test_drop(self, dl):
         dl.create_materialized_view("main.mv", MV_SQL)
         dl.drop_materialized_view("main.mv")
