@@ -317,6 +317,12 @@ CLUSTERED_QUERIES = ["q03_shipping_priority", "q04_order_priority",
 # orderkey primary — operators/layout.cluster_by replica=True), where
 # the custkey groupBy/anti-join runs exchange-free
 FAMILY_QUERIES = ["q22_global_sales_opportunity"]
+# user_id-keyed events aggregation served from events clustered on
+# user_id (r9 verdict #1: the events user-key layout is the catalog
+# answer for cb_top_users): the groupBy(user_id) runs as a complete
+# per-bucket aggregate — no exchange, no partial/final split, each
+# user appears in exactly one task
+EVENTS_CLUSTERED_QUERIES = ["cb_top_users"]
 
 
 def _family_subtier(spark, dl, scaled_dir, cpus, iters,
@@ -389,6 +395,59 @@ def _family_subtier(spark, dl, scaled_dir, cpus, iters,
     }
 
 
+def _events_clustered_subtier(spark, dl, scaled_dir, cpus, iters,
+                              s_duck, s_duck_min, floor):
+    """Time EVENTS_CLUSTERED_QUERIES with events served from a user_id
+    clustered layout in the same catalog as the lineitem/orders tier.
+    Build is one-time (marker-gated, exactly like _family_subtier); the
+    fast path is asserted ENGAGED from the plan before timing, else the
+    sub-tier is skipped rather than published mislabeled."""
+    from datafusion_ducklake_spark.queries._util import set_table_override
+    marker = scaled_dir.rstrip("/") + "-ducklake-v2/.events_done"
+    if not os.path.exists(marker):
+        try:
+            dl.sql("DROP TABLE main.events")     # half-built prior run
+        except Exception:
+            pass
+        src = os.path.join(scaled_dir, "events.parquet")
+        dl.create_table("main.events",
+                        dl.spark.read.parquet(src).limit(0))
+        dl.add_files("main.events", [src])
+        dl.cluster_by("main.events", "user_id", cpus)
+        with open(marker, "w") as f:
+            f.write("ok")
+    ev_df = dl.table("main.events")
+    ev_plan = ev_df._jdf.queryExecution().executedPlan().toString()
+    if "ducklake_clustered_" not in ev_plan:
+        print("events-clustered sub-tier skipped: fast path not engaged",
+              file=sys.stderr)
+        return None
+    set_table_override("events", ev_df)
+    try:
+        e_wall, _p, e_min, e_reps, e_sd = _time_spark_suite(
+            spark, scaled_dir, iterations=iters,
+            only=EVENTS_CLUSTERED_QUERIES)
+    finally:
+        set_table_override("events", None)
+    e_fadj, e_at_floor = _floor_adjusted_ratios(e_min, floor, s_duck_min)
+    return {
+        "ratio_vs_duckdb_raw": _ratio(e_wall, s_duck),
+        "note": ("events served from the catalog clustered on user_id "
+                 "(cluster_by) — same query bodies, same DuckDB "
+                 "baseline as the plain tier; groupBy(user_id) runs as "
+                 "a complete per-bucket aggregate with zero exchanges"),
+        "queries": e_wall,
+        "queries_min": e_min,
+        "queries_reps": e_reps,
+        "queries_stdev": e_sd,
+        "queries_ratio_min": {
+            n: round(e_min[n] / s_duck_min[n], 2)
+            for n in e_min if s_duck_min.get(n)},
+        "queries_ratio_floor_adjusted": e_fadj,
+        "queries_at_floor_raw_ratio": e_at_floor,
+    }
+
+
 def _clustered_tier(spark, scaled_dir: str, cpus: int, iters: int,
                        s_duck: dict, s_duck_min: dict, floor: float):
     """Time the lineitem⋈orders fact-fact queries with both facts served
@@ -423,23 +482,56 @@ def _clustered_tier(spark, scaled_dir: str, cpus: int, iters: int,
         li, o = dl.table("main.lineitem"), dl.table("main.orders")
         set_table_override("lineitem", li)
         set_table_override("orders", o)
+        # Runtime bloom OFF for every clustered/family/events sub-tier
+        # (restored in the finally below): a runtime bloom exists to
+        # shrink a SHUFFLE (guide §3.2) — it prunes probe rows before
+        # the exchange at the price of scanning the creation side
+        # twice. The clustered layouts' joins have ZERO exchanges, so
+        # the trade is pure cost. Measured at SF10 (min-of-4 warm,
+        # interleaved on/off): clustered q03 1.83->1.03 s, q04
+        # 1.33->0.71, q10 2.20->1.41, q05 2.14->1.74, q18 flat — the
+        # plans' might_contain predicates (plans/r10/
+        # *_clustered_before.txt) disappear. Scale-independent
+        # reasoning: the same per-layout conf a production deployment
+        # sets for co-clustered workloads; the plain tiers keep the
+        # bloom exactly as adopted this round.
+        bloom_conf = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+        bloom_prev = spark.conf.get(bloom_conf, "true")
+        spark.conf.set(bloom_conf, "false")
         try:
-            c_wall, c_plan, c_min, c_reps, c_sd = _time_spark_suite(
-                spark, scaled_dir, iterations=iters, only=CLUSTERED_QUERIES)
+            try:
+                c_wall, c_plan, c_min, c_reps, c_sd = _time_spark_suite(
+                    spark, scaled_dir, iterations=iters,
+                    only=CLUSTERED_QUERIES)
+            finally:
+                set_table_override("lineitem", None)
+                set_table_override("orders", None)
+            c_adj = {n: round(max(t - floor, 0.0), 4)
+                     for n, t in c_wall.items()}
+            c_fadj, c_at_floor = _floor_adjusted_ratios(
+                c_min, floor, s_duck_min)
+            # family + events sub-tiers serve bucketed layouts too:
+            # same bloom-off regime, restored in the finally
+            try:
+                family = _family_subtier(spark, dl, scaled_dir, cpus, iters,
+                                         s_duck, s_duck_min, floor)
+            except Exception:
+                import traceback
+                traceback.print_exc(file=sys.stderr)
+                family = None
+            try:
+                events_cl = _events_clustered_subtier(
+                    spark, dl, scaled_dir, cpus, iters,
+                    s_duck, s_duck_min, floor)
+            except Exception:
+                import traceback
+                traceback.print_exc(file=sys.stderr)
+                events_cl = None
         finally:
-            set_table_override("lineitem", None)
-            set_table_override("orders", None)
-        c_adj = {n: round(max(t - floor, 0.0), 4) for n, t in c_wall.items()}
-        c_fadj, c_at_floor = _floor_adjusted_ratios(c_min, floor, s_duck_min)
-        try:
-            family = _family_subtier(spark, dl, scaled_dir, cpus, iters,
-                                     s_duck, s_duck_min, floor)
-        except Exception:
-            import traceback
-            traceback.print_exc(file=sys.stderr)
-            family = None
+            spark.conf.set(bloom_conf, bloom_prev)
         return {
             "family": family,
+            "events": events_cl,
             "note": ("lineitem+orders served from the DuckLake catalog "
                      "clustered on orderkey (cluster_by; bucket files are "
                      "ducklake_data_file rows) — same query bodies, same "
@@ -536,19 +628,21 @@ def main() -> None:
         # r5 verdict #8: keep round-over-round ratios interpretable when
         # suite composition or methodology changes
         "suite_delta_note": (
-            "r9: same 27 queries, floor methodology and tiers as r8; "
-            "no query text or oracle changed. One PLAN change affecting "
-            "the clustered/family sub-tiers only: clustered reads now "
-            "report the exports' in-bucket sort order "
-            "(legacy.bucketedTableScan.outputOrdering, sound because "
-            "cluster_by guarantees one file per bucket), so every "
-            "co-clustered SortMergeJoin drops both Sort nodes — q04 "
-            "clustered min wall 1.22->0.58 s at SF10 (the r8 verdict's "
-            "q04 adjudication: a real elidable cost under the "
-            "variance). Reporting change: the detail sidecar defaults "
-            "to BENCH_detail_run.json; committed BENCH_detail.json "
-            "updates only via an explicit --out. Plain-tier ratios are "
-            "directly comparable to r8"),
+            "r10 (optimization round): same 27 queries, floor "
+            "methodology and tiers as r9, plus a new events-clustered "
+            "sub-tier (cb_top_users over events clustered on user_id). "
+            "No oracle changed. Plan changes: q05/q08 move the "
+            "broadcast custkey restriction INTO orders before the "
+            "fact-fact join; ds_monthly_brand_rank broadcasts the "
+            "(p_partkey,p_brand) projection instead of shuffling on "
+            "partkey; the clustered/family/events sub-tiers run with "
+            "the runtime bloom filter OFF (no shuffle to shrink — "
+            "plans/r10/). Honesty fix: cb_top_users' bench-path domain "
+            "snapshot is re-collected on EVERY timed build — the "
+            "round-10 build session's fingerprint-keyed cache was "
+            "removed, so its per-rep walls now include the domain "
+            "pass and are ~0.3 s/rep higher at SF10 than the cached "
+            "artifact they replace"),
     }
     detail = {
         **headline,
@@ -716,6 +810,9 @@ def main() -> None:
                     if cl.get("family"):
                         headline[key]["family_ratio_min"] = \
                             cl["family"]["queries_ratio_min"]
+                    if cl.get("events"):
+                        headline[key]["events_clustered_ratio_min"] = \
+                            cl["events"]["queries_ratio_min"]
 
     # a redirected sidecar must stay LOCATABLE from the headline: record
     # the full path whenever it is not the repo-root default

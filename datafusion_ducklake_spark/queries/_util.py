@@ -74,6 +74,19 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # downstream date_format/date_trunc match the DuckDB oracle's naive
     # rendering on any host machine, not just UTC ones.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    override = _TABLE_OVERRIDES.get("events")
+    if override is not None:
+        # catalog-served layout (e.g. bench.py's events-clustered
+        # sub-tier): same ts normalization on top of the injected scan,
+        # never cached — the override owner controls its lifetime
+        df = override
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     key = (id(spark), sf_dir, "__events_converted")
     cached = _DF_CACHE.get(key)
     if cached is not None:

@@ -101,13 +101,25 @@ def ds_monthly_brand_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the fact join aggregates down to |brands|×|months| rows
     before any window runs, so the window stage is negligible at 100 TB;
-    the cost is the lineitem⋈orders join + two-phase aggregate."""
+    the cost is the lineitem⋈orders join + two-phase aggregate.
+
+    r10 opt (guide §3.1): part is projected to (p_partkey, p_brand) —
+    ~26 B/row — and BROADCAST, replacing the second full-fact shuffle
+    (the partkey exchange of the whole lineitem⋈orders result) with a
+    map-side probe. Measured at SF10 (min-of-5 warm, interleaved):
+    7.96 -> 7.68 s plain and 4.35 -> 3.88 s clustered, where the
+    partkey exchange was the ONLY remaining fact shuffle. Broadcast
+    boundary: p grows with SF (200k rows/SF ≈ 5 MB/SF built), driver-
+    safe to roughly SF500 (~100M rows ≈ 2.5 GB, under the 8 GB /
+    512M-row broadcast cap); past that remove the hint and the same
+    declarative shape shuffles on partkey again — semantics unchanged
+    (the q05/q10 hint-boundary contract)."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
-    p = t(spark, sf_dir, "part")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     monthly = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(p, li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("m"),
                  F.col("p_brand").alias("brand"))
         # keep the exact-mode sum in decimal so the window re-sum below is
@@ -145,45 +157,19 @@ WINDOW w AS (PARTITION BY brand ORDER BY m
 """
 
 
-_DOMAIN_CACHE: dict = {}
-
-
 def _events_type_domain(spark: SparkSession, sf_dir: str) -> list:
-    """Bench-only event_type domain snapshot, cached by the events
-    files' (path, size, mtime) fingerprint so per-rep DataFrame rebuilds
-    don't re-scan events — any append/rewrite changes the fingerprint
-    and invalidates the entry, so the snapshot can never go stale
-    silently. Non-local paths (no stat'able files) skip the cache and
-    collect fresh every build."""
-    import os as _os
-    root = _os.path.join(sf_dir, "events.parquet")
-    fp = []
-    try:
-        if _os.path.isdir(root):
-            for dirp, _dn, files in _os.walk(root):
-                for f in sorted(files):
-                    p = _os.path.join(dirp, f)
-                    st = _os.stat(p)
-                    fp.append((p, st.st_size, st.st_mtime_ns))
-        elif _os.path.exists(root):
-            st = _os.stat(root)
-            fp.append((root, st.st_size, st.st_mtime_ns))
-    except OSError:
-        fp = []
-
-    def _collect():
-        ev = load_events(spark, sf_dir)
-        return sorted(
-            r[0] for r in ev.select("event_type").distinct().collect()
-            if r[0] is not None)  # countDistinct ignores NULLs
-
-    if not fp:
-        return _collect()
-    key = (sf_dir, tuple(fp))
-    if key not in _DOMAIN_CACHE:
-        _DOMAIN_CACHE.clear()      # one live snapshot per process
-        _DOMAIN_CACHE[key] = _collect()
-    return _DOMAIN_CACHE[key]
+    """Bench-only event_type domain snapshot, collected fresh on EVERY
+    DataFrame build. A fingerprint-keyed cache of this collect existed
+    briefly (round-10 build session) and was removed in the round-10
+    optimization pass: memoizing a data-derived result across bench reps
+    skips part of the timed computation on warm reps — every bench
+    invocation must compute from the parquet inputs. The domain pass is
+    a bounded extra scan of one dictionary-encoded column (a few rows
+    collected), paid inside every timed build."""
+    ev = load_events(spark, sf_dir)
+    return sorted(
+        r[0] for r in ev.select("event_type").distinct().collect()
+        if r[0] is not None)  # countDistinct ignores NULLs
 
 
 def cb_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -201,20 +187,26 @@ def cb_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     The domain is snapshotted when this function BUILDS the DataFrame,
     so the rewrite is gated behind ``_util.set_bench_rewrites(True)``
     (r7 ADVICE): bench.py enables it and rebuilds every DataFrame per
-    timed run. The snapshot is cached per events-file FINGERPRINT
-    (path/size/mtime of every file — invalidates on any append or
-    rewrite), because re-collecting it on every per-rep rebuild was
-    ~25% of the SF10 wall (r9 verdict 'What's wrong #1': min wall
-    0.88→1.18 s; with the cache 0.78 s measured, the rest of the move
-    was box drift — DuckDB's own denominator slowed 18% in the same
-    session). The library default is the generic two-level
-    countDistinct plan, which stays valid across appends and when the
-    domain is unbounded. Same rows and values either way
-    (driver-hash-equal).
+    timed run, so every timed rep pays the domain collect — the
+    round-10 build session's fingerprint-keyed snapshot cache was
+    removed in the optimization pass (memoized data-derived results
+    are off-limits in the bench path; see _events_type_domain). The
+    library default is the generic two-level countDistinct plan, which
+    stays valid across appends and when the domain is unbounded. Same
+    rows and values either way (driver-hash-equal). The bench's
+    catalog-path answer for this query is the events-clustered
+    sub-tier (bench.py EVENTS_CLUSTERED_QUERIES): with events
+    clustered on user_id, the groupBy runs as a complete per-bucket
+    aggregate with no exchange.
     """
     from . import _util
     ev = load_events(spark, sf_dir)
-    if _util._BENCH_REWRITES:
+    if _util._BENCH_REWRITES and _util._TABLE_OVERRIDES.get("events") is None:
+        # plain-scan rewrite only: over a user_id-clustered override the
+        # generic two-level countDistinct already collapses to a
+        # zero-exchange in-bucket aggregate (measured 0.27 vs 0.54 s at
+        # SF10 — the flags path's domain-discovery job is pure overhead
+        # there)
         types = _events_type_domain(spark, sf_dir)
         flags = [F.max(F.when(F.col("event_type") == ty, 1).otherwise(0))
                  for ty in types]

