@@ -35,18 +35,27 @@ def poly_hash64(col: Column | str) -> Column:
     outputs are cross-engine checkable. xxhash64 stays the production
     default (JVM-native, faster, 64 full bits); the pipelines accept either
     via their ``hash_fn`` parameter. Stays in ANSI-safe long range:
-    acc < 2^31 so acc*37+c < 2^36, and hi*2^31+lo < 2^62."""
+    acc < 2^31 so acc*37+c < 2^36, and hi*2^31+lo < 2^62.
+
+    r10 opt (guide §1.2 per-task work): both folds run in ONE
+    struct-accumulator pass. Higher-order functions are interpreted
+    (CodegenFallback), and the two-fold form evaluated the ``codes``
+    transform once per fold — the dominant cost of every poly-hashed
+    shingle. Same recurrences, same constants, bit-identical output
+    (tools/exp_dedup_shapes.py: equality-checked, min wall 0.50→0.37 s
+    hashing 500 full documents at sf0.01)."""
     c = F.col(col) if isinstance(col, str) else col
     codes = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(c), F.lit(1))),
         lambda i: F.ascii(c.substr(i, F.lit(1))).cast("long"))
-
-    def fold(mult: int, init: int) -> Column:
-        return F.aggregate(
-            codes, F.lit(init).cast("long"),
-            lambda acc, x: F.pmod(acc * mult + x, F.lit(_MERSENNE)))
-
-    return fold(31, 7) * F.lit(1 << 31).cast("long") + fold(37, 11)
+    acc0 = F.struct(F.lit(7).cast("long").alias("a"),
+                    F.lit(11).cast("long").alias("b"))
+    folded = F.aggregate(
+        codes, acc0,
+        lambda acc, x: F.struct(
+            F.pmod(acc["a"] * 31 + x, F.lit(_MERSENNE)).alias("a"),
+            F.pmod(acc["b"] * 37 + x, F.lit(_MERSENNE)).alias("b")))
+    return folded["a"] * F.lit(1 << 31).cast("long") + folded["b"]
 
 
 def exact_dedup(df: DataFrame, cols: list[str] | None = None,
@@ -109,6 +118,17 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, sig_col: str,
         F.col(id_col),
         F.posexplode(_banded(F.col(sig_col), num_bands,
                              hash_fn)).alias("band", "band_hash"))
+    # r10 opt (guide §2.1 remove-the-shuffle's cousin: remove the
+    # duplicate subtree): hash-partition the band rows ON THE JOIN KEY
+    # once before branching into the self-join sides. Both sides then
+    # share one identical Exchange and Spark's ReuseExchange computes
+    # the whole upstream (shingle -> signature -> band hash, all
+    # interpreted HOFs) ONCE instead of once per side. Measured at
+    # sf0.01 (min-of-3 warm, equality-checked): candidates stage
+    # 29.5 -> 19.6 s, executed plan gains a ReusedExchange node. The
+    # streaming self-join shape (scale-safe, no per-bucket pair
+    # materialization) is unchanged.
+    bands = bands.repartition("band", "band_hash")
     a = bands.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = bands.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     return (a.join(b, ["band", "band_hash"])
@@ -141,9 +161,24 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                                      hash_fn=hash_fn).alias("sh"))
     sigs = sh.select(id_col, minhash_signature(F.col("sh"), num_hashes).alias("sig"))
     cands = minhash_lsh_candidates(sigs, id_col, "sig", num_bands, hash_fn)
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    # r10 opt (guide §1.2/§3): shingle the VERIFICATION sides above the
+    # candidate join, not below it. The old shape projected mk(text)
+    # under the a/b branches, so every document was re-shingled (an
+    # interpreted HOF pass) twice more even though only candidate rows
+    # survive the join; joining the raw text first (broadcast of the
+    # tiny cands — no text shuffle) computes shingles for candidate
+    # rows only. Same values row for row. End-to-end effect at sf0.01
+    # is inside the noise (32.7 -> 30.7 s min — the signature stage
+    # dominates, see minhash_signature), but the verification cost now
+    # scales with |candidates| instead of 2×|corpus|, which is the
+    # right asymptote when banding is selective.
+    a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("t_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("t_b"))
     verified = (cands.join(a, "id_a").join(b, "id_b")
+                .withColumn("sh_a", mk(F.col("t_a"), k_shingle,
+                                       hash_fn=hash_fn))
+                .withColumn("sh_b", mk(F.col("t_b"), k_shingle,
+                                       hash_fn=hash_fn))
                 .withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
                 .filter(F.col("jaccard") >= jaccard_threshold)
                 .select("id_a", "id_b", "jaccard"))
@@ -164,15 +199,27 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     join): |A∩B| from join counts, |A|,|B| from per-doc sizes."""
     mk = word_shingles if use_words else char_shingles
     sh = df.select(F.col(id_col), mk(text_col, k).alias("sh"))
-    sizes = sh.select(id_col, F.size("sh").alias("sz"))
-    ex = sh.select(id_col, F.explode("sh").alias("g"))
-    a = ex.select(F.col(id_col).alias("id_a"), "g")
-    b = ex.select(F.col(id_col).alias("id_b"), "g")
+    # r10 opt (guide §2.1/§2.2): the old shape computed the shingle
+    # array FOUR times — once per self-join side and once per size
+    # lookup side. Now the exploded rows carry the doc's shingle-set
+    # size (constant per doc, one extra long per row), the size joins
+    # collapse into first() aggregates, and a repartition on the join
+    # key before branching lets ReuseExchange serve both self-join
+    # sides from ONE computed copy: 4 interpreted shingle passes -> 1.
+    # A doc with NULL text never reaches the pair output in either
+    # shape (its explode emits no rows / its inner size-join misses),
+    # so results are row-identical.
+    ex = sh.select(id_col, F.size("sh").alias("sz"),
+                   F.explode("sh").alias("g"))
+    ex = ex.repartition("g")
+    a = ex.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "g")
+    b = ex.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "g")
     inter = (a.join(b, "g").filter(F.col("id_a") < F.col("id_b"))
-             .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter")))
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    return (inter.join(sa, "id_a").join(sb, "id_b")
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("n_inter"),
+                  F.first("sz_a").alias("sz_a"),
+                  F.first("sz_b").alias("sz_b")))
+    return (inter
             .withColumn("jaccard", F.col("n_inter").cast("double")
                         / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")))
             .filter(F.col("jaccard") >= threshold)
@@ -205,6 +252,49 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b)).cast("int")
 
 
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", hash_bits: int = 64,
+                       hash_fn=F.xxhash64) -> DataFrame:
+    """(id, sig) via explode + codegen'd bit-vote aggregation.
+
+    r10 opt (guide §2.3 "aggregate before you shuffle" / §1.2): the
+    ``simhash`` Column form references the token-hash array once per bit
+    position, and higher-order functions are interpreted — each document
+    paid ``hash_bits`` passes over its hashed tokens (and with an
+    expensive ``hash_fn`` like poly_hash64, re-hashed every token per
+    pass unless the engine CSEs it). This shape hashes each token ONCE
+    on exploded rows, then aggregates the 64 bit-votes as codegen'd
+    SUMs with map-side partial aggregation (the exchange ships one
+    65-column row per document). Bit-identical to ``simhash``
+    (tools/exp_dedup_shapes.py: equality-checked; signatures-only wall
+    6.76 -> 1.86 s at sf0.01). The Column form stays for expression
+    contexts; this is the DataFrame-scale path."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(F.trim(c), r"\s+")
+    # explode_outer: a NULL text still yields one (null-token) row, so
+    # the doc keeps its sig=0 exactly as the Column form computes it
+    # (null votes take the otherwise-0 branch in both shapes)
+    ex = df.select(F.col(id_col), F.explode_outer(toks).alias("__tok"))
+    # NULL-propagate explicitly: xxhash64(NULL) is the seed (42), not
+    # NULL, which would give a NULL-text doc a nonzero sig here while
+    # the Column form's NULL array produces sig=0. A NULL hash makes
+    # every vote SUM NULL, and `NULL*2 > n` takes the otherwise-0
+    # branch — matching the Column form bit for bit.
+    h = F.when(F.col("__tok").isNull(),
+               F.lit(None).cast("long")).otherwise(hash_fn(F.col("__tok")))
+    aggs = [F.sum(F.getbit(h, F.lit(j))).alias(f"__o{j}")
+            for j in range(hash_bits)] + [F.count(F.lit(1)).alias("__n")]
+    votes = ex.groupBy(id_col).agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for j in range(hash_bits):
+        # bit 63 is the sign bit: its set-value is long MIN, not 1<<63
+        bit_val = F.lit(-(1 << 63) if j == 63 else (1 << j)).cast("long")
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"__o{j}") * 2 > F.col("__n"), bit_val)
+            .otherwise(F.lit(0).cast("long")))
+    return votes.select(F.col(id_col), sig.alias("sig"))
+
+
 def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id",
                            max_hamming: int = 3,
@@ -213,14 +303,17 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     """Near-dup pairs by SimHash: bucket on 16-bit signature slices (a pair
     within hamming d must share at least one of 4 slices when d ≤ 3 —
     pigeonhole), then verify hamming distance within buckets."""
-    sigs = df.select(F.col(id_col), simhash(text_col,
-                                            hash_fn=hash_fn).alias("sig"))
+    sigs = simhash_signatures(df, text_col, id_col, hash_fn=hash_fn)
     slices = F.array(*[
         F.shiftright(F.col("sig"), i * 16).bitwiseAND(F.lit(0xFFFF))
         for i in range(n_prefix_buckets)])
     sliced = sigs.select(
         id_col, "sig",
         F.posexplode(slices).alias("slice_i", "slice_v"))
+    # r10 opt: same ReuseExchange shape as minhash_lsh_candidates —
+    # partition on the join key before branching so the signature
+    # aggregation upstream is computed once, not per self-join side.
+    sliced = sliced.repartition("slice_i", "slice_v")
     a = sliced.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"),
                       "slice_i", "slice_v")
     b = sliced.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"),
@@ -251,6 +344,14 @@ def duplicate_components(pairs: DataFrame, id_a: str = "id_a",
              .unionByName(pairs.select(F.col(id_b).alias("a"),
                                        F.col(id_a).alias("b")))
              .distinct())
+    # r10 opt (guide §1.2): every propagation round joins against
+    # `edges`, and without a materialization boundary each round
+    # re-executed the ENTIRE upstream pair pipeline (shingle/LSH/
+    # verify — twice, via the union) from the parquet scan. One eager
+    # localCheckpoint pins the edge list (2x|pairs| digest-width rows,
+    # executor-resident, per-invocation — same boundary the label
+    # frames below already use), so iterations touch only edges+labels.
+    edges = edges.localCheckpoint(eager=True)
     labels = (edges.select(F.col("a").alias("n")).distinct()
               .withColumn("label", F.col("n")))
     for _ in range(max_iterations):

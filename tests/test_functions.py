@@ -88,6 +88,74 @@ class TestNgramJaccard:
             assert found.get((i, i + 10_000)) == pytest.approx(1.0)
 
 
+class TestDedupOptimizedShapes:
+    """Pin the r10 shape optimizations: single-pass poly_hash64, the
+    aggregate-form simhash signatures, and the ReuseExchange self-join
+    layout (upstream shingle/signature work computed once, not once per
+    join side)."""
+
+    def test_poly_hash64_pinned_recurrence(self, spark):
+        M = (1 << 31) - 1
+
+        def ref(s):
+            if s is None:
+                return None
+            codes = [ord(c) for c in s] if s else [0]
+            a, b = 7, 11
+            for x in codes:
+                a = (a * 31 + x) % M
+                b = (b * 37 + x) % M
+            return a * (1 << 31) + b
+
+        vals = ["abc", "hello world", "", "a", "The quick brown fox", None]
+        df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                                   "id INT, s STRING")
+        got = {r["id"]: r["h"] for r in
+               df.select("id", dedup.poly_hash64("s").alias("h")).collect()}
+        assert got == {i: ref(v) for i, v in enumerate(vals)}
+
+    def test_simhash_signatures_matches_column_form(self, spark):
+        rows = [(1, "hello world foo"), (2, None), (3, ""), (4, "   "),
+                (5, "solo"), (6, "a b"), (7, "x x x y zz")]
+        df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        for fn in (F.xxhash64, dedup.poly_hash64):
+            col_form = {r[0]: r[1] for r in df.select(
+                "doc_id", dedup.simhash("text", hash_fn=fn).alias("sig"))
+                .collect()}
+            agg_form = {r[0]: r[1] for r in
+                        dedup.simhash_signatures(df, "text", "doc_id",
+                                                 hash_fn=fn).collect()}
+            assert agg_form == col_form
+
+    def test_minhash_candidates_reuse_exchange(self, spark):
+        docs = spark.read.parquet(f"{SF}/documents.parquet") \
+            .select("doc_id", "text").limit(200)
+        sh = docs.select("doc_id",
+                         dedup.word_shingles("text", 3).alias("sh"))
+        sigs = sh.select("doc_id",
+                         dedup.minhash_signature(F.col("sh"), 32).alias("sig"))
+        cands = dedup.minhash_lsh_candidates(sigs, "doc_id", "sig", 8)
+        cands.collect()
+        plan = cands._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in plan
+
+    def test_ngram_jaccard_reuse_exchange(self, spark):
+        docs = spark.read.parquet(f"{SF}/documents.parquet") \
+            .select("doc_id", "text").limit(200)
+        pairs = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.1)
+        pairs.collect()
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in plan
+
+    def test_duplicate_components_clusters(self, spark):
+        # chain 1-2-3 plus pair (10, 11); singleton 99 never appears
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a LONG, id_b LONG")
+        got = {r["doc_id"]: r["cluster_id"] for r in
+               dedup.duplicate_components(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
 class TestSimilarity:
     def test_lsh_ann_recall_vs_bruteforce(self, spark):
         """Random gaussian embeddings are the LSH worst case (top-10
