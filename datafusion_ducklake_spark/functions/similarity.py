@@ -149,6 +149,78 @@ def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16,
     return out
 
 
+def _hyperplane_sigs_batch(dim: int, n_planes: int, n_tables: int,
+                           seed: int):
+    """Arrow-vectorized equivalent of ``n_tables`` stacked
+    ``hyperplane_signature`` expressions, returning one array<bigint> of
+    per-table signatures per row (guide §4.2).
+
+    Why this exists: the expression form builds ~n_tables*n_planes
+    zip_with/aggregate trees over ``dim``-literal plane arrays — at
+    (16 tables, 6 planes, dim 64) that is a multi-thousand-node tree
+    whose ANALYSIS dominates the query (17-21 s build vs ~2 s execute
+    at sf0.01, measured). This UDF replays the expression semantics
+    bit for bit: plane coordinates come from the same
+    ``random.Random(seed + t)`` draws, and the accumulation runs
+    ``acc = acc + v[d]*h[d]`` for d = 0..dim-1 — the exact fold-left
+    IEEE rounding order of ``dot``'s aggregate, vectorized ACROSS rows
+    instead of along the vector. Edge semantics are replayed too:
+    NULL vectors, NULL elements and wrong-length vectors make every
+    plane dot NULL in the expression form (zip_with pads to the longer
+    length with NULLs), leaving every bit unset — the expression-side
+    sanitizer below maps those rows to NULL input, which the UDF turns
+    into an all-zero signature. A NaN DOT, by contrast, sets its bit:
+    Spark's ordering ranks NaN greater than any number, so
+    ``when(dot > 0)`` is TRUE — mirrored with ``isnan(acc)`` (NaN
+    cannot arise from NULLs here because those never reach the UDF)."""
+    import numpy as np
+    import pandas as pd
+
+    rows = []
+    for t in range(n_tables):
+        rng = random.Random(seed + t)
+        for _ in range(n_planes):
+            rows.append([rng.gauss(0.0, 1.0) for _ in range(dim)])
+    H = np.asarray(rows, dtype=np.float64)           # (T*P, dim)
+    shifts = np.asarray(
+        [(1 << i) if i < 63 else -(1 << 63) for i in range(n_planes)],
+        dtype=np.int64)
+
+    # plain signature + explicit eval type: the typehinted form would
+    # need module-level pandas just to resolve the annotation strings
+    from pyspark.sql.pandas.functions import PythonEvalType
+
+    @F.pandas_udf("array<bigint>", PythonEvalType.SQL_SCALAR_PANDAS_UDF)
+    def sigs(vecs):
+        n = len(vecs)
+        V = np.zeros((n, dim), dtype=np.float64)
+        null_rows = np.zeros(n, dtype=bool)
+        for j, v in enumerate(vecs):
+            if v is None:
+                null_rows[j] = True
+            else:
+                V[j] = np.asarray(v, dtype=np.float64)
+        acc = np.zeros((n, H.shape[0]), dtype=np.float64)
+        with np.errstate(invalid="ignore", over="ignore"):
+            for d in range(dim):
+                acc = acc + V[:, d:d + 1] * H[None, :, d]
+        bits = ((acc > 0.0) | np.isnan(acc)) & ~null_rows[:, None]
+        bits = bits.reshape(n, n_tables, n_planes)
+        vals = np.where(bits, shifts, np.int64(0)).sum(axis=2,
+                                                       dtype=np.int64)
+        return pd.Series(list(vals))
+
+    def apply(col: Column) -> Column:
+        # expression-side sanitizer: rows the expression form would
+        # zero out via NULL dots never reach the numeric path
+        clean = F.when(
+            (F.size(col) == dim)
+            & ~F.exists(col, lambda x: x.isNull()), col)
+        return sigs(clean)
+
+    return apply
+
+
 def lsh_ann_topk(corpus: DataFrame, probes: DataFrame, dim: int, k: int = 10,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  probe_id_col: str = "query_id", n_planes: int = 12,
@@ -162,19 +234,23 @@ def lsh_ann_topk(corpus: DataFrame, probes: DataFrame, dim: int, k: int = 10,
     p = probes.select(F.col(probe_id_col), as_double(vec_col).alias("__pv"))
     p = p.withColumn("__pn", l2_norm(F.col("__pv")))
 
-    c_sigs, p_sigs = [], []
-    for t in range(n_tables):
-        c_sigs.append(c.select(
-            id_col, hyperplane_signature(F.col("__v"), dim, n_planes,
-                                         seed + t).alias("sig"),
-            F.lit(t).alias("tbl")))
-        p_sigs.append(p.select(
-            probe_id_col, hyperplane_signature(F.col("__pv"), dim, n_planes,
-                                               seed + t).alias("sig"),
-            F.lit(t).alias("tbl")))
-    from functools import reduce
-    cs = reduce(DataFrame.unionByName, c_sigs)
-    ps = reduce(DataFrame.unionByName, p_sigs)
+    # r10 opt (guide §1.2/§4.2): the old shape built one union branch
+    # per table — the corpus was scanned, cast and re-normed n_tables
+    # times, and the stacked signature expressions made ANALYSIS the
+    # dominant cost (17-21 s build vs ~2 s execute at sf0.01). One
+    # posexplode over the Arrow-batched per-table signature array
+    # computes the identical (tbl, sig) rows in a single corpus pass —
+    # posexplode's position IS the old F.lit(t) table id, and
+    # _hyperplane_sigs_batch bit-replays the expression's seeded planes
+    # and fold-left dot order. Equality-checked vs the expression form.
+    sig_udf = _hyperplane_sigs_batch(dim, n_planes, n_tables, seed)
+
+    def sig_rows(df: DataFrame, key: str, vcol: str) -> DataFrame:
+        return df.select(key, F.posexplode(sig_udf(F.col(vcol)))
+                         .alias("tbl", "sig"))
+
+    cs = sig_rows(c, id_col, "__v")
+    ps = sig_rows(p, probe_id_col, "__pv")
 
     cand = (cs.join(F.broadcast(ps), ["tbl", "sig"])
             .filter(F.col(id_col) != F.col(probe_id_col))
@@ -266,14 +342,14 @@ def embedding_near_dup_pairs(df: DataFrame, dim: int,
     exact cosine verification ≥ threshold."""
     base = df.select(F.col(id_col), as_double(vec_col).alias("__v"))
     base = base.withColumn("__n", l2_norm(F.col("__v")))
-    sigs = []
-    for t in range(n_tables):
-        sigs.append(base.select(
-            id_col, hyperplane_signature(F.col("__v"), dim, n_planes,
-                                         seed + t).alias("sig"),
-            F.lit(t).alias("tbl")))
-    from functools import reduce
-    s = reduce(DataFrame.unionByName, sigs)
+    # r10 opt: single-pass Arrow-batched signatures (see lsh_ann_topk)
+    # plus a repartition on the join key before the self-join branches
+    # so ReuseExchange computes the signature subtree once, not twice
+    # (same shape as minhash_lsh_candidates in dedup.py).
+    sig_udf = _hyperplane_sigs_batch(dim, n_planes, n_tables, seed)
+    s = base.select(F.col(id_col),
+                    F.posexplode(sig_udf(F.col("__v"))).alias("tbl", "sig"))
+    s = s.repartition("tbl", "sig")
     a = s.select(F.col(id_col).alias("id_a"), "tbl", "sig")
     b = s.select(F.col(id_col).alias("id_b"), "tbl", "sig")
     cand = (a.join(b, ["tbl", "sig"]).filter(F.col("id_a") < F.col("id_b"))

@@ -156,6 +156,39 @@ class TestDedupOptimizedShapes:
         assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+class TestSimilarityOptimizedShapes:
+    def test_batched_hyperplane_sigs_match_expression_form(self, spark):
+        """The Arrow-batched signature path must replay the expression
+        form bit for bit, including the edge semantics: NULL vector,
+        NULL element, wrong length (all-zero sig via NULL dots), actual
+        NaN (sets the bit — Spark ranks NaN above any number), ±inf."""
+        from pyspark.sql import Row, types as T
+        from datafusion_ducklake_spark.functions import similarity as S
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(50)
+        edge = spark.createDataFrame(
+            [Row(vec_id=9001, embedding=None, label=0),
+             Row(vec_id=9002, embedding=[float("nan")] * 64, label=0),
+             Row(vec_id=9003, embedding=[0.0] * 64, label=0),
+             Row(vec_id=9004, embedding=[1.0] * 10, label=0),
+             Row(vec_id=9005, embedding=[1.0] * 63 + [None], label=0),
+             Row(vec_id=9006, embedding=[float("inf")] * 64, label=0),
+             Row(vec_id=9007, embedding=[-1.0] * 64, label=0)],
+            T.StructType([T.StructField("vec_id", T.LongType()),
+                          T.StructField("embedding",
+                                        T.ArrayType(T.FloatType())),
+                          T.StructField("label", T.IntegerType())]))
+        base = emb.unionByName(edge).select(
+            "vec_id", S.as_double("embedding").alias("__v"))
+        expr = base.select("vec_id", *[
+            S.hyperplane_signature(F.col("__v"), 64, 6, 42 + t)
+            .alias(f"s{t}") for t in range(8)])
+        udf = S._hyperplane_sigs_batch(64, 6, 8, 42)
+        got = base.select("vec_id", udf(F.col("__v")).alias("sigs"))
+        e = {r[0]: tuple(r[1:]) for r in expr.collect()}
+        g = {r[0]: tuple(r[1]) for r in got.collect()}
+        assert g == e
+
+
 class TestSimilarity:
     def test_lsh_ann_recall_vs_bruteforce(self, spark):
         """Random gaussian embeddings are the LSH worst case (top-10
