@@ -229,6 +229,10 @@ def doc_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(text.rolling_fingerprints(
             F.col("text"), hash_fn=dedup.poly_hash64)).alias("fp"))
     ex = d.select("doc_id", F.explode("fp").alias("h"))
+    # r10 opt: partition on the join key before the self-join branches
+    # so ReuseExchange computes the fingerprint subtree once, not per
+    # side (same shape as minhash_lsh_candidates; guide §2.1)
+    ex = ex.repartition("h")
     a = ex.select(F.col("doc_id").alias("id_a"), "h")
     b = ex.select(F.col("doc_id").alias("id_b"), "h")
     return (a.join(b, "h").filter(F.col("id_a") < F.col("id_b"))
