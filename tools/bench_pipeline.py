@@ -22,10 +22,12 @@ sys.path.insert(0, str(REPO))
 DEFAULT = [
     "dedup_exact_summary", "dedup_exact_keep", "minhash_dup_pairs",
     "simhash_pairs", "ngram_jaccard_dup_pairs", "dedup_duplicate_clusters",
-    "dedup_canonical_selection", "decontaminate_against_eval",
-    "doc_fingerprints", "embedding_cosine_bruteforce", "lsh_ann_neighbors",
-    "doc_pack_chunks", "doc_quality_scores", "doc_pii_flags",
-    "doc_repetition_scores", "doc_term_stats", "doc_length_deciles",
+    "dedup_canonical_select", "doc_decontamination",
+    "doc_fingerprint_overlap", "doc_prefix_fingerprint",
+    "embedding_cosine_bruteforce", "embedding_cosine_near_dup",
+    "lsh_ann_neighbors", "doc_pack_chunks", "doc_quality_scores",
+    "doc_quality_advanced", "doc_pii_redaction", "doc_repetition_stats",
+    "corpus_term_stats", "doc_token_deciles", "doc_token_stats",
     "doc_chunking", "events_sessionize", "events_running_value",
 ]
 
