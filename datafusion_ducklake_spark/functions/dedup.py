@@ -109,6 +109,105 @@ def minhash_signature(shingles: Column, num_hashes: int = 128,
     return F.array(*[h(a, b) for a, b in params])
 
 
+def _minhash_sig_rows(num_hashes: int = 128, seed: int = 42):
+    """Arrow-vectorized core of ``minhash_signature`` (guide §4.2):
+    a function mapping one list-of-shingle-arrays batch to a list of
+    signature lists, replaying the expression form bit for bit.
+
+    Why this exists: the Column form is ``num_hashes`` interpreted
+    transform+array_min passes over each document's shingle array —
+    higher-order functions are CodegenFallback, so at 128 hashes every
+    doc pays 128 interpreted walks of its shingles. This core runs ONE
+    numpy pass per hash function over the whole batch's flattened
+    shingles: identical seeded (a_i, b_i) draws, identical pmod
+    arithmetic (numpy int64 ``%`` with a positive modulus has the
+    sign-of-divisor semantics Spark's pmod has, and
+    ``pmod(x,p) * a + b < 2^62`` never overflows int64), and identical
+    NULL semantics — a NULL or empty shingle array yields the array of
+    ``num_hashes`` NULL mins the expression form produces
+    (transform/array_min of NULL propagate; array_min of an empty array
+    is NULL). NULL *elements* must be dropped by the caller before the
+    Arrow boundary, exactly as array_min skips them. Pinned bit-equal
+    to the Column form by
+    tests/test_functions.py::test_minhash_batched_matches_expression."""
+    import random
+    import numpy as np
+
+    rng = random.Random(seed)
+    params = [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+              for _ in range(num_hashes)]
+    A = np.asarray([p[0] for p in params], dtype=np.int64)
+    B = np.asarray([p[1] for p in params], dtype=np.int64)
+    P = np.int64(_MERSENNE)
+    none_sig = [None] * num_hashes
+
+    def compute(shingle_arrays) -> list:
+        n = len(shingle_arrays)
+        lens = np.zeros(n, dtype=np.int64)
+        chunks = []
+        for j, arr in enumerate(shingle_arrays):
+            if arr is None:
+                continue
+            a = np.asarray(arr, dtype=np.int64)
+            if a.size:
+                lens[j] = a.size
+                chunks.append(a)
+        nonempty = lens > 0
+        out: list = [none_sig] * n
+        if chunks:
+            X = np.concatenate(chunks)
+            R = X % P                      # == Spark pmod(x, p): p > 0
+            starts = np.zeros(len(chunks), dtype=np.int64)
+            starts[1:] = np.cumsum(lens[nonempty])[:-1]
+            M = np.empty((len(chunks), num_hashes), dtype=np.int64)
+            for i in range(num_hashes):
+                V = (R * A[i] + B[i]) % P  # < 2^62 before the mod
+                M[:, i] = np.minimum.reduceat(V, starts)
+            for j, row in zip(np.flatnonzero(nonempty), M.tolist()):
+                out[j] = row
+        return out
+
+    return compute
+
+
+def minhash_signatures(df: DataFrame, id_col: str, shingles: Column,
+                       num_hashes: int = 128, seed: int = 42) -> DataFrame:
+    """(id, sig) DataFrame via mapInPandas over (id, shingle array) —
+    the DataFrame-scale companion of the ``minhash_signature`` Column
+    form (bit-identical output, pinned by test).
+
+    mapInPandas rather than a scalar pandas_udf deliberately: a
+    PythonUDF *expression* gets inlined by CollapseProject /
+    PushProjectionThroughUnion into Generate and Union branches, where
+    ExtractPythonUDFs misses it on non-file-scan legs and execution
+    dies with INTERNAL_ERROR "Cannot generate code for expression"
+    (observed on this exact pipeline: the LSH self-join's deduplicated
+    right branch kept the raw UDF). A mapInPandas node is a plan
+    OPERATOR — nothing can inline it — and only (id, shingles) cross
+    the Python boundary (guide §4.1: pass only what the function
+    needs)."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    compute = _minhash_sig_rows(num_hashes, seed)
+    # array_min SKIPS null elements: drop them before the Arrow
+    # boundary so the int64 math never sees them (an all-null or empty
+    # array then takes the all-NULL-signature path, exactly as the
+    # expression form's array_min(empty/all-null) = NULL does)
+    clean = F.when(shingles.isNotNull(),
+                   F.filter(shingles, lambda x: x.isNotNull()))
+    src = df.select(F.col(id_col), clean.alias("__sh"))
+    schema = StructType([src.schema[id_col],
+                         StructField("sig", ArrayType(LongType()))])
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "sig": compute(list(pdf["__sh"]))})
+
+    return src.mapInPandas(gen, schema)
+
+
 def minhash_lsh_candidates(df: DataFrame, id_col: str, sig_col: str,
                            num_bands: int = 16,
                            hash_fn=F.xxhash64) -> DataFrame:
@@ -159,7 +258,11 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     mk = word_shingles if use_words else char_shingles
     sh = df.select(F.col(id_col), mk(text_col, k_shingle,
                                      hash_fn=hash_fn).alias("sh"))
-    sigs = sh.select(id_col, minhash_signature(F.col("sh"), num_hashes).alias("sig"))
+    # r10 opt (guide §4.2): signatures through the Arrow-batched numpy
+    # path — bit-identical to minhash_signature (pinned by test), one
+    # vectorized pass per hash function instead of 128 interpreted HOF
+    # walks per document. The Column form stays for expression contexts.
+    sigs = minhash_signatures(sh, id_col, F.col("sh"), num_hashes)
     cands = minhash_lsh_candidates(sigs, id_col, "sig", num_bands, hash_fn)
     # r10 opt (guide §1.2/§3): shingle the VERIFICATION sides above the
     # candidate join, not below it. The old shape projected mk(text)

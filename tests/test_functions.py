@@ -62,6 +62,34 @@ class TestMinHash:
         b = {r["doc_id"]: r["s"] for r in sig.collect()}
         assert a == b
 
+    def test_minhash_batched_matches_expression(self, spark):
+        """The mapInPandas signature path (minhash_signatures) must be
+        bit-identical to the minhash_signature Column form — same seeded
+        (a,b) draws, same pmod arithmetic, NULL/empty text producing the
+        all-NULL signature — over word AND char shingles, xxhash64 AND
+        poly_hash64, real documents AND edge rows, with a Union source
+        (the shape whose pushed-through projection broke scalar-UDF
+        extraction and motivated the mapInPandas form)."""
+        docs = spark.read.parquet(f"{SF}/documents.parquet") \
+            .select("doc_id", "text").limit(60)
+        edge = spark.createDataFrame(
+            [(100001, None), (100002, ""), (100003, "a"), (100004, "   "),
+             (100005, "x y z w v u t s"), (100006, "é中文 tokens here")],
+            "doc_id long, text string")
+        docs = docs.unionByName(edge)
+        for mk in (dedup.word_shingles, dedup.char_shingles):
+            for hf in (F.xxhash64, dedup.poly_hash64):
+                sh = docs.select("doc_id", mk("text", 3, hash_fn=hf).alias("sh"))
+                e = {r["doc_id"]: r["sig"] for r in sh.select(
+                    "doc_id", dedup.minhash_signature(
+                        F.col("sh"), 32).alias("sig")).collect()}
+                b = {r["doc_id"]: r["sig"] for r in dedup.minhash_signatures(
+                    sh, "doc_id", F.col("sh"), 32).collect()}
+                assert e == b
+        # edge rows really exercised the NULL path
+        assert b[100001] == [None] * 32
+        assert b[100002] is not None
+
 
 class TestSimHash:
     def test_exact_copies_have_zero_hamming(self, docs_with_dups):
