@@ -63,7 +63,7 @@ def main() -> None:
             plan = df._jdf.queryExecution().executedPlan().toString()
             nodes = Counter(re.findall(
                 r"BatchEvalPython|ArrowEvalPython|MapInArrow|PythonMapInArrow"
-                r"|FlatMapGroupsInPandas|Exchange|SortMergeJoin"
+                r"|MapInPandas|FlatMapGroupsInPandas|Exchange|SortMergeJoin"
                 r"|ShuffledHashJoin|BroadcastHashJoin|CartesianProduct"
                 r"|BroadcastNestedLoopJoin", plan))
             print(f"{name}: min={min(walls):.3f} "

@@ -74,8 +74,12 @@ def main() -> None:
     out_dir.mkdir(parents=True, exist_ok=True)
     qs = headline_queries()
     names = args.queries or list(qs)
+    from datafusion_ducklake_spark.queries import REGISTRY
     for name in names:
-        df = qs[name](spark, args.sf_dir)
+        # named pipeline/similarity operators are dumpable too, not just
+        # the headline suite
+        fn = qs.get(name) or REGISTRY[name].fn
+        df = fn(spark, args.sf_dir)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted")
         path = out_dir / f"{name}{infix}{args.suffix}.txt"
