@@ -208,6 +208,280 @@ def minhash_signatures(df: DataFrame, id_col: str, shingles: Column,
     return src.mapInPandas(gen, schema)
 
 
+def _poly_hash_batch(strs, np):
+    """Vectorized replay of ``poly_hash64`` over a batch of Python
+    strings: one int64 hash per input, bit-identical to the Column form.
+
+    Semantics replayed exactly (probed against Spark 4.1 and pinned by
+    test_minhash_fused_matches_expression):
+    - codes are Unicode code points (Spark's ``ascii``/``substr`` count
+      code points, astral chars included);
+    - the empty string hashes as the single code 0 (``sequence(1,
+      greatest(len,1))`` yields one index and ``ascii('') = 0``);
+    - accumulators a=7/b=11, multipliers 31/37, mod 2^31-1, packed as
+      a*2^31+b — all inside int64 (a < 2^31 so a*31+c < 2^36).
+
+    The recurrence is sequential per string, so vectorization runs
+    ACROSS strings position by position: rows sorted by length
+    descending make the live rows a shrinking prefix, so total work is
+    sum(len) rather than n*maxlen."""
+    n = len(strs)
+    out = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return out
+    # u4 views over the utf-32 bytes are zero-copy; the concatenated
+    # flat array stays u4 (4 B/char) and each position's gathered slice
+    # is cast to int64 just-in-time, bounding batch memory at ~8 B/char
+    # even for text-heavy 10k-row Arrow batches
+    codes = [np.frombuffer(s.encode("utf-32-le"), dtype="<u4")
+             if s else np.zeros(1, dtype="<u4") for s in strs]
+    lens = np.fromiter((c.size for c in codes), dtype=np.int64, count=n)
+    order = np.argsort(-lens, kind="stable")
+    slens = lens[order]
+    flat = np.concatenate([codes[i] for i in order])
+    starts = np.zeros(n, dtype=np.int64)
+    starts[1:] = np.cumsum(slens)[:-1]
+    P = np.int64(_MERSENNE)
+    a = np.full(n, 7, dtype=np.int64)
+    b = np.full(n, 11, dtype=np.int64)
+    maxlen = int(slens[0])
+    neg = -slens  # ascending; count of slens >= j+1 per position j
+    for j in range(maxlen):
+        m = int(np.searchsorted(neg, -(j + 1), side="right"))
+        c = flat[starts[:m] + j].astype(np.int64)
+        a[:m] = (a[:m] * 31 + c) % P
+        b[:m] = (b[:m] * 37 + c) % P
+    out[order] = a * np.int64(1 << 31) + b
+    return out
+
+
+# Java regex \s (no UNICODE_CHARACTER_CLASS) is ASCII-only: NBSP etc.
+# are NOT separators for Spark's split(trim(text), r"\s+")
+_JAVA_WS = None
+
+
+def _word_shingle_strs(text: str, k: int) -> list:
+    """Replay ``word_shingles``'s string construction: split(trim(text),
+    r"\\s+") then concat_ws(" ", slice(toks, i, k)) windows. Spark's
+    trim strips only 0x20, and Java \\s+ keeps leading/trailing empty
+    tokens exactly as re.split does."""
+    global _JAVA_WS
+    if _JAVA_WS is None:
+        import re
+        _JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+    toks = _JAVA_WS.split(text.strip(" "))
+    nsh = max(len(toks) - k + 1, 1)
+    return [" ".join(toks[i:i + k]) for i in range(nsh)]
+
+
+def _char_shingle_strs(text: str, k: int) -> list:
+    """Replay ``char_shingles``: substr(text, i, k) windows by code
+    point (Python str slicing is code-point slicing too)."""
+    nsh = max(len(text) - k + 1, 1)
+    return [text[i:i + k] for i in range(nsh)]
+
+
+def minhash_text_signatures(df: DataFrame, id_col: str, text_col: str,
+                            k_shingle: int = 3, num_hashes: int = 128,
+                            seed: int = 42,
+                            use_words: bool = True) -> DataFrame:
+    """(id, sig) via ONE mapInPandas over (id, text): fused Arrow replay
+    of word/char_shingles(hash_fn=poly_hash64) + minhash_signature
+    (guide §4.2 — hand whole batches to numpy instead of interpreted
+    expression walks).
+
+    Why: with poly_hash64 every shingle pays an interpreted aggregate
+    over its characters (higher-order functions are CodegenFallback),
+    which dominates the whole MinHash pipeline. This path replays the
+    exact string construction (_word_shingle_strs/_char_shingle_strs),
+    the exact hash (_poly_hash_batch), array_distinct's first-occurrence
+    order, and the signature core (_minhash_sig_rows) — NULL text yields
+    the all-NULL signature, and a non-NULL text always yields >= 1
+    shingle (the expression form's greatest(..., 1) floor), so the
+    outputs are bit-identical. Pinned by
+    tests/test_functions.py::test_minhash_fused_matches_expression.
+    Only valid for poly_hash64 pipelines: xxhash64 shingles stay in the
+    JVM (native codegen hash — no reason to replay it in Python)."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+    import numpy as np
+
+    sig_core = _minhash_sig_rows(num_hashes, seed)
+    mk = _word_shingle_strs if use_words else _char_shingle_strs
+
+    def compute(texts) -> list:
+        shingle_strs: list = []
+        bounds = [0]
+        for t in texts:
+            if t is not None:
+                shingle_strs.extend(mk(t, k_shingle))
+            elif use_words:
+                # word_shingles(NULL) is NOT NULL: size(NULL)/greatest
+                # still yield one start and concat_ws(" ", NULL_tokens)
+                # swallows the null array into '', so the expression
+                # form produces the one-shingle array [hash('')]
+                shingle_strs.append("")
+            bounds.append(len(shingle_strs))
+        hashes = _poly_hash_batch(shingle_strs, np)
+        arrays = []
+        for t, lo, hi in zip(texts, bounds, bounds[1:]):
+            if t is None and not use_words:
+                # char_shingles(NULL) propagates NULL (length(NULL) ->
+                # sequence NULL -> transform NULL): all-NULL signature
+                arrays.append(None)
+            else:
+                # array_distinct keeps first occurrence; dict preserves
+                # insertion order
+                arrays.append(list(dict.fromkeys(hashes[lo:hi].tolist())))
+        return sig_core(arrays)
+
+    src = df.select(F.col(id_col), F.col(text_col).alias("__t"))
+    schema = StructType([src.schema[id_col],
+                         StructField("sig", ArrayType(LongType()))])
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "sig": compute(list(pdf["__t"]))})
+
+    return src.mapInPandas(gen, schema)
+
+
+def poly_shingle_arrays(df: DataFrame, id_col: str, text_col: str,
+                        k_shingle: int = 3,
+                        use_words: bool = True) -> DataFrame:
+    """(id, sh) via mapInPandas: the exact value of
+    ``word/char_shingles(text, k, hash_fn=poly_hash64)`` as an
+    Arrow-batched operator (same string construction, same hash, same
+    array_distinct first-occurrence order, same NULL asymmetry).
+    Used by the verification stage of the poly-hash MinHash pipeline so
+    each candidate document's shingle set is computed once in numpy
+    instead of per joined pair in interpreted expression walks (where
+    the join condition and the output projection each re-evaluate it)."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+    import numpy as np
+
+    mk = _word_shingle_strs if use_words else _char_shingle_strs
+
+    def compute(texts) -> list:
+        shingle_strs: list = []
+        bounds = [0]
+        for t in texts:
+            if t is not None:
+                shingle_strs.extend(mk(t, k_shingle))
+            elif use_words:
+                shingle_strs.append("")
+            bounds.append(len(shingle_strs))
+        hashes = _poly_hash_batch(shingle_strs, np)
+        out = []
+        for t, lo, hi in zip(texts, bounds, bounds[1:]):
+            if t is None and not use_words:
+                out.append(None)
+            else:
+                out.append(list(dict.fromkeys(hashes[lo:hi].tolist())))
+        return out
+
+    src = df.select(F.col(id_col), F.col(text_col).alias("__t"))
+    schema = StructType([src.schema[id_col],
+                         StructField("sh", ArrayType(LongType()))])
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "sh": compute(list(pdf["__t"]))})
+
+    return src.mapInPandas(gen, schema)
+
+
+def minhash_text_bands(df: DataFrame, id_col: str, text_col: str,
+                       k_shingle: int = 3, num_hashes: int = 128,
+                       num_bands: int = 16, seed: int = 42,
+                       use_words: bool = True) -> DataFrame:
+    """(id, band, band_hash) via ONE mapInPandas over (id, text): the
+    fused text→shingles→signature→banded-hash pipeline for poly_hash64,
+    replaying ``posexplode(_banded(minhash_signature(...)))`` bit for
+    bit (pinned by test_minhash_fused_bands_match_expression).
+
+    Replayed _banded semantics: band_size = size(sig)/num_bands in
+    DOUBLE arithmetic, slice start = cast(i*band_size + 1 as int)
+    (truncation), length = cast(band_size as int); elements cast long →
+    string; concat_ws(",") skips NULL elements, so the all-NULL
+    signature of a NULL text yields the SAME "" csv (and hash) for
+    every band — those rows collide with each other and are later
+    dropped by the NULL-jaccard verification filter, exactly as in the
+    expression form. Band index is posexplode's position (int)."""
+    import pandas as pd
+    from pyspark.sql.types import (IntegerType, LongType, StructField,
+                                   StructType)
+    import numpy as np
+
+    sig_core = _minhash_sig_rows(num_hashes, seed)
+    mk = _word_shingle_strs if use_words else _char_shingle_strs
+    bs = num_hashes / num_bands           # Java double division
+    starts = [int(i * bs + 1.0) - 1 for i in range(num_bands)]
+    ln = int(bs)
+    band_idx = list(range(num_bands))
+
+    def compute(ids, texts):
+        shingle_strs: list = []
+        bounds = [0]
+        for t in texts:
+            if t is not None:
+                shingle_strs.extend(mk(t, k_shingle))
+            elif use_words:
+                shingle_strs.append("")
+            bounds.append(len(shingle_strs))
+        hashes = _poly_hash_batch(shingle_strs, np)
+        arrays = []
+        for t, lo, hi in zip(texts, bounds, bounds[1:]):
+            if t is None and not use_words:
+                arrays.append(None)
+            else:
+                arrays.append(list(dict.fromkeys(hashes[lo:hi].tolist())))
+        sigs = sig_core(arrays)
+        csvs: list = []
+        for sig in sigs:
+            for i in band_idx:
+                sl = sig[starts[i]:starts[i] + ln]
+                csvs.append(",".join(str(v) for v in sl if v is not None))
+        bhash = _poly_hash_batch(csvs, np)
+        n = len(ids)
+        return pd.DataFrame({
+            "__id": np.repeat(np.asarray(ids), num_bands),
+            "band": np.tile(np.asarray(band_idx, dtype=np.int32), n),
+            "band_hash": bhash,
+        })
+
+    src = df.select(F.col(id_col), F.col(text_col).alias("__t"))
+    id_field = src.schema[id_col]
+    schema = StructType([StructField(id_field.name, id_field.dataType),
+                         StructField("band", IntegerType()),
+                         StructField("band_hash", LongType())])
+
+    def gen(batches):
+        for pdf in batches:
+            out = compute(list(pdf[id_col]), list(pdf["__t"]))
+            out.columns = [id_field.name, "band", "band_hash"]
+            yield out
+
+    return src.mapInPandas(gen, schema)
+
+
+def _band_self_join_pairs(bands: DataFrame, id_col: str) -> DataFrame:
+    """Candidate (id_a < id_b) pairs from (id, band, band_hash) rows:
+    repartition on the join key once so exchange reuse serves both
+    self-join sides from one computed copy, then the streaming
+    band-bucket equi-join + distinct (shared by minhash_lsh_candidates
+    and the fused text pipeline)."""
+    bands = bands.repartition("band", "band_hash")
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    return (a.join(b, ["band", "band_hash"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+
 def minhash_lsh_candidates(df: DataFrame, id_col: str, sig_col: str,
                            num_bands: int = 16,
                            hash_fn=F.xxhash64) -> DataFrame:
@@ -227,12 +501,7 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, sig_col: str,
     # 29.5 -> 19.6 s, executed plan gains a ReusedExchange node. The
     # streaming self-join shape (scale-safe, no per-bucket pair
     # materialization) is unchanged.
-    bands = bands.repartition("band", "band_hash")
-    a = bands.select(F.col(id_col).alias("id_a"), "band", "band_hash")
-    b = bands.select(F.col(id_col).alias("id_b"), "band", "band_hash")
-    return (a.join(b, ["band", "band_hash"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
+    return _band_self_join_pairs(bands, id_col)
 
 
 def _banded(sig: Column, num_bands: int, hash_fn=F.xxhash64) -> Column:
@@ -256,32 +525,57 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     exact-Jaccard verification of candidates only. Word shingles by
     default (char shingles saturate on small-vocabulary text)."""
     mk = word_shingles if use_words else char_shingles
-    sh = df.select(F.col(id_col), mk(text_col, k_shingle,
-                                     hash_fn=hash_fn).alias("sh"))
-    # r10 opt (guide §4.2): signatures through the Arrow-batched numpy
-    # path — bit-identical to minhash_signature (pinned by test), one
-    # vectorized pass per hash function instead of 128 interpreted HOF
-    # walks per document. The Column form stays for expression contexts.
-    sigs = minhash_signatures(sh, id_col, F.col("sh"), num_hashes)
-    cands = minhash_lsh_candidates(sigs, id_col, "sig", num_bands, hash_fn)
+    # r10 opt (guide §4.2): with poly_hash64 every interpreted stage of
+    # the candidate pipeline — per-character shingle hashing, the
+    # 128-hash signature, the 16 per-band csv hashes — runs in ONE
+    # Arrow-batched numpy operator (minhash_text_bands), bit-identical
+    # to the expression chain (pinned by tests). xxhash64 is a native
+    # JVM hash, so that pipeline keeps expression shingles/banding and
+    # batches only the signature min-reduction (minhash_signatures).
+    # The Column forms remain for expression contexts.
+    if hash_fn is poly_hash64:
+        bands = minhash_text_bands(df, id_col, text_col, k_shingle,
+                                   num_hashes, num_bands,
+                                   use_words=use_words)
+        cands = _band_self_join_pairs(bands, id_col)
+    else:
+        sh = df.select(F.col(id_col), mk(text_col, k_shingle,
+                                         hash_fn=hash_fn).alias("sh"))
+        sigs = minhash_signatures(sh, id_col, F.col("sh"), num_hashes)
+        cands = minhash_lsh_candidates(sigs, id_col, "sig", num_bands,
+                                       hash_fn)
     # r10 opt (guide §1.2/§3): shingle the VERIFICATION sides above the
     # candidate join, not below it. The old shape projected mk(text)
     # under the a/b branches, so every document was re-shingled (an
     # interpreted HOF pass) twice more even though only candidate rows
-    # survive the join; joining the raw text first (broadcast of the
-    # tiny cands — no text shuffle) computes shingles for candidate
-    # rows only. Same values row for row. End-to-end effect at sf0.01
-    # is inside the noise (32.7 -> 30.7 s min — the signature stage
-    # dominates, see minhash_signature), but the verification cost now
-    # scales with |candidates| instead of 2×|corpus|, which is the
-    # right asymptote when banding is selective.
-    a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("t_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("t_b"))
-    verified = (cands.join(a, "id_a").join(b, "id_b")
-                .withColumn("sh_a", mk(F.col("t_a"), k_shingle,
-                                       hash_fn=hash_fn))
-                .withColumn("sh_b", mk(F.col("t_b"), k_shingle,
-                                       hash_fn=hash_fn))
+    # survive the join; verification cost scales with |candidates|
+    # instead of 2×|corpus|, the right asymptote when banding is
+    # selective. For poly_hash64 the candidate documents' shingle sets
+    # are additionally computed ONCE per doc in the Arrow operator
+    # (poly_shingle_arrays over the semi-joined candidate-doc set)
+    # instead of per joined pair in interpreted walks — the join
+    # condition and output projection otherwise each re-evaluate the
+    # full shingle expression per pair.
+    if hash_fn is poly_hash64:
+        ids = (cands.select(F.col("id_a").alias(id_col))
+               .union(cands.select(F.col("id_b").alias(id_col))).distinct())
+        cand_docs = df.join(ids, id_col, "left_semi")
+        shc = poly_shingle_arrays(cand_docs, id_col, text_col, k_shingle,
+                                  use_words)
+        a = shc.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+        b = shc.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+        joined = cands.join(a, "id_a").join(b, "id_b")
+    else:
+        a = df.select(F.col(id_col).alias("id_a"),
+                      F.col(text_col).alias("t_a"))
+        b = df.select(F.col(id_col).alias("id_b"),
+                      F.col(text_col).alias("t_b"))
+        joined = (cands.join(a, "id_a").join(b, "id_b")
+                  .withColumn("sh_a", mk(F.col("t_a"), k_shingle,
+                                         hash_fn=hash_fn))
+                  .withColumn("sh_b", mk(F.col("t_b"), k_shingle,
+                                         hash_fn=hash_fn)))
+    verified = (joined
                 .withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
                 .filter(F.col("jaccard") >= jaccard_threshold)
                 .select("id_a", "id_b", "jaccard"))

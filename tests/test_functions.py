@@ -90,6 +90,78 @@ class TestMinHash:
         assert b[100001] == [None] * 32
         assert b[100002] is not None
 
+    def test_minhash_fused_matches_expression(self, spark):
+        """The fused text->shingle->signature mapInPandas path
+        (minhash_text_signatures) must be bit-identical to the
+        word/char_shingles(poly_hash64) + minhash_signature expression
+        chain: Java-\\s tokenization (NBSP is NOT a separator; leading
+        tab yields a leading empty token), trim-strips-only-0x20,
+        code-point substr/ascii (astral chars), empty string hashing as
+        the single code 0, array_distinct first-occurrence order, and
+        the NULL-text asymmetry (word shingles of NULL collapse to
+        [hash('')] via concat_ws over the null token array; char
+        shingles propagate NULL into the all-NULL signature)."""
+        docs = spark.read.parquet(f"{SF}/documents.parquet") \
+            .select("doc_id", "text").limit(60)
+        edge = spark.createDataFrame(
+            [(100001, None), (100002, ""), (100003, "a"), (100004, "   "),
+             (100005, "\tlead tab b c"), (100006, "trail tab\t"),
+             (100007, "a\xa0nbsp c d"), (100008, "é中文 tokens 𝄞clef here x"),
+             (100009, "nowhitespacetoken" * 50), (100010, "x \x0b y \r z w")],
+            "doc_id long, text string")
+        docs = docs.unionByName(edge)
+        for use_words in (True, False):
+            mk = dedup.word_shingles if use_words else dedup.char_shingles
+            sh = docs.select("doc_id", mk("text", 3,
+                                          hash_fn=dedup.poly_hash64).alias("sh"))
+            e = {r["doc_id"]: r["sig"] for r in sh.select(
+                "doc_id", dedup.minhash_signature(
+                    F.col("sh"), 32).alias("sig")).collect()}
+            f = {r["doc_id"]: r["sig"] for r in dedup.minhash_text_signatures(
+                docs, "doc_id", "text", 3, 32,
+                use_words=use_words).collect()}
+            assert e == f
+            # the NULL-text asymmetry really took the intended branch
+            if use_words:
+                assert f[100001] is not None and None not in f[100001]
+            else:
+                assert f[100001] == [None] * 32
+
+    def test_minhash_fused_bands_match_expression(self, spark):
+        """The fully fused text->bands mapInPandas path
+        (minhash_text_bands) must replay
+        posexplode(_banded(minhash_signature(word/char_shingles(...))))
+        bit for bit: double-arithmetic band slicing, long->string csv
+        with concat_ws skipping NULL elements (the all-NULL signature of
+        a NULL text hashes every band to the same '' csv), and the band
+        index as posexplode's int position."""
+        docs = spark.read.parquet(f"{SF}/documents.parquet") \
+            .select("doc_id", "text").limit(40)
+        edge = spark.createDataFrame(
+            [(100001, None), (100002, ""), (100003, "a b c d e"),
+             (100004, "é中文 tokens 𝄞clef here x")],
+            "doc_id long, text string")
+        docs = docs.unionByName(edge)
+        for use_words in (True, False):
+            mk = dedup.word_shingles if use_words else dedup.char_shingles
+            sh = docs.select("doc_id", mk("text", 3,
+                                          hash_fn=dedup.poly_hash64).alias("sh"))
+            sigs = sh.select("doc_id", dedup.minhash_signature(
+                F.col("sh"), 64).alias("sig"))
+            e = sorted((r["doc_id"], r["band"], r["band_hash"])
+                       for r in sigs.select("doc_id", F.posexplode(
+                           dedup._banded(F.col("sig"), 16,
+                                         dedup.poly_hash64)).alias(
+                               "band", "band_hash")).collect())
+            f = sorted((r["doc_id"], r["band"], r["band_hash"])
+                       for r in dedup.minhash_text_bands(
+                           docs, "doc_id", "text", 3, 64, 16,
+                           use_words=use_words).collect())
+            assert e == f
+        # NULL text: all 16 bands collide on the hash of the '' csv
+        null_bands = {bh for d, _, bh in f if d == 100001}
+        assert len(null_bands) == 1
+
 
 class TestSimHash:
     def test_exact_copies_have_zero_hamming(self, docs_with_dups):
