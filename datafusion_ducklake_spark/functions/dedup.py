@@ -255,21 +255,22 @@ def _poly_hash_batch(strs, np):
     return out
 
 
-# Java regex \s (no UNICODE_CHARACTER_CLASS) is ASCII-only: NBSP etc.
-# are NOT separators for Spark's split(trim(text), r"\s+")
-_JAVA_WS = None
+def _java_tokens(text: str) -> list:
+    """Replay ``split(trim(text), r"\\s+")``: Spark's trim strips only
+    0x20, and Java regex \\s (no UNICODE_CHARACTER_CLASS) is ASCII-only
+    — NBSP etc. are NOT separators — with leading/trailing empty tokens
+    kept exactly as re.split keeps them (split's limit is -1)."""
+    import re
+    ws = _java_tokens.__dict__.get("ws")
+    if ws is None:
+        ws = _java_tokens.ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    return ws.split(text.strip(" "))
 
 
 def _word_shingle_strs(text: str, k: int) -> list:
-    """Replay ``word_shingles``'s string construction: split(trim(text),
-    r"\\s+") then concat_ws(" ", slice(toks, i, k)) windows. Spark's
-    trim strips only 0x20, and Java \\s+ keeps leading/trailing empty
-    tokens exactly as re.split does."""
-    global _JAVA_WS
-    if _JAVA_WS is None:
-        import re
-        _JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
-    toks = _JAVA_WS.split(text.strip(" "))
+    """Replay ``word_shingles``'s string construction: Java tokens then
+    concat_ws(" ", slice(toks, i, k)) windows."""
+    toks = _java_tokens(text)
     nsh = max(len(toks) - k + 1, 1)
     return [" ".join(toks[i:i + k]) for i in range(nsh)]
 
@@ -692,6 +693,64 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     return votes.select(F.col(id_col), sig.alias("sig"))
 
 
+def simhash_text_signatures(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            hash_bits: int = 64) -> DataFrame:
+    """(id, sig) via ONE mapInPandas over (id, text): fused Arrow replay
+    of ``simhash_signatures(..., hash_fn=poly_hash64)`` (guide §4.2).
+
+    Replays the exact pipeline: Java-\\s tokenization over the
+    0x20-trimmed text (_word_shingle_strs semantics without windows),
+    poly_hash64 per token (_poly_hash_batch), then the per-bit majority
+    vote — bit j of the signature is set iff ones*2 > n over the
+    document's token hashes, with bit 63's set-value being long MIN.
+    NULL text yields sig=0 (the expression form's NULL token array
+    votes 0 on every bit); empty/whitespace-only text yields one ''
+    token hashing as code 0. Pinned by
+    tests/test_functions.py::test_simhash_fused_matches_aggregate.
+    poly_hash64 pipelines only: xxhash64 tokens are a native JVM hash,
+    so that path keeps the exploded codegen'd bit-vote aggregation."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+    import numpy as np
+
+    shifts = np.arange(hash_bits, dtype=np.uint64)
+    one = np.uint64(1)
+    wrap = 1 << hash_bits
+
+    def compute(texts) -> list:
+        toks: list = []
+        bounds = [0]
+        for t in texts:
+            if t is not None:
+                toks.extend(_java_tokens(t))
+            bounds.append(len(toks))
+        hashes = _poly_hash_batch(toks, np).view(np.uint64)
+        sigs = []
+        for t, lo, hi in zip(texts, bounds, bounds[1:]):
+            if t is None:
+                sigs.append(0)
+                continue
+            seg = hashes[lo:hi]
+            ones = ((seg[:, None] >> shifts) & one).sum(axis=0)
+            sig = 0
+            for j in np.flatnonzero(ones * 2 > (hi - lo)):
+                sig |= 1 << int(j)
+            sigs.append(sig - wrap if sig >= (wrap >> 1) else sig)
+        return sigs
+
+    src = df.select(F.col(id_col), F.col(text_col).alias("__t"))
+    schema = StructType([src.schema[id_col],
+                         StructField("sig", LongType())])
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "sig": compute(list(pdf["__t"]))})
+
+    return src.mapInPandas(gen, schema)
+
+
 def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id",
                            max_hamming: int = 3,
@@ -700,7 +759,15 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     """Near-dup pairs by SimHash: bucket on 16-bit signature slices (a pair
     within hamming d must share at least one of 4 slices when d ≤ 3 —
     pigeonhole), then verify hamming distance within buckets."""
-    sigs = simhash_signatures(df, text_col, id_col, hash_fn=hash_fn)
+    # r10 opt (guide §4.2): with poly_hash64 the per-token interpreted
+    # hash dominates — the fused Arrow operator computes the whole
+    # text→token-hash→bit-vote signature in one mapInPandas,
+    # bit-identical (pinned by test). xxhash64 keeps the exploded
+    # codegen'd bit-vote aggregation (native JVM hash).
+    if hash_fn is poly_hash64:
+        sigs = simhash_text_signatures(df, text_col, id_col)
+    else:
+        sigs = simhash_signatures(df, text_col, id_col, hash_fn=hash_fn)
     slices = F.array(*[
         F.shiftright(F.col("sig"), i * 16).bitwiseAND(F.lit(0xFFFF))
         for i in range(n_prefix_buckets)])

@@ -95,6 +95,62 @@ def rolling_fingerprints(col: Column | str, window: int = 64,
     return F.transform(starts, lambda s: hash_fn(c.substr(s, F.lit(window))))
 
 
+def rolling_fingerprint_rows(df: DataFrame, id_col: str, text_col: str,
+                             window: int = 64,
+                             stride: int = 32) -> DataFrame:
+    """(id, h) rows — one per DISTINCT rolling-window fingerprint — via
+    ONE mapInPandas over (id, text): the Arrow-batched equivalent of
+    ``explode(array_distinct(rolling_fingerprints(text,
+    hash_fn=poly_hash64)))`` (guide §4.2; pinned bit-equal by
+    tests/test_functions.py::test_rolling_fingerprint_rows_match).
+
+    Replayed semantics: window starts are ``sequence(1,
+    greatest(len-window+1, 1), stride)`` (so a short or empty text
+    yields ONE window — the whole text, '' hashing as the single code
+    0), substr slices by code point, array_distinct keeps first
+    occurrence, and a NULL text yields ONE (id, NULL) row — greatest
+    skips the NULL length so the expression form still makes one
+    window, whose substr(NULL) hash is NULL and array_distinct([NULL])
+    = [NULL]. poly_hash64 only — xxhash64 callers keep the native-JVM
+    Column form."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+    import numpy as np
+
+    from .dedup import _poly_hash_batch
+
+    def gen(batches):
+        for pdf in batches:
+            ids_out: list = []
+            wins: list = []
+            bounds = [0]
+            ids = list(pdf[id_col])
+            texts = list(pdf["__t"])
+            for t in texts:
+                if t is not None:
+                    stop = max(len(t) - window + 1, 1)
+                    wins.extend(t[s:s + window]
+                                for s in range(0, stop, stride))
+                bounds.append(len(wins))
+            hashes = _poly_hash_batch(wins, np)
+            out_ids: list = []
+            out_h: list = []
+            for i, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+                if texts[i] is None:
+                    out_ids.append(ids[i])
+                    out_h.append(None)
+                elif hi > lo:
+                    distinct = dict.fromkeys(hashes[lo:hi].tolist())
+                    out_ids.extend([ids[i]] * len(distinct))
+                    out_h.extend(distinct)
+            yield pd.DataFrame({id_col: out_ids,
+                                "h": pd.array(out_h, dtype="Int64")})
+
+    src = df.select(F.col(id_col), F.col(text_col).alias("__t"))
+    schema = StructType([src.schema[id_col], StructField("h", LongType())])
+    return src.mapInPandas(gen, schema)
+
+
 def bigram_array(col: Column | str) -> Column:
     """Adjacent-token bigrams as 'a b' strings (empty array for <2 tokens).
     Pure Column ops — slice+zip_with, no UDF."""

@@ -224,11 +224,11 @@ def doc_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= 2 distinct 64-char window hashes — catches embedded copies that
     whole-document hashing misses. Explode + equi-join on the hash, no
     cross join; gate runs with the SQL-expressible poly_hash64."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.array_distinct(text.rolling_fingerprints(
-            F.col("text"), hash_fn=dedup.poly_hash64)).alias("fp"))
-    ex = d.select("doc_id", F.explode("fp").alias("h"))
+    # r10 opt (guide §4.2): the rolling poly-hash windows run in one
+    # Arrow-batched operator instead of interpreted per-window
+    # aggregate walks — bit-identical rows (pinned by test)
+    ex = text.rolling_fingerprint_rows(_docs(spark, sf_dir),
+                                       "doc_id", "text")
     # r10 opt: partition on the join key before the self-join branches
     # so ReuseExchange computes the fingerprint subtree once, not per
     # side (same shape as minhash_lsh_candidates; guide §2.1)

@@ -162,6 +162,30 @@ class TestMinHash:
         null_bands = {bh for d, _, bh in f if d == 100001}
         assert len(null_bands) == 1
 
+    def test_simhash_fused_matches_aggregate(self, spark):
+        """The fused text->simhash mapInPandas path
+        (simhash_text_signatures) must be bit-identical to the
+        poly_hash64 bit-vote aggregation form (simhash_signatures):
+        Java-\\s tokens over the 0x20-trimmed text, per-token poly
+        hashes, ones*2 > n majority votes with bit 63 as long MIN,
+        NULL text -> sig 0, empty text -> the one ''-token signature."""
+        docs = spark.read.parquet(f"{SF}/documents.parquet") \
+            .select("doc_id", "text").limit(60)
+        edge = spark.createDataFrame(
+            [(100001, None), (100002, ""), (100003, "a"), (100004, "   "),
+             (100005, "\tlead tab b c"), (100006, "a\xa0nbsp c d"),
+             (100007, "é中文 tokens 𝄞clef here x"),
+             (100008, "x \x0b y \r z w")],
+            "doc_id long, text string")
+        docs = docs.unionByName(edge)
+        e = {r["doc_id"]: r["sig"] for r in dedup.simhash_signatures(
+            docs, "text", "doc_id", hash_fn=dedup.poly_hash64).collect()}
+        f = {r["doc_id"]: r["sig"] for r in dedup.simhash_text_signatures(
+            docs, "text", "doc_id").collect()}
+        assert e == f
+        assert f[100001] == 0              # NULL text votes 0 everywhere
+        assert f[100002] == f[100004]      # '' and '   ' share the '' token
+
 
 class TestSimHash:
     def test_exact_copies_have_zero_hamming(self, docs_with_dups):
@@ -358,6 +382,32 @@ class TestText:
         fp = df.select("id", text.rolling_fingerprints("t").alias("fp"))
         rows = {r["id"]: r["fp"] for r in fp.collect()}
         assert rows[1] == rows[2] != rows[3]
+
+    def test_rolling_fingerprint_rows_match(self, spark):
+        """The Arrow-batched rolling_fingerprint_rows operator must be
+        row-identical to explode(array_distinct(rolling_fingerprints(
+        text, hash_fn=poly_hash64))): code-point windows, short/empty
+        texts producing ONE whole-text window ('' hashing as code 0),
+        first-occurrence distinct order, and NULL text yielding one
+        (id, NULL) row (greatest skips the NULL length)."""
+        from datafusion_ducklake_spark.functions import dedup
+        docs = spark.read.parquet(f"{SF}/documents.parquet") \
+            .select("doc_id", "text").limit(40)
+        edge = spark.createDataFrame(
+            [(100001, None), (100002, ""), (100003, "short"),
+             (100004, "x" * 63), (100005, "y" * 64), (100006, "z" * 65),
+             (100007, "é中文" * 40), (100008, "ab " * 40)],
+            "doc_id long, text string")
+        docs = docs.unionByName(edge)
+        d = docs.select("doc_id", F.array_distinct(text.rolling_fingerprints(
+            F.col("text"), hash_fn=dedup.poly_hash64)).alias("fp"))
+        e = sorted(((r["doc_id"], r["h"]) for r in d.select(
+            "doc_id", F.explode("fp").alias("h")).collect()), key=str)
+        f = sorted(((r["doc_id"], r["h"]) for r in
+                    text.rolling_fingerprint_rows(
+                        docs, "doc_id", "text").collect()), key=str)
+        assert e == f
+        assert (100001, None) in f
 
 
 class TestMultimodal:
