@@ -626,7 +626,19 @@ def main() -> None:
         "ratio_vs_datafusion": _ratio(wall, dfus),
         "detail_file": "BENCH_detail.json",
         # r5 verdict #8: keep round-over-round ratios interpretable when
-        # suite composition or methodology changes
+        # suite composition or methodology changes. The stdout copy is a
+        # POINTER, not the note itself: the driver's stdout capture
+        # window is ~2000 chars and the r6-r9 lines overflowed it (the
+        # driver recorded parsed=null every round) — the full note lives
+        # in the detail sidecar, which is a file and has no budget.
+        "suite_delta_note": (
+            "r10 (optimization round): same 27 queries, floor "
+            "methodology and tiers as r9 + an events-clustered "
+            "sub-tier; no oracle changed; full delta note in "
+            "detail_file / OPTIMIZATION_r10.md"),
+    }
+    detail = {
+        **headline,
         "suite_delta_note": (
             "r10 (optimization round): same 27 queries, floor "
             "methodology and tiers as r9, plus a new events-clustered "
@@ -642,10 +654,13 @@ def main() -> None:
             "round-10 build session's fingerprint-keyed cache was "
             "removed, so its per-rep walls now include the domain "
             "pass and are ~0.3 s/rep higher at SF10 than the cached "
-            "artifact they replace"),
-    }
-    detail = {
-        **headline,
+            "artifact they replace. Reporting fix (r10): the stdout "
+            "line is now printed with compact separators, carries this "
+            "pointer note instead of the full text, and summarizes the "
+            "clustered sub-tier as med/max instead of per-query dicts "
+            "(all per-query data unchanged, in this sidecar) so the "
+            "whole line fits the driver's ~2000-char capture window "
+            "and parses again; no timed value or methodology changed"),
         "queries": wall,
         "queries_plan_sec": plan,
         "queries_floor_adjusted": adjusted,
@@ -805,13 +820,19 @@ def main() -> None:
             if cl is not None:
                 detail[key]["clustered"] = cl
                 if key in ("scaled3", "scaled4"):
-                    headline.setdefault(key, {})["clustered_ratio_min"] = \
-                        cl["queries_ratio_min"]
+                    # stdout gets a med/max summary (the full per-query
+                    # ratio dicts overflowed the driver's ~2000-char
+                    # capture window r6-r9; they live in detail_file)
+                    h = headline.setdefault(key, {})
+                    rm = sorted(cl["queries_ratio_min"].values())
+                    if rm:
+                        h["clustered_ratio_min_med"] = rm[len(rm) // 2]
+                        h["clustered_ratio_min_max"] = rm[-1]
                     if cl.get("family"):
-                        headline[key]["family_ratio_min"] = \
+                        h["family_ratio_min"] = \
                             cl["family"]["queries_ratio_min"]
                     if cl.get("events"):
-                        headline[key]["events_clustered_ratio_min"] = \
+                        h["events_clustered_ratio_min"] = \
                             cl["events"]["queries_ratio_min"]
 
     # a redirected sidecar must stay LOCATABLE from the headline: record
@@ -820,7 +841,36 @@ def main() -> None:
         "BENCH_detail.json", "BENCH_detail_run.json") else str(out)
     headline["detail_file"] = detail["detail_file"] = label
     out.write_text(json.dumps(detail, indent=1))
-    print(json.dumps(headline))
+    print(_stdout_line(headline))
+
+
+# The driver keeps only the LAST ~2000 chars of stdout; a longer line is
+# truncated mid-JSON and recorded as parsed=null (which is exactly what
+# happened to the r6-r9 headline lines). Budget with margin for earlier
+# warning lines sharing the window.
+STDOUT_BUDGET = 1950
+
+
+def _stdout_line(headline: dict) -> str:
+    """One compact JSON line guaranteed to fit the capture window.
+
+    The contract keys (metric/value/unit/queries/sf) and the suite
+    ratios are never dropped; if the line still overflows (e.g. future
+    rounds ADD queries), optional annotations are shed in a fixed
+    order, most-expendable first — every shed key remains in the detail
+    sidecar, which carries a superset of this line."""
+    def dump(h):
+        return json.dumps(h, separators=(",", ":"))
+
+    line = dump(headline)
+    for key in ("suite_delta_note", "scaled4", "scaled3", "scaled2",
+                "scaled"):
+        if len(line) <= STDOUT_BUDGET:
+            break
+        if key in headline:
+            headline = {k: v for k, v in headline.items() if k != key}
+            line = dump(headline)
+    return line
 
 
 if __name__ == "__main__":

@@ -121,3 +121,57 @@ class TestTuneForDir:
         assert int(vals["spark.sql.shuffle.partitions"]) == 8  # cpus//4
         vals = self._tune(tmp_path, 100 * GiB, cpus=32)
         assert int(vals["spark.sql.shuffle.partitions"]) == 128  # 4*cpus
+
+
+class TestStdoutLine:
+    """The driver keeps only the last ~2000 chars of stdout: the r6-r9
+    headline lines overflowed that window and were recorded parsed=null.
+    _stdout_line must emit one parseable JSON line within budget without
+    ever shedding a contract key."""
+
+    def _headline(self, n_queries=27, note_chars=160):
+        return {
+            "metric": "headline_suite_wall",
+            "value": 12.3456,
+            "unit": "sec",
+            "queries": {f"q{i:02d}_some_longish_query_name": round(
+                0.1 + i * 0.037, 3) for i in range(n_queries)},
+            "sf": 0.1,
+            "floor_sec": 0.2054,
+            "suite_floor_adjusted": 6.05,
+            "duckdb_total": 2.2274,
+            "ratio_vs_duckdb_raw": 5.17,
+            "ratio_vs_duckdb_floor_adjusted": 2.72,
+            "ratio_min_vs_duckdb_min": 5.29,
+            "datafusion_total": None,
+            "ratio_vs_datafusion": None,
+            "detail_file": "BENCH_detail.json",
+            "suite_delta_note": "x" * note_chars,
+            "scaled": {"scale_factor_equivalent": 1.0, "value": 20.5,
+                       "ratio_vs_duckdb_raw": 5.87},
+            "scaled3": {"sf_equivalent": 10.0, "ratio_vs_duckdb_raw": 1.52,
+                        "clustered_ratio_min_med": 2.0,
+                        "clustered_ratio_min_max": 4.1},
+        }
+
+    def test_fits_budget_and_parses(self):
+        import json
+        line = bench._stdout_line(self._headline())
+        assert len(line) <= bench.STDOUT_BUDGET
+        parsed = json.loads(line)
+        assert parsed["metric"] == "headline_suite_wall"
+        assert len(parsed["queries"]) == 27
+        # nothing shed on the normal-sized line
+        assert "suite_delta_note" in parsed and "scaled3" in parsed
+
+    def test_sheds_annotations_never_contract_keys(self):
+        import json
+        h = self._headline(n_queries=45, note_chars=900)
+        line = bench._stdout_line(h)
+        assert len(line) <= bench.STDOUT_BUDGET
+        parsed = json.loads(line)
+        for key in ("metric", "value", "unit", "queries", "sf",
+                    "ratio_vs_duckdb_raw", "detail_file"):
+            assert key in parsed
+        assert len(parsed["queries"]) == 45
+        assert "suite_delta_note" not in parsed  # shed first
