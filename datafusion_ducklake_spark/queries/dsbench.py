@@ -114,7 +114,16 @@ def ds_monthly_brand_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     512M-row broadcast cap); past that remove the hint and the same
     declarative shape shuffles on partkey again — semantics unchanged
     (the q05/q10 hint-boundary contract)."""
-    li = t(spark, sf_dir, "lineitem")
+    # r10 opt (guide §2.3 — project before the exchange): the per-row
+    # revenue is computed BEFORE the orderkey shuffle so the exchange
+    # ships one double instead of (l_extendedprice, l_discount). This
+    # join keeps every lineitem row, so the multiply count is unchanged
+    # — strictly fewer shuffle bytes for the same compute (SF10-eq
+    # interleaved min 5.06 -> 4.87 s).
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .alias("rev_row"))
     o = t(spark, sf_dir, "orders")
     p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     monthly = (
@@ -124,8 +133,7 @@ def ds_monthly_brand_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("p_brand").alias("brand"))
         # keep the exact-mode sum in decimal so the window re-sum below is
         # also order-independent; cast to double only on output
-        .agg(F.sum(exact_cast(F.col("l_extendedprice")
-                              * (1 - F.col("l_discount")))).alias("rev"),
+        .agg(F.sum(exact_cast(F.col("rev_row"))).alias("rev"),
              F.count(F.lit(1)).alias("n_items")))
     w_mov = (Window.partitionBy("brand").orderBy("m")
              .rowsBetween(-2, Window.currentRow))

@@ -159,7 +159,14 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ord_asia = orders.join(F.broadcast(cust_asia),
                            orders.o_custkey == cust_asia.c_custkey) \
         .select("o_orderkey", "c_nationkey")
-    li = t(spark, sf_dir, "lineitem")
+    # r10 opt (guide §2.3 — project before the exchange): the per-row
+    # revenue is computed BEFORE the orderkey shuffle so the exchange
+    # ships one double instead of (l_extendedprice, l_discount); the
+    # post-join aggregate consumes the identical per-row value.
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+        .alias("rev_row"))
     return (
         # shuffle_hash on the date+region-filtered orders side: when both
         # facts come bucketed on orderkey the distribution is already
@@ -176,7 +183,7 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
               (li.l_suppkey == supp_asia.s_suppkey)
               & (ord_asia.c_nationkey == supp_asia.s_nationkey))
         .groupBy("n_name")
-        .agg(dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("revenue"))
+        .agg(dsum(F.col("rev_row")).alias("revenue"))
     )
 
 

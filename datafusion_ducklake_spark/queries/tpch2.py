@@ -22,10 +22,17 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")))
-    li = t(spark, sf_dir, "lineitem")
+    # r10 opt (guide §2.3 — project before the exchange): the per-row
+    # volume is computed BEFORE the orderkey shuffle so the exchange
+    # ships one double instead of (l_extendedprice, l_discount); the
+    # post-join CASE/aggregate consume the identical per-row value.
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+        .alias("vol_row"))
     n2 = nation.select(F.col("n_nationkey").alias("s_nkey"),
                        F.col("n_name").alias("supp_nation"))
-    vol = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    vol = F.col("vol_row")
     # Shape: restrict customer to the ASIA region BEFORE it meets the
     # fact join and broadcast the single-column key projection — the
     # region filter keeps only a fraction of custkeys (~16 bytes/row
