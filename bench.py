@@ -826,7 +826,10 @@ def main() -> None:
                     h = headline.setdefault(key, {})
                     rm = sorted(cl["queries_ratio_min"].values())
                     if rm:
-                        h["clustered_ratio_min_med"] = rm[len(rm) // 2]
+                        # true median (r10 ADVICE: rm[len//2] was the
+                        # upper-middle element for even-length lists)
+                        h["clustered_ratio_min_med"] = round(
+                            statistics.median(rm), 2)
                         h["clustered_ratio_min_max"] = rm[-1]
                     if cl.get("family"):
                         h["family_ratio_min"] = \
@@ -870,6 +873,22 @@ def _stdout_line(headline: dict) -> str:
         if key in headline:
             headline = {k: v for k, v in headline.items() if k != key}
             line = dump(headline)
+    # Terminal safeguard (r10 ADVICE): if the line still overflows after
+    # every optional key is shed (i.e. the queries dict alone outgrew the
+    # budget), compact the per-query walls to 2 decimals — the full
+    # precision stays in the sidecar — and if even that is not enough,
+    # warn loudly on stderr instead of silently printing an unparseable
+    # line. The contract keys themselves are never dropped.
+    if len(line) > STDOUT_BUDGET and "queries" in headline:
+        headline = {**headline,
+                    "queries": {n: round(t, 2)
+                                for n, t in headline["queries"].items()}}
+        line = dump(headline)
+    if len(line) > STDOUT_BUDGET:
+        print(f"bench.py: stdout line is {len(line)} chars, over the "
+              f"{STDOUT_BUDGET}-char capture budget even after shedding — "
+              "the driver will record parsed=null; trim the queries dict",
+              file=sys.stderr)
     return line
 
 

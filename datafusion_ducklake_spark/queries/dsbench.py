@@ -124,13 +124,21 @@ def ds_monthly_brand_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey",
         (F.col("l_extendedprice") * (1 - F.col("l_discount")))
         .alias("rev_row"))
-    o = t(spark, sf_dir, "orders")
+    # r11 opt (guide §2.3 — push per-row compute below the fan-out):
+    # date_trunc('month') is a pure function of o_orderdate, so evaluate
+    # it once per ORDER row (15M at SF10) instead of once per joined
+    # LINEITEM row (60M) — the noop-sink decomposition put the post-join
+    # aggregate at ~2.4 s of the 8.2 s wall, part of it this per-row
+    # truncation. Same 8-byte timestamp through the exchange, same
+    # grouping values (m is row-wise identical either side of the join).
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_trunc("month", F.col("o_orderdate")).alias("m"))
     p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     monthly = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("m"),
-                 F.col("p_brand").alias("brand"))
+        .groupBy("m", F.col("p_brand").alias("brand"))
         # keep the exact-mode sum in decimal so the window re-sum below is
         # also order-independent; cast to double only on output
         .agg(F.sum(exact_cast(F.col("rev_row"))).alias("rev"),

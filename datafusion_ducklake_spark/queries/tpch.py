@@ -72,8 +72,17 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-07-01 00:00:00").cast("timestamp"))
+    # r11 opt (guide §2.3 — project before the exchange): the orderkey
+    # exchange shipped (l_extendedprice, l_discount) while the aggregate
+    # only ever consumes their product; computing rev_row below the
+    # shuffle cuts the lineitem side from 3 to 2 columns (24 -> 16 B/row).
+    # Same per-row values feed the same dsum — the join only drops rows.
     li = t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-07-01 00:00:00").cast("timestamp"))
+        F.col("l_shipdate") > F.lit("1998-07-01 00:00:00").cast("timestamp")
+    ).select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+        .alias("rev_row"))
     # Join-order rewrite: reduce the build side BEFORE it meets lineitem.
     # orders x customer(BUILDING) keeps ~1/5 of the date-filtered orders,
     # so the hash table lineitem probes is 5x smaller than joining orders
@@ -81,16 +90,17 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # qualifying rows (~10x fewer than a pre-join per-orderkey aggregate
     # would group). Both joins stay broadcast at bench scale; at cluster
     # scale AQE falls back to shuffle joins on the same shape.
+    # r11 opt (§2.3): the group key is o_orderdate AS DATE — cast on the
+    # orders side (pre-join, pre-exchange) so 4 bytes ride the shuffle
+    # instead of the 8-byte timestamp, and the cast runs once per order
+    # row instead of once per joined lineitem row.
     ord_cust = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
-        "o_orderkey", "o_orderdate", "o_orderpriority")
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_orderpriority")
     return (
         li.join(ord_cust, li.l_orderkey == ord_cust.o_orderkey)
-        .groupBy(
-            "l_orderkey",
-            F.col("o_orderdate").cast("date").alias("o_orderdate"),
-            "o_orderpriority",
-        )
-        .agg(dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("revenue"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum("rev_row").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
         .limit(10)
@@ -250,18 +260,28 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~2/25 map-side before the fact-fact orderkey join, so that shuffle
     # moves ~1M rows instead of every order (22% at SF3: 3.17s -> 2.48s)
     o2 = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    # r11 opt (guide §2.3 — project before the exchange): the orderkey
+    # exchange shipped l_extendedprice + l_discount (only their product
+    # is consumed) and the raw l_shipdate timestamp (only its year is).
+    # Computing rev_row and the 4-byte l_year below the shuffle cuts the
+    # lineitem side from 5 columns/40 B to 4 columns/28 B per row; the
+    # per-row multiply/year run once either way (the join only drops
+    # rows), so the same values feed the same dsum.
     joined = (
         li.join(supp, li.l_suppkey == supp.s_suppkey)
-        .join(o2, li.l_orderkey == o2.o_orderkey)
+        .select(
+            "l_orderkey", "supp_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+            .alias("rev_row"))
+        .join(o2, F.col("l_orderkey") == o2.o_orderkey)
         .filter(
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
     )
     return (
-        joined.groupBy(
-            "supp_nation", "cust_nation",
-            F.year("l_shipdate").cast("int").alias("l_year"))
-        .agg(dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("revenue"))
+        joined.groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum("rev_row").alias("revenue"))
     )
 
 
@@ -345,12 +365,21 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp")))
-    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    # r11 opt (guide §2.3 — project before the exchange): rev_row is
+    # computed below the orderkey shuffle so the lineitem side ships 2
+    # columns (16 B/row) instead of (l_orderkey, l_extendedprice,
+    # l_discount); same per-row product, same dsum, join only drops rows.
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+        .alias("rev_row"))
     nation = t(spark, sf_dir, "nation")
     rev = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_custkey")
-        .agg(dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("revenue"))
+        .agg(dsum("rev_row").alias("revenue"))
     )
     return (
         # Broadcast boundary (r7 verdict #2): rev is one 16-byte

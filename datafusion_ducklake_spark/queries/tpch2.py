@@ -104,21 +104,36 @@ GROUP BY 1
 
 def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """No ps_supplycost in the synthetic schema; profit proxy =
-    revenue − 0.6×retailprice×quantity."""
+    revenue − 0.6×retailprice×quantity.
+
+    r11 opt (guide §2.3 — project before the exchange): the only
+    non-broadcast join is the lineitem⋈orders SMJ on orderkey, and its
+    exchange shipped SIX columns (l_quantity, l_extendedprice,
+    l_discount, p_retailprice, and the 25-char n_name among them) while
+    the aggregate only consumes their one-double combination. part and
+    supplier are broadcast below the shuffle, amount_row is computed
+    there too, and the nation join (broadcast, inner) moves ABOVE the
+    orderkey join — an inner-join reorder — so the exchange now carries
+    [l_orderkey, s_nationkey(int), amount_row] ≈ 20 B/row instead of
+    ~44+ B. The orders side likewise ships the 4-byte o_year instead of
+    the raw timestamp. Same per-row arithmetic on the same rows feeds
+    the same dsum (the orderkey join only drops rows), so the result is
+    bit-identical in exact mode."""
     nation = t(spark, sf_dir, "nation")
     supp = t(spark, sf_dir, "supplier")
     part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%1%"))
-    li = t(spark, sf_dir, "lineitem")
-    orders = t(spark, sf_dir, "orders")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("int").alias("o_year"))
     amount = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
               - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity"))
-    return (li.join(part, li.l_partkey == part.p_partkey)
-            .join(supp, li.l_suppkey == supp.s_suppkey)
-            .join(nation, supp.s_nationkey == nation.n_nationkey)
-            .join(orders, li.l_orderkey == orders.o_orderkey)
-            .groupBy(F.col("n_name").alias("nation"),
-                     F.year("o_orderdate").cast("int").alias("o_year"))
-            .agg(dsum(amount).alias("sum_profit")))
+    li = (t(spark, sf_dir, "lineitem")
+          .join(part, F.col("l_partkey") == part.p_partkey)
+          .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+          .select("l_orderkey", "s_nationkey", amount.alias("amount_row")))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(nation, F.col("s_nationkey") == nation.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"), F.col("o_year"))
+            .agg(dsum("amount_row").alias("sum_profit")))
 
 
 ORACLE_Q09 = """
