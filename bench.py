@@ -277,6 +277,22 @@ def _floor_adjusted_ratios(mins: dict, floor: float, duck_min: dict):
     return adjusted, at_floor
 
 
+def _pinned_duckdb(tier_dir: str) -> dict | None:
+    """The committed per-tier DuckDB denominator (tools/pin_duckdb.py,
+    r10 verdict #3): min walls per query for this box generation, keyed
+    by tier dir basename. Returns the tier's queries_min dict or None.
+    This is a REPORTING aid — the in-run denominator is still measured
+    and reported first; the pinned ratio isolates Spark-side movement
+    from DuckDB's own ±35% run-to-run swing at the floor-dominated
+    tiers."""
+    try:
+        doc = json.loads((REPO / "DUCKDB_PINNED.json").read_text())
+        tier = doc["tiers"].get(os.path.basename(tier_dir.rstrip("/")))
+        return tier["queries_min"] if tier else None
+    except Exception:
+        return None
+
+
 def _ratio(spark_times: dict, duck_times: dict) -> float | None:
     common = [n for n in spark_times if n in duck_times]
     if not common:
@@ -607,6 +623,7 @@ def main() -> None:
 
     adjusted = {n: round(max(t - floor, 0.0), 4) for n, t in wall.items()}
     total = round(sum(wall.values()), 4)
+    pinned = _pinned_duckdb(sf_dir)
 
     # Stdout stays COMPACT (one short JSON line — a capture window may be
     # as small as ~2000 chars); full per-query detail goes to the sidecar.
@@ -622,6 +639,11 @@ def main() -> None:
         "ratio_vs_duckdb_raw": _ratio(wall, duck),
         "ratio_vs_duckdb_floor_adjusted": _ratio(adjusted, duck),
         "ratio_min_vs_duckdb_min": _ratio(wall_min, duck_min),
+        # min walls vs the COMMITTED per-box DuckDB denominator
+        # (DUCKDB_PINNED.json, r10 verdict #3) — null when no pinned
+        # file exists; the in-run ratios above remain the primary,
+        # same-session measurement
+        "ratio_vs_duckdb_pinned": _ratio(wall_min, pinned) if pinned else None,
         "datafusion_total": round(sum(dfus.values()), 4) if dfus else None,
         "ratio_vs_datafusion": _ratio(wall, dfus),
         "detail_file": "BENCH_detail.json",
@@ -662,6 +684,7 @@ def main() -> None:
             "whole line fits the driver's ~2000-char capture window "
             "and parses again; no timed value or methodology changed"),
         "queries": wall,
+        "duckdb_pinned_queries": pinned,
         "queries_plan_sec": plan,
         "queries_floor_adjusted": adjusted,
         "queries_min": wall_min,
@@ -784,9 +807,13 @@ def main() -> None:
                 "q18_ratio_min": _rm4("q18_large_orders"),
                 "q05_ratio_min": _rm4("q05_local_supplier_volume"),
             }
+        s_pinned = _pinned_duckdb(scaled_dir)
+        if s_pinned:
+            s_head["ratio_vs_duckdb_pinned"] = _ratio(s_min, s_pinned)
         s_fadj, s_at_floor = _floor_adjusted_ratios(s_min, floor, s_duck_min)
         detail[key] = {
             **s_head,
+            "duckdb_pinned_queries": s_pinned,
             "queries": s_wall,
             "queries_plan_sec": s_plan,
             "queries_min": s_min,
@@ -866,8 +893,8 @@ def _stdout_line(headline: dict) -> str:
         return json.dumps(h, separators=(",", ":"))
 
     line = dump(headline)
-    for key in ("suite_delta_note", "scaled4", "scaled3", "scaled2",
-                "scaled"):
+    for key in ("suite_delta_note", "ratio_vs_duckdb_pinned", "scaled4",
+                "scaled3", "scaled2", "scaled"):
         if len(line) <= STDOUT_BUDGET:
             break
         if key in headline:

@@ -208,6 +208,18 @@ def minhash_signatures(df: DataFrame, id_col: str, shingles: Column,
     return src.mapInPandas(gen, schema)
 
 
+def _hash_batch_for(hash_fn, np):
+    """The vectorized batch replay of ``hash_fn`` (a string Column →
+    long Column function), or None when no bit-equal replay exists and
+    the caller must stay on the expression path. poly_hash64 →
+    _poly_hash_batch; F.xxhash64 → _xxh64_batch (seed 42)."""
+    if hash_fn is poly_hash64:
+        return lambda strs: _poly_hash_batch(strs, np)
+    if hash_fn is F.xxhash64:
+        return lambda strs: _xxh64_batch(strs, np)
+    return None
+
+
 def _poly_hash_batch(strs, np):
     """Vectorized replay of ``poly_hash64`` over a batch of Python
     strings: one int64 hash per input, bit-identical to the Column form.
@@ -255,6 +267,105 @@ def _poly_hash_batch(strs, np):
     return out
 
 
+def _xxh64_batch(strs, np, seed: int = 42):
+    """Vectorized replay of Spark's ``xxhash64`` over a batch of Python
+    strings: one int64 hash per input, bit-identical to the Column form
+    (XXH64 over the UTF-8 bytes, seed 42 — probed against Spark 4.1 on
+    every tail length 0..40, multibyte/astral text, and 31/32/33-byte
+    stripe boundaries; pinned by the fused-equivalence tests).
+
+    The XXH64 recurrences are sequential per string but independent
+    ACROSS strings, so the batch runs position-by-position with masks:
+    the 32-byte stripe loop iterates ceil(maxlen/32) times over the rows
+    that still have a full stripe, then the 8/4/1-byte tail steps run
+    over their masked subsets. All arithmetic is uint64 arrays (numpy
+    wraps mod 2^64 like the JVM's long); constants stay np.uint64 to
+    dodge the uint64-scalar float promotion."""
+    n = len(strs)
+    out = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return out
+    u64 = np.uint64
+    P1, P2, P3 = u64(0x9E3779B185EBCA87), u64(0xC2B2AE3D27D4EB4F), \
+        u64(0x165667B19E3779F9)
+    P4, P5 = u64(0x85EBCA77C2B2AE63), u64(0x27D4EB2F165667C5)
+
+    def rotl(x, r):
+        return (x << u64(r)) | (x >> u64(64 - r))
+
+    bufs = [s.encode("utf-8") for s in strs]
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
+    # 32 zero bytes of padding keep every gather in-bounds; masked rows
+    # never consume the padding values
+    data = np.frombuffer(b"".join(bufs) + b"\0" * 32, dtype=np.uint8)
+    starts = np.zeros(n, dtype=np.int64)
+    starts[1:] = np.cumsum(lens)[:-1]
+
+    def gather(off, width, view):
+        g = data[off[:, None] + np.arange(width)]
+        return np.ascontiguousarray(g).view(view)[:, 0].astype(np.uint64)
+
+    h = np.full(n, (seed + int(P5)) & 0xFFFFFFFFFFFFFFFF, dtype=np.uint64)
+    big = np.flatnonzero(lens >= 32)
+    if big.size:
+        v1 = np.full(big.size, (seed + int(P1) + int(P2))
+                     & 0xFFFFFFFFFFFFFFFF, dtype=np.uint64)
+        v2 = np.full(big.size, (seed + int(P2)) & 0xFFFFFFFFFFFFFFFF,
+                     dtype=np.uint64)
+        v3 = np.full(big.size, seed, dtype=np.uint64)
+        v4 = np.full(big.size, (seed - int(P1)) & 0xFFFFFFFFFFFFFFFF,
+                     dtype=np.uint64)
+        nstripes = lens[big] // 32
+        for s in range(int(nstripes.max())):
+            m = np.flatnonzero(nstripes > s)
+            off = starts[big[m]] + 32 * s
+            g = np.ascontiguousarray(data[off[:, None] + np.arange(32)])
+            lanes = g.view("<u8").astype(np.uint64)     # (k, 4)
+            for i, v in enumerate((v1, v2, v3, v4)):
+                acc = v[m] + lanes[:, i] * P2
+                v[m] = rotl(acc, 31) * P1
+        hb = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)
+        for v in (v1, v2, v3, v4):
+            hb ^= rotl(v * P2, 31) * P1
+            hb = hb * P1 + P4
+        h[big] = hb
+    h += lens.astype(np.uint64)
+    consumed = np.where(lens >= 32, 32 * (lens // 32), 0)
+    pos = starts + consumed
+    rem = lens - consumed                                # 0..31
+    n8 = rem // 8                                        # 0..3
+    for w in range(3):
+        m = np.flatnonzero(n8 > w)
+        if not m.size:
+            break
+        k = gather(pos[m] + 8 * w, 8, "<u8")
+        h[m] ^= rotl(k * P2, 31) * P1
+        h[m] = rotl(h[m], 27) * P1 + P4
+    pos4 = pos + 8 * n8
+    rem4 = rem - 8 * n8                                  # 0..7
+    m = np.flatnonzero(rem4 >= 4)
+    if m.size:
+        k = gather(pos4[m], 4, "<u4")
+        h[m] ^= k * P1
+        h[m] = rotl(h[m], 23) * P2 + P3
+    posb = pos4 + np.where(rem4 >= 4, 4, 0)
+    remb = rem4 - np.where(rem4 >= 4, 4, 0)              # 0..3
+    for b in range(3):
+        m = np.flatnonzero(remb > b)
+        if not m.size:
+            break
+        k = data[posb[m] + b].astype(np.uint64)
+        h[m] ^= k * P5
+        h[m] = rotl(h[m], 11) * P1
+    h ^= h >> u64(33)
+    h *= P2
+    h ^= h >> u64(29)
+    h *= P3
+    h ^= h >> u64(32)
+    out[:] = h.view(np.int64)
+    return out
+
+
 def _java_tokens(text: str) -> list:
     """Replay ``split(trim(text), r"\\s+")``: Spark's trim strips only
     0x20, and Java regex \\s (no UNICODE_CHARACTER_CLASS) is ASCII-only
@@ -284,29 +395,40 @@ def _char_shingle_strs(text: str, k: int) -> list:
 
 def minhash_text_signatures(df: DataFrame, id_col: str, text_col: str,
                             k_shingle: int = 3, num_hashes: int = 128,
-                            seed: int = 42,
-                            use_words: bool = True) -> DataFrame:
+                            seed: int = 42, use_words: bool = True,
+                            hash_fn=poly_hash64) -> DataFrame:
     """(id, sig) via ONE mapInPandas over (id, text): fused Arrow replay
-    of word/char_shingles(hash_fn=poly_hash64) + minhash_signature
-    (guide §4.2 — hand whole batches to numpy instead of interpreted
-    expression walks).
+    of word/char_shingles(hash_fn) + minhash_signature (guide §4.2 —
+    hand whole batches to numpy instead of interpreted expression
+    walks).
 
-    Why: with poly_hash64 every shingle pays an interpreted aggregate
-    over its characters (higher-order functions are CodegenFallback),
-    which dominates the whole MinHash pipeline. This path replays the
-    exact string construction (_word_shingle_strs/_char_shingle_strs),
-    the exact hash (_poly_hash_batch), array_distinct's first-occurrence
-    order, and the signature core (_minhash_sig_rows) — NULL text yields
-    the all-NULL signature, and a non-NULL text always yields >= 1
-    shingle (the expression form's greatest(..., 1) floor), so the
-    outputs are bit-identical. Pinned by
-    tests/test_functions.py::test_minhash_fused_matches_expression.
-    Only valid for poly_hash64 pipelines: xxhash64 shingles stay in the
-    JVM (native codegen hash — no reason to replay it in Python)."""
+    Why: every shingle pays interpreted higher-order-function iteration
+    (transform/aggregate are CodegenFallback), which dominates the whole
+    MinHash pipeline — with poly_hash64 the per-character aggregate on
+    top. This path replays the exact string construction
+    (_word_shingle_strs/_char_shingle_strs), the exact hash
+    (_poly_hash_batch or, r11, _xxh64_batch for the production-default
+    xxhash64), array_distinct's first-occurrence order, and the
+    signature core (_minhash_sig_rows) — NULL text yields the all-NULL
+    signature, and a non-NULL text always yields >= 1 shingle (the
+    expression form's greatest(..., 1) floor), so the outputs are
+    bit-identical. Pinned by
+    tests/test_functions.py::test_minhash_fused_matches_expression (and
+    its xxhash64 twin). The shingle→hash replay is hash-agnostic: both
+    expression forms hash only concat_ws/substr outputs, which are
+    never NULL for a non-NULL text."""
     import pandas as pd
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
     import numpy as np
 
+    hb = _hash_batch_for(hash_fn, np)
+    if hb is None:
+        raise ValueError("no bit-equal batch replay for this hash_fn")
+    # char_shingles(NULL): greatest(length(NULL)-k+1, 1) ignores the
+    # NULL, so ONE window is hashed over the NULL substring — poly's
+    # aggregate propagates it to [NULL] (all-NULL signature), while
+    # xxhash64 skips NULL children and returns its seed: [42]
+    null_char_sh = None if hash_fn is poly_hash64 else [42]
     sig_core = _minhash_sig_rows(num_hashes, seed)
     mk = _word_shingle_strs if use_words else _char_shingle_strs
 
@@ -323,13 +445,11 @@ def minhash_text_signatures(df: DataFrame, id_col: str, text_col: str,
                 # form produces the one-shingle array [hash('')]
                 shingle_strs.append("")
             bounds.append(len(shingle_strs))
-        hashes = _poly_hash_batch(shingle_strs, np)
+        hashes = hb(shingle_strs)
         arrays = []
         for t, lo, hi in zip(texts, bounds, bounds[1:]):
             if t is None and not use_words:
-                # char_shingles(NULL) propagates NULL (length(NULL) ->
-                # sequence NULL -> transform NULL): all-NULL signature
-                arrays.append(None)
+                arrays.append(null_char_sh)
             else:
                 # array_distinct keeps first occurrence; dict preserves
                 # insertion order
@@ -349,20 +469,27 @@ def minhash_text_signatures(df: DataFrame, id_col: str, text_col: str,
 
 
 def poly_shingle_arrays(df: DataFrame, id_col: str, text_col: str,
-                        k_shingle: int = 3,
-                        use_words: bool = True) -> DataFrame:
+                        k_shingle: int = 3, use_words: bool = True,
+                        hash_fn=poly_hash64) -> DataFrame:
     """(id, sh) via mapInPandas: the exact value of
-    ``word/char_shingles(text, k, hash_fn=poly_hash64)`` as an
-    Arrow-batched operator (same string construction, same hash, same
-    array_distinct first-occurrence order, same NULL asymmetry).
-    Used by the verification stage of the poly-hash MinHash pipeline so
-    each candidate document's shingle set is computed once in numpy
-    instead of per joined pair in interpreted expression walks (where
-    the join condition and the output projection each re-evaluate it)."""
+    ``word/char_shingles(text, k, hash_fn)`` as an Arrow-batched
+    operator (same string construction, same hash — poly_hash64 or,
+    r11, the xxhash64 replay — same array_distinct first-occurrence
+    order, same NULL asymmetry). Used by the verification stage of the
+    fused MinHash pipelines so each candidate document's shingle set is
+    computed once in numpy instead of per joined pair in interpreted
+    expression walks (where the join condition and the output
+    projection each re-evaluate it)."""
     import pandas as pd
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
     import numpy as np
 
+    hb = _hash_batch_for(hash_fn, np)
+    if hb is None:
+        raise ValueError("no bit-equal batch replay for this hash_fn")
+    # see minhash_text_signatures: the char-mode NULL-text shingle array
+    # is [NULL] under poly_hash64 but [seed]=[42] under xxhash64
+    null_char_sh = None if hash_fn is poly_hash64 else [42]
     mk = _word_shingle_strs if use_words else _char_shingle_strs
 
     def compute(texts) -> list:
@@ -374,11 +501,11 @@ def poly_shingle_arrays(df: DataFrame, id_col: str, text_col: str,
             elif use_words:
                 shingle_strs.append("")
             bounds.append(len(shingle_strs))
-        hashes = _poly_hash_batch(shingle_strs, np)
+        hashes = hb(shingle_strs)
         out = []
         for t, lo, hi in zip(texts, bounds, bounds[1:]):
             if t is None and not use_words:
-                out.append(None)
+                out.append(null_char_sh)
             else:
                 out.append(list(dict.fromkeys(hashes[lo:hi].tolist())))
         return out
@@ -398,11 +525,14 @@ def poly_shingle_arrays(df: DataFrame, id_col: str, text_col: str,
 def minhash_text_bands(df: DataFrame, id_col: str, text_col: str,
                        k_shingle: int = 3, num_hashes: int = 128,
                        num_bands: int = 16, seed: int = 42,
-                       use_words: bool = True) -> DataFrame:
+                       use_words: bool = True,
+                       hash_fn=poly_hash64) -> DataFrame:
     """(id, band, band_hash) via ONE mapInPandas over (id, text): the
-    fused text→shingles→signature→banded-hash pipeline for poly_hash64,
-    replaying ``posexplode(_banded(minhash_signature(...)))`` bit for
-    bit (pinned by test_minhash_fused_bands_match_expression).
+    fused text→shingles→signature→banded-hash pipeline, replaying
+    ``posexplode(_banded(minhash_signature(...)))`` bit for bit for
+    poly_hash64 and (r11) the production-default xxhash64
+    (pinned by test_minhash_fused_bands_match_expression and its
+    xxhash64 twin).
 
     Replayed _banded semantics: band_size = size(sig)/num_bands in
     DOUBLE arithmetic, slice start = cast(i*band_size + 1 as int)
@@ -417,6 +547,12 @@ def minhash_text_bands(df: DataFrame, id_col: str, text_col: str,
                                    StructType)
     import numpy as np
 
+    hb = _hash_batch_for(hash_fn, np)
+    if hb is None:
+        raise ValueError("no bit-equal batch replay for this hash_fn")
+    # see minhash_text_signatures: the char-mode NULL-text shingle array
+    # is [NULL] under poly_hash64 but [seed]=[42] under xxhash64
+    null_char_sh = None if hash_fn is poly_hash64 else [42]
     sig_core = _minhash_sig_rows(num_hashes, seed)
     mk = _word_shingle_strs if use_words else _char_shingle_strs
     bs = num_hashes / num_bands           # Java double division
@@ -433,11 +569,11 @@ def minhash_text_bands(df: DataFrame, id_col: str, text_col: str,
             elif use_words:
                 shingle_strs.append("")
             bounds.append(len(shingle_strs))
-        hashes = _poly_hash_batch(shingle_strs, np)
+        hashes = hb(shingle_strs)
         arrays = []
         for t, lo, hi in zip(texts, bounds, bounds[1:]):
             if t is None and not use_words:
-                arrays.append(None)
+                arrays.append(null_char_sh)
             else:
                 arrays.append(list(dict.fromkeys(hashes[lo:hi].tolist())))
         sigs = sig_core(arrays)
@@ -446,7 +582,7 @@ def minhash_text_bands(df: DataFrame, id_col: str, text_col: str,
             for i in band_idx:
                 sl = sig[starts[i]:starts[i] + ln]
                 csvs.append(",".join(str(v) for v in sl if v is not None))
-        bhash = _poly_hash_batch(csvs, np)
+        bhash = hb(csvs)
         n = len(ids)
         return pd.DataFrame({
             "__id": np.repeat(np.asarray(ids), num_bands),
@@ -530,14 +666,24 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     # the candidate pipeline — per-character shingle hashing, the
     # 128-hash signature, the 16 per-band csv hashes — runs in ONE
     # Arrow-batched numpy operator (minhash_text_bands), bit-identical
-    # to the expression chain (pinned by tests). xxhash64 is a native
-    # JVM hash, so that pipeline keeps expression shingles/banding and
-    # batches only the signature min-reduction (minhash_signatures).
-    # The Column forms remain for expression contexts.
-    if hash_fn is poly_hash64:
+    # to the expression chain (pinned by tests). r11 adjudication: the
+    # production-default xxhash64 pipeline was A/B-measured through the
+    # same fused path (a bit-equal numpy XXH64 replay, _xxh64_batch,
+    # exists and is test-pinned) and REJECTED — interleaved min-of-4 at
+    # sf0.01: expression 0.96 s vs fused 1.16 s. With a native codegen
+    # hash the expression path's only interpreted cost is the HOF
+    # wrappers, which is cheaper than paying the Python boundary plus
+    # per-row shingle-string construction (guide §1.2: the "ideal"
+    # rewrite lost to the measured one). simhash DID win the same trade
+    # (see simhash_near_dup_pairs — its aggregate form pays a 65-column
+    # exchange the fused vote removes). Other hash_fns likewise keep
+    # expression shingles/banding with the batched signature
+    # min-reduction. The Column forms remain for expression contexts.
+    fused = hash_fn is poly_hash64
+    if fused:
         bands = minhash_text_bands(df, id_col, text_col, k_shingle,
                                    num_hashes, num_bands,
-                                   use_words=use_words)
+                                   use_words=use_words, hash_fn=hash_fn)
         cands = _band_self_join_pairs(bands, id_col)
     else:
         sh = df.select(F.col(id_col), mk(text_col, k_shingle,
@@ -557,12 +703,12 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     # instead of per joined pair in interpreted walks — the join
     # condition and output projection otherwise each re-evaluate the
     # full shingle expression per pair.
-    if hash_fn is poly_hash64:
+    if fused:
         ids = (cands.select(F.col("id_a").alias(id_col))
                .union(cands.select(F.col("id_b").alias(id_col))).distinct())
         cand_docs = df.join(ids, id_col, "left_semi")
         shc = poly_shingle_arrays(cand_docs, id_col, text_col, k_shingle,
-                                  use_words)
+                                  use_words, hash_fn=hash_fn)
         a = shc.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
         b = shc.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
         joined = cands.join(a, "id_a").join(b, "id_b")
@@ -694,26 +840,31 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
 
 
 def simhash_text_signatures(df: DataFrame, text_col: str = "text",
-                            id_col: str = "doc_id",
-                            hash_bits: int = 64) -> DataFrame:
+                            id_col: str = "doc_id", hash_bits: int = 64,
+                            hash_fn=poly_hash64) -> DataFrame:
     """(id, sig) via ONE mapInPandas over (id, text): fused Arrow replay
-    of ``simhash_signatures(..., hash_fn=poly_hash64)`` (guide §4.2).
+    of ``simhash_signatures(..., hash_fn)`` (guide §4.2).
 
     Replays the exact pipeline: Java-\\s tokenization over the
     0x20-trimmed text (_word_shingle_strs semantics without windows),
-    poly_hash64 per token (_poly_hash_batch), then the per-bit majority
+    the exact hash per token (_poly_hash_batch, or — r11 — _xxh64_batch
+    for the production-default xxhash64), then the per-bit majority
     vote — bit j of the signature is set iff ones*2 > n over the
     document's token hashes, with bit 63's set-value being long MIN.
     NULL text yields sig=0 (the expression form's NULL token array
     votes 0 on every bit); empty/whitespace-only text yields one ''
-    token hashing as code 0. Pinned by
-    tests/test_functions.py::test_simhash_fused_matches_aggregate.
-    poly_hash64 pipelines only: xxhash64 tokens are a native JVM hash,
-    so that path keeps the exploded codegen'd bit-vote aggregation."""
+    token. Pinned by
+    tests/test_functions.py::test_simhash_fused_matches_aggregate and
+    its xxhash64 twin. (The aggregate form NULL-propagates only token
+    NULLs, which _java_tokens never produces, so the replay is
+    hash-agnostic.)"""
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
     import numpy as np
 
+    hb = _hash_batch_for(hash_fn, np)
+    if hb is None:
+        raise ValueError("no bit-equal batch replay for this hash_fn")
     shifts = np.arange(hash_bits, dtype=np.uint64)
     one = np.uint64(1)
     wrap = 1 << hash_bits
@@ -725,7 +876,7 @@ def simhash_text_signatures(df: DataFrame, text_col: str = "text",
             if t is not None:
                 toks.extend(_java_tokens(t))
             bounds.append(len(toks))
-        hashes = _poly_hash_batch(toks, np).view(np.uint64)
+        hashes = hb(toks).view(np.uint64)
         sigs = []
         for t, lo, hi in zip(texts, bounds, bounds[1:]):
             if t is None:
@@ -762,10 +913,16 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     # r10 opt (guide §4.2): with poly_hash64 the per-token interpreted
     # hash dominates — the fused Arrow operator computes the whole
     # text→token-hash→bit-vote signature in one mapInPandas,
-    # bit-identical (pinned by test). xxhash64 keeps the exploded
-    # codegen'd bit-vote aggregation (native JVM hash).
-    if hash_fn is poly_hash64:
-        sigs = simhash_text_signatures(df, text_col, id_col)
+    # bit-identical (pinned by test). r11: xxhash64 rides the same
+    # fused operator via the bit-equal _xxh64_batch replay — its
+    # exploded aggregate shape paid a 65-column exchange of bit-votes
+    # plus the explode fan-out, which the one-pass numpy vote removes
+    # (interleaved min-of-4 at sf0.01: 1.76 -> 0.46 s; output
+    # equality-checked end-to-end in the same run). Other hash_fns
+    # keep the exploded codegen'd aggregation.
+    if hash_fn is poly_hash64 or hash_fn is F.xxhash64:
+        sigs = simhash_text_signatures(df, text_col, id_col,
+                                       hash_fn=hash_fn)
     else:
         sigs = simhash_signatures(df, text_col, id_col, hash_fn=hash_fn)
     slices = F.array(*[

@@ -72,12 +72,19 @@ _SPECS = [
     # ivf_ann_neighbors, the r8 ducklake_family_agg gate entry
     # (second clustered family) evicts cb_value_quantiles, the r8
     # ducklake_interval_agg gate entry (INTERVAL column decode) evicts
-    # cb_daily_stats, and the r9 ducklake_interval_write_agg gate entry
-    # (engine-written parquet INTERVAL via the duckdb-backed staging)
+    # cb_daily_stats, the r9 ducklake_interval_write_agg gate entry
     # evicts cb_top_users, and the r10 ducklake_mv_agg gate entry
-    # (materialized views: incremental CDC-delta MERGE refresh + full
-    # recompute, both exercised in the build) evicts
-    # ds_rank_in_category. Evicted specs
+    # (materialized views) evicted ds_monthly_brand_rank — NOT
+    # ds_rank_in_category as this ledger previously claimed (r10 verdict
+    # item 1a: the driver data shows ds_rank_in_category still verified
+    # and ds_monthly_brand_rank out, exactly when its body was being
+    # reshaped — the policy above was broken). The r11 reorder restores
+    # it: every query whose body changed in r10 or r11
+    # (ds_monthly_brand_rank, cb_top_users, q03, q07, q09, plus
+    # q05/q08/q10 already here) now rides inside the window, evicting
+    # mm_audio_features, mm_frame_samples, cube_revenue,
+    # ds_channel_union and ds_rank_in_category (all stable since r8 or
+    # earlier). Evicted specs
     # stay covered by the local 98/98 gate (tools/check_correctness.py),
     # whose log is committed per round as CORRECTNESS_r{N}_local.txt
     QuerySpec("q05_local_supplier_volume", tpch.q05_local_supplier_volume, tpch.ORACLE_Q05, True),
@@ -87,6 +94,13 @@ _SPECS = [
     QuerySpec("events_hourly_rollup", events.events_hourly_rollup, events.ORACLE_HOURLY, True),
     QuerySpec("q15_top_supplier", tpch2.q15_top_supplier, tpch2.ORACLE_Q15, True),
     QuerySpec("q22_global_sales_opportunity", tpch.q22_global_sales_opportunity, tpch.ORACLE_Q22, True),
+    QuerySpec("ds_monthly_brand_rank", dsbench.ds_monthly_brand_rank,
+              dsbench.ORACLE_DS_MONTHLY_RANK, True),
+    QuerySpec("cb_top_users", dsbench.cb_top_users,
+              dsbench.ORACLE_CB_TOP_USERS, True),
+    QuerySpec("q03_shipping_priority", tpch.q03_shipping_priority, tpch.ORACLE_Q03, True),
+    QuerySpec("q07_volume_shipping", tpch.q07_volume_shipping, tpch.ORACLE_Q07, True),
+    QuerySpec("q09_product_profit", tpch2.q09_product_profit, tpch2.ORACLE_Q09, True),
     QuerySpec("ducklake_transform_agg", ducklake_gate.ducklake_transform_agg,
               ducklake_gate.ORACLE_TRANSFORM_AGG, False),
     QuerySpec("ducklake_geo_agg", ducklake_gate.ducklake_geo_agg,
@@ -144,10 +158,6 @@ _SPECS = [
               dsbench.ORACLE_DS_CHANNEL, False),
     QuerySpec("ds_rank_in_category", dsbench.ds_rank_in_category,
               dsbench.ORACLE_DS_RANK, False),
-    QuerySpec("ds_monthly_brand_rank", dsbench.ds_monthly_brand_rank,
-              dsbench.ORACLE_DS_MONTHLY_RANK, True),
-    QuerySpec("cb_top_users", dsbench.cb_top_users,
-              dsbench.ORACLE_CB_TOP_USERS, True),
     QuerySpec("cb_daily_stats", dsbench.cb_daily_stats,
               dsbench.ORACLE_CB_DAILY, False),
     QuerySpec("cb_value_quantiles", dsbench.cb_value_quantiles,
@@ -195,10 +205,8 @@ _SPECS = [
               events.ORACLE_GAPFILL_HOURLY, False),
     # TPC-H-ish relational coverage
     QuerySpec("q01_pricing_summary", tpch.q01_pricing_summary, tpch.ORACLE_Q01, True),
-    QuerySpec("q03_shipping_priority", tpch.q03_shipping_priority, tpch.ORACLE_Q03, True),
     QuerySpec("q04_order_priority", tpch.q04_order_priority, tpch.ORACLE_Q04, True),
     QuerySpec("q06_forecast_revenue", tpch.q06_forecast_revenue, tpch.ORACLE_Q06, True),
-    QuerySpec("q07_volume_shipping", tpch.q07_volume_shipping, tpch.ORACLE_Q07, True),
     QuerySpec("q13_customer_distribution", tpch.q13_customer_distribution, tpch.ORACLE_Q13, True),
     QuerySpec("q18_large_orders", tpch.q18_large_orders, tpch.ORACLE_Q18, True),
     QuerySpec("q19_discounted_revenue", tpch.q19_discounted_revenue, tpch.ORACLE_Q19, True),
@@ -208,7 +216,6 @@ _SPECS = [
     QuerySpec("window_top_order_per_customer", tpch.window_top_order_per_customer,
               tpch.ORACLE_WINDOW_TOP, True),
     QuerySpec("setop_active_parties", tpch.setop_active_parties, tpch.ORACLE_SETOP, False),
-    QuerySpec("q09_product_profit", tpch2.q09_product_profit, tpch2.ORACLE_Q09, True),
     QuerySpec("q11_important_balances", tpch2.q11_important_balances, tpch2.ORACLE_Q11, False),
     QuerySpec("q12_shipping_buckets", tpch2.q12_shipping_buckets, tpch2.ORACLE_Q12, True),
     QuerySpec("q16_part_supplier_distribution", tpch2.q16_part_supplier_distribution,

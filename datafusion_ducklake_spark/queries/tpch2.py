@@ -22,17 +22,8 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")))
-    # r10 opt (guide §2.3 — project before the exchange): the per-row
-    # volume is computed BEFORE the orderkey shuffle so the exchange
-    # ships one double instead of (l_extendedprice, l_discount); the
-    # post-join CASE/aggregate consume the identical per-row value.
-    li = t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey",
-        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
-        .alias("vol_row"))
     n2 = nation.select(F.col("n_nationkey").alias("s_nkey"),
                        F.col("n_name").alias("supp_nation"))
-    vol = F.col("vol_row")
     # Shape: restrict customer to the ASIA region BEFORE it meets the
     # fact join and broadcast the single-column key projection — the
     # region filter keeps only a fraction of custkeys (~16 bytes/row
@@ -54,6 +45,23 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp_n = (supp.select("s_suppkey", "s_nationkey")
               .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
               .select("s_suppkey", "supp_nation"))
+    # r10 opt (guide §2.3 — project before the exchange): the per-row
+    # volume is computed BEFORE the orderkey shuffle so the exchange
+    # ships one double instead of (l_extendedprice, l_discount).
+    # r11 opt (§2.3 again, the q09 pattern): the broadcast supplier join
+    # ALSO moves below the shuffle — its nation name was only ever
+    # consumed through the `= NATION_2` predicate, so the exchange now
+    # carries a 1-byte is_n2 flag instead of the 8-byte l_suppkey
+    # ([l_orderkey, vol_row, is_n2] ≈ 17 B/row vs 24). Inner-join
+    # reorder only (broadcasts preserve the streamed side's
+    # distribution, so the clustered tier keeps zero exchanges).
+    li = (t(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_suppkey",
+                  (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+                  .alias("vol_row"))
+          .join(F.broadcast(supp_n), F.col("l_suppkey") == supp_n.s_suppkey)
+          .select("l_orderkey", "vol_row",
+                  (F.col("supp_nation") == "NATION_2").alias("is_n2")))
     # r10 opt (guide §3.1/§3.2, same rewrite as q05): the broadcast
     # custkey restriction moves INTO orders before the fact-fact join —
     # the orderkey join's build side shrinks ~5x and the runtime bloom
@@ -61,23 +69,22 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # selectivity. Measured at SF10 (min-of-5 warm, interleaved):
     # 4.87 -> 3.97 s plain; clustered tier unchanged (broadcast joins
     # preserve the streamed side's bucketed distribution).
+    # r11 opt (§2.3): the group key is YEAR(o_orderdate) — compute the
+    # 4-byte int below the exchange (once per filtered order row) so it
+    # replaces the 8-byte timestamp on the orders side of the shuffle
     ord_asia = orders.join(F.broadcast(cust_asia),
                            orders.o_custkey == cust_asia.c_custkey) \
-        .select("o_orderkey", "o_orderdate")
+        .select("o_orderkey", F.year("o_orderdate").cast("int").alias("o_year"))
     # shuffle_hash on the date+region-filtered orders side: under the
     # clustered layout both facts arrive bucketed on orderkey, so the
     # hint swaps the sort-merge for a per-bucket hash build and skips
     # the lineitem sort (the distribution requirement is already met —
     # no exchange)
-    base = (li.join(ord_asia.hint("shuffle_hash"),
-                    li.l_orderkey == ord_asia.o_orderkey)
-            .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
-            .select(F.year("o_orderdate").cast("int").alias("o_year"),
-                    vol.alias("volume"), F.col("supp_nation")))
-    target = F.when(F.col("supp_nation") == "NATION_2", F.col("volume")) \
-        .otherwise(F.lit(0.0))
+    base = li.join(ord_asia.hint("shuffle_hash"),
+                   li.l_orderkey == ord_asia.o_orderkey)
+    target = F.when(F.col("is_n2"), F.col("vol_row")).otherwise(F.lit(0.0))
     return (base.groupBy("o_year")
-            .agg((dsum(target) / dsum(F.col("volume"))).alias("mkt_share")))
+            .agg((dsum(target) / dsum(F.col("vol_row"))).alias("mkt_share")))
 
 
 ORACLE_Q08 = """

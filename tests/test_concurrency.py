@@ -167,6 +167,9 @@ def test_delete_after_concurrent_compact_conflicts(spark, tmp_path):
         == list(range(3, 10))
 
 
+@pytest.mark.slow
+
+
 def test_rewrite_after_concurrent_delete_conflicts(spark, tmp_path):
     from datafusion_ducklake_spark.errors import TransactionConflict
     dl1 = _fresh(spark, tmp_path, "rc")
@@ -245,6 +248,9 @@ def test_transient_lock_retry_honors_max_retry_count(spark, tmp_path):
     finally:
         tw._catalog_writer_raw = orig
         t.join()
+
+
+@pytest.mark.slow
 
 
 def test_parallel_deletes_disjoint_files_all_commit(spark, tmp_path):

@@ -112,20 +112,28 @@ class TestMinHash:
         docs = docs.unionByName(edge)
         for use_words in (True, False):
             mk = dedup.word_shingles if use_words else dedup.char_shingles
-            sh = docs.select("doc_id", mk("text", 3,
-                                          hash_fn=dedup.poly_hash64).alias("sh"))
-            e = {r["doc_id"]: r["sig"] for r in sh.select(
-                "doc_id", dedup.minhash_signature(
-                    F.col("sh"), 32).alias("sig")).collect()}
-            f = {r["doc_id"]: r["sig"] for r in dedup.minhash_text_signatures(
-                docs, "doc_id", "text", 3, 32,
-                use_words=use_words).collect()}
-            assert e == f
-            # the NULL-text asymmetry really took the intended branch
-            if use_words:
-                assert f[100001] is not None and None not in f[100001]
-            else:
-                assert f[100001] == [None] * 32
+            for hf in (dedup.poly_hash64, F.xxhash64):
+                sh = docs.select("doc_id", mk("text", 3,
+                                              hash_fn=hf).alias("sh"))
+                e = {r["doc_id"]: r["sig"] for r in sh.select(
+                    "doc_id", dedup.minhash_signature(
+                        F.col("sh"), 32).alias("sig")).collect()}
+                f = {r["doc_id"]: r["sig"]
+                     for r in dedup.minhash_text_signatures(
+                         docs, "doc_id", "text", 3, 32,
+                         use_words=use_words, hash_fn=hf).collect()}
+                assert e == f
+                # the NULL-text asymmetry really took the intended branch
+                if use_words:
+                    assert f[100001] is not None and None not in f[100001]
+                elif hf is dedup.poly_hash64:
+                    # poly propagates the NULL substring through its
+                    # aggregate: [NULL] shingle -> all-NULL signature
+                    assert f[100001] == [None] * 32
+                else:
+                    # xxhash64 skips NULL children -> [42] shingle ->
+                    # a real (never-NULL) signature
+                    assert None not in f[100001]
 
     def test_minhash_fused_bands_match_expression(self, spark):
         """The fully fused text->bands mapInPandas path
@@ -144,23 +152,26 @@ class TestMinHash:
         docs = docs.unionByName(edge)
         for use_words in (True, False):
             mk = dedup.word_shingles if use_words else dedup.char_shingles
-            sh = docs.select("doc_id", mk("text", 3,
-                                          hash_fn=dedup.poly_hash64).alias("sh"))
-            sigs = sh.select("doc_id", dedup.minhash_signature(
-                F.col("sh"), 64).alias("sig"))
-            e = sorted((r["doc_id"], r["band"], r["band_hash"])
-                       for r in sigs.select("doc_id", F.posexplode(
-                           dedup._banded(F.col("sig"), 16,
-                                         dedup.poly_hash64)).alias(
-                               "band", "band_hash")).collect())
-            f = sorted((r["doc_id"], r["band"], r["band_hash"])
-                       for r in dedup.minhash_text_bands(
-                           docs, "doc_id", "text", 3, 64, 16,
-                           use_words=use_words).collect())
-            assert e == f
-        # NULL text: all 16 bands collide on the hash of the '' csv
-        null_bands = {bh for d, _, bh in f if d == 100001}
-        assert len(null_bands) == 1
+            for hf in (dedup.poly_hash64, F.xxhash64):
+                sh = docs.select("doc_id", mk("text", 3,
+                                              hash_fn=hf).alias("sh"))
+                sigs = sh.select("doc_id", dedup.minhash_signature(
+                    F.col("sh"), 64).alias("sig"))
+                e = sorted((r["doc_id"], r["band"], r["band_hash"])
+                           for r in sigs.select("doc_id", F.posexplode(
+                               dedup._banded(F.col("sig"), 16,
+                                             hf)).alias(
+                                   "band", "band_hash")).collect())
+                f = sorted((r["doc_id"], r["band"], r["band_hash"])
+                           for r in dedup.minhash_text_bands(
+                               docs, "doc_id", "text", 3, 64, 16,
+                               use_words=use_words, hash_fn=hf).collect())
+                assert e == f
+                if not use_words and hf is dedup.poly_hash64:
+                    # NULL text under poly char shingles: the all-NULL
+                    # signature makes all 16 bands collide on the '' csv
+                    null_bands = {bh for d, _, bh in f if d == 100001}
+                    assert len(null_bands) == 1
 
     def test_simhash_fused_matches_aggregate(self, spark):
         """The fused text->simhash mapInPandas path
@@ -178,13 +189,32 @@ class TestMinHash:
              (100008, "x \x0b y \r z w")],
             "doc_id long, text string")
         docs = docs.unionByName(edge)
-        e = {r["doc_id"]: r["sig"] for r in dedup.simhash_signatures(
-            docs, "text", "doc_id", hash_fn=dedup.poly_hash64).collect()}
-        f = {r["doc_id"]: r["sig"] for r in dedup.simhash_text_signatures(
-            docs, "text", "doc_id").collect()}
-        assert e == f
-        assert f[100001] == 0              # NULL text votes 0 everywhere
-        assert f[100002] == f[100004]      # '' and '   ' share the '' token
+        for hf in (dedup.poly_hash64, F.xxhash64):
+            e = {r["doc_id"]: r["sig"] for r in dedup.simhash_signatures(
+                docs, "text", "doc_id", hash_fn=hf).collect()}
+            f = {r["doc_id"]: r["sig"]
+                 for r in dedup.simhash_text_signatures(
+                     docs, "text", "doc_id", hash_fn=hf).collect()}
+            assert e == f
+            assert f[100001] == 0          # NULL text votes 0 everywhere
+            assert f[100002] == f[100004]  # '' and '   ' share the '' token
+
+    def test_xxh64_batch_matches_spark(self, spark):
+        """_xxh64_batch must replay Spark's xxhash64(string) bit for bit:
+        every tail length 0..40 (covering the 8/4/1-byte ladder), the
+        31/32/33 and 63/64/65-byte stripe boundaries, multibyte and
+        astral UTF-8, and long inputs spanning many 32-byte stripes."""
+        import numpy as np
+        texts = [''.join(chr(97 + (i * 7) % 26) for i in range(n))
+                 for n in range(41)]
+        texts += ['héllo wörld', 'こんにちは世界', '𝄞𝄞𝄞 astral 𝄞',
+                  'x' * 31, 'x' * 32, 'x' * 33, 'x' * 63, 'x' * 64,
+                  'x' * 65, 'y' * 1000, '1,2,3,-9223372036854775808',
+                  ' ', '\t', 'a\xa0b']
+        got = dedup._xxh64_batch(texts, np)
+        df = spark.createDataFrame([(t,) for t in texts], "s string")
+        want = [r[0] for r in df.select(F.xxhash64("s")).collect()]
+        assert got.tolist() == want
 
 
 class TestSimHash:

@@ -382,6 +382,9 @@ def test_cdc_over_interval(iv_session):
     assert (by_id[2].months, by_id[2].days) == (2, 2)
 
 
+@pytest.mark.slow
+
+
 def test_stream_inserts_over_interval(iv_session, spark):
     """The catalog-driven insert stream reads files through pyarrow —
     interval columns must arrive decoded (interval_decode_arrow)."""

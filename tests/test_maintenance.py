@@ -157,6 +157,9 @@ def test_rewrite_data_files_leaves_clean_files_untouched(spark, tmp_path):
     assert sorted(r.id for r in rows) == [0, 1] + list(range(5, 20))
 
 
+@pytest.mark.slow
+
+
 def test_rewrite_data_files_delete_threshold(spark, tmp_path):
     """sql/rewrite_data_files/test_last_snapshot_rewrite: the
     delete-fraction gate — a file under the threshold keeps its
@@ -208,6 +211,9 @@ def test_rewrite_data_files_noop_without_debt(spark, tmp_path):
     snap_before = dl.provider.get_current_snapshot()
     assert dl.rewrite_data_files("main.c") == 0
     assert dl.provider.get_current_snapshot() == snap_before
+
+
+@pytest.mark.slow
 
 
 def test_merge_adjacent_respects_target_file_size(spark, tmp_path):
@@ -290,6 +296,9 @@ def test_merge_adjacent_preserves_partition_values(spark, tmp_path):
     rows = sorted((r.pk, r.v) for r in dl.table("main.pt").collect())
     assert rows == [(1, 11), (1, 100), (1, 101),
                     (2, 20), (2, 21)]
+
+
+@pytest.mark.slow
 
 
 def test_compact_million_deleted_positions_stays_off_driver(spark, tmp_path):

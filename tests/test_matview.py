@@ -123,6 +123,8 @@ class TestLifecycle:
             "SELECT tag, SUM(v) AS total FROM main.t "
             "WHERE id < 50 GROUP BY tag"))
 
+    @pytest.mark.slow
+
     def test_null_agg_values_in_delta(self, dl, spark):
         # an all-NULL delta SUM must leave the group's total UNCHANGED
         # (SUM ignores NULLs) — the NULL-identity combine, not tgt+NULL
@@ -163,6 +165,8 @@ class TestLifecycle:
         out = dl.refresh_materialized_view("main.mvj")
         assert out["mode"] == "full"
         assert _rows(dl.table("main.mvj")) == _rows(dl.sql(sql))
+
+    @pytest.mark.slow
 
     def test_consecutive_incremental_refreshes(self, dl, spark):
         dl.create_materialized_view("main.mv", MV_SQL)
@@ -238,6 +242,7 @@ class TestLifecycle:
 
 
 class TestSql:
+    @pytest.mark.slow
     def test_sql_roundtrip(self, dl, spark):
         dl.sql("CREATE MATERIALIZED VIEW main.mv2 AS " + MV_SQL)
         assert _rows(dl.table("main.mv2")) == _recompute(dl)

